@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational core: scans, filters, projections, aggregations, joins,
+  * windows, sorts/limits, set operations.
+  *
+  * The reference engine's own relational surface is tiny (SURVEY.md §2 —
+  * ordered scans + limits + projections embedded in generated SQL); this
+  * module is the general query surface a Spark-native engine provides on
+  * top, exercised against the driver corpus.
+  *
+  * Scale notes (100 TB):
+  *  - every query reads through a projected/filtered parquet scan —
+  *    Catalyst pushes both (verified via explain in RelationalSpec);
+  *  - dimension joins (region/nation/customer) are broadcast explicitly;
+  *    fact-fact joins shuffle on the join key and rely on AQE for skew;
+  *  - order-sensitive double sums use int64 cents (Tables.cents) so the
+  *    result is independent of partitioning/accumulation order — this is
+  *    what makes the result reproducible cluster-vs-local, not just an
+  *    oracle trick.
+  */
+object Relational {
+
+  /** q1: TPC-H Q1-style pricing summary. groupBy + exact sums + avg. */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dollars(sum(cents(col("l_quantity")))).as("sum_qty"),
+        dollars(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+        dollars(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        (sum(cents(col("l_quantity"))).cast("double") / (lit(100.0) * count(lit(1))))
+          .as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q2: filter + projection; predicate and column pruning reach the scan. */
+  def q2FilterProject(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-04-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 10.0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q3: 3-way join + agg + top-k revenue customers. customer is
+    * broadcast (dim); orders⋈lineitem shuffles on orderkey. */
+  def q3JoinAggTopK(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"), col("c_name"))
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = lineitem(s, d).select(
+      col("l_orderkey"),
+      cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dollars(sum(col("rev_c"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** q4: star join over broadcast dims; counts + exact balance sums. */
+  def q4BroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d); val n = nation(s, d)
+    customer(s, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dollars(sum(cents(col("c_acctbal")))).as("total_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** q5: window — latest order per customer (row_number over desc). */
+  def q5WindowLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q6: global sort + limit (top-k by price; Spark plans TakeOrdered —
+    * no full sort materialization). */
+  def q6SortLimit(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** q7: set ops — INTERSECT then EXCEPT (distinct semantics both). */
+  def q7SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val oo = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val big = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    f.intersect(oo).except(big).orderBy(col("o_custkey"))
+  }
+
+  /** q8: left-semi join (EXISTS) — customers with at least one urgent order. */
+  def q8SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q9: left-anti join (NOT EXISTS) — customers with no open ('P') orders. */
+  def q9AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey"))
+    customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q10: rollup (hierarchical aggregates with NULL totals). */
+  def q10Rollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** q11: scalar string/date functions (projection-only; codegen'd). */
+  def q11ScalarFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_class"),
+        upper(col("o_orderstatus")).as("status_u"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        concat(col("o_orderstatus"), lit("#"),
+          col("o_orderpriority")).as("status_prio"))
+      .orderBy(col("o_orderkey"))
+
+  /** q12: join + conditional aggregation (TPC-H Q12-style shipping modes
+    * via priority buckets) — exercises CASE WHEN inside agg. */
+  def q12CaseAgg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> q1Agg _,
+    "q2_filter_project" -> q2FilterProject _,
+    "q3_join_agg_topk"  -> q3JoinAggTopK _,
+    "q4_broadcast_join" -> q4BroadcastJoin _,
+    "q5_window_latest"  -> q5WindowLatest _,
+    "q6_sort_limit"     -> q6SortLimit _,
+    "q7_set_ops"        -> q7SetOps _,
+    "q8_semi_join"      -> q8SemiJoin _,
+    "q9_anti_join"      -> q9AntiJoin _,
+    "q10_rollup"        -> q10Rollup _,
+    "q11_scalar_funcs"  -> q11ScalarFuncs _,
+    "q12_case_agg"      -> q12CaseAgg _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT))/(100.0*count(*)) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  l_extendedprice*(1.0-l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 10.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg_topk" ->
+      """SELECT c_custkey, c_name,
+        |  sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q4_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q5_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q6_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q7_set_ops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        |ORDER BY o_custkey""".stripMargin,
+    "q8_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q11_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  substring(o_orderpriority, 1, 1) AS prio_class,
+        |  upper(o_orderstatus) AS status_u,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |  CAST(day(o_orderdate) AS BIGINT) AS order_day,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+        |  o_orderstatus || '#' || o_orderpriority AS status_prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q12_case_agg" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpecBase {
+
+  test("every relational query runs and returns rows at sf0.001") {
+    Relational.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every relational query has an oracle") {
+    assert(Relational.queries.keySet == Relational.oracleSql.keySet)
+  }
+
+  test("q1 exact sums are stable under repartitioning (order-independence)") {
+    val a = Relational.q1Agg(spark, sf).collect().map(_.toSeq).toSeq
+    val li = Tables.lineitem(spark, sf).repartition(13)
+    li.createOrReplaceTempView("li_repart")
+    // same aggregation over a different partitioning must be bit-identical
+    val b = Relational.q1Agg(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("q2 pushes filters and prunes columns at the parquet scan") {
+    val plan = planOf(Relational.q2FilterProject(spark, sf))
+    assert(plan.contains("PushedFilters:"), "no pushed filters in plan")
+    assert(plan.contains("l_shipdate"), "shipdate filter not pushed")
+    assert(plan.contains("ReadSchema"), "no read schema")
+    // pruned scan must not read l_comment-ish unused columns (schema has 11
+    // cols; the projection needs 6 incl. filter cols)
+    assert(!plan.contains("l_returnflag"), "unused column not pruned")
+  }
+
+  test("q3/q4 dimension joins broadcast") {
+    assert(planOf(Relational.q3JoinAggTopK(spark, sf))
+      .contains("BroadcastHashJoin"), "q3 customer join not broadcast")
+    assert(planOf(Relational.q4BroadcastJoin(spark, sf))
+      .contains("BroadcastHashJoin"), "q4 dims not broadcast")
+  }
+
+  test("q6 top-k plans TakeOrdered, not a global sort") {
+    val plan = planOf(Relational.q6SortLimit(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
+
+  test("q5 latest-per-key returns one row per customer") {
+    val df = Relational.q5WindowLatest(spark, sf)
+    assert(df.count() == df.select("o_custkey").distinct().count())
+  }
+}
