@@ -1,0 +1,121 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpecBase
+
+/** E2E engine tests over the parquet-backed log — same scenario shapes as
+  * the reference's suite (trigger_test.go:22-244) minus SQLite itself. */
+class CdcEngineSpec extends SparkSpecBase {
+  import scala.jdk.CollectionConverters._
+
+  private def newLogDir(): String =
+    Files.createTempDirectory("cdclog").toString
+
+  /** Synthetic log rows: i → INSERT of {"pk":i} into table t. */
+  private def logRows(ids: Range, table: String = "t"): Seq[Row] =
+    ids.map { i =>
+      Row(i.toLong, f"2024-05-06 00:03:${i % 60}%02d.123", table, "INSERT",
+        null, s"""{"pk":$i}""")
+    }
+
+  private def appendRows(log: ParquetChangeLog, rows: Seq[Row]): Unit =
+    log.append(spark.createDataFrame(rows.asJava, Change.logSchema))
+
+  test("cdc drains 1024 changes in ordered ceil(1024/50) batches (TestCDCWithRowID shape)") {
+    val log = new ParquetChangeLog(newLogDir())
+    appendRows(log, logRows(0 until 1024))
+    val rec = new RecordingHandler
+    val engine = new CdcEngine(spark, log, rec)
+    val n = engine.cdcAvailableNow()
+    assert(n == 1024)
+    assert(rec.all.size == 1024)
+    assert(rec.batches.size == math.ceil(1024.0 / 50).toInt)
+    assert(rec.batches.forall(_.size <= 50))
+    // strict log order end-to-end
+    val pks = rec.all.map(c => c.after.get.split(":")(1).dropRight(1).toInt)
+    assert(pks == (0 until 1024).toList)
+    // ack advanced the log watermark
+    assert(log.committedOffset == 1023)
+  }
+
+  test("at-least-once: unacked batch is redelivered to a fresh engine") {
+    val log = new ParquetChangeLog(newLogDir())
+    appendRows(log, logRows(0 until 120))
+    // handler crashes after the first batch is delivered but before ack of the second
+    var seen = 0
+    val crashing = ChangesHandler { ds =>
+      seen += 1
+      if (seen == 2) throw new RuntimeException("sink down")
+      ds.collect(): Unit
+    }
+    val engine = new CdcEngine(spark, log, crashing)
+    assertThrows[RuntimeException](engine.cdcAvailableNow()) // fail-stop
+    assert(log.committedOffset == 49, "only batch 1 acked")
+    // a new engine resumes from the committed offset: rows 50.. redelivered
+    val rec = new RecordingHandler
+    val n = new CdcEngine(spark, log, rec).cdcAvailableNow()
+    assert(n == 70)
+    assert(rec.all.head.after.get == """{"pk":50}""")
+  }
+
+  test("engines are single-use (sync.Once parity)") {
+    val log = new ParquetChangeLog(newLogDir())
+    val engine = new CdcEngine(spark, log, new RecordingHandler)
+    engine.cdcAvailableNow()
+    assertThrows[IllegalStateException](engine.cdcAvailableNow())
+  }
+
+  test("bootstrap delivers full snapshots as INSERT changes in batch-shaped pages") {
+    val nation = graft.Tables.nation(spark, sf) // 25 rows
+    val rec = new RecordingHandler
+    val log = new ParquetChangeLog(newLogDir())
+    val n = new CdcEngine(spark, log, rec, maxBatchSize = 10)
+      .bootstrap(Seq("nation" -> nation))
+    assert(n == 25)
+    assert(rec.batches.map(_.size) == Seq(10, 10, 5))
+    assert(rec.all.forall(_.operation == "INSERT"))
+    assert(rec.all.forall(_.before.isEmpty))
+    assert(rec.all.forall(_.table == "nation"))
+    val img = rec.all.map(_.after.get).find(_.contains("NATION_0")).get
+    assert(img.contains("\"n_name\":\"NATION_0\"") && img.contains("\"n_nationkey\":0"))
+  }
+
+  test("bootstrapAndCdc: snapshot first, then log tail (ordered hand-off)") {
+    val log = new ParquetChangeLog(newLogDir())
+    appendRows(log, logRows(0 until 30, table = "nation"))
+    val rec = new RecordingHandler
+    val n = new CdcEngine(spark, log, rec)
+      .bootstrapAndCdcAvailableNow(Seq("nation" -> graft.Tables.nation(spark, sf)))
+    assert(n == 25 + 30)
+    // every snapshot change precedes every live change
+    val ops = rec.all.map(_.table).zipWithIndex
+    val lastSnapshot = rec.all.zipWithIndex.filter(_._1.before.isEmpty).map(_._2)
+    assert(rec.all.take(25).forall(_.after.get.contains("n_name")))
+    assert(rec.all.drop(25).forall(_.after.get.startsWith("""{"pk":""")))
+  }
+
+  test("toChanges parses the SQLite log timestamp text as UTC") {
+    val log = new ParquetChangeLog(newLogDir())
+    appendRows(log, Seq(Row(1L, "2024-05-06 00:03:34.567", "t", "UPDATE",
+      """{"a":1}""", """{"a":2}""")))
+    val rec = new RecordingHandler
+    new CdcEngine(spark, log, rec).cdcAvailableNow()
+    val c = rec.all.head
+    assert(c.timestamp.toInstant.toString == "2024-05-06T00:03:34.567Z")
+    assert(c.operation == "UPDATE")
+    assert(c.before.contains("""{"a":1}""") && c.after.contains("""{"a":2}"""))
+  }
+
+  test("blob columns: skipped by default, upper-case hex with blob support (F3 parity)") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xAF.toByte)))
+      .toDF("id", "payload")
+    val plain = Bootstrap.snapshotToChanges("b", df).collect().head
+    assert(!plain.after.get.contains("payload"))
+    val withBlobs = Bootstrap.snapshotToChanges("b", df, blobSupport = true).collect().head
+    assert(withBlobs.after.get.contains("\"payload\":\"DEADBEAF\""))
+  }
+}
