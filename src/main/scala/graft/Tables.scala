@@ -21,7 +21,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark rejects by
+    * default; read it as raw nanos (legacy conf) and truncate to a
+    * microsecond TimestampType — the same truncation every ns-unaware
+    * consumer applies, and what the oracles mirror with
+    * `date_trunc('microseconds', ts)`. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

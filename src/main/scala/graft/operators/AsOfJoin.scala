@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, attach the latest right row with the
+  * same key and right.ts <= left.ts (the standard event-stream /
+  * point-in-time join Spark lacks as a built-in).
+  *
+  * Implementation is the union + running-last-value trick, NOT a range
+  * join: tag both inputs, union them, and take `last(right payload)
+  * ignoring nulls` over (key ORDER BY ts, side) rows unbounded-preceding
+  * → current. Right rows sort before left rows at equal ts, so the match
+  * is inclusive (right.ts <= left.ts).
+  *
+  * Scale rationale: a naive `left.ts >= right.ts` theta-join explodes to
+  * O(|L|·|R|) per key before aggregation; this formulation is one
+  * shuffle on the key + one linear window pass — O(|L|+|R|) rows moved,
+  * partition-parallel across keys, skew handled by AQE. This is the plan
+  * shape you want at 100 TB.
+  */
+object AsOfJoin {
+
+  /** @param left      left (probe) rows
+    * @param right     right (reference) rows
+    * @param key       equi-join key column name (same name both sides)
+    * @param ts        event-time column name (same name both sides)
+    * @param rightCols right payload columns to attach (null when no
+    *                  right row precedes the left row)
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == ts)
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side")) ++
+        leftCols.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import TextOps._
+
+/** Deduplication operators over `documents`: exact hash dedup,
+  * MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard similarity —
+  * the dedup stages of a training-data pipeline.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one hash-groupBy shuffle on a 16-byte key; with
+  *    ~10^10 docs the hash space (128-bit) has no collisions to care
+  *    about, and AQE handles the (unlikely) skew of giant dup groups;
+  *  - MinHash/LSH is the classic shingle→signature→band→bucket-join
+  *    pipeline: per-doc signature is a narrow map; candidate generation
+  *    shuffles only (band_key → doc) pairs — k·bands rows per doc, NOT
+  *    the O(n²) pair space. Bucket sizes are data-dependent; a giant
+  *    bucket (boilerplate text) is the classic skew case — cap bucket
+  *    size or salt in production;
+  *  - Jaccard verification joins only within-candidate pairs (inverted
+  *    index join on shared shingles), never the full cross product —
+  *    this is what makes it survive 1000× data;
+  *  - SimHash pair search here brute-forces a.id < b.id for oracle
+  *    parity at test scale; at 100 TB you'd bucket by bit-bands of the
+  *    signature (same LSH trick, hamming-ball variant).
+  */
+object Dedup {
+
+  val MinhashK = 12
+  val LshBandsN = 6
+  val LshRows = 2
+
+  /** d1: exact dedup — canonical id per normalized-content hash.
+    * Output: every doc with its content hash, the canonical (min) doc_id
+    * of its dup group, dup flag and group size. */
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame = {
+    val h = documents(s, d).select(
+      col("doc_id"), md5(normText(col("text"))).as("content_md5"))
+    val groups = h.groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+    h.join(groups, "content_md5")
+      .select(col("doc_id"), col("content_md5"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"),
+        col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc MinHash signature + LSH band keys (shared by d2/d3). */
+  private def sigs(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), shingles3(ws).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        minhashSig(col("sh"), MinhashK).as("sig"))
+      .withColumn("bands", lshBands(col("sig"), LshBandsN, LshRows))
+  }
+
+  /** d2: MinHash signatures — the per-doc signature + band keys
+    * materialization (what you'd persist as the dedup index at scale). */
+  def d2MinhashSig(s: SparkSession, d: String): DataFrame =
+    sigs(s, d)
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("mh_0"),
+        element_at(col("sig"), 2).as("mh_1"),
+        element_at(col("sig"), MinhashK).as(s"mh_${MinhashK - 1}"),
+        element_at(col("bands"), 1).as("band_0"),
+        element_at(col("bands"), LshBandsN).as(s"band_${LshBandsN - 1}"))
+      .orderBy(col("doc_id"))
+
+  /** d3: LSH candidate pairs — docs agreeing on ≥1 full band, with the
+    * signature-agreement MinHash estimate of Jaccard. Candidate
+    * generation is the band-key equi-join (shuffle on band key, never
+    * O(n²)); the estimate is re-derived from the joined signatures. */
+  def d3LshCandidates(s: SparkSession, d: String): DataFrame = {
+    val sg = sigs(s, d).select(col("doc_id"), col("sig"), col("bands"))
+    val exploded = sg.select(col("doc_id"), col("sig"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val a = exploded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("a"), col("sig").as("sig_a"))
+    val b = exploded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_sig_match"))
+      .distinct()
+      .withColumn("est_jaccard_e6",
+        idiv(col("n_sig_match") * 1000000L, lit(MinhashK.toLong)))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** d4: top-k n-gram Jaccard pairs via inverted-index join — explode
+    * distinct shingles, equi-join on shingle, count shared per pair,
+    * Jaccard = shared / (|A| + |B| − shared) in fixed-point. Only pairs
+    * sharing ≥1 shingle are ever materialized. */
+  def d4JaccardTopK(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val docSh = documents(s, d)
+      .select(col("doc_id"), array_distinct(shingles3(ws)).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+    val inv = docSh.select(col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val aSide = inv.select(col("shingle"), col("doc_id").as("a"), col("n_sh").as("na"))
+    val bSide = inv.select(col("shingle"), col("doc_id").as("b"), col("n_sh").as("nb"))
+    aSide.join(bSide, "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("a"), col("b"),
+        idiv(col("shared") * 1000000L, col("na") + col("nb") - col("shared"))
+          .as("jaccard_e6"))
+      .orderBy(col("jaccard_e6").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** d5: SimHash near-dup pairs — 32-bit signatures, pairs within
+    * hamming distance ≤ 1 (brute-force pair scan for oracle parity;
+    * see scale note above for the banded variant). The corpus shares one
+    * small vocabulary so signatures cluster tightly; ≤1 keeps only the
+    * genuinely-nearest tail (~0.2% of pairs). */
+  def d5SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sg = documents(s, d)
+      .select(col("doc_id"), simhash32(words(col("text"))).as("sig"))
+    val a = sg.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+    val b = sg.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b"), 32))
+      .filter(col("hamming") <= 1L)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup"    -> d1ExactDedup _,
+    "d2_minhash_sig"    -> d2MinhashSig _,
+    "d3_lsh_candidates" -> d3LshCandidates _,
+    "d4_jaccard_topk"   -> d4JaccardTopK _,
+    "d5_simhash_pairs"  -> d5SimhashPairs _,
+  )
+
+  /** Shared oracle CTE: words + distinct-less shingles per doc. */
+  private val ShinglesCte =
+    """WITH t AS (SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+      |s AS (SELECT doc_id, text, ws,
+      |    CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE [] END AS sh
+      |  FROM t)""".stripMargin
+
+  private val SigCte =
+    ShinglesCte +
+      s""",
+         |g AS (SELECT doc_id,
+         |    list_transform(range(0, $MinhashK), i ->
+         |      list_min(list_transform(sh, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+         |  FROM s),
+         |bn AS (SELECT doc_id, sig,
+         |    list_transform(range(0, $LshBandsN), b ->
+         |      md5(b::VARCHAR || '#' ||
+         |          array_to_string(sig[b*$LshRows+1 : b*$LshRows+$LshRows], ','))) AS bands
+         |  FROM g)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_md5
+        |  FROM documents),
+        |g AS (SELECT content_md5, min(doc_id) AS canonical_id,
+        |    count(*) AS group_size FROM h GROUP BY content_md5)
+        |SELECT h.doc_id, h.content_md5, g.canonical_id,
+        |  h.doc_id <> g.canonical_id AS is_dup, g.group_size
+        |FROM h JOIN g USING (content_md5) ORDER BY doc_id""".stripMargin,
+    "d2_minhash_sig" ->
+      (SigCte +
+        s"""
+           |SELECT doc_id, sig[1] AS mh_0, sig[2] AS mh_1,
+           |  sig[$MinhashK] AS mh_${MinhashK - 1},
+           |  bands[1] AS band_0, bands[$LshBandsN] AS band_${LshBandsN - 1}
+           |FROM bn ORDER BY doc_id""".stripMargin),
+    "d3_lsh_candidates" ->
+      (SigCte +
+        s"""
+           |, e AS (SELECT doc_id, sig, band_idx, bands[band_idx] AS band_key
+           |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
+           |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+           |    CAST(coalesce(list_sum(list_transform(range(1, $MinhashK + 1),
+           |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)), 0) AS BIGINT)
+           |      AS n_sig_match
+           |  FROM e a JOIN e b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id)
+           |SELECT a, b, n_sig_match,
+           |  n_sig_match * 1000000 // $MinhashK AS est_jaccard_e6
+           |FROM pairs ORDER BY a, b""".stripMargin),
+    "d4_jaccard_topk" ->
+      (ShinglesCte +
+        """,
+          |ds AS (SELECT doc_id, list_distinct(sh) AS sh,
+          |    CAST(len(list_distinct(sh)) AS BIGINT) AS n_sh FROM s)
+          |SELECT a.doc_id AS a, b.doc_id AS b,
+          |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+          |    // (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))) AS jaccard_e6
+          |FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.sh, b.sh)) > 0
+          |ORDER BY jaccard_e6 DESC, a, b LIMIT 20""".stripMargin),
+    "d5_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+        |sg AS (SELECT doc_id,
+        |    list_aggregate(list_transform(range(1, 33), j ->
+        |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+        |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        |  FROM t)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(coalesce(list_sum(list_transform(range(1, 33), j ->
+        |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0)
+        |    AS BIGINT) AS hamming
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE CAST(coalesce(list_sum(list_transform(range(1, 33), j ->
+        |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0)
+        |    AS BIGINT) <= 1
+        |ORDER BY a, b""".stripMargin,
+  )
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Event-stream operators over the `events` table — the batch views of
+  * what the streaming module runs continuously: tumbling-window
+  * aggregation, sessionization, semi-structured JSON extraction, as-of
+  * enrichment, latest-state materialization (the CDC "current state per
+  * key" view the reference's consumers hand-build, SURVEY.md §2.5).
+  *
+  * Timestamp note: the parquet carries nanosecond timestamps; Spark
+  * reads them at microsecond precision. Oracled outputs therefore expose
+  * epoch *seconds* (floor) or hour-truncated times — identical at any
+  * precision ≥ 1s — rather than raw timestamps.
+  *
+  * Scale notes (100 TB): every query shuffles exactly once on its
+  * natural key (hour/user_id) and aggregates partially map-side where
+  * the op allows; sessionization and latest-state are single window
+  * passes after one shuffle — at real scale you'd range-partition by
+  * (user_id, ts) on write so the shuffle disappears entirely.
+  */
+object Events {
+
+  val SessionGapS = 1800L
+
+  /** e1: tumbling 1-hour window aggregation per event type. */
+  def e1HourlyAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dollars(sum(cents(col("value")))).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_s"), col("event_type"))
+
+  /** e2: sessionization — 30-min-gap sessions per user via the
+    * gaps-and-islands window pattern (lag → boundary flag → running sum
+    * = session ordinal). */
+  def e2Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events(s, d)
+      .withColumn("prev_s", lag(unix_timestamp(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_s").isNull ||
+          unix_timestamp(col("ts")) - col("prev_s") > SessionGapS, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_s"),
+        max(unix_timestamp(col("ts"))).as("end_s"),
+        dollars(sum(cents(col("value")))).as("sum_value"))
+      .withColumn("duration_s", col("end_s") - col("start_s"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** e3: semi-structured extraction — pull `k` out of the JSON `props`
+    * column and aggregate it per event type. */
+  def e3JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** e4: as-of enrichment — each click joined to the user's most recent
+    * prior-or-simultaneous purchase (see [[AsOfJoin]] for the plan
+    * rationale). */
+  def e4AsofPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        cents(col("value")).as("purchase_cents"))
+    AsOfJoin.asof(clicks, purchases, "user_id", "ts",
+      Seq("purchase_id", "purchase_cents"))
+      .select(col("click_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("click_s"),
+        col("purchase_id"),
+        dollars(col("purchase_cents")).as("purchase_value"))
+      .orderBy(col("click_id"))
+  }
+
+  /** e5: latest state per key — the CDC current-state materialization
+    * (row_number over desc event time; SURVEY.md §2.5). */
+  def e5LatestState(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        unix_timestamp(col("ts")).as("last_s"))
+      .orderBy(col("user_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_hourly_agg"     -> e1HourlyAgg _,
+    "e2_sessionize"     -> e2Sessionize _,
+    "e3_json_extract"   -> e3JsonExtract _,
+    "e4_asof_purchase"  -> e4AsofPurchase _,
+    "e5_latest_state"   -> e5LatestState _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "e1_hourly_agg" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |  event_type, count(*) AS n_events,
+        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e2_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
+        |      AS prev_s
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
+        |    THEN 1 ELSE 0 END AS new_session FROM x),
+        |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts_s) AS start_s, max(ts_s) AS end_s,
+        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+        |  max(ts_s) - min(ts_s) AS duration_s
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "e3_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e4_asof_purchase" ->
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |    WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id,
+        |    CAST(round(value*100) AS BIGINT) AS purchase_cents FROM events
+        |    WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s,
+        |  p.purchase_id, p.purchase_cents/100.0 AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id
+        |  AND date_trunc('microseconds', c.ts) >= date_trunc('microseconds', p.ts)
+        |ORDER BY click_id""".stripMargin,
+    "e5_latest_state" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS last_s
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  )
+}

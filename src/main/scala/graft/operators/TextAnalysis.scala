@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import TextOps._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, document fingerprinting — the per-doc
+  * scoring stages of a training-data pipeline.
+  *
+  * Scale notes (100 TB): every query here is a narrow map over the
+  * documents scan (no shuffle except the final presentation orderBy,
+  * which a pipeline would drop). All scoring is Catalyst-expression-only
+  * — codegen'd, no UDF/serialization cost — so throughput is bounded by
+  * parquet scan speed. Column pruning reaches the scan: only `doc_id` +
+  * `text` are read.
+  */
+object TextAnalysis {
+
+  /** BPE-ish pre-tokenization pattern: letter runs, single digits,
+    * single non-alphanumeric marks (GPT-2-style pre-tokenizer shape,
+    * portable regex subset that RE2 and Java agree on). */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  /** x1: token counting — whitespace tokens + BPE-ish regex tokens +
+    * chars-per-token fixed-point. */
+  def x1TokenCount(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        idiv((length(col("text")) * 1000L).cast("long"),
+          greatest(size(ws), lit(1)).cast("long")).as("chars_per_tok_e3"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword list used by quality scoring + langid (English markers). */
+  val EnStop = Seq("the", "a", "of", "and", "to", "in", "or", "is")
+
+  /** x2: heuristic quality score — length band, mean token length band,
+    * stopword ratio, all fixed-point integer (reproducible across
+    * engines and partitionings). */
+  def x2Quality(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val base = documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(ws).cast("long").as("n_tokens"),
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_tok_len"),
+      size(filter(ws, w => w.isin(EnStop: _*))).cast("long").as("n_stop"))
+    base.select(
+      col("doc_id"), col("n_chars"), col("n_tokens"),
+      idiv(col("sum_tok_len") * 1000L, greatest(col("n_tokens"), lit(1L)))
+        .as("avg_tok_len_e3"),
+      idiv(col("n_stop") * 1000L, greatest(col("n_tokens"), lit(1L)))
+        .as("stop_ratio_e3"))
+      .withColumn("quality_e3",
+        when(col("n_chars").between(100L, 2000L), 300L).otherwise(0L) +
+          when(col("avg_tok_len_e3").between(3000L, 8000L), 400L).otherwise(0L) +
+          when(col("stop_ratio_e3").between(20L, 400L), 300L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language marker words for the n-gram/stopword langid heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "or"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** x3: language ID — argmax of marker-word hit counts, 'und' when no
+    * marker hits; ties break in LangMarkers order (en first). A real
+    * pipeline swaps the marker table for charset n-gram profiles; the
+    * dataflow (narrow map, argmax over a small static table) is
+    * identical. */
+  def x3LangId(s: SparkSession, d: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    val scored = documents(s, d).select(
+      (col("doc_id") +: LangMarkers.map { case (lang, markers) =>
+        size(filter(ws, w => w.isin(markers: _*))).cast("long").as(s"score_$lang")
+      }): _*)
+    val best = LangMarkers.map { case (lang, _) => col(s"score_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    // foldRight gives priority to the FIRST matching language in
+    // LangMarkers order (en, de, es, fr, zh) — deterministic tie-break.
+    scored.withColumn("best_score", best)
+      .withColumn("pred_lang",
+        LangMarkers.foldRight(lit("und")) { case ((lang, _), els) =>
+          when(col(s"score_$lang") === col("best_score") && col("best_score") > 0L,
+            lit(lang)).otherwise(els)
+        })
+      .select(col("doc_id"), col("pred_lang"), col("score_en"), col("best_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x4: document fingerprints — exact content hash (md5 of normalized
+    * text), min-shingle hash (1-element MinHash / rolling-hash-style
+    * content signature), 32-bit SimHash bit string. */
+  def x4Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(normText(col("text"))).as("content_md5"),
+        array_min(transform(shingles3(ws), sh => md5(sh))).as("min_shingle_md5"),
+        simhash32(ws).as("simhash32"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_token_count" -> x1TokenCount _,
+    "x2_quality"     -> x2Quality _,
+    "x3_lang_id"     -> x3LangId _,
+    "x4_fingerprint" -> x4Fingerprint _,
+  )
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "x1_token_count" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), w -> w != '') ws FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  CAST(length(text) AS BIGINT) * 1000 // greatest(len(ws), 1) AS chars_per_tok_e3
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "x2_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_tok_len,
+         |    CAST(len(list_filter(ws, w -> w IN ${inList(EnStop)})) AS BIGINT) AS n_stop
+         |  FROM t),
+         |q AS (SELECT doc_id, n_chars, n_tokens,
+         |    sum_tok_len * 1000 // greatest(n_tokens, 1) AS avg_tok_len_e3,
+         |    n_stop * 1000 // greatest(n_tokens, 1) AS stop_ratio_e3
+         |  FROM b)
+         |SELECT *,
+         |  (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 300 ELSE 0 END +
+         |   CASE WHEN avg_tok_len_e3 BETWEEN 3000 AND 8000 THEN 400 ELSE 0 END +
+         |   CASE WHEN stop_ratio_e3 BETWEEN 20 AND 400 THEN 300 ELSE 0 END) AS quality_e3
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "x3_lang_id" -> {
+      val scores = LangMarkers.map { case (lang, markers) =>
+        s"CAST(len(list_filter(ws, w -> w IN ${inList(markers)})) AS BIGINT) AS score_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = LangMarkers.map { case (l, _) => s"score_$l" }
+        .reduce((a, b) => s"greatest($a, $b)")
+      val predCase = LangMarkers.map { case (l, _) =>
+        s"WHEN score_$l = best_score AND best_score > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), w -> w != '') ws FROM documents),
+         |sc AS (SELECT doc_id,
+         |    $scores
+         |  FROM t),
+         |b AS (SELECT *, $bestExpr AS best_score FROM sc)
+         |SELECT doc_id,
+         |  CASE $predCase ELSE 'und' END AS pred_lang,
+         |  score_en, best_score
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "x4_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+        |s AS (SELECT doc_id, text, ws,
+        |    CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE [] END AS sh
+        |  FROM t)
+        |SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_md5,
+        |  list_min(list_transform(sh, x -> md5(x))) AS min_shingle_md5,
+        |  list_aggregate(list_transform(range(1, 33), j ->
+        |    CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+        |        CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+        |      THEN '1' ELSE '0' END), 'string_agg', '') AS simhash32
+        |FROM s ORDER BY doc_id""".stripMargin,
+  )
+}

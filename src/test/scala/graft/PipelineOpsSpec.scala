@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Specs for the LLM-data-pipeline operators: dedup, similarity search,
+  * text analysis, event-stream ops, multimodal plumbing. Correctness
+  * against DuckDB is the driver's oracle gate (tools/check.py); these
+  * tests pin semantic invariants and audit the physical plans for the
+  * properties that matter at scale.
+  */
+class PipelineOpsSpec extends SparkSpecBase {
+
+  private val allModules = Seq(
+    ("text", TextAnalysis.queries, TextAnalysis.oracleSql),
+    ("dedup", Dedup.queries, Dedup.oracleSql),
+    ("similarity", Similarity.queries, Similarity.oracleSql),
+    ("events", Events.queries, Events.oracleSql),
+    ("multimodal", Multimodal.queries, Multimodal.oracleSql))
+
+  test("every pipeline query runs and returns rows at sf0.001") {
+    allModules.foreach { case (mod, qs, _) =>
+      qs.foreach { case (name, fn) =>
+        assert(fn(spark, sf).count() > 0, s"$mod/$name returned 0 rows")
+      }
+    }
+  }
+
+  test("every pipeline query has an oracle") {
+    allModules.foreach { case (mod, qs, os) =>
+      assert(qs.keySet == os.keySet, s"$mod queries/oracles mismatch")
+    }
+  }
+
+  test("no query name collisions across modules") {
+    val all = SparkEntry.queries.keys.toSeq
+    assert(all.size == all.distinct.size)
+    val perModule = Relational.queries.size + allModules.map(_._2.size).sum
+    assert(all.size == perModule, "a module's queries were shadowed in the merge")
+  }
+
+  // ---- dedup ----
+
+  test("d1 exact dedup: canonical id is the group min and dups point at it") {
+    val rows = Dedup.d1ExactDedup(spark, sf).collect()
+    val byHash = rows.groupBy(_.getAs[String]("content_md5"))
+    byHash.values.foreach { g =>
+      val canon = g.map(_.getAs[Long]("doc_id")).min
+      assert(g.forall(_.getAs[Long]("canonical_id") == canon))
+      assert(g.forall(r =>
+        r.getAs[Boolean]("is_dup") == (r.getAs[Long]("doc_id") != canon)))
+    }
+  }
+
+  test("d3 LSH candidates are a superset of high-Jaccard d4 pairs (LSH recall)") {
+    val cands = Dedup.d3LshCandidates(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val top = Dedup.d4JaccardTopK(spark, sf).collect()
+    // every pair with true jaccard >= 0.5 should be an LSH candidate
+    val high = top.filter(_.getAs[Long]("jaccard_e6") >= 500000L)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(high.subsetOf(cands),
+      s"high-jaccard pairs missed by LSH: ${high.diff(cands)}")
+  }
+
+  test("d4 inverted-index join never builds the cross product") {
+    val plan = planOf(Dedup.d4JaccardTopK(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cross product in d4:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in d4:\n$plan")
+  }
+
+  test("minhash estimate correlates with true jaccard on top pairs") {
+    val est = Dedup.d3LshCandidates(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("est_jaccard_e6")).toMap
+    val truth = Dedup.d4JaccardTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("jaccard_e6")).toMap
+    val common = est.keySet.intersect(truth.keySet)
+    assert(common.nonEmpty, "no overlap between LSH candidates and top jaccard pairs")
+    common.foreach { k =>
+      assert(math.abs(est(k) - truth(k)) <= 450000L,
+        s"estimate wildly off for $k: est=${est(k)} true=${truth(k)}")
+    }
+  }
+
+  // ---- similarity ----
+
+  test("s1 knn: k results per query, ranked by descending cosine") {
+    val rows = Similarity.s1KnnBrute(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == Similarity.NQueries)
+    byQ.values.foreach { g =>
+      assert(g.length == Similarity.TopK)
+      val sorted = g.sortBy(_.getAs[Long]("rank"))
+      val cs = sorted.map(_.getAs[Long]("cos_e6"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "not descending")
+      assert(!sorted.exists(_.getAs[Long]("nid") == sorted.head.getAs[Long]("qid")),
+        "self in neighbors")
+    }
+  }
+
+  test("s2 IVF recall vs s1 exact is imperfect-but-substantial (it's an ANN)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(Similarity.s1KnnBrute(spark, sf))
+    val ivf = pairs(Similarity.s2KnnIvf(spark, sf))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall implausibly low: $recall")
+  }
+
+  test("s1 broadcasts the query side (no shuffle of the corpus)") {
+    val plan = planOf(Similarity.s1KnnBrute(spark, sf))
+    assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
+  }
+
+  // ---- events ----
+
+  test("e2 sessions: ordinals are contiguous from 1 per user") {
+    val rows = Events.e2Sessionize(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val ids = g.map(_.getAs[Long]("session_id")).sorted.toSeq
+      assert(ids == (1L to ids.length.toLong),
+        s"non-contiguous sessions: $ids")
+    }
+  }
+
+  test("e2 sessions partition all events exactly once") {
+    val n = Tables.events(spark, sf).count()
+    val sessSum = Events.e2Sessionize(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(sessSum == n)
+  }
+
+  test("e4 asof: every matched purchase precedes (or ties) its click") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("s")).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("s")).toMap
+    Events.e4AsofPurchase(spark, sf).collect().foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("purchase_id"))) {
+        val p = r.getAs[Long]("purchase_id")
+        assert(ev(p) <= r.getAs[Long]("click_s"),
+          s"purchase $p after click ${r.getAs[Long]("click_id")}")
+      }
+    }
+  }
+
+  test("e5 latest-state: one row per user") {
+    val df = Events.e5LatestState(spark, sf)
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+
+  // ---- multimodal ----
+
+  test("m2 stub decode features are consistent with m1 metadata") {
+    val meta = Multimodal.m1BinaryMeta(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[String]("content_md5"))).toMap
+    Multimodal.m2DecodeFeatures(spark, sf).collect().foreach { r =>
+      val (nb, h) = meta(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bytes") == nb)
+      assert(r.getAs[String]("content_md5") == h,
+        "Catalyst md5(binary) and JVM MessageDigest disagree")
+      assert(r.getAs[Long]("width") >= 16L && r.getAs[Long]("width") < 32L)
+    }
+  }
+
+  test("text/dedup scans prune to doc_id+text only") {
+    val plan = planOf(TextAnalysis.x4Fingerprint(spark, sf))
+    assert(plan.contains("ReadSchema"), "no read schema in plan")
+    assert(!plan.contains("n_chars"), "unused documents column not pruned")
+    assert(!plan.contains("source"), "unused documents column not pruned")
+  }
+}
