@@ -48,15 +48,16 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-doc MinHash signature + LSH band keys (shared by d2/d3). */
-  private def sigs(s: SparkSession, d: String): DataFrame = {
-    val ws = words(col("text"))
+  /** Per-doc MinHash signature + LSH band keys (shared by d2/d3).
+    * Staged column-per-level per the TextOps staging rule. */
+  private def sigs(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), shingles3(ws).as("sh"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shingles3(col("ws")).as("sh"))
       .select(col("doc_id"), col("sh"),
         minhashSig(col("sh"), MinhashK).as("sig"))
-      .withColumn("bands", lshBands(col("sig"), LshBandsN, LshRows))
-  }
+      .select(col("doc_id"), col("sh"), col("sig"),
+        lshBands(col("sig"), LshBandsN, LshRows).as("bands"))
 
   /** d2: MinHash signatures — the per-doc signature + band keys
     * materialization (what you'd persist as the dedup index at scale). */
@@ -75,7 +76,13 @@ object Dedup {
     * generation is the band-key equi-join (shuffle on band key, never
     * O(n²)); the estimate is re-derived from the joined signatures. */
   def d3LshCandidates(s: SparkSession, d: String): DataFrame = {
-    val sg = sigs(s, d).select(col("doc_id"), col("sig"), col("bands"))
+    // Aggregate barrier on the unique key: materializes sig/bands once
+    // per doc AND stops InferFiltersFromGenerate's `size(bands) > 0`
+    // from being pushed (re-inlined) into the signature computation —
+    // predicates on non-grouping outputs cannot cross an Aggregate.
+    // At scale this is the "build the dedup index" stage you'd persist.
+    val sg = sigs(s, d).groupBy(col("doc_id"))
+      .agg(first(col("sig")).as("sig"), first(col("bands")).as("bands"))
     val exploded = sg.select(col("doc_id"), col("sig"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val a = exploded.select(col("band_idx"), col("band_key"),
@@ -99,9 +106,10 @@ object Dedup {
     * Jaccard = shared / (|A| + |B| − shared) in fixed-point. Only pairs
     * sharing ≥1 shingle are ever materialized. */
   def d4JaccardTopK(s: SparkSession, d: String): DataFrame = {
-    val ws = words(col("text"))
     val docSh = documents(s, d)
-      .select(col("doc_id"), array_distinct(shingles3(ws)).as("sh"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shingles3(col("ws")).as("sh0"))
+      .select(col("doc_id"), array_distinct(col("sh0")).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
     val inv = docSh.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
@@ -124,12 +132,19 @@ object Dedup {
     * small vocabulary so signatures cluster tightly; ≤1 keeps only the
     * genuinely-nearest tail (~0.2% of pairs). */
   def d5SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    // signature staged per level; the pair scan compares sigs as 32-bit
+    // ints (bit_count(xor)) — codegen'd primitive ops, not per-char
+    // string work, so the O(n²) scan is arithmetic-bound
     val sg = documents(s, d)
-      .select(col("doc_id"), simhash32(words(col("text"))).as("sig"))
-    val a = sg.select(col("doc_id").as("a"), col("sig").as("sig_a"))
-    val b = sg.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), wordMd5s(col("ws")).as("wh"))
+      .select(col("doc_id"), simhash32FromMd5s(col("wh")).as("sig"))
+      .select(col("doc_id"), conv(col("sig"), 2, 10).cast("long").as("bits"))
+    val a = sg.select(col("doc_id").as("a"), col("bits").as("bits_a"))
+    val b = sg.select(col("doc_id").as("b"), col("bits").as("bits_b"))
     a.crossJoin(b).filter(col("a") < col("b"))
-      .withColumn("hamming", hamming(col("sig_a"), col("sig_b"), 32))
+      .withColumn("hamming",
+        bit_count(col("bits_a").bitwiseXOR(col("bits_b"))).cast("long"))
       .filter(col("hamming") <= 1L)
       .select(col("a"), col("b"), col("hamming"))
       .orderBy(col("a"), col("b"))

@@ -25,19 +25,18 @@ object TextAnalysis {
 
   /** x1: token counting — whitespace tokens + BPE-ish regex tokens +
     * chars-per-token fixed-point. */
-  def x1TokenCount(s: SparkSession, d: String): DataFrame = {
-    val ws = words(col("text"))
+  def x1TokenCount(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
       .select(
         col("doc_id"),
-        size(ws).cast("long").as("n_ws_tokens"),
+        size(col("ws")).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
           .cast("long").as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_calc"),
         idiv((length(col("text")) * 1000L).cast("long"),
-          greatest(size(ws), lit(1)).cast("long")).as("chars_per_tok_e3"))
+          greatest(size(col("ws")), lit(1)).cast("long")).as("chars_per_tok_e3"))
       .orderBy(col("doc_id"))
-  }
 
   /** Stopword list used by quality scoring + langid (English markers). */
   val EnStop = Seq("the", "a", "of", "and", "to", "in", "or", "is")
@@ -46,13 +45,15 @@ object TextAnalysis {
     * stopword ratio, all fixed-point integer (reproducible across
     * engines and partitionings). */
   def x2Quality(s: SparkSession, d: String): DataFrame = {
-    val ws = words(col("text"))
-    val base = documents(s, d).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(ws).cast("long").as("n_tokens"),
-      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_tok_len"),
-      size(filter(ws, w => w.isin(EnStop: _*))).cast("long").as("n_stop"))
+    val ws = col("ws")
+    val base = documents(s, d)
+      .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(ws).cast("long").as("n_tokens"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_tok_len"),
+        size(filter(ws, w => w.isin(EnStop: _*))).cast("long").as("n_stop"))
     base.select(
       col("doc_id"), col("n_chars"), col("n_tokens"),
       idiv(col("sum_tok_len") * 1000L, greatest(col("n_tokens"), lit(1L)))
@@ -80,11 +81,13 @@ object TextAnalysis {
     * dataflow (narrow map, argmax over a small static table) is
     * identical. */
   def x3LangId(s: SparkSession, d: String): DataFrame = {
-    val ws = words(lower(col("text")))
-    val scored = documents(s, d).select(
-      (col("doc_id") +: LangMarkers.map { case (lang, markers) =>
-        size(filter(ws, w => w.isin(markers: _*))).cast("long").as(s"score_$lang")
-      }): _*)
+    val ws = col("ws")
+    val scored = documents(s, d)
+      .select(col("doc_id"), words(lower(col("text"))).as("ws"))
+      .select(
+        (col("doc_id") +: LangMarkers.map { case (lang, markers) =>
+          size(filter(ws, w => w.isin(markers: _*))).cast("long").as(s"score_$lang")
+        }): _*)
     val best = LangMarkers.map { case (lang, _) => col(s"score_$lang") }
       .reduce((a, b) => greatest(a, b))
     // foldRight gives priority to the FIRST matching language in
@@ -102,16 +105,17 @@ object TextAnalysis {
   /** x4: document fingerprints — exact content hash (md5 of normalized
     * text), min-shingle hash (1-element MinHash / rolling-hash-style
     * content signature), 32-bit SimHash bit string. */
-  def x4Fingerprint(s: SparkSession, d: String): DataFrame = {
-    val ws = words(col("text"))
+  def x4Fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("text"), col("ws"),
+        shingles3(col("ws")).as("sh"), wordMd5s(col("ws")).as("wh"))
       .select(
         col("doc_id"),
         md5(normText(col("text"))).as("content_md5"),
-        array_min(transform(shingles3(ws), sh => md5(sh))).as("min_shingle_md5"),
-        simhash32(ws).as("simhash32"))
+        array_min(transform(col("sh"), sh => md5(sh))).as("min_shingle_md5"),
+        simhash32FromMd5s(col("wh")).as("simhash32"))
       .orderBy(col("doc_id"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_token_count" -> x1TokenCount _,

@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
   * expression tree — no UDFs — so the whole pipeline stays inside
   * whole-stage codegen and distributes without serialization cliffs.
   *
+  * STAGING RULE (performance-critical): never nest these combinators
+  * into one Column tree (`minhashSig(shingles3(words(text)))`). Catalyst
+  * does not common-subexpression-eliminate through lambda functions, so
+  * an inlined `words(text)` re-splits the full text for every element of
+  * every enclosing transform — measured 100–1000× blowups. Instead,
+  * stage each level as its own projected column
+  * (`select(... words ...)` → `select(... shingles3(col("ws")) ...)`):
+  * a column reference is materialized once per row, and CollapseProject
+  * deliberately refuses to merge projections whose aliases are
+  * referenced multiple times by non-cheap expressions, so the staging
+  * survives optimization.
+  *
   * Determinism contract: every derived value is either an integer, a
   * string, or fixed-point (`*_e3`/`*_e6` suffix = value scaled by 10^3 /
   * 10^6 held in a BIGINT). Integer arithmetic is associative, so results
@@ -47,21 +59,30 @@ object TextOps {
       md5(concat(b.cast("string"), lit("#"),
         array_join(slice(sig, b * rows + 1, lit(rows)), ","))))
 
-  /** 32-bit SimHash as a '0'/'1' bit string. Bit j is set iff the
-    * frequency-weighted majority of word hashes have bit j set; the word
-    * hash bit is the top bit of hex nibble j of md5(word) (md5 char >=
-    * '8'), a construction that is exactly portable to any engine with
-    * md5 + substring. Hamming distance between sigs ≈ 32·(1 − cosine of
-    * the docs' word-frequency vectors). */
-  def simhash32(ws: Column): Column =
+  /** md5 hex digest per word — stage this as its own column so each
+    * word is hashed exactly once (see staging note below). */
+  def wordMd5s(ws: Column): Column = transform(ws, w => md5(w))
+
+  /** 32-bit SimHash as a '0'/'1' bit string, from pre-hashed words
+    * ([[wordMd5s]]). Bit j is set iff the frequency-weighted majority of
+    * word hashes have bit j set; the word hash bit is the top bit of hex
+    * nibble j of md5(word) (md5 char >= '8'), a construction that is
+    * exactly portable to any engine with md5 + substring. Hamming
+    * distance between sigs ≈ 32·(1 − cosine of the docs'
+    * word-frequency vectors). */
+  def simhash32FromMd5s(md5s: Column): Column =
     array_join(
       transform(sequence(lit(1), lit(32)), j =>
         when(
-          aggregate(ws, lit(0L), (acc, w) =>
-            acc + when(substring(md5(w), 1, 32).substr(j, lit(1)) >= "8", 1L)
-              .otherwise(-1L)) >= 0L,
+          aggregate(md5s, lit(0L), (acc, h) =>
+            acc + when(h.substr(j, lit(1)) >= "8", 1L).otherwise(-1L)) >= 0L,
           "1").otherwise("0")),
       "")
+
+  /** Convenience composition of [[wordMd5s]] + [[simhash32FromMd5s]].
+    * ONLY for single-use contexts — in query pipelines stage the md5
+    * array as its own column first (staging note below). */
+  def simhash32(ws: Column): Column = simhash32FromMd5s(wordMd5s(ws))
 
   /** Normalized text for exact-dup hashing: lowercase, whitespace
     * collapsed — the cheap canonicalization every dedup pipeline runs
