@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.cdc.Change
+
+/** Streaming operators over the change stream and event streams — the
+  * continuous twins of the batch views in [[graft.operators.Events]].
+  * All are plan-builders over unbounded DataFrames (`readStream`
+  * inputs); they run identically on bounded frames, which is how the
+  * oracle gate checks their semantics.
+  *
+  * Scale notes (100 TB): every op here keys its state by a high-
+  * cardinality column (user_id / content hash), so state distributes
+  * across executors; watermarks bound state size — without them a
+  * streaming agg/dedup retains state forever. The stream-static enrich
+  * broadcasts the dimension, so the stream side never shuffles.
+  */
+object StreamOps {
+
+  /** Log rows (Change.logSchema) → typed change records. Same decode as
+    * the micro-batch engine (CdcEngine.toChanges); the log timestamp is
+    * SQLite text, parsed as UTC (reference triggers.go:182). */
+  def changes(logRows: DataFrame, subsecTimestamps: Boolean = true): Dataset[Change] = {
+    val fmt = if (subsecTimestamps) Change.LogTsFormat else Change.LogTsFormatNoSubsec
+    logRows.select(
+      col("tablename").as("table"),
+      to_timestamp(col("timestamp"), fmt).as("timestamp"),
+      col("operation"),
+      col("before"),
+      col("after"))
+      .as[Change](Encoders.product[Change])
+  }
+
+  /** Tumbling 1-hour event-time aggregation with a watermark (streaming
+    * e1). Late rows beyond `lateness` are dropped and their window state
+    * evicted — bounded state, unbounded stream. Exact COUNT DISTINCT is
+    * unbounded-state on a stream, so the user count is
+    * `approx_count_distinct` (HLL++) — the standard streaming trade; the
+    * batch twin (Events.e1) stays exact. */
+  def hourlyAgg(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_s"),
+        col("event_type"), col("n_events"), col("n_users"))
+
+  /** Session windows per user with a 30-min inactivity gap (streaming
+    * e2) — `session_window` merges adjacent state natively; no
+    * gaps-and-islands window pass needed on a stream. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        unix_timestamp(col("session_window.end")).as("end_s"),
+        col("n_events"))
+
+  /** Exact streaming dedup: first occurrence of each key wins; duplicate
+    * state is evicted once the event time passes the watermark
+    * (`dropDuplicatesWithinWatermark` — dedup with bounded state). */
+  def dedupExact(rows: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", lateness: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Input/state/output records for [[latestState]]. */
+  case class KeyedEvent(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  case class LatestState(user_id: Long, last_event_id: Long,
+      last_event_type: String, last_s: Long)
+
+  /** Latest state per key as explicit keyed state (streaming e5 — the
+    * CDC "current state" materialization, SURVEY.md §2.5):
+    * `mapGroupsWithState` keeps one record per user and emits the
+    * updated value each micro-batch. Use Update-mode sinks. */
+  def latestState(events: Dataset[KeyedEvent]): Dataset[LatestState] = {
+    implicit val le: org.apache.spark.sql.Encoder[LatestState] = Encoders.product[LatestState]
+    implicit val lk: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestState](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[KeyedEvent], state: GroupState[LatestState]) =>
+          val newest = batch.maxBy(e => (e.ts.getTime, e.event_id))
+          val cand = LatestState(user, newest.event_id, newest.event_type,
+            newest.ts.getTime / 1000L)
+          val next = state.getOption match {
+            case Some(c) if c.last_s > cand.last_s ||
+                (c.last_s == cand.last_s && c.last_event_id >= cand.last_event_id) => c
+            case _ => cand
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Stream-static enrichment join (SURVEY.md §2.3): each change/event
+    * enriched against a dimension table. The dimension is broadcast —
+    * the streaming side never shuffles, so this scales with stream
+    * parallelism alone. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Output mode guidance per op (what a caller's writeStream should
+    * use): windowed aggs → Append (emit on watermark close) or Update;
+    * latestState → Update; dedupExact → Append. */
+  val outputModes: Map[String, OutputMode] = Map(
+    "hourlyAgg" -> OutputMode.Append(),
+    "sessionize" -> OutputMode.Append(),
+    "dedupExact" -> OutputMode.Append(),
+    "latestState" -> OutputMode.Update())
+}

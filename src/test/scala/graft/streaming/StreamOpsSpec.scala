@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpecBase
+import graft.streaming.StreamOps.KeyedEvent
+
+/** Streaming operator semantics over MemoryStream inputs: watermarked
+  * windows, session windows, bounded-state dedup, keyed latest-state. */
+class StreamOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-05-06 $hhmm:00")
+
+  private def ev(id: Long, user: Long, typ: String, hhmm: String): KeyedEvent =
+    KeyedEvent(user, id, typ, ts(hhmm))
+
+  test("hourlyAgg: watermark closes windows; late rows beyond it are dropped") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val agg = StreamOps.hourlyAgg(
+      in.toDF().withColumnRenamed("ts", "ts").withColumn("ts", col("ts")), "1 hour")
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: two users in hour 10, one in hour 11
+    in.addData(ev(1, 1, "click", "10:05"), ev(2, 2, "click", "10:20"),
+      ev(3, 1, "view", "11:10"))
+    q.processAllAvailable()
+    // batch 2: advance event time to 14:00 → watermark 13:00 → hours 10-11 close
+    in.addData(ev(9, 9, "click", "14:00"))
+    q.processAllAvailable()
+    // batch 3: a straggler in hour 10 arrives after the watermark → dropped
+    in.addData(ev(4, 3, "click", "10:40"))
+    q.processAllAvailable()
+    in.addData(ev(10, 9, "click", "15:30")) // close remaining state
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("hourly")
+      .select("hour_s", "event_type", "n_events", "n_users")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val h10 = ts("10:00").getTime / 1000; val h11 = ts("11:00").getTime / 1000
+    assert(out.contains((h10, "click", 2L, 2L)), s"got $out")
+    assert(out.contains((h11, "view", 1L, 1L)))
+    // straggler was dropped: hour-10 click count stayed 2
+    assert(!out.contains((h10, "click", 3L, 3L)))
+  }
+
+  test("sessionize: 30-min gap merges adjacent events into one session per user") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.sessionize(in.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: 10:00, 10:20 (same session), 11:30 (new session)
+    in.addData(ev(1, 1, "c", "10:00"), ev(2, 1, "c", "10:20"), ev(3, 1, "c", "11:30"))
+    q.processAllAvailable()
+    in.addData(ev(9, 9, "c", "16:00")) // advance watermark, close sessions
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions")
+      .filter(col("user_id") === 1)
+      .select("start_s", "end_s", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s1000 = ts("10:00").getTime / 1000
+    val s1020 = ts("10:20").getTime / 1000
+    val s1130 = ts("11:30").getTime / 1000
+    assert(out.contains((s1000, s1020 + 1800, 2L)), s"got $out")
+    assert(out.contains((s1130, s1130 + 1800, 1L)))
+  }
+
+  test("dedupExact: duplicate keys within the watermark are emitted once") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.dedupExact(in.toDF(), Seq("event_id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(ev(1, 1, "c", "10:00"), ev(1, 1, "c", "10:01"), ev(2, 2, "c", "10:02"))
+    q.processAllAvailable()
+    in.addData(ev(1, 1, "c", "10:03")) // dup again, next batch, still in watermark
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("deduped").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("latestState: one state row per user, newest (ts, event_id) wins across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.latestState(in.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(ev(1, 1, "click", "10:00"), ev(2, 1, "view", "10:30"),
+      ev(3, 2, "click", "10:10"))
+    q.processAllAvailable()
+    in.addData(ev(4, 2, "purchase", "10:50"),
+      ev(5, 1, "stale", "09:00")) // older than user 1's current state → ignored
+    q.processAllAvailable()
+    q.stop()
+    // Update-mode memory sink appends each update; the last row per user
+    // is the current state.
+    val finalByUser = spark.table("latest").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rows) => (u, rows.last._2) }
+    assert(finalByUser(1L) == ((2L, "view", ts("10:30").getTime / 1000)))
+    assert(finalByUser(2L) == ((4L, "purchase", ts("10:50").getTime / 1000)))
+  }
+
+  test("enrich: stream-static dimension join broadcasts the dimension") {
+    val events = graft.Tables.events(spark, sf)
+    val dim = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    val enriched = StreamOps.enrich(events, dim, "user_id")
+    assert(enriched.columns.contains("c_name"))
+    assert(planOf(enriched).contains("BroadcastHashJoin"))
+    assert(enriched.count() == events.count()) // left join preserves stream rows
+  }
+}
