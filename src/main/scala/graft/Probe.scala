@@ -3,25 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch plan/timing probe (dev tool, not part of the library API).
-  * Usage: runMain graft.Probe <queryName> [sfDir] [explain|time] */
+  * Usage: runMain graft.Probe <queryName> [sfDir] [explain|time] [repeat]
+  * Honors SPARK_GRAFT_CPUS (default 8). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val mode = if (args.length > 2) args(2) else "both"
+    val repeat = if (args.length > 3) args(3).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (mode != "time") df.explain("formatted")
-    if (mode != "explain") {
+    if (mode != "explain") (1 to repeat).foreach { i =>
       val t0 = System.nanoTime()
       val n = df.count()
-      println(f"TIMING $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      println(f"TIMING $name run=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()
   }

@@ -49,9 +49,13 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature + LSH band keys (shared by d2/d3).
-    * Staged column-per-level per the TextOps staging rule. */
+    * Staged column-per-level per the TextOps staging rule; repartition
+    * by doc_id spreads the signature map across cores (the test corpus
+    * arrives as one parquet split) and pre-partitions for the
+    * unique-key barrier aggregate, which then needs no second shuffle. */
   private def sigs(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shingles3(col("ws")).as("sh"))
       .select(col("doc_id"), col("sh"),
@@ -73,8 +77,13 @@ object Dedup {
 
   /** d3: LSH candidate pairs — docs agreeing on ≥1 full band, with the
     * signature-agreement MinHash estimate of Jaccard. Candidate
-    * generation is the band-key equi-join (shuffle on band key, never
-    * O(n²)); the estimate is re-derived from the joined signatures. */
+    * generation groups (band_idx, band_key) buckets and expands pairs
+    * within each bucket — Σ|bucket|² pairs, never the O(n²) pair space,
+    * and the signature index is computed exactly once (a self-join of
+    * the derived index would re-evaluate the whole MinHash pipeline on
+    * both sides: Spark shares no subtree across join branches).
+    * Bucket size is the classic LSH skew knob: a boilerplate-text
+    * mega-bucket makes |bucket|² explode — cap or salt in production. */
   def d3LshCandidates(s: SparkSession, d: String): DataFrame = {
     // Aggregate barrier on the unique key: materializes sig/bands once
     // per doc AND stops InferFiltersFromGenerate's `size(bands) > 0`
@@ -82,17 +91,19 @@ object Dedup {
     // predicates on non-grouping outputs cannot cross an Aggregate.
     // At scale this is the "build the dedup index" stage you'd persist.
     val sg = sigs(s, d).groupBy(col("doc_id"))
-      .agg(first(col("sig")).as("sig"), first(col("bands")).as("bands"))
+      .agg(min(col("sig")).as("sig"), min(col("bands")).as("bands"))
     val exploded = sg.select(col("doc_id"), col("sig"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val a = exploded.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("a"), col("sig").as("sig_a"))
-    val b = exploded.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
+    val buckets = exploded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    buckets
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da.doc_id") < col("db.doc_id"))
+      .select(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
+        aggregate(zip_with(col("da.sig"), col("db.sig"),
           (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).as("n_sig_match"))
       .distinct()
@@ -106,11 +117,19 @@ object Dedup {
     * Jaccard = shared / (|A| + |B| − shared) in fixed-point. Only pairs
     * sharing ≥1 shingle are ever materialized. */
   def d4JaccardTopK(s: SparkSession, d: String): DataFrame = {
+    // Aggregate barrier on the unique key (see d3): keeps the inferred
+    // `size(sh)>0` generate-filter from re-inlining the whole shingle
+    // pipeline below the projections (which evaluates it 3× per row),
+    // and its shuffle spreads the downstream explode+join across all
+    // cores instead of the scan's single input partition. At scale this
+    // is the materialized shingle index.
     val docSh = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shingles3(col("ws")).as("sh0"))
       .select(col("doc_id"), array_distinct(col("sh0")).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("sh")).as("sh"), min(col("n_sh")).as("n_sh"))
     val inv = docSh.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
     val aSide = inv.select(col("shingle"), col("doc_id").as("a"), col("n_sh").as("na"))
@@ -134,15 +153,21 @@ object Dedup {
   def d5SimhashPairs(s: SparkSession, d: String): DataFrame = {
     // signature staged per level; the pair scan compares sigs as 32-bit
     // ints (bit_count(xor)) — codegen'd primitive ops, not per-char
-    // string work, so the O(n²) scan is arithmetic-bound
+    // string work, so the O(n²) scan is arithmetic-bound.
+    // Aggregate barrier (see d4): stops the `isnotnull(bits)` join
+    // filter from re-inlining the SimHash computation below the
+    // projection (2× eval per row), and shuffles the left side across
+    // all cores so the pair scan parallelizes. The right side is tiny
+    // (doc_id, bits) pairs — broadcast it explicitly.
     val sg = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), wordMd5s(col("ws")).as("wh"))
       .select(col("doc_id"), simhash32FromMd5s(col("wh")).as("sig"))
       .select(col("doc_id"), conv(col("sig"), 2, 10).cast("long").as("bits"))
+      .groupBy(col("doc_id")).agg(min(col("bits")).as("bits"))
     val a = sg.select(col("doc_id").as("a"), col("bits").as("bits_a"))
     val b = sg.select(col("doc_id").as("b"), col("bits").as("bits_b"))
-    a.crossJoin(b).filter(col("a") < col("b"))
+    a.crossJoin(broadcast(b)).filter(col("a") < col("b"))
       .withColumn("hamming",
         bit_count(col("bits_a").bitwiseXOR(col("bits_b"))).cast("long"))
       .filter(col("hamming") <= 1L)

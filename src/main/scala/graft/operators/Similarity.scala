@@ -138,11 +138,16 @@ object Similarity {
     * corpus tops out ≈0.51, so this returns the genuinely-close tail). */
   def s3CosinePairs(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
+    // The pair scan is quadratic in rows-per-partition: spread the left
+    // side across all cores (the corpus arrives as one small parquet
+    // split at test scale) and broadcast the right side — the same
+    // "stream the corpus, broadcast the comparison set" shape the
+    // brute-force kNN uses.
     val a = e.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
-      col("norm_fp").as("a_norm"))
+      col("norm_fp").as("a_norm")).repartition(col("a"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
       col("norm_fp").as("b_norm"))
-    a.join(b, col("a") < col("b"))
+    a.join(broadcast(b), col("a") < col("b"))
       .withColumn("cos",
         cosine(dotFp9(col("a_emb"), col("b_emb")), col("a_norm"), col("b_norm")))
       .filter(col("cos") > 0.40)
