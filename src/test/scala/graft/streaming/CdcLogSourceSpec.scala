@@ -135,6 +135,23 @@ class CdcLogSourceSpec extends SparkSpecBase {
     assert(ids.toSeq == (0L until 97L))
   }
 
+  test("admission control is row-exact across id gaps (post-truncation log shape)") {
+    val url = newDerby(); createLog(url)
+    // sparse ids — what a log looks like after partial truncation
+    insertRows(url, 0 until 300 by 7)
+    val q = stream(url, "maxBatchSize" -> "10")
+      .writeStream.format("memory").queryName("cdc_gaps")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("cdc_gaps").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0 until 300 by 7).map(_.toLong))
+    // row-exact batches: 43 rows at maxBatchSize=10 → ≥5 micro-batches,
+    // none larger than 10 rows
+    val sizes = q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows)
+    assert(sizes.forall(_ <= 10), s"batch sizes $sizes")
+    assert(sizes.length >= 5)
+  }
+
   test("batch (bounded) read of the same relation") {
     val url = newDerby(); createLog(url); insertRows(url, 0 until 10)
     val df = spark.read.format("cdc-log")
