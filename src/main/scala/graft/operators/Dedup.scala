@@ -34,14 +34,17 @@ object Dedup {
 
   /** d1: exact dedup — canonical id per normalized-content hash.
     * Output: every doc with its content hash, the canonical (min) doc_id
-    * of its dup group, dup flag and group size. */
+    * of its dup group, dup flag and group size. Single pass: group
+    * stats via window over the hash (one shuffle, hash computed once —
+    * a groupBy + self-join would evaluate the normalize+md5 subtree
+    * twice, once per join branch). */
   def d1ExactDedup(s: SparkSession, d: String): DataFrame = {
-    val h = documents(s, d).select(
-      col("doc_id"), md5(normText(col("text"))).as("content_md5"))
-    val groups = h.groupBy(col("content_md5"))
-      .agg(min(col("doc_id")).as("canonical_id"),
-        count(lit(1)).as("group_size"))
-    h.join(groups, "content_md5")
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_md5"))
+    documents(s, d)
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_md5"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byHash))
+      .withColumn("group_size", count(lit(1)).over(byHash))
       .select(col("doc_id"), col("content_md5"), col("canonical_id"),
         (col("doc_id") =!= col("canonical_id")).as("is_dup"),
         col("group_size"))

@@ -165,6 +165,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  // ---- plan regression guards for the measured perf fixes ----
+
+  test("d1 computes the content hash once (single scan, no self-join)") {
+    val plan = planOf(Dedup.d1ExactDedup(spark, sf))
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"d1 scans documents more than once:\n$plan")
+  }
+
+  test("d3 computes the MinHash index once (single scan: bucket pair-gen, not self-join)") {
+    val plan = planOf(Dedup.d3LshCandidates(spark, sf))
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"d3 scans documents more than once:\n$plan")
+  }
+
+  test("d5 pair scan: barrier aggregate feeds the join, small side broadcast") {
+    val plan = planOf(Dedup.d5SimhashPairs(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"d5 pair side not broadcast:\n$plan")
+    assert(plan.contains("Aggregate"), s"d5 lost its barrier aggregate:\n$plan")
+  }
+
+  test("s3 pair scan broadcasts the comparison set") {
+    val plan = planOf(Similarity.s3CosinePairs(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"s3 comparison set not broadcast:\n$plan")
+  }
+
+  test("m3/m4 are narrow plans (no shuffle before the final sort)") {
+    Seq(Multimodal.m3Resize(spark, sf), Multimodal.m4FrameSample(spark, sf))
+      .foreach { df =>
+        val plan = planOf(df)
+        // exactly one exchange: the orderBy's range partitioning
+        assert(plan.split("Exchange").length - 1 <= 2,
+          s"multimodal map gained a shuffle:\n$plan")
+      }
+  }
+
   test("text/dedup scans prune to doc_id+text only") {
     val plan = planOf(TextAnalysis.x4Fingerprint(spark, sf))
     assert(plan.contains("ReadSchema"), "no read schema in plan")
