@@ -149,32 +149,47 @@ object Dedup {
   }
 
   /** d5: SimHash near-dup pairs — 32-bit signatures, pairs within
-    * hamming distance ≤ 1 (brute-force pair scan for oracle parity;
-    * see scale note above for the banded variant). The corpus shares one
-    * small vocabulary so signatures cluster tightly; ≤1 keeps only the
-    * genuinely-nearest tail (~0.2% of pairs). */
+    * hamming distance ≤ 1, found by exact hamming-ball bucketing: each
+    * doc emits 33 keys — its 32-bit signature plus the 32 one-bit
+    * flips — so two docs within hamming ≤ 1 ALWAYS share a key (equal
+    * sigs share the identity key; sigs differing in bit i meet at a's
+    * flip-i key = b's identity key). Candidate generation is therefore
+    * linear (33·n bucket rows, pairs only within buckets), never the
+    * O(n²) pair space — the same result set as a brute-force scan,
+    * verified by the brute-force DuckDB oracle. This IS the 100 TB
+    * design (hamming-ball LSH), not an approximation of it. */
   def d5SimhashPairs(s: SparkSession, d: String): DataFrame = {
-    // signature staged per level; the pair scan compares sigs as 32-bit
-    // ints (bit_count(xor)) — codegen'd primitive ops, not per-char
-    // string work, so the O(n²) scan is arithmetic-bound.
-    // Aggregate barrier (see d4): stops the `isnotnull(bits)` join
-    // filter from re-inlining the SimHash computation below the
-    // projection (2× eval per row), and shuffles the left side across
-    // all cores so the pair scan parallelizes. The right side is tiny
-    // (doc_id, bits) pairs — broadcast it explicitly.
+    // signature staged per level (TextOps staging rule); aggregate
+    // barrier stops inferred join/generate filters from re-inlining the
+    // SimHash pipeline below the projection (2× eval per row).
     val sg = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), wordMd5s(col("ws")).as("wh"))
       .select(col("doc_id"), simhash32FromMd5s(col("wh")).as("sig"))
       .select(col("doc_id"), conv(col("sig"), 2, 10).cast("long").as("bits"))
       .groupBy(col("doc_id")).agg(min(col("bits")).as("bits"))
-    val a = sg.select(col("doc_id").as("a"), col("bits").as("bits_a"))
-    val b = sg.select(col("doc_id").as("b"), col("bits").as("bits_b"))
-    a.crossJoin(broadcast(b)).filter(col("a") < col("b"))
-      .withColumn("hamming",
-        bit_count(col("bits_a").bitwiseXOR(col("bits_b"))).cast("long"))
+    // 33 bucket keys per doc: identity + each single-bit flip
+    val keyed = sg.select(col("doc_id"), col("bits"),
+      explode(concat(
+        array(col("bits")),
+        transform(array((0 until 32).map(i => lit(1L << i)): _*),
+          mask => col("bits").bitwiseXOR(mask))))
+        .as("bucket"))
+    // pairs within buckets (single subtree — same pattern as d3); a
+    // hamming-0 pair shares 33 buckets and a hamming-1 pair 2, so
+    // dedupe with distinct before emitting
+    val buckets = keyed.groupBy(col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("bits"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    buckets
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da.doc_id") < col("db.doc_id"))
+      .select(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
+        bit_count(col("da.bits").bitwiseXOR(col("db.bits"))).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= 1L)
-      .select(col("a"), col("b"), col("hamming"))
+      .distinct()
       .orderBy(col("a"), col("b"))
   }
 

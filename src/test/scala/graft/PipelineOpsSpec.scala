@@ -179,10 +179,12 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"d3 scans documents more than once:\n$plan")
   }
 
-  test("d5 pair scan: barrier aggregate feeds the join, small side broadcast") {
+  test("d5 hamming-ball bucketing: single scan, no O(n²) pair join") {
     val plan = planOf(Dedup.d5SimhashPairs(spark, sf))
-    assert(plan.contains("BroadcastNestedLoopJoin"), s"d5 pair side not broadcast:\n$plan")
-    assert(plan.contains("Aggregate"), s"d5 lost its barrier aggregate:\n$plan")
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"d5 scans documents more than once:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"d5 regressed to a quadratic pair scan:\n$plan")
   }
 
   test("s3 pair scan broadcasts the comparison set") {
