@@ -155,10 +155,59 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** 6 planes → 64 buckets: sized so the sf0.01 corpus (~500 vectors)
+    * averages ~8 per bucket — candidates exist without scanning all. */
+  val NPlanes = 6
+  /** Corpus embedding dimensionality (TESTDATA.md: 64-dim float lists). */
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplane weights: plane h, component j is +1
+    * iff the first hex char of md5("h|j") is >= '8'. Derived once on the
+    * driver and inlined as literals into both the Spark plan and the
+    * DuckDB oracle SQL, so the engines hash byte-identical constants. */
+  private[operators] def planeWeights(h: Int): Seq[Float] = (0 until Dim).map { j =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$h|$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (hex.charAt(0) >= '8') 1.0f else -1.0f
+  }
+
+  /** s4: sign-LSH bucketed kNN — the LSH scale path for ANN (s2's IVF
+    * is the other). Each vector's bucket is its NPlanes-bit sign
+    * signature against fixed random hyperplanes; a query searches only
+    * its own bucket, reranked by exact cosine. The signature is the
+    * codegen'd fixed-point dot against LITERAL weight vectors (no
+    * hashing at row time). Approximate: recall < 1 vs s1 by design; at
+    * scale the corpus is written bucketed by signature so a probe is a
+    * partition-pruned read. */
+  def s4KnnSignLsh(s: SparkSession, d: String): DataFrame = {
+    val sigBit = (h: Int) =>
+      when(dotFp9(col("embedding"),
+        array(planeWeights(h).map(lit): _*)) >= 0L, "1").otherwise("0")
+    val eb = withNorm(embeddings(s, d))
+      .withColumn("bucket", concat((0 until NPlanes).map(sigBit): _*))
+    val q = eb.filter(col("vec_id") < NQueries.toLong)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm_fp").as("q_norm"), col("bucket"))
+    val c = eb.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"), col("bucket"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        cosine(dotFp9(col("q_emb"), col("n_emb")), col("q_norm"), col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute"    -> s1KnnBrute _,
     "s2_knn_ivf"      -> s2KnnIvf _,
     "s3_cosine_pairs" -> s3CosinePairs _,
+    "s4_knn_sign_lsh" -> s4KnnSignLsh _,
   )
 
   /** Oracle fixed-point dot product between embedding lists (1-based
@@ -174,6 +223,20 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding,
        |    ${oDot("embedding", "embedding")} AS norm_fp
        |  FROM embeddings)""".stripMargin
+
+  /** Plane h's ±1 weights as a DuckDB list literal — same driver-side
+    * derivation the Spark plan embeds, so both engines hash against
+    * byte-identical constants. */
+  private def oPlane(h: Int): String =
+    planeWeights(h).map(w => if (w > 0) "1.0" else "-1.0")
+      .mkString("([", ",", "])")
+
+  /** NPlanes-bit sign signature of `emb` as a '0'/'1' string, mirroring
+    * the Spark-side `sigBit` concat. */
+  private def oBucket(emb: String): String =
+    (0 until NPlanes).map { h =>
+      s"(CASE WHEN ${oDot(emb, oPlane(h))} >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 
   def oracleSql: Map[String, String] = Map(
     "s1_knn_brute" ->
@@ -225,5 +288,22 @@ object Similarity {
            |FROM e a JOIN e b ON a.vec_id < b.vec_id
            |WHERE ${oCos(oDot("a.embedding", "b.embedding"), "a.norm_fp", "b.norm_fp")} > 0.40
            |ORDER BY a, b""".stripMargin),
+    "s4_knn_sign_lsh" ->
+      (NormCte +
+        s"""
+           |, eb AS (SELECT vec_id, embedding, norm_fp,
+           |    ${oBucket("embedding")} AS bucket
+           |  FROM e),
+           |q AS (SELECT vec_id AS qid, embedding AS q_emb, norm_fp AS q_norm, bucket
+           |  FROM eb WHERE vec_id < $NQueries),
+           |scored AS (SELECT q.qid, c.vec_id AS nid,
+           |    ${oCos(oDot("q.q_emb", "c.embedding"), "q.q_norm", "c.norm_fp")} AS cos
+           |  FROM eb c JOIN q ON c.bucket = q.bucket AND q.qid <> c.vec_id),
+           |r AS (SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+           |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+           |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
   )
 }
