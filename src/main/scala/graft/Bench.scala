@@ -17,7 +17,11 @@ object Bench {
       .groupBy("r_regionkey").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink executes the FULL plan — count() would let Catalyst
+      // prune the projected columns (e.g. a signature column feeding
+      // nothing but the output), understating the real query cost.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

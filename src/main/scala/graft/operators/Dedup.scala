@@ -61,8 +61,9 @@ object Dedup {
       .repartition(col("doc_id"))
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shingles3(col("ws")).as("sh"))
+      .select(col("doc_id"), col("sh"), shingleHash32(col("sh")).as("hh"))
       .select(col("doc_id"), col("sh"),
-        minhashSig(col("sh"), MinhashK).as("sig"))
+        minhashFromHashes(col("hh"), MinhashK).as("sig"))
       .select(col("doc_id"), col("sh"), col("sig"),
         lshBands(col("sig"), LshBandsN, LshRows).as("bands"))
 
@@ -211,17 +212,30 @@ object Dedup {
       |    ELSE [] END AS sh
       |  FROM t)""".stripMargin
 
+  /** DuckDB mirror of [[TextOps.shingleHash32]]'s 8-hex-char fold. */
+  private def oHex32(h: String): String = {
+    def v(i: Int) =
+      s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +
+        s" ELSE ascii(substr($h,$i,1)) - 87 END)"
+    (2 to 8).foldLeft(s"CAST(${v(1)} AS BIGINT)")((acc, i) => s"($acc * 16 + ${v(i)})")
+  }
+  private val oA = (0 until MinhashK).map(mhA).mkString("([", ",", "])")
+  private val oB = (0 until MinhashK).map(mhB).mkString("([", ",", "])")
+
   private val SigCte =
     ShinglesCte +
       s""",
+         |m AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS mh FROM s),
+         |hh AS (SELECT doc_id, list_transform(mh, h -> ${oHex32("h")}) AS hh FROM m),
          |g AS (SELECT doc_id,
          |    list_transform(range(0, $MinhashK), i ->
-         |      list_min(list_transform(sh, x -> md5(i::VARCHAR || '|' || x)))) AS sig
-         |  FROM s),
+         |      list_min(list_transform(hh, h -> ($oA[i+1] * h + $oB[i+1]) % $MhP))) AS sig
+         |  FROM hh),
          |bn AS (SELECT doc_id, sig,
          |    list_transform(range(0, $LshBandsN), b ->
          |      md5(b::VARCHAR || '#' ||
-         |          array_to_string(sig[b*$LshRows+1 : b*$LshRows+$LshRows], ','))) AS bands
+         |          array_to_string(list_transform(sig[b*$LshRows+1 : b*$LshRows+$LshRows],
+         |            v -> v::VARCHAR), ','))) AS bands
          |  FROM g)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(

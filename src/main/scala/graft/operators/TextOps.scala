@@ -42,14 +42,45 @@ object TextOps {
           element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature of a shingle set: k independent hash permutations
-    * simulated as md5(i || '|' || shingle); the signature element i is the
-    * lexicographic min of the md5 hex strings, which orders identically
-    * to the underlying 128-bit values. P(sig_a[i] == sig_b[i]) ≈
-    * Jaccard(a, b) — the classic MinHash estimator. */
-  def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
+  /** Modulus for the MinHash universal-hash family: 2^31 − 1 (prime).
+    * a·h + b with a < P, h < 2^32 stays under 2^63 — no BIGINT overflow
+    * on either engine. */
+  val MhP = 2147483647L
+
+  /** Deterministic universal-hash coefficients, derived driver-side from
+    * md5 and inlined as literals into both the Spark plan and the DuckDB
+    * oracle SQL (same pattern as the s4 LSH plane weights). */
+  private def mhSeed(tag: String, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$tag|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
+  def mhA(i: Int): Long = mhSeed("A", i) % (MhP - 1) + 1
+  def mhB(i: Int): Long = mhSeed("B", i) % MhP
+
+  /** 32-bit base hash per shingle: the first 8 hex chars of md5(s) as a
+    * BIGINT. One md5 per shingle — the k MinHash permutations derive
+    * from this value arithmetically ([[minhashFromHashes]]), instead of
+    * k fresh digests per shingle (k× the hashing cost, the dominant term
+    * of the whole dedup pipeline). The nested transform stages the md5
+    * so the 8-char fold reads a computed string, not 8 re-digests. */
+  def shingleHash32(sh: Column): Column =
+    transform(transform(sh, s => md5(s)), h =>
+      aggregate(sequence(lit(1), lit(8)), lit(0L), (acc, i) => {
+        val a = ascii(h.substr(i, lit(1))).cast("long")
+        acc * 16L + when(a <= 57L, a - 48L).otherwise(a - 87L)
+      }))
+
+  /** MinHash signature from staged base hashes ([[shingleHash32]]):
+    * element i is min over shingles of (a_i·h + b_i) mod P — the
+    * classic universal-hash MinHash estimator, P(sig_a[i] == sig_b[i])
+    * ≈ Jaccard(a, b). `hs` MUST be a staged column reference: it is
+    * referenced k times, which is also what stops CollapseProject from
+    * re-inlining the hash computation per permutation. */
+  def minhashFromHashes(hs: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(hs, h => (h * lit(mhA(i)) + lit(mhB(i))) % lit(MhP)))
+    }: _*)
 
   /** LSH band keys over a MinHash signature: `bands` bands of `rows`
     * signature positions each, hashed to one key per band. Two docs are
@@ -57,7 +88,8 @@ object TextOps {
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       md5(concat(b.cast("string"), lit("#"),
-        array_join(slice(sig, b * rows + 1, lit(rows)), ","))))
+        array_join(transform(slice(sig, b * rows + 1, lit(rows)),
+          v => v.cast("string")), ","))))
 
   /** md5 hex digest per word — stage this as its own column so each
     * word is hashed exactly once (see staging note below). */
@@ -69,14 +101,23 @@ object TextOps {
     * nibble j of md5(word) (md5 char >= '8'), a construction that is
     * exactly portable to any engine with md5 + substring. Hamming
     * distance between sigs ≈ 32·(1 − cosine of the docs'
-    * word-frequency vectors). */
+    * word-frequency vectors).
+    *
+    * Single-pass fold: one traversal of the word array accumulating all
+    * 32 bit-counters via zip_with. The per-bit formulation (32 separate
+    * aggregates) re-evaluates the input array once per bit — and since
+    * CollapseProject inlines a once-referenced staged md5 column, that
+    * meant 32 md5 digests per word (measured ~7 s at sf0.1 vs <1 s). */
   def simhash32FromMd5s(md5s: Column): Column =
     array_join(
-      transform(sequence(lit(1), lit(32)), j =>
-        when(
-          aggregate(md5s, lit(0L), (acc, h) =>
-            acc + when(h.substr(j, lit(1)) >= "8", 1L).otherwise(-1L)) >= 0L,
-          "1").otherwise("0")),
+      transform(
+        aggregate(md5s,
+          array(Seq.fill(32)(lit(0L)): _*),
+          (acc, h) => zip_with(acc,
+            transform(sequence(lit(1), lit(32)), j =>
+              when(h.substr(j, lit(1)) >= "8", 1L).otherwise(-1L)),
+            (a, b) => a + b)),
+        v => when(v >= 0L, "1").otherwise("0")),
       "")
 
   /** Convenience composition of [[wordMd5s]] + [[simhash32FromMd5s]].
