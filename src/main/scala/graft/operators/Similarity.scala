@@ -147,11 +147,16 @@ object Similarity {
       col("norm_fp").as("a_norm")).repartition(col("a"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
       col("norm_fp").as("b_norm"))
-    a.join(broadcast(b), col("a") < col("b"))
-      .withColumn("cos",
-        cosine(dotFp9(col("a_emb"), col("b_emb")), col("a_norm"), col("b_norm")))
-      .filter(col("cos") > 0.40)
-      .select(col("a"), col("b"), round(col("cos") * 1e6).cast("long").as("cos_e6"))
+    // The cosine threshold lives in the JOIN CONDITION, not a post-join
+    // filter: the nested-loop join then only materializes surviving
+    // pairs (~1e-4 of the pair space) instead of copying every candidate
+    // pair row — two 64-float embeddings each — before filtering
+    // (measured 2× at sf0.1). The condition short-circuits on a < b
+    // before evaluating the dot.
+    val cos = cosine(dotFp9(col("a_emb"), col("b_emb")),
+      col("a_norm"), col("b_norm"))
+    a.join(broadcast(b), col("a") < col("b") && cos > 0.40)
+      .select(col("a"), col("b"), round(cos * 1e6).cast("long").as("cos_e6"))
       .orderBy(col("a"), col("b"))
   }
 
