@@ -23,8 +23,10 @@ object Probe {
     if (mode != "time") df.explain("formatted")
     if (mode != "explain") (1 to repeat).foreach { i =>
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"TIMING $name run=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      // noop sink = full-plan execution (count() lets Catalyst prune
+      // output-only columns — same reasoning as Bench)
+      df.write.format("noop").mode("overwrite").save()
+      println(f"TIMING $name run=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()
   }

@@ -11,10 +11,40 @@ object GraftFunctions {
     GraftSqlBridge.column(
       DotFp9(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** array<string> → array<long>: 32-bit md5-prefix hash per element —
+    * codegen'd; see [[ShingleHash32Expr]]. */
+  def shingle_hash32(sh: Column): Column =
+    GraftSqlBridge.column(ShingleHash32Expr(GraftSqlBridge.expression(sh)))
+
+  /** array<string> words → 32-bit SimHash '0'/'1' string — codegen'd;
+    * see [[SimHash32Expr]]. */
+  def simhash32(ws: Column): Column =
+    GraftSqlBridge.column(SimHash32Expr(GraftSqlBridge.expression(ws)))
+
+  /** array<string> → min md5 hex digest — codegen'd; see [[MinMd5Expr]]. */
+  def min_md5(sh: Column): Column =
+    GraftSqlBridge.column(MinMd5Expr(GraftSqlBridge.expression(sh)))
+
+  /** array<long> staged hashes → MinHash signature under the (a, b, p)
+    * universal-hash family — codegen'd; see [[MinHashSigExpr]]. */
+  def minhash_sig(hh: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(hh), a, b, p))
+
   /** Register graft functions into a session's catalog so `spark.sql`
-    * text can call them by name. Idempotent. */
-  def register(spark: SparkSession): Unit =
+    * text can call them by name. Idempotent. (`minhash_sig` carries
+    * non-expression coefficient parameters, so it stays DataFrame-only.) */
+  def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(
       spark, "dot_fp9", children => DotFp9(children(0), children(1)),
       classOf[DotFp9])
+    GraftSqlBridge.registerFunction(
+      spark, "shingle_hash32", children => ShingleHash32Expr(children(0)),
+      classOf[ShingleHash32Expr])
+    GraftSqlBridge.registerFunction(
+      spark, "simhash32", children => SimHash32Expr(children(0)),
+      classOf[SimHash32Expr])
+    GraftSqlBridge.registerFunction(
+      spark, "min_md5", children => MinMd5Expr(children(0)),
+      classOf[MinMd5Expr])
+  }
 }

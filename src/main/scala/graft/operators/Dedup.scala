@@ -160,13 +160,13 @@ object Dedup {
     * verified by the brute-force DuckDB oracle. This IS the 100 TB
     * design (hamming-ball LSH), not an approximation of it. */
   def d5SimhashPairs(s: SparkSession, d: String): DataFrame = {
-    // signature staged per level (TextOps staging rule); aggregate
-    // barrier stops inferred join/generate filters from re-inlining the
-    // SimHash pipeline below the projection (2× eval per row).
+    // native SimHash kernel (one digest per word, no hex staging);
+    // aggregate barrier stops inferred join/generate filters from
+    // re-inlining the SimHash pipeline below the projection (2× eval
+    // per row).
     val sg = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), wordMd5s(col("ws")).as("wh"))
-      .select(col("doc_id"), simhash32FromMd5s(col("wh")).as("sig"))
+      .select(col("doc_id"), simhash32(col("ws")).as("sig"))
       .select(col("doc_id"), conv(col("sig"), 2, 10).cast("long").as("bits"))
       .groupBy(col("doc_id")).agg(min(col("bits")).as("bits"))
     // 33 bucket keys per doc: identity + each single-bit flip

@@ -109,12 +109,12 @@ object TextAnalysis {
     documents(s, d)
       .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
       .select(col("doc_id"), col("text"), col("ws"),
-        shingles3(col("ws")).as("sh"), wordMd5s(col("ws")).as("wh"))
+        shingles3(col("ws")).as("sh"))
       .select(
         col("doc_id"),
         md5(normText(col("text"))).as("content_md5"),
-        array_min(transform(col("sh"), sh => md5(sh))).as("min_shingle_md5"),
-        simhash32FromMd5s(col("wh")).as("simhash32"))
+        minMd5(col("sh")).as("min_shingle_md5"),
+        simhash32(col("ws")).as("simhash32"))
       .orderBy(col("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -62,9 +62,17 @@ object TextOps {
     * BIGINT. One md5 per shingle — the k MinHash permutations derive
     * from this value arithmetically ([[minhashFromHashes]]), instead of
     * k fresh digests per shingle (k× the hashing cost, the dominant term
-    * of the whole dedup pipeline). The nested transform stages the md5
-    * so the 8-char fold reads a computed string, not 8 re-digests. */
+    * of the whole dedup pipeline). Native codegen'd kernel
+    * ([[graft.functions.ShingleHash32Expr]]); [[shingleHash32Hof]] is
+    * the executable spec. */
   def shingleHash32(sh: Column): Column =
+    graft.functions.GraftFunctions.shingle_hash32(sh)
+
+  /** Spec formulation of [[shingleHash32]] — interpreted HOF, tested
+    * equivalent, never used in query paths. The nested transform stages
+    * the md5 so the 8-char fold reads a computed string, not 8
+    * re-digests. */
+  def shingleHash32Hof(sh: Column): Column =
     transform(transform(sh, s => md5(s)), h =>
       aggregate(sequence(lit(1), lit(8)), lit(0L), (acc, i) => {
         val a = ascii(h.substr(i, lit(1))).cast("long")
@@ -74,10 +82,19 @@ object TextOps {
   /** MinHash signature from staged base hashes ([[shingleHash32]]):
     * element i is min over shingles of (a_i·h + b_i) mod P — the
     * classic universal-hash MinHash estimator, P(sig_a[i] == sig_b[i])
-    * ≈ Jaccard(a, b). `hs` MUST be a staged column reference: it is
-    * referenced k times, which is also what stops CollapseProject from
-    * re-inlining the hash computation per permutation. */
+    * ≈ Jaccard(a, b). Native codegen'd kernel
+    * ([[graft.functions.MinHashSigExpr]]); [[minhashFromHashesHof]] is
+    * the executable spec. */
   def minhashFromHashes(hs: Column, k: Int): Column =
+    graft.functions.GraftFunctions.minhash_sig(hs,
+      (0 until k).map(mhA), (0 until k).map(mhB), MhP)
+
+  /** Spec formulation of [[minhashFromHashes]] — interpreted HOF,
+    * tested equivalent, never used in query paths. `hs` MUST be a
+    * staged column reference: it is referenced k times, which is also
+    * what stops CollapseProject from re-inlining the hash computation
+    * per permutation. */
+  def minhashFromHashesHof(hs: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(hs, h => (h * lit(mhA(i)) + lit(mhB(i))) % lit(MhP)))
     }: _*)
@@ -120,10 +137,19 @@ object TextOps {
         v => when(v >= 0L, "1").otherwise("0")),
       "")
 
-  /** Convenience composition of [[wordMd5s]] + [[simhash32FromMd5s]].
-    * ONLY for single-use contexts — in query pipelines stage the md5
-    * array as its own column first (staging note below). */
-  def simhash32(ws: Column): Column = simhash32FromMd5s(wordMd5s(ws))
+  /** 32-bit SimHash over raw words — native codegen'd kernel
+    * ([[graft.functions.SimHash32Expr]]), digesting each word once with
+    * no intermediate hex-string array. [[wordMd5s]] +
+    * [[simhash32FromMd5s]] is the executable spec (tested equivalent,
+    * never used in query paths). */
+  def simhash32(ws: Column): Column =
+    graft.functions.GraftFunctions.simhash32(ws)
+
+  /** Lexicographic-min md5 digest of an array — native codegen'd
+    * ([[graft.functions.MinMd5Expr]]); spec: `array_min(transform(sh,
+    * md5))` (lowercase-hex order = unsigned digest order). */
+  def minMd5(sh: Column): Column =
+    graft.functions.GraftFunctions.min_md5(sh)
 
   /** Normalized text for exact-dup hashing: lowercase, whitespace
     * collapsed — the cheap canonicalization every dedup pipeline runs

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps._
+import graft.operators.Similarity
+import graft.functions.GraftFunctions
+
+/** Native hashing kernels ([[graft.functions.HashExprs]]) must be
+  * bit-identical to their interpreted HOF specs in TextOps — the specs
+  * are what the DuckDB oracle SQL mirrors, so kernel drift would
+  * silently break the correctness gate. Exercised over the real
+  * documents/embeddings corpus (covers empty arrays: docs under 3 words
+  * shingle to [] with a null signature). */
+class HashKernelSpec extends SparkSpecBase {
+
+  private def docs = spark.read
+    .parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), words(col("text")).as("ws"))
+    .select(col("doc_id"), col("ws"), shingles3(col("ws")).as("sh"))
+
+  private def assertNoDiff(diff: org.apache.spark.sql.DataFrame): Unit = {
+    val bad = diff.limit(5).collect()
+    assert(bad.isEmpty, s"kernel != spec:\n${bad.mkString("\n")}")
+  }
+
+  test("shingle_hash32 kernel matches the HOF spec") {
+    assertNoDiff(docs
+      .select(col("doc_id"), shingleHash32(col("sh")).as("k"),
+        shingleHash32Hof(col("sh")).as("s"))
+      .filter(not(col("k") <=> col("s"))))
+  }
+
+  test("minhash_sig kernel matches the HOF spec") {
+    assertNoDiff(docs
+      .select(col("doc_id"), shingleHash32(col("sh")).as("hh"))
+      .select(col("doc_id"),
+        minhashFromHashes(col("hh"), 7).as("k"),
+        minhashFromHashesHof(col("hh"), 7).as("s"))
+      .filter(not(col("k") <=> col("s"))))
+  }
+
+  test("simhash32 kernel matches the HOF spec") {
+    assertNoDiff(docs
+      .select(col("doc_id"), simhash32(col("ws")).as("k"),
+        simhash32FromMd5s(wordMd5s(col("ws"))).as("s"))
+      .filter(not(col("k") <=> col("s"))))
+  }
+
+  test("min_md5 kernel matches array_min(transform(md5)) incl. empty arrays") {
+    assertNoDiff(docs
+      .select(col("doc_id"), minMd5(col("sh")).as("k"),
+        array_min(transform(col("sh"), x => md5(x))).as("s"))
+      .filter(not(col("k") <=> col("s"))))
+  }
+
+  test("dot_fp9 kernel matches the HOF spec") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.crossJoin(
+      e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+        .limit(3))
+    assertNoDiff(pairs
+      .select(
+        Similarity.dotFp9(col("embedding"), col("e2")).as("k"),
+        Similarity.dotFp9Hof(col("embedding"), col("e2")).as("s"))
+      .filter(not(col("k") <=> col("s"))))
+  }
+
+  test("kernels register as SQL functions") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("hk_docs")
+    val r = spark.sql(
+      """SELECT simhash32(ws) AS sig, min_md5(sh) AS mm,
+        |       shingle_hash32(sh) AS hh FROM hk_docs LIMIT 1""".stripMargin)
+      .collect()
+    assert(r.length == 1 && r.head.getString(0).length == 32)
+  }
+}
