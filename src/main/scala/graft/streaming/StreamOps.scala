@@ -111,6 +111,30 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join (streaming e4 — purchase attribution):
+    * each purchase joined to the same user's clicks within the
+    * preceding `window`. Both sides carry watermarks and the join
+    * condition bounds click time relative to purchase time, so each
+    * side's buffered state is evicted once the other side's watermark
+    * passes the interval — bounded state over two unbounded streams.
+    * Inner join → Append-mode sinks. At scale both streams shuffle on
+    * user_id once; the interval predicate prunes state, not rows. */
+  def attribute(clicks: DataFrame, purchases: DataFrame,
+      window: String = "1 hour", lateness: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Output mode guidance per op (what a caller's writeStream should
     * use): windowed aggs → Append (emit on watermark close) or Update;
     * latestState → Update; dedupExact → Append. */
@@ -118,5 +142,6 @@ object StreamOps {
     "hourlyAgg" -> OutputMode.Append(),
     "sessionize" -> OutputMode.Append(),
     "dedupExact" -> OutputMode.Append(),
-    "latestState" -> OutputMode.Update())
+    "latestState" -> OutputMode.Update(),
+    "attribute" -> OutputMode.Append())
 }

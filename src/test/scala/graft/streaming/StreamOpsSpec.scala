@@ -113,6 +113,24 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(finalByUser(2L) == ((4L, "purchase", ts("10:50").getTime / 1000)))
   }
 
+  test("attribute: stream-stream interval join matches clicks in the hour before purchase") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[KeyedEvent]
+    val purchases = MemoryStream[KeyedEvent]
+    val q = StreamOps.attribute(clicks.toDF(), purchases.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(ev(1, 1, "click", "10:00"), ev(2, 1, "click", "10:30"),
+      ev(3, 1, "click", "08:00"), // outside the 1h window → unattributed
+      ev(4, 2, "click", "10:40")) // other user
+    purchases.addData(ev(100, 1, "purchase", "10:45"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(pairs == Set((100L, 1L), (100L, 2L)), s"got $pairs")
+  }
+
   test("enrich: stream-static dimension join broadcasts the dimension") {
     val events = graft.Tables.events(spark, sf)
     val dim = graft.Tables.customer(spark, sf)
