@@ -172,6 +172,23 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q13: distinct-count + exact quantile aggregates per group — the
+    * expand/two-shuffle distinct-agg shape plus sort-based percentile.
+    * Quantiles use dyadic probabilities (0.25/0.5/0.75) over integral
+    * quantities, so the interpolation is FP-exact and bit-identical
+    * across engines. At 100 TB swap in `approx_count_distinct` (HLL++)
+    * and `approx_percentile` (KLL) when estimates suffice — kept exact
+    * here for the oracle gate. */
+  def q13DistinctQuantiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        percentile(col("l_quantity"), lit(0.25)).as("q25_qty"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75_qty"))
+      .orderBy(col("l_returnflag"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> q1Agg _,
     "q2_filter_project" -> q2FilterProject _,
@@ -185,6 +202,7 @@ object Relational {
     "q10_rollup"        -> q10Rollup _,
     "q11_scalar_funcs"  -> q11ScalarFuncs _,
     "q12_case_agg"      -> q12CaseAgg _,
+    "q13_distinct_quantiles" -> q13DistinctQuantiles _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -268,5 +286,11 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_returnflag = 'R'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q13_distinct_quantiles" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  quantile_cont(l_quantity, 0.25) AS q25_qty,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q75_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
