@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotFp9
+
+/** The physical-layout half of the 100 TB story. The operator scale
+  * notes (Similarity, Dedup) say "at real scale the corpus is written
+  * bucketed, making the probe a partition-pruned read instead of a
+  * filter" — this module is that layout, implemented and plan-audited
+  * (WarehouseSpec) rather than asserted in comments.
+  *
+  *  - Vector corpus: directory-partitioned by the sign-LSH bucket
+  *    (Similarity.s4's signature). A kNN probe then reads 1/2^NPlanes
+  *    of the corpus — `PartitionFilters` in the scan, zero rows from
+  *    other buckets ever leave parquet.
+  *  - Fact tables: hash-bucketed by join key (`bucketBy` + sorted).
+  *    Two tables bucketed the same way join with NO exchange on either
+  *    side — the shuffle that dominates fact-fact joins at scale is
+  *    paid once at write time, then amortized over every query.
+  */
+object Warehouse {
+
+  /** Sign-LSH bucket column over `embedding` — identical construction
+    * to Similarity.s4 (NPlanes md5-derived hyperplanes, fixed-point
+    * dot), so buckets written here serve s4-style probes. The 'b'
+    * prefix keeps partition-directory type inference from reading the
+    * bit string as an integer (which would drop leading zeros). */
+  def vectorBucket: org.apache.spark.sql.Column =
+    concat(lit("b") +: (0 until Similarity.NPlanes).map { h =>
+      when(Similarity.dotFp9(col("embedding"),
+        array(Similarity.planeWeights(h).map(lit): _*)) >= 0L, "1").otherwise("0")
+    }: _*)
+
+  /** Driver-side twin of [[vectorBucket]] for probe-time bucket lookup:
+    * same fixed-point rounding as the DotFp9 kernel, so the query vector
+    * lands in exactly the bucket its stored copy would. */
+  def bucketOf(v: Seq[Float]): String =
+    "b" + (0 until Similarity.NPlanes).map { h =>
+      val w = Similarity.planeWeights(h)
+      var sum = 0L
+      var j = 0
+      while (j < math.min(v.length, w.length)) {
+        sum += DotFp9.roundHalfAway(v(j).toDouble * w(j).toDouble * 1e9)
+        j += 1
+      }
+      if (sum >= 0L) "1" else "0"
+    }.mkString
+
+  /** Write a vector corpus directory-partitioned by sign-LSH bucket. */
+  def writeVectors(e: DataFrame, path: String): Unit =
+    e.withColumn("bucket", vectorBucket)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Top-k cosine probe against a bucketed corpus: the bucket equality
+    * filter prunes partitions at planning time — the scan touches only
+    * the query's bucket directory. Exact within the bucket (same
+    * recall contract as s4). */
+  def knnProbe(s: SparkSession, path: String, query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val qNorm = {
+      var sum = 0L
+      query.foreach(x => sum += DotFp9.roundHalfAway(x.toDouble * x.toDouble * 1e9))
+      sum
+    }
+    s.read.parquet(path)
+      .filter(col("bucket") === lit(bucketOf(query)))
+      .withColumn("dot", Similarity.dotFp9(col("embedding"), q))
+      .withColumn("norm", Similarity.normFp9(col("embedding")))
+      .withColumn("cos", Similarity.cosine(col("dot"), lit(qNorm), col("norm")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** Write a table hash-bucketed + sorted by `key` (`nBuckets` files per
+    * partition, one hash class each). Requires a catalog table —
+    * bucketing metadata lives in the catalog, not the files. */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Join two co-bucketed catalog tables on their bucket key. With equal
+    * bucket counts Spark plans a SortMergeJoin with NO Exchange on
+    * either side (asserted in WarehouseSpec) — the write-time layout
+    * replaces the per-query shuffle. */
+  def coLocatedJoin(s: SparkSession, left: String, right: String, key: String): DataFrame =
+    s.table(left).join(s.table(right), key)
+}

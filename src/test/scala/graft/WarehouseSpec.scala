@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, Warehouse}
+
+/** Plan-audited proof of the write-time layouts the scale notes promise:
+  * partition-pruned vector probes and exchange-free co-bucketed joins. */
+class WarehouseSpec extends SparkSpecBase {
+
+  test("bucketed vector corpus: probe is partition-pruned and exact within the bucket") {
+    val dir = Files.createTempDirectory("graft-vec-wh").toFile.getAbsolutePath
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    Warehouse.writeVectors(e, dir)
+
+    val query = e.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val probe = Warehouse.knnProbe(spark, dir, query, 5)
+
+    // planning-time pruning: the scan's PartitionFilters pins the exact
+    // bucket literal — only that partition directory is listed/read
+    // (DataFrame.inputFiles can't show this; it lists pre-pruning)
+    val b = Warehouse.bucketOf(query)
+    val plan = planOf(probe)
+    assert(plan.contains("PartitionFilters") && plan.contains(b),
+      s"probe not partition-pruned to bucket $b:\n$plan")
+
+    // exact within the bucket: same result as filtering the full corpus
+    // by the driver-computed bucket (vec_id 3 itself ranks first, cos=1)
+    val expect = e.withColumn("bucket", Warehouse.vectorBucket)
+      .filter(col("bucket") === lit(b))
+      .withColumn("dot", Similarity.dotFp9(col("embedding"),
+        array(query.map(lit): _*)))
+      .withColumn("norm", Similarity.normFp9(col("embedding")))
+      .withColumn("qnorm", Similarity.normFp9(array(query.map(lit): _*)))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("qnorm"), col("norm")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .collect().toSeq
+    assert(probe.collect().toSeq == expect)
+    assert(expect.head.getLong(0) == 3L, "query vector should rank first in its own bucket")
+  }
+
+  test("co-bucketed tables join without an exchange on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Warehouse.writeBucketed(
+        Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice")),
+        "wh_orders", "o_orderkey", 4)
+      Warehouse.writeBucketed(
+        Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "wh_lineitem", "o_orderkey", 4)
+      val joined = Warehouse.coLocatedJoin(spark, "wh_orders", "wh_lineitem", "o_orderkey")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join still shuffles:\n$plan")
+      // same row count as the plain (shuffling) join
+      val expected = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS wh_orders")
+      spark.sql("DROP TABLE IF EXISTS wh_lineitem")
+    }
+  }
+}
