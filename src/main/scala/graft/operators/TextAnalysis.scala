@@ -117,11 +117,48 @@ object TextAnalysis {
         simhash32(col("ws")).as("simhash32"))
       .orderBy(col("doc_id"))
 
+  /** x5: TF-IDF top terms — the corpus-statistics shape (explode →
+    * per-term document-frequency aggregation → join back to docs →
+    * per-doc top-k). All weights are integer ratios (no log/float), so
+    * ranking is bit-reproducible: tfidf_e6 = tf·1e6·n_docs / (df·len).
+    *
+    * Scale notes (100 TB): the term explode shuffles once on term for
+    * the DF count — the classic word-count shape with map-side partial
+    * aggregation; the doc count broadcast is a 1-row cross join; the
+    * top-k per doc is a window over the doc's own terms (re-shuffle on
+    * doc_id). A mega-term (stopword) is agg skew, not join skew — the
+    * partial aggregate absorbs it. */
+  def x5Tfidf(s: SparkSession, d: String): DataFrame = {
+    val terms = documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_e6").desc, col("term"))
+    tf.join(dfreq, "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_e6",
+        idiv(col("tf") * 1000000L * col("n_docs"), col("df") * col("n_tok")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("tfidf_e6"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_token_count" -> x1TokenCount _,
     "x2_quality"     -> x2Quality _,
     "x3_lang_id"     -> x3LangId _,
     "x4_fingerprint" -> x4Fingerprint _,
+    "x5_tfidf"       -> x5Tfidf _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -191,5 +228,21 @@ object TextAnalysis {
         |        CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
         |      THEN '1' ELSE '0' END), 'string_agg', '') AS simhash32
         |FROM s ORDER BY doc_id""".stripMargin,
+    "x5_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    w -> w != '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    tf.tf * 1000000 * nd.n_docs // (dfq.df * dl.n_tok) AS tfidf_e6
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN nd),
+        |r AS (SELECT doc_id, term, tf, df, tfidf_e6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_e6 DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf_e6
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
   )
 }

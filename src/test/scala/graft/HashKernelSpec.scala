@@ -66,6 +66,30 @@ class HashKernelSpec extends SparkSpecBase {
       .filter(not(col("k") <=> col("s"))))
   }
 
+  test("property: kernels match specs on adversarial inputs (unicode, empties, null elements)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val strGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.nonEmptyListOf(Gen.oneOf("ä", "中", "💡", "é", " ", "|"))
+        .map(_.mkString.take(8)))
+    val arrGen = Gen.listOf(strGen).map(_.take(16))
+    val prop = Prop.forAll(Gen.listOfN(8, arrGen)) { (arrays: List[List[String]]) =>
+      val df = arrays.toDF("a")
+      val bad = df.select(
+        shingleHash32(col("a")).as("hk"), shingleHash32Hof(col("a")).as("hs"),
+        simhash32(col("a")).as("sk"), simhash32FromMd5s(wordMd5s(col("a"))).as("ss"),
+        minMd5(col("a")).as("mk"), array_min(transform(col("a"), x => md5(x))).as("ms"))
+        .filter(not(col("hk") <=> col("hs")) || not(col("sk") <=> col("ss")) ||
+          not(col("mk") <=> col("ms")))
+        .count()
+      bad == 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("kernels register as SQL functions") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("hk_docs")
