@@ -107,12 +107,45 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** e6: ordered funnel — users reaching click → view-within-24h →
+    * purchase-within-24h-of-view, counted per deepest stage. Each
+    * stage is a conditional min-aggregate joined to the previous
+    * stage's timestamp window (the standard relational funnel; no
+    * per-user event collection).
+    *
+    * Scale notes (100 TB): all three stage aggregates and both funnel
+    * joins key on user_id, so one hash partitioning serves the whole
+    * plan (exchange reuse); each stage's input is filtered to one
+    * event type before the join, and stage frames only carry
+    * (user_id, ts) — the funnel never materializes event lists. */
+  def e6Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val v = ev.filter(col("event_type") === "view").join(c, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    c.join(v.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L).otherwise(1L))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
     "e3_json_extract"   -> e3JsonExtract _,
     "e4_asof_purchase"  -> e4AsofPurchase _,
     "e5_latest_state"   -> e5LatestState _,
+    "e6_funnel"         -> e6Funnel _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -166,5 +199,22 @@ object Events {
         |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "e6_funnel" ->
+      """WITH c AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+        |    AND e.ts <= c.t1 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t2
+        |    AND e.ts <= v.t2 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |f AS (SELECT c.user_id,
+        |    CASE WHEN p.user_id IS NOT NULL THEN 3
+        |         WHEN v.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |  FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id))
+        |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
+        |FROM f GROUP BY stage ORDER BY stage""".stripMargin,
   )
 }
