@@ -135,6 +135,43 @@ object StreamOps {
         col("click_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming near-dup candidate pairs (streaming d3): each arriving
+    * document is MinHash-signed with the SAME staged pipeline the batch
+    * dedup uses (TextOps kernels), exploded to LSH band keys, and
+    * self-joined on band key — a watermarked stream-stream join, so a
+    * new document pairs with every document that shared a band within
+    * the `horizon`. Band-key state is evicted past the watermark:
+    * unbounded corpus, bounded state. Emits (a, b, band) candidate
+    * pairs; exact verification (Jaccard) is the consumer's rerank step,
+    * as in the batch pipeline.
+    *
+    * Expects columns (doc_id, text, ts). At 100 TB horizon-scoped
+    * near-dup is the standard streaming trade — full-corpus dedup runs
+    * as the batch job; this catches arrivals near-duplicating recent
+    * history (the common spam/boilerplate case). */
+  def nearDupCandidates(docs: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    import graft.operators.TextOps
+    def signed(side: String) = docs
+      .select(col("doc_id"), col("ts"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ts"), TextOps.shingles3(col("ws")).as("sh"))
+      .select(col("doc_id"), col("ts"), TextOps.shingleHash32(col("sh")).as("hh"))
+      .select(col("doc_id"), col("ts"),
+        TextOps.lshBands(TextOps.minhashFromHashes(col("hh"), 12), 6, 2).as("bands"))
+      .select(col("doc_id").as(s"${side}_id"), col("ts").as(s"${side}_ts"),
+        explode(col("bands")).as(s"${side}_band"))
+      .withWatermark(s"${side}_ts", horizon)
+    signed("a").join(signed("b"),
+      col("a_band") === col("b_band") &&
+        col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $horizon") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("a_id").as("a"), col("b_id").as("b"),
+        col("a_band").as("band"))
+    // NOTE: no distinct() — deduping pairs on an unbounded stream would
+    // grow state forever; a pair agreeing on k bands emits k rows and
+    // the consumer's rerank naturally collapses them.
+  }
+
   /** Output mode guidance per op (what a caller's writeStream should
     * use): windowed aggs → Append (emit on watermark close) or Update;
     * latestState → Update; dedupExact → Append. */
@@ -143,5 +180,6 @@ object StreamOps {
     "sessionize" -> OutputMode.Append(),
     "dedupExact" -> OutputMode.Append(),
     "latestState" -> OutputMode.Update(),
-    "attribute" -> OutputMode.Append())
+    "attribute" -> OutputMode.Append(),
+    "nearDupCandidates" -> OutputMode.Append())
 }

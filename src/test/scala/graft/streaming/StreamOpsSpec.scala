@@ -13,6 +13,8 @@ import graft.streaming.StreamOps.KeyedEvent
   * windows, session windows, bounded-state dedup, keyed latest-state. */
 class StreamOpsSpec extends SparkSpecBase {
 
+  import StreamOpsSpec.Doc
+
   import spark.implicits._
 
   private def ts(hhmm: String): Timestamp =
@@ -131,6 +133,28 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(pairs == Set((100L, 1L), (100L, 2L)), s"got $pairs")
   }
 
+  test("nearDupCandidates: near-identical docs pair via shared LSH bands, unrelated ones don't") {
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the dog finally moves away from the warm sunny porch"
+    val in = MemoryStream[Doc]
+    val q = StreamOps.nearDupCandidates(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Doc(1L, base, ts("10:00")),
+      Doc(2L, base + " tail", ts("10:10")),                  // near-dup of 1
+      Doc(3L, "completely different words about spark plans " +
+        "and shuffle exchanges at massive scale", ts("10:15")))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup").collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
   test("enrich: stream-static dimension join broadcasts the dimension") {
     val events = graft.Tables.events(spark, sf)
     val dim = graft.Tables.customer(spark, sf)
@@ -140,4 +164,8 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(planOf(enriched).contains("BroadcastHashJoin"))
     assert(enriched.count() == events.count()) // left join preserves stream rows
   }
+}
+
+object StreamOpsSpec {
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 }
