@@ -57,8 +57,13 @@ object Dedup {
     * arrives as one parquet split) and pre-partitions for the
     * unique-key barrier aggregate, which then needs no second shuffle. */
   private def sigs(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .repartition(col("doc_id"))
+    lshIndex(documents(s, d).repartition(col("doc_id")))
+
+  /** MinHash+LSH index over any (doc_id, text) frame — the reusable
+    * form of the signature pipeline (also the streaming near-dup path's
+    * shape, StreamOps.nearDupCandidates). */
+  def lshIndex(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shingles3(col("ws")).as("sh"))
       .select(col("doc_id"), col("sh"), shingleHash32(col("sh")).as("hh"))
@@ -88,13 +93,24 @@ object Dedup {
     * both sides: Spark shares no subtree across join branches).
     * Bucket size is the classic LSH skew knob: a boilerplate-text
     * mega-bucket makes |bucket|² explode — cap or salt in production. */
-  def d3LshCandidates(s: SparkSession, d: String): DataFrame = {
+  def d3LshCandidates(s: SparkSession, d: String): DataFrame =
+    lshCandidates(sigs(s, d), maxBucket = None)
+
+  /** Candidate pairs from an [[lshIndex]] frame. `maxBucket` is the
+    * production skew knob the scale notes call for: a band key shared
+    * by thousands of docs (boilerplate text) has no discriminating
+    * power, and its |bucket|² expansion is the classic LSH skew
+    * explosion — capped runs DROP those buckets wholesale (boilerplate
+    * belongs to a dedicated detector, not the pair expander). d3 runs
+    * uncapped for oracle parity; the cap behavior is pinned by its own
+    * spec on a constructed mega-bucket corpus. */
+  def lshCandidates(index: DataFrame, maxBucket: Option[Int]): DataFrame = {
     // Aggregate barrier on the unique key: materializes sig/bands once
     // per doc AND stops InferFiltersFromGenerate's `size(bands) > 0`
     // from being pushed (re-inlined) into the signature computation —
     // predicates on non-grouping outputs cannot cross an Aggregate.
     // At scale this is the "build the dedup index" stage you'd persist.
-    val sg = sigs(s, d).groupBy(col("doc_id"))
+    val sg = index.groupBy(col("doc_id"))
       .agg(min(col("sig")).as("sig"), min(col("bands")).as("bands"))
     val exploded = sg.select(col("doc_id"), col("sig"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
@@ -102,7 +118,8 @@ object Dedup {
       .groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
       .filter(size(col("docs")) > 1)
-    buckets
+    val kept = maxBucket.fold(buckets)(m => buckets.filter(size(col("docs")) <= m))
+    kept
       .select(explode(col("docs")).as("da"), col("docs"))
       .select(col("da"), explode(col("docs")).as("db"))
       .filter(col("da.doc_id") < col("db.doc_id"))

@@ -69,6 +69,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in d4:\n$plan")
   }
 
+  test("lshCandidates maxBucket drops mega-buckets, keeps small-bucket pairs") {
+    import spark.implicits._
+    // 5 identical boilerplate docs (mega-bucket: every band agrees) +
+    // 2 near-dup docs sharing their own buckets
+    val boiler = "terms of service apply to all users of this website " +
+      "and may change at any time without further notice to you"
+    val uniq = "a genuinely distinctive document about catalyst plan " +
+      "rewrites and whole stage codegen for vectorized execution"
+    val docs = ((1L to 5L).map(i => (i, boiler)) ++
+      Seq((10L, uniq), (11L, uniq + " extra"))).toDF("doc_id", "text")
+    val idx = Dedup.lshIndex(docs)
+    def pairs(cap: Option[Int]) = Dedup.lshCandidates(idx, cap).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(2))
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
+    assert(capped.contains((10L, 11L)), s"small-bucket pair lost: $capped")
+    assert(!capped.exists(p => p._1 <= 5L && p._2 <= 5L),
+      s"mega-bucket pairs survived the cap: $capped")
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("minhash estimate correlates with true jaccard on top pairs") {
     val est = Dedup.d3LshCandidates(spark, sf).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
