@@ -117,36 +117,39 @@ object TextAnalysis {
         simhash32(col("ws")).as("simhash32"))
       .orderBy(col("doc_id"))
 
-  /** x5: TF-IDF top terms — the corpus-statistics shape (explode →
-    * per-term document-frequency aggregation → join back to docs →
-    * per-doc top-k). All weights are integer ratios (no log/float), so
-    * ranking is bit-reproducible: tfidf_e6 = tf·1e6·n_docs / (df·len).
+  /** x5: TF-IDF top terms — the corpus-statistics shape. One term
+    * explode feeds one (doc, term) frequency aggregate; document
+    * frequency and doc length are then WINDOWS over that single frame
+    * rather than re-derived joins (a join formulation re-scans and
+    * re-explodes `documents` once per statistic — Spark shares no plan
+    * subtrees across join branches). All weights are integer ratios
+    * (no log/float), so ranking is bit-reproducible:
+    * tfidf_e6 = tf·1e6·n_docs / (df·len).
     *
-    * Scale notes (100 TB): the term explode shuffles once on term for
-    * the DF count — the classic word-count shape with map-side partial
-    * aggregation; the doc count broadcast is a 1-row cross join; the
-    * top-k per doc is a window over the doc's own terms (re-shuffle on
-    * doc_id). A mega-term (stopword) is agg skew, not join skew — the
-    * partial aggregate absorbs it. */
+    * Scale notes (100 TB): tf shuffles once on (doc_id, term) with
+    * map-side partials (a mega-term/stopword is agg skew the partial
+    * absorbs); the df window shuffles on term; the length and top-k
+    * windows share one doc_id partitioning (exchange reuse). The doc
+    * count is a 1-row broadcast from a doc_id-only column scan. */
   def x5Tfidf(s: SparkSession, d: String): DataFrame = {
-    val terms = documents(s, d)
+    val tf = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), explode(col("ws")).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docLen = terms.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf_e6").desc, col("term"))
-    tf.join(dfreq, "term")
-      .join(docLen, "doc_id")
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("n_tok", sum(col("tf")).over(byDoc))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_e6",
         idiv(col("tf") * 1000000L * col("n_docs"), col("df") * col("n_tok")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 5)
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("term"), col("tf"), col("df"), col("tfidf_e6"))
