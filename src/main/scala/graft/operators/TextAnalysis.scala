@@ -156,12 +156,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** x6: deterministic train/val/test split — 80/10/10 by a hash of the
+    * stable document id, summarized per split with count + checksums.
+    * Hash-based assignment is the only split that survives re-runs,
+    * late-arriving data, and resharding (row_number or rand() splits
+    * change membership whenever the input order or partitioning does) —
+    * the property every training-data pipeline needs from its split
+    * stage. Narrow map + one small agg; no shuffle except the 3-group
+    * aggregate. */
+  def x6HashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100L)
+      .withColumn("split",
+        when(col("bucket") < 80L, "train")
+          .when(col("bucket") < 90L, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_token_count" -> x1TokenCount _,
     "x2_quality"     -> x2Quality _,
     "x3_lang_id"     -> x3LangId _,
     "x4_fingerprint" -> x4Fingerprint _,
     "x5_tfidf"       -> x5Tfidf _,
+    "x6_hash_split"  -> x6HashSplit _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -247,5 +271,15 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf_e6
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "x6_hash_split" ->
+      """WITH h AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h FROM documents),
+        |b AS (SELECT doc_id, n_chars, (((CAST((CASE WHEN ascii(substr(h,1,1)) <= 57 THEN ascii(substr(h,1,1)) - 48 ELSE ascii(substr(h,1,1)) - 87 END) AS BIGINT) * 16 + (CASE WHEN ascii(substr(h,2,1)) <= 57 THEN ascii(substr(h,2,1)) - 48 ELSE ascii(substr(h,2,1)) - 87 END)) * 16 + (CASE WHEN ascii(substr(h,3,1)) <= 57 THEN ascii(substr(h,3,1)) - 48 ELSE ascii(substr(h,3,1)) - 87 END)) * 16 + (CASE WHEN ascii(substr(h,4,1)) <= 57 THEN ascii(substr(h,4,1)) - 48 ELSE ascii(substr(h,4,1)) - 87 END)) % 100 AS bucket FROM h),
+        |sp AS (SELECT doc_id, n_chars,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, count(*) AS n_docs, sum(doc_id) AS id_checksum,
+        |  sum(n_chars) AS sum_chars
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
   )
 }
