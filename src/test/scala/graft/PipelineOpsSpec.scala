@@ -224,6 +224,19 @@ class PipelineOpsSpec extends SparkSpecBase {
       }
   }
 
+  test("x5 computes corpus stats from one explode (2 scans: tf + doc count)") {
+    val plan = planOf(TextAnalysis.x5Tfidf(spark, sf))
+    assert(plan.split("Scan parquet").length - 1 <= 2,
+      s"x5 re-derives statistics from extra scans:\n$plan")
+  }
+
+  test("e6 funnel: one scan, one user partitioning (chained-window shape)") {
+    val plan = planOf(Events.e6Funnel(spark, sf))
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"funnel re-derives stages from extra scans:\n$plan")
+    assert(!plan.contains("Join"), s"funnel regressed to stage joins:\n$plan")
+  }
+
   test("text/dedup scans prune to doc_id+text only") {
     val plan = planOf(TextAnalysis.x4Fingerprint(spark, sf))
     assert(plan.contains("ReadSchema"), "no read schema in plan")
