@@ -134,6 +134,10 @@ class PipelineOpsSpec extends SparkSpecBase {
   test("s1 broadcasts the query side (no shuffle of the corpus)") {
     val plan = planOf(Similarity.s1KnnBrute(spark, sf))
     assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
+    // partial top-k per partition before the rank shuffle — the property
+    // that keeps brute-force kNN linear-shuffle at corpus scale
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k not pushed below the window shuffle:\n$plan")
   }
 
   // ---- events ----
