@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-linearity probe (dev tool, like Probe): re-lists the same
+  * parquet files N times to multiply input cardinality without writing
+  * anything, then times the heavy query shapes. If a plan's cost grows
+  * super-linearly in N, it would not survive the 100 TB scale-up —
+  * results recorded in BASELINE.md.
+  *
+  * Usage: runMain graft.ScaleProbe [multiplier] [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val m = if (args.nonEmpty) args(0).toInt else 4
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // warm parquet reader, codegen, shuffle machinery (as Bench does)
+    spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+
+    def x(name: String): DataFrame =
+      spark.read.parquet(Seq.fill(m)(s"$d/$name.parquet"): _*)
+
+    def time(name: String)(df: => DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = Seq(
+      // q1 shape: full-scan groupBy-agg over lineitem×m
+      time("agg") {
+        x("lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(Tables.cents(col("l_quantity"))).as("q"),
+            count(lit(1)).as("n"))
+      },
+      // q3 shape: fact-fact join + agg (orders×m ⋈ lineitem×m)
+      time("join_agg") {
+        x("lineitem").select(col("l_orderkey"),
+            Tables.cents(col("l_extendedprice")).as("c"))
+          .join(x("orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey")).agg(sum(col("c")).as("rev"))
+      },
+      // q5 shape: window over orders×m
+      time("window") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        x("orders").withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+      },
+      // dedup-index shape: signature pipeline over documents×m
+      time("minhash_index") {
+        operators.Dedup.lshIndex(
+          x("documents").select(
+            monotonically_increasing_id().as("doc_id"), col("text")))
+          .select(col("doc_id"), col("bands"))
+      })
+
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"probe":"scale","multiplier":$m,"queries":$qs}""")
+    spark.stop()
+  }
+}
