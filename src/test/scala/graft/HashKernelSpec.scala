@@ -90,6 +90,21 @@ class HashKernelSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("GraftExtensions injects the function set at session-build time") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // the injected builders must construct working expressions
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val words = Literal.create(
+      new GenericArrayData(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello"))),
+      ArrayType(StringType))
+    val sig = graft.functions.SimHash32Expr(words).eval(null)
+    assert(sig.toString.length == 32 && sig.toString.forall("01".contains(_)))
+  }
+
   test("kernels register as SQL functions") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("hk_docs")
