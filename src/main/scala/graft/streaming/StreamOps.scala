@@ -104,6 +104,51 @@ object StreamOps {
       }
   }
 
+  /** Per-user funnel state for [[funnelStages]]. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // 0 = not reached
+  case class StageReached(user_id: Long, stage: Int, at_s: Long)
+
+  /** Streaming funnel (continuous e6): a per-user state machine over
+    * `flatMapGroupsWithState` — the one stateful shape windows can't
+    * express, because a stage transition depends on which stages
+    * already fired. Emits one record per newly-reached stage (click →
+    * view within 24h → purchase within 24h), zero or many outputs per
+    * input batch — hence flatMap, not map. State is three epoch
+    * seconds per user; at 100 TB state distributes by user_id and
+    * stays O(users), not O(events). */
+  def funnelStages(events: Dataset[KeyedEvent]): Dataset[StageReached] = {
+    implicit val se: org.apache.spark.sql.Encoder[StageReached] =
+      Encoders.product[StageReached]
+    implicit val fe: org.apache.spark.sql.Encoder[FunnelState] =
+      Encoders.product[FunnelState]
+    implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    val h24 = 24L * 3600L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageReached](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[KeyedEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val ts = e.ts.getTime / 1000L
+            e.event_type match {
+              case "click" if st.t1 == 0L =>
+                st = st.copy(t1 = ts); out += StageReached(user, 1, ts)
+              case "view" if st.t1 > 0L && st.t2 == 0L &&
+                  ts > st.t1 && ts <= st.t1 + h24 =>
+                st = st.copy(t2 = ts); out += StageReached(user, 2, ts)
+              case "purchase" if st.t2 > 0L && st.t3 == 0L &&
+                  ts > st.t2 && ts <= st.t2 + h24 =>
+                st = st.copy(t3 = ts); out += StageReached(user, 3, ts)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stream-static enrichment join (SURVEY.md §2.3): each change/event
     * enriched against a dimension table. The dimension is broadcast —
     * the streaming side never shuffles, so this scales with stream
@@ -181,5 +226,6 @@ object StreamOps {
     "dedupExact" -> OutputMode.Append(),
     "latestState" -> OutputMode.Update(),
     "attribute" -> OutputMode.Append(),
-    "nearDupCandidates" -> OutputMode.Append())
+    "nearDupCandidates" -> OutputMode.Append(),
+    "funnelStages" -> OutputMode.Append())
 }

@@ -155,6 +155,30 @@ class StreamOpsSpec extends SparkSpecBase {
       s"unrelated doc paired: $pairs")
   }
 
+  test("funnelStages: per-user state machine emits each stage once, in order, across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.funnelStages(in.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      ev(1, 1, "view", "09:00"),     // view BEFORE click → no stage
+      ev(2, 1, "click", "10:00"),    // stage 1
+      ev(3, 1, "click", "10:30"))    // repeat click → no new stage
+    q.processAllAvailable()
+    in.addData(
+      ev(4, 1, "view", "11:00"),     // stage 2 (within 24h of click)
+      ev(5, 1, "purchase", "11:30"), // stage 3
+      ev(6, 2, "purchase", "11:00")) // purchase with no click → nothing
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("funnel").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"), r.getAs[Long]("at_s")))
+    assert(out.count(_._1 == 2L) == 0, s"userless funnel fired: ${out.toSeq}")
+    val u1 = out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
+    assert(u1 == Seq(1, 2, 3), s"stages wrong/duplicated: ${out.toSeq}")
+  }
+
   test("enrich: stream-static dimension join broadcasts the dimension") {
     val events = graft.Tables.events(spark, sf)
     val dim = graft.Tables.customer(spark, sf)
