@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Prints ONE JSON line to stdout and also writes it to a
+  * file (`SPARK_GRAFT_BENCH_OUT`, default `bench_out.json` in the working
+  * directory) so the driver has a machine-readable channel that does not
+  * depend on scraping sbt's `[info]`-prefixed log tail.
+  *
+  * Failures are loud: a query that throws is recorded in an `"errors"` map
+  * (name → message) and its wall time still reflects the time burned before
+  * the throw — a broken query can no longer silently record ~0 s and
+  * flatter the total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,19 +27,36 @@ object Bench {
     // one-time initialization. Does not touch the measured queries.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink executes the FULL plan — count() would let Catalyst
       // prune the projected columns (e.g. a signature column feeding
       // nothing but the output), understating the real query cost.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[bench] $name FAILED: $msg")
+        errors ::= name -> msg
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(out), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -126,21 +126,28 @@ class JdbcChangeLog(
     Seq("id", "timestamp", "tablename", "operation", "before", "after")
       .map(c => s""""$c" AS "$c"""").mkString(", ")
 
-  override def readBatch(spark: SparkSession, afterId: Long, limit: Int): DataFrame = {
-    val q = s"SELECT $selectList " +
-      s"FROM $logTable WHERE \"id\" > $afterId ORDER BY \"id\" ASC ${limitClause(limit)}"
-    spark.read.format("jdbc")
+  /** One JDBC reader shape for every read path: credentials in connProps
+    * and the connectionInit PRAGMAs (as sessionInitStatement) must apply
+    * to readBatch and readFrom alike.
+    */
+  private def jdbcRead(spark: SparkSession, query: String): DataFrame = {
+    val reader = spark.read.format("jdbc")
       .option("url", url)
-      .option("query", q)
+      .option("query", query)
       .options(scala.jdk.CollectionConverters.PropertiesHasAsScala(connProps)
         .asScala.map { case (k, v) => (k.toString, v.toString) }.toMap)
+    connectionInit.headOption
+      .fold(reader)(_ => reader
+        .option("sessionInitStatement", connectionInit.mkString("; ")))
       .load()
   }
 
-  override def readFrom(spark: SparkSession, afterId: Long): DataFrame = {
-    val q = s"SELECT $selectList FROM $logTable WHERE \"id\" > $afterId"
-    spark.read.format("jdbc").option("url", url).option("query", q).load()
-  }
+  override def readBatch(spark: SparkSession, afterId: Long, limit: Int): DataFrame =
+    jdbcRead(spark, s"SELECT $selectList " +
+      s"FROM $logTable WHERE \"id\" > $afterId ORDER BY \"id\" ASC ${limitClause(limit)}")
+
+  override def readFrom(spark: SparkSession, afterId: Long): DataFrame =
+    jdbcRead(spark, s"SELECT $selectList FROM $logTable WHERE \"id\" > $afterId")
 
   override def truncate(uptoId: Long): Unit = {
     withConn { c =>

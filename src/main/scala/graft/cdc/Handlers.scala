@@ -25,13 +25,23 @@ object ChangesHandler {
 /** Stdout text sink (reference handlers/stdio.go:14-23): one line per
   * change, "<RFC3339Nano ts>: <table> <operation>" (change.go:28-30). */
 class ConsoleHandler extends ChangesHandler {
-  private val fmt = DateTimeFormatter
-    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'").withZone(ZoneOffset.UTC)
+  private val secs = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(ZoneOffset.UTC)
+
+  /** Go RFC3339Nano trims trailing fraction zeros (a millisecond ts
+    * prints as `.567`, not `.567000000`; a whole second has no dot). */
+  private[cdc] def rfc3339Nano(i: java.time.Instant): String = {
+    val frac =
+      if (i.getNano == 0) ""
+      else "." + f"${i.getNano}%09d".reverse.dropWhile(_ == '0').reverse
+    s"${secs.format(i)}${frac}Z"
+  }
+
   override def handle(changes: Dataset[Change]): Unit =
     changes.collect().foreach { c =>
       // Ordered delivery is driver-side by contract (SURVEY.md §2.6 O3):
       // the batch is already small (maxBatchSize) and ordered.
-      println(s"${fmt.format(c.timestamp.toInstant)}: ${c.table} ${c.operation}")
+      println(s"${rfc3339Nano(c.timestamp.toInstant)}: ${c.table} ${c.operation}")
     }
 }
 

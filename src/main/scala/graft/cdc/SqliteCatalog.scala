@@ -103,7 +103,10 @@ object SqliteCatalog {
       .map(r => String.valueOf(r.head) -> (String.valueOf(r(1)) == "1"))
       .toMap
     val metas = tables.map { t =>
-      val cols = q1(s"SELECT name, type, pk FROM pragma_table_info('$t')").map { r =>
+      // Escape quotes: a legal SQLite table name may contain ' (CdcDdl
+      // escapes identifiers; this introspection path must too).
+      val tEsc = t.replace("'", "''")
+      val cols = q1(s"SELECT name, type, pk FROM pragma_table_info('$tEsc')").map { r =>
         ColumnMeta(String.valueOf(r.head), String.valueOf(r(1)),
           String.valueOf(r(2)).toDouble.toInt)
       }

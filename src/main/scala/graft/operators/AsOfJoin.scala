@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
 
 /** As-of join: for each left row, attach the latest right row with the
   * same key and right.ts <= left.ts (the standard event-stream /
@@ -32,20 +33,30 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == key || c == ts)
+    // The right payload travels as ONE struct column so a single
+    // last(ignoreNulls) fills it — all payload fields are guaranteed to
+    // come from the SAME right row even when two right rows tie on
+    // (key, ts). Per-column fills could mix fields from different tied
+    // rows, emitting a row that never existed.
+    val payloadType = StructType(rightCols.map(c => right.schema(c)))
     val l = left.select(
       Seq(col(key), col(ts), lit(1).as("__side")) ++
-        leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadType).as("__rpay"): _*)
     val r = right.select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__rpay"): _*)
+    // Ordering by the payload struct itself makes intra-tie order (and
+    // therefore the run-to-run output) deterministic: among right rows
+    // equal on (ts), the greatest payload struct wins the last().
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__rpay").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    val filled = l.unionByName(r)
+      .withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(Seq(col(key), col(ts)) ++ leftCols.map(col) ++
+        rightCols.map(c => col(s"__rpay.$c").as(c)): _*)
   }
 }

@@ -145,7 +145,7 @@ object Multimodal {
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5,
-        |  upper(hex(substring(text, 1, 4))) AS header_hex
+        |  upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS header_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
     // The stub's fake features are deliberately SQL-expressible so even
     // the decode stage is oracle-checked (a real codec would be

@@ -26,8 +26,13 @@ import graft.Tables._
 object Relational {
 
   /** q1: TPC-H Q1-style pricing summary. groupBy + exact sums + avg. */
-  def q1Agg(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    q1Pipeline(lineitem(s, d))
+
+  /** q1 aggregation over a caller-supplied lineitem frame — lets tests
+    * feed a differently-partitioned input to prove the int64-cents sums
+    * are accumulation-order independent. */
+  def q1Pipeline(li: DataFrame): DataFrame = {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -280,8 +285,8 @@ object Relational {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q12_case_agg" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_returnflag = 'R'

@@ -278,8 +278,8 @@ object TextAnalysis {
         |    CASE WHEN bucket < 80 THEN 'train'
         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |  FROM b)
-        |SELECT split, count(*) AS n_docs, sum(doc_id) AS id_checksum,
-        |  sum(n_chars) AS sum_chars
+        |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
   )
 }

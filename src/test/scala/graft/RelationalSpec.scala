@@ -16,12 +16,18 @@ class RelationalSpec extends SparkSpecBase {
   }
 
   test("q1 exact sums are stable under repartitioning (order-independence)") {
-    val a = Relational.q1Agg(spark, sf).collect().map(_.toSeq).toSeq
-    val li = Tables.lineitem(spark, sf).repartition(13)
-    li.createOrReplaceTempView("li_repart")
-    // same aggregation over a different partitioning must be bit-identical
-    val b = Relational.q1Agg(spark, sf).collect().map(_.toSeq).toSeq
+    val li = Tables.lineitem(spark, sf)
+    val a = Relational.q1Pipeline(li).collect().map(_.toSeq).toSeq
+    // Same aggregation over differently-partitioned (and therefore
+    // differently-ordered-per-partition) input must be bit-identical:
+    // the int64-cents sums make accumulation order irrelevant. A plain
+    // double sum would diverge here.
+    val b = Relational.q1Pipeline(li.repartition(13)).collect().map(_.toSeq).toSeq
+    val c = Relational.q1Pipeline(
+      li.repartitionByRange(7, org.apache.spark.sql.functions.col("l_suppkey").desc))
+      .collect().map(_.toSeq).toSeq
     assert(a == b)
+    assert(a == c)
   }
 
   test("q2 pushes filters and prunes columns at the parquet scan") {

@@ -109,6 +109,19 @@ class CdcEngineSpec extends SparkSpecBase {
     assert(c.before.contains("""{"a":1}""") && c.after.contains("""{"a":2}"""))
   }
 
+  test("ConsoleHandler formats RFC3339Nano with Go's trailing-zero trimming (F6 parity)") {
+    val h = new ConsoleHandler
+    import java.time.Instant
+    assert(h.rfc3339Nano(Instant.parse("2024-05-06T00:03:34.567Z")) ==
+      "2024-05-06T00:03:34.567Z")
+    assert(h.rfc3339Nano(Instant.parse("2024-05-06T00:03:34.567891234Z")) ==
+      "2024-05-06T00:03:34.567891234Z")
+    assert(h.rfc3339Nano(Instant.parse("2024-05-06T00:03:34Z")) ==
+      "2024-05-06T00:03:34Z")
+    assert(h.rfc3339Nano(Instant.parse("2024-05-06T00:03:34.500Z")) ==
+      "2024-05-06T00:03:34.5Z")
+  }
+
   test("blob columns: skipped by default, upper-case hex with blob support (F3 parity)") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xAF.toByte)))
