@@ -60,23 +60,50 @@ case class DotFp9(left: Expression, right: Expression)
     sum
   }
 
+  /** True when neither input can contain null ELEMENTS — enables the
+    * bulk-copy fast path (toFloatArray is a single memory copy for
+    * UnsafeArrayData; the primitive loop then has no virtual accessor or
+    * null check per element). Callers get onto this path by compacting
+    * the vector column once per ROW (array_compact flips containsNull to
+    * false), which is amortized over millions of per-PAIR evaluations. */
+  private def elementsNonNull: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => !ln && !rn
+    case _ => false
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       val p = ctx.freshName("p")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $sum = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1e9;
-         |    $sum += graft.functions.DotFp9.roundHalfAway($p);
-         |  }
-         |}
-         |${ev.value} = $sum;
-       """.stripMargin
+      if (elementsNonNull) {
+        val xs = ctx.freshName("xs")
+        val ys = ctx.freshName("ys")
+        s"""
+           |float[] $xs = $a.toFloatArray();
+           |float[] $ys = $b.toFloatArray();
+           |int $n = java.lang.Math.min($xs.length, $ys.length);
+           |long $sum = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $p = ((double) $xs[$i]) * ((double) $ys[$i]) * 1e9;
+           |  $sum += graft.functions.DotFp9.roundHalfAway($p);
+           |}
+           |${ev.value} = $sum;
+         """.stripMargin
+      } else {
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $sum = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1e9;
+           |    $sum += graft.functions.DotFp9.roundHalfAway($p);
+           |  }
+           |}
+           |${ev.value} = $sum;
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(

@@ -60,8 +60,14 @@ object Similarity {
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
+  /** Corpus prep: compact the vector (parquet list elements are
+    * declared nullable; the data has no null elements, and array_compact
+    * flips containsNull to false, unlocking DotFp9's bulk-copy codegen
+    * path for every downstream PAIR evaluation) and attach the
+    * fixed-point squared norm. */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm_fp", normFp9(col("embedding")))
+    df.withColumn("embedding", array_compact(col("embedding")))
+      .withColumn("norm_fp", normFp9(col("embedding")))
 
   /** s1: brute-force cosine top-k — queries are vec_id < NQueries; for
     * each, the TopK nearest neighbors (self excluded) by exact cosine. */
@@ -134,25 +140,90 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Block-grid width for the tiled s3 pair join. At test scale 8 blocks
+    * → 36 block-pairs ≈ one per core; at cluster scale choose
+    * G ≈ corpusBytes / targetTaskBytes such that two blocks fit in one
+    * task's memory (tasks = G(G+1)/2, replication factor = G+1). */
+  val S3Blocks = 8
+
   /** s3: cosine near-dup pairs — all pairs above 0.40 (the synthetic
-    * corpus tops out ≈0.51, so this returns the genuinely-close tail). */
+    * corpus tops out ≈0.51, so this returns the genuinely-close tail).
+    *
+    * Shape: TILED EXACT self-join. Vectors are hashed into [[S3Blocks]]
+    * blocks; each vector is replicated to the block-pairs (bi ≤ bj) its
+    * block participates in; an equi-join on (bi, bj) then evaluates the
+    * codegen'd fixed-point dot once per candidate pair inside
+    * whole-stage codegen, materializing only survivors.
+    *
+    * Why tiled, not broadcast: the previous formulation broadcast the
+    * whole corpus to every executor — fine at test scale, impossible at
+    * 100 TB (the corpus does not fit one machine). The tiled grid moves
+    * each row G+1 times (O(n·G) shuffle), caps per-task memory at two
+    * blocks, and parallelizes across G(G+1)/2 independent tiles — the
+    * standard distributed all-pairs arrangement.
+    *
+    * Why not an LSH prefilter (measured, sf0.01 corpus): the embeddings
+    * are isotropic unit Gaussians and the pairwise-cosine tail is
+    * CONTINUOUS through the 0.40 threshold (59 pairs > 0.40, the next
+    * ones at 0.399…), so any lossy bucketing misses borderline pairs.
+    * Sign-LSH at τ=0.40 collides qualifying pairs per bit with
+    * p = 1 − acos(0.40)/π ≈ 0.631 vs 0.5 for random pairs — too small a
+    * gap for any band scheme to be simultaneously selective and
+    * lossless (r-bit bands: keep-prob 0.631^r vs 0.5^r; rejecting
+    * random pairs forces B ≪ 2^r, which makes the miss rate
+    * (1−0.631^r)^B ≈ 1). Exact all-pairs at a low threshold is
+    * inherently O(n²) dot-work; the tiling optimizes everything else
+    * (movement, memory, parallelism). For genuine near-dup thresholds
+    * (τ ≳ 0.7) use the bucketed path [[s4KnnSignLsh]] / Dedup.d5 — at
+    * those thresholds the per-bit gap is wide and banding is sound. */
   def s3CosinePairs(s: SparkSession, d: String): DataFrame = {
+    val g = lit(S3Blocks - 1)
     val e = withNorm(embeddings(s, d))
-    // The pair scan is quadratic in rows-per-partition: spread the left
-    // side across all cores (the corpus arrives as one small parquet
-    // split at test scale) and broadcast the right side — the same
-    // "stream the corpus, broadcast the comparison set" shape the
-    // brute-force kNN uses.
+      .withColumn("blk", pmod(col("vec_id"), lit(S3Blocks.toLong)).cast("int"))
+    // A-role: a vector in block k feeds tiles (k, j) for j ≥ k.
+    val aRep = e.withColumn("bj", explode(sequence(col("blk"), g)))
+      .select(col("blk").as("bi"), col("bj"), col("vec_id").as("a"),
+        col("embedding").as("a_emb"), col("norm_fp").as("a_norm"))
+    // B-role: a vector in block k feeds tiles (i, k) for i ≤ k.
+    val bRep = e.withColumn("bi", explode(sequence(lit(0), col("blk"))))
+      .select(col("bi"), col("blk").as("bj"), col("vec_id").as("b"),
+        col("embedding").as("b_emb"), col("norm_fp").as("b_norm"))
+    // Off-diagonal tiles see each unordered pair exactly once (oriented
+    // by block, not by id — the lower id may sit in the higher block);
+    // the diagonal tile needs a < b to dedup. Output is normalized to
+    // (least, greatest) so orientation never leaks into the result.
+    val cos = cosine(dotFp9(col("a_emb"), col("b_emb")),
+      col("a_norm"), col("b_norm"))
+    // Spread the pair loop across cores: the corpus arrives as one small
+    // parquet split at test scale, and without this shuffle the whole
+    // loop would run in ONE task. Round-robin is the even spread for the
+    // broadcast join below (any left partitioning is valid for a BHJ);
+    // when the B side outgrows the broadcast threshold at real scale,
+    // switch this to repartition(col("bi"), col("bj")) so the exchange
+    // doubles as the shuffled-hash-join layout with one task per tile.
+    aRep.repartition(s.sparkContext.defaultParallelism).join(bRep, Seq("bi", "bj"))
+      .filter((col("bi") =!= col("bj") || col("a") < col("b")) && cos > 0.40)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"),
+        round(cos * 1e6).cast("long").as("cos_e6"))
+      // Shuffle barrier before the presentation sort: the range
+      // partitioner SAMPLES its child to pick bounds, and without a
+      // boundary that re-executes the whole (broadcast, narrow) pair
+      // join a second time — measured 2.6 s → 7.6 s at sf0.1. With the
+      // barrier, sampling replays the tiny shuffled survivor set.
+      .repartition(col("a"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Brute-force (broadcast nested loop) twin of [[s3CosinePairs]] —
+    * kept as the semantic spec the tiled join is tested against; never
+    * used in the query paths. */
+  private[graft] def s3CosinePairsBrute(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
     val a = e.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
-      col("norm_fp").as("a_norm")).repartition(col("a"))
+      col("norm_fp").as("a_norm"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
       col("norm_fp").as("b_norm"))
-    // The cosine threshold lives in the JOIN CONDITION, not a post-join
-    // filter: the nested-loop join then only materializes surviving
-    // pairs (~1e-4 of the pair space) instead of copying every candidate
-    // pair row — two 64-float embeddings each — before filtering
-    // (measured 2× at sf0.1). The condition short-circuits on a < b
-    // before evaluating the dot.
     val cos = cosine(dotFp9(col("a_emb"), col("b_emb")),
       col("a_norm"), col("b_norm"))
     a.join(broadcast(b), col("a") < col("b") && cos > 0.40)

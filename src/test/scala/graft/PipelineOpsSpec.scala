@@ -213,9 +213,18 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"d5 regressed to a quadratic pair scan:\n$plan")
   }
 
-  test("s3 pair scan broadcasts the comparison set") {
+  test("s3 tiled pair join: equi-join on block keys, no corpus broadcast nested loop") {
     val plan = planOf(Similarity.s3CosinePairs(spark, sf))
-    assert(plan.contains("BroadcastNestedLoopJoin"), s"s3 comparison set not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"s3 regressed to an all-broadcast pair scan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), s"s3 tile join is not an equi hash/merge join:\n$plan")
+  }
+
+  test("s3 tiled join is pair-exact vs the brute-force spec") {
+    val tiled = Similarity.s3CosinePairs(spark, sf).collect().map(_.toSeq).toSeq
+    val brute = Similarity.s3CosinePairsBrute(spark, sf).collect().map(_.toSeq).toSeq
+    assert(tiled == brute)
   }
 
   test("m3/m4 are narrow plans (no shuffle before the final sort)") {
