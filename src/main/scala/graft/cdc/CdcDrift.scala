@@ -1,0 +1,85 @@
+package graft.cdc
+
+import SqliteCatalog.TableMeta
+
+/** Schema-drift detection (SURVEY.md §7.4-4). The capture triggers
+  * freeze a table's column list at setup time; an ALTER TABLE afterwards
+  * silently drops (or breaks) capture of the new shape in the reference.
+  * This guard re-introspects at engine start and compares the trigger
+  * SQL actually installed (sqlite_master keeps the CREATE TRIGGER text
+  * verbatim) against the DDL the CURRENT schema would generate — the
+  * golden-stable CdcDdl output makes that a pure string equality.
+  */
+object CdcDrift {
+
+  /** One detected problem, human-readable and machine-usable. */
+  final case class Drift(table: String, trigger: String, kind: String) {
+    override def toString: String = kind match {
+      case "missing" => s"table $table: trigger $trigger is not installed"
+      case "stale"   => s"table $table: trigger $trigger was generated from a " +
+        "different schema than the table has now (ALTER TABLE after setup?)"
+      case k => s"table $table: trigger $trigger: $k"
+    }
+  }
+
+  /** The trigger set the current schema would produce. */
+  def expectedTriggers(metas: Seq[TableMeta], o: CdcDdl.Options): Map[String, String] =
+    metas.flatMap { t =>
+      Seq(Operation.Insert, Operation.Update, Operation.Delete).map { op =>
+        CdcDdl.triggerName(t.name, op) -> (op match {
+          case Operation.Insert => CdcDdl.createInsertTrigger(t, o)
+          case Operation.Update => CdcDdl.createUpdateTrigger(t, o)
+          case _                => CdcDdl.createDeleteTrigger(t, o)
+        })
+      }
+    }.toMap
+
+  /** Pure comparison: expected trigger DDL vs what is installed.
+    * SQLite stores the executed CREATE TRIGGER text verbatim, minus an
+    * implementation-defined treatment of `IF NOT EXISTS`, so comparison
+    * is whitespace-normalized and IF-NOT-EXISTS-insensitive. */
+  def diff(expected: Map[String, String], installed: Map[String, String],
+      tableOf: String => String = _.split("__cdc_").head): Seq[Drift] =
+    expected.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      installed.get(name) match {
+        case None => Some(Drift(tableOf(name), name, "missing"))
+        case Some(have) if canon(have) != canon(want) =>
+          Some(Drift(tableOf(name), name, "stale"))
+        case _ => None
+      }
+    }
+
+  private def canon(sql: String): String =
+    sql.replaceAll("(?i)IF NOT EXISTS ", "").replaceAll("\\s+", " ").trim
+
+  /** Installed capture triggers for the monitored tables, from
+    * sqlite_master (works over any JDBC driver that reaches SQLite). */
+  def installedTriggers(conn: java.sql.Connection, tables: Seq[String]): Map[String, String] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        "SELECT name, sql FROM sqlite_master WHERE type = 'trigger'")
+      val buf = scala.collection.mutable.Map.empty[String, String]
+      while (rs.next()) {
+        val n = rs.getString(1)
+        if (tables.exists(t => n.startsWith(s"${t}__cdc_")))
+          buf += n -> rs.getString(2)
+      }
+      rs.close()
+      buf.toMap
+    } finally st.close()
+  }
+
+  /** Full check at engine start: introspect the current schema, read the
+    * installed triggers, diff. Empty result = no drift. */
+  def check(
+      conn: java.sql.Connection,
+      tables: Seq[String],
+      o: CdcDdl.Options,
+      introspect: (java.sql.Connection, Seq[String]) => SqliteCatalog.DbMeta =
+        SqliteCatalog.introspect,
+      readTriggers: (java.sql.Connection, Seq[String]) => Map[String, String] =
+        installedTriggers): Seq[Drift] =
+    diff(expectedTriggers(introspect(conn, tables).tables, o),
+      readTriggers(conn, tables))
+}

@@ -31,7 +31,8 @@ class CdcEngine(
     handler: ChangesHandler,
     maxBatchSize: Int = CdcEngine.DefaultMaxBatchSize,
     pollIntervalMs: Long = 100,
-    subsecTimestamps: Boolean = true) {
+    subsecTimestamps: Boolean = true,
+    wakeup: Wakeup = Wakeup.Poll) {
 
   import spark.implicits._
 
@@ -121,15 +122,19 @@ class CdcEngine(
     delivered
   }
 
-  /** Continuous CDC (reference cdc.go:18-19): poll the log, drain, sleep,
-    * until close(). The reference wakes on fsnotify events; polling with
-    * a short interval is the idiomatic Spark equivalent (SURVEY.md §2.1
-    * S12) — both are at-least-once and ordered. */
+  /** Continuous CDC (reference cdc.go:18-19): drain the log, then block
+    * on the wakeup gate until a file event or the poll interval, until
+    * close(). With a [[FileWakeup]] this is the reference's fsnotify
+    * shape (triggers.go:122-162); the default [[Wakeup.Poll]] degrades
+    * to fixed-interval polling. Either way delivery is driven by the log
+    * CONTENTS — a missed event only adds latency, never loses data. */
   def cdc(): Unit = once {
-    while (!stopped.get()) {
-      drainAll()
-      Thread.sleep(pollIntervalMs)
-    }
+    try {
+      while (!stopped.get()) {
+        drainAll()
+        wakeup.await(pollIntervalMs): Unit
+      }
+    } finally wakeup.close()
   }
 
   /** Drain-and-exit (Trigger.AvailableNow analog). */
@@ -142,10 +147,12 @@ class CdcEngine(
   def bootstrapAndCdc(tables: Seq[(String, DataFrame)], blobSupport: Boolean = false): Unit =
     once {
       bootstrapImpl(tables, blobSupport)
-      while (!stopped.get()) {
-        drainAll()
-        Thread.sleep(pollIntervalMs)
-      }
+      try {
+        while (!stopped.get()) {
+          drainAll()
+          wakeup.await(pollIntervalMs): Unit
+        }
+      } finally wakeup.close()
     }
 
   /** Drain-and-exit variant of bootstrapAndCdc for tests/batch jobs. */

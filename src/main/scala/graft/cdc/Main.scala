@@ -36,7 +36,9 @@ object Main {
       disableSubsec: Boolean = false,
       blobs: Boolean = false,
       pollMs: Long = 100,
-      availableNow: Boolean = false)
+      availableNow: Boolean = false,
+      ignoreDrift: Boolean = false,
+      watchFile: Option[String] = None)
 
   val usage: String =
     """usage: graft.cdc.Main [flags]
@@ -57,6 +59,9 @@ object Main {
       |  --blobs                include BLOB columns (upper-case hex)
       |  --poll-ms <n>          cdc poll interval in milliseconds (default 100)
       |  --available-now        drain what exists and exit instead of tailing
+      |  --ignore-drift         downgrade the startup schema-drift check to a warning
+      |  --watch <file>         wake the cdc loop on db/-wal/-shm file events
+      |                         (fsnotify parity) instead of pure interval polling
       |""".stripMargin
 
   def parse(args: Seq[String]): Either[String, Config] = {
@@ -89,6 +94,8 @@ object Main {
           case Left(e)  => Left(e)
         }
       case "--available-now" :: t      => go(t, c.copy(availableNow = true))
+      case "--ignore-drift" :: t       => go(t, c.copy(ignoreDrift = true))
+      case "--watch" :: v :: t         => go(t, c.copy(watchFile = Some(v)))
       case ("--help" | "-h") :: _      => Left(usage)
       case other :: _                  => Left(s"unknown flag: $other\n$usage")
     }
@@ -131,6 +138,8 @@ object Main {
       introspect: (java.sql.Connection, Seq[String]) => SqliteCatalog.DbMeta =
         SqliteCatalog.introspect,
       execDdl: (JdbcChangeLog, Seq[String]) => Unit = _.executeDdl(_),
+      readTriggers: (java.sql.Connection, Seq[String]) => Map[String, String] =
+        CdcDrift.installedTriggers,
       onEngine: CdcEngine => Unit = _ => ()): Long = {
     val ddlOpts = CdcDdl.Options(
       logTable = c.logTable,
@@ -154,13 +163,31 @@ object Main {
     }
     if (!c.cdc && !c.bootstrap) return 0L // setup-only invocation
 
+    // Startup schema-drift guard (SURVEY.md §7.4-4): the triggers froze
+    // the column list at setup time; an ALTER TABLE since then makes the
+    // captured images diverge from the live schema. Fail-stop by
+    // default; --ignore-drift downgrades to a warning.
+    if (c.db.nonEmpty && c.tables.nonEmpty && !c.setup) {
+      val conn = java.sql.DriverManager.getConnection(jdbcUrl(c))
+      val drifts =
+        try CdcDrift.check(conn, c.tables, ddlOpts, introspect, readTriggers)
+        finally conn.close()
+      if (drifts.nonEmpty) {
+        val msg = drifts.mkString("schema drift detected:\n  ", "\n  ", "")
+        if (c.ignoreDrift) System.err.println(s"graft-cdc: WARNING: $msg")
+        else throw new IllegalStateException(
+          s"$msg\n(re-run --setup, or pass --ignore-drift to proceed)")
+      }
+    }
+
     val log: ChangeLog = c.logDir match {
       case Some(dir) => new ParquetChangeLog(dir)
       case None      => jdbcLog
     }
     val engine = new CdcEngine(spark, log, handlerFor(c.output),
       maxBatchSize = c.batchSize, pollIntervalMs = c.pollMs,
-      subsecTimestamps = !c.disableSubsec)
+      subsecTimestamps = !c.disableSubsec,
+      wakeup = c.watchFile.fold[Wakeup](Wakeup.Poll)(new FileWakeup(_)))
     onEngine(engine)
 
     def snapshots: Seq[(String, DataFrame)] = c.tables.map { t =>

@@ -72,6 +72,87 @@ class CdcDdlSpec extends AnyFunSuite {
       CdcDdl.rowImageExpr(meta(1001), "NEW", CdcDdl.Options()))
   }
 
+  // ---- golden parity: byte-exact DDL against the reference templates ----
+  // No SQLite driver exists in the sandbox, so the generated SQL cannot be
+  // executed here; these goldens freeze it byte-for-byte against the
+  // reference's templates (triggers.go:410-437 log table + triggers,
+  // triggers.go:459-518 json image). Deliberate divergences, each pinned
+  // below: (1) identifiers are quoted (the reference interpolates raw
+  // names and breaks on reserved words); (2) json_patch chunk merges nest
+  // left instead of right (associative for disjoint keys);
+  // (3) chunk boundaries count EMITTED pairs, not column offsets, so
+  // skipped BLOBs don't shrink chunks; (4) a skipped BLOB in last
+  // position emits no dangling comma — the reference's builder leaves
+  // `json_object('a', NEW.a, )` (triggers.go:482-505: the continue skips
+  // the separator bookkeeping), which is invalid SQLite.
+
+  test("golden: log table DDL is byte-stable (triggers.go:410-419)") {
+    assert(CdcDdl.createLogTable() ==
+      """CREATE TABLE IF NOT EXISTS "__cdc_log" (
+        |  id INTEGER PRIMARY KEY,
+        |  timestamp TEXT NOT NULL,
+        |  tablename TEXT NOT NULL,
+        |  operation TEXT NOT NULL,
+        |  before TEXT,
+        |  after TEXT
+        |)""".stripMargin)
+  }
+
+  test("golden: insert trigger with blob support (triggers.go:420-426, 464-481)") {
+    assert(CdcDdl.createInsertTrigger(simple, CdcDdl.Options(blobSupport = true)) ==
+      """CREATE TRIGGER IF NOT EXISTS "my_table__cdc_insert"
+        |AFTER INSERT ON "my_table"
+        |FOR EACH ROW
+        |BEGIN
+        |  INSERT INTO "__cdc_log" (timestamp, tablename, operation, before, after)
+        |  VALUES (datetime('now','subsec'), 'my_table', 'INSERT', NULL, json_object('id', NEW."id", 'username', NEW."username", 'email', NEW."email", 'avatar', hex(NEW."avatar"), 'balance', NEW."balance"));
+        |END""".stripMargin)
+  }
+
+  test("golden: update/delete triggers without blob support (triggers.go:427-437)") {
+    assert(CdcDdl.createUpdateTrigger(simple) ==
+      """CREATE TRIGGER IF NOT EXISTS "my_table__cdc_update"
+        |AFTER UPDATE ON "my_table"
+        |FOR EACH ROW
+        |BEGIN
+        |  INSERT INTO "__cdc_log" (timestamp, tablename, operation, before, after)
+        |  VALUES (datetime('now','subsec'), 'my_table', 'UPDATE', json_object('id', OLD."id", 'username', OLD."username", 'email', OLD."email", 'balance', OLD."balance"), json_object('id', NEW."id", 'username', NEW."username", 'email', NEW."email", 'balance', NEW."balance"));
+        |END""".stripMargin)
+    assert(CdcDdl.createDeleteTrigger(simple) ==
+      """CREATE TRIGGER IF NOT EXISTS "my_table__cdc_delete"
+        |AFTER DELETE ON "my_table"
+        |FOR EACH ROW
+        |BEGIN
+        |  INSERT INTO "__cdc_log" (timestamp, tablename, operation, before, after)
+        |  VALUES (datetime('now','subsec'), 'my_table', 'DELETE', json_object('id', OLD."id", 'username', OLD."username", 'email', OLD."email", 'balance', OLD."balance"), NULL);
+        |END""".stripMargin)
+  }
+
+  test("golden: wide-table chunk merge shape (triggers.go:459-518, 64 cols)") {
+    val t = TableMeta("wide", withoutRowId = false,
+      (0 until 64).map(i => ColumnMeta(s"c$i", "INT", 0)))
+    val img = CdcDdl.rowImageExpr(t, "NEW", CdcDdl.Options())
+    val chunk1 = (0 until 63).map(i => s"'c$i', NEW.\"c$i\"").mkString(", ")
+    assert(img == s"""json_patch(json_object($chunk1), json_object('c63', NEW."c63"))""")
+  }
+
+  test("golden: skipped trailing BLOB leaves no dangling comma (reference bug fixed)") {
+    val t = TableMeta("t", withoutRowId = false,
+      Seq(ColumnMeta("a", "TEXT", 0), ColumnMeta("payload", "BLOB", 0)))
+    // The reference's string builder emits `json_object('a', NEW.a, )`
+    // here (the skip path bypasses separator cleanup) — invalid SQLite.
+    assert(CdcDdl.rowImageExpr(t, "NEW", CdcDdl.Options()) ==
+      """json_object('a', NEW."a")""")
+  }
+
+  test("golden: teardown statements (triggers.go:444-458)") {
+    assert(CdcDdl.teardownStatements(Seq(simple)) == Seq(
+      """DROP TRIGGER IF EXISTS "my_table__cdc_insert"""",
+      """DROP TRIGGER IF EXISTS "my_table__cdc_update"""",
+      """DROP TRIGGER IF EXISTS "my_table__cdc_delete"""",
+      """DROP TABLE IF EXISTS "__cdc_log""""))
+  }
+
   test("setup/teardown statement sets are symmetric, in-order") {
     val setup = CdcDdl.setupStatements(Seq(simple))
     assert(setup.length == 4) // log table + 3 triggers

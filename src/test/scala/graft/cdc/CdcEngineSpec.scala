@@ -109,6 +109,41 @@ class CdcEngineSpec extends SparkSpecBase {
     assert(c.before.contains("""{"a":1}""") && c.after.contains("""{"a":2}"""))
   }
 
+  test("file-event wakeup drains faster than the poll interval (S12 fsnotify parity)") {
+    val dir = Files.createTempDirectory("wake")
+    val dbFile = dir.resolve("app.db")
+    Files.writeString(dbFile, "")
+    val log = new ParquetChangeLog(newLogDir())
+    val rec = new RecordingHandler
+    // poll interval is 60 s — only the file event can deliver in time
+    val engine = new CdcEngine(spark, log, rec, pollIntervalMs = 60000,
+      wakeup = new FileWakeup(dbFile.toString))
+    val t = new Thread(() => engine.cdc())
+    t.start()
+    Thread.sleep(300) // let the first (empty) drain finish and the loop block
+    appendRows(log, logRows(0 until 7))
+    Files.writeString(dbFile.resolveSibling("app.db-wal"), "x") // writer touches the WAL
+    val deadline = System.currentTimeMillis() + 15000
+    while (rec.all.size < 7 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(rec.all.size == 7, "file event did not wake the cdc loop")
+    engine.close()
+    Files.writeString(dbFile, "y") // wake the blocked loop so it can observe close()
+    t.join(15000)
+    assert(!t.isAlive)
+  }
+
+  test("unrelated files in the watched directory do not wake the loop") {
+    val dir = Files.createTempDirectory("wake2")
+    val dbFile = dir.resolve("app.db")
+    Files.writeString(dbFile, "")
+    val w = new FileWakeup(dbFile.toString)
+    Files.writeString(dir.resolve("other.tmp"), "noise")
+    assert(!w.await(500), "unrelated file event must not wake")
+    Files.writeString(dbFile, "z")
+    assert(w.await(5000), "db file event must wake")
+    w.close()
+  }
+
   test("ConsoleHandler formats RFC3339Nano with Go's trailing-zero trimming (F6 parity)") {
     val h = new ConsoleHandler
     import java.time.Instant

@@ -179,6 +179,54 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(u1 == Seq(1, 2, 3), s"stages wrong/duplicated: ${out.toSeq}")
   }
 
+  test("batch-stream equivalence: funnelStages replayed over sf0.001 events equals e6") {
+    implicit val sq = spark.sqlContext
+    // bounded replay: the whole events table in 3 chronological chunks
+    val all = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[KeyedEvent].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val chunks = all.grouped((all.size + 2) / 3).toSeq
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.funnelStages(in.toDS())
+      .writeStream.format("memory").queryName("funnel_replay")
+      .outputMode(OutputMode.Append()).start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // deepest stage per user, counted per stage == batch e6
+    val streamed = spark.table("funnel_replay")
+      .groupBy(col("user_id")).agg(max(col("stage")).cast("long").as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Events.e6Funnel(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("batch-stream equivalence: latestState replayed over sf0.001 events equals e5") {
+    implicit val sq = spark.sqlContext
+    val all = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[KeyedEvent].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val chunks = all.grouped((all.size + 2) / 3).toSeq
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.latestState(in.toDS())
+      .writeStream.format("memory").queryName("latest_replay")
+      .outputMode(OutputMode.Update()).start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // state only moves forward, so the final state per user is the max
+    // emitted (last_s, last_event_id) row
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("last_s").desc, col("last_event_id").desc)
+    val streamed = spark.table("latest_replay")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "last_event_id", "last_event_type", "last_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val batch = graft.operators.Events.e5LatestState(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(streamed == batch, s"diff=${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
   test("enrich: stream-static dimension join broadcasts the dimension") {
     val events = graft.Tables.events(spark, sf)
     val dim = graft.Tables.customer(spark, sf)
