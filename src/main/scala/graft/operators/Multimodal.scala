@@ -39,7 +39,7 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("content_md5"),
         hex(substring(col("payload"), 1, 4)).as("header_hex"))
-      .orderBy(col("doc_id"))
+      .transform(Output.ordered(_, col("doc_id")))
 
   /** One decoded media item (the stub's fake feature record). */
   case class MediaFeatures(
@@ -76,7 +76,7 @@ object Multimodal {
       // per-partition decoder init would live here (codec handle, model…)
       it.map { case (id, bytes) => StubDecoder.decode(id, bytes) }
     }.toDF()
-      .orderBy(col("doc_id"))
+      .transform(Output.ordered(_, col("doc_id")))
   }
 
   /** Thumbnail sample count (m3): 64 strided samples ≈ an 8×8 thumb. */
@@ -106,7 +106,7 @@ object Multimodal {
       .select(col("doc_id"), col("n_units"), col("stride"),
         length(col("thumb")).cast("long").as("thumb_units"),
         md5(col("thumb")).as("thumb_md5"))
-      .orderBy(col("doc_id"))
+      .transform(Output.ordered(_, col("doc_id")))
 
   /** m4: frame sampling — payload treated as NFrames fixed-length
     * frames; every FrameStride-th frame is extracted and fingerprinted
@@ -131,7 +131,7 @@ object Multimodal {
         col("frame_len"),
         length(col("frame")).cast("long").as("frame_units"),
         md5(col("frame")).as("frame_md5"))
-      .orderBy(col("doc_id"), col("frame_idx"))
+      .transform(Output.ordered(_, col("doc_id"), col("frame_idx")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"     -> m1BinaryMeta _,

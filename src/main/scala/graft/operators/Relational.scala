@@ -55,7 +55,7 @@ object Relational {
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .transform(Output.ordered(_, col("l_orderkey"), col("l_linenumber")))
   }
 
   /** q3: 3-way join + agg + top-k revenue customers. customer is
@@ -157,7 +157,7 @@ object Relational {
         length(col("o_orderpriority")).cast("long").as("prio_len"),
         concat(col("o_orderstatus"), lit("#"),
           col("o_orderpriority")).as("status_prio"))
-      .orderBy(col("o_orderkey"))
+      .transform(Output.ordered(_, col("o_orderkey")))
 
   /** q12: join + conditional aggregation (TPC-H Q12-style shipping modes
     * via priority buckets) — exercises CASE WHEN inside agg. */

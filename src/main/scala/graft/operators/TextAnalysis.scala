@@ -36,7 +36,7 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars_calc"),
         idiv((length(col("text")) * 1000L).cast("long"),
           greatest(size(col("ws")), lit(1)).cast("long")).as("chars_per_tok_e3"))
-      .orderBy(col("doc_id"))
+      .transform(Output.ordered(_, col("doc_id")))
 
   /** Stopword list used by quality scoring + langid (English markers). */
   val EnStop = Seq("the", "a", "of", "and", "to", "in", "or", "is")
@@ -64,7 +64,7 @@ object TextAnalysis {
         when(col("n_chars").between(100L, 2000L), 300L).otherwise(0L) +
           when(col("avg_tok_len_e3").between(3000L, 8000L), 400L).otherwise(0L) +
           when(col("stop_ratio_e3").between(20L, 400L), 300L).otherwise(0L))
-      .orderBy(col("doc_id"))
+      .transform(Output.ordered(_, col("doc_id")))
   }
 
   /** Per-language marker words for the n-gram/stopword langid heuristic. */
@@ -99,7 +99,7 @@ object TextAnalysis {
             lit(lang)).otherwise(els)
         })
       .select(col("doc_id"), col("pred_lang"), col("score_en"), col("best_score"))
-      .orderBy(col("doc_id"))
+      .transform(Output.ordered(_, col("doc_id")))
   }
 
   /** x4: document fingerprints — exact content hash (md5 of normalized
@@ -115,7 +115,7 @@ object TextAnalysis {
         md5(normText(col("text"))).as("content_md5"),
         minMd5(col("sh")).as("min_shingle_md5"),
         simhash32(col("ws")).as("simhash32"))
-      .orderBy(col("doc_id"))
+      .transform(Output.ordered(_, col("doc_id")))
 
   /** x5: TF-IDF top terms — the corpus-statistics shape. One term
     * explode feeds one (doc, term) frequency aggregate; document
