@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -59,13 +59,24 @@ object Relational {
   }
 
   /** q3: 3-way join + agg + top-k revenue customers. customer is
-    * broadcast (dim); orders⋈lineitem shuffles on orderkey. */
+    * broadcast (dim); orders⋈lineitem shuffles on orderkey.
+    *
+    * Lineitem revenue is PRE-AGGREGATED per order below the join
+    * (partial-aggregate pushdown Catalyst doesn't do itself): the big
+    * fact's shuffle carries map-side-combined per-order partials
+    * (~4 rows/order collapse before the wire), and the aggregate's hash
+    * partitioning on l_orderkey is exactly the join's requirement, so
+    * the join adds no exchange for that side. Sum-of-cents is
+    * associative, so regrouping by order first is exact. At 100 TB,
+    * where lineitem dwarfs orders, this is the shape that survives. */
   def q3JoinAggTopK(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).select(col("c_custkey"), col("c_name"))
     val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val l = lineitem(s, d).select(
       col("l_orderkey"),
       cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("rev_c")).as("rev_c"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
@@ -184,15 +195,52 @@ object Relational {
     * across engines. At 100 TB swap in `approx_count_distinct` (HLL++)
     * and `approx_percentile` (KLL) when estimates suffice — kept exact
     * here for the oracle gate. */
-  def q13DistinctQuantiles(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        percentile(col("l_quantity"), lit(0.25)).as("q25_qty"),
-        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-        percentile(col("l_quantity"), lit(0.75)).as("q75_qty"))
-      .orderBy(col("l_returnflag"))
+  /** Exact quantiles via the VALUE HISTOGRAM, not a buffering
+    * percentile agg: Spark's `percentile` collects every group value on
+    * one reducer — at 100 TB with 3 groups that's an OOM by design. The
+    * quantile of a distribution is a pure function of its (value, count)
+    * histogram, so: one map-side-combined groupBy(value) shuffle (tiny
+    * output — l_quantity has ≤ 50 distinct values), a cumulative window
+    * over the histogram, then interpolation between the two values
+    * straddling position q·(n−1) — the same linear interpolation
+    * `percentile`/`quantile_cont` define, bit-exact here because the
+    * quartile fractions are dyadic. For high-cardinality value columns
+    * the same shape works with a coarse pre-bucketing pass (histogram →
+    * candidate range → exact pass over one bucket). */
+  def q13DistinctQuantiles(s: SparkSession, d: String): DataFrame = {
+    val flag = col("l_returnflag")
+    val hist = lineitem(s, d)
+      .groupBy(flag, col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy(flag)
+    val cumW = byFlag.orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // value v covers 0-indexed sorted positions [cum_start, cum_end)
+    val cum = hist
+      .withColumn("cum_end", sum(col("cnt")).over(cumW))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+    def valueAt(pos: Column): Column =
+      max(when(pos >= col("cum_start") && pos < col("cum_end"), col("l_quantity")))
+    def posOf(q: Double): Column = (col("n") - 1) * q // per-flag constant
+    val quantAggs = Seq(25, 50, 75).flatMap { pct =>
+      val q = pct / 100.0
+      Seq(valueAt(floor(posOf(q))).as(s"lo_$pct"),
+        valueAt(ceil(posOf(q))).as(s"hi_$pct"),
+        min(posOf(q) - floor(posOf(q))).as(s"frac_$pct"))
+    }
+    val quants = cum.groupBy(flag).agg(quantAggs.head, quantAggs.tail: _*)
+    def interp(pct: Int): Column =
+      col(s"lo_$pct") + col(s"frac_$pct") * (col(s"hi_$pct") - col(s"lo_$pct"))
+    val nd = lineitem(s, d)
+      .groupBy(flag).agg(countDistinct(col("l_suppkey")).as("n_supp"))
+    nd.join(broadcast(quants), Seq("l_returnflag"))
+      .select(flag, col("n_supp"),
+        interp(25).as("q25_qty"),
+        interp(50).as("median_qty"),
+        interp(75).as("q75_qty"))
+      .orderBy(flag)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> q1Agg _,

@@ -52,6 +52,20 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
   }
 
+  test("q13 quantiles come from the value histogram, not a buffering percentile agg") {
+    val plan = planOf(Relational.q13DistinctQuantiles(spark, sf))
+    assert(!plan.contains("percentile"),
+      s"q13 regressed to the per-group value-buffering percentile:\n$plan")
+  }
+
+  test("q3 pre-aggregates lineitem below the join (partial-agg pushdown)") {
+    val plan = planOf(Relational.q3JoinAggTopK(spark, sf))
+    // the lineitem-side aggregate must appear under the orderkey join:
+    // two grouping levels → at least two HashAggregate pairs
+    assert(plan.split("HashAggregate").length - 1 >= 4,
+      s"q3 lost the per-order pre-aggregation:\n$plan")
+  }
+
   test("q5 latest-per-key returns one row per customer") {
     val df = Relational.q5WindowLatest(spark, sf)
     assert(df.count() == df.select("o_custkey").distinct().count())
