@@ -118,17 +118,19 @@ object TextAnalysis {
       .transform(Output.ordered(_, col("doc_id")))
 
   /** x5: TF-IDF top terms — the corpus-statistics shape. One term
-    * explode feeds one (doc, term) frequency aggregate; document
-    * frequency and doc length are then WINDOWS over that single frame
-    * rather than re-derived joins (a join formulation re-scans and
-    * re-explodes `documents` once per statistic — Spark shares no plan
-    * subtrees across join branches). All weights are integer ratios
-    * (no log/float), so ranking is bit-reproducible:
-    * tfidf_e6 = tf·1e6·n_docs / (df·len).
+    * explode feeds one (doc, term) frequency aggregate; document length
+    * and top-k are WINDOWS sharing that frame's doc_id partitioning;
+    * document frequency is a partial-combined aggregate broadcast back.
+    * All weights are integer ratios (no log/float), so ranking is
+    * bit-reproducible: tfidf_e6 = tf·1e6·n_docs / (df·len).
     *
     * Scale notes (100 TB): tf shuffles once on (doc_id, term) with
     * map-side partials (a mega-term/stopword is agg skew the partial
-    * absorbs); the df window shuffles on term; the length and top-k
+    * absorbs). df costs a second scan+explode (the df agg branch cannot
+    * share the tf subtree) — deliberately, because the alternative
+    * per-term WINDOW moves the whole tf frame onto term partitions and
+    * serializes every stopword row through one task; a narrow rescan
+    * scales linearly, a skewed partition does not. The length and top-k
     * windows share one doc_id partitioning (exchange reuse). The doc
     * count is a 1-row broadcast from a doc_id-only column scan. */
   def x5Tfidf(s: SparkSession, d: String): DataFrame = {
@@ -137,14 +139,22 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("ws")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf_e6").desc, col("term"))
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // Document frequency as a partial-combined AGGREGATE broadcast back,
+    // not a per-term window: a window on term moves the whole tf frame
+    // onto term partitions and puts every row of a stopword ("the" in
+    // all docs) on ONE task — agg skew the map-side partials absorb,
+    // while the broadcast join keeps tf on its doc_id partitioning for
+    // the length and rank windows (exchange reuse). The df frame is the
+    // vocabulary (tiny payload); switch to a shuffle join if it ever
+    // outgrows broadcast.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf
-      .withColumn("df", count(lit(1)).over(byTerm))
+      .join(broadcast(df), Seq("term"))
       .withColumn("n_tok", sum(col("tf")).over(byDoc))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_e6",

@@ -254,10 +254,13 @@ class PipelineOpsSpec extends SparkSpecBase {
       }
   }
 
-  test("x5 computes corpus stats from one explode (2 scans: tf + doc count)") {
+  test("x5: no per-term window (stopword skew); df is an aggregate broadcast back") {
     val plan = planOf(TextAnalysis.x5Tfidf(spark, sf))
-    assert(plan.split("Scan parquet").length - 1 <= 2,
+    // 3 scans: tf, the df branch (can't share the tf subtree), doc count
+    assert(plan.split("Scan parquet").length - 1 <= 3,
       s"x5 re-derives statistics from extra scans:\n$plan")
+    assert(!plan.contains("windowspecdefinition(term"),
+      s"x5 regressed to the term-partitioned (stopword-skewed) window:\n$plan")
   }
 
   test("e6 funnel: one scan, one user partitioning (chained-window shape)") {

@@ -202,6 +202,36 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("batch-stream equivalence: hourlyAgg replayed over sf0.001 events equals e1 counts") {
+    implicit val sq = spark.sqlContext
+    val all = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[KeyedEvent].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val chunks = all.grouped((all.size + 2) / 3).toSeq
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.hourlyAgg(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("hourly_replay")
+      .outputMode(OutputMode.Append()).start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    // sentinel far past the horizon: advances the watermark so every
+    // real window closes and emits; its own window stays open (absent)
+    val sentinel = KeyedEvent(-1L, Long.MaxValue, "sentinel",
+      new Timestamp(all.last.ts.getTime + 6L * 3600 * 1000))
+    in.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    // n_users is approx (HLL) on the stream and sum_value is batch-only,
+    // so equivalence is on the exact columns: hour bucket + counts
+    val streamed = spark.table("hourly_replay")
+      .select("hour_s", "event_type", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.Events.e1HourlyAgg(spark, sf)
+      .select("hour_s", "event_type", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"missing=${(batch diff streamed).take(3)} extra=${(streamed diff batch).take(3)}")
+  }
+
   test("batch-stream equivalence: latestState replayed over sf0.001 events equals e5") {
     implicit val sq = spark.sqlContext
     val all = graft.Tables.events(spark, sf)
