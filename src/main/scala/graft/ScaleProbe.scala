@@ -67,6 +67,18 @@ object ScaleProbe {
           x("documents").select(
             monotonically_increasing_id().as("doc_id"), col("text")))
           .select(col("doc_id"), col("bands"))
+      },
+      // s3 shape: tiled exact pair join over embeddings×m (pair count
+      // grows m² — the probe shows the tiles absorb it in parallel)
+      time("tiled_pairs") {
+        operators.Similarity.cosinePairs(
+          x("embeddings").select(
+            monotonically_increasing_id().as("vec_id"), col("embedding")),
+          spark.sparkContext.defaultParallelism)
+      },
+      // q13 shape: histogram-based exact quantiles over lineitem×m
+      time("hist_quantile") {
+        operators.Relational.q13Pipeline(x("lineitem"))
       })
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -136,7 +136,15 @@ object Dedup {
   /** d4: top-k n-gram Jaccard pairs via inverted-index join — explode
     * distinct shingles, equi-join on shingle, count shared per pair,
     * Jaccard = shared / (|A| + |B| − shared) in fixed-point. Only pairs
-    * sharing ≥1 shingle are ever materialized. */
+    * sharing ≥1 shingle are ever materialized.
+    *
+    * Scale hazard, stated plainly: a shingle present in k documents
+    * contributes k² join rows, so a corpus-wide boilerplate shingle
+    * makes the EXACT inverted-index join quadratic — that is inherent
+    * to exact Jaccard, not to this plan. At 100 TB run d4 as the exact
+    * RERANK over d3's MinHash-LSH candidate pairs (whose maxBucket cap
+    * bounds exactly this blowup) rather than over the full corpus; the
+    * full-corpus form here is what the oracle can verify. */
   def d4JaccardTopK(s: SparkSession, d: String): DataFrame = {
     // Aggregate barrier on the unique key (see d3): keeps the inferred
     // `size(sh)>0` generate-filter from re-inlining the whole shingle

@@ -207,9 +207,13 @@ object Relational {
     * quartile fractions are dyadic. For high-cardinality value columns
     * the same shape works with a coarse pre-bucketing pass (histogram →
     * candidate range → exact pass over one bucket). */
-  def q13DistinctQuantiles(s: SparkSession, d: String): DataFrame = {
+  def q13DistinctQuantiles(s: SparkSession, d: String): DataFrame =
+    q13Pipeline(lineitem(s, d))
+
+  /** q13 over a caller-supplied lineitem frame (ScaleProbe reuses it). */
+  def q13Pipeline(li: DataFrame): DataFrame = {
     val flag = col("l_returnflag")
-    val hist = lineitem(s, d)
+    val hist = li
       .groupBy(flag, col("l_quantity"))
       .agg(count(lit(1)).as("cnt"))
     val byFlag = Window.partitionBy(flag)
@@ -232,7 +236,7 @@ object Relational {
     val quants = cum.groupBy(flag).agg(quantAggs.head, quantAggs.tail: _*)
     def interp(pct: Int): Column =
       col(s"lo_$pct") + col(s"frac_$pct") * (col(s"hi_$pct") - col(s"lo_$pct"))
-    val nd = lineitem(s, d)
+    val nd = li
       .groupBy(flag).agg(countDistinct(col("l_suppkey")).as("n_supp"))
     nd.join(broadcast(quants), Seq("l_returnflag"))
       .select(flag, col("n_supp"),

@@ -176,10 +176,16 @@ object Similarity {
     * (movement, memory, parallelism). For genuine near-dup thresholds
     * (τ ≳ 0.7) use the bucketed path [[s4KnnSignLsh]] / Dedup.d5 — at
     * those thresholds the per-bit gap is wide and banding is sound. */
-  def s3CosinePairs(s: SparkSession, d: String): DataFrame = {
-    val g = lit(S3Blocks - 1)
-    val e = withNorm(embeddings(s, d))
-      .withColumn("blk", pmod(col("vec_id"), lit(S3Blocks.toLong)).cast("int"))
+  def s3CosinePairs(s: SparkSession, d: String): DataFrame =
+    cosinePairs(embeddings(s, d), s.sparkContext.defaultParallelism)
+
+  /** Tiled exact cosine-pair join over any (vec_id, embedding) frame —
+    * the library form of [[s3CosinePairs]]. */
+  def cosinePairs(corpus: DataFrame, parallelism: Int,
+      threshold: Double = 0.40, blocks: Int = S3Blocks): DataFrame = {
+    val g = lit(blocks - 1)
+    val e = withNorm(corpus)
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
     // A-role: a vector in block k feeds tiles (k, j) for j ≥ k.
     val aRep = e.withColumn("bj", explode(sequence(col("blk"), g)))
       .select(col("blk").as("bi"), col("bj"), col("vec_id").as("a"),
@@ -201,8 +207,8 @@ object Similarity {
     // when the B side outgrows the broadcast threshold at real scale,
     // switch this to repartition(col("bi"), col("bj")) so the exchange
     // doubles as the shuffled-hash-join layout with one task per tile.
-    aRep.repartition(s.sparkContext.defaultParallelism).join(bRep, Seq("bi", "bj"))
-      .filter((col("bi") =!= col("bj") || col("a") < col("b")) && cos > 0.40)
+    aRep.repartition(parallelism).join(bRep, Seq("bi", "bj"))
+      .filter((col("bi") =!= col("bj") || col("a") < col("b")) && cos > threshold)
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"),
         round(cos * 1e6).cast("long").as("cos_e6"))
