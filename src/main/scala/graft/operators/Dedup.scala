@@ -184,12 +184,17 @@ object Dedup {
     * O(n²) pair space — the same result set as a brute-force scan,
     * verified by the brute-force DuckDB oracle. This IS the 100 TB
     * design (hamming-ball LSH), not an approximation of it. */
-  def d5SimhashPairs(s: SparkSession, d: String): DataFrame = {
+  def d5SimhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairs(documents(s, d)).orderBy(col("a"), col("b"))
+
+  /** The d5 pair pipeline over any (doc_id, text) frame, unordered —
+    * reused by the cluster-resolution step [[d6DupClusters]]. */
+  private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
     // native SimHash kernel (one digest per word, no hex staging);
     // aggregate barrier stops inferred join/generate filters from
     // re-inlining the SimHash pipeline below the projection (2× eval
     // per row).
-    val sg = documents(s, d)
+    val sg = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), simhash32(col("ws")).as("sig"))
       .select(col("doc_id"), conv(col("sig"), 2, 10).cast("long").as("bits"))
@@ -216,7 +221,24 @@ object Dedup {
           .as("hamming"))
       .filter(col("hamming") <= 1L)
       .distinct()
-      .orderBy(col("a"), col("b"))
+  }
+
+  /** d6: near-dup CLUSTER RESOLUTION — the step that turns candidate
+    * pairs into actionable dedup decisions. d5's hamming≤1 pairs are
+    * the edges; [[Components.connectedComponents]] (alternating
+    * large-star/small-star, O(log n) rounds) resolves the transitive
+    * closure; each document gets its cluster's minimum doc_id as the
+    * canonical representative. A pipeline KEEPS rows where
+    * is_canonical = 1 and drops the rest — this query materializes that
+    * decision for every document. */
+  def d6DupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val comp = Components.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      simhashPairs(docs).select(col("a"), col("b")))
+    comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+      when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy(col("doc_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,6 +247,7 @@ object Dedup {
     "d3_lsh_candidates" -> d3LshCandidates _,
     "d4_jaccard_topk"   -> d4JaccardTopK _,
     "d5_simhash_pairs"  -> d5SimhashPairs _,
+    "d6_dup_clusters"   -> d6DupClusters _,
   )
 
   /** Shared oracle CTE: words + distinct-less shingles per doc. */
@@ -324,5 +347,28 @@ object Dedup {
         |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0)
         |    AS BIGINT) <= 1
         |ORDER BY a, b""".stripMargin,
+    // same pair set as d5, then the transitive closure as a recursive
+    // CTE; min reachable id = cluster representative
+    "d6_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+        |sg AS (SELECT doc_id,
+        |    list_aggregate(list_transform(range(1, 33), j ->
+        |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+        |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        |  FROM t),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |  WHERE coalesce(list_sum(list_transform(range(1, 33), j ->
+        |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0) <= 1),
+        |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u)
+        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep,
+        |  CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
   )
 }

@@ -229,6 +229,41 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"d5 regressed to a quadratic pair scan:\n$plan")
   }
 
+  test("connectedComponents: chain, pair, singleton resolve to component minima") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents: a long path converges (log-round star steps)") {
+    import spark.implicits._
+    // path through shuffled ids — min is in the middle, diameter 63
+    val ids = new scala.util.Random(42).shuffle((0L until 64L).toList)
+    val nodes = ids.toDF("id")
+    val edges = ids.zip(ids.tail).toDF("a", "b")
+    val out = Components.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 64 && out.values.forall(_ == 0L))
+  }
+
+  test("d6 cluster reps are consistent with d5 pairs (every paired doc shares a rep)") {
+    val reps = Dedup.d6DupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.d5SimhashPairs(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(reps(a) == reps(b), s"pair ($a,$b) in different clusters")
+    }
+    // every rep is the min of its cluster
+    reps.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+    }
+  }
+
   test("s3 tiled pair join: equi-join on block keys, no corpus broadcast nested loop") {
     val plan = planOf(Similarity.s3CosinePairs(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
