@@ -189,6 +189,26 @@ object TextAnalysis {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"))
 
+  /** x7: stratified data-mixing sample — per-language keep rates
+    * (en 100%, de/es/fr 50%, others 25%) applied as a deterministic
+    * hash gate per document. This is the "mixture weights" stage of a
+    * training-data pipeline: membership is a pure function of
+    * (doc_id, stratum), so the sample survives re-runs, resharding, and
+    * late data, and composes with the x6 split (independent salt in the
+    * hash). Narrow map, no shuffle except the presentation tail. */
+  def x7StratifiedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 4),
+          16, 10).cast("long") % 100L)
+      .withColumn("rate",
+        when(col("lang") === "en", 100L)
+          .when(col("lang").isin("de", "es", "fr"), 50L)
+          .otherwise(25L))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .transform(Output.ordered(_, col("doc_id")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_token_count" -> x1TokenCount _,
     "x2_quality"     -> x2Quality _,
@@ -196,6 +216,7 @@ object TextAnalysis {
     "x4_fingerprint" -> x4Fingerprint _,
     "x5_tfidf"       -> x5Tfidf _,
     "x6_hash_split"  -> x6HashSplit _,
+    "x7_stratified_sample" -> x7StratifiedSample _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -291,5 +312,14 @@ object TextAnalysis {
         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+    "x7_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang, source,
+        |    md5(doc_id::VARCHAR || ':mix') AS h FROM documents),
+        |b AS (SELECT doc_id, lang, source, (((CAST((CASE WHEN ascii(substr(h,1,1)) <= 57 THEN ascii(substr(h,1,1)) - 48 ELSE ascii(substr(h,1,1)) - 87 END) AS BIGINT) * 16 + (CASE WHEN ascii(substr(h,2,1)) <= 57 THEN ascii(substr(h,2,1)) - 48 ELSE ascii(substr(h,2,1)) - 87 END)) * 16 + (CASE WHEN ascii(substr(h,3,1)) <= 57 THEN ascii(substr(h,3,1)) - 48 ELSE ascii(substr(h,3,1)) - 87 END)) * 16 + (CASE WHEN ascii(substr(h,4,1)) <= 57 THEN ascii(substr(h,4,1)) - 48 ELSE ascii(substr(h,4,1)) - 87 END)) % 100 AS bucket FROM h)
+        |SELECT doc_id, lang, source, CAST(bucket AS BIGINT) AS bucket
+        |FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 100
+        |  WHEN lang IN ('de','es','fr') THEN 50 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -249,6 +249,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.size == 64 && out.values.forall(_ == 0L))
   }
 
+  test("property: connectedComponents equals union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 5 + rnd.nextInt(30)
+      val ids = (0 until n).map(_ => rnd.nextLong().abs % 1000L).distinct
+      val edges = (0 until rnd.nextInt(40))
+        .map(_ => (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size))))
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val want = ids.map { i =>
+        i -> ids.filter(j => find(j) == find(i)).min
+      }.toMap
+      val got = Components.connectedComponents(
+        ids.toDF("id"), edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
   test("d6 cluster reps are consistent with d5 pairs (every paired doc shares a rep)") {
     val reps = Dedup.d6DupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
