@@ -16,8 +16,10 @@ object CdcDrift {
   final case class Drift(table: String, trigger: String, kind: String) {
     override def toString: String = kind match {
       case "missing" => s"table $table: trigger $trigger is not installed"
-      case "stale"   => s"table $table: trigger $trigger was generated from a " +
-        "different schema than the table has now (ALTER TABLE after setup?)"
+      case "stale"   => s"table $table: trigger $trigger does not match the DDL " +
+        "the current schema and capture options would generate (ALTER TABLE " +
+        "after setup, or different --blobs/--disable-subsec/--log-table flags " +
+        "than were used at --setup time?)"
       case k => s"table $table: trigger $trigger: $k"
     }
   }

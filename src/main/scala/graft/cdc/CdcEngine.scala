@@ -46,8 +46,15 @@ class CdcEngine(
     f
   }
 
-  /** Stop a running cdc() loop (reference Close, triggers.go:396-404). */
-  def close(): Unit = stopped.set(true)
+  /** Stop a running cdc() loop (reference Close, triggers.go:396-404).
+    * Also closes the wakeup gate so a loop blocked in FileWakeup.await
+    * observes the stop immediately instead of after pollIntervalMs —
+    * and so non-loop modes (bootstrap-only, AvailableNow) release the
+    * watch handle. Idempotent. */
+  def close(): Unit = {
+    stopped.set(true)
+    wakeup.close()
+  }
 
   def currentOffset: Long = offset
 

@@ -47,7 +47,7 @@ class FileWakeup(dbFile: String, wal: Boolean = true) extends Wakeup {
   dir.register(ws, StandardWatchEventKinds.ENTRY_CREATE,
     StandardWatchEventKinds.ENTRY_MODIFY, StandardWatchEventKinds.ENTRY_DELETE)
 
-  override def await(timeoutMs: Long): Boolean = {
+  override def await(timeoutMs: Long): Boolean = try {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var woken = false
     var remainingMs = timeoutMs
@@ -68,6 +68,10 @@ class FileWakeup(dbFile: String, wal: Boolean = true) extends Wakeup {
       }
     }
     woken
+  } catch {
+    // close() during a blocked poll — treat as a wakeup so the caller's
+    // loop re-checks its stop flag immediately
+    case _: java.nio.file.ClosedWatchServiceException => true
   }
 
   override def close(): Unit = ws.close()

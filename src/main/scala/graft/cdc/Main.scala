@@ -111,8 +111,16 @@ object Main {
       Left("at least one of cdc or bootstrap must be set") // main.go:137
     else if ((c.setup || c.teardown) && c.tables.isEmpty)
       Left("--setup/--teardown require at least one --table")
+    else if ((c.setup || c.teardown) && c.logDir.nonEmpty)
+      Left("--setup/--teardown install capture on the source database; " +
+        "they require --db, not --log-dir")
     else if (c.bootstrap && c.logDir.nonEmpty && c.snapshotDir.isEmpty)
       Left("--bootstrap with --log-dir requires --snapshot-dir")
+    else if (c.batchSize <= 0)
+      Left(s"--batch-size must be positive, got ${c.batchSize} " +
+        "(0 would make the cdc loop spin without ever delivering)")
+    else if (c.pollMs <= 0)
+      Left(s"--poll-ms must be positive, got ${c.pollMs}")
     else Right(c)
   }
 
@@ -123,8 +131,19 @@ object Main {
     case url    => new HttpPostHandler(url)
   }
 
-  private def jdbcUrl(c: Config): String =
-    c.db.get + c.dbParams.fold("")(p => if (p.isEmpty) "" else s";$p")
+  /** Connection-parameter separator differs by driver: the xerial
+    * SQLite driver takes `?k=v&k=v` (a ';' would be folded into the file
+    * PATH, silently opening a different database); Derby and most others
+    * take `;k=v`. Respect an explicit separator if the params already
+    * start with one. */
+  private[cdc] def jdbcUrl(c: Config): String =
+    c.db.get + c.dbParams.fold("") { p =>
+      if (p.isEmpty) ""
+      else if (p.startsWith(";") || p.startsWith("?") || p.startsWith("&")) p
+      else if (c.db.get.startsWith("jdbc:sqlite:"))
+        (if (c.db.get.contains("?")) "&" else "?") + p
+      else s";$p"
+    }
 
   /** Run the configured modes. `introspect` and side effects are
     * injectable so the suite can drive every mode end-to-end without a
@@ -200,16 +219,18 @@ object Main {
       }
     }
 
-    (c.bootstrap, c.cdc) match {
-      case (true, false) => engine.bootstrap(snapshots, c.blobs)
-      case (false, true) =>
-        if (c.availableNow) engine.cdcAvailableNow()
-        else { engine.cdc(); 0L }
-      case (true, true) =>
-        if (c.availableNow) engine.bootstrapAndCdcAvailableNow(snapshots, c.blobs)
-        else { engine.bootstrapAndCdc(snapshots, c.blobs); 0L }
-      case (false, false) => 0L // unreachable post-validate
-    }
+    try {
+      (c.bootstrap, c.cdc) match {
+        case (true, false) => engine.bootstrap(snapshots, c.blobs)
+        case (false, true) =>
+          if (c.availableNow) engine.cdcAvailableNow()
+          else { engine.cdc(); 0L }
+        case (true, true) =>
+          if (c.availableNow) engine.bootstrapAndCdcAvailableNow(snapshots, c.blobs)
+          else { engine.bootstrapAndCdc(snapshots, c.blobs); 0L }
+        case (false, false) => 0L // unreachable post-validate
+      }
+    } finally engine.close() // releases the wakeup watch handle in every mode
   }
 
   def main(args: Array[String]): Unit = {

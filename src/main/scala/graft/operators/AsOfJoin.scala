@@ -49,9 +49,16 @@ object AsOfJoin {
         struct(rightCols.map(col): _*).as("__rpay"): _*)
     // Ordering by the payload struct itself makes intra-tie order (and
     // therefore the run-to-run output) deterministic: among right rows
-    // equal on (ts), the greatest payload struct wins the last().
+    // equal on (ts), the greatest payload struct wins the last(). Only
+    // possible when the struct is orderable (e.g. no MapType fields) —
+    // otherwise fall back to (ts, side) order, which still fills all
+    // payload fields from ONE row, just with engine-chosen tie order.
+    val tieBreak =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payloadType))
+        Seq(col("__rpay").asc_nulls_first)
+      else Seq.empty
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"), col("__rpay").asc_nulls_first)
+      .orderBy(col(ts) +: col("__side") +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r)
       .withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))

@@ -61,12 +61,22 @@ object Similarity {
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** Corpus prep: compact the vector (parquet list elements are
-    * declared nullable; the data has no null elements, and array_compact
-    * flips containsNull to false, unlocking DotFp9's bulk-copy codegen
-    * path for every downstream PAIR evaluation) and attach the
-    * fixed-point squared norm. */
+    * declared nullable; array_compact flips containsNull to false,
+    * unlocking DotFp9's bulk-copy codegen path for every downstream
+    * PAIR evaluation) and attach the fixed-point squared norm.
+    *
+    * Compaction SHIFTS positions when a null element actually exists,
+    * which would silently misalign every dot product — so the no-null
+    * assumption is enforced, not hoped: a vector whose compacted length
+    * differs fails the job with a clear message (per-ROW check, amortized
+    * over millions of per-PAIR evaluations). */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("embedding", array_compact(col("embedding")))
+    df.filter(
+      when(size(array_compact(col("embedding"))) =!= size(col("embedding")),
+        raise_error(concat(
+          lit("embedding with null elements at vec_id="), col("vec_id"))))
+        .otherwise(lit(true)))
+      .withColumn("embedding", array_compact(col("embedding")))
       .withColumn("norm_fp", normFp9(col("embedding")))
 
   /** s1: brute-force cosine top-k — queries are vec_id < NQueries; for

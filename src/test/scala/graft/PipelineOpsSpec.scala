@@ -187,6 +187,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(outs.forall(_ == Seq((9L, 900L))), s"got ${outs.distinct}")
   }
 
+  test("asof: non-orderable (map) payloads fall back to engine tie order, still one-row fills") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L)).toDF("k", "ts", "click")
+    val right = Seq((1L, 50L, 7L)).toDF("k", "ts", "rid")
+      .withColumn("attrs", map(lit("x"), col("rid")))
+    val out = operators.AsOfJoin.asof(left, right, "k", "ts", Seq("rid", "attrs"))
+      .select("rid").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("similarity corpus prep fail-stops on null embedding elements (alignment guard)") {
+    import spark.implicits._
+    val bad = Seq((0L, Seq[java.lang.Float](1.0f, null, 2.0f)),
+      (1L, Seq[java.lang.Float](3.0f, 4.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.cosinePairs(bad, 2, blocks = 2).collect()
+    }
+    assert(ex.getMessage.contains("null elements") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null elements")),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("e5 latest-state: one row per user") {
     val df = Events.e5LatestState(spark, sf)
     assert(df.count() == df.select("user_id").distinct().count())

@@ -42,12 +42,15 @@ class MainSpec extends SparkSpecBase {
     val c = Main.parse(Seq(
       "--log-dir", "/tmp/log", "--snapshot-dir", "/tmp/snap",
       "--table", "a", "--table", "b", "--log-table", "cdc2",
-      "--setup", "--bootstrap", "--cdc", "--output", "json",
+      "--bootstrap", "--cdc", "--output", "json",
       "--batch-size", "7", "--disable-subsec", "--blobs",
       "--poll-ms", "5", "--available-now")).toOption.get
     assert(c.tables == Seq("a", "b") && c.logTable == "cdc2" &&
       c.batchSize == 7 && c.output == "json" && c.blobs && c.disableSubsec &&
-      c.setup && c.bootstrap && c.cdc && c.availableNow && c.pollMs == 5L)
+      c.bootstrap && c.cdc && c.availableNow && c.pollMs == 5L)
+    val s = Main.parse(Seq("--db", "u", "--table", "t", "--setup", "--cdc",
+      "--watch", "/x/a.db", "--ignore-drift")).toOption.get
+    assert(s.setup && s.watchFile.contains("/x/a.db") && s.ignoreDrift)
   }
 
   test("parse: rejections match the reference's contract") {
@@ -61,6 +64,28 @@ class MainSpec extends SparkSpecBase {
     assert(Main.parse(Seq("--db", "u", "--cdc", "--bogus")).isLeft)
     assert(Main.parse(Seq("--log-dir", "d", "--bootstrap")).isLeft) // no snapshot-dir
     assert(Main.parse(Seq("--db", "u", "--setup", "--cdc")).isLeft) // setup needs tables
+  }
+
+  test("parse: degenerate numerics and mode/topology mismatches are rejected") {
+    assert(Main.parse(Seq("--db", "u", "--cdc", "--batch-size", "0")).isLeft)
+    assert(Main.parse(Seq("--db", "u", "--cdc", "--batch-size", "-5")).isLeft)
+    assert(Main.parse(Seq("--db", "u", "--cdc", "--poll-ms", "0")).isLeft)
+    // setup/teardown need the source database, not the parquet log
+    assert(Main.parse(Seq("--log-dir", "d", "--table", "t", "--setup", "--cdc")).isLeft)
+    assert(Main.parse(Seq("--log-dir", "d", "--table", "t", "--teardown")).isLeft)
+  }
+
+  test("db-params separator follows the driver (sqlite '?', others ';')") {
+    def url(db: String, p: String) =
+      Main.jdbcUrl(Main.Config(db = Some(db), dbParams = Some(p)))
+    assert(url("jdbc:sqlite:/x/a.db", "journal_mode=WAL") ==
+      "jdbc:sqlite:/x/a.db?journal_mode=WAL")
+    assert(url("jdbc:sqlite:/x/a.db?cache=shared", "journal_mode=WAL") ==
+      "jdbc:sqlite:/x/a.db?cache=shared&journal_mode=WAL")
+    assert(url("jdbc:derby:memory:m", "create=true") ==
+      "jdbc:derby:memory:m;create=true")
+    assert(url("jdbc:derby:memory:m", ";create=true") ==
+      "jdbc:derby:memory:m;create=true") // explicit separator respected
   }
 
   test("output flag selects the handler (main.go:86-97)") {
