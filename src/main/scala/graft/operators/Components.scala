@@ -61,15 +61,18 @@ object Components {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // lazy localCheckpoint: the fingerprint action right after is the
+    // materializing job, so each round runs ONE job (compute + persist
+    // + fingerprint) instead of two, while still truncating lineage
     var e = edges
       .select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var fp = fingerprint(e)
-    var converged = e.isEmpty
+    var converged = fp._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
