@@ -1,0 +1,73 @@
+package graft.cdc
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpecBase
+import SqliteCatalog._
+
+class ChangeViewsSpec extends SparkSpecBase {
+  import scala.jdk.CollectionConverters._
+
+  private val meta = TableMeta("users", withoutRowId = false, Seq(
+    ColumnMeta("id", "INTEGER", 1),
+    ColumnMeta("name", "TEXT", 0),
+    ColumnMeta("score", "REAL", 0),
+    ColumnMeta("avatar", "BLOB", 0)))
+
+  private def log(rows: (Long, String, Option[String], Option[String])*): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      rows.map { case (id, op, before, after) =>
+        Row(id, "2024-05-06 00:00:00.000", "users", op,
+          before.orNull, after.orNull)
+      }.asJava, Change.logSchema)
+
+  private def img(id: Long, name: String, score: Double, hex: String = "FF00") =
+    s"""{"id":$id,"name":"$name","score":$score,"avatar":"$hex"}"""
+
+  test("typed: images parse with the introspected schema; blobs as hex text") {
+    val df = ChangeViews.typed(
+      log((1L, "INSERT", None, Some(img(7, "ada", 1.5)))), meta)
+    val r = df.select("after_row.id", "after_row.name", "after_row.score",
+      "after_row.avatar").collect().head
+    assert(r.getLong(0) == 7L && r.getString(1) == "ada" &&
+      r.getDouble(2) == 1.5 && r.getString(3) == "FF00")
+    assert(df.select("before_row").collect().head.isNullAt(0))
+  }
+
+  test("materialize applies the ordered log: newest wins, DELETE removes") {
+    val rows = log(
+      (1L, "INSERT", None, Some(img(1, "a", 1.0))),
+      (2L, "INSERT", None, Some(img(2, "b", 2.0))),
+      (3L, "INSERT", None, Some(img(3, "c", 3.0))),
+      (4L, "UPDATE", Some(img(2, "b", 2.0)), Some(img(2, "b2", 2.5))),
+      (5L, "DELETE", Some(img(3, "c", 3.0)), None),
+      (6L, "UPDATE", Some(img(2, "b2", 2.5)), Some(img(2, "b3", 2.9))))
+    val out = ChangeViews.materialize(rows, meta)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, "a", 1.0), (2L, "b3", 2.9)))
+  }
+
+  test("materialize keys on the before image for DELETE (after is NULL)") {
+    val rows = log(
+      (1L, "INSERT", None, Some(img(9, "x", 1.0))),
+      (2L, "DELETE", Some(img(9, "x", 1.0)), None))
+    assert(ChangeViews.materialize(rows, meta).isEmpty)
+  }
+
+  test("materialize refuses bare-rowid tables (no stable key in images)") {
+    val noPk = meta.copy(columns = meta.columns.map(_.copy(pkOrdinal = 0)))
+    assertThrows[IllegalArgumentException](
+      ChangeViews.materialize(log(), noPk))
+  }
+
+  test("end-to-end: engine-drained parquet log materializes to current state") {
+    val dir = java.nio.file.Files.createTempDirectory("cv").toString
+    val plog = new ParquetChangeLog(dir)
+    plog.append(log(
+      (1L, "INSERT", None, Some(img(1, "a", 1.0))),
+      (2L, "UPDATE", Some(img(1, "a", 1.0)), Some(img(1, "a2", 1.1)))))
+    val out = ChangeViews.materialize(plog.readFrom(spark, -1L), meta)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a2")))
+  }
+}
