@@ -34,6 +34,50 @@ object StreamOps {
       .as[Change](Encoders.product[Change])
   }
 
+  /** One row of the streaming materialized view: the newest change for
+    * one primary key. `after` null (DELETE) means the row is gone. */
+  case class KeyState(pk: String, id: Long, operation: String,
+      after: Option[String])
+
+  /** Streaming materialized view of a monitored table (the streaming
+    * twin of [[graft.cdc.ChangeViews.materialize]]): keyed state holds
+    * the newest (by log id) change per primary key; each micro-batch
+    * emits the keys it changed — an Update-mode current-state stream a
+    * sink can upsert from. PK values are extracted from the JSON images
+    * (after, else before for DELETEs), so this works on the raw log
+    * stream without a typed decode. State is O(live keys), distributed
+    * by key.
+    * @param pkCols primary-key column names inside the row images */
+  def materializedView(logRows: DataFrame, table: String,
+      pkCols: Seq[String]): Dataset[KeyState] = {
+    require(pkCols.nonEmpty, "materializedView needs explicit pk columns")
+    implicit val ke: org.apache.spark.sql.Encoder[KeyState] = Encoders.product[KeyState]
+    implicit val sk: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    implicit val tk: org.apache.spark.sql.Encoder[(String, Long, String, Option[String])] =
+      Encoders.product[(String, Long, String, Option[String])]
+    val img = coalesce(col("after"), col("before"))
+    val pk = concat_ws("",
+      pkCols.map(c => get_json_object(img, s"$$.$c")): _*)
+    logRows.filter(col("tablename") === table)
+      .select(pk.as("_1"), col("id").as("_2"), col("operation").as("_3"),
+        col("after").as("_4"))
+      .as[(String, Long, String, Option[String])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, Long, String, Option[String])],
+         state: GroupState[KeyState]) =>
+          val newest = batch.maxBy(_._2)
+          val cand = KeyState(key, newest._2, newest._3,
+            if (newest._3 == graft.cdc.Operation.Delete.name) None else newest._4)
+          val next = state.getOption match {
+            case Some(c) if c.id >= cand.id => c // stale replay, keep newer
+            case _ => cand
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** Tumbling 1-hour event-time aggregation with a watermark (streaming
     * e1). Late rows beyond `lateness` are dropped and their window state
     * evicted — bounded state, unbounded stream. Exact COUNT DISTINCT is

@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.Row
 
 import graft.SparkSpecBase
+import graft.streaming.StreamOps
 import SqliteCatalog._
 
 class ChangeViewsSpec extends SparkSpecBase {
@@ -60,6 +61,47 @@ class ChangeViewsSpec extends SparkSpecBase {
       ChangeViews.materialize(log(), noPk))
   }
 
+  test("streaming materialized view equals batch materialize on bounded replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions.{col, desc, row_number}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import ChangeViewsSpec.LogRow
+    val rows = Seq(
+      LogRow(1L, "2024-05-06 00:00:00.000", "users", "INSERT", None, Some(img(1, "a", 1.0))),
+      LogRow(2L, "2024-05-06 00:00:00.000", "users", "INSERT", None, Some(img(2, "b", 2.0))),
+      LogRow(3L, "2024-05-06 00:00:00.000", "users", "INSERT", None, Some(img(3, "c", 3.0))),
+      LogRow(4L, "2024-05-06 00:00:00.000", "users", "UPDATE",
+        Some(img(2, "b", 2.0)), Some(img(2, "b2", 2.5))),
+      LogRow(5L, "2024-05-06 00:00:00.000", "users", "DELETE",
+        Some(img(3, "c", 3.0)), None),
+      LogRow(6L, "2024-05-06 00:00:00.000", "users", "UPDATE",
+        Some(img(2, "b2", 2.5)), Some(img(2, "b3", 2.9))))
+    val in = MemoryStream[LogRow]
+    val q = StreamOps.materializedView(in.toDF(), "users", Seq("id"))
+      .writeStream.format("memory").queryName("mv")
+      .outputMode(OutputMode.Update()).start()
+    rows.grouped(3).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // final state per key = the max-id emission for that key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(desc("id"))
+    val fin = spark.table("mv")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("pk", "after").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(fin == Map(
+      "1" -> Some(img(1, "a", 1.0)),
+      "2" -> Some(img(2, "b3", 2.9)),
+      "3" -> None))
+    // and the live rows agree with the batch apply
+    val batch = ChangeViews.materialize(log(
+      rows.map(r => (r.id, r.operation, r.before, r.after)): _*), meta)
+      .collect().map(r => r.getLong(0).toString).toSet
+    assert(fin.filter(_._2.nonEmpty).keySet == batch)
+  }
+
   test("end-to-end: engine-drained parquet log materializes to current state") {
     val dir = java.nio.file.Files.createTempDirectory("cv").toString
     val plog = new ParquetChangeLog(dir)
@@ -70,4 +112,9 @@ class ChangeViewsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(out == Seq((1L, "a2")))
   }
+}
+
+object ChangeViewsSpec {
+  case class LogRow(id: Long, timestamp: String, tablename: String,
+    operation: String, before: Option[String], after: Option[String])
 }
