@@ -41,12 +41,7 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = JsonText.quote(s)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }

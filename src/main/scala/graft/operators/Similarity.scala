@@ -72,7 +72,7 @@ object Similarity {
     * over millions of per-PAIR evaluations). */
   private def withNorm(df: DataFrame): DataFrame =
     df.filter(
-      when(size(array_compact(col("embedding"))) =!= size(col("embedding")),
+      when(exists(col("embedding"), _.isNull),
         raise_error(concat(
           lit("embedding with null elements at vec_id="), col("vec_id"))))
         .otherwise(lit(true)))
