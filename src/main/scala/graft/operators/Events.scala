@@ -143,6 +143,31 @@ object Events {
       .orderBy(col("stage"))
   }
 
+  /** e7: weekly cohort retention — each user's cohort is their
+    * first-seen epoch week; each (cohort, week-offset) cell counts the
+    * distinct users from that cohort active that week. Integer epoch
+    * weeks (floor(epoch/604800)) keep both engines on exact arithmetic
+    * — no calendar/date-function drift.
+    *
+    * Scale notes (100 TB): one user_id shuffle (the cohort window) and
+    * one (cohort, offset) aggregate whose distinct-count expands with
+    * map-side partials; the matrix output is tiny (weeks²). The window
+    * min could equally come from a pre-aggregated first-seen table —
+    * at real scale that profile is usually materialized once and
+    * broadcast. */
+  def e7Retention(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")).cast("double") / 604800d)
+          .cast("long").as("week"))
+      .withColumn("cohort_week", min(col("week")).over(byUser))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -150,6 +175,7 @@ object Events {
     "e4_asof_purchase"  -> e4AsofPurchase _,
     "e5_latest_state"   -> e5LatestState _,
     "e6_funnel"         -> e6Funnel _,
+    "e7_retention"      -> e7Retention _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -220,5 +246,14 @@ object Events {
         |  FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id))
         |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
         |FROM f GROUP BY stage ORDER BY stage""".stripMargin,
+    "e7_retention" ->
+      """WITH w AS (SELECT user_id,
+        |    CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week FROM events),
+        |c AS (SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS cohort_week FROM w)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
   )
 }
