@@ -32,7 +32,7 @@ class CdcEngine(
     maxBatchSize: Int = CdcEngine.DefaultMaxBatchSize,
     pollIntervalMs: Long = 100,
     subsecTimestamps: Boolean = true,
-    wakeup: Wakeup = Wakeup.Poll) {
+    wakeup: Wakeup = Wakeup.poll()) {
 
   import spark.implicits._
 
@@ -132,7 +132,7 @@ class CdcEngine(
   /** Continuous CDC (reference cdc.go:18-19): drain the log, then block
     * on the wakeup gate until a file event or the poll interval, until
     * close(). With a [[FileWakeup]] this is the reference's fsnotify
-    * shape (triggers.go:122-162); the default [[Wakeup.Poll]] degrades
+    * shape (triggers.go:122-162); the default [[Wakeup.poll]] gate degrades
     * to fixed-interval polling. Either way delivery is driven by the log
     * CONTENTS — a missed event only adds latency, never loses data. */
   def cdc(): Unit = once {

@@ -24,13 +24,20 @@ trait Wakeup extends AutoCloseable {
 }
 
 object Wakeup {
-  /** Fixed-interval fallback: await always times out (pure polling). */
-  object Poll extends Wakeup {
-    override def await(timeoutMs: Long): Boolean = {
-      Thread.sleep(timeoutMs); false
-    }
-    override def close(): Unit = ()
+  /** Fixed-interval fallback: await blocks on an interruptible gate
+    * instead of a bare sleep, so `close()` (engine shutdown / SIGINT)
+    * is observed immediately rather than after the interval expires —
+    * the same immediate-stop behavior [[FileWakeup]] has. One instance
+    * per engine: close is terminal (engines are single-use). */
+  final class Poll extends Wakeup {
+    private val closed = new java.util.concurrent.CountDownLatch(1)
+    override def await(timeoutMs: Long): Boolean =
+      closed.await(timeoutMs, TimeUnit.MILLISECONDS)
+    override def close(): Unit = closed.countDown()
   }
+
+  /** Fresh poll gate — the default wakeup for a new engine. */
+  def poll(): Wakeup = new Poll
 }
 
 /** Watches `dbFile`'s parent directory for create/modify/delete events on

@@ -206,7 +206,7 @@ object Main {
     val engine = new CdcEngine(spark, log, handlerFor(c.output),
       maxBatchSize = c.batchSize, pollIntervalMs = c.pollMs,
       subsecTimestamps = !c.disableSubsec,
-      wakeup = c.watchFile.fold[Wakeup](Wakeup.Poll)(new FileWakeup(_)))
+      wakeup = c.watchFile.fold[Wakeup](Wakeup.poll())(new FileWakeup(_)))
     onEngine(engine)
 
     def snapshots: Seq[(String, DataFrame)] = c.tables.map { t =>
@@ -233,6 +233,11 @@ object Main {
     } finally engine.close() // releases the wakeup watch handle in every mode
   }
 
+  /** CLI failure line: exception message, else the class name — an NPE
+    * or similar message-less failure must not print "graft-cdc: null". */
+  private[cdc] def diagnostic(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getName)
+
   def main(args: Array[String]): Unit = {
     parse(args.toIndexedSeq) match {
       case Left(err) =>
@@ -255,7 +260,7 @@ object Main {
           }): Unit
         } catch {
           case e: Throwable =>
-            System.err.println(s"graft-cdc: ${e.getMessage}")
+            System.err.println(s"graft-cdc: ${diagnostic(e)}")
             sys.exit(1)
         } finally spark.stop()
     }

@@ -190,9 +190,17 @@ object Similarity {
     cosinePairs(embeddings(s, d), s.sparkContext.defaultParallelism)
 
   /** Tiled exact cosine-pair join over any (vec_id, embedding) frame —
-    * the library form of [[s3CosinePairs]]. */
+    * the library form of [[s3CosinePairs]].
+    *
+    * @param broadcastTiles Some(true)/Some(false) pins the tile-join
+    *   strategy; None (default) picks from the optimizer's size estimate
+    *   of the replicated B side vs `autoBroadcastJoinThreshold` — the
+    *   same signal Catalyst would use, made explicit so outgrowing the
+    *   threshold switches to the shuffled-hash layout instead of
+    *   silently degrading to a 36-key sort-merge join. */
   def cosinePairs(corpus: DataFrame, parallelism: Int,
-      threshold: Double = 0.40, blocks: Int = S3Blocks): DataFrame = {
+      threshold: Double = 0.40, blocks: Int = S3Blocks,
+      broadcastTiles: Option[Boolean] = None): DataFrame = {
     val g = lit(blocks - 1)
     val e = withNorm(corpus)
       .withColumn("blk", pmod(col("vec_id"), lit(blocks.toLong)).cast("int"))
@@ -210,14 +218,30 @@ object Similarity {
     // (least, greatest) so orientation never leaks into the result.
     val cos = cosine(dotFp9(col("a_emb"), col("b_emb")),
       col("a_norm"), col("b_norm"))
-    // Spread the pair loop across cores: the corpus arrives as one small
-    // parquet split at test scale, and without this shuffle the whole
-    // loop would run in ONE task. Round-robin is the even spread for the
-    // broadcast join below (any left partitioning is valid for a BHJ);
-    // when the B side outgrows the broadcast threshold at real scale,
-    // switch this to repartition(col("bi"), col("bj")) so the exchange
-    // doubles as the shuffled-hash-join layout with one task per tile.
-    aRep.repartition(parallelism).join(bRep, Seq("bi", "bj"))
+    // Strategy switch: below the broadcast threshold, ship the B side to
+    // every task and round-robin A across cores (any left partitioning
+    // is valid for a BHJ — the corpus arrives as one small parquet split
+    // at test scale, and without the spread the whole pair loop would
+    // run in ONE task). Above it, hash-partition BOTH sides on the tile
+    // key and build in-memory per tile (shuffled-hash, never sort-merge:
+    // sorting G(G+1)/2-key streams buys nothing and SMJ would cap
+    // parallelism at the sort). At real scale choose `blocks` so
+    // G(G+1)/2 ≳ cluster cores — tile count IS the parallelism there.
+    val useBroadcast = broadcastTiles.getOrElse {
+      val conf = corpus.sparkSession.sessionState.conf
+      val thr = conf.autoBroadcastJoinThreshold
+      // each B row is replicated to blk+1 tiles: avg factor (G+1)/2
+      val bRepBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes *
+        (blocks + 1) / 2
+      thr > 0 && bRepBytes <= thr
+    }
+    val joined =
+      if (useBroadcast)
+        aRep.repartition(parallelism).join(broadcast(bRep), Seq("bi", "bj"))
+      else
+        aRep.repartition(col("bi"), col("bj"))
+          .join(bRep.hint("shuffle_hash"), Seq("bi", "bj"))
+    joined
       .filter((col("bi") =!= col("bj") || col("a") < col("b")) && cos > threshold)
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"),

@@ -35,7 +35,9 @@ object StreamOps {
   }
 
   /** One row of the streaming materialized view: the newest change for
-    * one primary key. `after` null (DELETE) means the row is gone. */
+    * one primary key. `after` null (DELETE) means the row is gone.
+    * `pk` is the canonical JSON encoding of the key tuple, e.g.
+    * `{"a":"1","b":"23"}` — unambiguous for composite keys. */
   case class KeyState(pk: String, id: Long, operation: String,
       after: Option[String])
 
@@ -56,8 +58,16 @@ object StreamOps {
     implicit val tk: org.apache.spark.sql.Encoder[(String, Long, String, Option[String])] =
       Encoders.product[(String, Long, String, Option[String])]
     val img = coalesce(col("after"), col("before"))
-    val pk = concat_ws("",
-      pkCols.map(c => get_json_object(img, s"$$.$c")): _*)
+    // Key = to_json(struct(pk values)): a canonical, collision-free
+    // encoding (concat-style keys collapse ("1","23") with ("12","3")).
+    // A null/missing pk field can't be keyed -- the row would silently
+    // merge into a wrong state entry -- so it fails the query loudly.
+    val pk = to_json(struct(pkCols.map { c =>
+      val v = get_json_object(img, s"$$.$c")
+      when(v.isNull, raise_error(concat(
+        lit(s"materializedView: null or missing pk field '$c' in image: "),
+        coalesce(img, lit("null"))))).otherwise(v).as(c)
+    }: _*))
     logRows.filter(col("tablename") === table)
       .select(pk.as("_1"), col("id").as("_2"), col("operation").as("_3"),
         col("after").as("_4"))

@@ -197,6 +197,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("s3 tile join strategy: broadcast below the size switch, shuffled-hash above") {
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val par = spark.sparkContext.defaultParallelism
+    val bcast = planOf(Similarity.cosinePairs(corpus, par,
+      broadcastTiles = Some(true)))
+    assert(bcast.contains("BroadcastHashJoin"),
+      s"small-corpus tile join not broadcast:\n$bcast")
+    val shuffled = planOf(Similarity.cosinePairs(corpus, par,
+      broadcastTiles = Some(false)))
+    assert(shuffled.contains("ShuffledHashJoin"),
+      s"large-corpus tile join not shuffled-hash:\n$shuffled")
+    assert(!shuffled.contains("SortMergeJoin"),
+      s"tile join degraded to sort-merge (36-key sort, parallelism collapse):\n$shuffled")
+    // results must be identical on both sides of the switch
+    def rows(b: Boolean) = Similarity.cosinePairs(corpus, par,
+      broadcastTiles = Some(b)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(true) == rows(false))
+    // auto mode at test scale picks broadcast (corpus ≪ threshold)
+    val auto = planOf(Similarity.cosinePairs(corpus, par))
+    assert(auto.contains("BroadcastHashJoin"), s"auto switch at toy scale:\n$auto")
+  }
+
   test("similarity corpus prep fail-stops on null embedding elements (alignment guard)") {
     import spark.implicits._
     val bad = Seq((0L, Seq[java.lang.Float](1.0f, null, 2.0f)),

@@ -132,6 +132,33 @@ class CdcEngineSpec extends SparkSpecBase {
     assert(!t.isAlive)
   }
 
+  test("close() interrupts the default poll gate promptly (no pollIntervalMs stall)") {
+    // poll interval 60 s: a bare-sleep gate would stall shutdown until
+    // the sleep expired; the latch gate must observe close() immediately.
+    val log = new ParquetChangeLog(newLogDir())
+    val engine = new CdcEngine(spark, log, new RecordingHandler,
+      pollIntervalMs = 60000)
+    val t = new Thread(() => engine.cdc())
+    t.start()
+    Thread.sleep(300) // first (empty) drain done; loop blocked in the gate
+    engine.close()
+    t.join(10000) // far below the 60 s interval
+    assert(!t.isAlive, "cdc loop did not stop promptly after close()")
+  }
+
+  test("poll gate: close() from another thread unblocks await as a wake signal") {
+    val g = Wakeup.poll()
+    val woken = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => woken.set(g.await(60000)))
+    t.start()
+    Thread.sleep(100)
+    g.close()
+    t.join(5000)
+    assert(!t.isAlive && woken.get(), "close() did not wake the poll gate")
+    // pure timeout (no signal) still reports not-woken
+    assert(!Wakeup.poll().await(50))
+  }
+
   test("unrelated files in the watched directory do not wake the loop") {
     val dir = Files.createTempDirectory("wake2")
     val dbFile = dir.resolve("app.db")

@@ -92,14 +92,76 @@ class ChangeViewsSpec extends SparkSpecBase {
       .select("pk", "after").collect()
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(fin == Map(
-      "1" -> Some(img(1, "a", 1.0)),
-      "2" -> Some(img(2, "b3", 2.9)),
-      "3" -> None))
+      """{"id":"1"}""" -> Some(img(1, "a", 1.0)),
+      """{"id":"2"}""" -> Some(img(2, "b3", 2.9)),
+      """{"id":"3"}""" -> None))
     // and the live rows agree with the batch apply
     val batch = ChangeViews.materialize(log(
       rows.map(r => (r.id, r.operation, r.before, r.after)): _*), meta)
-      .collect().map(r => r.getLong(0).toString).toSet
+      .collect().map(r => s"""{"id":"${r.getLong(0)}"}""").toSet
     assert(fin.filter(_._2.nonEmpty).keySet == batch)
+  }
+
+  test("streaming view keeps collision-prone composite pks distinct, matching batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import ChangeViewsSpec.LogRow
+    // composite key (a,b): ("1","23") vs ("12","3") — a concat-built
+    // state key collapses both to "123" and merges the rows.
+    def cimg(a: String, b: String, v: Double) =
+      s"""{"a":"$a","b":"$b","v":$v}"""
+    val rows = Seq(
+      LogRow(1L, "2024-05-06 00:00:00.000", "t", "INSERT", None, Some(cimg("1", "23", 1.0))),
+      LogRow(2L, "2024-05-06 00:00:00.000", "t", "INSERT", None, Some(cimg("12", "3", 2.0))),
+      LogRow(3L, "2024-05-06 00:00:00.000", "t", "UPDATE",
+        Some(cimg("1", "23", 1.0)), Some(cimg("1", "23", 1.5))))
+    val in = MemoryStream[LogRow]
+    val q = StreamOps.materializedView(in.toDF(), "t", Seq("a", "b"))
+      .writeStream.format("memory").queryName("mv_composite")
+      .outputMode(OutputMode.Update()).start()
+    rows.grouped(2).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    import org.apache.spark.sql.functions.{col, desc, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(desc("id"))
+    val fin = spark.table("mv_composite")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("pk", "after").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // two DISTINCT live keys, each with its own newest image
+    assert(fin == Map(
+      """{"a":"1","b":"23"}""" -> Some(cimg("1", "23", 1.5)),
+      """{"a":"12","b":"3"}""" -> Some(cimg("12", "3", 2.0))))
+    // batch twin agrees on the live key tuples
+    val cmeta = TableMeta("t", withoutRowId = false, Seq(
+      ColumnMeta("a", "TEXT", 1), ColumnMeta("b", "TEXT", 2),
+      ColumnMeta("v", "REAL", 0)))
+    val batch = ChangeViews.materialize(spark.createDataFrame(
+      rows.map(r => Row(r.id, r.timestamp, r.tablename, r.operation,
+        r.before.orNull, r.after.orNull)).asJava, Change.logSchema), cmeta)
+      .collect().map(r => s"""{"a":"${r.getString(0)}","b":"${r.getString(1)}"}""").toSet
+    assert(fin.keySet == batch)
+  }
+
+  test("streaming view fails loudly on a null/missing pk field") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryException}
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import ChangeViewsSpec.LogRow
+    val in = MemoryStream[LogRow]
+    val q = StreamOps.materializedView(in.toDF(), "t", Seq("a", "b"))
+      .writeStream.format("memory").queryName("mv_nullpk")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(Seq(LogRow(1L, "2024-05-06 00:00:00.000", "t", "INSERT",
+      None, Some("""{"a":"1","v":9.0}""")))) // pk field b missing
+    val ex = intercept[StreamingQueryException](q.processAllAvailable())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null or missing pk field 'b'")))
+    q.stop()
   }
 
   test("end-to-end: engine-drained parquet log materializes to current state") {

@@ -172,6 +172,13 @@ class MainSpec extends SparkSpecBase {
     assert(new ParquetChangeLog(dir).committedOffset == -1L) // untouched
   }
 
+  test("CLI diagnostic falls back to the class name for message-less exceptions") {
+    // an NPE has a null message — the CLI must not print "graft-cdc: null"
+    assert(Main.diagnostic(new NullPointerException()) ==
+      "java.lang.NullPointerException")
+    assert(Main.diagnostic(new IllegalStateException("boom")) == "boom")
+  }
+
   test("cdc continuous mode stops via engine close (SIGINT path)") {
     val dir = newDir()
     val log = new ParquetChangeLog(dir)
