@@ -103,18 +103,49 @@ object CdcDdl {
   def createDeleteTrigger(t: TableMeta, o: Options = Options()): String =
     triggerDdl(t, Operation.Delete, o)
 
+  /** Side table freezing the monitored schema at setup time. The
+    * reference freezes the schema in memory at engine start
+    * (dbmeta.go:30-70); persisting it makes the freeze durable, so a
+    * later engine start can detect declared-type drift (e.g. INTEGER →
+    * TEXT) that trigger text cannot show — non-BLOB columns render
+    * identically in the capture DDL. */
+  def schemaTableName(o: Options): String = s"${o.logTable}_schema"
+
+  def createSchemaTable(o: Options = Options()): String =
+    s"""CREATE TABLE IF NOT EXISTS ${qi(schemaTableName(o))} (
+       |  tablename TEXT NOT NULL,
+       |  name TEXT NOT NULL,
+       |  decltype TEXT NOT NULL,
+       |  pk INTEGER NOT NULL,
+       |  PRIMARY KEY (tablename, name)
+       |)""".stripMargin
+
+  def dropSchemaTable(o: Options = Options()): String =
+    s"DROP TABLE IF EXISTS ${qi(schemaTableName(o))}"
+
+  /** Freeze (or re-freeze on repeat --setup) each table's column list. */
+  def schemaFreezeStatements(tables: Seq[TableMeta], o: Options = Options()): Seq[String] =
+    createSchemaTable(o) +: tables.flatMap { t =>
+      s"DELETE FROM ${qi(schemaTableName(o))} WHERE tablename = ${sq(t.name)}" +:
+        t.columns.map(c =>
+          s"INSERT INTO ${qi(schemaTableName(o))} (tablename, name, decltype, pk) " +
+            s"VALUES (${sq(t.name)}, ${sq(c.name)}, ${sq(c.declType)}, ${c.pkOrdinal})")
+    }
+
   /** All setup statements for a set of monitored tables, in the order the
-    * reference executes them inside one transaction (triggers.go:334-364). */
+    * reference executes them inside one transaction (triggers.go:334-364),
+    * plus the schema freeze (our addition — see [[createSchemaTable]]). */
   def setupStatements(tables: Seq[TableMeta], o: Options = Options()): Seq[String] =
-    createLogTable(o) +: tables.flatMap(t => Seq(
-      createInsertTrigger(t, o), createUpdateTrigger(t, o), createDeleteTrigger(t, o)))
+    (createLogTable(o) +: tables.flatMap(t => Seq(
+      createInsertTrigger(t, o), createUpdateTrigger(t, o), createDeleteTrigger(t, o)))) ++
+      schemaFreezeStatements(tables, o)
 
   /** Teardown: drop triggers per table + the log table, one transaction
-    * (reference triggers.go:365-395, 444-455). */
+    * (reference triggers.go:365-395, 444-455), plus the schema freeze. */
   def teardownStatements(tables: Seq[TableMeta], o: Options = Options()): Seq[String] =
     tables.flatMap(t => Seq(Operation.Insert, Operation.Update, Operation.Delete)
       .map(op => s"DROP TRIGGER IF EXISTS ${qi(triggerName(t.name, op))}")) :+
-      dropLogTable(o)
+      dropLogTable(o) :+ dropSchemaTable(o)
 
   /** Ack/retention statement (reference triggers.go:215): one ranged
     * DELETE per batch, not per-row deletes. */

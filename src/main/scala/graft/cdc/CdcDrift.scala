@@ -20,7 +20,7 @@ object CdcDrift {
         "the current schema and capture options would generate (ALTER TABLE " +
         "after setup, or different --blobs/--disable-subsec/--log-table flags " +
         "than were used at --setup time?)"
-      case k => s"table $table: trigger $trigger: $k"
+      case k => s"table $table: $trigger: $k"
     }
   }
 
@@ -54,6 +54,64 @@ object CdcDrift {
   private def canon(sql: String): String =
     sql.replaceAll("(?i)IF NOT EXISTS ", "").replaceAll("\\s+", " ").trim
 
+  /** Declared-type drift against the schema frozen at setup time (the
+    * CdcDdl schema side table). Catches what trigger text cannot: a
+    * non-BLOB declared-type change (INTEGER → TEXT) renders identical
+    * capture DDL but changes how consumers parse the images
+    * (reference frozen-schema semantics, dbmeta.go:46 + triggers.go:69).
+    * Pure; tables absent from the freeze are skipped (add/drop shows up
+    * as stale trigger text already). */
+  def schemaDiff(frozen: Map[String, Seq[SqliteCatalog.ColumnMeta]],
+      current: Seq[TableMeta]): Seq[Drift] =
+    current.filter(t => frozen.contains(t.name)).flatMap { t =>
+      val f = frozen(t.name).map(c => c.name -> c).toMap
+      val cur = t.columns.map(c => c.name -> c).toMap
+      val dropped = (f.keySet -- cur.keySet).toSeq.sorted.map(n =>
+        Drift(t.name, s"column $n", "dropped since setup"))
+      val added = (cur.keySet -- f.keySet).toSeq.sorted.map(n =>
+        Drift(t.name, s"column $n", "added since setup"))
+      val changed = (f.keySet intersect cur.keySet).toSeq.sorted.flatMap { n =>
+        val (was, is) = (f(n), cur(n))
+        val retyped =
+          if (was.declType != is.declType)
+            Some(Drift(t.name, s"column $n",
+              s"declared type changed since setup (${was.declType} -> ${is.declType})"))
+          else None
+        val rekeyed =
+          if (was.pkOrdinal != is.pkOrdinal)
+            Some(Drift(t.name, s"column $n",
+              s"primary-key position changed since setup (${was.pkOrdinal} -> ${is.pkOrdinal})"))
+          else None
+        retyped.toSeq ++ rekeyed
+      }
+      dropped ++ added ++ changed
+    }
+
+  /** The schema frozen at setup time, from the CdcDdl side table; None
+    * when the side table is absent (setup predates the schema freeze) —
+    * drift detection then falls back to trigger-text comparison only. */
+  def frozenSchema(conn: java.sql.Connection, tables: Seq[String],
+      o: CdcDdl.Options): Option[Map[String, Seq[SqliteCatalog.ColumnMeta]]] = {
+    val name = CdcDdl.schemaTableName(o)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"""SELECT tablename, name, decltype, pk FROM "$name"""")
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, SqliteCatalog.ColumnMeta)]
+        while (rs.next())
+          buf += rs.getString(1) -> SqliteCatalog.ColumnMeta(
+            rs.getString(2), rs.getString(3), rs.getInt(4))
+        rs.close()
+        Some(buf.filter(r => tables.contains(r._1))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap)
+      } finally st.close()
+    } catch {
+      case _: java.sql.SQLException => None // side table absent
+    }
+  }
+
   /** Installed capture triggers for the monitored tables, from
     * sqlite_master (works over any JDBC driver that reaches SQLite). */
   def installedTriggers(conn: java.sql.Connection, tables: Seq[String]): Map[String, String] = {
@@ -72,8 +130,9 @@ object CdcDrift {
     } finally st.close()
   }
 
-  /** Full check at engine start: introspect the current schema, read the
-    * installed triggers, diff. Empty result = no drift. */
+  /** Full check at engine start: introspect the current schema, compare
+    * installed trigger text AND the setup-frozen column types against
+    * it. Empty result = no drift. */
   def check(
       conn: java.sql.Connection,
       tables: Seq[String],
@@ -81,7 +140,11 @@ object CdcDrift {
       introspect: (java.sql.Connection, Seq[String]) => SqliteCatalog.DbMeta =
         SqliteCatalog.introspect,
       readTriggers: (java.sql.Connection, Seq[String]) => Map[String, String] =
-        installedTriggers): Seq[Drift] =
-    diff(expectedTriggers(introspect(conn, tables).tables, o),
-      readTriggers(conn, tables))
+        installedTriggers,
+      readSchema: (java.sql.Connection, Seq[String], CdcDdl.Options) =>
+        Option[Map[String, Seq[SqliteCatalog.ColumnMeta]]] = frozenSchema): Seq[Drift] = {
+    val current = introspect(conn, tables).tables
+    diff(expectedTriggers(current, o), readTriggers(conn, tables)) ++
+      readSchema(conn, tables, o).map(schemaDiff(_, current)).getOrElse(Nil)
+  }
 }

@@ -145,23 +145,38 @@ class CdcDdlSpec extends AnyFunSuite {
       """json_object('a', NEW."a")""")
   }
 
-  test("golden: teardown statements (triggers.go:444-458)") {
+  test("golden: teardown statements (triggers.go:444-458, + schema-freeze drop)") {
     assert(CdcDdl.teardownStatements(Seq(simple)) == Seq(
       """DROP TRIGGER IF EXISTS "my_table__cdc_insert"""",
       """DROP TRIGGER IF EXISTS "my_table__cdc_update"""",
       """DROP TRIGGER IF EXISTS "my_table__cdc_delete"""",
-      """DROP TABLE IF EXISTS "__cdc_log""""))
+      """DROP TABLE IF EXISTS "__cdc_log"""",
+      """DROP TABLE IF EXISTS "__cdc_log_schema""""))
   }
 
   test("setup/teardown statement sets are symmetric, in-order") {
     val setup = CdcDdl.setupStatements(Seq(simple))
-    assert(setup.length == 4) // log table + 3 triggers
+    // log table + 3 triggers + schema-freeze (create + delete + 5 inserts)
+    assert(setup.length == 4 + 2 + simple.columns.length)
     assert(setup.head.contains("CREATE TABLE"))
     val teardown = CdcDdl.teardownStatements(Seq(simple))
-    assert(teardown.length == 4) // 3 drops + log drop
+    assert(teardown.length == 5) // 3 drops + log drop + schema drop
     assert(teardown.last.contains("DROP TABLE"))
     for (op <- Seq("insert", "update", "delete"))
       assert(teardown.exists(_.contains(s"my_table__cdc_$op")))
+  }
+
+  test("schema freeze records every column's declared type and pk position") {
+    val stmts = CdcDdl.schemaFreezeStatements(Seq(simple))
+    assert(stmts.head.contains("""CREATE TABLE IF NOT EXISTS "__cdc_log_schema""""))
+    assert(stmts(1) == """DELETE FROM "__cdc_log_schema" WHERE tablename = 'my_table'""")
+    val inserts = stmts.drop(2)
+    assert(inserts.length == simple.columns.length)
+    assert(inserts.head.contains("VALUES ('my_table', 'id', 'INTEGER', 1)"))
+    assert(inserts.exists(_.contains("('my_table', 'email', 'VARCHAR(255)', 0)")))
+    // re-running --setup re-freezes: the DELETE precedes the INSERTs
+    assert(stmts.indexWhere(_.startsWith("DELETE")) <
+      stmts.indexWhere(_.startsWith("INSERT")))
   }
 
   test("identifiers and string literals are escaped") {

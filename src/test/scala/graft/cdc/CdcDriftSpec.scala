@@ -37,6 +37,74 @@ class CdcDriftSpec extends SparkSpecBase {
     assert(drifts.head.trigger == "t__cdc_update")
   }
 
+  test("declared-type change (INTEGER -> TEXT) drifts even though trigger text is identical") {
+    // `ALTER` the id column's declared type: non-BLOB types render the
+    // same capture DDL, so trigger-text comparison alone is blind here —
+    // the setup-frozen schema is what catches it (frozen-schema
+    // semantics, reference dbmeta.go:46 + triggers.go:69).
+    val metaRetyped = metaV1.copy(columns = metaV1.columns.map(c =>
+      if (c.name == "id") c.copy(declType = "TEXT") else c))
+    assert(CdcDrift.expectedTriggers(Seq(metaV1), opts) ==
+      CdcDrift.expectedTriggers(Seq(metaRetyped), opts),
+      "fixture invalidated: a type change now alters trigger DDL")
+    val frozen = Map("t" -> metaV1.columns)
+    val drifts = CdcDrift.schemaDiff(frozen, Seq(metaRetyped))
+    assert(drifts.size == 1)
+    assert(drifts.head.kind == "declared type changed since setup (INTEGER -> TEXT)")
+    assert(drifts.head.toString.contains("column id"))
+    // and the full check() reports it (trigger text clean, schema dirty)
+    val checked = CdcDrift.check(null, Seq("t"), opts,
+      introspect = (_, _) => DbMeta("f", "wal", Seq(metaRetyped)),
+      readTriggers = (_, _) => CdcDrift.expectedTriggers(Seq(metaRetyped), opts),
+      readSchema = (_, _, _) => Some(frozen))
+    assert(checked.map(_.kind) ==
+      Seq("declared type changed since setup (INTEGER -> TEXT)"))
+  }
+
+  test("type change to BLOB affinity is caught by trigger text AND the frozen schema") {
+    val metaBlobbed = metaV1.copy(columns = metaV1.columns.map(c =>
+      if (c.name == "v") c.copy(declType = "BLOB") else c))
+    val frozen = Map("t" -> metaV1.columns)
+    val checked = CdcDrift.check(null, Seq("t"), opts,
+      introspect = (_, _) => DbMeta("f", "wal", Seq(metaBlobbed)),
+      readTriggers = (_, _) => CdcDrift.expectedTriggers(Seq(metaV1), opts),
+      readSchema = (_, _, _) => Some(frozen))
+    // BLOB-ness changes the image expression → all three triggers stale
+    assert(checked.count(_.kind == "stale") == 3)
+    assert(checked.exists(_.kind.startsWith("declared type changed")))
+  }
+
+  test("no frozen schema (pre-freeze setup) falls back to trigger-text drift only") {
+    val metaRetyped = metaV1.copy(columns = metaV1.columns.map(c =>
+      if (c.name == "id") c.copy(declType = "TEXT") else c))
+    val checked = CdcDrift.check(null, Seq("t"), opts,
+      introspect = (_, _) => DbMeta("f", "wal", Seq(metaRetyped)),
+      readTriggers = (_, _) => CdcDrift.expectedTriggers(Seq(metaRetyped), opts),
+      readSchema = (_, _, _) => None)
+    assert(checked.isEmpty) // blind, but doesn't fail-stop a legacy install
+  }
+
+  test("frozen schema read round-trips through a real JDBC database") {
+    val url = "jdbc:derby:memory:freeze;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // side table absent → None (legacy install)
+      assert(CdcDrift.frozenSchema(conn, Seq("t"), opts).isEmpty)
+      val st = conn.createStatement()
+      // Derby accepts the generated DDL/DML shape (TEXT → VARCHAR here,
+      // but the statement STRUCTURE is what this test pins)
+      st.execute("""CREATE TABLE "__cdc_log_schema" (tablename VARCHAR(128),
+        name VARCHAR(128), decltype VARCHAR(128), pk INT)""")
+      st.execute("""INSERT INTO "__cdc_log_schema" VALUES
+        ('t', 'id', 'INTEGER', 1), ('t', 'v', 'TEXT', 0), ('other', 'x', 'REAL', 0)""")
+      st.close()
+      val frozen = CdcDrift.frozenSchema(conn, Seq("t"), opts)
+      assert(frozen.map(_.keySet).contains(Set("t"))) // 'other' filtered out
+      assert(frozen.get("t").toSet == metaV1.columns.toSet)
+      assert(CdcDrift.schemaDiff(frozen.get, Seq(metaV1)).isEmpty)
+    } finally conn.close()
+  }
+
   test("comparison is whitespace- and IF-NOT-EXISTS-insensitive (sqlite_master text)") {
     val exp = CdcDrift.expectedTriggers(Seq(metaV1), opts)
     // SQLite may store the statement re-flowed; simulate that

@@ -202,6 +202,46 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("funnel equivalence is invariant to replay chunk boundaries (mid-key, mid-session)") {
+    implicit val sq = spark.sqlContext
+    // Same log, several chunkings: batch boundaries placed INSIDE a
+    // user's event run and INSIDE a sub-30-min burst — the places a
+    // flatMapGroupsWithState replay bug hides (state handed across a
+    // boundary mid-transition). Every chunking must equal the batch e6.
+    val all = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[KeyedEvent].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val n = all.size
+    val midKey = (1 until n).filter(i => all(i).user_id == all(i - 1).user_id)
+    val midBurst = midKey.filter(i =>
+      all(i).ts.getTime - all(i - 1).ts.getTime < 30L * 60 * 1000)
+    assert(midKey.nonEmpty && midBurst.nonEmpty, "fixture lost its adversarial cuts")
+    def chunksAt(cuts: Seq[Int]): Seq[Seq[KeyedEvent]] =
+      (Seq(0) ++ cuts ++ Seq(n)).distinct.sorted
+        .sliding(2).collect { case Seq(a, b) if b > a => all.slice(a, b) }.toSeq
+    val chunkings = Seq(
+      "one shot" -> chunksAt(Nil),
+      "mid key" -> chunksAt(Seq(midKey.head, midKey(midKey.size / 2), midKey.last)),
+      "mid session" -> chunksAt(Seq(midBurst.head, midBurst(midBurst.size / 2), midBurst.last)),
+      "fine" -> chunksAt((1 to 4).map(k => k * n / 5)))
+    val batch = graft.operators.Events.e6Funnel(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    chunkings.zipWithIndex.foreach { case ((label, chunks), i) =>
+      val name = s"funnel_chunking_$i"
+      val in = MemoryStream[KeyedEvent]
+      val q = StreamOps.funnelStages(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table(name)
+        .groupBy(col("user_id")).agg(max(col("stage")).cast("long").as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"[$label] stream=$streamed batch=$batch")
+    }
+  }
+
   test("batch-stream equivalence: hourlyAgg replayed over sf0.001 events equals e1 counts") {
     implicit val sq = spark.sqlContext
     val all = graft.Tables.events(spark, sf)
