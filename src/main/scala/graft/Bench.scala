@@ -27,8 +27,17 @@ object Bench {
     // one-time initialization. Does not touch the measured queries.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()
+    // Optional comma-separated query-name filter for iterating on one
+    // operator without paying for the whole grid (dev-only knob; the
+    // driver never sets it, so official rounds always run everything).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink executes the FULL plan — count() would let Catalyst
       // prune the projected columns (e.g. a signature column feeding

@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Edges per shuffle partition for the star loop (~2M 16-byte edge
+    * rows ≈ a 100+ MB partition with row overhead) — the live edge
+    * count divided by this sizes each round's shuffle width. */
+  private val EdgesPerPartition = 2L * 1000 * 1000
+
   /** @param nodes one `id` column, every vertex (isolated ones too)
     * @param edges `a`/`b` columns, undirected, self-loops/dups tolerated
     * @return (id, rep) — rep is the component's minimum id */
@@ -71,14 +76,29 @@ object Components {
     var fp = fingerprint(e)
     var converged = fp._1 == 0L
     var i = 0
-    while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
-      val nfp = fingerprint(next)
-      converged = nfp == fp
-      fp = nfp
-      e = next
-      i += 1
-    }
+    // The star loop's shuffle width follows the LIVE edge count: each
+    // round is ~6 shuffle stages, and at small scale full-width rounds
+    // over a few hundred edges cost more in task scheduling than in
+    // work. Capped at the session's configured width, so a 100 TB edge
+    // set still shuffles at full parallelism (and the user's setting
+    // remains the scale ceiling). Restored even if convergence fails.
+    val spark = nodes.sparkSession
+    val widthKey = "spark.sql.shuffle.partitions"
+    val sessionWidth = spark.conf.get(widthKey).toInt
+    def loopWidth(edgeCount: Long): Int =
+      math.max(1L, math.min(sessionWidth.toLong,
+        (edgeCount + EdgesPerPartition - 1) / EdgesPerPartition)).toInt
+    try {
+      while (!converged && i < maxIter) {
+        spark.conf.set(widthKey, loopWidth(fp._1))
+        val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+        val nfp = fingerprint(next)
+        converged = nfp == fp
+        fp = nfp
+        e = next
+        i += 1
+      }
+    } finally spark.conf.set(widthKey, sessionWidth)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint edge set IS the star graph: u → its component min;
     // isolated nodes (and each min itself) are their own rep. The
