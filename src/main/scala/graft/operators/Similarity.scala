@@ -200,6 +200,21 @@ object Similarity {
     *   silently degrading to a 36-key sort-merge join. */
   def cosinePairs(corpus: DataFrame, parallelism: Int,
       threshold: Double = 0.40, blocks: Int = S3Blocks,
+      broadcastTiles: Option[Boolean] = None): DataFrame =
+    cosinePairsRaw(corpus, parallelism, threshold, blocks, broadcastTiles)
+      // Shuffle barrier before the presentation sort: the range
+      // partitioner SAMPLES its child to pick bounds, and without a
+      // boundary that re-executes the whole (broadcast, narrow) pair
+      // join a second time — measured 2.6 s → 7.6 s at sf0.1. With the
+      // barrier, sampling replays the tiny shuffled survivor set.
+      .repartition(col("a"))
+      .orderBy(col("a"), col("b"))
+
+  /** [[cosinePairs]] without the presentation tail — the form pipeline
+    * consumers (d7 cluster resolution) compose on, where a sorted edge
+    * list would be wasted work. */
+  private[graft] def cosinePairsRaw(corpus: DataFrame, parallelism: Int,
+      threshold: Double = 0.40, blocks: Int = S3Blocks,
       broadcastTiles: Option[Boolean] = None): DataFrame = {
     val g = lit(blocks - 1)
     val e = withNorm(corpus)
@@ -246,13 +261,24 @@ object Similarity {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"),
         round(cos * 1e6).cast("long").as("cos_e6"))
-      // Shuffle barrier before the presentation sort: the range
-      // partitioner SAMPLES its child to pick bounds, and without a
-      // boundary that re-executes the whole (broadcast, narrow) pair
-      // join a second time — measured 2.6 s → 7.6 s at sf0.1. With the
-      // barrier, sampling replays the tiny shuffled survivor set.
-      .repartition(col("a"))
-      .orderBy(col("a"), col("b"))
+  }
+
+  /** d7: embedding-cosine near-dup CLUSTERS — the embedding twin of
+    * Dedup.d6: s3's tiled exact cosine pairs are the edges,
+    * [[Components.connectedComponents]] resolves the transitive
+    * closure, and each vector gets its cluster's minimum vec_id as the
+    * canonical representative. Together with d6 this closes both
+    * near-dup decision paths a pipeline runs (text-shingle and
+    * embedding-space): KEEP is_canonical = 1, drop the rest. */
+  def d7EmbedClusters(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val comp = Components.connectedComponents(
+      e.select(col("vec_id").as("id")),
+      cosinePairsRaw(e, s.sparkContext.defaultParallelism)
+        .select(col("a"), col("b")))
+    comp.select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
+      when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy(col("vec_id"))
   }
 
   /** Brute-force (broadcast nested loop) twin of [[s3CosinePairs]] —
@@ -324,6 +350,7 @@ object Similarity {
     "s2_knn_ivf"      -> s2KnnIvf _,
     "s3_cosine_pairs" -> s3CosinePairs _,
     "s4_knn_sign_lsh" -> s4KnnSignLsh _,
+    "d7_embed_clusters" -> d7EmbedClusters _,
   )
 
   /** Oracle fixed-point dot product between embedding lists (1-based
@@ -421,5 +448,20 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    "d7_embed_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+         |    ${oDot("embedding", "embedding")} AS norm_fp
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE ${oCos(oDot("a.embedding", "b.embedding"), "a.norm_fp", "b.norm_fp")} > 0.40),
+         |ed AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT vec_id, vec_id FROM e
+         |  UNION
+         |  SELECT r.src, ed.v FROM reach r JOIN ed ON r.dst = ed.u)
+         |SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_rep,
+         |  CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
   )
 }

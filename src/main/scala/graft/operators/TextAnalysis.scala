@@ -209,6 +209,55 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
       .transform(Output.ordered(_, col("doc_id")))
 
+  /** x8: repetition signals — the Gopher-style repetition filters
+    * re-expressed over a word stream: the fraction of bigram/trigram
+    * occurrences that are repeats of an earlier occurrence, and the
+    * share of all bigrams taken by the single most frequent one. High
+    * values flag boilerplate, keyword spam, and template text — the
+    * repetition family of pretraining quality filters. All fractions
+    * are integer fixed-point (×1e6) for bit-reproducibility.
+    *
+    * Scale notes (100 TB): one tagged explode feeds a (doc, n, gram)
+    * count with map-side partials (same skew argument as x5's tf), then
+    * a per-doc conditional aggregate over the already-collapsed gram
+    * counts; the left join back re-attaches gram-less docs (sub-2-word)
+    * on the aggregate's own doc_id partitioning. No mode/argmax window:
+    * `max(cnt)` is tie-free and needs no per-gram ordering. */
+  def x8Repetition(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        bigrams2(col("ws")).as("bg"), shingles3(col("ws")).as("tg"))
+      .select(col("doc_id"), explode(concat(
+        transform(col("bg"), g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(col("tg"), g => struct(lit(3).as("n"), g.as("gram")))))
+        .as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val perGram = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = perGram.groupBy(col("doc_id")).agg(
+      sum(when(col("n") === 2, col("cnt")).otherwise(0L)).as("bg_total"),
+      count(when(col("n") === 2, lit(1))).as("bg_distinct"),
+      max(when(col("n") === 2, col("cnt"))).as("bg_top"),
+      sum(when(col("n") === 3, col("cnt")).otherwise(0L)).as("tg_total"),
+      count(when(col("n") === 3, lit(1))).as("tg_distinct"))
+    documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bg_total"), lit(0L)).as("bigrams"),
+        when(col("bg_total") > 0L,
+          idiv((col("bg_total") - col("bg_distinct")) * 1000000L, col("bg_total")))
+          .otherwise(0L).as("dup_bigram_e6"),
+        when(col("bg_total") > 0L,
+          idiv(col("bg_top") * 1000000L, col("bg_total")))
+          .otherwise(0L).as("top_bigram_e6"),
+        coalesce(col("tg_total"), lit(0L)).as("trigrams"),
+        when(col("tg_total") > 0L,
+          idiv((col("tg_total") - col("tg_distinct")) * 1000000L, col("tg_total")))
+          .otherwise(0L).as("dup_trigram_e6"))
+      .transform(Output.ordered(_, col("doc_id")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_token_count" -> x1TokenCount _,
     "x2_quality"     -> x2Quality _,
@@ -217,6 +266,7 @@ object TextAnalysis {
     "x5_tfidf"       -> x5Tfidf _,
     "x6_hash_split"  -> x6HashSplit _,
     "x7_stratified_sample" -> x7StratifiedSample _,
+    "x8_repetition"  -> x8Repetition _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -321,5 +371,35 @@ object TextAnalysis {
         |WHERE bucket < CASE WHEN lang = 'en' THEN 100
         |  WHEN lang IN ('de','es','fr') THEN 50 ELSE 25 END
         |ORDER BY doc_id""".stripMargin,
+    "x8_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+        |ng AS (SELECT doc_id,
+        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) ELSE [] END AS bg,
+        |    CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END AS tg
+        |  FROM t),
+        |g AS (SELECT doc_id, 2 AS n, unnest(bg) AS gram FROM ng
+        |      UNION ALL
+        |      SELECT doc_id, 3 AS n, unnest(tg) AS gram FROM ng),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+        |a AS (SELECT doc_id,
+        |    sum(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS bg_total,
+        |    count(CASE WHEN n = 2 THEN 1 END) AS bg_distinct,
+        |    max(CASE WHEN n = 2 THEN cnt END) AS bg_top,
+        |    sum(CASE WHEN n = 3 THEN cnt ELSE 0 END) AS tg_total,
+        |    count(CASE WHEN n = 3 THEN 1 END) AS tg_distinct
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(coalesce(bg_total, 0) AS BIGINT) AS bigrams,
+        |  CAST(CASE WHEN bg_total > 0
+        |    THEN (bg_total - bg_distinct) * 1000000 // bg_total ELSE 0 END AS BIGINT) AS dup_bigram_e6,
+        |  CAST(CASE WHEN bg_total > 0
+        |    THEN bg_top * 1000000 // bg_total ELSE 0 END AS BIGINT) AS top_bigram_e6,
+        |  CAST(coalesce(tg_total, 0) AS BIGINT) AS trigrams,
+        |  CAST(CASE WHEN tg_total > 0
+        |    THEN (tg_total - tg_distinct) * 1000000 // tg_total ELSE 0 END AS BIGINT) AS dup_trigram_e6
+        |FROM documents LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

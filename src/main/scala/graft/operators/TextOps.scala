@@ -42,6 +42,14 @@ object TextOps {
           element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
       .otherwise(array().cast("array<string>"))
 
+  /** Word bigrams (repetition-signal unit — x8). Docs shorter than 2
+    * words map to the empty array. */
+  def bigrams2(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
   /** Modulus for the MinHash universal-hash family: 2^31 − 1 (prime).
     * a·h + b with a < P, h < 2^32 stays under 2^63 — no BIGINT overflow
     * on either engine. */

@@ -375,6 +375,37 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"funnel regressed to stage joins:\n$plan")
   }
 
+  test("x8 repetition fractions match hand-computed values; gram-less docs score zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x8docs").toString
+    Seq(
+      (1L, "a", "en", "t", 1L),
+      (2L, "x y x y x y", "en", "t", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.x8Repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // 1 word: no grams at all → zero totals, zero fractions
+    assert(out(1L) == Seq(0L, 0L, 0L, 0L, 0L))
+    // "x y x y x y": 5 bigrams {x y ×3, y x ×2} → dup (5-2)/5, top 3/5;
+    // 4 trigrams {x y x ×2, y x y ×2} → dup (4-2)/4
+    assert(out(2L) == Seq(5L, 600000L, 600000L, 4L, 500000L))
+  }
+
+  test("d7 cluster reps are consistent with s3 pairs (every paired vector shares a rep)") {
+    val reps = Similarity.d7EmbedClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Similarity.s3CosinePairs(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(reps(a) == reps(b), s"pair ($a,$b) in different clusters")
+    }
+    reps.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep, s"rep $rep is not its cluster's min")
+    }
+  }
+
   test("text/dedup scans prune to doc_id+text only") {
     val plan = planOf(TextAnalysis.x4Fingerprint(spark, sf))
     assert(plan.contains("ReadSchema"), "no read schema in plan")
