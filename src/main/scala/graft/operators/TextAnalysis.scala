@@ -258,6 +258,63 @@ object TextAnalysis {
       .transform(Output.ordered(_, col("doc_id")))
   }
 
+  /** Packing shard count and per-sequence token budget for x9. At real
+    * scale NShards ≈ cluster parallelism × a small factor; 8 keeps the
+    * toy corpus multi-doc-per-sequence. */
+  val PackShards = 8
+  val PackBudget = 256L
+
+  /** x9: sequence packing — greedy first-fit packing of documents into
+    * fixed-token-budget training sequences, the step between document
+    * curation and tokenization in an LLM data pipeline. Documents are
+    * sharded deterministically (doc_id mod NShards) and packed in
+    * doc_id order within each shard: a doc that would overflow the
+    * budget starts a new sequence (an oversized doc occupies one alone).
+    * Output is one row per packed sequence. Membership is a pure
+    * function of (doc_id, n_tokens) per shard — re-runs and resharding
+    * reproduce the identical packing.
+    *
+    * Scale notes (100 TB): the greedy reset-cumsum is inherently
+    * sequential per shard — no window/HOF expresses it — so this is the
+    * textbook legitimate `mapPartitions`: hash-partition by shard
+    * (every shard lands whole in one task), sort within partitions,
+    * stream each shard once with O(1) state. Parallelism = shard
+    * count, chosen independently of data size; the summary aggregate
+    * afterwards is partial-combined on (shard, seq_id). */
+  def x9SequencePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = PackBudget
+    val packed = documents(s, d)
+      .select(pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .repartition(PackShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        // several shards may share a partition (hash-partitioned);
+        // order within the partition is (shard, doc_id), so a shard
+        // change resets the running sequence state
+        var curShard = Long.MinValue
+        var seq = 0L
+        var acc = 0L
+        it.map { case (sh, id, nt) =>
+          if (sh != curShard) { curShard = sh; seq = 1L; acc = nt }
+          else if (acc + nt > budget) { seq += 1L; acc = nt }
+          else acc += nt
+          (sh, id, nt, seq)
+        }
+      }
+      .toDF("shard", "doc_id", "n_tokens", "seq_id")
+    packed
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_token_count" -> x1TokenCount _,
     "x2_quality"     -> x2Quality _,
@@ -267,6 +324,7 @@ object TextAnalysis {
     "x6_hash_split"  -> x6HashSplit _,
     "x7_stratified_sample" -> x7StratifiedSample _,
     "x8_repetition"  -> x8Repetition _,
+    "x9_seq_pack"    -> x9SequencePack _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -401,5 +459,22 @@ object TextAnalysis {
         |  CAST(CASE WHEN tg_total > 0
         |    THEN (tg_total - tg_distinct) * 1000000 // tg_total ELSE 0 END AS BIGINT) AS dup_trigram_e6
         |FROM documents LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "x9_seq_pack" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id % $PackShards AS shard, doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w != '')) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |walk(shard, rn, doc_id, n_tokens, seq_id, acc) AS (
+         |  SELECT shard, rn, doc_id, n_tokens, CAST(1 AS BIGINT), n_tokens
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN w.acc + d.n_tokens > $PackBudget THEN w.seq_id + 1 ELSE w.seq_id END,
+         |    CASE WHEN w.acc + d.n_tokens > $PackBudget THEN d.n_tokens ELSE w.acc + d.n_tokens END
+         |  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1)
+         |SELECT CAST(shard AS BIGINT) AS shard, seq_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM walk GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
   )
 }

@@ -392,6 +392,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(2L) == Seq(5L, 600000L, 600000L, 4L, 500000L))
   }
 
+  test("x9 packing: budget respected, every doc packed once, shard ranges disjoint") {
+    val seqs = TextAnalysis.x9SequencePack(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(seqs.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    seqs.foreach { r =>
+      assert(r.getAs[Long]("seq_tokens") <= TextAnalysis.PackBudget ||
+        r.getAs[Long]("n_docs") == 1L,
+        s"over-budget multi-doc sequence: $r")
+    }
+    // greedy doc_id-order packing ⇒ within a shard, consecutive
+    // sequences cover strictly increasing, disjoint doc_id ranges
+    seqs.groupBy(_.getAs[Long]("shard")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("seq_id"))
+      assert(sorted.map(_.getAs[Long]("seq_id")).toSeq ==
+        (1L to sorted.length.toLong), "non-contiguous seq ids")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
+
   test("d7 cluster reps are consistent with s3 pairs (every paired vector shares a rep)") {
     val reps = Similarity.d7EmbedClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
