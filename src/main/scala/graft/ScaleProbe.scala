@@ -79,6 +79,30 @@ object ScaleProbe {
       // q13 shape: histogram-based exact quantiles over lineitem×m
       time("hist_quantile") {
         operators.Relational.q13Pipeline(x("lineitem"))
+      },
+      // x8 shape: tagged n-gram explode + two-level count over docs×m
+      time("repetition") {
+        operators.TextAnalysis.repetitionSignals(
+          x("documents").select(
+            monotonically_increasing_id().as("doc_id"), col("text")))
+      },
+      // x9 shape: per-shard greedy packing over docs×m
+      time("seq_pack") {
+        operators.TextAnalysis.packSequences(
+          x("documents").select(
+            monotonically_increasing_id().as("doc_id"), col("text")),
+          spark.sparkContext.defaultParallelism,
+          operators.TextAnalysis.PackBudget)
+      },
+      // d6/d7 shape: alternating-star connected components over a
+      // synthetic 50k×m-node graph of 64-chains — fixed round count
+      // (O(log diameter)), so the probe isolates per-round linearity
+      time("components") {
+        val n = 50000L * m
+        operators.Components.connectedComponents(
+          spark.range(n).select(col("id")),
+          spark.range(n).filter(col("id") % 64L =!= 63L)
+            .select(col("id").as("a"), (col("id") + 1L).as("b")))
       })
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -223,8 +223,14 @@ object TextAnalysis {
     * counts; the left join back re-attaches gram-less docs (sub-2-word)
     * on the aggregate's own doc_id partitioning. No mode/argmax window:
     * `max(cnt)` is tie-free and needs no per-gram ordering. */
-  def x8Repetition(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d)
+  def x8Repetition(s: SparkSession, d: String): DataFrame =
+    repetitionSignals(documents(s, d))
+      .transform(Output.ordered(_, col("doc_id")))
+
+  /** Library form of [[x8Repetition]] over any (doc_id, text) frame;
+    * presentation order left to the caller. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val grams = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
         bigrams2(col("ws")).as("bg"), shingles3(col("ws")).as("tg"))
@@ -241,7 +247,7 @@ object TextAnalysis {
       max(when(col("n") === 2, col("cnt"))).as("bg_top"),
       sum(when(col("n") === 3, col("cnt")).otherwise(0L)).as("tg_total"),
       count(when(col("n") === 3, lit(1))).as("tg_distinct"))
-    documents(s, d).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("bg_total"), lit(0L)).as("bigrams"),
@@ -255,7 +261,6 @@ object TextAnalysis {
         when(col("tg_total") > 0L,
           idiv((col("tg_total") - col("tg_distinct")) * 1000000L, col("tg_total")))
           .otherwise(0L).as("dup_trigram_e6"))
-      .transform(Output.ordered(_, col("doc_id")))
   }
 
   /** Packing shard count and per-sequence token budget for x9. At real
@@ -281,15 +286,20 @@ object TextAnalysis {
     * stream each shard once with O(1) state. Parallelism = shard
     * count, chosen independently of data size; the summary aggregate
     * afterwards is partial-combined on (shard, seq_id). */
-  def x9SequencePack(s: SparkSession, d: String): DataFrame = {
+  def x9SequencePack(s: SparkSession, d: String): DataFrame =
+    packSequences(documents(s, d), PackShards, PackBudget)
+
+  /** Library form of [[x9SequencePack]] over any (doc_id, text) frame
+    * with a chosen shard count and token budget. */
+  def packSequences(docs: DataFrame, shards: Int, budget: Long): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val budget = PackBudget
-    val packed = documents(s, d)
-      .select(pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+    val packed = docs
+      .select(pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
         col("doc_id"),
         size(words(col("text"))).cast("long").as("n_tokens"))
       .as[(Long, Long, Long)]
-      .repartition(PackShards, col("shard"))
+      .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .mapPartitions { it =>
         // several shards may share a partition (hash-partitioned);
