@@ -38,17 +38,21 @@ object Dedup {
     * stats via window over the hash (one shuffle, hash computed once —
     * a groupBy + self-join would evaluate the normalize+md5 subtree
     * twice, once per join branch). */
-  def d1ExactDedup(s: SparkSession, d: String): DataFrame = {
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    exactDupManifest(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Library form of [[d1ExactDedup]] over any (doc_id, text) frame;
+    * presentation order left to the caller. */
+  def exactDupManifest(docs: DataFrame): DataFrame = {
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("content_md5"))
-    documents(s, d)
+    docs
       .select(col("doc_id"), md5(normText(col("text"))).as("content_md5"))
       .withColumn("canonical_id", min(col("doc_id")).over(byHash))
       .withColumn("group_size", count(lit(1)).over(byHash))
       .select(col("doc_id"), col("content_md5"), col("canonical_id"),
         (col("doc_id") =!= col("canonical_id")).as("is_dup"),
         col("group_size"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-doc MinHash signature + LSH band keys (shared by d2/d3).
@@ -231,14 +235,17 @@ object Dedup {
     * canonical representative. A pipeline KEEPS rows where
     * is_canonical = 1 and drops the rest — this query materializes that
     * decision for every document. */
-  def d6DupClusters(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def d6DupClusters(s: SparkSession, d: String): DataFrame =
+    dupClusters(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Library form of [[d6DupClusters]] over any (doc_id, text) frame;
+    * presentation order left to the caller. */
+  def dupClusters(docs: DataFrame): DataFrame = {
     val comp = Components.connectedComponents(
       docs.select(col("doc_id").as("id")),
       simhashPairs(docs).select(col("a"), col("b")))
     comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
       when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
-      .orderBy(col("doc_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,9 +44,15 @@ object TextAnalysis {
   /** x2: heuristic quality score — length band, mean token length band,
     * stopword ratio, all fixed-point integer (reproducible across
     * engines and partitionings). */
-  def x2Quality(s: SparkSession, d: String): DataFrame = {
+  def x2Quality(s: SparkSession, d: String): DataFrame =
+    qualitySignals(documents(s, d))
+      .transform(Output.ordered(_, col("doc_id")))
+
+  /** Library form of [[x2Quality]] over any (doc_id, text) frame;
+    * presentation order left to the caller. */
+  def qualitySignals(docs: DataFrame): DataFrame = {
     val ws = col("ws")
-    val base = documents(s, d)
+    val base = docs
       .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
       .select(
         col("doc_id"),
@@ -64,7 +70,6 @@ object TextAnalysis {
         when(col("n_chars").between(100L, 2000L), 300L).otherwise(0L) +
           when(col("avg_tok_len_e3").between(3000L, 8000L), 400L).otherwise(0L) +
           when(col("stop_ratio_e3").between(20L, 400L), 300L).otherwise(0L))
-      .transform(Output.ordered(_, col("doc_id")))
   }
 
   /** Per-language marker words for the n-gram/stopword langid heuristic. */
@@ -80,9 +85,15 @@ object TextAnalysis {
     * pipeline swaps the marker table for charset n-gram profiles; the
     * dataflow (narrow map, argmax over a small static table) is
     * identical. */
-  def x3LangId(s: SparkSession, d: String): DataFrame = {
+  def x3LangId(s: SparkSession, d: String): DataFrame =
+    langIdSignals(documents(s, d))
+      .transform(Output.ordered(_, col("doc_id")))
+
+  /** Library form of [[x3LangId]] over any (doc_id, text) frame;
+    * presentation order left to the caller. */
+  def langIdSignals(docs: DataFrame): DataFrame = {
     val ws = col("ws")
-    val scored = documents(s, d)
+    val scored = docs
       .select(col("doc_id"), words(lower(col("text"))).as("ws"))
       .select(
         (col("doc_id") +: LangMarkers.map { case (lang, markers) =>
@@ -99,7 +110,6 @@ object TextAnalysis {
             lit(lang)).otherwise(els)
         })
       .select(col("doc_id"), col("pred_lang"), col("score_en"), col("best_score"))
-      .transform(Output.ordered(_, col("doc_id")))
   }
 
   /** x4: document fingerprints — exact content hash (md5 of normalized
@@ -325,6 +335,47 @@ object TextAnalysis {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  /** Minimum composite quality score (x2 bands) a kept doc needs. */
+  val CurateMinQuality = 500L
+
+  /** x10: the curation manifest — the query a training-data pipeline
+    * actually ships: every signal stage joined into one keep/drop
+    * decision per document, with the first failing rule as the reject
+    * reason (priority: exact_dup > near_dup > lang > quality). KEEP
+    * rows with keep = true; the manifest records why everything else
+    * was dropped — the audit trail data-curation reviews ask for.
+    *
+    * Scale notes (100 TB): four signal frames (exact-dup window,
+    * SimHash cluster resolution, quality + langid narrow maps) joined
+    * on doc_id — each arrives from its own natural partitioning, so
+    * the 4-way join co-partitions everything on doc_id once (AQE picks
+    * broadcast for any side that turns out tiny). The signal stages
+    * are the library forms without presentation sorts, so no wasted
+    * range exchange feeds a hash join. */
+  def x10Curate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val exact = Dedup.exactDupManifest(docs)
+      .select(col("doc_id"), col("is_dup"))
+    val near = Dedup.dupClusters(docs)
+      .select(col("doc_id"), col("cluster_rep"), col("is_canonical"))
+    val qual = qualitySignals(docs).select(col("doc_id"), col("quality_e3"))
+    val lang = langIdSignals(docs).select(col("doc_id"), col("pred_lang"))
+    docs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(near, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .withColumn("reject_reason",
+        when(col("is_dup"), "exact_dup")
+          .when(col("is_canonical") === 0L, "near_dup")
+          .when(col("pred_lang") =!= "en", "lang")
+          .when(col("quality_e3") < CurateMinQuality, "quality"))
+      .select(col("doc_id"), col("reject_reason").isNull.as("keep"),
+        col("reject_reason"), col("cluster_rep"), col("quality_e3"),
+        col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_token_count" -> x1TokenCount _,
     "x2_quality"     -> x2Quality _,
@@ -335,6 +386,7 @@ object TextAnalysis {
     "x7_stratified_sample" -> x7StratifiedSample _,
     "x8_repetition"  -> x8Repetition _,
     "x9_seq_pack"    -> x9SequencePack _,
+    "x10_curate"     -> x10Curate _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -486,5 +538,66 @@ object TextAnalysis {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM walk GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+    "x10_curate" -> {
+      val scores = LangMarkers.map { case (lang, markers) =>
+        s"CAST(len(list_filter(lws, w -> w IN ${inList(markers)})) AS BIGINT) AS score_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = LangMarkers.map { case (l, _) => s"score_$l" }
+        .reduce((a, b) => s"greatest($a, $b)")
+      val predCase = LangMarkers.map { case (l, _) =>
+        s"WHEN score_$l = best_score AND best_score > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |sg AS (SELECT doc_id,
+         |    list_aggregate(list_transform(range(1, 33), j ->
+         |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+         |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+         |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+         |  FROM t),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE coalesce(list_sum(list_transform(range(1, 33), j ->
+         |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0) <= 1),
+         |ed AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT r.src, ed.v FROM reach r JOIN ed ON r.dst = ed.u),
+         |cl AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep,
+         |    CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS is_canonical
+         |  FROM reach GROUP BY src),
+         |ex AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS is_dup
+         |  FROM t),
+         |qb AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_tok_len,
+         |    CAST(len(list_filter(ws, w -> w IN ${inList(EnStop)})) AS BIGINT) AS n_stop
+         |  FROM t),
+         |qq AS (SELECT doc_id,
+         |    (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 300 ELSE 0 END +
+         |     CASE WHEN sum_tok_len * 1000 // greatest(n_tokens, 1) BETWEEN 3000 AND 8000 THEN 400 ELSE 0 END +
+         |     CASE WHEN n_stop * 1000 // greatest(n_tokens, 1) BETWEEN 20 AND 400 THEN 300 ELSE 0 END) AS quality_e3
+         |  FROM qb),
+         |tl AS (SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), w -> w != '') lws FROM t),
+         |sc AS (SELECT doc_id,
+         |    $scores
+         |  FROM tl),
+         |lb AS (SELECT *, $bestExpr AS best_score FROM sc),
+         |lg AS (SELECT doc_id, CASE $predCase ELSE 'und' END AS pred_lang FROM lb),
+         |fin AS (SELECT t.doc_id, cl.cluster_rep, qq.quality_e3, lg.pred_lang,
+         |    CASE WHEN ex.is_dup THEN 'exact_dup'
+         |         WHEN cl.is_canonical = 0 THEN 'near_dup'
+         |         WHEN lg.pred_lang <> 'en' THEN 'lang'
+         |         WHEN qq.quality_e3 < $CurateMinQuality THEN 'quality' END AS reject_reason
+         |  FROM t JOIN cl ON t.doc_id = cl.doc_id JOIN ex ON t.doc_id = ex.doc_id
+         |    JOIN qq ON t.doc_id = qq.doc_id JOIN lg ON t.doc_id = lg.doc_id)
+         |SELECT doc_id, reject_reason IS NULL AS keep, reject_reason, cluster_rep,
+         |  CAST(quality_e3 AS BIGINT) AS quality_e3, pred_lang
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
   )
 }

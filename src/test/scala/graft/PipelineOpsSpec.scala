@@ -415,6 +415,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("x10 curation manifest is consistent with its signal stages") {
+    val manifest = TextAnalysis.x10Curate(spark, sf).collect()
+    assert(manifest.length == Tables.documents(spark, sf).count())
+    val kept = manifest.filter(_.getAs[Boolean]("keep"))
+    assert(kept.nonEmpty && kept.length < manifest.length,
+      "degenerate manifest: everything kept or everything dropped")
+    // kept docs pass every rule
+    kept.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("reject_reason")))
+      assert(r.getAs[String]("pred_lang") == "en")
+      assert(r.getAs[Long]("quality_e3") >= TextAnalysis.CurateMinQuality)
+      assert(r.getAs[Long]("cluster_rep") == r.getAs[Long]("doc_id"),
+        "kept doc is not its near-dup cluster's canonical")
+    }
+    // reject reasons agree with the underlying stages
+    val exactDups = Dedup.d1ExactDedup(spark, sf).collect()
+      .filter(_.getAs[Boolean]("is_dup")).map(_.getAs[Long]("doc_id")).toSet
+    manifest.foreach { r =>
+      val reason = Option(r.getAs[String]("reject_reason"))
+      assert(reason.contains("exact_dup") ==
+        exactDups.contains(r.getAs[Long]("doc_id")),
+        s"exact_dup mismatch for ${r.getAs[Long]("doc_id")}: $reason")
+    }
+  }
+
   test("d7 cluster reps are consistent with s3 pairs (every paired vector shares a rep)") {
     val reps = Similarity.d7EmbedClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
