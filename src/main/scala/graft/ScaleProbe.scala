@@ -101,7 +101,7 @@ object ScaleProbe {
         val n = 50000L * m
         operators.Components.connectedComponents(
           spark.range(n).select(col("id")),
-          spark.range(n).filter(col("id") % 64L =!= 63L)
+          spark.range(n - 1).filter(col("id") % 64L =!= 63L)
             .select(col("id").as("a"), (col("id") + 1L).as("b")))
       })
 

@@ -25,7 +25,7 @@ object CdcDdl {
       blobSupport: Boolean = false,
       subsecTimestamps: Boolean = true)
 
-  private def qi(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+  private[cdc] def qi(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Log-table DDL (reference triggers.go:410-419). `id` is the stream

@@ -89,15 +89,30 @@ object CdcDrift {
 
   /** The schema frozen at setup time, from the CdcDdl side table; None
     * when the side table is absent (setup predates the schema freeze) —
-    * drift detection then falls back to trigger-text comparison only. */
+    * drift detection then falls back to trigger-text comparison only.
+    * Absence is probed explicitly via JDBC catalog metadata: any OTHER
+    * failure (lock contention, I/O, permissions) propagates, because a
+    * drift GUARD that fails open on transient errors reports "no
+    * drift" exactly when it could not look. */
   def frozenSchema(conn: java.sql.Connection, tables: Seq[String],
       o: CdcDdl.Options): Option[Map[String, Seq[SqliteCatalog.ColumnMeta]]] = {
     val name = CdcDdl.schemaTableName(o)
-    try {
+    val md = conn.getMetaData
+    // getTables takes a LIKE pattern: escape its wildcards so the
+    // underscores in "__cdc_log_schema" match literally
+    val esc = md.getSearchStringEscape
+    val pattern = name.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    val exists = {
+      val r = md.getTables(null, null, pattern, null)
+      try r.next() finally r.close()
+    }
+    if (!exists) None
+    else {
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery(
-          s"""SELECT tablename, name, decltype, pk FROM "$name"""")
+          s"SELECT tablename, name, decltype, pk FROM ${CdcDdl.qi(name)}")
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(String, SqliteCatalog.ColumnMeta)]
         while (rs.next())
@@ -107,8 +122,6 @@ object CdcDrift {
         Some(buf.filter(r => tables.contains(r._1))
           .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap)
       } finally st.close()
-    } catch {
-      case _: java.sql.SQLException => None // side table absent
     }
   }
 

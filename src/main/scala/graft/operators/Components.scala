@@ -37,25 +37,35 @@ object Components {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
 
+    // Width control: every star step starts from an EXPLICIT w-way
+    // repartition on its shuffle key, and each downstream groupBy /
+    // join / distinct reuses that partitioning (ClusteredDistribution
+    // is satisfied, EnsureRequirements inserts no further exchange) —
+    // so the whole round runs at width w without touching the
+    // session-global shuffle.partitions (which would leak to, and race
+    // with, concurrent queries on the same session).
+
     // large-star: every neighbor larger than u links to the minimum of
     // u's neighborhood (incl. u) — halves large-id fan-out paths
-    def largeStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
+    def largeStar(e: DataFrame, w: Int): DataFrame = {
+      val s = sym(e).repartition(w, col("u"))
       val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
       s.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
+        .repartition(w, col("u"), col("v")).distinct()
     }
 
     // small-star: u and its not-larger neighbors all link to their min
-    def smallStar(e: DataFrame): DataFrame = {
-      val s = sym(e).filter(col("v") < col("u"))
+    def smallStar(e: DataFrame, w: Int): DataFrame = {
+      val s = sym(e).filter(col("v") < col("u")).repartition(w, col("u"))
       val mins = s.groupBy(col("u")).agg(min(col("v")).as("m"))
       val leaves = s.join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
       val self = mins.select(col("u"), col("m").as("v"))
-      leaves.union(self).filter(col("u") =!= col("v")).distinct()
+      leaves.union(self).filter(col("u") =!= col("v"))
+        .repartition(w, col("u"), col("v")).distinct()
     }
 
     def fingerprint(e: DataFrame): (Long, Long) = {
@@ -81,24 +91,22 @@ object Components {
     // over a few hundred edges cost more in task scheduling than in
     // work. Capped at the session's configured width, so a 100 TB edge
     // set still shuffles at full parallelism (and the user's setting
-    // remains the scale ceiling). Restored even if convergence fails.
-    val spark = nodes.sparkSession
-    val widthKey = "spark.sql.shuffle.partitions"
-    val sessionWidth = spark.conf.get(widthKey).toInt
+    // remains the scale ceiling). Width is injected via the explicit
+    // repartitions inside the star steps — no session state is touched.
+    val sessionWidth =
+      nodes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     def loopWidth(edgeCount: Long): Int =
       math.max(1L, math.min(sessionWidth.toLong,
         (edgeCount + EdgesPerPartition - 1) / EdgesPerPartition)).toInt
-    try {
-      while (!converged && i < maxIter) {
-        spark.conf.set(widthKey, loopWidth(fp._1))
-        val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
-        val nfp = fingerprint(next)
-        converged = nfp == fp
-        fp = nfp
-        e = next
-        i += 1
-      }
-    } finally spark.conf.set(widthKey, sessionWidth)
+    while (!converged && i < maxIter) {
+      val w = loopWidth(fp._1)
+      val next = smallStar(largeStar(e, w), w).localCheckpoint(eager = false)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      e = next
+      i += 1
+    }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // fixpoint edge set IS the star graph: u → its component min;
     // isolated nodes (and each min itself) are their own rep. The

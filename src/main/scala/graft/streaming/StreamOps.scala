@@ -49,6 +49,14 @@ object StreamOps {
     * (after, else before for DELETEs), so this works on the raw log
     * stream without a typed decode. State is O(live keys), distributed
     * by key.
+    *
+    * CHECKPOINT COMPATIBILITY: the state key encoding changed from a
+    * bare concat of pk values to the JSON tuple (the concat collapsed
+    * composite keys). A query restarted from a checkpoint written by
+    * the old encoding would carry both keyings side by side — stale
+    * concat-keyed entries are never updated again while new rows key
+    * under the JSON form. Restart such views from a fresh checkpoint
+    * (replay the log; the view is deterministic from it).
     * @param pkCols primary-key column names inside the row images */
   def materializedView(logRows: DataFrame, table: String,
       pkCols: Seq[String]): Dataset[KeyState] = {

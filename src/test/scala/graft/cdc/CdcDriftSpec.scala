@@ -105,6 +105,29 @@ class CdcDriftSpec extends SparkSpecBase {
     } finally conn.close()
   }
 
+  test("frozenSchema: quote-bearing names escape; real read errors propagate (no fail-open)") {
+    val url = "jdbc:derby:memory:freeze2;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // evil log-table name: the SELECT must double the embedded quote
+      val evil = CdcDdl.Options(logTable = "my\"log")
+      assert(CdcDrift.frozenSchema(conn, Seq("t"), evil).isEmpty) // absent ≠ error
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE "my""log_schema" (tablename VARCHAR(128),
+        name VARCHAR(128), decltype VARCHAR(128), pk INT)""")
+      st.execute("""INSERT INTO "my""log_schema" VALUES ('t', 'id', 'INTEGER', 1)""")
+      // default side table present but with an unreadable shape: the
+      // guard must FAIL, not silently disable declared-type detection
+      st.execute("""CREATE TABLE "__cdc_log_schema" (wrong INT)""")
+      st.close()
+      val frozen = CdcDrift.frozenSchema(conn, Seq("t"), evil)
+      assert(frozen.map(_.keySet).contains(Set("t")))
+      intercept[java.sql.SQLException] {
+        CdcDrift.frozenSchema(conn, Seq("t"), CdcDdl.Options())
+      }
+    } finally conn.close()
+  }
+
   test("comparison is whitespace- and IF-NOT-EXISTS-insensitive (sqlite_master text)") {
     val exp = CdcDrift.expectedTriggers(Seq(metaV1), opts)
     // SQLite may store the statement re-flowed; simulate that
