@@ -415,6 +415,37 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("property: x9 packing equals a driver-side greedy reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val n = 20 + rnd.nextInt(180)
+      // sparse ids across shards, token counts spanning under/oversized
+      val docs = (0 until n).map { _ =>
+        (rnd.nextLong().abs % 10000L, 1 + rnd.nextInt(120))
+      }.distinctBy(_._1)
+      val df = docs.map { case (id, nt) => (id, Seq.fill(nt)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val shards = 4
+      val budget = 64L
+      // driver-side greedy reference: per shard, doc_id order, reset on overflow
+      val want = docs.groupBy(_._1 % shards).flatMap { case (sh, ds) =>
+        var seq = 0L; var acc = 0L
+        ds.sortBy(_._1).map { case (id, nt) =>
+          if (seq == 0L || acc + nt > budget) { seq += 1L; acc = nt.toLong }
+          else acc += nt.toLong
+          (sh, seq, id, nt.toLong)
+        }
+      }.toSeq.groupBy(t => (t._1, t._2)).map { case ((sh, seq), g) =>
+        (sh, seq, g.size.toLong, g.map(_._4).sum, g.map(_._3).min, g.map(_._3).max)
+      }.toSet
+      val got = TextAnalysis.packSequences(df, shards, budget).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got == want, s"n=${docs.size}")
+    }
+  }
+
   test("x10 curation manifest is consistent with its signal stages") {
     val manifest = TextAnalysis.x10Curate(spark, sf).collect()
     assert(manifest.length == Tables.documents(spark, sf).count())
