@@ -88,4 +88,22 @@ object Warehouse {
     * replaces the per-query shuffle. */
   def coLocatedJoin(s: SparkSession, left: String, right: String, key: String): DataFrame =
     s.table(left).join(s.table(right), key)
+
+  /** Per-doc curation signals joined over a doc_id-bucketed documents
+    * table. The signal stages used here (quality bands, language id)
+    * are NARROW maps, so each preserves the write-time bucketing and
+    * the joins back to the docs plan with no Exchange on any side
+    * (asserted in WarehouseSpec) — the x10 manifest's join fabric with
+    * its per-query doc_id shuffle paid once at write time. Corpus-wide
+    * signals (the exact-dup window, cluster resolution) still shuffle
+    * on their own keys; bucketing cannot absorb a grouping on a
+    * different key. */
+  def curationSignalJoin(s: SparkSession, table: String): DataFrame = {
+    val docs = s.table(table)
+    docs.select(col("doc_id"))
+      .join(TextAnalysis.qualitySignals(docs)
+        .select(col("doc_id"), col("quality_e3")), Seq("doc_id"))
+      .join(TextAnalysis.langIdSignals(docs)
+        .select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+  }
 }

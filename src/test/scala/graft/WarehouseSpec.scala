@@ -43,6 +43,33 @@ class WarehouseSpec extends SparkSpecBase {
     assert(expect.head.getLong(0) == 3L, "query vector should rank first in its own bucket")
   }
 
+  test("doc_id-bucketed documents: narrow signal maps join exchange-free") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Warehouse.writeBucketed(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        "wh_docs", "doc_id", 4)
+      val joined = Warehouse.curationSignalJoin(spark, "wh_docs")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed signal join still shuffles:\n$plan")
+      // signal values match the unbucketed stages
+      val want = operators.TextAnalysis.x2Quality(spark, sf)
+        .select(col("doc_id"), col("quality_e3")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = joined.collect()
+      assert(got.length == want.size)
+      got.foreach { r =>
+        assert(r.getAs[Long]("quality_e3") == want(r.getAs[Long]("doc_id")))
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS wh_docs")
+    }
+  }
+
   test("co-bucketed tables join without an exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
