@@ -485,6 +485,13 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("x10 joins stay hash/merge equi-joins (no cartesian fallback)") {
+    val plan = planOf(TextAnalysis.x10Curate(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x10 signal join degenerated:\n$plan")
+  }
+
   test("text/dedup scans prune to doc_id+text only") {
     val plan = planOf(TextAnalysis.x4Fingerprint(spark, sf))
     assert(plan.contains("ReadSchema"), "no read schema in plan")
