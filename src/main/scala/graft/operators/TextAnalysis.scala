@@ -335,6 +335,50 @@ object TextAnalysis {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  /** x11: contamination check (train/test decontamination) — for every
+    * test-split document (x6's hash split), the train-split documents
+    * it shares word-3-gram shingles with: benchmark leakage detection,
+    * the step run before any training corpus ships. Inverted-index
+    * join on the shingle (the d4 shape — candidate pairs only, never
+    * the doc cross product); the top offender per test doc is picked
+    * by a (shared count desc, train_doc) window.
+    *
+    * Scale notes (100 TB): the (doc, shingle) frame shuffles once on
+    * the shingle for the join; ultra-common shingles are the d4/d3
+    * skew case — production caps shingle document-frequency the same
+    * way Dedup.lshCandidates caps bucket size, trading recall on
+    * boilerplate n-grams for a bounded join. Exact here for the
+    * oracle. */
+  def x11Contamination(s: SparkSession, d: String): DataFrame = {
+    val byTest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_doc"))
+    val rankW = byTest.orderBy(col("shared_shingles").desc, col("train_doc"))
+    val sh = documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100L)
+      .filter(col("bucket") < 80L || col("bucket") >= 90L)
+      .withColumn("split", when(col("bucket") < 80L, "train").otherwise("test"))
+      .select(col("doc_id"), col("split"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("split"),
+        explode(shingles3(col("ws"))).as("shingle"))
+      .distinct()
+    val train = sh.filter(col("split") === "train")
+      .select(col("shingle"), col("doc_id").as("train_doc"))
+    val test = sh.filter(col("split") === "test")
+      .select(col("shingle"), col("doc_id").as("test_doc"))
+    train.join(test, "shingle")
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n_train_docs", count(lit(1)).over(byTest))
+      .filter(col("rn") === 1)
+      .select(col("test_doc"), col("n_train_docs"),
+        col("train_doc").as("top_train_doc"),
+        col("shared_shingles").as("top_shared"))
+      .orderBy(col("test_doc"))
+  }
+
   /** Minimum composite quality score (x2 bands) a kept doc needs. */
   val CurateMinQuality = 500L
 
@@ -387,10 +431,19 @@ object TextAnalysis {
     "x8_repetition"  -> x8Repetition _,
     "x9_seq_pack"    -> x9SequencePack _,
     "x10_curate"     -> x10Curate _,
+    "x11_contamination" -> x11Contamination _,
   )
 
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  /** DuckDB mirror of the 4-hex-char md5 bucket fold (x6/x7/x11). */
+  private def oBucket4(h: String): String = {
+    def v(i: Int) =
+      s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +
+        s" ELSE ascii(substr($h,$i,1)) - 87 END)"
+    s"((((CAST(${v(1)} AS BIGINT) * 16 + ${v(2)}) * 16 + ${v(3)}) * 16 + ${v(4)}) % 100)"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "x1_token_count" ->
@@ -599,5 +652,31 @@ object TextAnalysis {
          |  CAST(quality_e3 AS BIGINT) AS quality_e3, pred_lang
          |FROM fin ORDER BY doc_id""".stripMargin
     },
+    "x11_contamination" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |h AS (SELECT doc_id, ws,
+         |    ${oBucket4("md5(doc_id::VARCHAR)")} AS bucket FROM t),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split, ws
+         |  FROM h WHERE bucket < 80 OR bucket >= 90),
+         |g0 AS (SELECT doc_id, split,
+         |    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END) AS shingle
+         |  FROM sp),
+         |g AS (SELECT DISTINCT doc_id, split, shingle FROM g0),
+         |shared AS (SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+         |    count(*) AS shared_shingles
+         |  FROM g tr JOIN g te ON tr.shingle = te.shingle
+         |    AND tr.split = 'train' AND te.split = 'test'
+         |  GROUP BY te.doc_id, tr.doc_id),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY test_doc
+         |      ORDER BY shared_shingles DESC, train_doc) AS rn,
+         |    count(*) OVER (PARTITION BY test_doc) AS n_train_docs
+         |  FROM shared)
+         |SELECT test_doc, CAST(n_train_docs AS BIGINT) AS n_train_docs,
+         |  train_doc AS top_train_doc, CAST(shared_shingles AS BIGINT) AS top_shared
+         |FROM r WHERE rn = 1 ORDER BY test_doc""".stripMargin,
   )
 }

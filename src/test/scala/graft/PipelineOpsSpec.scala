@@ -485,6 +485,38 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("x11 contamination: only test-split docs report, top offender shares real shingles") {
+    val rows = TextAnalysis.x11Contamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // split membership must agree with x6's hash gate
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 100L
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(id: Long): Set[String] = {
+      val ws = texts(id).split(" ").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    rows.foreach { r =>
+      val te = r.getAs[Long]("test_doc")
+      val tr = r.getAs[Long]("top_train_doc")
+      assert(bucket(te) >= 90L, s"test_doc $te is not in the test split")
+      assert(bucket(tr) < 80L, s"top_train_doc $tr is not in the train split")
+      val shared = shingleSet(te).intersect(shingleSet(tr)).size.toLong
+      assert(r.getAs[Long]("top_shared") == shared,
+        s"shared-shingle count mismatch for ($te,$tr)")
+      assert(r.getAs[Long]("n_train_docs") >= 1L)
+    }
+    val plan = planOf(TextAnalysis.x11Contamination(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination join degenerated:\n$plan")
+  }
+
   test("x10 joins stay hash/merge equi-joins (no cartesian fallback)") {
     val plan = planOf(TextAnalysis.x10Curate(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
