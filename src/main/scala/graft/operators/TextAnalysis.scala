@@ -186,9 +186,7 @@ object TextAnalysis {
     * aggregate. */
   def x6HashSplit(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100L)
+      .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
       .withColumn("split",
         when(col("bucket") < 80L, "train")
           .when(col("bucket") < 90L, "val").otherwise("test"))
@@ -209,8 +207,7 @@ object TextAnalysis {
   def x7StratifiedSample(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("bucket",
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 4),
-          16, 10).cast("long") % 100L)
+        hashBucket(concat(col("doc_id").cast("string"), lit(":mix"))))
       .withColumn("rate",
         when(col("lang") === "en", 100L)
           .when(col("lang").isin("de", "es", "fr"), 50L)
@@ -335,6 +332,13 @@ object TextAnalysis {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  /** The shared percent-bucket hash gate (x6 split, x7 mixing salt,
+    * x11 decontamination): first 4 hex chars of md5(key) mod 100.
+    * One definition so the decontamination check can never drift from
+    * the split it audits. */
+  def hashBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(key), 1, 4), 16, 10).cast("long") % 100L
+
   /** x11: contamination check (train/test decontamination) — for every
     * test-split document (x6's hash split), the train-split documents
     * it shares word-3-gram shingles with: benchmark leakage detection,
@@ -354,9 +358,7 @@ object TextAnalysis {
       .partitionBy(col("test_doc"))
     val rankW = byTest.orderBy(col("shared_shingles").desc, col("train_doc"))
     val sh = documents(s, d)
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100L)
+      .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
       .filter(col("bucket") < 80L || col("bucket") >= 90L)
       .withColumn("split", when(col("bucket") < 80L, "train").otherwise("test"))
       .select(col("doc_id"), col("split"), words(col("text")).as("ws"))
@@ -526,8 +528,8 @@ object TextAnalysis {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf_e6
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "x6_hash_split" ->
-      """WITH h AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h FROM documents),
-        |b AS (SELECT doc_id, n_chars, (((CAST((CASE WHEN ascii(substr(h,1,1)) <= 57 THEN ascii(substr(h,1,1)) - 48 ELSE ascii(substr(h,1,1)) - 87 END) AS BIGINT) * 16 + (CASE WHEN ascii(substr(h,2,1)) <= 57 THEN ascii(substr(h,2,1)) - 48 ELSE ascii(substr(h,2,1)) - 87 END)) * 16 + (CASE WHEN ascii(substr(h,3,1)) <= 57 THEN ascii(substr(h,3,1)) - 48 ELSE ascii(substr(h,3,1)) - 87 END)) * 16 + (CASE WHEN ascii(substr(h,4,1)) <= 57 THEN ascii(substr(h,4,1)) - 48 ELSE ascii(substr(h,4,1)) - 87 END)) % 100 AS bucket FROM h),
+      s"""WITH h AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) AS h FROM documents),
+        |b AS (SELECT doc_id, n_chars, ${oBucket4("h")} AS bucket FROM h),
         |sp AS (SELECT doc_id, n_chars,
         |    CASE WHEN bucket < 80 THEN 'train'
         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
@@ -536,9 +538,9 @@ object TextAnalysis {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "x7_stratified_sample" ->
-      """WITH h AS (SELECT doc_id, lang, source,
+      s"""WITH h AS (SELECT doc_id, lang, source,
         |    md5(doc_id::VARCHAR || ':mix') AS h FROM documents),
-        |b AS (SELECT doc_id, lang, source, (((CAST((CASE WHEN ascii(substr(h,1,1)) <= 57 THEN ascii(substr(h,1,1)) - 48 ELSE ascii(substr(h,1,1)) - 87 END) AS BIGINT) * 16 + (CASE WHEN ascii(substr(h,2,1)) <= 57 THEN ascii(substr(h,2,1)) - 48 ELSE ascii(substr(h,2,1)) - 87 END)) * 16 + (CASE WHEN ascii(substr(h,3,1)) <= 57 THEN ascii(substr(h,3,1)) - 48 ELSE ascii(substr(h,3,1)) - 87 END)) * 16 + (CASE WHEN ascii(substr(h,4,1)) <= 57 THEN ascii(substr(h,4,1)) - 48 ELSE ascii(substr(h,4,1)) - 87 END)) % 100 AS bucket FROM h)
+        |b AS (SELECT doc_id, lang, source, ${oBucket4("h")} AS bucket FROM h)
         |SELECT doc_id, lang, source, CAST(bucket AS BIGINT) AS bucket
         |FROM b
         |WHERE bucket < CASE WHEN lang = 'en' THEN 100
@@ -654,9 +656,9 @@ object TextAnalysis {
     },
     "x11_contamination" ->
       s"""WITH t AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
-         |h AS (SELECT doc_id, ws,
-         |    ${oBucket4("md5(doc_id::VARCHAR)")} AS bucket FROM t),
+         |    list_filter(string_split(text, ' '), w -> w != '') ws,
+         |    md5(doc_id::VARCHAR) AS hh FROM documents),
+         |h AS (SELECT doc_id, ws, ${oBucket4("hh")} AS bucket FROM t),
          |sp AS (SELECT doc_id,
          |    CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split, ws
          |  FROM h WHERE bucket < 80 OR bucket >= 90),

@@ -100,9 +100,11 @@ object Warehouse {
     * different key. */
   def curationSignalJoin(s: SparkSession, table: String): DataFrame = {
     val docs = s.table(table)
-    docs.select(col("doc_id"))
-      .join(TextAnalysis.qualitySignals(docs)
-        .select(col("doc_id"), col("quality_e3")), Seq("doc_id"))
+    // no separate doc_id anchor: each signal frame is a per-doc
+    // projection (one row per doc), so their join already covers the
+    // corpus — an anchor leg would be a third scan + join for nothing
+    TextAnalysis.qualitySignals(docs)
+      .select(col("doc_id"), col("quality_e3"))
       .join(TextAnalysis.langIdSignals(docs)
         .select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
   }
