@@ -24,10 +24,13 @@ import TextOps.idiv
   *    corpus once: no shuffle except the final per-query top-k, which is
   *    a partial top-k per partition (TakeOrdered-style) — linear scan,
   *    embarrassingly parallel;
-  *  - IVF: centroid assignment is a broadcast join (codebook is tiny);
-  *    the probe touches only nprobe/nlist of the corpus. At real scale
-  *    the corpus would be written bucketed by cluster id, making the
-  *    probe a partition-pruned read instead of a filter;
+  *  - IVF: the codebook is tiny by construction, so it is collected
+  *    once and inlined as literals — centroid assignment and the
+  *    query probe list are NARROW projections (argmax over a sorted
+  *    literal array), zero exchanges; the probe then touches only
+  *    nprobe/nlist of the corpus. At real scale the corpus would be
+  *    written bucketed by cluster id, making the probe a
+  *    partition-pruned read instead of a filter;
   *  - near-dup pairs use the same fixed-point cosine; production would
   *    bucket by sign-LSH first (see Dedup scale notes).
   */
@@ -70,7 +73,7 @@ object Similarity {
     * assumption is enforced, not hoped: a vector whose compacted length
     * differs fails the job with a clear message (per-ROW check, amortized
     * over millions of per-PAIR evaluations). */
-  private def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.filter(
       when(exists(col("embedding"), _.isNull),
         raise_error(concat(
@@ -100,39 +103,74 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** A collected codebook entry: centroid id, compacted embedding,
+    * fixed-point squared norm. The codebook is tiny BY CONSTRUCTION
+    * (NCentroids rows — a trained IVF codebook is likewise a few
+    * thousand rows at most), so it is collected once at query build and
+    * inlined as literals, the same way [[s4KnnSignLsh]] inlines its
+    * hyperplanes. */
+  private[graft] case class Centroid(cid: Long, emb: Seq[Float], normFp: Long)
+
+  /** Collect the codebook (vectors with vec_id < NCentroids) from a
+    * [[withNorm]]-prepared frame — one tiny job. */
+  private[graft] def collectCodebook(e: DataFrame): Seq[Centroid] =
+    e.filter(col("vec_id") < NCentroids.toLong)
+      .select(col("vec_id"), col("embedding"), col("norm_fp"))
+      .collect().toSeq
+      .map(r => Centroid(r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+      .sortBy(_.cid)
+
+  /** Every codebook cosine of (emb, normFp), ranked (cos desc, cid asc),
+    * as ONE narrow array-of-structs expression. Struct ordering is
+    * lexicographic by field, so sorting (-cos, cid) ascending reproduces
+    * exactly the (cos DESC, cid) order the window formulation used —
+    * double negation is exact, ties still break on cid. */
+  private def rankedCentroids(cents: Seq[Centroid], emb: Column,
+      normFp: Column): Column =
+    array_sort(array(cents.map { c =>
+      struct(
+        (-cosine(dotFp9(emb, array(c.emb.map(lit): _*)), normFp,
+          lit(c.normFp))).as("neg_cos"),
+        lit(c.cid).as("cid"))
+    }: _*))
+
+  /** IVF centroid-assignment stage: nearest codebook centroid per
+    * vector as a NARROW projection over the literal-inlined codebook —
+    * zero exchanges (plan-pinned by PipelineOpsSpec). The previous
+    * formulation (corpus ⨯ broadcast(codebook) + row_number over
+    * vec_id) replicated every corpus row ×NCentroids and then shuffled
+    * the whole expanded corpus just to take an argmax; at 100 TB that
+    * exchange dominates the query. */
+  private[graft] def assignClusters(e: DataFrame, cents: Seq[Centroid]): DataFrame =
+    e.withColumn("cluster",
+      element_at(rankedCentroids(cents, col("embedding"), col("norm_fp")), 1)
+        .getField("cid"))
+
+  /** IVF probe-list stage: the NProbe nearest centroids per query — a
+    * narrow slice+explode of the same ranked-codebook array, no
+    * exchange (the explode fans each query row out ×NProbe in place). */
+  private[graft] def probeClusters(e: DataFrame, cents: Seq[Centroid]): DataFrame =
+    e.filter(col("vec_id") < NQueries.toLong)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm_fp").as("q_norm"),
+        explode(transform(
+          slice(rankedCentroids(cents, col("embedding"), col("norm_fp")),
+            1, NProbe),
+          _.getField("cid"))).as("cluster"))
+
   /** s2: IVF probe — codebook = vectors with vec_id < NCentroids
     * (deterministic stand-in for trained centroids); every vector is
     * assigned to its nearest centroid; a query searches only the NProbe
-    * clusters nearest to it. Approximate: recall < 1 vs s1 by design. */
+    * clusters nearest to it. Approximate: recall < 1 vs s1 by design.
+    * Assignment and probe-list are narrow projections over the
+    * collected codebook ([[assignClusters]]/[[probeClusters]]); the
+    * only exchanges left are the probed-subset search's own top-k. */
   def s2KnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val cent = e.filter(col("vec_id") < NCentroids.toLong)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-        col("norm_fp").as("c_norm"))
-
-    // assignment: nearest centroid per vector (broadcast the codebook)
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("a_cos").desc, col("cid"))
-    val assigned = e.join(broadcast(cent), lit(true))
-      .withColumn("a_cos",
-        cosine(dotFp9(col("embedding"), col("c_emb")), col("norm_fp"), col("c_norm")))
-      .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm_fp"),
-        col("cid").as("cluster"))
-
-    // probe list: NProbe nearest centroids per query
-    val qw = Window.partitionBy(col("qid"))
-      .orderBy(col("p_cos").desc, col("cid"))
-    val probes = e.filter(col("vec_id") < NQueries.toLong)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        col("norm_fp").as("q_norm"))
-      .join(broadcast(cent), lit(true))
-      .withColumn("p_cos",
-        cosine(dotFp9(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
-      .withColumn("prank", row_number().over(qw))
-      .filter(col("prank") <= NProbe)
-      .select(col("qid"), col("q_emb"), col("q_norm"), col("cid").as("cluster"))
+    val cents = collectCodebook(e)
+    val assigned = assignClusters(e, cents)
+      .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+    val probes = probeClusters(e, cents)
 
     // search only the probed clusters
     val w = Window.partitionBy(col("qid"))

@@ -131,6 +131,42 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"IVF recall implausibly low: $recall")
   }
 
+  test("s2 IVF assignment and probe-list stages plan with zero Exchange") {
+    val e = Similarity.withNorm(Tables.embeddings(spark, sf))
+    val cents = Similarity.collectCodebook(e)
+    val aPlan = planOf(Similarity.assignClusters(e, cents))
+    assert(!aPlan.contains("Exchange"),
+      s"IVF assignment stage shuffles — must stay a narrow projection:\n$aPlan")
+    val pPlan = planOf(Similarity.probeClusters(e, cents))
+    assert(!pPlan.contains("Exchange"),
+      s"IVF probe-list stage shuffles — must stay a narrow projection:\n$pPlan")
+  }
+
+  test("s2 IVF narrow argmax assignment ≡ the window-formulation reference") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.withNorm(Tables.embeddings(spark, sf))
+    val cents = Similarity.collectCodebook(e)
+    // the pre-round-5 shape, kept here as the semantic spec: replicate
+    // every vector against the codebook, rank (cos desc, cid), keep rank 1
+    val cent = e.filter(col("vec_id") < Similarity.NCentroids.toLong)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm_fp").as("c_norm"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("a_cos").desc, col("cid"))
+    val want = e.join(broadcast(cent), lit(true))
+      .withColumn("a_cos", Similarity.cosine(
+        Similarity.dotFp9(col("embedding"), col("c_emb")),
+        col("norm_fp"), col("c_norm")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.assignClusters(e, cents)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("s1 broadcasts the query side (no shuffle of the corpus)") {
     val plan = planOf(Similarity.s1KnnBrute(spark, sf))
     assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
