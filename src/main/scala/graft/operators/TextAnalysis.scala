@@ -349,15 +349,29 @@ object TextAnalysis {
     *
     * Scale notes (100 TB): the (doc, shingle) frame shuffles once on
     * the shingle for the join; ultra-common shingles are the d4/d3
-    * skew case — production caps shingle document-frequency the same
-    * way Dedup.lshCandidates caps bucket size, trading recall on
-    * boilerplate n-grams for a bounded join. Exact here for the
-    * oracle. */
-  def x11Contamination(s: SparkSession, d: String): DataFrame = {
+    * skew case — `maxDf` is that knob (see [[contamination]]). Runs
+    * uncapped here for exact oracle parity. */
+  def x11Contamination(s: SparkSession, d: String): DataFrame =
+    contamination(documents(s, d), maxDf = None)
+
+  /** Library form of [[x11Contamination]] over any (doc_id, text)
+    * frame. `maxDf` is the production skew knob, the exact analog of
+    * Dedup.lshCandidates' `maxBucket`: a shingle present in k train
+    * documents contributes k rows per matching test doc, so a
+    * corpus-wide boilerplate 3-gram (license headers, nav chrome)
+    * dominates the join while carrying zero leakage signal — capped
+    * runs DROP shingles whose train-side document frequency exceeds
+    * the cap before the join. The capped path groups train postings
+    * per shingle first (one aggregation on the SAME shingle key the
+    * join shuffles on, so the grouped side feeds the join without a
+    * second exchange); uncapped keeps the plain join for oracle
+    * parity. Capped behavior is pinned by its own spec on a
+    * constructed boilerplate-shingle corpus. */
+  def contamination(docs: DataFrame, maxDf: Option[Int]): DataFrame = {
     val byTest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("test_doc"))
     val rankW = byTest.orderBy(col("shared_shingles").desc, col("train_doc"))
-    val sh = documents(s, d)
+    val sh = docs
       .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
       .filter(col("bucket") < 80L || col("bucket") >= 90L)
       .withColumn("split", when(col("bucket") < 80L, "train").otherwise("test"))
@@ -369,7 +383,13 @@ object TextAnalysis {
       .select(col("shingle"), col("doc_id").as("train_doc"))
     val test = sh.filter(col("split") === "test")
       .select(col("shingle"), col("doc_id").as("test_doc"))
-    train.join(test, "shingle")
+    val keptTrain = maxDf.fold(train) { m =>
+      train.groupBy(col("shingle"))
+        .agg(collect_list(col("train_doc")).as("docs"))
+        .filter(size(col("docs")) <= m)
+        .select(col("shingle"), explode(col("docs")).as("train_doc"))
+    }
+    keptTrain.join(test, "shingle")
       .groupBy(col("test_doc"), col("train_doc"))
       .agg(count(lit(1)).as("shared_shingles"))
       .withColumn("rn", row_number().over(rankW))

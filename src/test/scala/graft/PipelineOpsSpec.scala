@@ -553,6 +553,41 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"contamination join degenerated:\n$plan")
   }
 
+  test("x11 maxDf cap drops boilerplate shingles; uncapped result unchanged") {
+    import spark.implicits._
+    // classify candidate ids with the SAME hash gate x11 uses
+    val buckets = spark.range(0, 200)
+      .select(col("id"), TextAnalysis.hashBucket(col("id").cast("string")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = (0L until 200L).filter(buckets(_) < 80L).take(6)
+    val testId = (0L until 200L).find(buckets(_) >= 90L).get
+    assert(trainIds.size == 6)
+    // every train doc carries the boilerplate shingle "common boiler
+    // plate"; exactly one (leak) also contains the test doc's passage
+    val leak = trainIds.head
+    val docs = (trainIds.map { id =>
+      val tail = if (id == leak) "secret leaked passage" else s"filler$id a b"
+      (id, s"common boiler plate $tail")
+    } :+ (testId -> "common boiler plate secret leaked passage"))
+      .toDF("doc_id", "text")
+
+    def one(maxDf: Option[Int]) = {
+      val rows = TextAnalysis.contamination(docs, maxDf).collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      (r.getAs[Long]("test_doc"), r.getAs[Long]("n_train_docs"),
+        r.getAs[Long]("top_train_doc"), r.getAs[Long]("top_shared"))
+    }
+    // uncapped: the boilerplate shingle pairs the test doc with every
+    // train doc; the leak doc tops with all 4 shingles of the passage
+    assert(one(None) == ((testId, 6L, leak, 4L)))
+    // cap below the boilerplate's train DF (6): only the leak's three
+    // DF-1 shingles survive, the other five train docs drop out
+    assert(one(Some(1)) == ((testId, 1L, leak, 3L)))
+    // cap at/above the max train DF: inactive, identical to uncapped
+    assert(one(Some(6)) == one(None))
+  }
+
   test("x10 joins stay hash/merge equi-joins (no cartesian fallback)") {
     val plan = planOf(TextAnalysis.x10Curate(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
