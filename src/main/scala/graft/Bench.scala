@@ -30,9 +30,27 @@ object Bench {
     // Optional comma-separated query-name filter for iterating on one
     // operator without paying for the whole grid (dev-only knob; the
     // driver never sets it, so official rounds always run everything).
+    // Fixed-reference calibration: a data-independent CPU-bound job
+    // whose wall time tracks the machine's CURRENT speed. This host's
+    // effective clock varies up to ~2x across rounds (BASELINE.md), so
+    // cross-round per-query deltas are only meaningful relative to this
+    // field: same plan + same calibration-relative time = noise, not a
+    // regression. Runs after warmup so it measures the machine, not
+    // JVM startup.
+    val calibration = {
+      val t0 = System.nanoTime()
+      // per-row mod a prime so the ANSI-mode sum cannot overflow
+      spark.range(1L << 26)
+        .selectExpr("sum(pmod(xxhash64(id), 1000000007))").collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // loud on an empty/all-comma value: Some(empty) would pass the
+      // unknown-name check and silently bench zero queries
+      require(names.nonEmpty,
+        "SPARK_GRAFT_BENCH_ONLY is set but names no queries (unset it to bench everything)")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
@@ -62,7 +80,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     // stdout first: an unwritable SPARK_GRAFT_BENCH_OUT must not destroy
     // the run's results on both channels
     println(line)

@@ -98,14 +98,23 @@ object CdcDrift {
       o: CdcDdl.Options): Option[Map[String, Seq[SqliteCatalog.ColumnMeta]]] = {
     val name = CdcDdl.schemaTableName(o)
     val md = conn.getMetaData
-    // getTables takes a LIKE pattern: escape its wildcards so the
-    // underscores in "__cdc_log_schema" match literally
-    val esc = md.getSearchStringEscape
-    val pattern = name.replace(esc, esc + esc)
-      .replace("_", esc + "_").replace("%", esc + "%")
+    // getTables takes a LIKE pattern, but drivers disagree on escape
+    // handling (Derby honors getSearchStringEscape; sqlite-jdbc's
+    // support is inconsistent across versions, and some drivers return
+    // null for the escape string). An escaped pattern a driver doesn't
+    // understand never matches — silently reporting "absent", the
+    // exact fail-open this probe exists to close. So probe
+    // driver-agnostically: pass the UNESCAPED name (its underscores
+    // are single-char wildcards, which can only over-match, never
+    // under-match) restricted to TABLE types, and exact-compare each
+    // row's TABLE_NAME.
     val exists = {
-      val r = md.getTables(null, null, pattern, null)
-      try r.next() finally r.close()
+      val r = md.getTables(null, null, name, Array("TABLE"))
+      try {
+        var found = false
+        while (!found && r.next()) found = r.getString("TABLE_NAME") == name
+        found
+      } finally r.close()
     }
     if (!exists) None
     else {

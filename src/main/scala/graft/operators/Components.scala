@@ -93,8 +93,12 @@ object Components {
     // set still shuffles at full parallelism (and the user's setting
     // remains the scale ceiling). Width is injected via the explicit
     // repartitions inside the star steps — no session state is touched.
-    val sessionWidth =
-      nodes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // "spark.sql.shuffle.partitions" is not always numeric (managed
+    // platforms set "auto"); fall back to the cluster's default
+    // parallelism rather than failing every connectedComponents caller
+    val sessionWidth = scala.util.Try(
+      nodes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(nodes.sparkSession.sparkContext.defaultParallelism)
     def loopWidth(edgeCount: Long): Int =
       math.max(1L, math.min(sessionWidth.toLong,
         (edgeCount + EdgesPerPartition - 1) / EdgesPerPartition)).toInt
