@@ -37,6 +37,23 @@ object ScaleProbe {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // setup for the bucketed_knn_probe shape (untimed): a 100k×m-vector
+    // corpus written partitioned by sign-LSH bucket, and a query vector
+    // taken from the base table
+    val (vectorDir, probeQuery) = {
+      val base = spark.read.parquet(s"$d/embeddings.parquet")
+      val corpus = base.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(200L * m - 1L))).as("c"))
+        .select((col("vec_id") * lit(200L * m) + col("c")).as("vec_id"),
+          col("embedding"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("scaleprobe-vectors").toString
+      operators.Warehouse.writeVectors(corpus, dir)
+      val q = base.filter(col("vec_id") === 3L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      (dir, q)
+    }
+
     val results = Seq(
       // q1 shape: full-scan groupBy-agg over lineitem×m
       time("agg") {
@@ -93,6 +110,33 @@ object ScaleProbe {
             monotonically_increasing_id().as("doc_id"), col("text")),
           spark.sparkContext.defaultParallelism,
           operators.TextAnalysis.PackBudget)
+      },
+      // x11/d4 shape: inverted-index shared-shingle join over a
+      // synthetic FIXED-OVERLAP corpus — groups of 4 docs share exactly
+      // one 3-gram, every other shingle is doc-unique, so per-doc
+      // overlap stays constant while n grows 50k×m. Re-listing real
+      // docs would multiply every shingle's DF by m (the boilerplate
+      // blowup maxDf exists to cap), conflating overlap growth with
+      // corpus growth; this isolates the join shape itself.
+      time("inverted_index") {
+        val n = 50000L * m
+        operators.TextAnalysis.contamination(
+          spark.range(n).select(col("id").as("doc_id"),
+            concat_ws(" ",
+              concat(lit("p"), expr("id DIV 4")),
+              concat(lit("q"), expr("id DIV 4")),
+              concat(lit("r"), expr("id DIV 4")),
+              concat(lit("x"), col("id")),
+              concat(lit("y"), col("id")),
+              concat(lit("z"), col("id"))).as("text")),
+          maxDf = None)
+      },
+      // warehouse ANN shape: probe a sign-LSH-partitioned corpus of
+      // 100k×m vectors (written untimed above). Probe wall time should
+      // stay ~flat in m: the scan partition-prunes to the query's
+      // bucket directory (≈ bucket fraction of the corpus)
+      time("bucketed_knn_probe") {
+        operators.Warehouse.knnProbe(spark, vectorDir, probeQuery, 5)
       },
       // d6/d7 shape: alternating-star connected components over a
       // synthetic 50k×m-node graph of 64-chains — fixed round count
