@@ -155,6 +155,38 @@ class StreamOpsSpec extends SparkSpecBase {
       s"unrelated doc paired: $pairs")
   }
 
+  test("nearDupCandidates replay over the documents corpus ≡ batch lshCandidates") {
+    implicit val sq = spark.sqlContext
+    // the whole 500-doc documents table, all timestamps inside one
+    // horizon, replayed in adversarial chunks — the candidate-pair SET
+    // must equal the batch d3 pipeline's on the same docs (the same
+    // bounded-replay pattern the e5/e6 streaming twins pin)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts("10:00")))
+    val in = MemoryStream[Doc]
+    val q = StreamOps.nearDupCandidates(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("neardup_equiv")
+      .outputMode(OutputMode.Append()).start()
+    // uneven chunks: a batch boundary between any two members of a pair
+    // must not lose (or duplicate) the pair
+    docs.grouped(170).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("neardup_equiv").collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val batch = graft.operators.Dedup.lshCandidates(
+      graft.operators.Dedup.lshIndex(
+        graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))),
+      maxBucket = None).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(batch.nonEmpty, "batch candidate set unexpectedly empty")
+    assert(streamed == batch,
+      s"stream/batch divergence: stream-only=${streamed -- batch}, batch-only=${batch -- streamed}")
+  }
+
   test("funnelStages: per-user state machine emits each stage once, in order, across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
