@@ -33,7 +33,14 @@ object Components {
     * @param edges `a`/`b` columns, undirected, self-loops/dups tolerated
     * @return (id, rep) — rep is the component's minimum id */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    connectedComponentsCounted(nodes, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds it took to
+    * converge — the O(log n) bound made assertable (ComponentsSpec pins
+    * it on a viral-duplicate hot-key graph). */
+  private[graft] def connectedComponentsCounted(nodes: DataFrame,
+      edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
 
@@ -118,8 +125,9 @@ object Components {
     // if a round short-counts.
     val reps = e.groupBy(col("u")).agg(min(col("v")).as("rep"))
       .select(col("u").as("id"), col("rep"))
-    nodes.select(col("id").cast("long").as("id"))
+    val out = nodes.select(col("id").cast("long").as("id"))
       .join(reps, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    (out, i)
   }
 }

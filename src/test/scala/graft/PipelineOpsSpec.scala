@@ -332,6 +332,26 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.size == 64 && out.values.forall(_ == 0L))
   }
 
+  test("connectedComponents: a viral-duplicate hot key converges in bounded rounds") {
+    import spark.implicits._
+    // one viral document (a high id, so large-star must flip the whole
+    // fan-out) connected to 20k others — the degree-skew case the scale
+    // notes lean on AQE for. Convergence must hold and the round count
+    // must stay O(log n), not grow with the hub's degree.
+    val hub = 500000L
+    val n = 20000L
+    val nodes = spark.range(n).select(col("id"))
+      .union(Seq(hub).toDF("id"))
+    val edges = spark.range(n)
+      .select(lit(hub).as("a"), col("id").as("b"))
+    val (out, rounds) = Components.connectedComponentsCounted(nodes, edges)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n + 1 && got.values.forall(_ == 0L),
+      "hot-key component did not resolve to the minimum id")
+    assert(rounds <= 6,
+      s"hot-key graph took $rounds star rounds — degree skew is leaking into round count")
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
