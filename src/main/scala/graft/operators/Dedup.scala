@@ -108,7 +108,12 @@ object Dedup {
     * belongs to a dedicated detector, not the pair expander). d3 runs
     * uncapped for oracle parity; the cap behavior is pinned by its own
     * spec on a constructed mega-bucket corpus. */
-  def lshCandidates(index: DataFrame, maxBucket: Option[Int]): DataFrame = {
+  def lshCandidates(index: DataFrame, maxBucket: Option[Int]): DataFrame =
+    lshCandidatesRaw(index, maxBucket).orderBy(col("a"), col("b"))
+
+  /** [[lshCandidates]] without the presentation sort — the form
+    * pipeline consumers ([[incrementalCandidates]]) compose on. */
+  private[graft] def lshCandidatesRaw(index: DataFrame, maxBucket: Option[Int]): DataFrame = {
     // Aggregate barrier on the unique key: materializes sig/bands once
     // per doc AND stops InferFiltersFromGenerate's `size(bands) > 0`
     // from being pushed (re-inlined) into the signature computation —
@@ -134,7 +139,68 @@ object Dedup {
       .distinct()
       .withColumn("est_jaccard_e6",
         idiv(col("n_sig_match") * 1000000L, lit(MinhashK.toLong)))
+  }
+
+  /** doc_id boundary for the d8 incremental-dedup scenario: ids below
+    * are the standing corpus, at-or-above are the newly arrived batch
+    * (100 of the 500 test docs). */
+  val IncrementalSplit = 400L
+
+  /** d8: INCREMENTAL near-dup candidates — the dedup form a production
+    * pipeline actually runs daily: a new batch of documents checked
+    * against a standing corpus WITHOUT re-pairing the corpus against
+    * itself. Candidate pairs = (new × corpus) docs sharing ≥1 LSH band,
+    * plus (new × new) via the ordinary bucket expansion — exactly d3's
+    * pair set restricted to pairs touching the new batch (pinned by
+    * spec AND by the DuckDB oracle). */
+  def d8IncrementalLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).repartition(col("doc_id"))
+    incrementalCandidates(
+      lshIndex(docs.filter(col("doc_id") < IncrementalSplit)),
+      lshIndex(docs.filter(col("doc_id") >= IncrementalSplit)),
+      maxBucket = None)
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Candidates between a NEW batch and a standing corpus index, plus
+    * within-batch candidates — never corpus × corpus.
+    *
+    * Scale notes (100 TB): the corpus side is grouped into per-band-key
+    * posting lists — at scale that grouped frame IS the persisted dedup
+    * index (write it bucketed by band key once, and the daily run reads
+    * it back with no shuffle), so per-batch work is one narrow signature
+    * map over the batch plus a join that moves only the batch's
+    * (bands × docs) rows. `maxBucket` caps the CORPUS posting-list
+    * length, the same boilerplate-skew knob as [[lshCandidates]]'s —
+    * a band key shared by thousands of standing docs pairs every new
+    * doc with all of them while carrying no discriminating power. */
+  def incrementalCandidates(corpusIndex: DataFrame, newIndex: DataFrame,
+      maxBucket: Option[Int]): DataFrame = {
+    def agg(ix: DataFrame) = ix.groupBy(col("doc_id"))
+      .agg(min(col("sig")).as("sig"), min(col("bands")).as("bands"))
+    // corpus postings per band key (the persisted index at scale)
+    val post = agg(corpusIndex)
+      .select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
+    val kept = maxBucket.fold(post)(m => post.filter(size(col("docs")) <= m))
+    val newExp = agg(newIndex)
+      .select(col("doc_id").as("n_id"), col("sig").as("n_sig"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val crossPairs = newExp
+      .join(kept, Seq("band_idx", "band_key"))
+      .select(col("n_id"), col("n_sig"), explode(col("docs")).as("dc"))
+      .select(least(col("n_id"), col("dc.doc_id")).as("a"),
+        greatest(col("n_id"), col("dc.doc_id")).as("b"),
+        aggregate(zip_with(col("n_sig"), col("dc.sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_sig_match"))
+      .distinct()
+      .withColumn("est_jaccard_e6",
+        idiv(col("n_sig_match") * 1000000L, lit(MinhashK.toLong)))
+    // within-batch pairs: the new docs also dedup against each other
+    crossPairs.union(lshCandidatesRaw(newIndex, maxBucket))
   }
 
   /** d4: top-k n-gram Jaccard pairs via inverted-index join — explode
@@ -255,6 +321,7 @@ object Dedup {
     "d4_jaccard_topk"   -> d4JaccardTopK _,
     "d5_simhash_pairs"  -> d5SimhashPairs _,
     "d6_dup_clusters"   -> d6DupClusters _,
+    "d8_incremental_lsh" -> d8IncrementalLsh _,
   )
 
   /** Shared oracle CTE: words + distinct-less shingles per doc. */
@@ -322,6 +389,25 @@ object Dedup {
            |  FROM e a JOIN e b
            |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            |   AND a.doc_id < b.doc_id)
+           |SELECT a, b, n_sig_match,
+           |  n_sig_match * 1000000 // $MinhashK AS est_jaccard_e6
+           |FROM pairs ORDER BY a, b""".stripMargin),
+    // d3's pair set restricted to pairs touching the new batch — the
+    // incremental plan must not change WHICH candidates exist, only
+    // how much work finding them costs
+    "d8_incremental_lsh" ->
+      (SigCte +
+        s"""
+           |, e AS (SELECT doc_id, sig, band_idx, bands[band_idx] AS band_key
+           |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
+           |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+           |    CAST(coalesce(list_sum(list_transform(range(1, $MinhashK + 1),
+           |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)), 0) AS BIGINT)
+           |      AS n_sig_match
+           |  FROM e a JOIN e b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id
+           |   AND (a.doc_id >= $IncrementalSplit OR b.doc_id >= $IncrementalSplit))
            |SELECT a, b, n_sig_match,
            |  n_sig_match * 1000000 // $MinhashK AS est_jaccard_e6
            |FROM pairs ORDER BY a, b""".stripMargin),

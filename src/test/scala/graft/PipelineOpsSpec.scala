@@ -312,6 +312,44 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"d5 regressed to a quadratic pair scan:\n$plan")
   }
 
+  test("d8 incremental candidates ≡ d3's pair set restricted to the new batch") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("n_sig_match"))
+    val full = Dedup.d3LshCandidates(spark, sf).collect().map(key)
+      .filter(p => p._1 >= Dedup.IncrementalSplit || p._2 >= Dedup.IncrementalSplit)
+      .toSet
+    val inc = Dedup.d8IncrementalLsh(spark, sf).collect().map(key).toSet
+    assert(inc == full,
+      s"inc-only=${inc -- full}, full-only=${full -- inc}")
+    // the batch must actually exercise both pair kinds at test scale
+    assert(inc.exists(p => p._1 < Dedup.IncrementalSplit), "no new×corpus pair")
+  }
+
+  test("d8 maxBucket caps the corpus posting list, not the new side") {
+    import spark.implicits._
+    // 5 corpus docs share one boilerplate text (a mega posting list);
+    // 1 corpus doc and 1 new doc share distinct near-dup content
+    val boiler = "the same boilerplate navigation header text repeated " +
+      "on every single page of the site forever and ever"
+    val rare = "a genuinely unique passage that the new batch happens " +
+      "to duplicate almost word for word tonight"
+    val corpus = ((1L to 5L).map(i => (i, boiler)) :+ (6L, rare)).toDF("doc_id", "text")
+    val fresh = Seq((100L, boiler), (101L, rare + " ok")).toDF("doc_id", "text")
+    def run(cap: Option[Int]) = Dedup.incrementalCandidates(
+      Dedup.lshIndex(corpus), Dedup.lshIndex(fresh), cap)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(None)
+    assert(uncapped.contains((6L, 101L)), s"rare near-dup missed: $uncapped")
+    assert((1L to 5L).forall(i => uncapped.contains((i, 100L))),
+      s"boilerplate pairs missing uncapped: $uncapped")
+    // cap below the mega-bucket size: boilerplate postings dropped,
+    // the rare pair (posting list of 1) survives
+    val capped = run(Some(2))
+    assert(capped.contains((6L, 101L)), s"cap dropped the rare pair: $capped")
+    assert(!capped.exists(p => p._1 <= 5L && p._2 == 100L),
+      s"mega posting list not capped: $capped")
+  }
+
   test("connectedComponents: chain, pair, singleton resolve to component minima") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
