@@ -158,6 +158,80 @@ object Similarity {
             1, NProbe),
           _.getField("cid"))).as("cluster"))
 
+  /** Fixed-point squared norm of a driver-side vector — the same
+    * rounding as the DotFp9 kernel (Warehouse.bucketOf uses the same
+    * construction), so driver-built centroids hash identically. */
+  private def normFpOf(v: Seq[Float]): Long = {
+    var s = 0L
+    v.foreach(x => s += graft.functions.DotFp9
+      .roundHalfAway(x.toDouble * x.toDouble * 1e9))
+    s
+  }
+
+  /** Train a spherical k-means codebook over a (vec_id, embedding)
+    * corpus — the REAL counterpart of s2's deterministic stand-in
+    * centroids (s2 keeps the stand-in for DuckDB-oracle parity; an
+    * iterative trainer has no SQL oracle).
+    *
+    * Lloyd rounds: ASSIGN is the same narrow zero-exchange argmax
+    * projection s2 uses ([[assignClusters]], broadcast literal
+    * codebook); UPDATE is one groupBy(cluster) with `dim` map-side-
+    * combined per-dimension sums — one k×(dim+1)-value shuffle per
+    * round, nothing else moves. Components are summed UNIT-normalized
+    * and in fixed point (1e9): unit because the unit-mean M-step is
+    * what makes the sum-of-cosines objective monotone non-decreasing
+    * (pinned by spec), fixed-point because associative integer sums
+    * make training bit-deterministic on any partitioning (|component|
+    * ≤ 1 ⇒ per-cluster sums overflow only past ~9e9 vectors per
+    * cluster). Init: the k lowest vec_ids. Empty clusters keep their
+    * previous centroid. Zero-norm vectors are undefined in cosine
+    * space and fail loudly (ANSI cast).
+    *
+    * Scale notes (100 TB): per round = one narrow scan + one k×(dim+1)
+    * aggregate — the textbook distributed Lloyd shape; the codebook
+    * stays driver-sized (k ≤ thousands) by construction. */
+  def trainCodebook(corpus: DataFrame, k: Int = NCentroids,
+      iters: Int = 3): Seq[Centroid] = {
+    val e = withNorm(corpus)
+    val unit = e.withColumn("u",
+      transform(col("embedding"), v =>
+        round(v.cast("double") /
+          sqrt(col("norm_fp").cast("double") / 1e9) * lit(1e9)).cast("long")))
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    var cents = e.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect().toSeq
+      .zipWithIndex.map { case (r, i) =>
+        val emb = r.getSeq[Float](0)
+        Centroid(i.toLong, emb, normFpOf(emb))
+      }
+    for (_ <- 0 until iters) {
+      val sums = assignClusters(unit, cents)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(j => sum(element_at(col("u"), j + 1)).as(s"s$j")): _*)
+        .collect()
+      val byCluster = sums.map(r => r.getAs[Long]("cluster") -> r).toMap
+      cents = cents.map { c =>
+        byCluster.get(c.cid).fold(c) { r =>
+          val n = r.getAs[Long]("n").toDouble
+          val emb = (0 until dim).map(j => (r.getAs[Long](s"s$j") / n / 1e9).toFloat)
+          Centroid(c.cid, emb, normFpOf(emb))
+        }
+      }
+    }
+    cents
+  }
+
+  /** Sum over the corpus of each vector's best-centroid cosine — the
+    * spherical k-means objective, for the monotonicity spec. */
+  private[graft] def codebookObjective(corpus: DataFrame,
+      cents: Seq[Centroid]): Double =
+    withNorm(corpus).select(
+      sum(-element_at(
+        rankedCentroids(cents, col("embedding"), col("norm_fp")), 1)
+        .getField("neg_cos")).as("obj"))
+      .first().getDouble(0)
+
   /** s2: IVF probe — codebook = vectors with vec_id < NCentroids
     * (deterministic stand-in for trained centroids); every vector is
     * assigned to its nearest centroid; a query searches only the NProbe

@@ -167,6 +167,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("trainCodebook: objective monotone over Lloyd rounds, bit-deterministic") {
+    val corpus = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val objs = (0 to 3).map(i =>
+      Similarity.codebookObjective(corpus,
+        Similarity.trainCodebook(corpus, iters = i)))
+    objs.zip(objs.tail).foreach { case (prev, next) =>
+      assert(next >= prev - 1e-6,
+        s"objective regressed across a Lloyd round: $objs")
+    }
+    assert(objs.last > objs.head + 1e-3,
+      s"training never improved on the init codebook: $objs")
+    // fixed-point sums ⇒ identical centroids on re-run, bit for bit
+    val a = Similarity.trainCodebook(corpus, iters = 3)
+    val b = Similarity.trainCodebook(corpus, iters = 3)
+    assert(a == b, "training is not deterministic")
+    // the trained codebook plugs into the same zero-exchange assignment
+    val e = Similarity.withNorm(corpus)
+    val plan = planOf(Similarity.assignClusters(e, a))
+    assert(!plan.contains("Exchange"),
+      s"assignment with a trained codebook shuffles:\n$plan")
+    val clusters = Similarity.assignClusters(e, a)
+      .select(col("cluster")).distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters.subsetOf((0L until Similarity.NCentroids.toLong).toSet))
+  }
+
   test("s1 broadcasts the query side (no shuffle of the corpus)") {
     val plan = planOf(Similarity.s1KnnBrute(spark, sf))
     assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
