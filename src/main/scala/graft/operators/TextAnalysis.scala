@@ -401,6 +401,16 @@ object TextAnalysis {
       .orderBy(col("test_doc"))
   }
 
+  /** Distinct (shingle, train_doc) postings over a train corpus — the
+    * static index [[graft.streaming.StreamOps.contaminationStream]]
+    * joins arriving eval docs against. At scale: persist it bucketed by
+    * shingle (the d8 pattern) so per-batch joins read it back without a
+    * shuffle, and apply [[contamination]]'s maxDf cap at build time. */
+  def trainShingleIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("train_doc"),
+        explode(array_distinct(shingles3(words(col("text"))))).as("shingle"))
+      .select(col("shingle"), col("train_doc"))
+
   /** Minimum composite quality score (x2 bands) a kept doc needs. */
   val CurateMinQuality = 500L
 

@@ -279,6 +279,37 @@ object StreamOps {
     // the consumer's rerank naturally collapses them.
   }
 
+  /** Streaming contamination check (streaming x11): each arriving
+    * document is shingled and joined against a STATIC train-corpus
+    * shingle index ([[graft.operators.TextAnalysis.trainShingleIndex]])
+    * — benchmark/eval documents screened for train-set leakage at
+    * ingest time rather than in a nightly batch. Emits one
+    * (test_doc, train_doc, shared_shingles) row per offending train
+    * doc when the watermark closes the arrival window; top-offender
+    * selection is the consumer's rerank (window functions don't run on
+    * streams), exactly as the batch x11 ranks after the same count.
+    *
+    * Scale notes: a stream-STATIC inner join keeps no join state at
+    * all (the static side is re-planned per micro-batch — persist it
+    * bucketed by shingle so that read is shuffle-free, or let AQE
+    * broadcast a capped index); the only state is the windowed count,
+    * bounded by the watermark. Cap the index with maxDf at build time
+    * — a boilerplate shingle in the static index multiplies EVERY
+    * arriving doc's join fan-out. */
+  def contaminationStream(docs: DataFrame, trainShingles: DataFrame,
+      window: String = "1 hour", lateness: String = "1 hour"): DataFrame = {
+    import graft.operators.TextOps
+    val sh = docs.select(col("doc_id").as("test_doc"), col("ts"),
+        explode(array_distinct(
+          TextOps.shingles3(TextOps.words(col("text"))))).as("shingle"))
+      .withWatermark("ts", lateness)
+    sh.join(trainShingles, Seq("shingle"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .select(col("test_doc"), col("train_doc"), col("shared_shingles"))
+  }
+
   /** Output mode guidance per op (what a caller's writeStream should
     * use): windowed aggs → Append (emit on watermark close) or Update;
     * latestState → Update; dedupExact → Append. */
@@ -289,5 +320,6 @@ object StreamOps {
     "latestState" -> OutputMode.Update(),
     "attribute" -> OutputMode.Append(),
     "nearDupCandidates" -> OutputMode.Append(),
+    "contaminationStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append())
 }

@@ -187,6 +187,59 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch divergence: stream-only=${streamed -- batch}, batch-only=${batch -- streamed}")
   }
 
+  test("contaminationStream over the x11 split ≡ driver-computed shared-shingle counts") {
+    implicit val sq = spark.sqlContext
+    // the same md5 percent-bucket gate x6/x11 use
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 100L
+    }
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val trainIds = texts.keySet.filter(bucket(_) < 80L)
+    val testIds = texts.keySet.filter(bucket(_) >= 90L).toSeq.sorted
+    val index = graft.operators.TextAnalysis.trainShingleIndex(
+      graft.Tables.documents(spark, sf)
+        .filter(col("doc_id").isin(trainIds.toSeq: _*)))
+
+    val in = MemoryStream[Doc]
+    val q = StreamOps.contaminationStream(in.toDF(), index)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode(OutputMode.Append()).start()
+    testIds.grouped(20).foreach { chunk =>
+      in.addData(chunk.map(id => Doc(id, texts(id), ts("10:00"))): _*)
+      q.processAllAvailable()
+    }
+    // two mover batches: the first raises max event time, the second
+    // runs with the advanced watermark and actually emits the closed
+    // windows (watermarks take effect one batch later)
+    in.addData(Doc(999999L, "watermark mover", ts("16:00")))
+    q.processAllAvailable()
+    in.addData(Doc(999998L, "watermark mover two", ts("17:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("contam_stream").collect()
+      .map(r => (r.getAs[Long]("test_doc"), r.getAs[Long]("train_doc")) ->
+        r.getAs[Long]("shared_shingles")).toMap
+    val want = (for {
+      te <- testIds
+      tr <- trainIds
+      shared = shingleSet(texts(te)).intersect(shingleSet(texts(tr))).size
+      if shared > 0
+    } yield (te, tr) -> shared.toLong).toMap
+    assert(want.nonEmpty, "split produced no contaminated pairs to compare")
+    assert(got == want,
+      s"stream-only=${got.keySet -- want.keySet}, missing=${want.keySet -- got.keySet}")
+  }
+
   test("funnelStages: per-user state machine emits each stage once, in order, across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
