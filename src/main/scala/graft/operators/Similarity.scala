@@ -28,9 +28,9 @@ import TextOps.idiv
   *    once and inlined as literals — centroid assignment and the
   *    query probe list are NARROW projections (argmax over a sorted
   *    literal array), zero exchanges; the probe then touches only
-  *    nprobe/nlist of the corpus. At real scale the corpus would be
-  *    written bucketed by cluster id, making the probe a
-  *    partition-pruned read instead of a filter;
+  *    nprobe/nlist of the corpus. At real scale the corpus is written
+  *    partitioned by cluster id (Warehouse.writeIvf) and the probe is
+  *    a partition-pruned read (Warehouse.ivfProbe, plan-asserted);
   *  - near-dup pairs use the same fixed-point cosine; production would
   *    bucket by sign-LSH first (see Dedup scale notes).
   */

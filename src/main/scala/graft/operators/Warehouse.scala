@@ -74,6 +74,65 @@ object Warehouse {
       .select(col("vec_id"), round(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Driver-side fixed-point dot (DotFp9 rounding) — probe-list math
+    * over a driver-sized codebook. */
+  private def dotFpOf(a: Seq[Float], b: Seq[Float]): Long = {
+    var s = 0L
+    var j = 0
+    while (j < math.min(a.length, b.length)) {
+      s += DotFp9.roundHalfAway(a(j).toDouble * b(j).toDouble * 1e9)
+      j += 1
+    }
+    s
+  }
+
+  /** The `nprobe` nearest clusters of `query` in `cents`, by
+    * (cos desc, cid) — the same ranking [[Similarity.probeClusters]]
+    * computes in-plan, evaluated driver-side because the probe list
+    * must exist BEFORE planning to become partition-filter literals.
+    * Returned as the 'c'-prefixed directory labels [[writeIvf]] wrote. */
+  private[graft] def ivfProbeLabels(cents: Seq[Similarity.Centroid],
+      query: Seq[Float], nprobe: Int): Seq[String] = {
+    val qNorm = dotFpOf(query, query)
+    cents.map { c =>
+      val cos = dotFpOf(query, c.emb).toDouble /
+        (math.sqrt(qNorm.toDouble) * math.sqrt(c.normFp.toDouble))
+      (c.cid, cos)
+    }.sortBy { case (cid, cos) => (-cos, cid) }
+      .take(nprobe).map("c" + _._1)
+  }
+
+  /** Write a vector corpus directory-partitioned by IVF cluster — the
+    * layout s2's scale note calls for. Assignment is
+    * [[Similarity.assignClusters]]' zero-exchange narrow projection
+    * (trained or stand-in codebook), feeding the partitioned write
+    * directly; norm_fp is stored so probes skip recomputing it. The
+    * 'c' prefix keeps partition-directory type inference from reading
+    * the cluster id as an integer. */
+  def writeIvf(e: DataFrame, cents: Seq[Similarity.Centroid], path: String): Unit =
+    Similarity.assignClusters(Similarity.withNorm(e), cents)
+      .withColumn("cluster", concat(lit("c"), col("cluster")))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Top-k cosine probe against an IVF-partitioned corpus: the nprobe
+    * nearest clusters are ranked DRIVER-side over the codebook and
+    * pinned as partition-filter literals, so the scan lists and reads
+    * ONLY those cluster directories (plan-asserted in WarehouseSpec) —
+    * nprobe/nlist of the corpus instead of a full-corpus filter. Exact
+    * within the probed clusters (s2's recall contract). */
+  def ivfProbe(s: SparkSession, path: String, cents: Seq[Similarity.Centroid],
+      query: Seq[Float], k: Int, nprobe: Int = Similarity.NProbe): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val qNorm = dotFpOf(query, query)
+    s.read.parquet(path)
+      .filter(col("cluster").isin(ivfProbeLabels(cents, query, nprobe): _*))
+      .withColumn("cos", Similarity.cosine(
+        Similarity.dotFp9(col("embedding"), q), lit(qNorm), col("norm_fp")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** Write a table hash-bucketed + sorted by `key` (`nBuckets` files per
     * partition, one hash class each). Requires a catalog table —
     * bucketing metadata lives in the catalog, not the files. */

@@ -43,6 +43,40 @@ class WarehouseSpec extends SparkSpecBase {
     assert(expect.head.getLong(0) == 3L, "query vector should rank first in its own bucket")
   }
 
+  test("IVF-partitioned corpus: probe prunes to the nprobe cluster directories") {
+    val dir = Files.createTempDirectory("graft-ivf-wh").toFile.getAbsolutePath
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCodebook(e)
+    Warehouse.writeIvf(e, cents, dir)
+
+    val query = e.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val labels = Warehouse.ivfProbeLabels(cents, query, Similarity.NProbe)
+    val probe = Warehouse.ivfProbe(spark, dir, cents, query, 5)
+    val plan = planOf(probe)
+    assert(plan.contains("PartitionFilters"),
+      s"IVF probe not partition-pruned:\n$plan")
+    labels.foreach(l => assert(plan.contains(l),
+      s"probed cluster $l not pinned in the scan:\n$plan"))
+
+    // exact within the probed clusters: same result as assigning the
+    // full corpus in-plan and filtering to the probe list
+    val ids = labels.map(_.drop(1).toLong)
+    val expect = Similarity.assignClusters(Similarity.withNorm(e), cents)
+      .filter(col("cluster").isin(ids: _*))
+      .withColumn("cos", Similarity.cosine(
+        Similarity.dotFp9(col("embedding"), array(query.map(lit): _*)),
+        Similarity.normFp9(array(query.map(lit): _*)), col("norm_fp")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .collect().toSeq
+    assert(probe.collect().toSeq == expect)
+    assert(expect.head.getLong(0) == 3L,
+      "query vector should rank first in its own cluster")
+  }
+
   test("doc_id-bucketed documents: narrow signal maps join exchange-free") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
