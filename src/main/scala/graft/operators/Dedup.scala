@@ -175,17 +175,35 @@ object Dedup {
     * a band key shared by thousands of standing docs pairs every new
     * doc with all of them while carrying no discriminating power. */
   def incrementalCandidates(corpusIndex: DataFrame, newIndex: DataFrame,
-      maxBucket: Option[Int]): DataFrame = {
-    def agg(ix: DataFrame) = ix.groupBy(col("doc_id"))
+      maxBucket: Option[Int]): DataFrame =
+    incrementalFromPostings(corpusPostings(corpusIndex), newIndex, maxBucket)
+
+  /** One (doc_id, sig, bands) row per doc from an [[lshIndex]] frame —
+    * the aggregate barrier shared by d3/d8 (see [[lshCandidatesRaw]]). */
+  private def aggIndex(ix: DataFrame): DataFrame =
+    ix.groupBy(col("doc_id"))
       .agg(min(col("sig")).as("sig"), min(col("bands")).as("bands"))
-    // corpus postings per band key (the persisted index at scale)
-    val post = agg(corpusIndex)
+
+  /** Per-band-key posting lists of a corpus index — the STANDING dedup
+    * index a pipeline persists once and reads back for every
+    * incremental run (write it bucketed/sorted by (band_idx, band_key)
+    * so the daily join never shuffles the corpus side). Round-trips
+    * through parquet (spec-pinned). */
+  def corpusPostings(corpusIndex: DataFrame): DataFrame =
+    aggIndex(corpusIndex)
       .select(col("doc_id"), col("sig"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
-    val kept = maxBucket.fold(post)(m => post.filter(size(col("docs")) <= m))
-    val newExp = agg(newIndex)
+
+  /** [[incrementalCandidates]] over an already-materialized
+    * [[corpusPostings]] frame — the form the daily run actually calls,
+    * with the index read back from storage instead of rebuilt. */
+  def incrementalFromPostings(postings: DataFrame, newIndex: DataFrame,
+      maxBucket: Option[Int]): DataFrame = {
+    val kept = maxBucket.fold(postings)(m =>
+      postings.filter(size(col("docs")) <= m))
+    val newExp = aggIndex(newIndex)
       .select(col("doc_id").as("n_id"), col("sig").as("n_sig"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val crossPairs = newExp

@@ -350,6 +350,22 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(inc.exists(p => p._1 < Dedup.IncrementalSplit), "no new×corpus pair")
   }
 
+  test("d8 postings index round-trips through parquet (the persisted daily-run form)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpusIx = Dedup.lshIndex(docs.filter(col("doc_id") < Dedup.IncrementalSplit))
+    val newIx = Dedup.lshIndex(docs.filter(col("doc_id") >= Dedup.IncrementalSplit))
+    val dir = java.nio.file.Files.createTempDirectory("d8-postings").toString
+    Dedup.corpusPostings(corpusIx).write.mode("overwrite").parquet(dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("n_sig_match"))
+    val fromDisk = Dedup.incrementalFromPostings(
+      spark.read.parquet(dir), newIx, maxBucket = None)
+      .collect().map(key).toSet
+    val direct = Dedup.incrementalCandidates(corpusIx, newIx, maxBucket = None)
+      .collect().map(key).toSet
+    assert(fromDisk == direct && direct.nonEmpty)
+  }
+
   test("d8 maxBucket caps the corpus posting list, not the new side") {
     import spark.implicits._
     // 5 corpus docs share one boilerplate text (a mega posting list);
