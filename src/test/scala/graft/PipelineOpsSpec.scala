@@ -201,6 +201,15 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"top-k not pushed below the window shuffle:\n$plan")
   }
 
+  test("s2/s4 search stages also push the top-k below the window shuffle") {
+    Seq("s2" -> Similarity.s2KnnIvf(spark, sf),
+      "s4" -> Similarity.s4KnnSignLsh(spark, sf)).foreach { case (n, df) =>
+      val plan = planOf(df)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$n reranks full candidate sets at the window shuffle:\n$plan")
+    }
+  }
+
   // ---- events ----
 
   test("e2 sessions: ordinals are contiguous from 1 per user") {
