@@ -279,6 +279,39 @@ object StreamOps {
     // the consumer's rerank naturally collapses them.
   }
 
+  /** Streaming incremental dedup (streaming d8): each arriving
+    * document is MinHash-signed with the batch pipeline's constants and
+    * joined against the STANDING corpus postings index
+    * ([[graft.operators.Dedup.corpusPostings]], read back from storage)
+    * — ingest-time duplicate admission against the full historical
+    * corpus, the stream-static complement of [[nearDupCandidates]]'
+    * within-horizon stream-stream join (which covers new×new; this
+    * covers new×corpus). STATELESS: no watermark, no state store —
+    * a stream-static inner join plus narrow projections, so corpus
+    * size never touches stream state. A pair agreeing on k bands
+    * emits k rows (no stream-side distinct — that would be unbounded
+    * state); the consumer's rerank collapses them, as in batch.
+    * Replay-equivalent to the batch d8 cross pairs (spec-pinned). */
+  def incrementalDedupStream(docs: DataFrame, postings: DataFrame): DataFrame = {
+    import graft.operators.{Dedup, TextOps}
+    val signed = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextOps.shingles3(col("ws")).as("sh"))
+      .select(col("doc_id"), TextOps.shingleHash32(col("sh")).as("hh"))
+      .select(col("doc_id"),
+        TextOps.minhashFromHashes(col("hh"), Dedup.MinhashK).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(TextOps.lshBands(col("sig"), Dedup.LshBandsN, Dedup.LshRows))
+          .as(Seq("band_idx", "band_key")))
+    signed.join(postings, Seq("band_idx", "band_key"))
+      .select(col("doc_id").as("new_doc"), col("sig"),
+        explode(col("docs")).as("dc"))
+      .select(col("new_doc"), col("dc.doc_id").as("corpus_doc"),
+        aggregate(zip_with(col("sig"), col("dc.sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_sig_match"))
+  }
+
   /** Streaming contamination check (streaming x11): each arriving
     * document is shingled and joined against a STATIC train-corpus
     * shingle index ([[graft.operators.TextAnalysis.trainShingleIndex]])
@@ -320,6 +353,7 @@ object StreamOps {
     "latestState" -> OutputMode.Update(),
     "attribute" -> OutputMode.Append(),
     "nearDupCandidates" -> OutputMode.Append(),
+    "incrementalDedupStream" -> OutputMode.Append(),
     "contaminationStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append())
 }

@@ -187,6 +187,44 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch divergence: stream-only=${streamed -- batch}, batch-only=${batch -- streamed}")
   }
 
+  test("incrementalDedupStream ≡ batch d8's new×corpus pairs on bounded replay") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpusIx = Dedup.lshIndex(docs.filter(col("doc_id") < Dedup.IncrementalSplit))
+    // the standing index, round-tripped through storage as in production
+    val dir = java.nio.file.Files.createTempDirectory("d8-stream-postings").toString
+    Dedup.corpusPostings(corpusIx).write.mode("overwrite").parquet(dir)
+
+    val newDocs = docs.filter(col("doc_id") >= Dedup.IncrementalSplit)
+      .collect().map(r => Doc(r.getLong(0), r.getString(1), ts("10:00")))
+    val in = MemoryStream[Doc]
+    val q = StreamOps.incrementalDedupStream(in.toDF(), spark.read.parquet(dir))
+      .writeStream.format("memory").queryName("inc_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    newDocs.grouped(40).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("inc_dedup_stream").collect()
+      .map { r =>
+        val (n, c) = (r.getAs[Long]("new_doc"), r.getAs[Long]("corpus_doc"))
+        (math.min(n, c), math.max(n, c), r.getAs[Long]("n_sig_match"))
+      }.toSet
+    val batch = Dedup.incrementalCandidates(corpusIx,
+      Dedup.lshIndex(docs.filter(col("doc_id") >= Dedup.IncrementalSplit)),
+      maxBucket = None).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("n_sig_match")))
+      // cross pairs only: exactly one side in the standing corpus
+      .filter(p => (p._1 < Dedup.IncrementalSplit) != (p._2 < Dedup.IncrementalSplit))
+      .toSet
+    assert(batch.nonEmpty, "no new×corpus pairs to compare")
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch}, batch-only=${batch -- streamed}")
+  }
+
   test("contaminationStream over the x11 split ≡ driver-computed shared-shingle counts") {
     implicit val sq = spark.sqlContext
     // the same md5 percent-bucket gate x6/x11 use
