@@ -55,10 +55,14 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val selected = only match {
+    // name-sorted run order: Map hash order reshuffles whenever a query
+    // is added, silently moving residual warm-up between queries across
+    // rounds — sorted order keeps per-query times comparable round over
+    // round (and the calibration field normalizes the machine itself)
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     var errors = List.empty[(String, String)]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -78,7 +82,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     // stdout first: an unwritable SPARK_GRAFT_BENCH_OUT must not destroy
