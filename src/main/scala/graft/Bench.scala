@@ -23,10 +23,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM once (parquet reader, codegen, shuffle machinery)
-    // with a trivial job so the first measured query isn't charged for
-    // one-time initialization. Does not touch the measured queries.
+    // with a trivial job, then touch every table the queries read so no
+    // measured query is charged for first-read footer/page-init on its
+    // table. Does not execute the measured queries themselves.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()
+    Seq(Tables.nation _, Tables.customer _, Tables.supplier _,
+      Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
+      Tables.documents _, Tables.embeddings _)
+      .foreach(t => t(spark, sfDir).count(): Unit)
     // Optional comma-separated query-name filter for iterating on one
     // operator without paying for the whole grid (dev-only knob; the
     // driver never sets it, so official rounds always run everything).
