@@ -401,6 +401,36 @@ object TextAnalysis {
       .orderBy(col("test_doc"))
   }
 
+  /** PII patterns (portable regex subset — RE2 and Java agree): email,
+    * US-style phone. Deliberately simple; a production scrubber layers
+    * more patterns through the same narrow-map shape. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** x12: PII scan + scrub — the pre-training privacy filter: per doc,
+    * pattern match counts, a has_pii flag, and the length after
+    * replacing every match with a fixed redaction token. Narrow
+    * Catalyst-expression map like every scoring stage (scan-bound at
+    * 100 TB). n_alpha_runs keeps the oracle hash discriminating on the
+    * synthetic corpus (which contains no PII-shaped strings — the
+    * detection behavior itself is pinned by a constructed-doc spec). */
+  def x12PiiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PiiPhone), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_alpha_runs"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("n_alpha_runs"),
+        (col("n_emails") + col("n_phones") > 0L).as("has_pii"),
+        length(regexp_replace(regexp_replace(col("text"),
+          lit(PiiEmail), lit("[PII]")), lit(PiiPhone), lit("[PII]")))
+          .cast("long").as("redacted_len"))
+      .transform(Output.ordered(_, col("doc_id")))
+
   /** Distinct (shingle, train_doc) postings over a train corpus — the
     * static index [[graft.streaming.StreamOps.contaminationStream]]
     * joins arriving eval docs against. At scale: persist it bucketed by
@@ -464,6 +494,7 @@ object TextAnalysis {
     "x9_seq_pack"    -> x9SequencePack _,
     "x10_curate"     -> x10Curate _,
     "x11_contamination" -> x11Contamination _,
+    "x12_pii_scrub"  -> x12PiiScrub _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -710,5 +741,18 @@ object TextAnalysis {
          |SELECT test_doc, CAST(n_train_docs AS BIGINT) AS n_train_docs,
          |  train_doc AS top_train_doc, CAST(shared_shingles AS BIGINT) AS top_shared
          |FROM r WHERE rn = 1 ORDER BY test_doc""".stripMargin,
+    // the Scala pattern constants are interpolated so both engines hand
+    // RE2/java.util.regex byte-identical patterns
+    "x12_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$PiiEmail')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PiiPhone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+         |  len(regexp_extract_all(text, '$PiiEmail'))
+         |    + len(regexp_extract_all(text, '$PiiPhone')) > 0 AS has_pii,
+         |  CAST(length(regexp_replace(regexp_replace(text,
+         |    '$PiiEmail', '[PII]', 'g'), '$PiiPhone', '[PII]', 'g')) AS BIGINT)
+         |    AS redacted_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -696,6 +696,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(one(Some(6)) == one(None))
   }
 
+  test("x12 PII scrub detects and redacts constructed emails/phones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x12docs").toString
+    Seq(
+      (1L, "contact me at jane.doe+test@example.co.uk or 555-123-4567 thanks"),
+      (2L, "no personal data here just words"),
+      (3L, "two mails a@b.io c.d@e-f.org and 111-222-3333 999-888-7777"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.x12PiiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Boolean]("has_pii"), r.getAs[Long]("redacted_len"))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L && out(1L)._3)
+    assert(out(2L) == ((0L, 0L, false,
+      "no personal data here just words".length.toLong)))
+    assert(out(3L)._1 == 2L && out(3L)._2 == 2L && out(3L)._3)
+    // every match collapses to the 5-char token: redacted lengths are
+    // exactly computable from the originals
+    assert(out(1L)._4 ==
+      "contact me at [PII] or [PII] thanks".length.toLong)
+    assert(out(3L)._4 == "two mails [PII] [PII] and [PII] [PII]".length.toLong)
+  }
+
   test("x10 joins stay hash/merge equi-joins (no cartesian fallback)") {
     val plan = planOf(TextAnalysis.x10Curate(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
