@@ -457,11 +457,64 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Per-vector int8 scalar quantization: scale = max |component|,
+    * q_j = round(x_j / scale · 127) — the standard 4×-memory-reduction
+    * storage format for ANN corpora at scale. Quantization and the
+    * quantized dot are INTEGER arithmetic end to end (the only doubles
+    * are correctly-rounded IEEE division and the shared round()
+    * semantics both engines implement as half-away-from-zero), so
+    * results are bit-deterministic and DuckDB-oracle-checkable, per
+    * the engine's fixed-point policy. */
+  private def quantized(df: DataFrame): DataFrame =
+    df.filter(
+      when(exists(col("embedding"), _.isNull),
+        raise_error(concat(
+          lit("embedding with null elements at vec_id="), col("vec_id"))))
+        .otherwise(lit(true)))
+      .withColumn("embedding", array_compact(col("embedding")))
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("q8",
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("scale") * 127d).cast("long")))
+      .withColumn("qnorm",
+        aggregate(col("q8"), lit(0L), (acc, v) => acc + v * v))
+
+  /** Integer dot of two int8-quantized vectors (|sum| ≤ 127²·dim —
+    * overflow-free far beyond any real dimensionality). */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** s5: brute-force kNN over the int8-QUANTIZED corpus — s1's shape
+    * (broadcast queries, linear scan, per-partition top-k) on the
+    * compressed representation a 100 TB corpus would actually store in
+    * memory. Approximate only through quantization error; recall vs s1
+    * is pinned by spec. */
+  def s5QuantKnn(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(embeddings(s, d))
+    val q = e.select(col("vec_id").as("qid"), col("q8").as("q_q8"),
+      col("qnorm").as("q_qnorm"))
+      .filter(col("qid") < NQueries.toLong)
+    val c = e.select(col("vec_id").as("nid"), col("q8").as("n_q8"),
+      col("qnorm").as("n_qnorm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos",
+        cosine(qdot(col("q_q8"), col("n_q8")), col("q_qnorm"), col("n_qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute"    -> s1KnnBrute _,
     "s2_knn_ivf"      -> s2KnnIvf _,
     "s3_cosine_pairs" -> s3CosinePairs _,
     "s4_knn_sign_lsh" -> s4KnnSignLsh _,
+    "s5_quant_knn"    -> s5QuantKnn _,
     "d7_embed_clusters" -> d7EmbedClusters _,
   )
 
@@ -560,6 +613,29 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    "s5_quant_knn" ->
+      s"""WITH sc AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+         |  FROM embeddings),
+         |qq AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(x::DOUBLE / scale * 127) AS BIGINT)) AS q8
+         |  FROM sc),
+         |e AS (SELECT vec_id, q8,
+         |    CAST(coalesce(list_sum(list_transform(q8, v -> v * v)), 0) AS BIGINT)
+         |      AS qnorm
+         |  FROM qq),
+         |scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    CAST(coalesce(list_sum(list_transform(range(1, len(q.q8) + 1),
+         |        i -> q.q8[i] * c.q8[i])), 0) AS BIGINT)::DOUBLE
+         |      / (sqrt(q.qnorm::DOUBLE) * sqrt(c.qnorm::DOUBLE)) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+         |r AS (SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+         |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
     "d7_embed_clusters" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
          |    ${oDot("embedding", "embedding")} AS norm_fp

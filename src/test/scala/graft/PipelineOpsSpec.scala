@@ -192,6 +192,17 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(clusters.subsetOf((0L until Similarity.NCentroids.toLong).toSet))
   }
 
+  test("s5 int8-quantized kNN keeps high recall vs exact s1") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(Similarity.s1KnnBrute(spark, sf))
+    val quant = pairs(Similarity.s5QuantKnn(spark, sf))
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    // int8 keeps ~2 decimal digits of each component: neighbor sets
+    // should survive nearly intact (far above the ANN paths' bar)
+    assert(recall >= 0.8, s"quantization recall implausibly low: $recall")
+  }
+
   test("s1 broadcasts the query side (no shuffle of the corpus)") {
     val plan = planOf(Similarity.s1KnnBrute(spark, sf))
     assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
