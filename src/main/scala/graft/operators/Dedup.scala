@@ -186,9 +186,11 @@ object Dedup {
 
   /** Per-band-key posting lists of a corpus index — the STANDING dedup
     * index a pipeline persists once and reads back for every
-    * incremental run (write it bucketed/sorted by (band_idx, band_key)
-    * so the daily join never shuffles the corpus side). Round-trips
-    * through parquet (spec-pinned). */
+    * incremental run. Persist with [[Warehouse.writePostingsIndex]]
+    * (bucketed/sorted by (band_idx, band_key)): the daily
+    * [[incrementalFromPostings]] join then never shuffles the corpus
+    * side (plan-asserted in WarehouseSpec). Round-trips through parquet
+    * (spec-pinned). */
   def corpusPostings(corpusIndex: DataFrame): DataFrame =
     aggIndex(corpusIndex)
       .select(col("doc_id"), col("sig"),

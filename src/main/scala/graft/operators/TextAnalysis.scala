@@ -433,13 +433,31 @@ object TextAnalysis {
 
   /** Distinct (shingle, train_doc) postings over a train corpus — the
     * static index [[graft.streaming.StreamOps.contaminationStream]]
-    * joins arriving eval docs against. At scale: persist it bucketed by
-    * shingle (the d8 pattern) so per-batch joins read it back without a
-    * shuffle, and apply [[contamination]]'s maxDf cap at build time. */
+    * joins arriving eval docs against. At scale: persist it with
+    * [[Warehouse.writeShingleIndex]] (bucketed by shingle, the d8
+    * pattern) so per-batch joins read it back without shuffling the
+    * index side (plan-asserted in WarehouseSpec), and apply
+    * [[contamination]]'s maxDf cap at build time. */
   def trainShingleIndex(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("train_doc"),
         explode(array_distinct(shingles3(words(col("text"))))).as("shingle"))
       .select(col("shingle"), col("train_doc"))
+
+  /** x11's core join over a PERSISTED train-shingle index: shared-shingle
+    * counts per (test_doc, train_doc) — the batch twin of
+    * [[graft.streaming.StreamOps.contaminationStream]], reading the
+    * standing index back from storage instead of rebuilding it per run.
+    * With the index written by [[Warehouse.writeShingleIndex]] the join
+    * plans with NO exchange on the index side (WarehouseSpec), so the
+    * per-run shuffle cost is the test batch only — the index side is a
+    * co-located scan. Top-offender ranking is the consumer's rerank, as
+    * in the streaming twin. */
+  def contaminationFromIndex(trainShingles: DataFrame, testDocs: DataFrame): DataFrame =
+    testDocs.select(col("doc_id").as("test_doc"),
+        explode(array_distinct(shingles3(words(col("text"))))).as("shingle"))
+      .join(trainShingles, Seq("shingle"))
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("shared_shingles"))
 
   /** Minimum composite quality score (x2 bands) a kept doc needs. */
   val CurateMinQuality = 500L

@@ -141,6 +141,30 @@ object Warehouse {
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Persist the standing MinHash dedup index ([[Dedup.corpusPostings]])
+    * hash-bucketed + sorted by its join key (band_idx, band_key). The
+    * daily incremental run ([[Dedup.incrementalFromPostings]] over
+    * `spark.table(table)`) then joins the new batch against the corpus
+    * side with NO exchange on the corpus side (plan-asserted in
+    * WarehouseSpec) — at 100 TB the corpus-side shuffle is the cost
+    * that matters, and this layout pays it once at index-build time
+    * instead of on every incremental run. */
+  def writePostingsIndex(postings: DataFrame, table: String, nBuckets: Int): Unit =
+    postings.write.mode("overwrite")
+      .bucketBy(nBuckets, "band_idx", "band_key")
+      .sortBy("band_idx", "band_key")
+      .format("parquet").saveAsTable(table)
+
+  /** Persist the standing contamination index
+    * ([[TextAnalysis.trainShingleIndex]]) hash-bucketed + sorted by
+    * shingle — the same pay-the-shuffle-once contract as
+    * [[writePostingsIndex]], for the
+    * [[TextAnalysis.contaminationFromIndex]] join. */
+  def writeShingleIndex(index: DataFrame, table: String, nBuckets: Int): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(nBuckets, "shingle").sortBy("shingle")
+      .format("parquet").saveAsTable(table)
+
   /** Join two co-bucketed catalog tables on their bucket key. With equal
     * bucket counts Spark plans a SortMergeJoin with NO Exchange on
     * either side (asserted in WarehouseSpec) — the write-time layout

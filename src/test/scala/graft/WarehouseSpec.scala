@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Similarity, Warehouse}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Warehouse}
 
 /** Plan-audited proof of the write-time layouts the scale notes promise:
   * partition-pruned vector probes and exchange-free co-bucketed joins. */
@@ -101,6 +101,78 @@ class WarehouseSpec extends SparkSpecBase {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS wh_docs")
+    }
+  }
+
+  /** Shuffle count in a physical-plan string — scoped no-Exchange
+    * assertions compare a bucketed-read plan against the identical
+    * query over a plain parquet round-trip of the same index: the only
+    * difference is the index-side shuffle bucketing eliminates. */
+  private def nShuffles(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("bucketed postings index: incremental dedup join never shuffles the corpus side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val corpusIx = Dedup.lshIndex(docs.filter(col("doc_id") < Dedup.IncrementalSplit))
+      val newIx = Dedup.lshIndex(docs.filter(col("doc_id") >= Dedup.IncrementalSplit))
+      Warehouse.writePostingsIndex(Dedup.corpusPostings(corpusIx), "wh_postings", 4)
+      // the same standing index through a PLAIN parquet round-trip: the
+      // queries differ only in the index read's write-time layout
+      val dir = Files.createTempDirectory("graft-postings-plain").toFile.getAbsolutePath
+      Dedup.corpusPostings(corpusIx).write.mode("overwrite").parquet(dir)
+
+      val bucketed = Dedup.incrementalFromPostings(
+        spark.table("wh_postings"), newIx, maxBucket = None)
+      val plain = Dedup.incrementalFromPostings(
+        spark.read.parquet(dir), newIx, maxBucket = None)
+      val bPlan = planOf(bucketed)
+      assert(bPlan.contains("wh_postings"), s"bucketed index not in plan:\n$bPlan")
+      // bucketing must eliminate exactly the corpus-side hash exchange;
+      // everything on the batch side is identical between the plans
+      assert(nShuffles(bPlan) == nShuffles(planOf(plain)) - 1,
+        s"corpus side still shuffles over the bucketed index:\n$bPlan")
+      // ... and the layout must not change WHICH candidates come back
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("n_sig_match"), r.getAs[Long]("est_jaccard_e6"))).toSet
+      val got = rows(bucketed)
+      assert(got.nonEmpty, "no incremental candidates to compare")
+      assert(got == rows(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS wh_postings")
+    }
+  }
+
+  test("bucketed shingle index: contamination join never shuffles the index side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val train = docs.filter(col("doc_id") < 400L)
+      val test = docs.filter(col("doc_id") >= 400L)
+      Warehouse.writeShingleIndex(TextAnalysis.trainShingleIndex(train), "wh_shingles", 4)
+      val dir = Files.createTempDirectory("graft-shingles-plain").toFile.getAbsolutePath
+      TextAnalysis.trainShingleIndex(train).write.mode("overwrite").parquet(dir)
+
+      val bucketed = TextAnalysis.contaminationFromIndex(spark.table("wh_shingles"), test)
+      val plain = TextAnalysis.contaminationFromIndex(spark.read.parquet(dir), test)
+      val bPlan = planOf(bucketed)
+      assert(bPlan.contains("wh_shingles"), s"bucketed index not in plan:\n$bPlan")
+      assert(nShuffles(bPlan) == nShuffles(planOf(plain)) - 1,
+        s"index side still shuffles over the bucketed index:\n$bPlan")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("test_doc"), r.getAs[Long]("train_doc"),
+          r.getAs[Long]("shared_shingles"))).toSet
+      val got = rows(bucketed)
+      assert(got.nonEmpty, "no contaminated pairs to compare")
+      assert(got == rows(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS wh_shingles")
     }
   }
 
