@@ -11,6 +11,12 @@ object GraftFunctions {
     GraftSqlBridge.column(
       DotFp9(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Integer dot product of two `array<bigint>` columns — codegen'd;
+    * see [[DotI64]]. */
+  def dot_i64(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      DotI64(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** array<string> → array<long>: 32-bit md5-prefix hash per element —
     * codegen'd; see [[ShingleHash32Expr]]. */
   def shingle_hash32(sh: Column): Column =
@@ -37,6 +43,9 @@ object GraftFunctions {
     GraftSqlBridge.registerFunction(
       spark, "dot_fp9", children => DotFp9(children(0), children(1)),
       classOf[DotFp9])
+    GraftSqlBridge.registerFunction(
+      spark, "dot_i64", children => DotI64(children(0), children(1)),
+      classOf[DotI64])
     GraftSqlBridge.registerFunction(
       spark, "shingle_hash32", children => ShingleHash32Expr(children(0)),
       classOf[ShingleHash32Expr])

@@ -72,7 +72,13 @@ object Similarity {
     * which would silently misalign every dot product — so the no-null
     * assumption is enforced, not hoped: a vector whose compacted length
     * differs fails the job with a clear message (per-ROW check, amortized
-    * over millions of per-PAIR evaluations). */
+    * over millions of per-PAIR evaluations).
+    *
+    * Zero-norm vectors fail loudly too: cosine against them is 0/0, and
+    * NaN ordering DIVERGES between the ranking formulations this engine
+    * deliberately keeps equivalent (NaN sorts largest under
+    * `orderBy(cos.desc)` but its negation sorts LAST in an ascending
+    * array_sort), so a degenerate vector must never reach a ranking. */
   private[graft] def withNorm(df: DataFrame): DataFrame =
     df.filter(
       when(exists(col("embedding"), _.isNull),
@@ -81,6 +87,11 @@ object Similarity {
         .otherwise(lit(true)))
       .withColumn("embedding", array_compact(col("embedding")))
       .withColumn("norm_fp", normFp9(col("embedding")))
+      .filter(
+        when(col("norm_fp") === 0L,
+          raise_error(concat(
+            lit("zero-norm embedding at vec_id="), col("vec_id"))))
+          .otherwise(lit(true)))
 
   /** s1: brute-force cosine top-k — queries are vec_id < NQueries; for
     * each, the TopK nearest neighbors (self excluded) by exact cosine. */
@@ -465,7 +476,7 @@ object Similarity {
     * semantics both engines implement as half-away-from-zero), so
     * results are bit-deterministic and DuckDB-oracle-checkable, per
     * the engine's fixed-point policy. */
-  private def quantized(df: DataFrame): DataFrame =
+  private[graft] def quantized(df: DataFrame): DataFrame =
     df.filter(
       when(exists(col("embedding"), _.isNull),
         raise_error(concat(
@@ -474,16 +485,32 @@ object Similarity {
       .withColumn("embedding", array_compact(col("embedding")))
       .withColumn("scale",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      // an all-zero vector gives scale=0 ⇒ 0/0=NaN components, which
+      // ANSI round().cast(long) turns into an opaque failure — fail
+      // loudly with the offending row instead (withNorm's contract)
+      .filter(
+        when(col("scale") === 0d,
+          raise_error(concat(
+            lit("all-zero embedding at vec_id="), col("vec_id"))))
+          .otherwise(lit(true)))
       .withColumn("q8",
         transform(col("embedding"),
           x => round(x.cast("double") / col("scale") * 127d).cast("long")))
-      .withColumn("qnorm",
-        aggregate(col("q8"), lit(0L), (acc, v) => acc + v * v))
+      .withColumn("qnorm", qdot(col("q8"), col("q8")))
 
-  /** Integer dot of two int8-quantized vectors (|sum| ≤ 127²·dim —
-    * overflow-free far beyond any real dimensionality). */
-  private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Integer dot of two int8-quantized vectors — native codegen
+    * expression ([[graft.functions.DotI64]]); |sum| ≤ 127²·dim, so the
+    * quantized domain is overflow-free far beyond any real
+    * dimensionality. */
+  private[graft] def qdot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot_i64(a, b)
+
+  /** Reference higher-order-function formulation of [[qdot]] — kept
+    * (and tested, HashKernelSpec) as the semantic spec of the native
+    * expression; null elements contribute 0, as in the kernel. */
+  private[graft] def qdotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => coalesce(x * y, lit(0L))),
+      lit(0L), (acc, v) => acc + v)
 
   /** s5: brute-force kNN over the int8-QUANTIZED corpus — s1's shape
     * (broadcast queries, linear scan, per-partition top-k) on the

@@ -66,6 +66,42 @@ class HashKernelSpec extends SparkSpecBase {
       .filter(not(col("k") <=> col("s"))))
   }
 
+  test("dot_i64 kernel matches the HOF spec on the quantized corpus") {
+    val e = Similarity.quantized(spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")))
+    val pairs = e.select(col("q8")).crossJoin(
+      e.select(col("q8").as("q2")).limit(3))
+    assertNoDiff(pairs
+      .select(
+        Similarity.qdot(col("q8"), col("q2")).as("k"),
+        Similarity.qdotHof(col("q8"), col("q2")).as("s"))
+      .filter(not(col("k") <=> col("s"))))
+  }
+
+  test("property: dot_i64 matches the HOF on adversarial long arrays (nulls, empties, length skew)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // bounded values: the kernel's contract hands overflow to the
+    // caller (int8 domain), so the property stays inside ±1e6 where
+    // Java's wrapping * and the ANSI-mode HOF agree exactly
+    val elemGen = Gen.frequency(
+      8 -> Gen.chooseNum(-1000000L, 1000000L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    val arrGen = Gen.frequency(
+      8 -> Gen.listOf(elemGen).map(l => Option(l.take(12))),
+      1 -> Gen.const(Option.empty[List[Option[Long]]]))
+    val prop = Prop.forAll(Gen.listOfN(8, Gen.zip(arrGen, arrGen))) { pairs =>
+      val df = pairs.toDF("a", "b")
+      df.select(
+        Similarity.qdot(col("a"), col("b")).as("k"),
+        Similarity.qdotHof(col("a"), col("b")).as("s"))
+        .filter(not(col("k") <=> col("s")))
+        .count() == 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: kernels match specs on adversarial inputs (unicode, empties, null elements)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._

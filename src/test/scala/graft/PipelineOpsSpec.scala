@@ -744,4 +744,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("n_chars"), "unused documents column not pruned")
     assert(!plan.contains("source"), "unused documents column not pruned")
   }
+
+  test("degenerate vectors fail loudly: zero norm in withNorm, all-zero in quantized") {
+    import spark.implicits._
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val bad = Seq((7L, Seq(0f, 0f, 0f)), (8L, Seq(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    // a zero-norm vector is undefined in cosine space: NaN would rank
+    // FIRST under orderBy(cos.desc) but LAST in the ascending
+    // neg_cos array_sort — the guard keeps the formulations equivalent
+    // by refusing the input instead of silently diverging
+    val e1 = intercept[Throwable] { Similarity.withNorm(bad).collect() }
+    assert(msgChain(e1).contains("zero-norm embedding at vec_id=7"), msgChain(e1))
+    val e2 = intercept[Throwable] { Similarity.quantized(bad).collect() }
+    assert(msgChain(e2).contains("all-zero embedding at vec_id=7"), msgChain(e2))
+    // the guards pass clean vectors through untouched
+    assert(Similarity.withNorm(bad.filter(col("vec_id") === 8L)).count() == 1)
+    assert(Similarity.quantized(bad.filter(col("vec_id") === 8L)).count() == 1)
+  }
 }
