@@ -402,34 +402,65 @@ object TextAnalysis {
   }
 
   /** PII patterns (portable regex subset — RE2 and Java agree): email,
-    * US-style phone. Deliberately simple; a production scrubber layers
-    * more patterns through the same narrow-map shape. */
+    * US-style phone, dotted-quad IPv4 shape, SSN shape. The phone
+    * (3-3-4) and SSN (3-2-4) shapes are disjoint by construction.
+    * Deliberately simple; a production scrubber layers more patterns
+    * through the same narrow-map shape. */
   val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiPhone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val PiiIpv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiSsn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Constructed PII-bearing rows appended (negative doc_ids) to x12's
+    * input IN BOTH ENGINES. The synthetic corpus contains no PII-shaped
+    * strings, so without these the oracle hash comparison could never
+    * catch regex divergence (Java's backtracking vs DuckDB RE2's
+    * leftmost-longest) on the patterns' actual targets — the
+    * cross-engine parity the pattern comment claims is now what the
+    * hash check tests. Kept word-boundary-honest (no quotes — they'd
+    * need SQL escaping). */
+  private[graft] val PiiFixtures: Seq[(Long, String)] = Seq(
+    -4L -> "reach jane.doe+test@example.co.uk or 415-555-2671 from host 10.0.42.7 today",
+    -3L -> "ssn 078-05-1120 and ips 255.255.255.255 then 999.12.34.56 and 172.16.254.1",
+    -2L -> "no personal data in this row just plain words",
+    -1L -> "a@b.io x.y@z-w.org 1.2.3.4.5 987-65-4320 111-11-1111 555-123-4567 0.0.0.0")
+
+  /** [[PiiFixtures]] as a DuckDB VALUES clause (the oracle's side of
+    * the same rows). */
+  private def oPiiFixtures: String =
+    PiiFixtures.map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") fx(doc_id, text)")
 
   /** x12: PII scan + scrub — the pre-training privacy filter: per doc,
     * pattern match counts, a has_pii flag, and the length after
-    * replacing every match with a fixed redaction token. Narrow
-    * Catalyst-expression map like every scoring stage (scan-bound at
-    * 100 TB). n_alpha_runs keeps the oracle hash discriminating on the
-    * synthetic corpus (which contains no PII-shaped strings — the
-    * detection behavior itself is pinned by a constructed-doc spec). */
-  def x12PiiScrub(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    * replacing every match with a fixed redaction token (counts over
+    * the original text; redaction applies the patterns in a fixed
+    * order, identical in both engines). Narrow Catalyst-expression map
+    * like every scoring stage (scan-bound at 100 TB). n_alpha_runs
+    * keeps the oracle hash discriminating on the synthetic corpus;
+    * the [[PiiFixtures]] union makes the oracle exercise PII-shaped
+    * strings; per-pattern detection edge cases are pinned by the
+    * constructed-doc spec. */
+  def x12PiiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withFixtures = documents(s, d).select(col("doc_id"), col("text"))
+      .unionAll(PiiFixtures.toDF("doc_id", "text"))
+    def n(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    withFixtures
       .select(col("doc_id"), col("text"),
-        size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(PiiPhone), lit(0)))
-          .cast("long").as("n_phones"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
-          .cast("long").as("n_alpha_runs"))
+        n(PiiEmail).as("n_emails"), n(PiiPhone).as("n_phones"),
+        n(PiiIpv4).as("n_ipv4"), n(PiiSsn).as("n_ssn"),
+        n("[a-z]+").as("n_alpha_runs"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
-        col("n_alpha_runs"),
-        (col("n_emails") + col("n_phones") > 0L).as("has_pii"),
-        length(regexp_replace(regexp_replace(col("text"),
-          lit(PiiEmail), lit("[PII]")), lit(PiiPhone), lit("[PII]")))
+        col("n_ipv4"), col("n_ssn"), col("n_alpha_runs"),
+        (col("n_emails") + col("n_phones") + col("n_ipv4") + col("n_ssn") > 0L)
+          .as("has_pii"),
+        length(Seq(PiiEmail, PiiPhone, PiiIpv4, PiiSsn).foldLeft(col("text"))(
+          (c, p) => regexp_replace(c, lit(p), lit("[PII]"))))
           .cast("long").as("redacted_len"))
       .transform(Output.ordered(_, col("doc_id")))
+  }
 
   /** Distinct (shingle, train_doc) postings over a train corpus — the
     * static index [[graft.streaming.StreamOps.contaminationStream]]
@@ -762,15 +793,22 @@ object TextAnalysis {
     // the Scala pattern constants are interpolated so both engines hand
     // RE2/java.util.regex byte-identical patterns
     "x12_pii_scrub" ->
-      s"""SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  UNION ALL $oPiiFixtures)
+         |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$PiiEmail')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(text, '$PiiPhone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$PiiIpv4')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text, '$PiiSsn')) AS BIGINT) AS n_ssn,
          |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
          |  len(regexp_extract_all(text, '$PiiEmail'))
-         |    + len(regexp_extract_all(text, '$PiiPhone')) > 0 AS has_pii,
-         |  CAST(length(regexp_replace(regexp_replace(text,
-         |    '$PiiEmail', '[PII]', 'g'), '$PiiPhone', '[PII]', 'g')) AS BIGINT)
+         |    + len(regexp_extract_all(text, '$PiiPhone'))
+         |    + len(regexp_extract_all(text, '$PiiIpv4'))
+         |    + len(regexp_extract_all(text, '$PiiSsn')) > 0 AS has_pii,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmail', '[PII]', 'g'), '$PiiPhone', '[PII]', 'g'),
+         |    '$PiiIpv4', '[PII]', 'g'), '$PiiSsn', '[PII]', 'g')) AS BIGINT)
          |    AS redacted_len
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

@@ -707,28 +707,44 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(one(Some(6)) == one(None))
   }
 
-  test("x12 PII scrub detects and redacts constructed emails/phones") {
+  test("x12 PII scrub detects and redacts constructed emails/phones/IPs/SSNs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("x12docs").toString
     Seq(
       (1L, "contact me at jane.doe+test@example.co.uk or 555-123-4567 thanks"),
       (2L, "no personal data here just words"),
-      (3L, "two mails a@b.io c.d@e-f.org and 111-222-3333 999-888-7777"))
+      (3L, "two mails a@b.io c.d@e-f.org and 111-222-3333 999-888-7777"),
+      (4L, "server 10.0.42.7 and 255.255.255.255 sent ssn 078-05-1120"),
+      // near-misses: 4-digit octet, 2-3-4 dashes, SSN shape overrun, no TLD
+      (5L, "almost pii 1234.5.6.7 and 12-34-5678 and 555-12-34567 and a@b"))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    case class P(em: Long, ph: Long, ip: Long, ssn: Long, pii: Boolean, rl: Long)
     val out = TextAnalysis.x12PiiScrub(spark, dir).collect()
       .map(r => r.getLong(0) ->
-        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+        P(r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ipv4"), r.getAs[Long]("n_ssn"),
           r.getAs[Boolean]("has_pii"), r.getAs[Long]("redacted_len"))).toMap
-    assert(out(1L)._1 == 1L && out(1L)._2 == 1L && out(1L)._3)
-    assert(out(2L) == ((0L, 0L, false,
-      "no personal data here just words".length.toLong)))
-    assert(out(3L)._1 == 2L && out(3L)._2 == 2L && out(3L)._3)
+    assert(out(1L).em == 1L && out(1L).ph == 1L && out(1L).pii)
+    assert(out(2L) == P(0, 0, 0, 0, pii = false,
+      "no personal data here just words".length.toLong))
+    assert(out(3L).em == 2L && out(3L).ph == 2L && out(3L).pii)
+    assert(out(4L) == P(0, 0, 2, 1, pii = true,
+      "server [PII] and [PII] sent ssn [PII]".length.toLong))
+    assert(out(5L) == P(0, 0, 0, 0, pii = false,
+      "almost pii 1234.5.6.7 and 12-34-5678 and 555-12-34567 and a@b".length.toLong))
     // every match collapses to the 5-char token: redacted lengths are
     // exactly computable from the originals
-    assert(out(1L)._4 ==
-      "contact me at [PII] or [PII] thanks".length.toLong)
-    assert(out(3L)._4 == "two mails [PII] [PII] and [PII] [PII]".length.toLong)
+    assert(out(1L).rl == "contact me at [PII] or [PII] thanks".length.toLong)
+    assert(out(3L).rl == "two mails [PII] [PII] and [PII] [PII]".length.toLong)
+    // the PII fixtures ride along in every x12 run (negative doc_ids) —
+    // they are what makes the DuckDB oracle exercise PII-shaped strings
+    assert(out(-4L).em == 1L && out(-4L).ph == 1L && out(-4L).ip == 1L)
+    assert(out(-3L).ssn == 1L && out(-3L).ip == 3L)
+    assert(!out(-2L).pii)
+    // "1.2.3.4.5" yields exactly one dotted-quad match in BOTH engines
+    assert(out(-1L) == P(2, 1, 2, 2, pii = true,
+      "[PII] [PII] [PII].5 [PII] [PII] [PII] [PII]".length.toLong))
   }
 
   test("x10 joins stay hash/merge equi-joins (no cartesian fallback)") {
