@@ -23,15 +23,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM once (parquet reader, codegen, shuffle machinery)
-    // with a trivial job, then touch every table the queries read so no
-    // measured query is charged for first-read footer/page-init on its
-    // table. Does not execute the measured queries themselves.
+    // with a trivial job, then a FULL read of every table the queries
+    // touch (noop write executes the whole scan — a count() is answered
+    // from row-group metadata and warms only footers), so no measured
+    // query is charged for first-read page init. Per-table try: a
+    // missing/corrupt table degrades to that table's queries failing
+    // into the per-query errors map instead of aborting the whole run.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()
     Seq(Tables.nation _, Tables.customer _, Tables.supplier _,
       Tables.part _, Tables.orders _, Tables.lineitem _, Tables.events _,
       Tables.documents _, Tables.embeddings _)
-      .foreach(t => t(spark, sfDir).count(): Unit)
+      .foreach { t =>
+        try t(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup read failed (queries on this " +
+            s"table will record their own errors): ${e.getMessage}")
+        }
+      }
     // Optional comma-separated query-name filter for iterating on one
     // operator without paying for the whole grid (dev-only knob; the
     // driver never sets it, so official rounds always run everything).
@@ -39,16 +48,20 @@ object Bench {
     // whose wall time tracks the machine's CURRENT speed. This host's
     // effective clock varies up to ~2x across rounds (BASELINE.md), so
     // cross-round per-query deltas are only meaningful relative to this
-    // field: same plan + same calibration-relative time = noise, not a
-    // regression. Runs after warmup so it measures the machine, not
-    // JVM startup.
-    val calibration = {
+    // signal: same plan + same calibration-relative time = noise, not a
+    // regression. Re-sampled every [[CalibrateEvery]] queries — one
+    // start-of-run sample cannot adjudicate MID-run load swings (a
+    // throttle landing on query 30 of 49 shows up in the nearest
+    // sample, not in a stale run-start figure). First sample runs after
+    // warmup so it measures the machine, not JVM startup.
+    def calibrate(): Double = {
       val t0 = System.nanoTime()
       // per-row mod a prime so the ANSI-mode sum cannot overflow
       spark.range(1L << 26)
         .selectExpr("sum(pmod(xxhash64(id), 1000000007))").collect(): Unit
       (System.nanoTime() - t0) / 1e9
     }
+    val calibration = calibrate()
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -68,8 +81,13 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }).toSeq.sortBy(_._1)
+    val CalibrateEvery = 10
     var errors = List.empty[(String, String)]
-    val results = selected.map { case (name, fn) =>
+    // (queries completed when sampled, seconds) — sample 0 is the
+    // run-start calibration; a sample lands after every CalibrateEvery
+    // queries and one closes the run
+    var samples = List(0 -> calibration)
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       // noop sink executes the FULL plan — count() would let Catalyst
       // prune the projected columns (e.g. a signature column feeding
@@ -80,16 +98,25 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: $msg")
         errors ::= name -> msg
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      if ((i + 1) % CalibrateEvery == 0 && i + 1 < selected.size)
+        samples ::= (i + 1) -> calibrate()
+      name -> t
     }
+    samples ::= selected.size -> calibrate()
     def jstr(s: String): String = JsonText.quote(s)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // normalization rule (BASELINE.md): divide a query's time by the
+    // nearest calibration sample (by queries-completed position) before
+    // comparing across runs
+    val cal = samples.reverse.map { case (i, v) => s"[$i,$v]" }
+      .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_samples":$cal,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     // stdout first: an unwritable SPARK_GRAFT_BENCH_OUT must not destroy
     // the run's results on both channels
     println(line)
