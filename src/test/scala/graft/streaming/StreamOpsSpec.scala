@@ -225,6 +225,60 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream-only=${streamed -- batch}, batch-only=${batch -- streamed}")
   }
 
+  test("incrementalDedupStream survives kill-and-restart from its checkpoint (T3 parity)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpusIx = Dedup.lshIndex(docs.filter(col("doc_id") < Dedup.IncrementalSplit))
+    val postingsDir = java.nio.file.Files
+      .createTempDirectory("d8-restart-postings").toString
+    Dedup.corpusPostings(corpusIx).write.mode("overwrite").parquet(postingsDir)
+
+    val newDocs = docs.filter(col("doc_id") >= Dedup.IncrementalSplit)
+      .collect().map(r => Doc(r.getLong(0), r.getString(1), ts("10:00")))
+    val (firstHalf, secondHalf) = newDocs.splitAt(newDocs.length / 2)
+
+    val cp = java.nio.file.Files.createTempDirectory("d8-restart-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("d8-restart-out").toString
+    val in = MemoryStream[Doc]
+    def start() = StreamOps.incrementalDedupStream(
+        in.toDF(), spark.read.parquet(postingsDir))
+      .writeStream.format("parquet").option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start(outDir)
+
+    // run 1: half the batch arrives, commits, then the query is KILLED
+    val q1 = start()
+    firstHalf.grouped(25).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // the rest arrives while the query is down
+    in.addData(secondHalf.toIndexedSeq: _*)
+
+    // run 2: restart from the checkpoint — committed offsets must not
+    // re-emit (file sink is transactional), queued ones must drain
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir).collect()
+      .map { r =>
+        val (n, c) = (r.getAs[Long]("new_doc"), r.getAs[Long]("corpus_doc"))
+        (math.min(n, c), math.max(n, c), r.getAs[Long]("n_sig_match"))
+      }.toSet
+    val batch = Dedup.incrementalCandidates(corpusIx,
+      Dedup.lshIndex(docs.filter(col("doc_id") >= Dedup.IncrementalSplit)),
+      maxBucket = None).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("n_sig_match")))
+      .filter(p => (p._1 < Dedup.IncrementalSplit) != (p._2 < Dedup.IncrementalSplit))
+      .toSet
+    assert(batch.nonEmpty, "no new×corpus pairs to compare")
+    assert(streamed == batch,
+      s"restart lost or duplicated pairs: stream-only=${streamed -- batch}, " +
+        s"batch-only=${batch -- streamed}")
+  }
+
   test("contaminationStream over the x11 split ≡ driver-computed shared-shingle counts") {
     implicit val sq = spark.sqlContext
     // the same md5 percent-bucket gate x6/x11 use
