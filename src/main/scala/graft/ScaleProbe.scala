@@ -20,6 +20,8 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-index shapes write catalog tables — scratch, not repo
+      .config("spark.sql.warehouse.dir", TempPath.scratch("scaleprobe-wh"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,22 +39,48 @@ object ScaleProbe {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // setup for the bucketed_knn_probe shape (untimed): a 100k×m-vector
-    // corpus written partitioned by sign-LSH bucket, and a query vector
-    // taken from the base table
-    val (vectorDir, probeQuery) = {
-      val base = spark.read.parquet(s"$d/embeddings.parquet")
-      val corpus = base.select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(0L), lit(200L * m - 1L))).as("c"))
-        .select((col("vec_id") * lit(200L * m) + col("c")).as("vec_id"),
-          col("embedding"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("scaleprobe-vectors").toString
-      operators.Warehouse.writeVectors(corpus, dir)
-      val q = base.filter(col("vec_id") === 3L)
-        .select(col("embedding")).collect()(0).getSeq[Float](0)
-      (dir, q)
-    }
+    // setup for the ANN probe shapes (untimed): a 100k×m-vector corpus
+    // written (a) partitioned by sign-LSH bucket and (b) IVF-partitioned
+    // by a TRAINED spherical k-means codebook, plus a query vector taken
+    // from the base table. Scratch dirs are cleaned at JVM exit.
+    val base = spark.read.parquet(s"$d/embeddings.parquet")
+    val bigCorpus = base.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(200L * m - 1L))).as("c"))
+      .select((col("vec_id") * lit(200L * m) + col("c")).as("vec_id"),
+        col("embedding"))
+    val probeQuery = base.filter(col("vec_id") === 3L)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val vectorDir = TempPath.scratch("scaleprobe-vectors")
+    operators.Warehouse.writeVectors(bigCorpus, vectorDir)
+    // codebook trained on the base table (the trainer's cost is
+    // corpus-linear per round and probed separately by `components`-like
+    // shapes; here the PROBE against the trained layout is the target)
+    val trainedCents = operators.Similarity.trainCodebook(
+      base.select(col("vec_id"), col("embedding")))
+    val ivfDir = TempPath.scratch("scaleprobe-ivf")
+    operators.Warehouse.writeIvf(bigCorpus, trainedCents, ivfDir)
+
+    // setup for the incremental-dedup shape (untimed): a 50k×m-doc
+    // synthetic corpus (unique text per doc: near-zero cross-overlap)
+    // whose LSH postings index is PERSISTED BUCKETED by band key — the
+    // standing-index layout writePostingsIndex builds; the timed probe
+    // is a FIXED 500-doc batch of exact twins of corpus docs 0..499
+    // (each finds exactly its twin) joined via incrementalFromPostings.
+    // Per-batch cost should track the batch, not m: the batch-side
+    // signature map is fixed-size and bucketing removes the corpus-side
+    // shuffle, leaving only the co-located postings scan to grow with m.
+    def synthText(idCol: org.apache.spark.sql.Column) = concat_ws(" ",
+      concat(lit("a"), idCol), concat(lit("b"), idCol), concat(lit("c"), idCol),
+      concat(lit("d"), idCol), concat(lit("e"), idCol))
+    val nDocs = 50000L * m
+    spark.sql("DROP TABLE IF EXISTS scaleprobe_postings")
+    operators.Warehouse.writePostingsIndex(
+      operators.Dedup.corpusPostings(operators.Dedup.lshIndex(
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          synthText(col("id")).as("text")))),
+      "scaleprobe_postings", 32)
+    val dedupBatch = spark.range(500L)
+      .select((col("id") + nDocs).as("doc_id"), synthText(col("id")).as("text"))
 
     val results = Seq(
       // q1 shape: full-scan groupBy-agg over lineitem×m
@@ -137,6 +165,22 @@ object ScaleProbe {
       // bucket directory (≈ bucket fraction of the corpus)
       time("bucketed_knn_probe") {
         operators.Warehouse.knnProbe(spark, vectorDir, probeQuery, 5)
+      },
+      // trained-IVF ANN shape: probe the same corpus IVF-partitioned by
+      // a trained codebook. Wall time should track the pruned fraction
+      // (nprobe/nlist of the corpus), not the corpus: the probe list is
+      // pinned driver-side as partition-filter literals
+      time("ivf_trained_probe") {
+        operators.Warehouse.ivfProbe(spark, ivfDir, trainedCents, probeQuery, 5)
+      },
+      // d8 shape: FIXED 500-doc batch vs the m×-corpus postings index
+      // read back from its bucketed layout — per-batch cost should
+      // track batch size (fixed signature map + co-located join), with
+      // only the postings scan growing in m
+      time("incremental_dedup") {
+        operators.Dedup.incrementalFromPostings(
+          spark.table("scaleprobe_postings"),
+          operators.Dedup.lshIndex(dedupBatch), maxBucket = None)
       },
       // d6/d7 shape: alternating-star connected components over a
       // synthetic 50k×m-node graph of 64-chains — fixed round count

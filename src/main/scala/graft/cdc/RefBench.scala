@@ -82,8 +82,7 @@ object RefBench {
         override def handle(changes: org.apache.spark.sql.Dataset[Change]): Unit =
           n += changes.count()
       }
-      val log = new ParquetChangeLog(
-        java.nio.file.Files.createTempDirectory("refbench").toString)
+      val log = new ParquetChangeLog(graft.TempPath.scratch("refbench"))
       val engine = new CdcEngine(spark, log, handler, maxBatchSize = nb)
       val sec = time(engine.bootstrap(Seq(("t", df))))
       println(s"""{"grid":"rows_x_batch","rows":$nr,"batch":$nb,"sec":$sec}""")

@@ -157,16 +157,17 @@ object Similarity {
       element_at(rankedCentroids(cents, col("embedding"), col("norm_fp")), 1)
         .getField("cid"))
 
-  /** IVF probe-list stage: the NProbe nearest centroids per query — a
+  /** IVF probe-list stage: the `nprobe` nearest centroids per query — a
     * narrow slice+explode of the same ranked-codebook array, no
-    * exchange (the explode fans each query row out ×NProbe in place). */
-  private[graft] def probeClusters(e: DataFrame, cents: Seq[Centroid]): DataFrame =
+    * exchange (the explode fans each query row out ×nprobe in place). */
+  private[graft] def probeClusters(e: DataFrame, cents: Seq[Centroid],
+      nprobe: Int = NProbe): DataFrame =
     e.filter(col("vec_id") < NQueries.toLong)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("norm_fp").as("q_norm"),
         explode(transform(
           slice(rankedCentroids(cents, col("embedding"), col("norm_fp")),
-            1, NProbe),
+            1, nprobe),
           _.getField("cid"))).as("cluster"))
 
   /** Fixed-point squared norm of a driver-side vector — the same
@@ -252,10 +253,19 @@ object Similarity {
     * only exchanges left are the probed-subset search's own top-k. */
   def s2KnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val cents = collectCodebook(e)
+    knnIvfWith(e, collectCodebook(e))
+  }
+
+  /** The s2 search pipeline over an explicit codebook — the form the
+    * trained path reuses ([[trainCodebook]] output plugs in directly;
+    * recall-vs-stand-in pinned by spec). Same plan shape regardless of
+    * where the codebook came from: narrow assignment + probe list,
+    * broadcast probes, per-query top-k. */
+  private[graft] def knnIvfWith(e: DataFrame, cents: Seq[Centroid],
+      nprobe: Int = NProbe): DataFrame = {
     val assigned = assignClusters(e, cents)
       .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
-    val probes = probeClusters(e, cents)
+    val probes = probeClusters(e, cents, nprobe)
 
     // search only the probed clusters
     val w = Window.partitionBy(col("qid"))

@@ -192,6 +192,23 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(clusters.subsetOf((0L until Similarity.NCentroids.toLong).toSet))
   }
 
+  test("trained codebook closes the loop: IVF recall@k ≥ the stand-in codebook's") {
+    val corpus = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val e = Similarity.withNorm(corpus)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(Similarity.s1KnnBrute(spark, sf))
+    val standIn = pairs(Similarity.knnIvfWith(e, Similarity.collectCodebook(e)))
+    val trained = pairs(Similarity.knnIvfWith(e, Similarity.trainCodebook(corpus)))
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    // the whole point of training: spherical k-means centroids must not
+    // be WORSE than the first-k-vectors stand-in at equal nprobe/nlist
+    assert(recall(trained) >= recall(standIn),
+      s"trained codebook lost recall: trained=${recall(trained)} " +
+        s"stand-in=${recall(standIn)}")
+    assert(recall(trained) >= 0.2, s"trained recall implausibly low: ${recall(trained)}")
+  }
+
   test("s5 int8-quantized kNN keeps high recall vs exact s1") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
