@@ -462,6 +462,95 @@ object TextAnalysis {
       .transform(Output.ordered(_, col("doc_id")))
   }
 
+  /** x13: unigram language-model fluency scoring — the CCNet-style LM
+    * quality filter, reduced to its distributable core: a unigram model
+    * with Laplace smoothing is trained on the x6 train split, and EVERY
+    * document (all splits) is scored by its mean token log10-probability.
+    * Low scores flag disfluent/garbage text; high OOV counts flag
+    * vocabulary drift. Train-split docs have n_oov = 0 by construction
+    * (their tokens ARE the model) — spec-pinned.
+    *
+    * Numeric policy: the model's probabilities are exact integer ratios
+    * (c+1)/(T+V); the ONLY transcendental is one log10 per token,
+    * quantized to e4 fixed-point immediately (round half away, shared
+    * by both engines) so the per-doc mean is integer floor-division of
+    * exact integers. A 1-ulp log10 divergence between engines would
+    * need to land within ~1e-12 of a rounding boundary to change a
+    * hash — and the oracle gate would catch it.
+    *
+    * Scale notes (100 TB): the model is the train vocabulary — an
+    * aggregate with map-side partials (stopword skew absorbed exactly
+    * as x5's df), broadcast back to the token stream; scoring is then
+    * a narrow map + one per-doc aggregate on the token stream's own
+    * doc_id grouping. Nothing shuffles twice. */
+  def x13LmScore(s: SparkSession, d: String): DataFrame =
+    lmScore(documents(s, d)).transform(Output.ordered(_, col("doc_id")))
+
+  /** Library form of [[x13LmScore]] over any (doc_id, text) frame. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
+      .withColumn("split",
+        when(col("bucket") < 80L, "train")
+          .when(col("bucket") < 90L, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), explode(words(col("text"))).as("w"))
+    val counts = tok.filter(col("split") === "train")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    tok.join(broadcast(counts), Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp_e4",
+        round(log10((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
+          (col("t") + col("v")).cast("double")) * 1e4).cast("long"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        idiv(sum(col("lp_e4")), count(lit(1))).as("mean_lp_e4"))
+  }
+
+  /** x14: deterministic source-mixture resampling — the data-mixing
+    * step that turns a source-skewed crawl into a corpus with CHOSEN
+    * per-source proportions. Each source gets an integer weight (here
+    * derived from the source name's hash bucket, {1,2,3}, so both
+    * engines compute identical weights with no side-channel config);
+    * the binding constraint K = min over sources of floor(n_src / w)
+    * is the largest scale at which every source can fill its quota
+    * w·K by DOWN-sampling only; each source then keeps exactly its
+    * quota, chosen by md5-hash rank (deterministic, reshuffle-proof —
+    * re-running on re-partitioned data keeps the same documents).
+    * Differs from x7 (rate-based Bernoulli thinning): x14 hits target
+    * proportions EXACTLY, the contract mixture training needs.
+    *
+    * Scale notes (100 TB): weights/caps are a tiny broadcast; the rank
+    * is one per-source window. At real scale replace rank-selection
+    * with threshold-selection: the quota-th smallest hash per source
+    * (an exact/approx quantile aggregate) becomes a literal filter —
+    * same kept set, no full sort. The window form is the
+    * oracle-checkable twin. */
+  def x14SourceMix(s: SparkSession, d: String): DataFrame =
+    sourceMix(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Library form of [[x14SourceMix]] over any (doc_id, source) frame. */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val withW = docs.select(col("doc_id"), col("source"))
+      .withColumn("weight", lit(1L) + hashBucket(col("source")) % 3L)
+    val caps = withW.groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_src"))
+    val k = caps.agg(min(idiv(col("n_src"), col("weight"))).as("k"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":mix14"))),
+        col("doc_id"))
+    withW
+      .join(broadcast(caps.select(col("source"), col("n_src"))), Seq("source"))
+      .crossJoin(broadcast(k))
+      .withColumn("src_rank", row_number().over(rankW).cast("long"))
+      .withColumn("quota", col("weight") * col("k"))
+      .withColumn("keep", col("src_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("weight"), col("n_src"),
+        col("quota"), col("src_rank"), col("keep"))
+  }
+
   /** Distinct (shingle, train_doc) postings over a train corpus — the
     * static index [[graft.streaming.StreamOps.contaminationStream]]
     * joins arriving eval docs against. At scale: persist it with
@@ -544,6 +633,8 @@ object TextAnalysis {
     "x10_curate"     -> x10Curate _,
     "x11_contamination" -> x11Contamination _,
     "x12_pii_scrub"  -> x12PiiScrub _,
+    "x13_lm_score"   -> x13LmScore _,
+    "x14_source_mix" -> x14SourceMix _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -792,6 +883,44 @@ object TextAnalysis {
          |FROM r WHERE rn = 1 ORDER BY test_doc""".stripMargin,
     // the Scala pattern constants are interpolated so both engines hand
     // RE2/java.util.regex byte-identical patterns
+    "x13_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |h AS (SELECT doc_id, ws, md5(doc_id::VARCHAR) AS h FROM t),
+         |sp AS (SELECT doc_id, ws,
+         |    CASE WHEN ${oBucket4("h")} < 80 THEN 'train'
+         |         WHEN ${oBucket4("h")} < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM h),
+         |tok AS (SELECT doc_id, split, unnest(ws) AS w FROM sp),
+         |cnt AS (SELECT w, count(*) AS c FROM tok WHERE split = 'train' GROUP BY w),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM cnt),
+         |lp AS (SELECT tok.doc_id, tok.split,
+         |    CAST(round(log10((coalesce(cnt.c, 0) + 1)::DOUBLE
+         |      / (tot.t + tot.v)::DOUBLE) * 1e4) AS BIGINT) AS lp_e4,
+         |    CASE WHEN cnt.c IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tok LEFT JOIN cnt USING (w) CROSS JOIN tot)
+         |SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST(floor(sum(lp_e4)::DOUBLE / count(*)::DOUBLE) AS BIGINT) AS mean_lp_e4
+         |FROM lp GROUP BY doc_id, split ORDER BY doc_id""".stripMargin,
+    "x14_source_mix" ->
+      s"""WITH h AS (SELECT doc_id, source, md5(source) AS hs,
+         |    md5(doc_id::VARCHAR || ':mix14') AS hd FROM documents),
+         |w AS (SELECT doc_id, source, hd,
+         |    CAST(1 + (${oBucket4("hs")} % 3) AS BIGINT) AS weight FROM h),
+         |caps AS (SELECT source, weight, CAST(count(*) AS BIGINT) AS n_src
+         |  FROM w GROUP BY source, weight),
+         |k AS (SELECT min(CAST(floor(n_src::DOUBLE / weight::DOUBLE) AS BIGINT)) AS k
+         |  FROM caps),
+         |r AS (SELECT doc_id, source, weight,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY hd, doc_id)
+         |      AS BIGINT) AS src_rank
+         |  FROM w)
+         |SELECT r.doc_id, r.source, r.weight, caps.n_src,
+         |  r.weight * k.k AS quota, r.src_rank,
+         |  r.src_rank <= r.weight * k.k AS keep
+         |FROM r JOIN caps ON r.source = caps.source CROSS JOIN k
+         |ORDER BY r.doc_id""".stripMargin,
     "x12_pii_scrub" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents
          |  UNION ALL $oPiiFixtures)

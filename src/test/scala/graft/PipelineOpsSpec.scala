@@ -778,6 +778,68 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("source"), "unused documents column not pruned")
   }
 
+  test("x13 LM score: train docs have zero OOV, unseen test words count as OOV") {
+    import spark.implicits._
+    // drive the split from the REAL hash gate: find a train id and a
+    // test id by computing the bucket driver-side (x6's md5 mod 100)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 100L
+    }
+    val trainId = (0L to 500L).find(bucket(_) < 80L).get
+    val testId = (0L to 500L).find(bucket(_) >= 90L).get
+    val docs = Seq(
+      (trainId, "the cat sat on the mat"),
+      (testId, "the cat zzzunseen words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("split"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("n_oov"), r.getAs[Long]("mean_lp_e4"))).toMap
+    assert(out(trainId)._1 == "train" && out(testId)._1 == "test")
+    // train tokens ARE the model: no OOV by construction
+    assert(out(trainId)._3 == 0L)
+    // "zzzunseen"/"words"/"here" are not in the 2-doc train vocabulary
+    assert(out(testId)._3 == 3L, s"expected 3 OOV tokens: ${out(testId)}")
+    assert(out(trainId)._2 == 6L && out(testId)._2 == 5L)
+    // log-probs are negative, and the OOV-heavy doc scores lower
+    assert(out(trainId)._4 < 0L && out(testId)._4 < out(trainId)._4)
+    // the whole corpus scores: every doc exactly once, all train rows clean
+    val full = TextAnalysis.x13LmScore(spark, sf).collect()
+    assert(full.length == Tables.documents(spark, sf).count())
+    assert(full.filter(_.getAs[String]("split") == "train")
+      .forall(_.getAs[Long]("n_oov") == 0L))
+  }
+
+  test("x14 source mix: quotas filled exactly, proportions match weights, reshuffle-proof") {
+    val out = TextAnalysis.x14SourceMix(spark, sf).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      val w = rows.head.getAs[Long]("weight")
+      val quota = rows.head.getAs[Long]("quota")
+      val kept = rows.count(_.getAs[Boolean]("keep"))
+      assert(kept == quota, s"$src kept $kept of quota $quota")
+      // quota = weight × the shared K: proportions match weights exactly
+      assert(quota == w * (quota / w) && quota % w == 0L)
+    }
+    // shared K: quota/weight identical across sources
+    val ks = out.map(r => r.getAs[Long]("quota") / r.getAs[Long]("weight")).toSet
+    assert(ks.size == 1, s"inconsistent K across sources: $ks")
+    // every source can fill its quota (K is the binding constraint)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.head.getAs[Long]("quota") <= rows.head.getAs[Long]("n_src"),
+        s"$src quota exceeds its population")
+    }
+    // deterministic under re-partitioning: the KEPT SET is a function of
+    // the data, not the physical layout
+    val keptA = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val keptB = TextAnalysis.sourceMix(
+      Tables.documents(spark, sf).repartition(7, col("text")))
+      .collect().filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    assert(keptA == keptB, "kept set changed under re-partitioning")
+  }
+
   test("degenerate vectors fail loudly: zero norm in withNorm, all-zero in quantized") {
     import spark.implicits._
     def msgChain(t: Throwable): String =
