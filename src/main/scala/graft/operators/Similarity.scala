@@ -546,12 +546,131 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** PQ geometry: Dim = PqSubs × PqSubDim subspaces, PqK centroids per
+    * sub-codebook (stand-in: the sub-slices of vectors vec_id < PqK,
+    * the same deterministic stand-in device as s2's codebook — a
+    * trained PQ codebook has no SQL oracle). 8×16 codes = 8 bytes per
+    * vector vs 256: the 32× compression PQ is used for at 100 TB. */
+  val PqSubs = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  /** One PQ sub-codebook entry: subspace, code, sub-centroid, its
+    * fixed-point squared norm. Driver-sized by construction
+    * (PqSubs × PqK rows), collected once and inlined as literals. */
+  private[graft] case class SubCent(sub: Int, code: Int, emb: Seq[Float], normFp: Long)
+
+  /** Collect the stand-in PQ codebook from a [[withNorm]]-prepared
+    * frame: sub-slices of the PqK lowest vec_ids. */
+  private[graft] def collectPqCodebook(e: DataFrame): Map[Int, Seq[SubCent]] =
+    e.filter(col("vec_id") < PqK.toLong)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .flatMap { r =>
+        val vid = r.getLong(0).toInt
+        val emb = r.getSeq[Float](1)
+        (0 until PqSubs).map { s =>
+          val sub = emb.slice(s * PqSubDim, (s + 1) * PqSubDim)
+          SubCent(s, vid, sub, normFpOf(sub))
+        }
+      }.groupBy(_.sub).view.mapValues(_.sortBy(_.code)).toMap
+
+  /** s6: product-quantization kNN — the 100 TB ANN storage format
+    * beyond s5's scalar quantization: each vector stores only PqSubs
+    * sub-codebook codes (argmin fixed-point L2 per subspace over the
+    * literal codebook — a NARROW projection, the s2 assignment trick
+    * per subspace), and queries score by ASYMMETRIC DISTANCE: a
+    * per-query lookup table of (subspace × code) partial dots is built
+    * once on the tiny query side, so each corpus row costs PqSubs
+    * array lookups + one add chain — no full-width dot per pair.
+    * Cosine denominator uses the RECONSTRUCTED norm (sum of chosen
+    * sub-centroid norms, exact integers). Approximate by construction;
+    * recall vs s1 pinned by spec. */
+  def s6KnnPq(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val cb = collectPqCodebook(e)
+    def subCol(i: Int) = slice(col("embedding"), i * PqSubDim + 1, PqSubDim)
+    // corpus encode: per-subspace argmin code over the literal codebook
+    // (array_sort of (dist, code) structs — ties break on code, same
+    // (dist, k) order the oracle's window uses)
+    val codeCols = (0 until PqSubs).map { i =>
+      val xn = dotFp9(subCol(i), subCol(i))
+      element_at(array_sort(array(cb(i).map { c =>
+        struct(
+          (xn - lit(2L) * dotFp9(subCol(i), array(c.emb.map(lit): _*)) +
+            lit(c.normFp)).as("d"),
+          lit(c.code.toLong).as("k"))
+      }: _*)), 1).getField("k").as(s"code_$i")
+    }
+    val coded = e.select((col("vec_id").as("nid") +: codeCols): _*)
+      .withColumn("recon_norm", (0 until PqSubs).map { i =>
+        element_at(array(cb(i).map(c => lit(c.normFp)): _*),
+          col(s"code_$i").cast("int") + 1)
+      }.reduce(_ + _))
+    // query side: the ADC lookup tables (PqK partial dots per subspace,
+    // computed ONCE per query row, broadcast with it)
+    val lutCols = (0 until PqSubs).map { i =>
+      array(cb(i).map(c =>
+        dotFp9(subCol(i), array(c.emb.map(lit): _*))): _*).as(s"lut_$i")
+    }
+    val q = e.filter(col("vec_id") < NQueries.toLong)
+      .select((Seq(col("vec_id").as("qid"), col("norm_fp").as("q_norm")) ++
+        lutCols): _*)
+    val adcDot = (0 until PqSubs).map(i =>
+      element_at(col(s"lut_$i"), col(s"code_$i").cast("int") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    coded.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(adcDot, col("q_norm"), col("recon_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** s7: kNN label classification — the embedding-space classifier a
+    * curation pipeline runs to propagate labels (quality tiers, topic
+    * tags) from a labeled seed set to an unlabeled corpus: each query
+    * vector is classified by MAJORITY VOTE among its TopK exact-cosine
+    * neighbors' labels (tie → smallest label), and scored against its
+    * own label. Same broadcast-queries/linear-scan/per-query-top-k
+    * shape as s1, plus one tiny per-query vote aggregate — the
+    * neighbor search dominates, and it is the scan s1 already proved
+    * linear. Uses the embeddings table's `label` column. */
+  def s7KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      col("norm_fp").as("q_norm"), col("label").cast("long").as("true_label"))
+      .filter(col("qid") < NQueries.toLong)
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"), col("label").cast("long").as("n_label"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val voteW = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("n_label"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos",
+        cosine(dotFp9(col("q_emb"), col("n_emb")), col("q_norm"), col("n_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .groupBy(col("qid"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrank", row_number().over(voteW))
+      .filter(col("vrank") === 1)
+      .select(col("qid"), col("true_label"),
+        col("n_label").as("pred_label"), col("votes"),
+        (col("n_label") === col("true_label")).as("correct"))
+      .orderBy(col("qid"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute"    -> s1KnnBrute _,
     "s2_knn_ivf"      -> s2KnnIvf _,
     "s3_cosine_pairs" -> s3CosinePairs _,
     "s4_knn_sign_lsh" -> s4KnnSignLsh _,
     "s5_quant_knn"    -> s5QuantKnn _,
+    "s6_knn_pq"       -> s6KnnPq _,
+    "s7_knn_classify" -> s7KnnClassify _,
     "d7_embed_clusters" -> d7EmbedClusters _,
   )
 
@@ -673,6 +792,67 @@ object Similarity {
          |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
          |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
          |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+    // PQ mirror: sub-codebooks are the sub-slices of vectors
+    // vec_id < PqK read from the table; per-(vector, subspace) codes by
+    // the same (fixed-point L2, code) window argmin; ADC dot recomputed
+    // per (query, code) pair — semantics, not performance, is the
+    // oracle's job (the Spark side builds the per-query LUT instead)
+    "s6_knn_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${oDot("embedding", "embedding")} AS norm_fp
+         |  FROM embeddings),
+         |sub AS (SELECT unnest(range(0, $PqSubs)) AS s),
+         |cent AS (SELECT c.vec_id AS k, sub.s,
+         |    c.embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS cemb
+         |  FROM e c CROSS JOIN sub WHERE c.vec_id < $PqK),
+         |centn AS (SELECT k, s, cemb, ${oDot("cemb", "cemb")} AS cnorm FROM cent),
+         |xs AS (SELECT vec_id, sub.s,
+         |    embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS xemb
+         |  FROM e CROSS JOIN sub),
+         |codes AS (SELECT vec_id, s, k AS code, cnorm FROM (
+         |    SELECT xs.vec_id, xs.s, centn.k, centn.cnorm,
+         |      row_number() OVER (PARTITION BY xs.vec_id, xs.s ORDER BY
+         |        (${oDot("xemb", "xemb")} - 2 * ${oDot("xemb", "cemb")} + cnorm),
+         |        centn.k) AS rk
+         |    FROM xs JOIN centn ON xs.s = centn.s) WHERE rk = 1),
+         |rn AS (SELECT vec_id, CAST(sum(cnorm) AS BIGINT) AS recon_norm
+         |  FROM codes GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, norm_fp AS qnorm
+         |  FROM e WHERE vec_id < $NQueries),
+         |adc AS (SELECT q.qid, codes.vec_id AS nid, q.qnorm,
+         |    CAST(sum(${oDot(s"(q.qemb[codes.s*$PqSubDim+1 : codes.s*$PqSubDim+$PqSubDim])", "centn.cemb")}) AS BIGINT) AS adot
+         |  FROM q CROSS JOIN codes
+         |  JOIN centn ON centn.s = codes.s AND centn.k = codes.code
+         |  WHERE q.qid <> codes.vec_id
+         |  GROUP BY q.qid, codes.vec_id, q.qnorm),
+         |scored AS (SELECT adc.qid, adc.nid,
+         |    adc.adot::DOUBLE / (sqrt(adc.qnorm::DOUBLE) * sqrt(rn.recon_norm::DOUBLE)) AS cos
+         |  FROM adc JOIN rn ON rn.vec_id = adc.nid),
+         |r AS (SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+         |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+    "s7_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label,
+         |    ${oDot("embedding", "embedding")} AS norm_fp
+         |  FROM embeddings),
+         |scored AS (SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS true_label,
+         |    c.vec_id AS nid, CAST(c.label AS BIGINT) AS n_label,
+         |    ${oCos(oDot("q.embedding", "c.embedding"), "q.norm_fp", "c.norm_fp")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+         |r AS (SELECT qid, true_label, nid, n_label,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored),
+         |v AS (SELECT qid, true_label, n_label, CAST(count(*) AS BIGINT) AS votes
+         |  FROM r WHERE rank <= $TopK GROUP BY qid, true_label, n_label),
+         |p AS (SELECT qid, true_label, n_label, votes,
+         |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, n_label) AS vrank
+         |  FROM v)
+         |SELECT qid, true_label, n_label AS pred_label, votes,
+         |  n_label = true_label AS correct
+         |FROM p WHERE vrank = 1 ORDER BY qid""".stripMargin,
     "d7_embed_clusters" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
          |    ${oDot("embedding", "embedding")} AS norm_fp

@@ -209,6 +209,65 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall(trained) >= 0.2, s"trained recall implausibly low: ${recall(trained)}")
   }
 
+  test("s6 PQ kNN: narrow encode + broadcast ADC join; recall plausible vs s1") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(Similarity.s1KnnBrute(spark, sf))
+    val pq = pairs(Similarity.s6KnnPq(spark, sf))
+    // 8-byte codes from a 16-vector stand-in codebook on isotropic
+    // gaussians: lossy by design (measured 0.22 at sf0.01); the bound
+    // is a plausibility floor, not a quality claim
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.1, s"PQ recall implausibly low: $recall")
+    // plan: encode is a narrow projection over the scan; the only hash
+    // shuffle is the per-query top-k window; queries broadcast with
+    // their LUTs
+    val plan = planOf(Similarity.s6KnnPq(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"query side not broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected only the top-k window shuffle, got $shuffles:\n$plan")
+  }
+
+  test("s7 kNN classify: majority vote wins, ties break to the smallest label") {
+    import spark.implicits._
+    // 10 orthogonal query directions (dim 16); 5 corpus members per
+    // query at cos≈1 with distinct tiny perturbations; cross-cluster
+    // and query-query cosines are 0 — each query's top-5 is exactly its
+    // own cluster, so the vote outcome is fully determined
+    val dim = 16
+    def basis(i: Int, eps: (Int, Float)*): Seq[Float] = {
+      val v = Array.fill(dim)(0f); v(i) = 1f
+      eps.foreach { case (j, e) => v(j) = e }
+      v.toSeq
+    }
+    val labelsFor = Map(
+      0 -> Seq(1, 1, 1, 2, 2), // clear majority: pred 1 with 3 votes
+      1 -> Seq(1, 1, 2, 2, 3)) // 2-2 tie: pred 1 (smallest label)
+    val rows =
+      (0 until 10).map(i => (i.toLong, basis(i), if (i == 0) 1 else 2)) ++
+        (0 until 10).flatMap { i =>
+          (0 until 5).map { j =>
+            (10L + i * 5 + j, basis(i, (10 + j, 0.01f * (j + 1))),
+              labelsFor.getOrElse(i, Seq.fill(5)(i)).apply(j))
+          }
+        }
+    val dir = java.nio.file.Files.createTempDirectory("s7vecs").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.s7KnnClassify(spark, dir).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("true_label"), r.getAs[Long]("pred_label"),
+          r.getAs[Long]("votes"), r.getAs[Boolean]("correct"))).toMap
+    assert(out(0L) == ((1L, 1L, 3L, true)), s"majority vote: ${out(0L)}")
+    assert(out(1L) == ((2L, 1L, 2L, false)), s"tie-break: ${out(1L)}")
+    (2 until 10).foreach { i =>
+      // queries 2..9 carry true_label 2; cluster i votes unanimously i,
+      // so only query 2's prediction is correct
+      assert(out(i.toLong) == ((2L, i.toLong, 5L, i == 2)),
+        s"unanimous cluster $i: ${out(i.toLong)}")
+    }
+  }
+
   test("s5 int8-quantized kNN keeps high recall vs exact s1") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
