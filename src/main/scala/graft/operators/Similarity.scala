@@ -587,20 +587,32 @@ object Similarity {
     * recall vs s1 pinned by spec. */
   def s6KnnPq(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val cb = collectPqCodebook(e)
-    def subCol(i: Int) = slice(col("embedding"), i * PqSubDim + 1, PqSubDim)
-    // corpus encode: per-subspace argmin code over the literal codebook
-    // (array_sort of (dist, code) structs — ties break on code, same
-    // (dist, k) order the oracle's window uses)
-    val codeCols = (0 until PqSubs).map { i =>
-      val xn = dotFp9(subCol(i), subCol(i))
-      element_at(array_sort(array(cb(i).map { c =>
-        struct(
-          (xn - lit(2L) * dotFp9(subCol(i), array(c.emb.map(lit): _*)) +
-            lit(c.normFp)).as("d"),
-          lit(c.code.toLong).as("k"))
-      }: _*)), 1).getField("k").as(s"code_$i")
-    }
+    knnPqWith(e, collectPqCodebook(e))
+  }
+
+  /** Subvector of `embedding` for PQ subspace `i` (1-based slice). */
+  private def pqSubCol(i: Int) =
+    slice(col("embedding"), i * PqSubDim + 1, PqSubDim)
+
+  /** Per-subspace argmin code over a literal sub-codebook — the narrow
+    * PQ encode projection (array_sort of (dist, code) structs — ties
+    * break on code, the same (dist, k) order the oracle's window uses). */
+  private def pqCodeCol(cbs: Seq[SubCent], i: Int) = {
+    val xn = dotFp9(pqSubCol(i), pqSubCol(i))
+    element_at(array_sort(array(cbs.map { c =>
+      struct(
+        (xn - lit(2L) * dotFp9(pqSubCol(i), array(c.emb.map(lit): _*)) +
+          lit(c.normFp)).as("d"),
+        lit(c.code.toLong).as("k"))
+    }: _*)), 1).getField("k").as(s"code_$i")
+  }
+
+  /** The s6 search pipeline over an explicit PQ codebook — the form the
+    * trained path reuses ([[trainPqCodebook]] output plugs in directly;
+    * recall-vs-stand-in pinned by spec). */
+  private[graft] def knnPqWith(e: DataFrame, cb: Map[Int, Seq[SubCent]]): DataFrame = {
+    def subCol(i: Int) = pqSubCol(i)
+    val codeCols = (0 until PqSubs).map(i => pqCodeCol(cb(i), i))
     val coded = e.select((col("vec_id").as("nid") +: codeCols): _*)
       .withColumn("recon_norm", (0 until PqSubs).map { i =>
         element_at(array(cb(i).map(c => lit(c.normFp)): _*),
@@ -626,6 +638,69 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
         round(col("cos") * 1e6).cast("long").as("cos_e6"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Train PQ sub-codebooks: independent k-means per subspace over the
+    * corpus's sub-slices — classic PQ training, on the same
+    * bit-deterministic distributed Lloyd shape as [[trainCodebook]].
+    * Per round: the 8 per-subspace argmin codes are ONE narrow
+    * projection (each the [[pqCodeCol]] literal-codebook trick), the
+    * (vector × subspace) rows explode in place, and the M-step is a
+    * single groupBy(sub, code) with (PqSubs·PqK)×(PqSubDim+1)
+    * map-side-combined fixed-point sums — one small shuffle per round,
+    * nothing else moves. Plain (non-normalized) means: PQ reconstructs
+    * the vector, so the Euclidean centroid is the right M-step (unlike
+    * the IVF trainer's unit-mean spherical update). Empty codes keep
+    * their previous centroid. Init: the stand-in codebook (sub-slices
+    * of the PqK lowest vec_ids). */
+  def trainPqCodebook(corpus: DataFrame, iters: Int = 3): Map[Int, Seq[SubCent]] = {
+    val e = withNorm(corpus)
+    var cb = collectPqCodebook(e)
+    for (_ <- 0 until iters) {
+      val perSub = e.select(explode(array((0 until PqSubs).map { i =>
+        struct(lit(i).as("sub"),
+          pqCodeCol(cb(i), i).as("code"),
+          transform(pqSubCol(i), v =>
+            round(v.cast("double") * 1e9).cast("long")).as("u"))
+      }: _*)).as("sc"))
+        .select(col("sc.sub"), col("sc.code"), col("sc.u"))
+      val sums = perSub.groupBy(col("sub"), col("code"))
+        .agg(count(lit(1)).as("n"),
+          (0 until PqSubDim).map(j =>
+            sum(element_at(col("u"), j + 1)).as(s"s$j")): _*)
+        .collect()
+      val byKey = sums.map(r =>
+        (r.getAs[Int]("sub"), r.getAs[Long]("code")) -> r).toMap
+      cb = cb.map { case (s, cents) =>
+        s -> cents.map { c =>
+          byKey.get((s, c.code.toLong)).fold(c) { r =>
+            val n = r.getAs[Long]("n").toDouble
+            val emb = (0 until PqSubDim)
+              .map(j => (r.getAs[Long](s"s$j") / n / 1e9).toFloat)
+            SubCent(s, c.code, emb, normFpOf(emb))
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  /** Corpus-wide PQ distortion (sum of per-subspace fixed-point L2
+    * distances to the chosen code) — the k-means objective, for the
+    * trainer's monotonicity spec. */
+  private[graft] def pqDistortion(corpus: DataFrame,
+      cb: Map[Int, Seq[SubCent]]): Long = {
+    val e = withNorm(corpus)
+    val distCols = (0 until PqSubs).map { i =>
+      val xn = dotFp9(pqSubCol(i), pqSubCol(i))
+      element_at(array_sort(array(cb(i).map { c =>
+        struct(
+          (xn - lit(2L) * dotFp9(pqSubCol(i), array(c.emb.map(lit): _*)) +
+            lit(c.normFp)).as("d"),
+          lit(c.code.toLong).as("k"))
+      }: _*)), 1).getField("d")
+    }
+    e.select(sum(distCols.reduce(_ + _)).as("obj")).first().getLong(0)
   }
 
   /** s7: kNN label classification — the embedding-space classifier a
