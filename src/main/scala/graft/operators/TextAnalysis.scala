@@ -486,6 +486,24 @@ object TextAnalysis {
   def x13LmScore(s: SparkSession, d: String): DataFrame =
     lmScore(documents(s, d)).transform(Output.ordered(_, col("doc_id")))
 
+  /** The unigram model: per-word train-split counts — the STANDING
+    * model frame a pipeline persists and the streaming scorer
+    * ([[graft.streaming.StreamOps.lmScoreStream]]) broadcasts per
+    * micro-batch. Vocabulary-sized (tiny next to the corpus). */
+  def lmModel(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
+      .filter(col("bucket") < 80L)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Per-token e4-fixed-point Laplace log10-prob from a left-joined
+    * count `c` (null = OOV) and totals (t tokens, v vocab). */
+  private[graft] def lpE4(c: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+    round(log10((coalesce(c, lit(0L)) + 1L).cast("double") /
+      (t + v).cast("double")) * 1e4).cast("long")
+
   /** Library form of [[x13LmScore]] over any (doc_id, text) frame. */
   def lmScore(docs: DataFrame): DataFrame = {
     val tok = docs
@@ -494,14 +512,11 @@ object TextAnalysis {
         when(col("bucket") < 80L, "train")
           .when(col("bucket") < 90L, "val").otherwise("test"))
       .select(col("doc_id"), col("split"), explode(words(col("text"))).as("w"))
-    val counts = tok.filter(col("split") === "train")
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val counts = lmModel(docs)
     val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
     tok.join(broadcast(counts), Seq("w"), "left")
       .crossJoin(broadcast(totals))
-      .withColumn("lp_e4",
-        round(log10((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
-          (col("t") + col("v")).cast("double")) * 1e4).cast("long"))
+      .withColumn("lp_e4", lpE4(col("c"), col("t"), col("v")))
       .groupBy(col("doc_id"), col("split"))
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),

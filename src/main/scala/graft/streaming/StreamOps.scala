@@ -343,6 +343,39 @@ object StreamOps {
       .select(col("test_doc"), col("train_doc"), col("shared_shingles"))
   }
 
+  /** Streaming LM scoring (streaming x13): each arriving document is
+    * scored against a STATIC unigram model
+    * ([[graft.operators.TextAnalysis.lmModel]], read back from storage)
+    * — ingest-time fluency filtering with the same e4 fixed-point
+    * Laplace log10-probabilities as the batch scorer, emitted when the
+    * watermark closes the arrival window. Replay-equivalent to batch
+    * [[graft.operators.TextAnalysis.lmScore]] per doc (spec-pinned).
+    *
+    * Scale notes: the model is vocabulary-sized — a stream-static LEFT
+    * join Spark broadcasts per micro-batch (no join state); the only
+    * state is the windowed per-doc aggregate, bounded by the watermark.
+    * The totals (t, v) are aggregated once from the static model at
+    * query build — one tiny driver job, not per-batch work. */
+  def lmScoreStream(docs: DataFrame, model: DataFrame,
+      window: String = "1 hour", lateness: String = "1 hour"): DataFrame = {
+    import graft.operators.{TextAnalysis, TextOps}
+    val Seq(t, v) = model
+      .agg(coalesce(sum(col("c")), lit(0L)), count(lit(1))).collect()
+      .headOption.map(r => Seq(r.getLong(0), r.getLong(1)))
+      .getOrElse(Seq(0L, 0L))
+    val tok = docs.select(col("doc_id"), col("ts"),
+        explode(TextOps.words(col("text"))).as("w"))
+      .withWatermark("ts", lateness)
+    tok.join(broadcast(model), Seq("w"), "left")
+      .withColumn("lp_e4", TextAnalysis.lpE4(col("c"), lit(t), lit(v)))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        TextOps.idiv(sum(col("lp_e4")), count(lit(1))).as("mean_lp_e4"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"), col("mean_lp_e4"))
+  }
+
   /** Output mode guidance per op (what a caller's writeStream should
     * use): windowed aggs → Append (emit on watermark close) or Update;
     * latestState → Update; dedupExact → Append. */
@@ -355,5 +388,6 @@ object StreamOps {
     "nearDupCandidates" -> OutputMode.Append(),
     "incrementalDedupStream" -> OutputMode.Append(),
     "contaminationStream" -> OutputMode.Append(),
+    "lmScoreStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append())
 }

@@ -279,6 +279,48 @@ class StreamOpsSpec extends SparkSpecBase {
         s"batch-only=${batch -- streamed}")
   }
 
+  test("lmScoreStream replay over the documents corpus ≡ batch x13 per-doc scores") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val docsDf = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // the standing model, round-tripped through storage as in production
+    val dir = java.nio.file.Files.createTempDirectory("lm-model").toString
+    TextAnalysis.lmModel(docsDf).write.mode("overwrite").parquet(dir)
+
+    val docs = docsDf.collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts("10:00")))
+    val in = MemoryStream[Doc]
+    val q = StreamOps.lmScoreStream(in.toDF(), spark.read.parquet(dir))
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode(OutputMode.Append()).start()
+    docs.grouped(170).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    // two mover batches: advance the watermark, then emit closed windows
+    in.addData(Doc(999999L, "watermark mover", ts("16:00")))
+    q.processAllAvailable()
+    in.addData(Doc(999998L, "watermark mover two", ts("17:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("lm_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("mean_lp_e4"))).toMap
+      .filter(_._1 < 999998L) // drop the movers
+    val want = TextAnalysis.lmScore(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("mean_lp_e4"))).toMap
+    assert(want.nonEmpty && got.size == want.size,
+      s"stream scored ${got.size} docs, batch ${want.size}")
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(5)
+      s"per-doc divergence at ${bad.map(k => (k, got.get(k), want(k))).mkString(", ")}"
+    })
+  }
+
   test("contaminationStream over the x11 split ≡ driver-computed shared-shingle counts") {
     implicit val sq = spark.sqlContext
     // the same md5 percent-bucket gate x6/x11 use
