@@ -549,16 +549,22 @@ object TextAnalysis {
   def sourceMix(docs: DataFrame): DataFrame = {
     val withW = docs.select(col("doc_id"), col("source"))
       .withColumn("weight", lit(1L) + hashBucket(col("source")) % 3L)
+    // caps + the binding constraint K in ONE leg: K is a global min,
+    // taken as an unpartitioned window over the per-source caps frame —
+    // #sources rows BY CONSTRUCTION, so the single-partition window is
+    // a driver-sized no-op, and the corpus is scanned once for caps
+    // instead of once per derived aggregate (plan-audited)
     val caps = withW.groupBy(col("source"), col("weight"))
       .agg(count(lit(1)).as("n_src"))
-    val k = caps.agg(min(idiv(col("n_src"), col("weight"))).as("k"))
+      .withColumn("k", min(idiv(col("n_src"), col("weight")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(md5(concat(col("doc_id").cast("string"), lit(":mix14"))),
         col("doc_id"))
     withW
-      .join(broadcast(caps.select(col("source"), col("n_src"))), Seq("source"))
-      .crossJoin(broadcast(k))
+      .join(broadcast(caps.select(col("source"), col("n_src"), col("k"))),
+        Seq("source"))
       .withColumn("src_rank", row_number().over(rankW).cast("long"))
       .withColumn("quota", col("weight") * col("k"))
       .withColumn("keep", col("src_rank") <= col("quota"))

@@ -927,6 +927,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(keptA == keptB, "kept set changed under re-partitioning")
   }
 
+  test("x13/x14 plan audit: model/caps broadcast back, one data shuffle each") {
+    // x13: the vocabulary joins back as a BROADCAST (stopword skew
+    // stays in the map-side-combined model aggregate, never a per-token
+    // window); the token stream shuffles once, onto its doc grouping
+    val lmPlan = planOf(TextAnalysis.x13LmScore(spark, sf))
+    assert(lmPlan.contains("BroadcastExchange"), s"model not broadcast:\n$lmPlan")
+    assert(!lmPlan.contains("SortMergeJoin"),
+      s"token-model join degraded to a full shuffle join:\n$lmPlan")
+    // x14: caps and K broadcast; the docs shuffle once for the
+    // per-source rank window
+    val mixPlan = planOf(TextAnalysis.x14SourceMix(spark, sf))
+    assert(mixPlan.contains("BroadcastExchange"), s"caps not broadcast:\n$mixPlan")
+    val mixShuffles = "Exchange hashpartitioning".r.findAllIn(mixPlan).length
+    // docs→window shuffle + the caps aggregate's own tiny shuffle;
+    // nothing should shuffle the doc population twice
+    assert(mixShuffles <= 2, s"x14 shuffles the corpus more than once:\n$mixPlan")
+  }
+
   test("degenerate vectors fail loudly: zero norm in withNorm, all-zero in quantized") {
     import spark.implicits._
     def msgChain(t: Throwable): String =
