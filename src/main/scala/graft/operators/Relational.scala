@@ -155,6 +155,17 @@ object Relational {
         dollars(sum(cents(col("o_totalprice")))).as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** q14: CUBE aggregation — all 2^k grouping sets in one pass (the
+    * dashboard-materialization shape; rollup's lattice sibling). Spark
+    * expands the sets and map-side-combines each, so the corpus is
+    * scanned once regardless of the lattice width. */
+  def q14Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** q11: scalar string/date functions (projection-only; codegen'd). */
   def q11ScalarFuncs(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -257,6 +268,7 @@ object Relational {
     "q8_semi_join"      -> q8SemiJoin _,
     "q9_anti_join"      -> q9AntiJoin _,
     "q10_rollup"        -> q10Rollup _,
+    "q14_cube"          -> q14Cube _,
     "q11_scalar_funcs"  -> q11ScalarFuncs _,
     "q12_case_agg"      -> q12CaseAgg _,
     "q13_distinct_quantiles" -> q13DistinctQuantiles _,
@@ -324,6 +336,11 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q11_scalar_funcs" ->
       """SELECT o_orderkey,

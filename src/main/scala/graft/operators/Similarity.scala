@@ -590,49 +590,95 @@ object Similarity {
     knnPqWith(e, collectPqCodebook(e))
   }
 
-  /** Subvector of `embedding` for PQ subspace `i` (1-based slice). */
-  private def pqSubCol(i: Int) =
-    slice(col("embedding"), i * PqSubDim + 1, PqSubDim)
+  /** Subvector of an embedding column for PQ subspace `i` (1-based). */
+  private def pqSubCol(i: Int, emb: Column = col("embedding")) =
+    slice(emb, i * PqSubDim + 1, PqSubDim)
 
   /** Per-subspace argmin code over a literal sub-codebook — the narrow
     * PQ encode projection (array_sort of (dist, code) structs — ties
     * break on code, the same (dist, k) order the oracle's window uses). */
-  private def pqCodeCol(cbs: Seq[SubCent], i: Int) = {
-    val xn = dotFp9(pqSubCol(i), pqSubCol(i))
+  private def pqCodeCol(cbs: Seq[SubCent], i: Int,
+      emb: Column = col("embedding")) = {
+    val xn = dotFp9(pqSubCol(i, emb), pqSubCol(i, emb))
     element_at(array_sort(array(cbs.map { c =>
       struct(
-        (xn - lit(2L) * dotFp9(pqSubCol(i), array(c.emb.map(lit): _*)) +
+        (xn - lit(2L) * dotFp9(pqSubCol(i, emb), array(c.emb.map(lit): _*)) +
           lit(c.normFp)).as("d"),
         lit(c.code.toLong).as("k"))
     }: _*)), 1).getField("k").as(s"code_$i")
   }
 
+  /** Per-query ADC lookup tables: for each subspace, the PqK partial
+    * dots of the query's subvector against the literal sub-codebook —
+    * computed once per query row, broadcast with it. */
+  private def pqLutCols(cb: Map[Int, Seq[SubCent]], emb: Column) =
+    (0 until PqSubs).map { i =>
+      array(cb(i).map(c =>
+        dotFp9(pqSubCol(i, emb), array(c.emb.map(lit): _*))): _*).as(s"lut_$i")
+    }
+
+  /** Sum of the chosen sub-centroid norms — the PQ-reconstructed
+    * squared norm (exact integers), the cosine denominator on coded
+    * corpora. Expects code_0..code_{PqSubs-1} columns. */
+  private def pqReconNorm(cb: Map[Int, Seq[SubCent]]) =
+    (0 until PqSubs).map { i =>
+      element_at(array(cb(i).map(c => lit(c.normFp)): _*),
+        col(s"code_$i").cast("int") + 1)
+    }.reduce(_ + _)
+
+  /** The ADC approximate dot: one LUT lookup per subspace. */
+  private def pqAdcDot =
+    (0 until PqSubs).map(i =>
+      element_at(col(s"lut_$i"), col(s"code_$i").cast("int") + 1)).reduce(_ + _)
+
   /** The s6 search pipeline over an explicit PQ codebook — the form the
     * trained path reuses ([[trainPqCodebook]] output plugs in directly;
     * recall-vs-stand-in pinned by spec). */
   private[graft] def knnPqWith(e: DataFrame, cb: Map[Int, Seq[SubCent]]): DataFrame = {
-    def subCol(i: Int) = pqSubCol(i)
     val codeCols = (0 until PqSubs).map(i => pqCodeCol(cb(i), i))
     val coded = e.select((col("vec_id").as("nid") +: codeCols): _*)
-      .withColumn("recon_norm", (0 until PqSubs).map { i =>
-        element_at(array(cb(i).map(c => lit(c.normFp)): _*),
-          col(s"code_$i").cast("int") + 1)
-      }.reduce(_ + _))
-    // query side: the ADC lookup tables (PqK partial dots per subspace,
-    // computed ONCE per query row, broadcast with it)
-    val lutCols = (0 until PqSubs).map { i =>
-      array(cb(i).map(c =>
-        dotFp9(subCol(i), array(c.emb.map(lit): _*))): _*).as(s"lut_$i")
-    }
+      .withColumn("recon_norm", pqReconNorm(cb))
     val q = e.filter(col("vec_id") < NQueries.toLong)
       .select((Seq(col("vec_id").as("qid"), col("norm_fp").as("q_norm")) ++
-        lutCols): _*)
-    val adcDot = (0 until PqSubs).map(i =>
-      element_at(col(s"lut_$i"), col(s"code_$i").cast("int") + 1)).reduce(_ + _)
+        pqLutCols(cb, col("embedding"))): _*)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     coded.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(adcDot, col("q_norm"), col("recon_norm")))
+      .withColumn("cos", cosine(pqAdcDot, col("q_norm"), col("recon_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** s8: IVF+PQ kNN — the two scale mechanisms COMPOSED, the standard
+    * billion-vector index architecture (FAISS IVFPQ's no-residual
+    * form): IVF cluster assignment prunes WHICH corpus rows a query
+    * scores (nprobe/nlist of the corpus, s2's narrow-argmax machinery)
+    * and PQ codes shrink WHAT each scored row costs (8 LUT lookups on
+    * an 8-byte code, s6's ADC machinery). Corpus rows carry
+    * (cluster, codes, recon_norm) — at rest this is the entire stored
+    * index: the raw vectors never reach the search. The production
+    * refinement (PQ on RESIDUALS x − centroid, tighter codes at the
+    * same budget) changes only the encode/LUT inputs, not this plan
+    * shape. Approximate on both axes; recall floor pinned by spec. */
+  def s8KnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val cents = collectCodebook(e)
+    val cb = collectPqCodebook(e)
+    val codeCols = (0 until PqSubs).map(i => pqCodeCol(cb(i), i))
+    val coded = assignClusters(e, cents)
+      .select((Seq(col("vec_id").as("nid"), col("cluster")) ++ codeCols): _*)
+      .withColumn("recon_norm", pqReconNorm(cb))
+    val q = probeClusters(e, cents)
+      .select((Seq(col("qid"), col("q_norm"), col("cluster")) ++
+        pqLutCols(cb, col("q_emb"))): _*)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    coded.join(broadcast(q), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(pqAdcDot, col("q_norm"), col("recon_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
@@ -746,6 +792,7 @@ object Similarity {
     "s5_quant_knn"    -> s5QuantKnn _,
     "s6_knn_pq"       -> s6KnnPq _,
     "s7_knn_classify" -> s7KnnClassify _,
+    "s8_knn_ivfpq"    -> s8KnnIvfPq _,
     "d7_embed_clusters" -> d7EmbedClusters _,
   )
 
@@ -902,6 +949,59 @@ object Similarity {
          |  GROUP BY q.qid, codes.vec_id, q.qnorm),
          |scored AS (SELECT adc.qid, adc.nid,
          |    adc.adot::DOUBLE / (sqrt(adc.qnorm::DOUBLE) * sqrt(rn.recon_norm::DOUBLE)) AS cos
+         |  FROM adc JOIN rn ON rn.vec_id = adc.nid),
+         |r AS (SELECT qid, nid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+         |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+    // IVFPQ mirror: s2's assigned/probes CTEs pick WHICH pairs score;
+    // s6's codes/centn/rn CTEs price each scored pair by ADC
+    "s8_knn_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${oDot("embedding", "embedding")} AS norm_fp
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+         |  FROM e WHERE vec_id < $NCentroids),
+         |assigned AS (SELECT vec_id, cluster FROM (
+         |  SELECT e.vec_id, cent.cid AS cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+         |      cent.cid) AS arank
+         |  FROM e CROSS JOIN cent) WHERE arank = 1),
+         |probes AS (SELECT qid, q_emb, q_norm, cluster FROM (
+         |  SELECT q.vec_id AS qid, q.embedding AS q_emb, q.norm_fp AS q_norm,
+         |    cent.cid AS cluster,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${oCos(oDot("q.embedding", "cent.c_emb"), "q.norm_fp", "cent.c_norm")} DESC,
+         |      cent.cid) AS prank
+         |  FROM e q CROSS JOIN cent WHERE q.vec_id < $NQueries) WHERE prank <= $NProbe),
+         |sub AS (SELECT unnest(range(0, $PqSubs)) AS s),
+         |pcent AS (SELECT c.vec_id AS k, sub.s,
+         |    c.embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS cemb
+         |  FROM e c CROSS JOIN sub WHERE c.vec_id < $PqK),
+         |pcentn AS (SELECT k, s, cemb, ${oDot("cemb", "cemb")} AS cnorm FROM pcent),
+         |xs AS (SELECT vec_id, sub.s,
+         |    embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS xemb
+         |  FROM e CROSS JOIN sub),
+         |codes AS (SELECT vec_id, s, k AS code, cnorm FROM (
+         |    SELECT xs.vec_id, xs.s, pcentn.k, pcentn.cnorm,
+         |      row_number() OVER (PARTITION BY xs.vec_id, xs.s ORDER BY
+         |        (${oDot("xemb", "xemb")} - 2 * ${oDot("xemb", "cemb")} + cnorm),
+         |        pcentn.k) AS rk
+         |    FROM xs JOIN pcentn ON xs.s = pcentn.s) WHERE rk = 1),
+         |rn AS (SELECT vec_id, CAST(sum(cnorm) AS BIGINT) AS recon_norm
+         |  FROM codes GROUP BY vec_id),
+         |adc AS (SELECT p.qid, a.vec_id AS nid, p.q_norm,
+         |    CAST(sum(${oDot(s"(p.q_emb[codes.s*$PqSubDim+1 : codes.s*$PqSubDim+$PqSubDim])", "pcentn.cemb")}) AS BIGINT) AS adot
+         |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
+         |    AND p.qid <> a.vec_id
+         |  JOIN codes ON codes.vec_id = a.vec_id
+         |  JOIN pcentn ON pcentn.s = codes.s AND pcentn.k = codes.code
+         |  GROUP BY p.qid, a.vec_id, p.q_norm),
+         |scored AS (SELECT adc.qid, adc.nid,
+         |    adc.adot::DOUBLE / (sqrt(adc.q_norm::DOUBLE) * sqrt(rn.recon_norm::DOUBLE)) AS cos
          |  FROM adc JOIN rn ON rn.vec_id = adc.nid),
          |r AS (SELECT qid, nid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank

@@ -228,6 +228,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(shuffles == 1, s"expected only the top-k window shuffle, got $shuffles:\n$plan")
   }
 
+  test("s8 IVFPQ: pruning and quantization compose in one one-shuffle plan") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val out = Similarity.s8KnnIvfPq(spark, sf)
+    val got = pairs(out)
+    // every query still fills its TopK (probed clusters are never empty
+    // here: the query's own cluster is always probed)
+    assert(got.size == Similarity.NQueries * Similarity.TopK)
+    // candidates only from probed clusters: s8's pairs ⊆ s2's candidate
+    // universe is implied by construction; pin the recall floor instead
+    // (measured 0.26 at sf0.01 — lossy on both axes by design)
+    val exact = pairs(Similarity.s1KnnBrute(spark, sf))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.1, s"IVFPQ recall implausibly low: $recall")
+    // plan: cluster assignment + PQ encode are ONE narrow projection
+    // over the scan; probes broadcast with their LUTs; the only hash
+    // shuffle is the per-query top-k window. Audit a FRESH frame — an
+    // executed one stringifies the AQE final plan AND the initial plan,
+    // double-counting every exchange.
+    val plan = planOf(Similarity.s8KnnIvfPq(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"probe side not broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected only the top-k window shuffle, got $shuffles:\n$plan")
+  }
+
   test("trainPqCodebook: distortion non-increasing, deterministic, recall plausible") {
     val corpus = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val e = Similarity.withNorm(corpus)
