@@ -631,6 +631,16 @@ object Similarity {
     (0 until PqSubs).map(i =>
       element_at(col(s"lut_$i"), col(s"code_$i").cast("int") + 1)).reduce(_ + _)
 
+  /** Append the PQ code columns + recon_norm to any frame carrying an
+    * `embedding` column — the encode step [[graft.operators.Warehouse
+    * .writeIvfPq]] persists (after which the embedding itself can be
+    * dropped: the codes ARE the stored index). */
+  private[graft] def withPqCodes(df: DataFrame,
+      cb: Map[Int, Seq[SubCent]]): DataFrame =
+    df.select((df.columns.toSeq.map(col) ++
+      (0 until PqSubs).map(i => pqCodeCol(cb(i), i))): _*)
+      .withColumn("recon_norm", pqReconNorm(cb))
+
   /** The s6 search pipeline over an explicit PQ codebook — the form the
     * trained path reuses ([[trainPqCodebook]] output plugs in directly;
     * recall-vs-stand-in pinned by spec). */

@@ -133,6 +133,46 @@ object Warehouse {
       .select(col("vec_id"), round(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Write a vector corpus as an IVFPQ index: directory-partitioned by
+    * IVF cluster, rows carrying ONLY (vec_id, PQ codes, recon_norm) —
+    * the raw embedding is dropped at write time, so the at-rest format
+    * is ~8 bytes of codes per vector instead of the 256-byte float
+    * vector (the s8 compression claim made physical; the probe's
+    * ReadSchema is embedding-free, plan-asserted in WarehouseSpec). */
+  def writeIvfPq(e: DataFrame, cents: Seq[Similarity.Centroid],
+      cb: Map[Int, Seq[Similarity.SubCent]], path: String): Unit =
+    Similarity.withPqCodes(
+        Similarity.assignClusters(Similarity.withNorm(e), cents), cb)
+      .withColumn("cluster", concat(lit("c"), col("cluster")))
+      .drop("embedding", "norm_fp")
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Top-k ADC probe against an IVFPQ index: the nprobe nearest
+    * clusters pin as partition-filter literals (only those directories
+    * are read), the per-query LUT is computed DRIVER-side over the
+    * codebook and inlined (PqSubs × PqK longs), and each scanned row
+    * costs PqSubs lookups on its stored codes — the scan never touches
+    * a float vector. Includes the query's own stored copy if probed
+    * (callers exclude by vec_id as needed). */
+  def ivfPqProbe(s: SparkSession, path: String,
+      cents: Seq[Similarity.Centroid], cb: Map[Int, Seq[Similarity.SubCent]],
+      query: Seq[Float], k: Int, nprobe: Int = Similarity.NProbe): DataFrame = {
+    val qnorm = dotFpOf(query, query)
+    val luts = (0 until Similarity.PqSubs).map { i =>
+      val qSub = query.slice(i * Similarity.PqSubDim, (i + 1) * Similarity.PqSubDim)
+      cb(i).map(c => dotFpOf(qSub, c.emb))
+    }
+    val adot = (0 until Similarity.PqSubs).map { i =>
+      element_at(array(luts(i).map(lit): _*), col(s"code_$i").cast("int") + 1)
+    }.reduce(_ + _)
+    s.read.parquet(path)
+      .filter(col("cluster").isin(ivfProbeLabels(cents, query, nprobe): _*))
+      .withColumn("cos", Similarity.cosine(adot, lit(qnorm), col("recon_norm")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** Write a table hash-bucketed + sorted by `key` (`nBuckets` files per
     * partition, one hash class each). Requires a catalog table —
     * bucketing metadata lives in the catalog, not the files. */

@@ -104,6 +104,39 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("IVFPQ layout: probe never reads a float vector, prunes partitions, matches s8") {
+    val dir = Files.createTempDirectory("graft-ivfpq-wh").toFile.getAbsolutePath
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val en = Similarity.withNorm(e)
+    val cents = Similarity.collectCodebook(en)
+    val cb = Similarity.collectPqCodebook(en)
+    Warehouse.writeIvfPq(e, cents, cb, dir)
+
+    val query = e.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    // one extra slot: the query's own stored copy may rank anywhere
+    val probe = Warehouse.ivfPqProbe(spark, dir, cents, cb, query,
+      Similarity.TopK + 1)
+    val plan = planOf(probe)
+    assert(plan.contains("PartitionFilters"), s"IVFPQ probe not pruned:\n$plan")
+    Warehouse.ivfProbeLabels(cents, query, Similarity.NProbe)
+      .foreach(l => assert(plan.contains(l), s"cluster $l not pinned:\n$plan"))
+    // the at-rest format IS the index: the scan's schema carries codes +
+    // recon_norm only — no embedding column exists to read
+    assert(!plan.contains("embedding"),
+      s"IVFPQ probe reads a float vector:\n$plan")
+
+    // cross-check against the IN-PLAN s8 (different code path: driver
+    // LUT literals + pruned coded read vs in-plan LUTs + full scan)
+    val got = probe.collect().filter(_.getLong(0) != 3L).take(Similarity.TopK)
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Similarity.s8KnnIvfPq(spark, sf)
+      .filter(col("qid") === 3L).orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("nid"), r.getAs[Long]("cos_e6"))).toSeq
+    assert(got == want, s"coded probe diverged from s8: got=$got want=$want")
+  }
+
   /** Shuffle count in a physical-plan string — scoped no-Exchange
     * assertions compare a bucketed-read plan against the identical
     * query over a plain parquet round-trip of the same index: the only

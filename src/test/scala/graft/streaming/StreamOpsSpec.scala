@@ -321,6 +321,56 @@ class StreamOpsSpec extends SparkSpecBase {
     })
   }
 
+  test("lmScoreStream recovers windowed-aggregate state across kill-and-restart") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val docsDf = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val modelDir = java.nio.file.Files.createTempDirectory("lm-restart-model").toString
+    TextAnalysis.lmModel(docsDf).write.mode("overwrite").parquet(modelDir)
+
+    val docs = docsDf.collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), ts("10:00")))
+    val (firstHalf, secondHalf) = docs.splitAt(docs.length / 2)
+    val cp = java.nio.file.Files.createTempDirectory("lm-restart-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lm-restart-out").toString
+    val in = MemoryStream[Doc]
+    def start() = StreamOps.lmScoreStream(in.toDF(), spark.read.parquet(modelDir))
+      .writeStream.format("parquet").option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start(outDir)
+
+    // run 1: half the corpus lands in the 10:00 window's STATE (the
+    // watermark never advances, so nothing is emitted), then KILL —
+    // recovery must replay that state, not just unread offsets
+    val q1 = start()
+    in.addData(firstHalf.toIndexedSeq: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // the rest + the watermark movers arrive while the query is down
+    in.addData(secondHalf.toIndexedSeq: _*)
+    in.addData(Doc(999999L, "watermark mover", ts("16:00")))
+    in.addData(Doc(999998L, "watermark mover two", ts("17:00")))
+
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("mean_lp_e4"))).toMap
+      .filter(_._1 < 999998L)
+    val want = TextAnalysis.lmScore(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("mean_lp_e4"))).toMap
+    assert(got.size == want.size,
+      s"restart lost windowed state: scored ${got.size} docs, batch ${want.size}")
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(5)
+      s"per-doc divergence after restart at ${bad.map(k => (k, got.get(k), want(k))).mkString(", ")}"
+    })
+  }
+
   test("contaminationStream over the x11 split ≡ driver-computed shared-shingle counts") {
     implicit val sq = spark.sqlContext
     // the same md5 percent-bucket gate x6/x11 use
