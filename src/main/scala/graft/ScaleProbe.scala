@@ -159,6 +159,27 @@ object ScaleProbe {
               concat(lit("z"), col("id"))).as("text")),
           maxDf = None)
       },
+      // x15 shape: duplicate-span removal over the same fixed-overlap
+      // construction — every group of 4 docs shares its first 5-token
+      // segment (df=4 > maxDf → dropped from all four), the second
+      // segment is doc-unique (kept). Cost is the segment-DF groupBy +
+      // rejoin + per-doc reassembly; should grow linearly in n with the
+      // per-doc overlap held constant.
+      time("span_dedup") {
+        val n = 50000L * m
+        operators.TextAnalysis.spanDedup(
+          spark.range(n).select(col("id").as("doc_id"),
+            concat_ws(" ",
+              concat(lit("p"), expr("id DIV 4")),
+              concat(lit("q"), expr("id DIV 4")),
+              concat(lit("r"), expr("id DIV 4")),
+              concat(lit("s"), expr("id DIV 4")),
+              concat(lit("t"), expr("id DIV 4")),
+              concat(lit("x"), col("id")), concat(lit("y"), col("id")),
+              concat(lit("z"), col("id")), concat(lit("w"), col("id")),
+              concat(lit("v"), col("id"))).as("text")),
+          maxDf = 3L)
+      },
       // warehouse ANN shape: probe a sign-LSH-partitioned corpus of
       // 100k×m vectors (written untimed above). Probe wall time should
       // stay ~flat in m: the scan partition-prunes to the query's

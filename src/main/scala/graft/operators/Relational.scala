@@ -166,6 +166,90 @@ object Relational {
         dollars(sum(cents(col("o_totalprice")))).as("total_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** q15: window FRAMES — the rolling-metric surface (§2.5). Three frame
+    * kinds over one per-customer sort: a 3-row moving average (ROWS
+    * frame), a running total (unbounded-preceding ROWS frame), and a
+    * trailing-30-day order count (RANGE frame over the order date).
+    * One shuffle on o_custkey serves all three windows — they share the
+    * same (partition, sort) spec, so Catalyst plans a single Sort +
+    * Window over one Exchange. Frame sums use int64 cents so the
+    * in-frame accumulation is order-exact; the ROWS tie-break includes
+    * o_orderkey so frames are deterministic under equal dates.
+    * At 100 TB this is the per-entity-timeline shape: cost is one
+    * hash-partition by entity + per-partition sort; no frame ever
+    * buffers more than its own rows (Spark's running frames stream). */
+  def q15WindowFrames(s: SparkSession, d: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+    val rowOrder = byCust.orderBy(col("o_orderdate"), col("o_orderkey"))
+    val mavgW = rowOrder.rowsBetween(-2, Window.currentRow)
+    val cumW = rowOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // RANGE frame keys on the date VALUE (epoch days — TZ-free, unlike
+    // an epoch-seconds cast of the NTZ timestamp), so tied dates are
+    // frame peers — identical semantics to SQL's `RANGE BETWEEN
+    // INTERVAL 30 DAYS PRECEDING AND CURRENT ROW` on the
+    // midnight-aligned order dates.
+    val rangeW = byCust.orderBy(unix_date(col("o_orderdate").cast("date")))
+      .rangeBetween(-30L, Window.currentRow)
+    orders(s, d)
+      .withColumn("mavg3_price",
+        sum(cents(col("o_totalprice"))).over(mavgW).cast("double") /
+          (lit(100.0) * count(lit(1)).over(mavgW)))
+      .withColumn("cum_spend", dollars(sum(cents(col("o_totalprice"))).over(cumW)))
+      .withColumn("n_orders_30d", count(lit(1)).over(rangeW))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("mavg3_price"), col("cum_spend"), col("n_orders_30d"))
+      // plain orderBy: the plan shuffles for the windows already, so the
+      // range sampler replays that exchange output, not the whole query
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q16: PIVOT — long-to-wide reshaping (one output column group per
+    * order status). The pivot values are an explicit static list: with
+    * them, Spark skips the driver-side `distinct` collect it would
+    * otherwise run to discover the columns and the output schema is
+    * known at plan time. The physical shape is the scale-correct
+    * two-phase one: a map-side-combined aggregate on the COMPOSITE
+    * (group, pivot) key crushes the fact table first, then `pivotfirst`
+    * reshapes the tiny #groups × #values frame — so the second shuffle
+    * moves pre-aggregated rows, never data. Counts for absent
+    * (priority, status) combinations are coalesced to 0 to match SQL's
+    * `count(*) FILTER` semantics (sums stay NULL in both engines). */
+  def q16Pivot(s: SparkSession, d: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    val wide = orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)).as("n"),
+        dollars(sum(cents(col("o_totalprice")))).as("spend"))
+    statuses.foldLeft(wide) { (df, st) =>
+      df.withColumn(s"${st}_n", coalesce(col(s"${st}_n"), lit(0L)))
+    }.orderBy(col("o_orderpriority"))
+  }
+
+  /** q17: correlated subquery — orders priced above their own
+    * customer's average (`WHERE o_totalprice > (SELECT avg(...) WHERE
+    * same customer)`). Spark decorrelates this class into an aggregate
+    * + equi-join; we declare that form directly: one map-side-combined
+    * per-customer aggregate, one shuffle join back on o_custkey. The
+    * average is compared in exact cents×count integer space
+    * (price·n > sum) — no division, so the predicate is bit-exact in
+    * both engines and immune to FP-average rounding at any scale.
+    * At 100 TB both sides shuffle on o_custkey once; the aggregate side
+    * is #customers rows, and AQE turns the join into a broadcast when
+    * that side crushes small enough. */
+  def q17CorrelatedAvg(s: SparkSession, d: String): DataFrame = {
+    val custAvg = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("sum_cents"),
+        count(lit(1)).as("n_cust_orders"))
+    orders(s, d)
+      .join(custAvg, Seq("o_custkey"))
+      .filter(cents(col("o_totalprice")) * col("n_cust_orders") > col("sum_cents"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("n_cust_orders"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q11: scalar string/date functions (projection-only; codegen'd). */
   def q11ScalarFuncs(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -269,6 +353,9 @@ object Relational {
     "q9_anti_join"      -> q9AntiJoin _,
     "q10_rollup"        -> q10Rollup _,
     "q14_cube"          -> q14Cube _,
+    "q15_window_frames" -> q15WindowFrames _,
+    "q16_pivot"         -> q16Pivot _,
+    "q17_correlated_avg" -> q17CorrelatedAvg _,
     "q11_scalar_funcs"  -> q11ScalarFuncs _,
     "q12_case_agg"      -> q12CaseAgg _,
     "q13_distinct_quantiles" -> q13DistinctQuantiles _,
@@ -342,6 +429,43 @@ object Relational {
         |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q15_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER mavg
+        |    / (100.0 * count(*) OVER mavg) AS mavg3_price,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER cum / 100.0 AS cum_spend,
+        |  count(*) OVER r30 AS n_orders_30d
+        |FROM orders
+        |WINDOW
+        |  mavg AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  r30 AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q16_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F_n",
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) FILTER (o_orderstatus = 'F') / 100.0 AS "F_spend",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O_n",
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) FILTER (o_orderstatus = 'O') / 100.0 AS "O_spend",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P_n",
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) FILTER (o_orderstatus = 'P') / 100.0 AS "P_spend"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the oracle states the CORRELATED form; DuckDB decorrelates it the
+    // same way our Spark plan declares it (aggregate + rejoin) — the
+    // integer cents×count predicate keeps both engines bit-exact
+    "q17_correlated_avg" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |  (SELECT count(*) FROM orders i
+        |     WHERE i.o_custkey = o.o_custkey) AS n_cust_orders
+        |FROM orders o
+        |WHERE CAST(round(o.o_totalprice*100) AS BIGINT) *
+        |    (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT sum(CAST(round(i.o_totalprice*100) AS BIGINT))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q11_scalar_funcs" ->
       """SELECT o_orderkey,
         |  substring(o_orderpriority, 1, 1) AS prio_class,

@@ -445,9 +445,17 @@ object TextAnalysis {
     import s.implicits._
     val withFixtures = documents(s, d).select(col("doc_id"), col("text"))
       .unionAll(PiiFixtures.toDF("doc_id", "text"))
+    piiSignals(withFixtures).transform(Output.ordered(_, col("doc_id")))
+  }
+
+  /** Library form of [[x12PiiScrub]] over any (doc_id, text) frame —
+    * a stateless narrow map, so it applies unchanged to a STREAMING
+    * frame ([[graft.streaming.StreamOps.piiScrubStream]] is exactly
+    * this); presentation order left to the caller. */
+  def piiSignals(docs: DataFrame): DataFrame = {
     def n(pat: String) =
       size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
-    withFixtures
+    docs
       .select(col("doc_id"), col("text"),
         n(PiiEmail).as("n_emails"), n(PiiPhone).as("n_phones"),
         n(PiiIpv4).as("n_ipv4"), n(PiiSsn).as("n_ssn"),
@@ -459,7 +467,6 @@ object TextAnalysis {
         length(Seq(PiiEmail, PiiPhone, PiiIpv4, PiiSsn).foldLeft(col("text"))(
           (c, p) => regexp_replace(c, lit(p), lit("[PII]"))))
           .cast("long").as("redacted_len"))
-      .transform(Output.ordered(_, col("doc_id")))
   }
 
   /** x13: unigram language-model fluency scoring — the CCNet-style LM
@@ -572,6 +579,78 @@ object TextAnalysis {
         col("quota"), col("src_rank"), col("keep"))
   }
 
+  /** Tokens per duplicate-span-removal segment (x15). */
+  val SpanTokens = 5
+
+  /** x15: duplicate-SPAN removal — the C4/RefinedWeb-family filter that
+    * deletes boilerplate passages (nav bars, license headers, templated
+    * footers) from INSIDE documents instead of dropping whole docs.
+    * Each doc is cut into consecutive [[SpanTokens]]-token segments
+    * (final partial segment kept); a segment's document frequency is
+    * the number of DISTINCT docs containing it; segments whose DF
+    * exceeds `maxDf` are deleted from EVERY doc and the survivors are
+    * reassembled in order. Dropping all copies (rather than C4's
+    * keep-one) is the deterministic choice: keep-one needs a global
+    * "first" order, which makes the output depend on partitioning —
+    * this form is reshuffle-proof, the same contract as x6/x7/x14.
+    *
+    * Scale notes (100 TB): segmentation is a narrow map (one
+    * posexplode, ~n_tokens/5 rows per doc — LESS than x5/x11's
+    * per-token explosion). DF is one map-side-combined groupBy on the
+    * segment text after a distinct on (doc_id, segment) — the d1 shape
+    * on 5-gram granularity. The DF side joins back on the segment key
+    * it was grouped on; a viral boilerplate span is ONE hot key whose
+    * row count equals its occurrence count — AQE skew-join territory,
+    * and a `maxBucket`-style cap is unnecessary because the join
+    * carries a count, not an expansion. Reassembly is a per-doc
+    * collect_list bounded by document size. At corpus scale the DF
+    * table is itself persistable (Warehouse bucketed-by-segment, the
+    * d8/x11 standing-index pattern) so incremental batches price only
+    * their own segments. */
+  def x15SpanDedup(s: SparkSession, d: String): DataFrame =
+    spanDedup(documents(s, d), maxDf = 1L).orderBy(col("doc_id"))
+
+  /** Library form of [[x15SpanDedup]]: any (doc_id, text) frame,
+    * caller-chosen DF cutoff (maxDf = 1 drops every cross-doc repeated
+    * span). Output one row per input doc: segment counts + the cleaned
+    * text ("" when everything was boilerplate). */
+  def spanDedup(docs: DataFrame, maxDf: Long): DataFrame = {
+    val n = SpanTokens
+    val ws = words(col("text"))
+    // non-overlapping n-token segments; slice is 1-based, truncates at
+    // the end; empty docs → zero segments (guarded: sequence(0,-1)
+    // would count DOWN)
+    val segArr = when(size(ws) > 0,
+      transform(
+        sequence(lit(0L), idiv(size(ws) + lit(n - 1), lit(n)) - 1L),
+        i => array_join(slice(ws, (i * n + 1).cast("int"), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val segs = docs
+      .select(col("doc_id"), posexplode(segArr).as(Seq("seg", "segtext")))
+    // document frequency: distinct docs per segment (within-doc repeats
+    // count once — repetition is x8's signal, not boilerplate)
+    val df = segs.select(col("segtext"), col("doc_id")).distinct()
+      .groupBy(col("segtext")).agg(count(lit(1)).as("df"))
+    val kept = struct(col("seg"), col("segtext"))
+    val agg = segs.join(df, Seq("segtext"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_kept_segs"),
+        // collect_list skips the nulls `when` leaves for dropped
+        // segments; array_sort on (seg, text) structs restores order
+        array_join(
+          transform(array_sort(collect_list(when(col("df") <= maxDf, kept))),
+            x => x.getField("segtext")),
+          " ").as("cleaned_text"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept_segs"), lit(0L)).as("n_kept_segs"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Distinct (shingle, train_doc) postings over a train corpus — the
     * static index [[graft.streaming.StreamOps.contaminationStream]]
     * joins arriving eval docs against. At scale: persist it with
@@ -656,6 +735,7 @@ object TextAnalysis {
     "x12_pii_scrub"  -> x12PiiScrub _,
     "x13_lm_score"   -> x13LmScore _,
     "x14_source_mix" -> x14SourceMix _,
+    "x15_span_dedup" -> x15SpanDedup _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -942,6 +1022,26 @@ object TextAnalysis {
          |  r.src_rank <= r.weight * k.k AS keep
          |FROM r JOIN caps ON r.source = caps.source CROSS JOIN k
          |ORDER BY r.doc_id""".stripMargin,
+    "x15_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |g AS (SELECT doc_id, ws,
+         |    CAST(ceil(len(ws) / $SpanTokens.0) AS BIGINT) AS nseg FROM t),
+         |idx AS (SELECT doc_id, ws, unnest(range(0, nseg)) AS seg FROM g),
+         |segs AS (SELECT doc_id, seg,
+         |    array_to_string(ws[(seg*$SpanTokens+1):(seg*$SpanTokens+$SpanTokens)], ' ') AS segtext
+         |  FROM idx),
+         |df AS (SELECT segtext, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM segs GROUP BY segtext),
+         |a AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |    CAST(sum(CASE WHEN df.df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segs,
+         |    string_agg(CASE WHEN df.df <= 1 THEN s.segtext END, ' ' ORDER BY s.seg) AS cleaned
+         |  FROM segs s JOIN df ON s.segtext = df.segtext GROUP BY s.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_segs, 0) AS n_segs,
+         |  coalesce(a.n_kept_segs, 0) AS n_kept_segs,
+         |  coalesce(a.cleaned, '') AS cleaned_text
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "x12_pii_scrub" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents
          |  UNION ALL $oPiiFixtures)

@@ -376,6 +376,19 @@ object StreamOps {
       .select(col("doc_id"), col("n_tok"), col("n_oov"), col("mean_lp_e4"))
   }
 
+  /** Streaming PII scan + scrub (streaming x12): every arriving
+    * document gets the batch scorer's PII signal columns at ingest —
+    * the scrub-before-store shape a privacy pipeline needs (the raw
+    * text should never land in the lake unredacted). Literally the
+    * batch library form applied to the stream:
+    * [[graft.operators.TextAnalysis.piiSignals]] is a stateless narrow
+    * projection, so it is valid on an unbounded frame with NO
+    * watermark, NO state store, and per-row (not per-window) latency —
+    * the cheapest class of streaming operator. Batch-stream equivalence
+    * is definitional (same expression tree) and spec-pinned anyway. */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.piiSignals(docs)
+
   /** Output mode guidance per op (what a caller's writeStream should
     * use): windowed aggs → Append (emit on watermark close) or Update;
     * latestState → Update; dedupExact → Append. */
@@ -389,5 +402,6 @@ object StreamOps {
     "incrementalDedupStream" -> OutputMode.Append(),
     "contaminationStream" -> OutputMode.Append(),
     "lmScoreStream" -> OutputMode.Append(),
+    "piiScrubStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append())
 }

@@ -836,6 +836,53 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(one(Some(6)) == one(None))
   }
 
+  test("x15 span dedup drops cross-doc boilerplate, keeps unique spans in order") {
+    import spark.implicits._
+    // 10-token docs → two 5-token segments each. Docs 1 and 2 share the
+    // SAME boilerplate first segment; their second segments are unique.
+    // Doc 3 repeats a segment WITHIN itself only (df = 1 → kept: within-
+    // doc repetition is x8's signal, not boilerplate). Doc 4 is empty.
+    val boiler = "all rights reserved site footer"
+    val docs = Seq(
+      (1L, s"$boiler unique one tail for alpha"),
+      (2L, s"$boiler unique two tail for bravo"),
+      (3L, "echo echo echo echo echo echo echo echo echo echo"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanDedup(docs, maxDf = 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept_segs"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(got(1L) == ((2L, 1L, "unique one tail for alpha")))
+    assert(got(2L) == ((2L, 1L, "unique two tail for bravo")))
+    assert(got(3L) == ((2L, 2L, docs.filter(col("doc_id") === 3L)
+      .head().getAs[String]("text"))))
+    assert(got(4L) == ((0L, 0L, "")))
+    // reshuffle-proof: the decision is a pure function of the corpus
+    val re = TextAnalysis.spanDedup(docs.repartition(7), maxDf = 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept_segs"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(re == got)
+    // raising maxDf to 2 keeps the shared segment in both docs
+    val relaxed = TextAnalysis.spanDedup(docs, maxDf = 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept_segs")).toMap
+    assert(relaxed(1L) == 2L && relaxed(2L) == 2L)
+  }
+
+  test("x15 partial tail segments participate; segmentation is non-overlapping") {
+    import spark.implicits._
+    // 7 tokens → segments of 5 + 2; the 2-token tail is its own unit
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "z z z z z f g")).toDF("doc_id", "text") // shares ONLY the tail
+    val got = TextAnalysis.spanDedup(docs, maxDf = 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segs"), r.getAs[String]("cleaned_text"))).toMap
+    // the shared "f g" tail is boilerplate under maxDf=1; heads survive
+    assert(got(1L) == ((2L, "a b c d e")))
+    assert(got(2L) == ((2L, "z z z z z")))
+  }
+
   test("x12 PII scrub detects and redacts constructed emails/phones/IPs/SSNs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("x12docs").toString

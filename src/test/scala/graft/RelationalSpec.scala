@@ -66,6 +66,88 @@ class RelationalSpec extends SparkSpecBase {
       s"q3 lost the per-order pre-aggregation:\n$plan")
   }
 
+  test("q15 frame windows share one exchange; frame math checks out per customer") {
+    import org.apache.spark.sql.functions.col
+    val df = Relational.q15WindowFrames(spark, sf)
+    // three windows, one partitioning: a single hash exchange on
+    // o_custkey must serve the ROWS and RANGE frames (differing only in
+    // sort key, which re-sorts but never re-shuffles)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(planOf(df)).size
+    assert(shuffles == 1, s"expected 1 hash exchange for all frames, got $shuffles")
+    // frame semantics, re-derived per customer from the raw orders
+    val cust = Tables.orders(spark, sf)
+      .filter(col("o_custkey") === 7L)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toEpochSecond(java.time.ZoneOffset.UTC) * 1000L,
+        r.getDouble(2)))
+      .sortBy { case (k, d, _) => (d, k) }
+    assert(cust.length >= 3, "custkey 7 needs >= 3 orders for the frame check")
+    val got = df.filter(col("o_custkey") === 7L)
+      .orderBy(col("o_orderkey"))
+      .collect()
+      .map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    def centsOf(p: Double) = math.round(p * 100)
+    cust.zipWithIndex.foreach { case ((key, date, _), i) =>
+      val frame = cust.slice(math.max(0, i - 2), i + 1)
+      val wantM = frame.map(t => centsOf(t._3)).sum.toDouble / (100.0 * frame.length)
+      val wantC = cust.take(i + 1).map(t => centsOf(t._3)).sum.toDouble / 100.0
+      val cutoff = date - 30L * 86400 * 1000
+      val want30 = cust.count(t => t._2 >= cutoff && t._2 <= date)
+      val (gm, gc, g30) = got(key)
+      assert(gm == wantM, s"mavg3 at order $key: $gm != $wantM")
+      assert(gc == wantC, s"cum_spend at order $key: $gc != $wantC")
+      assert(g30 == want30.toLong, s"n_orders_30d at order $key: $g30 != $want30")
+    }
+  }
+
+  test("q16 pivot: composite-key pre-aggregation feeds the reshape, no value-discovery pass") {
+    import org.apache.spark.sql.functions.col
+    val df = Relational.q16Pivot(spark, sf)
+    // static pivot values → no driver-side distinct job; the first
+    // aggregate runs on the COMPOSITE (group, pivot) key (map-side
+    // combine crushes the fact table before any exchange) and the
+    // pivotfirst reshape only ever sees pre-aggregated rows
+    val plan = planOf(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected pre-agg + reshape exchanges, got $shuffles:\n$plan")
+    assert(plan.contains("pivotfirst"), s"no pivotfirst reshape in plan:\n$plan")
+    assert(
+      "Exchange hashpartitioning\\(o_orderpriority[^)]*o_orderstatus".r
+        .findFirstIn(plan).isDefined,
+      s"first exchange is not on the composite (group, pivot) key:\n$plan")
+    // wide counts reconcile with the plain groupBy — no rows lost or
+    // double-counted by the reshape
+    val wide = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1) + r.getLong(3) + r.getLong(5))).toMap
+    val long = Tables.orders(spark, sf).groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == long, s"pivot row counts diverge from groupBy: $wide vs $long")
+  }
+
+  test("q17 decorrelated-average predicate matches a per-customer recomputation") {
+    import org.apache.spark.sql.functions.col
+    val df = Relational.q17CorrelatedAvg(spark, sf)
+    assert(!planOf(df).contains("CartesianProduct"),
+      "decorrelation fell back to a cartesian product")
+    val all = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def centsOf(p: Double) = math.round(p * 100)
+    val byCust = all.groupBy(_._2).map { case (c, rows) =>
+      c -> (rows.map(t => centsOf(t._3)).sum, rows.length.toLong)
+    }
+    val want = all.filter { case (_, c, p) =>
+      val (sumC, n) = byCust(c); centsOf(p) * n > sumC
+    }.map(_._1).toSet
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(got == want, s"predicate divergence: ${(got diff want).take(3)} extra, " +
+      s"${(want diff got).take(3)} missing")
+    assert(got.nonEmpty && got.size < all.length, "filter should be selective")
+  }
+
   test("q5 latest-per-key returns one row per customer") {
     val df = Relational.q5WindowLatest(spark, sf)
     assert(df.count() == df.select("o_custkey").distinct().count())

@@ -371,6 +371,44 @@ class StreamOpsSpec extends SparkSpecBase {
     })
   }
 
+  test("piiScrubStream chunked replay ≡ batch x12 signals, with no state store") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // the PII fixtures carry the actual emails/phones/IPs/SSNs; the
+    // corpus docs pin the all-zero path
+    val docsDf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(50)
+      .unionAll(TextAnalysis.PiiFixtures.toDF("doc_id", "text"))
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("n_ipv4"), r.getAs[Long]("n_ssn"),
+        r.getAs[Boolean]("has_pii"), r.getAs[Long]("redacted_len"))
+
+    val in = MemoryStream[Doc]
+    val q = StreamOps.piiScrubStream(in.toDF())
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode(OutputMode.Append()).start()
+    // stateless: every chunk's rows must land IN that chunk's batch,
+    // with no watermark mover needed to flush anything
+    val rows = docsDf.collect().map(r => Doc(r.getLong(0), r.getString(1), ts("10:00")))
+    rows.grouped(17).zipWithIndex.foreach { case (chunk, i) =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val seen = spark.table("pii_stream").count()
+      assert(seen >= (i * 17 + chunk.length).toLong,
+        s"chunk $i not fully emitted: $seen rows visible")
+    }
+    q.stop()
+    val got = spark.table("pii_stream").collect().map(key).toMap
+    val want = TextAnalysis.piiSignals(docsDf).collect().map(key).toMap
+    assert(want.exists(_._2._5), "fixtures should flag has_pii")
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(5)
+      s"stream/batch divergence at ${bad.map(k => (k, got.get(k), want(k))).mkString(", ")}"
+    })
+  }
+
   test("contaminationStream over the x11 split ≡ driver-computed shared-shingle counts") {
     implicit val sq = spark.sqlContext
     // the same md5 percent-bucket gate x6/x11 use
