@@ -168,6 +168,46 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** The e8 band dimension: a contiguous log-spaced partition of the
+    * value domain. (band_id, lo, hi); last band is open-ended. */
+  val Bands: Seq[(Long, Double, Double)] = Seq(
+    (0L, 0.0, 10.0), (1L, 10.0, 25.0), (2L, 25.0, 50.0),
+    (3L, 50.0, 100.0), (4L, 100.0, 200.0), (5L, 200.0, 1e9))
+
+  /** e8: RANGE (band) join — every event priced into a value band
+    * (`lo <= value < hi`), then aggregated per band. The band dimension
+    * is tiny and broadcast, so the non-equi predicate plans as a
+    * BroadcastNestedLoopJoin: zero exchange on the fact side, O(#bands)
+    * comparisons per row — the correct physical shape for
+    * fact × tiny-interval-dim at any scale (the generic interval-join
+    * problem; for dim tables too big to broadcast you'd bin both sides
+    * to an equi key first). Because THESE bands partition the domain
+    * contiguously, the join is also expressible as a narrow binning
+    * expression with no join at all — [[bandOf]] — and `EventsSpec`
+    * pins the two forms equal; the join form is what generalizes to
+    * gaps/overlaps, the binning form is the 100 TB fast path. */
+  def e8BandJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Bands.toDF("band_id", "lo", "hi")
+    events(s, d)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"),
+        dollars(sum(cents(col("value")))).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("band_id"))
+  }
+
+  /** The join-free twin of e8's band assignment: a when-chain over the
+    * literal bands — pure narrow projection, codegen'd. Valid exactly
+    * because the bands partition the domain (each value matches one
+    * band); spec-pinned equal to the join form. */
+  def bandOf(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Bands.foldLeft(lit(null).cast("long")) { case (acc, (id, lo, hi)) =>
+      when(value >= lit(lo) && value < lit(hi), lit(id)).otherwise(acc)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -176,9 +216,19 @@ object Events {
     "e5_latest_state"   -> e5LatestState _,
     "e6_funnel"         -> e6Funnel _,
     "e7_retention"      -> e7Retention _,
+    "e8_band_join"      -> e8BandJoin _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "e8_band_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (CAST(0 AS BIGINT), 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 50.0),
+        |  (3, 50.0, 100.0), (4, 100.0, 200.0), (5, 200.0, 1e9))
+        |SELECT band_id, lo, hi, count(*) AS n_events,
+        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin,
     "e1_hourly_agg" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
         |  event_type, count(*) AS n_events,

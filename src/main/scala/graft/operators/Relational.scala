@@ -250,6 +250,51 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q18: UNPIVOT — wide-to-long reshaping, the inverse of q16's pivot.
+    * A per-returnflag aggregate produces three metric columns, then
+    * `unpivot` melts them into (l_returnflag, metric, amount) rows.
+    * The unpivot itself is a NARROW Expand projection (each input row
+    * emits one row per melted column, no exchange) — the only shuffle
+    * is the upstream map-side-combined aggregate. That ordering matters
+    * at 100 TB: melting FIRST would triple the fact table before the
+    * shuffle; aggregating first means the Expand runs over #groups
+    * rows. All melted values share int64-cents→dollars doubles, so the
+    * common unpivot type is exact. */
+  def q18Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dollars(sum(cents(col("l_quantity")))).as("sum_qty"),
+        dollars(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+        dollars(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+          .as("sum_disc_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_base_price"), col("sum_disc_price")),
+        "metric", "amount")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** q19: GROUPING SETS — the general aggregation lattice, completing
+    * the rollup (q10) / cube (q14) trio with a lattice NEITHER can
+    * express: both one-dimensional margins plus the grand total, but
+    * NOT the (status, priority) cross — `((status), (priority), ())`.
+    * Spark plans the same single-scan Expand as rollup/cube (one row
+    * per row×set, map-side-combined), so the corpus is read once no
+    * matter how many sets the lattice lists. `grouping_id()` is
+    * exposed so margin NULLs are distinguishable from data NULLs —
+    * the standard disambiguator (DuckDB computes the identical
+    * bitmask via GROUPING()). */
+  def q19GroupingSets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice")))).as("total_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
   /** q11: scalar string/date functions (projection-only; codegen'd). */
   def q11ScalarFuncs(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -356,6 +401,8 @@ object Relational {
     "q15_window_frames" -> q15WindowFrames _,
     "q16_pivot"         -> q16Pivot _,
     "q17_correlated_avg" -> q17CorrelatedAvg _,
+    "q18_unpivot"       -> q18Unpivot _,
+    "q19_grouping_sets" -> q19GroupingSets _,
     "q11_scalar_funcs"  -> q11ScalarFuncs _,
     "q12_case_agg"      -> q12CaseAgg _,
     "q13_distinct_quantiles" -> q13DistinctQuantiles _,
@@ -466,6 +513,26 @@ object Relational {
         |  > (SELECT sum(CAST(round(i.o_totalprice*100) AS BIGINT))
         |       FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "q18_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS amount FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_base_price', sum_base_price FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q19_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q11_scalar_funcs" ->
       """SELECT o_orderkey,
         |  substring(o_orderpriority, 1, 1) AS prio_class,

@@ -794,6 +794,39 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** s9: maximum-inner-product search (MIPS) — retrieval where score =
+    * ⟨q, x⟩ UN-normalized, the objective of recommender/two-tower
+    * retrieval (a document's norm encodes its learned popularity prior,
+    * so normalizing it away — cosine — is the WRONG metric there).
+    * Ranking is by the exact 1e18-fixed-point dot (dotFp9 of float
+    * inputs is bit-deterministic integer arithmetic), so rank order and
+    * the reported score are integer-exact in both engines — no cosine
+    * division anywhere. Same broadcast-queries / linear-scan /
+    * per-query top-k shape as s1.
+    *
+    * Scale path: MIPS reduces to cosine search by norm augmentation
+    * (Bachrach et al., RecSys'14): append component sqrt(M² − ‖x‖²)
+    * to each corpus vector (M = max norm) and 0 to each query — then
+    * argmax cosine over augmented vectors = argmax inner product, so
+    * every ANN structure this module already has (s2 IVF, s4 sign-LSH,
+    * s6/s8 PQ) applies unchanged to MIPS corpora. The exact scan here
+    * is the oracle-checkable baseline of that family. */
+  def s9KnnMips(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .filter(col("qid") < NQueries.toLong)
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot_fp").desc, col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("dot_fp", dotFp9(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        col("dot_fp"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute"    -> s1KnnBrute _,
     "s2_knn_ivf"      -> s2KnnIvf _,
@@ -803,6 +836,7 @@ object Similarity {
     "s6_knn_pq"       -> s6KnnPq _,
     "s7_knn_classify" -> s7KnnClassify _,
     "s8_knn_ivfpq"    -> s8KnnIvfPq _,
+    "s9_knn_mips"     -> s9KnnMips _,
     "d7_embed_clusters" -> d7EmbedClusters _,
   )
 
@@ -846,6 +880,17 @@ object Similarity {
            |  FROM scored)
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+           |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    "s9_knn_mips" ->
+      (NormCte +
+        s"""
+           |, scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    ${oDot("q.embedding", "c.embedding")} AS dot_fp
+           |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, nid, dot_fp,
+           |    row_number() OVER (PARTITION BY qid ORDER BY dot_fp DESC, nid) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dot_fp
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     "s2_knn_ivf" ->
       (NormCte +

@@ -530,6 +530,80 @@ object TextAnalysis {
         idiv(sum(col("lp_e4")), count(lit(1))).as("mean_lp_e4"))
   }
 
+  /** x16: BIGRAM language-model fluency scoring — x13's unigram filter
+    * upgraded one conditioning order: p(w₂|w₁) with Laplace smoothing,
+    * trained on the x6 train split, every doc scored by its mean
+    * adjacent-pair log10-probability. A bigram model is the smallest LM
+    * that penalizes scrambled word ORDER (a bag-of-words permutation
+    * leaves x13's score unchanged but craters x16's) — the property
+    * that makes the CCNet-style fluency filter actually measure
+    * fluency. Per-doc outputs also count unseen pairs (n_oov_big) and
+    * unseen CONTEXTS (n_new_ctx ≤ n_oov_big — a pair can be novel
+    * while its context is known).
+    *
+    * Numeric policy = x13's: probabilities are exact integer ratios
+    * (c₂+1)/(ctx+V); one log10 per pair, e4-quantized immediately
+    * (shared [[lpE4]]), per-doc mean by integer floor division. Docs
+    * with < 2 tokens have no pairs: n_big = 0, mean NULL (in both
+    * engines, via the same left-join-back).
+    *
+    * Scale notes (100 TB): the bigram table is O(unique adjacent
+    * pairs) — NOT vocabulary-small, so unlike x13's model it is NOT
+    * broadcast: pair scoring is an equi-join on (w1, w2) that shuffles
+    * both sides once (the count side map-side-combined; AQE broadcasts
+    * it if pruning crushes it). Context totals ARE vocab-sized and
+    * broadcast, and V is one scalar. The production form prunes the
+    * model (count ≥ k, top-P) exactly like a pruned KenLM — that only
+    * shrinks the join's build side; the shape here survives unpruned. */
+  def x16BigramScore(s: SparkSession, d: String): DataFrame =
+    bigramScore(documents(s, d)).transform(Output.ordered(_, col("doc_id")))
+
+  /** Library form of [[x16BigramScore]] over any (doc_id, text) frame. */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
+      .withColumn("split",
+        when(col("bucket") < 80L, "train")
+          .when(col("bucket") < 90L, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), words(col("text")).as("ws"))
+    // adjacent pairs as a narrow generator: (ws[i], ws[i+1]), 1-based
+    val big = base
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("split"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("split"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.filter(col("split") === "train")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    // context totals: occurrences of w1 AS A CONTEXT in train = Σ c₂(w1,·)
+    val ctx = c2.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    // V = train UNIGRAM vocab (the smoothing denominator ranges over
+    // every possible successor, i.e. the word vocabulary)
+    val v = base.filter(col("split") === "train")
+      .select(explode(col("ws")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val perDoc = big
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp_e4",
+        lpE4(col("c"), coalesce(col("ctx"), lit(0L)), col("v")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov_big"),
+        sum(when(col("ctx").isNull, 1L).otherwise(0L)).as("n_new_ctx"),
+        idiv(sum(col("lp_e4")), count(lit(1))).as("mean_lp_e4"))
+    base.select(col("doc_id"), col("split"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("n_oov_big"), lit(0L)).as("n_oov_big"),
+        coalesce(col("n_new_ctx"), lit(0L)).as("n_new_ctx"),
+        col("mean_lp_e4"))
+  }
+
   /** x14: deterministic source-mixture resampling — the data-mixing
     * step that turns a source-skewed crawl into a corpus with CHOSEN
     * per-source proportions. Each source gets an integer weight (here
@@ -736,6 +810,7 @@ object TextAnalysis {
     "x13_lm_score"   -> x13LmScore _,
     "x14_source_mix" -> x14SourceMix _,
     "x15_span_dedup" -> x15SpanDedup _,
+    "x16_bigram_lm"  -> x16BigramScore _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -1004,6 +1079,40 @@ object TextAnalysis {
          |  CAST(sum(oov) AS BIGINT) AS n_oov,
          |  CAST(floor(sum(lp_e4)::DOUBLE / count(*)::DOUBLE) AS BIGINT) AS mean_lp_e4
          |FROM lp GROUP BY doc_id, split ORDER BY doc_id""".stripMargin,
+    "x16_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |h AS (SELECT doc_id, ws, md5(doc_id::VARCHAR) AS h FROM t),
+         |sp AS (SELECT doc_id, ws,
+         |    CASE WHEN ${oBucket4("h")} < 80 THEN 'train'
+         |         WHEN ${oBucket4("h")} < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM h),
+         |idx AS (SELECT doc_id, split, ws, unnest(range(1, len(ws))) AS i
+         |  FROM sp WHERE len(ws) >= 2),
+         |bg AS (SELECT doc_id, split, ws[i] AS w1, ws[i+1] AS w2 FROM idx),
+         |c2 AS (SELECT w1, w2, count(*) AS c FROM bg WHERE split = 'train'
+         |  GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |  FROM (SELECT unnest(ws) AS w FROM sp WHERE split = 'train')),
+         |lp AS (SELECT bg.doc_id,
+         |    CAST(round(log10((coalesce(c2.c, 0) + 1)::DOUBLE
+         |      / (coalesce(ctx.ctx, 0) + v.v)::DOUBLE) * 1e4) AS BIGINT) AS lp_e4,
+         |    CASE WHEN c2.c IS NULL THEN 1 ELSE 0 END AS oov,
+         |    CASE WHEN ctx.ctx IS NULL THEN 1 ELSE 0 END AS newctx
+         |  FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN ctx USING (w1)
+         |  CROSS JOIN v),
+         |a AS (SELECT doc_id, count(*) AS n_big,
+         |    CAST(sum(oov) AS BIGINT) AS n_oov_big,
+         |    CAST(sum(newctx) AS BIGINT) AS n_new_ctx,
+         |    CAST(floor(sum(lp_e4)::DOUBLE / count(*)::DOUBLE) AS BIGINT) AS mean_lp_e4
+         |  FROM lp GROUP BY doc_id)
+         |SELECT sp.doc_id, sp.split,
+         |  coalesce(a.n_big, CAST(0 AS BIGINT)) AS n_big,
+         |  coalesce(a.n_oov_big, CAST(0 AS BIGINT)) AS n_oov_big,
+         |  coalesce(a.n_new_ctx, CAST(0 AS BIGINT)) AS n_new_ctx,
+         |  a.mean_lp_e4
+         |FROM sp LEFT JOIN a USING (doc_id) ORDER BY sp.doc_id""".stripMargin,
     "x14_source_mix" ->
       s"""WITH h AS (SELECT doc_id, source, md5(source) AS hs,
          |    md5(doc_id::VARCHAR || ':mix14') AS hd FROM documents),

@@ -1017,6 +1017,139 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(mixShuffles <= 2, s"x14 shuffles the corpus more than once:\n$mixPlan")
   }
 
+  test("e8 band join: broadcast interval join ≡ the narrow binning twin, rows conserved") {
+    val joined = Events.e8BandJoin(spark, sf)
+    // the non-equi band predicate must plan as a broadcast nested-loop
+    // against the tiny dimension — never a shuffle or cartesian of the
+    // fact side
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"band join not broadcast-NLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian fallback:\n$plan")
+    val rows = joined.collect()
+    // the bands partition the value domain: every event in exactly one band
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).count(), "events lost or double-banded")
+    // join form ≡ the join-FREE when-chain binning (the 100 TB fast
+    // path): same per-band aggregates, bit-exact
+    val binned = Tables.events(spark, sf)
+      .withColumn("band_id", Events.bandOf(col("value")))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Tables.dollars(sum(Tables.cents(col("value")))).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => r.getAs[Long]("band_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"),
+          r.getAs[Long]("n_users"))).toMap
+    rows.foreach { r =>
+      val got = (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"),
+        r.getAs[Long]("n_users"))
+      val want = binned(r.getAs[Long]("band_id"))
+      assert(got == want, s"band ${r.getAs[Long]("band_id")}: join=$got bin=$want")
+    }
+  }
+
+  test("s9 MIPS: integer-exact vs a driver-side brute force; ranks by dot, not cosine") {
+    val out = Similarity.s9KnnMips(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nid"), r.getAs[Long]("dot_fp")))
+    // recompute the full top-k on the driver with the same fixed-point
+    // semantics (per-element round(x*y*1e9), summed as longs)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        graft.functions.DotFp9.roundHalfAway(x.toDouble * y.toDouble * 1e9) }.sum
+    val want = (0L until Similarity.NQueries.toLong).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, dot(vecs(q), vecs(n))))
+        .sortBy { case (n, d) => (-d, n) }
+        .take(Similarity.TopK).zipWithIndex
+        .map { case ((n, d), i) => (q, i + 1L, n, d) }
+    }.toSet
+    assert(out.toSet == want,
+      s"MIPS diverges from the driver reference: ${(out.toSet diff want).take(3)}")
+    // the synthetic corpus has near-uniform norms, so cosine and MIPS
+    // tie there; prove the metrics genuinely diverge on a corpus where
+    // norms carry signal — a big-norm slightly-off-axis vector must win
+    // MIPS while the small perfectly-aligned one wins cosine
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mips").toFile
+    try {
+      val vs = Seq(
+        (0L, Seq(1f, 0f), 0),
+        (10L, Seq(10f, 1f), 0), // ‖x‖≈10, cos≈0.995: the popularity prior
+        (11L, Seq(0.5f, 0f), 0) // cos=1 exactly, but dot=0.5
+      ) ++ (1 to 9).map { k =>
+        val a = k * math.Pi / 20
+        (k.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat), 0)
+      }
+      vs.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      def top1(df: org.apache.spark.sql.DataFrame): Long = df.collect()
+        .filter(r => r.getAs[Long]("qid") == 0L && r.getAs[Long]("rank") == 1L)
+        .head.getAs[Long]("nid")
+      assert(top1(Similarity.s9KnnMips(spark, dir.toString)) == 10L,
+        "MIPS top-1 should be the big-norm vector")
+      assert(top1(Similarity.s1KnnBrute(spark, dir.toString)) == 11L,
+        "cosine top-1 should be the aligned unit-direction vector")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("x16 bigram LM: penalizes scrambled order that the unigram model cannot see") {
+    import spark.implicits._
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 100L
+    }
+    val trainId = (0L to 500L).find(bucket(_) < 80L).get
+    val testIds = (0L to 500L).filter(bucket(_) >= 90L).take(3)
+    val (flu, scr, tiny) = (testIds(0), testIds(1), testIds(2))
+    val docs = Seq(
+      (trainId, "a b a b a b"), // model: c(a,b)=3 c(b,a)=2; ctx a=3 b=2; V=2
+      (flu, "a b a b"),         // pairs (a,b),(b,a),(a,b) — all seen
+      (scr, "a a b b"),         // SAME BAG, scrambled: (a,a),(b,b) unseen
+      (tiny, "a"))              // < 2 tokens: no pairs at all
+      .toDF("doc_id", "text")
+    val big = TextAnalysis.bigramScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_big"), r.getAs[Long]("n_oov_big"),
+          r.getAs[Long]("n_new_ctx"),
+          Option(r.getAs[java.lang.Long]("mean_lp_e4")).map(_.toLong))).toMap
+    assert(big(flu) == ((3L, 0L, 0L, big(flu)._4)) && big(flu)._4.isDefined)
+    // scrambled: both novel pairs have KNOWN contexts — oov counts the
+    // pair, new_ctx does not
+    assert(big(scr)._1 == 3L && big(scr)._2 == 2L && big(scr)._3 == 0L)
+    assert(big(scr)._4.get < big(flu)._4.get,
+      s"scrambled doc not penalized: ${big(scr)._4} vs ${big(flu)._4}")
+    assert(big(tiny) == ((0L, 0L, 0L, None)), s"1-token doc: ${big(tiny)}")
+    // the unigram model scores the two bags IDENTICALLY — the property
+    // x16 exists to fix
+    val uni = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_oov"), r.getAs[Long]("mean_lp_e4"))).toMap
+    assert(uni(flu) == uni(scr), s"unigram should tie: ${uni(flu)} vs ${uni(scr)}")
+    // full corpus: every doc exactly once; train pairs are the model,
+    // so train docs have zero pair-OOV; novel-context ⊆ novel-pair
+    val full = TextAnalysis.x16BigramScore(spark, sf).collect()
+    assert(full.length == Tables.documents(spark, sf).count())
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_new_ctx") <= r.getAs[Long]("n_oov_big"))
+      if (r.getAs[String]("split") == "train")
+        assert(r.getAs[Long]("n_oov_big") == 0L, s"train OOV: $r")
+    }
+  }
+
   test("degenerate vectors fail loudly: zero norm in withNorm, all-zero in quantized") {
     import spark.implicits._
     def msgChain(t: Throwable): String =

@@ -152,4 +152,59 @@ class RelationalSpec extends SparkSpecBase {
     val df = Relational.q5WindowLatest(spark, sf)
     assert(df.count() == df.select("o_custkey").distinct().count())
   }
+
+  test("q18 unpivot: aggregate-then-melt — narrow Expand, one data shuffle") {
+    import org.apache.spark.sql.functions.col
+    val df = Relational.q18Unpivot(spark, sf)
+    val plan = planOf(df)
+    // the melt is an Expand PROJECTION above the aggregate — the only
+    // hash exchange is the groupBy's. Melting before aggregating would
+    // show the same Expand BELOW the exchange and 3× the shuffled rows.
+    assert(plan.contains("Expand"), s"unpivot did not plan as Expand:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected one data shuffle, got $shuffles:\n$plan")
+    // wide↔long reconciliation: pivoting the melt back reproduces the
+    // direct aggregate exactly (no rows lost, no value mangled by the
+    // common-type cast — all three metrics are cents-exact doubles)
+    val rows = df.collect()
+    val flags = Tables.lineitem(spark, sf)
+      .select("l_returnflag").distinct().count()
+    assert(rows.length == 3 * flags, s"${rows.length} rows for $flags flags")
+    val long = rows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val wide = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Tables.dollars(org.apache.spark.sql.functions.sum(
+          Tables.cents(col("l_quantity")))).as("sum_qty"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    wide.foreach { case (flag, qty) =>
+      assert(long((flag, "sum_qty")) == qty, s"melted sum_qty diverges for $flag")
+    }
+  }
+
+  test("q19 grouping sets: the asked-for lattice, one scan, margins reconcile") {
+    val df = Relational.q19GroupingSets(spark, sf)
+    val plan = planOf(df)
+    // same single-scan Expand strategy as rollup/cube — the fact table
+    // is read once however many sets the lattice lists
+    assert(plan.contains("Expand"), s"grouping sets did not plan as Expand:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"orders scanned more than once:\n$plan")
+    val rows = df.collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+      r.getLong(2), r.getLong(3)))
+    // exactly the three requested sets — and NOT the (status, priority)
+    // cross that rollup/cube would force: gid 1 = (status), 2 =
+    // (priority), 3 = grand total; gid 0 (both present) must be absent
+    assert(rows.map(_._3).toSet == Set(1L, 2L, 3L), s"wrong lattice: ${rows.map(_._3).toSet}")
+    val statusRows = rows.filter(_._3 == 1L)
+    val prioRows = rows.filter(_._3 == 2L)
+    val total = rows.filter(_._3 == 3L)
+    assert(total.length == 1 && total.head._1.isEmpty && total.head._2.isEmpty)
+    // each one-dimensional margin partitions the corpus: counts sum to
+    // the grand total independently
+    assert(statusRows.map(_._4).sum == total.head._4, "status margin loses rows")
+    assert(prioRows.map(_._4).sum == total.head._4, "priority margin loses rows")
+    assert(statusRows.forall(r => r._1.nonEmpty && r._2.isEmpty))
+    assert(prioRows.forall(r => r._1.isEmpty && r._2.nonEmpty))
+  }
 }
