@@ -208,6 +208,58 @@ object Events {
       when(value >= lit(lo) && value < lit(hi), lit(id)).otherwise(acc)
     }
 
+  /** Trailing-window length (in observed hourly buckets) and the
+    * minimum window occupancy below which e9 never flags. */
+  val TrailBuckets = 24
+  val MinTrail     = 12
+
+  /** e9: trailing-window ANOMALY detection over the hourly event-count
+    * series — each (event_type, hour) bucket is flagged when its count
+    * deviates from the trailing-[[TrailBuckets]]-bucket mean by more
+    * than 3 population standard deviations. The z²>9 test is evaluated
+    * as the cross-multiplied INTEGER inequality
+    * `(k·n − s)² > 9·(k·ss − s²)` (k = window count, s/ss = window
+    * sum/sum-of-squares), so the flag is exact integer arithmetic in
+    * both engines — no float mean, no sqrt, no epsilon. Windows are
+    * trailing-only (the current bucket never contaminates its own
+    * baseline) and under-filled windows (< [[MinTrail]] buckets, incl.
+    * series starts) never flag. Zero-variance baselines flag ANY
+    * deviation — `d² > 0` — which is the right reading of "3σ" at σ=0.
+    *
+    * Scale notes (100 TB): the one heavy operation is the hourly
+    * pre-aggregation — a full-width map-side-combined shuffle on
+    * (hour, type). The window then runs over the AGGREGATED series
+    * (#hours × #types rows — tiny at any corpus size), so partitioning
+    * it by low-cardinality event_type is safe: per-partition work is
+    * bounded by series length, not corpus size. Deliberately TWO
+    * exchanges — pre-clustering the corpus by event_type to save the
+    * second would cap the heavy aggregation's parallelism at #types. */
+  def e9Anomaly(s: SparkSession, d: String): DataFrame =
+    anomalyFlags(
+      events(s, d)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events")))
+      .orderBy(col("hour_s"), col("event_type"))
+
+  /** Library form of [[e9Anomaly]] over any (hour_s, event_type,
+    * n_events) series frame. */
+  def anomalyFlags(hourly: DataFrame): DataFrame = {
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
+      .rowsBetween(-TrailBuckets, -1)
+    val dev = col("trail_n") * col("n_events") - col("trail_sum")
+    hourly
+      .withColumn("trail_n", count(lit(1)).over(tw))
+      .withColumn("trail_sum", coalesce(sum(col("n_events")).over(tw), lit(0L)))
+      .withColumn("trail_sumsq",
+        coalesce(sum(col("n_events") * col("n_events")).over(tw), lit(0L)))
+      .withColumn("is_anomaly",
+        col("trail_n") >= MinTrail && dev * dev >
+          lit(9L) * (col("trail_n") * col("trail_sumsq") -
+            col("trail_sum") * col("trail_sum")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -217,9 +269,26 @@ object Events {
     "e6_funnel"         -> e6Funnel _,
     "e7_retention"      -> e7Retention _,
     "e8_band_join"      -> e8BandJoin _,
+    "e9_anomaly"        -> e9Anomaly _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "e9_anomaly" ->
+      s"""WITH hc AS (SELECT
+         |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+         |    event_type, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT hour_s, event_type, n_events,
+         |    count(*) OVER tw AS trail_n,
+         |    CAST(coalesce(sum(n_events) OVER tw, 0) AS BIGINT) AS trail_sum,
+         |    CAST(coalesce(sum(n_events*n_events) OVER tw, 0) AS BIGINT) AS trail_sumsq
+         |  FROM hc WINDOW tw AS (PARTITION BY event_type ORDER BY hour_s
+         |    ROWS BETWEEN $TrailBuckets PRECEDING AND 1 PRECEDING))
+         |SELECT hour_s, event_type, n_events, trail_n, trail_sum, trail_sumsq,
+         |  (trail_n >= $MinTrail AND
+         |   (trail_n*n_events - trail_sum)*(trail_n*n_events - trail_sum)
+         |     > 9*(trail_n*trail_sumsq - trail_sum*trail_sum)) AS is_anomaly
+         |FROM w ORDER BY hour_s, event_type""".stripMargin,
     "e8_band_join" ->
       """WITH bands(band_id, lo, hi) AS (VALUES
         |  (CAST(0 AS BIGINT), 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 50.0),

@@ -295,6 +295,65 @@ object Relational {
       .orderBy(asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** Exact GLOBAL rank over `order` WITHOUT the single-partition-window
+    * anti-pattern (`Window.orderBy` with no partitionBy funnels the
+    * whole frame through one task — the classic global-sort scale
+    * killer). Scalable shape instead: (1) `repartitionByRange` on the
+    * order key — partition ids ascend in sort order, equal keys
+    * co-locate, and the full tie-break in `order` spreads tie runs;
+    * (2) `localCheckpoint` the ranged frame so the two passes below
+    * read ONE materialization (range boundaries are sampled per job —
+    * un-pinned, a second computation could re-draw them and corrupt
+    * the offsets; at 100 TB you persist this frame anyway — it is the
+    * sorted layout you keep); (3) per-partition `row_number` — a window
+    * PARTITIONED by the materialized partition id, every partition
+    * ranks in parallel; (4) add per-partition offsets (cumulative
+    * counts — #shuffle-partitions rows, driver-sized by contract) as a
+    * literal map lookup: pure narrow projection, no join.
+    * Returns the input plus a 1-based `rank` column. */
+  def globalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.map { case (pid, pn) =>
+      val o = acc; acc += pn; (pid, o)
+    }.toMap
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    ranged
+      .withColumn("rank", row_number().over(w).cast("long") +
+        coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)))
+      .drop("_pid")
+  }
+
+  /** q20: DECILE analysis — customers ranked by lifetime spend, cut
+    * into tenths by exact global rank, one summary row per decile (the
+    * revenue-concentration report: "the top decile holds X% of
+    * spend"). Decile = `(rank−1)·10 div n + 1` — the closed form both
+    * engines compute identically from the same total order (spend
+    * desc, custkey tie-break), rather than engine-specific NTILE
+    * internals. Rank comes from [[globalRank]], so the plan has NO
+    * single-partition window: the only SinglePartition stages are the
+    * 1-row customer count and the 10-row presentation sort. */
+  def q20Decile(s: SparkSession, d: String): DataFrame = {
+    val totals = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+    val ranked = globalRank(totals,
+      Seq(col("total_cents").desc, col("o_custkey").asc))
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile", expr("((rank - 1) * 10) div n_total + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        dollars(sum(col("total_cents"))).as("sum_spend"),
+        dollars(min(col("total_cents"))).as("min_spend"),
+        dollars(max(col("total_cents"))).as("max_spend"))
+      .orderBy(col("decile"))
+  }
+
   /** q11: scalar string/date functions (projection-only; codegen'd). */
   def q11ScalarFuncs(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -403,6 +462,7 @@ object Relational {
     "q17_correlated_avg" -> q17CorrelatedAvg _,
     "q18_unpivot"       -> q18Unpivot _,
     "q19_grouping_sets" -> q19GroupingSets _,
+    "q20_decile"        -> q20Decile _,
     "q11_scalar_funcs"  -> q11ScalarFuncs _,
     "q12_case_agg"      -> q12CaseAgg _,
     "q13_distinct_quantiles" -> q13DistinctQuantiles _,
@@ -533,6 +593,19 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q20_decile" ->
+      """WITH t AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT o_custkey, total_cents,
+        |    row_number() OVER (ORDER BY total_cents DESC, o_custkey) AS rnk,
+        |    count(*) OVER () AS n FROM t)
+        |SELECT CAST(((rnk-1)*10)//n + 1 AS BIGINT) AS decile,
+        |  count(*) AS n_customers,
+        |  sum(total_cents)/100.0 AS sum_spend,
+        |  min(total_cents)/100.0 AS min_spend,
+        |  max(total_cents)/100.0 AS max_spend
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_scalar_funcs" ->
       """SELECT o_orderkey,
         |  substring(o_orderpriority, 1, 1) AS prio_class,

@@ -1017,6 +1017,51 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(mixShuffles <= 2, s"x14 shuffles the corpus more than once:\n$mixPlan")
   }
 
+  test("e9 anomaly: integer-exact 3σ boundary, quiet starts, robust to its own spikes") {
+    import spark.implicits._
+    // alternating 9/11 baseline (mean 10, popvar 1 over 24 buckets) then
+    // a probe bucket: z = |n−10| exactly, so 13 (z=3, z²=9 NOT > 9) must
+    // stay quiet and 14 (z=4) must flag — the strict-inequality boundary
+    // the cross-multiplied integer form gets exactly right
+    val base = (1 to 24).map(h => (h.toLong, if (h % 2 == 0) 9L else 11L))
+    val series =
+      base.map { case (h, n) => ("t3", h, n) } ++ Seq(("t3", 25L, 13L)) ++
+        base.map { case (h, n) => ("t4", h, n) } ++ Seq(("t4", 25L, 14L)) ++
+        // constant-zero-variance series: any deviation flags (σ=0)…
+        (1 to 24).map(h => ("tc", h.toLong, 10L)) ++ Seq(("tc", 25L, 11L)) ++
+        // …but an EQUAL bucket does not (0 > 0 is false)
+        Seq(("tc", 26L, 10L)) ++
+        // short series: huge spike but only 5 trailing buckets → quiet
+        (1 to 5).map(h => ("ts", h.toLong, 10L)) ++ Seq(("ts", 6L, 1000L))
+    val flags = Events.anomalyFlags(
+      series.toDF("event_type", "hour_s", "n_events")
+        .select(col("hour_s"), col("event_type"), col("n_events")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_s")) ->
+        r.getAs[Boolean]("is_anomaly")).toMap
+    assert(!flags(("t3", 25L)), "z=3 exactly must NOT flag (strict >)")
+    assert(flags(("t4", 25L)), "z=4 must flag")
+    assert(flags(("tc", 25L)), "deviation from a zero-variance baseline must flag")
+    assert(!flags(("tc", 26L)), "equal bucket over zero variance must not flag")
+    assert(!flags(("ts", 6L)), "under-filled trailing window must never flag")
+    // the tc spike sits in tc-26's trailing window but, as ONE outlier,
+    // inflates the variance it is measured against — still quiet (the
+    // trailing-only frame keeps a bucket out of its OWN baseline, and a
+    // single spike does not poison the next bucket into flagging)
+    // full corpus: one row per hourly bucket, flags only where the
+    // window is adequately filled
+    val full = Events.e9Anomaly(spark, sf)
+    val plan = planOf(full)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"e9 should shuffle exactly twice (full-width agg + tiny series window):\n$plan")
+    val rows = full.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("trail_n") <= Events.TrailBuckets.toLong)
+      if (r.getAs[Long]("trail_n") < Events.MinTrail.toLong)
+        assert(!r.getAs[Boolean]("is_anomaly"), s"under-filled window flagged: $r")
+    }
+  }
+
   test("e8 band join: broadcast interval join ≡ the narrow binning twin, rows conserved") {
     val joined = Events.e8BandJoin(spark, sf)
     // the non-equi band predicate must plan as a broadcast nested-loop

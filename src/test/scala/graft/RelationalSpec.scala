@@ -182,6 +182,50 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("globalRank: exact global rank with ties, no single-partition window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 500 rows over 50 heavily-tied values — tie runs must split across
+    // range partitions by the id tie-break and still rank globally 1..n
+    val df = (1 to 500).map(i => (((i * 7919) % 50).toLong, i.toLong))
+      .toDF("v", "id")
+    val ranked = Relational.globalRank(df, Seq(col("v").asc, col("id").asc))
+    val got = ranked.collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("id"), r.getAs[Long]("rank")))
+      .sortBy(t => (t._1, t._2))
+    val want = got.map(t => (t._1, t._2)).sorted.zipWithIndex
+      .map { case ((v, id), i) => (v, id, i + 1L) }
+    assert(got.toSeq == want.toSeq, "global rank diverges from the sorted order")
+    // every window in the plan is partitioned by the materialized range
+    // partition id — the whole point: no Window.orderBy-with-no-partition
+    val plan = planOf(ranked)
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val pidSpecs = "windowspecdefinition\\(_pid".r.findAllIn(plan).size
+    assert(specs > 0 && specs == pidSpecs,
+      s"found a window not partitioned by _pid ($pidSpecs/$specs):\n$plan")
+  }
+
+  test("q20 decile: tenths partition the customers, spend cuts are monotone") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = Relational.q20Decile(spark, sf).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n_customers"),
+        r.getAs[Double]("sum_spend"), r.getAs[Double]("min_spend"),
+        r.getAs[Double]("max_spend")))
+    assert(rows.map(_._1).toSeq == (1L to 10L), s"deciles: ${rows.map(_._1).toSeq}")
+    // the deciles partition the purchasing customers; the closed-form
+    // cut makes sizes differ by at most one
+    val nCust = Tables.orders(spark, sf)
+      .agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    assert(rows.map(_._2).sum == nCust, "customers lost or double-counted")
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, s"ragged deciles: $rows")
+    // decile 1 = top spenders; cuts are monotone non-increasing, with
+    // equality allowed only when a tie value straddles the boundary
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._4 >= lo._5, s"decile ${hi._1} min < decile ${lo._1} max")
+    }
+    rows.foreach { r => assert(r._4 <= r._5 && r._3 >= r._4) }
+  }
+
   test("q19 grouping sets: the asked-for lattice, one scan, margins reconcile") {
     val df = Relational.q19GroupingSets(spark, sf)
     val plan = planOf(df)
