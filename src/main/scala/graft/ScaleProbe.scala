@@ -203,6 +203,36 @@ object ScaleProbe {
           spark.table("scaleprobe_postings"),
           operators.Dedup.lshIndex(dedupBatch), maxBucket = None)
       },
+      // q20 shape: exact global rank over a 1M×m-row synthetic frame
+      // (multiplicative-hash values, heavy ties at small m) — the
+      // range-repartition + per-partition row_number + literal-offset
+      // formulation. Should grow ~linearly in n: one range shuffle, one
+      // pid-hash shuffle, narrow everything else — the single-partition
+      // window it replaces would flatline one core here and die at scale
+      time("global_rank") {
+        val n = 1000000L * m
+        operators.Relational.globalRank(
+          spark.range(n).select(col("id"),
+            expr("(id * 2654435761) % 1000000").as("v")),
+          Seq(col("v").asc, col("id").asc))
+      },
+      // x16 shape: bigram-LM scoring over a 50k×m-doc synthetic corpus
+      // with a bounded shared vocabulary plus one doc-unique token per
+      // doc — so the bigram model grows ~linearly in n (the realistic
+      // O(unique pairs) regime) and the (w1,w2) scoring join's BOTH
+      // sides grow with the corpus. Expect ~linear total
+      time("bigram_score") {
+        val n = 50000L * m
+        operators.TextAnalysis.bigramScore(
+          spark.range(n).select(col("id").as("doc_id"),
+            concat_ws(" ",
+              concat(lit("w"), expr("id % 997")),
+              concat(lit("w"), expr("id % 89")),
+              concat(lit("w"), expr("id % 997")),
+              concat(lit("u"), col("id")),
+              concat(lit("w"), expr("id % 89")),
+              concat(lit("w"), expr("id % 7"))).as("text")))
+      },
       // d6/d7 shape: alternating-star connected components over a
       // synthetic 50k×m-node graph of 64-chains — fixed round count
       // (O(log diameter)), so the probe isolates per-round linearity

@@ -389,6 +389,57 @@ object StreamOps {
   def piiScrubStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.piiSignals(docs)
 
+  /** One finalized hourly bucket of the event-count series — the input
+    * unit of [[anomalyStream]] (what [[hourlyAgg]] emits once the
+    * watermark closes a window). */
+  case class HourlyBucket(event_type: String, hour_s: Long, n_events: Long)
+  case class AnomalyFlag(event_type: String, hour_s: Long, n_events: Long,
+    trail_n: Long, trail_sum: Long, trail_sumsq: Long, is_anomaly: Boolean)
+  /** Trailing per-type baseline: the last ≤TrailBuckets observed
+    * counts, oldest first. */
+  case class AnomalyState(counts: Seq[Long])
+
+  /** Streaming anomaly detection (continuous e9): each finalized hourly
+    * bucket is flagged against the trailing-24-bucket baseline the
+    * moment it arrives, via the same cross-multiplied integer z²>9
+    * test as the batch twin — a bucket never contaminates its own
+    * baseline, under-filled baselines never flag. State is a per-type
+    * deque of ≤24 counts updated AFTER scoring, so a replay of the
+    * series in hour order reproduces batch e9 exactly (spec-pinned).
+    *
+    * Scale notes: the key (event_type) is low-cardinality, but — same
+    * argument as batch e9 — the input is the already-aggregated series
+    * from the watermarked [[hourlyAgg]] (the full-width heavy shuffle),
+    * so per-key state and work are bounded by series length:
+    * O(#types × 24) longs total, per-bucket latency. */
+  def anomalyStream(buckets: Dataset[HourlyBucket]): Dataset[AnomalyFlag] = {
+    import graft.operators.Events.{MinTrail, TrailBuckets}
+    implicit val fe: org.apache.spark.sql.Encoder[AnomalyFlag] =
+      Encoders.product[AnomalyFlag]
+    implicit val se: org.apache.spark.sql.Encoder[AnomalyState] =
+      Encoders.product[AnomalyState]
+    implicit val ke: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    buckets
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (typ: String, batch: Iterator[HourlyBucket], state: GroupState[AnomalyState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyFlag]
+          batch.toSeq.sortBy(_.hour_s).foreach { b =>
+            val k  = counts.size.toLong
+            val s  = counts.sum
+            val ss = counts.iterator.map(c => c * c).sum
+            val dev = k * b.n_events - s
+            out += AnomalyFlag(typ, b.hour_s, b.n_events, k, s, ss,
+              k >= MinTrail && dev * dev > 9L * (k * ss - s * s))
+            counts = (counts :+ b.n_events).takeRight(TrailBuckets)
+          }
+          state.update(AnomalyState(counts))
+          out.iterator
+      }
+  }
+
   /** Output mode guidance per op (what a caller's writeStream should
     * use): windowed aggs → Append (emit on watermark close) or Update;
     * latestState → Update; dedupExact → Append. */
@@ -403,5 +454,6 @@ object StreamOps {
     "contaminationStream" -> OutputMode.Append(),
     "lmScoreStream" -> OutputMode.Append(),
     "piiScrubStream" -> OutputMode.Append(),
-    "funnelStages" -> OutputMode.Append())
+    "funnelStages" -> OutputMode.Append(),
+    "anomalyStream" -> OutputMode.Append())
 }

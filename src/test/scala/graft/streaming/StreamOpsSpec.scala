@@ -549,6 +549,51 @@ class StreamOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("anomalyStream replayed over the hourly series ≡ batch e9, chunking-invariant") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.HourlyBucket
+    // the series the stream consumes = what hourlyAgg finalizes: the
+    // corpus's hourly series plus a constructed spike series (so the
+    // equivalence is witnessed on a flagged row whatever the corpus
+    // happens to contain), replayed in hour order
+    val synth = (1 to 24).map(h => HourlyBucket("synth", h.toLong, 10L)) :+
+      HourlyBucket("synth", 25L, 40L)
+    val series = (graft.operators.Events.e9Anomaly(spark, sf)
+      .select(col("event_type"), col("hour_s"), col("n_events"))
+      .as[HourlyBucket].collect().toSeq ++ synth)
+      .sortBy(b => (b.hour_s, b.event_type))
+    val batch = graft.operators.Events.anomalyFlags(
+      series.toDF().select(col("hour_s"), col("event_type"), col("n_events")))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_s"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("trail_n"),
+        r.getAs[Long]("trail_sum"), r.getAs[Long]("trail_sumsq"),
+        r.getAs[Boolean]("is_anomaly"))).toSet
+    assert(batch.exists(_._7), "fixture has no anomaly to witness")
+    // two chunkings, incl. cuts landing mid-series for every type —
+    // where a state hand-off bug would hide
+    val n = series.size
+    val chunkings = Seq(
+      "thirds" -> series.grouped((n + 2) / 3).toSeq,
+      "fine"   -> series.grouped(math.max(1, n / 17)).toSeq)
+    chunkings.zipWithIndex.foreach { case ((label, chunks), i) =>
+      val name = s"anomaly_replay_$i"
+      val in = MemoryStream[HourlyBucket]
+      val q = StreamOps.anomalyStream(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_s"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("trail_n"),
+          r.getAs[Long]("trail_sum"), r.getAs[Long]("trail_sumsq"),
+          r.getAs[Boolean]("is_anomaly"))).toSet
+      assert(streamed == batch,
+        s"[$label] stream diverges: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    }
+  }
+
   test("batch-stream equivalence: hourlyAgg replayed over sf0.001 events equals e1 counts") {
     implicit val sq = spark.sqlContext
     val all = graft.Tables.events(spark, sf)
