@@ -354,6 +354,45 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** SALTED equi-join — the static skew remedy for a hot join key too
+    * big for one task, when the dimension side is too big to broadcast.
+    * The fact side's key is widened with a deterministic salt
+    * `pmod(xxhash64(rowKey), salts)` (rowKey = any per-row-distinct
+    * column set, so one hot key's rows spread across `salts` shuffle
+    * partitions instead of landing on one task); the dimension side is
+    * replicated once per salt value (an Expand-style generate — the
+    * deliberate cost: dim shuffle volume × salts buys hot-key
+    * parallelism × salts). Join on (key, salt) then drop the salt:
+    * result rows are EXACTLY the plain join's — the salt never reaches
+    * the output, pinned by spec and by q21's oracle, which states the
+    * UNsalted join. AQE's skew-join split is the adaptive cousin; the
+    * static salt is for when the skew is known and stable (a null-ish
+    * sentinel key, a mega-customer), must survive with AQE off, or
+    * feeds a downstream aggregation AQE cannot re-split. */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+      rowKey: Seq[Column], salts: Int): DataFrame = {
+    val salted = facts.withColumn("_salt",
+      pmod(xxhash64(rowKey: _*), lit(salts.toLong)))
+    val repl = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    salted.join(repl, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** q21: revenue by order priority through a SALTED lineitem⋈orders
+    * join (salts = 8, salt from the composite line identity). The
+    * oracle states the ordinary join — same result set is the whole
+    * point; the spec additionally pins the plan (both exchanges keyed
+    * by (key, _salt)) and the hot key actually spreading. */
+  def q21SaltedJoin(s: SparkSession, d: String): DataFrame =
+    saltedJoin(
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c")),
+      orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "l_orderkey", Seq(col("l_orderkey"), col("l_linenumber")), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dollars(sum(col("rev_c"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
   /** q11: scalar string/date functions (projection-only; codegen'd). */
   def q11ScalarFuncs(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -463,6 +502,7 @@ object Relational {
     "q18_unpivot"       -> q18Unpivot _,
     "q19_grouping_sets" -> q19GroupingSets _,
     "q20_decile"        -> q20Decile _,
+    "q21_salted_join"   -> q21SaltedJoin _,
     "q11_scalar_funcs"  -> q11ScalarFuncs _,
     "q12_case_agg"      -> q12CaseAgg _,
     "q13_distinct_quantiles" -> q13DistinctQuantiles _,
@@ -606,6 +646,12 @@ object Relational {
         |  min(total_cents)/100.0 AS min_spend,
         |  max(total_cents)/100.0 AS max_spend
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q11_scalar_funcs" ->
       """SELECT o_orderkey,
         |  substring(o_orderpriority, 1, 1) AS prio_class,

@@ -226,6 +226,44 @@ class RelationalSpec extends SparkSpecBase {
     rows.foreach { r => assert(r._4 <= r._5 && r._3 >= r._4) }
   }
 
+  test("saltedJoin: hot key spreads across salts, result ≡ the plain join, plan keyed by salt") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // 90% of fact rows carry ONE key — the skew shape that strands a
+    // plain shuffle join on a single task
+    val facts = (1L to 2000L)
+      .map(i => (if (i <= 1800L) 7L else i % 50L, i, i * 3L))
+      .toDF("k", "row_id", "payload")
+    val dim = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    val salted = Relational.saltedJoin(facts, dim, "k",
+      Seq(col("row_id")), salts = 8)
+    val plain = facts.join(dim, Seq("k"))
+    assert(salted.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet
+      && salted.count() == plain.count(),
+      "salted join diverges from the plain join")
+    assert(salted.columns.toSeq == plain.columns.toSeq, "salt leaked into the output")
+    // the join is keyed by (k, _salt) whatever strategy AQE picks…
+    val plan = planOf(salted)
+    assert("Join \\[k#\\d+L?, _salt".r.findAllIn(plan).nonEmpty,
+      s"join keys don't include the salt:\n$plan")
+    // …and in the regime salting exists for — dim too big to broadcast,
+    // so the join shuffles — BOTH exchanges are keyed by (k, _salt):
+    // the hot key's rows land on 8 tasks, not 1 (forced here via hint;
+    // at scale the planner picks the shuffle join on its own)
+    val shuffled = Relational.saltedJoin(facts, dim.hint("shuffle_hash"), "k",
+      Seq(col("row_id")), salts = 8)
+    val shPlan = planOf(shuffled)
+    assert("Exchange hashpartitioning\\([^)]*_salt".r.findAllIn(shPlan).size == 2,
+      s"join not partitioned by the salt on both sides:\n$shPlan")
+    assert(shuffled.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    // the hot key genuinely fans out over the salt space
+    val hotSalts = facts.filter(col("k") === 7L)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(col("row_id")), org.apache.spark.sql.functions.lit(8L)).as("s"))
+      .agg(countDistinct(col("s"))).collect().head.getLong(0)
+    assert(hotSalts == 8L, s"hot key landed on only $hotSalts of 8 salts")
+  }
+
   test("q19 grouping sets: the asked-for lattice, one scan, margins reconcile") {
     val df = Relational.q19GroupingSets(spark, sf)
     val plan = planOf(df)
