@@ -334,6 +334,56 @@ object Dedup {
       when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
   }
 
+  /** d9 keep gates: a source doc needs ≥3 distinct shingles for its
+    * containment to mean anything, and only pairs at ≥ 50% containment
+    * are emitted. */
+  val MinShinglesA = 3L
+  val MinContainE6 = 500000L
+
+  /** d9: CONTAINMENT pairs — Broder's asymmetric near-dup metric
+    * c(a→b) = |S(a) ∩ S(b)| / |S(a)| over distinct word-3-gram shingle
+    * sets. Containment is what resemblance (Jaccard, d3/d4) cannot
+    * see: a short document embedded verbatim in a long one scores
+    * c(short→long) = 1 while Jaccard is diluted to |short|/|long| —
+    * the quote/boilerplate/excerpt case a dedup pipeline still wants
+    * to catch, and inherently DIRECTED (pairs come out ordered, both
+    * directions evaluated independently). Candidates via the inverted
+    * index: one (shingle → docs) grouping, ordered-pair expansion
+    * within each posting, so work is Σ df² — linear at fixed overlap
+    * (the d4/x11 join family; `maxDf` caps boilerplate postings, and
+    * d9 runs uncapped for oracle parity like d3). Intersections are
+    * counts of DISTINCT shared shingles; the score is the exact
+    * integer ratio ⌊shared·10⁶ / |S(a)|⌋. */
+  def d9Containment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(documents(s, d).repartition(col("doc_id")), maxDf = None)
+      .orderBy(col("a"), col("b"))
+
+  /** Library form of [[d9Containment]] over any (doc_id, text) frame,
+    * unordered; `maxDf` is the production boilerplate cap. */
+  def containmentPairs(docs: DataFrame, maxDf: Option[Long]): DataFrame = {
+    // aggregate barrier on the unique key (d3's pattern): sizes and
+    // distinct shingle sets materialize once, and generate-inferred
+    // filters cannot re-inline the shingling below the explode
+    val sh = docs
+      .select(col("doc_id"), array_distinct(shingles3(words(col("text")))).as("shs"))
+      .groupBy(col("doc_id")).agg(min(col("shs")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("sh"))
+    val postings = sh.groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val kept = maxDf.fold(postings)(m => postings.filter(size(col("docs")) <= m))
+    kept
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da.doc_id") =!= col("db.doc_id"))
+      .groupBy(col("da.doc_id").as("a"), col("db.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"), min(col("da.n_sh")).as("n_a"))
+      .filter(col("n_a") >= MinShinglesA)
+      .withColumn("containment_e6", idiv(col("n_shared") * 1000000L, col("n_a")))
+      .filter(col("containment_e6") >= MinContainE6)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"    -> d1ExactDedup _,
     "d2_minhash_sig"    -> d2MinhashSig _,
@@ -342,6 +392,7 @@ object Dedup {
     "d5_simhash_pairs"  -> d5SimhashPairs _,
     "d6_dup_clusters"   -> d6DupClusters _,
     "d8_incremental_lsh" -> d8IncrementalLsh _,
+    "d9_containment"    -> d9Containment _,
   )
 
   /** Shared oracle CTE: words + distinct-less shingles per doc. */
@@ -381,6 +432,25 @@ object Dedup {
          |  FROM g)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "d9_containment" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |g0 AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END) AS shingle
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id, shingle FROM g0),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM g GROUP BY doc_id),
+         |shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM g x JOIN g y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id)
+         |SELECT a, b, n_shared, sz.n_sh AS n_a,
+         |  n_shared * 1000000 // sz.n_sh AS containment_e6
+         |FROM shared JOIN sz ON sz.doc_id = a
+         |WHERE sz.n_sh >= $MinShinglesA
+         |  AND n_shared * 1000000 // sz.n_sh >= $MinContainE6
+         |ORDER BY a, b""".stripMargin,
     "d1_exact_dedup" ->
       """WITH h AS (SELECT doc_id,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_md5

@@ -1017,6 +1017,39 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(mixShuffles <= 2, s"x14 shuffles the corpus more than once:\n$mixPlan")
   }
 
+  test("d9 containment: directed — a short doc inside a long one scores 1.0 one way only") {
+    import spark.implicits._
+    val longText = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
+    val shortText = (1 to 5).map(i => s"w$i").mkString(" ")   // 3 shingles, all in long
+    val docs = Seq((1L, longText), (2L, shortText), (3L, "totally different text here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, maxDf = None).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("containment_e6"))).toMap
+    // short→long: every one of short's 3 shingles is in long — 100%
+    assert(pairs((2L, 1L)) == ((3L, 3L, 1000000L)), s"got $pairs")
+    // long→short: 3/18 = 16.7% < the 50% gate — direction matters
+    assert(!pairs.contains((1L, 2L)), "diluted direction leaked through the gate")
+    assert(!pairs.keys.exists(k => k._1 == 3L || k._2 == 3L), "unrelated doc paired")
+    // Jaccard for the same pair is 3/18 — BELOW d3's LSH regime; d9
+    // exists precisely because resemblance misses embeddings like this
+    // maxDf drops boilerplate postings wholesale (the d3/x11 cap)
+    val boiler = (1L to 10L).map(i => (i, s"same boiler plate text u$i")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(boiler, maxDf = None).count() > 0L,
+      "fixture lost its boilerplate overlap")
+    assert(Dedup.containmentPairs(boiler, maxDf = Some(5L)).count() == 0L,
+      "a 10-doc posting survived maxDf=5")
+    // corpus invariants: scores within gates, intersection bounded by |S(a)|
+    val corpus = Dedup.d9Containment(spark, sf).collect()
+    assert(corpus.nonEmpty, "no containment pairs on the corpus")
+    corpus.foreach { r =>
+      val (sh, na, c) = (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("containment_e6"))
+      assert(sh <= na && c >= Dedup.MinContainE6 && c <= 1000000L, s"bad row $r")
+    }
+  }
+
   test("e9 anomaly: integer-exact 3σ boundary, quiet starts, robust to its own spikes") {
     import spark.implicits._
     // alternating 9/11 baseline (mean 10, popvar 1 over 24 buckets) then
