@@ -594,6 +594,61 @@ class StreamOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("anomalyStream recovers its trailing baseline across kill-and-restart") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.HourlyBucket
+    // the split is the test: the synthetic type's constant 24-bucket
+    // baseline arrives BEFORE the kill, its spike and an equal bucket
+    // AFTER the restart — the spike can only be flagged correctly if
+    // the baseline state survives the checkpoint
+    val synthBase = (1 to 24).map(h => HourlyBucket("synth", h.toLong, 10L))
+    val synthTail = Seq(HourlyBucket("synth", 25L, 40L), HourlyBucket("synth", 26L, 10L))
+    val corpus = graft.operators.Events.e9Anomaly(spark, sf)
+      .select(col("event_type"), col("hour_s"), col("n_events"))
+      .as[HourlyBucket].collect().sortBy(b => (b.hour_s, b.event_type)).toSeq
+    val firstHalf = corpus ++ synthBase
+    val secondHalf = synthTail
+    val series = firstHalf ++ secondHalf
+
+    val cp = java.nio.file.Files.createTempDirectory("e9-restart-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("e9-restart-out").toString
+    val in = MemoryStream[HourlyBucket]
+    def start() = StreamOps.anomalyStream(in.toDS())
+      .writeStream.format("parquet").option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start(outDir)
+
+    val q1 = start()
+    firstHalf.grouped(40).foreach { c => in.addData(c); q1.processAllAvailable() }
+    q1.stop()
+    in.addData(secondHalf)          // arrives while the query is down
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    def key(t: String, h: Long, n: Long, k: Long, s: Long, ss: Long, f: Boolean) =
+      (t, h, n, k, s, ss, f)
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => key(r.getAs[String]("event_type"), r.getAs[Long]("hour_s"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("trail_n"),
+        r.getAs[Long]("trail_sum"), r.getAs[Long]("trail_sumsq"),
+        r.getAs[Boolean]("is_anomaly"))).toSet
+    val batch = graft.operators.Events.anomalyFlags(
+      series.toDF().select(col("hour_s"), col("event_type"), col("n_events")))
+      .collect()
+      .map(r => key(r.getAs[String]("event_type"), r.getAs[Long]("hour_s"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("trail_n"),
+        r.getAs[Long]("trail_sum"), r.getAs[Long]("trail_sumsq"),
+        r.getAs[Boolean]("is_anomaly"))).toSet
+    assert(streamed.size == series.size, "restart lost or duplicated buckets")
+    assert(streamed == batch,
+      s"restart corrupted the baseline: stream-only=${(streamed -- batch).take(3)}, " +
+        s"batch-only=${(batch -- streamed).take(3)}")
+    // the flag that PROVES recovery: the post-restart spike is flagged
+    // against the pre-kill baseline
+    assert(streamed.exists(r => r._1 == "synth" && r._2 == 25L && r._7),
+      "post-restart spike not flagged — baseline state was lost")
+  }
+
   test("batch-stream equivalence: hourlyAgg replayed over sf0.001 events equals e1 counts") {
     implicit val sq = spark.sqlContext
     val all = graft.Tables.events(spark, sf)
