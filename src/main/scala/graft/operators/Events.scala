@@ -260,6 +260,50 @@ object Events {
             col("trail_sum") * col("trail_sum")))
   }
 
+  /** e10: time-series GAP FILL + forward fill — the densify/ffill
+    * step every downstream consumer of an hourly series assumes has
+    * already happened (a missing bucket means ZERO events, but an
+    * aggregation simply emits no row; rates, anomaly baselines and
+    * charts all need the explicit gap). A complete per-type hourly
+    * spine is generated from the observed [min, max] hour bounds
+    * (sequence + explode off a 1-row broadcast bounds aggregate),
+    * left-joined with the observed counts, and forward-filled with
+    * `last(_, ignoreNulls)` over the per-type hour order. Gaps keep
+    * `n_events` NULL (with `is_gap` exposed) so "no data" stays
+    * distinguishable from the carried `filled_n`; hours before a
+    * type's first observation fill to NULL in both engines.
+    *
+    * Scale notes (100 TB): the spine is #types × #hours rows —
+    * dimension-sized however big the corpus — and everything after the
+    * full-width hourly pre-aggregation (e9's argument) runs on it:
+    * the bounds aggregate is 1 row broadcast, the spine join and the
+    * forward-fill window are series-sized. */
+  def e10GapFill(s: SparkSession, d: String): DataFrame =
+    gapFill(
+      events(s, d)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events")))
+      .orderBy(col("hour_s"), col("event_type"))
+
+  /** Library form of [[e10GapFill]] over any (hour_s, event_type,
+    * n_events) series frame. */
+  def gapFill(hourly: DataFrame): DataFrame = {
+    val bounds = hourly.agg(min(col("hour_s")).as("mn"), max(col("hour_s")).as("mx"))
+    val spine = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600L))).as("hour_s"))
+    val ffill = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour_s"), "left")
+      .withColumn("filled_n", last(col("n_events"), ignoreNulls = true).over(ffill))
+      .withColumn("is_gap", col("n_events").isNull)
+      .select(col("hour_s"), col("event_type"), col("n_events"),
+        col("filled_n"), col("is_gap"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -270,9 +314,27 @@ object Events {
     "e7_retention"      -> e7Retention _,
     "e8_band_join"      -> e8BandJoin _,
     "e9_anomaly"        -> e9Anomaly _,
+    "e10_gap_fill"      -> e10GapFill _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "e10_gap_fill" ->
+      """WITH hc AS (SELECT
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |    event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hour_s) AS mn, max(hour_s) AS mx FROM hc),
+        |ty AS (SELECT DISTINCT event_type FROM hc),
+        |spine AS (SELECT ty.event_type,
+        |    unnest(range(b.mn, b.mx + 3600, 3600)) AS hour_s FROM ty, b),
+        |j AS (SELECT spine.hour_s, spine.event_type, hc.n FROM spine
+        |  LEFT JOIN hc ON hc.hour_s = spine.hour_s
+        |    AND hc.event_type = spine.event_type)
+        |SELECT hour_s, event_type, n AS n_events,
+        |  last_value(n IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY hour_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_n,
+        |  n IS NULL AS is_gap
+        |FROM j ORDER BY hour_s, event_type""".stripMargin,
     "e9_anomaly" ->
       s"""WITH hc AS (SELECT
          |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,

@@ -1095,6 +1095,43 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("e10 gap fill: explicit gaps, forward fill carries the last observation only") {
+    import spark.implicits._
+    // type a observed at hours 0 and 3 (of a 0..3 span), type b only at
+    // hour 2 — gaps in between, and b's pre-first-observation hours
+    // must fill to NULL, not to a's values
+    val hourly = Seq(
+      ("a", 0L, 5L), ("a", 3L * 3600L, 2L), ("b", 2L * 3600L, 7L))
+      .toDF("event_type", "hour_s", "n_events")
+    val filled = Events.gapFill(hourly).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_s")) ->
+        (Option(r.getAs[java.lang.Long]("n_events")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("filled_n")).map(_.toLong),
+          r.getAs[Boolean]("is_gap"))).toMap
+    assert(filled.size == 8, s"spine should be 2 types x 4 hours: ${filled.size}")
+    assert(filled(("a", 0L)) == ((Some(5L), Some(5L), false)))
+    assert(filled(("a", 3600L)) == ((None, Some(5L), true)), "gap not carried")
+    assert(filled(("a", 2L * 3600L)) == ((None, Some(5L), true)))
+    assert(filled(("a", 3L * 3600L)) == ((Some(2L), Some(2L), false)), "fill outlived a new observation")
+    assert(filled(("b", 0L)) == ((None, None, true)), "pre-first-observation hour must fill to NULL")
+    assert(filled(("b", 2L * 3600L)) == ((Some(7L), Some(7L), false)))
+    assert(filled(("b", 3L * 3600L)) == ((None, Some(7L), true)))
+    // corpus: spine is exactly types x span-hours; observed buckets
+    // reconcile with e1's hourly counts; no gap carries a count
+    val full = Events.e10GapFill(spark, sf).collect()
+    val hours = full.map(_.getAs[Long]("hour_s"))
+    val types = full.map(_.getAs[String]("event_type")).distinct.length
+    val span = (hours.max - hours.min) / 3600L + 1L
+    assert(full.length.toLong == span * types, s"${full.length} != $span x $types")
+    val observed = full.filter(!_.getAs[Boolean]("is_gap"))
+    assert(observed.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).count(), "observed buckets lose events")
+    full.foreach { r =>
+      if (!r.getAs[Boolean]("is_gap"))
+        assert(r.getAs[Long]("filled_n") == r.getAs[Long]("n_events"))
+    }
+  }
+
   test("e8 band join: broadcast interval join ≡ the narrow binning twin, rows conserved") {
     val joined = Events.e8BandJoin(spark, sf)
     // the non-equi band predicate must plan as a broadcast nested-loop
