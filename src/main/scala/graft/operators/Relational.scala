@@ -393,6 +393,29 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"), dollars(sum(col("rev_c"))).as("revenue"))
       .orderBy(col("o_orderpriority"))
 
+  /** q22: the APPROXIMATE aggregation tier — HLL++ distinct counts
+    * (rsd 0.01) and quantile sketches beside the exact forms (q13).
+    * At 100 TB this tier is usually the right answer when exactness is
+    * not contractual: sketches are fixed-size and merge associatively,
+    * so the aggregation is one map-side-combined shuffle of KBs per
+    * group however many rows feed it, where exact distinct counts
+    * shuffle every distinct value and exact quantiles a histogram.
+    * Both sketches are deterministic (hash-based, no RNG). There is
+    * deliberately NO DuckDB oracle: sketch estimates are
+    * engine-specific by nature, so the driver records the weaker
+    * rows-only check and `RelationalSpec` pins accuracy against this
+    * engine's own EXACT answers (distinct within the advertised rsd
+    * envelope, percentile within the corpus's value granularity). */
+  def q22ApproxAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("n_orders_approx"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("p50_qty_approx"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** q11: scalar string/date functions (projection-only; codegen'd). */
   def q11ScalarFuncs(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -503,6 +526,7 @@ object Relational {
     "q19_grouping_sets" -> q19GroupingSets _,
     "q20_decile"        -> q20Decile _,
     "q21_salted_join"   -> q21SaltedJoin _,
+    "q22_approx_agg"    -> q22ApproxAgg _,
     "q11_scalar_funcs"  -> q11ScalarFuncs _,
     "q12_case_agg"      -> q12CaseAgg _,
     "q13_distinct_quantiles" -> q13DistinctQuantiles _,

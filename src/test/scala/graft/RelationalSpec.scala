@@ -11,8 +11,12 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
-  test("every relational query has an oracle") {
-    assert(Relational.queries.keySet == Relational.oracleSql.keySet)
+  test("every relational query has an oracle (q22's sketches are the declared exception)") {
+    // q22's HLL++/quantile sketch estimates are engine-specific by
+    // nature — its accuracy is pinned against this engine's exact
+    // answers instead (the q22 spec below); everything else must have
+    // a DuckDB oracle
+    assert(Relational.queries.keySet - "q22_approx_agg" == Relational.oracleSql.keySet)
   }
 
   test("q1 exact sums are stable under repartitioning (order-independence)") {
@@ -262,6 +266,31 @@ class RelationalSpec extends SparkSpecBase {
         org.apache.spark.sql.functions.xxhash64(col("row_id")), org.apache.spark.sql.functions.lit(8L)).as("s"))
       .agg(countDistinct(col("s"))).collect().head.getLong(0)
     assert(hotSalts == 8L, s"hot key landed on only $hotSalts of 8 salts")
+  }
+
+  test("q22 approx tier: sketch estimates land inside the advertised error envelope") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val approx = Relational.q22ApproxAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("nd"),
+        expr("percentile(l_quantity, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (nd, p50)) =>
+      val (andv, ap50, _) = approx(flag)
+      // HLL++ at rsd=0.01: allow 5x the advertised std error
+      assert(math.abs(andv - nd).toDouble <= math.max(5.0, 0.05 * nd),
+        s"$flag: approx distinct $andv vs exact $nd")
+      // quantities are integral 1..50; the sketch must land within one
+      // value step of the exact median
+      assert(math.abs(ap50 - p50) <= 1.0, s"$flag: approx p50 $ap50 vs exact $p50")
+    }
+    // determinism: sketches are hash-based, two runs agree exactly
+    val again = Relational.q22ApproxAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(again == approx, "approx aggregates are not deterministic")
   }
 
   test("q19 grouping sets: the asked-for lattice, one scan, margins reconcile") {
