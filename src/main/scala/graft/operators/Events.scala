@@ -169,10 +169,17 @@ object Events {
   }
 
   /** The e8 band dimension: a contiguous log-spaced partition of the
-    * value domain. (band_id, lo, hi); last band is open-ended. */
-  val Bands: Seq[(Long, Double, Double)] = Seq(
-    (0L, 0.0, 10.0), (1L, 10.0, 25.0), (2L, 25.0, 50.0),
-    (3L, 50.0, 100.0), (4L, 100.0, 200.0), (5L, 200.0, 1e9))
+    * value domain `[0, ∞)`. (band_id, lo, hi); the last band is
+    * GENUINELY open-ended (`hi = None` → NULL in the dim table), so
+    * every non-negative finite value lands in exactly one band —
+    * values ≥ the last lower bound are never dropped. Domain contract:
+    * negative or NULL values are out of domain for the band dimension
+    * (they match no band in the join form and bin to NULL in
+    * [[bandOf]]); `EventsSpec` pins conservation over `[0, ∞)`
+    * including values past the old 1e9 cap. */
+  val Bands: Seq[(Long, Double, Option[Double])] = Seq(
+    (0L, 0.0, Some(10.0)), (1L, 10.0, Some(25.0)), (2L, 25.0, Some(50.0)),
+    (3L, 50.0, Some(100.0)), (4L, 100.0, Some(200.0)), (5L, 200.0, None))
 
   /** e8: RANGE (band) join — every event priced into a value band
     * (`lo <= value < hi`), then aggregated per band. The band dimension
@@ -186,12 +193,17 @@ object Events {
     * expression with no join at all — [[bandOf]] — and `EventsSpec`
     * pins the two forms equal; the join form is what generalizes to
     * gaps/overlaps, the binning form is the 100 TB fast path. */
-  def e8BandJoin(s: SparkSession, d: String): DataFrame = {
+  def e8BandJoin(s: SparkSession, d: String): DataFrame =
+    bandJoin(s, events(s, d))
+
+  /** Library form of [[e8BandJoin]] over any (user_id, value) frame. */
+  def bandJoin(s: SparkSession, ev: DataFrame): DataFrame = {
     import s.implicits._
     val bands = Bands.toDF("band_id", "lo", "hi")
-    events(s, d)
+    ev
       .join(broadcast(bands),
-        col("value") >= col("lo") && col("value") < col("hi"))
+        col("value") >= col("lo") &&
+          (col("hi").isNull || col("value") < col("hi")))
       .groupBy(col("band_id"), col("lo"), col("hi"))
       .agg(count(lit(1)).as("n_events"),
         dollars(sum(cents(col("value")))).as("sum_value"),
@@ -204,8 +216,9 @@ object Events {
     * because the bands partition the domain (each value matches one
     * band); spec-pinned equal to the join form. */
   def bandOf(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    Bands.foldLeft(lit(null).cast("long")) { case (acc, (id, lo, hi)) =>
-      when(value >= lit(lo) && value < lit(hi), lit(id)).otherwise(acc)
+    Bands.foldLeft(lit(null).cast("long")) { case (acc, (id, lo, hiOpt)) =>
+      val in = hiOpt.fold(value >= lit(lo))(hi => value >= lit(lo) && value < lit(hi))
+      when(in, lit(id)).otherwise(acc)
     }
 
   /** Trailing-window length (in observed hourly buckets) and the
@@ -213,14 +226,28 @@ object Events {
   val TrailBuckets = 24
   val MinTrail     = 12
 
+  /** Largest per-bucket count for which the trailing Σn² still fits the
+    * BIGINT `trail_sumsq` OUTPUT column: floor(sqrt(Long.Max /
+    * TrailBuckets)) − 1 ≈ 6.19e8 (≈172k events/sec sustained for an
+    * hour, per type). [[anomalyFlags]] and
+    * [[graft.streaming.StreamOps.anomalyStream]] fail LOUDLY above it
+    * rather than wrapping; the is_anomaly test itself is computed in
+    * decimal(38,0) / BigInt and is exact for any count up to the bound. */
+  val MaxBucketCount: Long =
+    math.sqrt(Long.MaxValue.toDouble / TrailBuckets).toLong - 1
+
   /** e9: trailing-window ANOMALY detection over the hourly event-count
     * series — each (event_type, hour) bucket is flagged when its count
     * deviates from the trailing-[[TrailBuckets]]-bucket mean by more
     * than 3 population standard deviations. The z²>9 test is evaluated
-    * as the cross-multiplied INTEGER inequality
+    * as the cross-multiplied integer inequality
     * `(k·n − s)² > 9·(k·ss − s²)` (k = window count, s/ss = window
-    * sum/sum-of-squares), so the flag is exact integer arithmetic in
-    * both engines — no float mean, no sqrt, no epsilon. Windows are
+    * sum/sum-of-squares) in decimal(38,0) (HUGEINT in the oracle), so
+    * the flag is exact integer arithmetic in both engines — no float
+    * mean, no sqrt, no epsilon, and no silent int64 wrap: the
+    * cross-products exceed int64 once hourly counts reach ~1.3e8, well
+    * inside the [[MaxBucketCount]] domain the BIGINT output columns
+    * support (above which the operator raises). Windows are
     * trailing-only (the current bucket never contaminates its own
     * baseline) and under-filled windows (< [[MinTrail]] buckets, incl.
     * series starts) never flag. Zero-variance baselines flag ANY
@@ -248,16 +275,37 @@ object Events {
   def anomalyFlags(hourly: DataFrame): DataFrame = {
     val tw = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
       .rowsBetween(-TrailBuckets, -1)
-    val dev = col("trail_n") * col("n_events") - col("trail_sum")
-    hourly
+    // Guard: counts above MaxBucketCount would overflow the BIGINT
+    // Σn² output column — fail loudly (raise_error) instead of the
+    // silent int64 wrap Spark's non-ANSI mode would otherwise produce.
+    // The guard REPLACES the n_events column (not just the window
+    // input) so it is evaluated for every row — a lone over-bound
+    // bucket that no trailing frame ever reads still raises.
+    val checked = hourly.withColumn("n_events",
+      when(col("n_events") > lit(MaxBucketCount),
+        raise_error(concat(
+          lit(s"anomalyFlags: per-bucket count > MaxBucketCount=$MaxBucketCount "),
+          lit("(BIGINT trailing-sumsq would overflow); count="),
+          col("n_events").cast("string"))))
+        .otherwise(col("n_events")))
+    // The z²>9 inequality in decimal(38,0): its cross-products (up to
+    // ~9·TrailBuckets·MaxBucketCount² ≈ 2e21) exceed int64 long before
+    // the bound above, so int64 math would wrap silently — wrong flags
+    // with no error — exactly where the window sums are still exact.
+    // All intermediates fit decimal(38,0) with >17 digits of headroom
+    // under the guard, so non-ANSI decimal null-on-overflow is
+    // unreachable.
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val devD = d38(col("trail_n")) * d38(col("n_events")) - d38(col("trail_sum"))
+    checked
       .withColumn("trail_n", count(lit(1)).over(tw))
       .withColumn("trail_sum", coalesce(sum(col("n_events")).over(tw), lit(0L)))
       .withColumn("trail_sumsq",
         coalesce(sum(col("n_events") * col("n_events")).over(tw), lit(0L)))
       .withColumn("is_anomaly",
-        col("trail_n") >= MinTrail && dev * dev >
-          lit(9L) * (col("trail_n") * col("trail_sumsq") -
-            col("trail_sum") * col("trail_sum")))
+        col("trail_n") >= MinTrail && devD * devD >
+          d38(lit(9L)) * (d38(col("trail_n")) * d38(col("trail_sumsq")) -
+            d38(col("trail_sum")) * d38(col("trail_sum"))))
   }
 
   /** e10: time-series GAP FILL + forward fill — the densify/ffill
@@ -348,17 +396,20 @@ object Events {
          |    ROWS BETWEEN $TrailBuckets PRECEDING AND 1 PRECEDING))
          |SELECT hour_s, event_type, n_events, trail_n, trail_sum, trail_sumsq,
          |  (trail_n >= $MinTrail AND
-         |   (trail_n*n_events - trail_sum)*(trail_n*n_events - trail_sum)
-         |     > 9*(trail_n*trail_sumsq - trail_sum*trail_sum)) AS is_anomaly
+         |   (CAST(trail_n AS HUGEINT)*n_events - trail_sum)
+         |     * (CAST(trail_n AS HUGEINT)*n_events - trail_sum)
+         |     > 9*(CAST(trail_n AS HUGEINT)*trail_sumsq
+         |           - CAST(trail_sum AS HUGEINT)*trail_sum)) AS is_anomaly
          |FROM w ORDER BY hour_s, event_type""".stripMargin,
     "e8_band_join" ->
       """WITH bands(band_id, lo, hi) AS (VALUES
         |  (CAST(0 AS BIGINT), 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 50.0),
-        |  (3, 50.0, 100.0), (4, 100.0, 200.0), (5, 200.0, 1e9))
+        |  (3, 50.0, 100.0), (4, 100.0, 200.0),
+        |  (5, 200.0, CAST(NULL AS DOUBLE)))
         |SELECT band_id, lo, hi, count(*) AS n_events,
         |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events JOIN bands ON value >= lo AND value < hi
+        |FROM events JOIN bands ON value >= lo AND (hi IS NULL OR value < hi)
         |GROUP BY band_id, lo, hi ORDER BY band_id""".stripMargin,
     "e1_hourly_agg" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,

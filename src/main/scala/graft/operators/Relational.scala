@@ -310,22 +310,34 @@ object Relational {
     * ranks in parallel; (4) add per-partition offsets (cumulative
     * counts — #shuffle-partitions rows, driver-sized by contract) as a
     * literal map lookup: pure narrow projection, no join.
-    * Returns the input plus a 1-based `rank` column. */
-  def globalRank(df: DataFrame, order: Seq[Column]): DataFrame = {
+    * Returns the input plus a 1-based rank column named `rankCol`
+    * (default "rank"). Fails fast if the input already has a `rankCol`
+    * column — silently overwriting a caller's data is worse than an
+    * error — and the internal partition-id column is generated
+    * collision-free against the input schema, so any input column set
+    * round-trips intact. */
+  def globalRank(df: DataFrame, order: Seq[Column],
+      rankCol: String = "rank"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"globalRank: input already has a column named '$rankCol'; " +
+        "pass a different rankCol")
+    val pid = Iterator.from(0)
+      .map(i => if (i == 0) "_graft_pid" else s"_graft_pid$i")
+      .find(n => !df.columns.contains(n)).get
     val ranged = df.repartitionByRange(order: _*)
-      .withColumn("_pid", spark_partition_id())
+      .withColumn(pid, spark_partition_id())
       .localCheckpoint()
-    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_pn"))
+    val counts = ranged.groupBy(col(pid)).agg(count(lit(1)).as("_pn"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val offsets: Map[Int, Long] = counts.map { case (pid, pn) =>
-      val o = acc; acc += pn; (pid, o)
+    val offsets: Map[Int, Long] = counts.map { case (p, pn) =>
+      val o = acc; acc += pn; (p, o)
     }.toMap
-    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val w = Window.partitionBy(col(pid)).orderBy(order: _*)
     ranged
-      .withColumn("rank", row_number().over(w).cast("long") +
-        coalesce(element_at(typedLit(offsets), col("_pid")), lit(0L)))
-      .drop("_pid")
+      .withColumn(rankCol, row_number().over(w).cast("long") +
+        coalesce(element_at(typedLit(offsets), col(pid)), lit(0L)))
+      .drop(pid)
   }
 
   /** q20: DECILE analysis — customers ranked by lifetime spend, cut

@@ -396,8 +396,14 @@ object StreamOps {
   case class AnomalyFlag(event_type: String, hour_s: Long, n_events: Long,
     trail_n: Long, trail_sum: Long, trail_sumsq: Long, is_anomaly: Boolean)
   /** Trailing per-type baseline: the last ≤TrailBuckets observed
-    * counts, oldest first. */
-  case class AnomalyState(counts: Seq[Long])
+    * counts, oldest first, plus the hour of the newest bucket already
+    * scored (`lastHour`, None before the first) — the guard that makes
+    * late/replayed input fail SAFE: a bucket at or before `lastHour`
+    * (an out-of-order arrival or a duplicate redelivery) is dropped
+    * instead of silently appended to the trailing deque, so the
+    * baseline only ever advances in hour order and the batch-
+    * equivalence contract holds under at-least-once delivery. */
+  case class AnomalyState(counts: Seq[Long], lastHour: Option[Long])
 
   /** Streaming anomaly detection (continuous e9): each finalized hourly
     * bucket is flagged against the trailing-24-bucket baseline the
@@ -406,6 +412,11 @@ object StreamOps {
     * baseline, under-filled baselines never flag. State is a per-type
     * deque of ≤24 counts updated AFTER scoring, so a replay of the
     * series in hour order reproduces batch e9 exactly (spec-pinned).
+    * Input need NOT be exactly-once or ordered across micro-batches:
+    * the state tracks the newest scored hour and drops buckets at or
+    * before it (duplicate redeliveries, late arrivals) — fail-safe
+    * under at-least-once delivery rather than silently skewing the
+    * baseline.
     *
     * Scale notes: the key (event_type) is low-cardinality, but — same
     * argument as batch e9 — the input is the already-aggregated series
@@ -424,18 +435,32 @@ object StreamOps {
       .flatMapGroupsWithState[AnomalyState, AnomalyFlag](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (typ: String, batch: Iterator[HourlyBucket], state: GroupState[AnomalyState]) =>
-          var counts = state.getOption.map(_.counts).getOrElse(Nil)
+          var counts   = state.getOption.map(_.counts).getOrElse(Nil)
+          var lastHour = state.getOption.flatMap(_.lastHour)
           val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyFlag]
-          batch.toSeq.sortBy(_.hour_s).foreach { b =>
-            val k  = counts.size.toLong
-            val s  = counts.sum
-            val ss = counts.iterator.map(c => c * c).sum
+          // Ordering guard: drop buckets at or before the newest hour
+          // already scored — duplicates and late arrivals would
+          // otherwise corrupt the trailing baseline silently.
+          batch.toSeq.sortBy(_.hour_s)
+            .filter(b => lastHour.forall(b.hour_s > _)).foreach { b =>
+            require(b.n_events <= graft.operators.Events.MaxBucketCount,
+              s"anomalyStream: per-bucket count ${b.n_events} > " +
+                s"MaxBucketCount=${graft.operators.Events.MaxBucketCount} " +
+                "(BIGINT trailing-sumsq would overflow)")
+            // The z²>9 test in BigInt: its cross-products exceed int64
+            // once counts reach ~1.3e8 — same widening as the batch
+            // twin's decimal(38,0), so stream ≡ batch stays exact.
+            val k  = BigInt(counts.size)
+            val s  = counts.foldLeft(BigInt(0))(_ + _)
+            val ss = counts.foldLeft(BigInt(0))((a, c) => a + BigInt(c) * c)
             val dev = k * b.n_events - s
-            out += AnomalyFlag(typ, b.hour_s, b.n_events, k, s, ss,
-              k >= MinTrail && dev * dev > 9L * (k * ss - s * s))
+            out += AnomalyFlag(typ, b.hour_s, b.n_events, k.toLong, s.toLong,
+              ss.toLong,
+              k >= MinTrail && dev * dev > 9 * (k * ss - s * s))
             counts = (counts :+ b.n_events).takeRight(TrailBuckets)
+            lastHour = Some(b.hour_s)
           }
-          state.update(AnomalyState(counts))
+          state.update(AnomalyState(counts, lastHour))
           out.iterator
       }
   }

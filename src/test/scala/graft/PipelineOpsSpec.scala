@@ -1095,6 +1095,68 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("e9 anomaly: decimal-widened z² survives counts past the int64 wrap, loud bound") {
+    import spark.implicits._
+    // A quiet baseline then a 5e8 spike: dev = 24·5e8 = 1.2e10, so
+    // dev² = 1.44e20 — PAST int64. Wrapped two's-complement math maps
+    // it to a NEGATIVE long (1.44e20 mod 2^64 > Long.Max), so unwidened
+    // arithmetic says "quiet" for an obvious anomaly; the decimal(38,0)
+    // form must flag it.
+    val spike = ((1 to 24).map(h => ("big", h.toLong, 1L)) :+
+      (("big", 25L, 500000000L)))
+      .toDF("event_type", "hour_s", "n_events")
+      .select(col("hour_s"), col("event_type"), col("n_events"))
+    val flags = Events.anomalyFlags(spike).collect()
+      .map(r => r.getAs[Long]("hour_s") -> r.getAs[Boolean]("is_anomaly")).toMap
+    assert(flags(25L), "5e8 spike over a quiet baseline must flag (int64 wrap bug)")
+    // exact z boundary at large counts: alternating ±1e7 around 5e8
+    // (σ=1e7); a z=3 probe stays quiet (strict >), z=4 flags — both
+    // cross-products exceed int64 en route
+    val base = (1 to 24).map(h =>
+      ("b", h.toLong, if (h % 2 == 0) 490000000L else 510000000L))
+    val big = (base ++ Seq(("b", 25L, 530000000L)) ++
+      base.map { case (_, h, n) => ("c", h, n) } ++ Seq(("c", 25L, 540000000L)))
+      .toDF("event_type", "hour_s", "n_events")
+      .select(col("hour_s"), col("event_type"), col("n_events"))
+    val bf = Events.anomalyFlags(big).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_s")) ->
+        r.getAs[Boolean]("is_anomaly")).toMap
+    assert(!bf(("b", 25L)), "z=3 at 5e8-scale counts must stay quiet")
+    assert(bf(("c", 25L)), "z=4 at 5e8-scale counts must flag")
+    // counts above MaxBucketCount would overflow the BIGINT Σn² output
+    // column — the operator must raise, not wrap
+    val over = Seq(("x", 1L, Events.MaxBucketCount + 1L))
+      .toDF("event_type", "hour_s", "n_events")
+      .select(col("hour_s"), col("event_type"), col("n_events"))
+    val err = intercept[Exception] { Events.anomalyFlags(over).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("MaxBucketCount")),
+      s"expected the loud bound guard, got: $err")
+  }
+
+  test("e8 open last band: values past any finite cap land in band 5, domain contract") {
+    import spark.implicits._
+    // the last band must be genuinely open-ended: 1e9 and 5e9 (past the
+    // old cap) both land in band 5 in BOTH forms; negative values are
+    // out of the [0, ∞) domain by contract (no band, NULL bin)
+    val ev = Seq((1L, 0.0), (1L, 5.0), (2L, 30.0), (2L, 1e9), (3L, 5e9),
+      (3L, -1.0)).toDF("user_id", "value")
+    val joined = Events.bandJoin(spark, ev).collect()
+      .map(r => r.getAs[Long]("band_id") -> r.getAs[Long]("n_events")).toMap
+    assert(joined == Map(0L -> 2L, 2L -> 1L, 5L -> 2L),
+      s"open-band join aggregates wrong: $joined")
+    val binned = ev.select(col("value"), Events.bandOf(col("value")).as("b"))
+      .collect().map(r => r.getAs[Double]("value") ->
+        Option(r.getAs[java.lang.Long]("b")).map(_.toLong)).toMap
+    assert(binned(1e9) == Some(5L) && binned(5e9) == Some(5L),
+      s"bandOf caps the open band: $binned")
+    assert(binned(-1.0).isEmpty, "negative value must bin to NULL (out of domain)")
+    // conservation over the in-domain rows: nothing ≥ 0 is dropped
+    assert(joined.values.sum == ev.filter(col("value") >= 0).count(),
+      "in-domain events lost by the band join")
+  }
+
   test("e10 gap fill: explicit gaps, forward fill carries the last observation only") {
     import spark.implicits._
     // type a observed at hours 0 and 3 (of a 0..3 span), type b only at

@@ -204,9 +204,37 @@ class RelationalSpec extends SparkSpecBase {
     // partition id — the whole point: no Window.orderBy-with-no-partition
     val plan = planOf(ranked)
     val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
-    val pidSpecs = "windowspecdefinition\\(_pid".r.findAllIn(plan).size
+    val pidSpecs = "windowspecdefinition\\(_graft_pid".r.findAllIn(plan).size
     assert(specs > 0 && specs == pidSpecs,
-      s"found a window not partitioned by _pid ($pidSpecs/$specs):\n$plan")
+      s"found a window not partitioned by _graft_pid ($pidSpecs/$specs):\n$plan")
+  }
+
+  test("globalRank: collision-safe internal names, fail-fast on rankCol clash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // an input that already uses the internal pid name must round-trip
+    // intact (the implementation picks the next free name)
+    val tricky = (1 to 40).map(i => (i.toLong, 1000L + i))
+      .toDF("v", "_graft_pid")
+    val ranked = Relational.globalRank(tricky, Seq(col("v").desc))
+    assert(ranked.columns.toSeq == Seq("v", "_graft_pid", "rank"),
+      s"schema mangled: ${ranked.columns.toSeq}")
+    val rows = ranked.collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("_graft_pid"),
+        r.getAs[Long]("rank"))).sortBy(_._3)
+    assert(rows.map(_._1).toSeq == (40L to 1L by -1L),
+      "rank order wrong under pid-name collision")
+    assert(rows.forall { case (v, p, _) => p == 1000L + v },
+      "caller's _graft_pid column corrupted")
+    // an input that already has the OUTPUT column name fails fast…
+    val clash = (1 to 5).map(i => (i.toLong, i.toLong)).toDF("v", "rank")
+    val err = intercept[IllegalArgumentException] {
+      Relational.globalRank(clash, Seq(col("v").asc))
+    }
+    assert(err.getMessage.contains("rank"), err.getMessage)
+    // …and a caller-chosen rankCol sidesteps the clash
+    val renamed = Relational.globalRank(clash, Seq(col("v").asc), "global_rank")
+    assert(renamed.columns.toSeq == Seq("v", "rank", "global_rank"))
   }
 
   test("q20 decile: tenths partition the customers, spend cuts are monotone") {

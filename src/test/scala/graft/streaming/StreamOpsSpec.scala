@@ -649,6 +649,41 @@ class StreamOpsSpec extends SparkSpecBase {
       "post-restart spike not flagged — baseline state was lost")
   }
 
+  test("anomalyStream drops duplicate redeliveries and late buckets (fail-safe baseline)") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.HourlyBucket
+    // in-order series, then: (a) an exact duplicate of an already-scored
+    // hour, (b) a LATE bucket for an hour before the newest scored one —
+    // both must be dropped (no output row, no baseline mutation), so the
+    // subsequent probe scores against the same baseline as a clean replay
+    val base = (1 to 24).map(h => HourlyBucket("dup", h.toLong, 10L))
+    val in = MemoryStream[HourlyBucket]
+    val q = StreamOps.anomalyStream(in.toDS())
+      .writeStream.format("memory").queryName("anomaly_dup")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(base); q.processAllAvailable()
+    // duplicate of hour 24 with a WRONG count (a corrupt redelivery) and
+    // a late hour-3 bucket with a huge count — silently appending either
+    // to the deque would poison the baseline
+    in.addData(Seq(HourlyBucket("dup", 24L, 999999L),
+      HourlyBucket("dup", 3L, 888888L)))
+    q.processAllAvailable()
+    in.addData(Seq(HourlyBucket("dup", 25L, 10L))); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("anomaly_dup").collect()
+      .map(r => (r.getAs[Long]("hour_s"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("trail_n"), r.getAs[Long]("trail_sum"),
+        r.getAs[Boolean]("is_anomaly")))
+    assert(rows.count(_._1 == 24L) == 1 && rows.count(_._1 == 3L) == 1,
+      s"duplicate/late buckets re-scored: ${rows.filter(r => r._1 == 24L || r._1 == 3L).toSeq}")
+    assert(rows.find(_._1 == 24L).get._2 == 10L, "corrupt redelivery replaced the original")
+    // the probe's baseline is the clean 24×10 window — untouched by the
+    // dropped buckets — and an equal-to-baseline bucket stays quiet
+    val probe = rows.find(_._1 == 25L).get
+    assert(probe._3 == 24L && probe._4 == 240L && !probe._5,
+      s"baseline corrupted by dropped buckets: $probe")
+  }
+
   test("batch-stream equivalence: hourlyAgg replayed over sf0.001 events equals e1 counts") {
     implicit val sq = spark.sqlContext
     val all = graft.Tables.events(spark, sf)
