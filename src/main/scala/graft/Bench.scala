@@ -104,8 +104,27 @@ object Bench {
       name -> t
     }
     samples ::= selected.size -> calibrate()
+    // Deflake pass: this host's effective clock swings up to ~5x WITHIN
+    // a run (calibration_samples show it), and name-sorted order parks
+    // the same early-alphabet queries in the slow run-start window every
+    // round — r6's d7 "regression" was exactly that. Re-time every
+    // query that cost ≥2 s once more now, at run END (steady-state
+    // machine): the per-query `rerun` field gives regression calls a
+    // throttle-free second opinion, and BASELINE.md's rule is to use
+    // min(cold, rerun) before normalizing.
+    val rerunThreshold = 2.0
+    val reruns = results.filter(_._2 >= rerunThreshold).map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () } // already in the errors map
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val rerunCal = calibrate()
     def jstr(s: String): String = JsonText.quote(s)
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val rr = reruns.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
@@ -116,7 +135,7 @@ object Bench {
     val cal = samples.reverse.map { case (i, v) => s"[$i,$v]" }
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_samples":$cal,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_samples":$cal,"queries":$qs,"reruns":$rr,"rerun_calibration":$rerunCal,"errors":$errs,"sf":${jstr(sfDir)}}"""
     // stdout first: an unwritable SPARK_GRAFT_BENCH_OUT must not destroy
     // the run's results on both channels
     println(line)

@@ -769,6 +769,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("d7 edge input resolves to the same broadcast tile join as s3 (strategy pin)") {
+    // d7 composes cosinePairsRaw as CC's edge input — the tile-join
+    // strategy switch must resolve exactly as it does under s3 (the
+    // r6 bench flagged d7 slow while s3 got faster; the profile showed
+    // the gap was run-position machine throttle, NOT a plan change —
+    // this pin keeps it that way). The raw form also must NOT pay the
+    // presentation tail: no global sort in the edge path.
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val raw = planOf(Similarity.cosinePairsRaw(e,
+      spark.sparkContext.defaultParallelism))
+    assert(raw.contains("BroadcastHashJoin"),
+      s"d7's edge join lost the broadcast tile strategy:\n$raw")
+    assert(!raw.contains("SortMergeJoin") && !raw.contains("ShuffledHashJoin"),
+      s"d7's edge join picked a different strategy than s3's:\n$raw")
+    assert(!raw.contains("Sort "), s"edge path pays a sort it never needs:\n$raw")
+  }
+
   test("x11 contamination: only test-split docs report, top offender shares real shingles") {
     val rows = TextAnalysis.x11Contamination(spark, sf).collect()
     assert(rows.nonEmpty)
