@@ -412,21 +412,67 @@ object Relational {
     * so the aggregation is one map-side-combined shuffle of KBs per
     * group however many rows feed it, where exact distinct counts
     * shuffle every distinct value and exact quantiles a histogram.
-    * Both sketches are deterministic (hash-based, no RNG). There is
-    * deliberately NO DuckDB oracle: sketch estimates are
-    * engine-specific by nature, so the driver records the weaker
-    * rows-only check and `RelationalSpec` pins accuracy against this
-    * engine's own EXACT answers (distinct within the advertised rsd
-    * envelope, percentile within the corpus's value granularity). */
-  def q22ApproxAgg(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("n_orders_approx"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-          .as("p50_qty_approx"),
-        count(lit(1)).as("n_rows"))
-      .orderBy(col("l_returnflag"))
+    * Both sketches are deterministic (hash-based, no RNG).
+    *
+    * Oracle strategy: raw sketch ESTIMATES are engine-specific by
+    * nature (DuckDB cannot state Spark's HLL++ register values), so
+    * the query emits ENGINE-PORTABLE columns instead — the exact
+    * answers plus the booleans `approx_within_rsd` / `p50_within_band`
+    * stating that this engine's sketch landed inside its advertised
+    * error envelope (5× the rsd=0.01 std error for HLL++; one value
+    * step of the integral quantity domain for the quantile sketch).
+    * DuckDB states the same exact values and TRUE for both booleans,
+    * so the driver's full rows+schema+hash gate now applies: a sketch
+    * drifting out of its envelope flips a boolean and FAILS the hash
+    * compare — the accuracy contract is oracle-gated, not just
+    * spec-pinned. The exact median reuses q13's value-histogram shape
+    * (no per-group value buffering), and the exact distinct count
+    * rides the same expand the sketch comparison needs anyway. */
+  def q22ApproxAgg(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val flag = col("l_returnflag")
+    // exact median via the value histogram (q13's scalable shape):
+    // l_quantity is integral with ≤50 distinct values, so the
+    // histogram is tiny and the 0.5-dyadic interpolation is FP-exact
+    val hist = li.groupBy(flag, col("l_quantity")).agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy(flag)
+    val cumW = byFlag.orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum_end", sum(col("cnt")).over(cumW))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+    val pos = (col("n") - 1) * 0.5
+    def valueAt(p: Column): Column =
+      max(when(p >= col("cum_start") && p < col("cum_end"), col("l_quantity")))
+    val med = cum.groupBy(flag).agg(
+      valueAt(floor(pos)).as("lo"), valueAt(ceil(pos)).as("hi"),
+      min(pos - floor(pos)).as("frac"))
+      .select(flag,
+        (col("lo") + col("frac") * (col("hi") - col("lo"))).as("p50_qty_exact"))
+    // The sketch pass and the exact-distinct pass are DELIBERATELY
+    // separate aggregations: a DISTINCT aggregate in the same agg would
+    // make the partial phase group by (flag, l_orderkey) — one
+    // percentile_approx buffer PER DISTINCT ORDER instead of per flag
+    // (measured: 41 s vs ~1 s at sf0.1). Each pass is one
+    // map-side-combined shuffle to a #flags-row result; the joins are
+    // broadcasts of 3-row sides.
+    val sk = li.groupBy(flag).agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("nd_approx"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
+      count(lit(1)).as("n_rows"))
+    val ndx = li.groupBy(flag)
+      .agg(count_distinct(col("l_orderkey")).as("n_orders_exact"))
+    sk.join(broadcast(ndx), Seq("l_returnflag"))
+      .join(broadcast(med), Seq("l_returnflag"))
+      .select(flag, col("n_rows"), col("n_orders_exact"), col("p50_qty_exact"),
+        (abs(col("nd_approx") - col("n_orders_exact")) <=
+          greatest(lit(5.0), lit(0.05) * col("n_orders_exact")))
+          .as("approx_within_rsd"),
+        (abs(col("p50_approx") - col("p50_qty_exact")) <= lit(1.0))
+          .as("p50_within_band"))
+      .orderBy(flag)
+  }
 
   /** q11: scalar string/date functions (projection-only; codegen'd). */
   def q11ScalarFuncs(s: SparkSession, d: String): DataFrame =
@@ -711,6 +757,15 @@ object Relational {
         |  quantile_cont(l_quantity, 0.25) AS q25_qty,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.75) AS q75_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q22's booleans state "this engine's sketch landed in its
+    // advertised envelope" — the oracle asserts them TRUE, so an
+    // out-of-envelope sketch fails the driver's hash compare
+    "q22_approx_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders_exact,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty_exact,
+        |  TRUE AS approx_within_rsd, TRUE AS p50_within_band
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -11,12 +11,11 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
-  test("every relational query has an oracle (q22's sketches are the declared exception)") {
-    // q22's HLL++/quantile sketch estimates are engine-specific by
-    // nature — its accuracy is pinned against this engine's exact
-    // answers instead (the q22 spec below); everything else must have
-    // a DuckDB oracle
-    assert(Relational.queries.keySet - "q22_approx_agg" == Relational.oracleSql.keySet)
+  test("every relational query has an oracle (q22 included, via its envelope booleans)") {
+    // q22's raw sketch estimates are engine-specific, but its OUTPUT is
+    // engine-portable (exact values + in-envelope booleans), so it is
+    // hash-gated like everything else
+    assert(Relational.queries.keySet == Relational.oracleSql.keySet)
   }
 
   test("q1 exact sums are stable under repartitioning (order-independence)") {
@@ -296,29 +295,54 @@ class RelationalSpec extends SparkSpecBase {
     assert(hotSalts == 8L, s"hot key landed on only $hotSalts of 8 salts")
   }
 
-  test("q22 approx tier: sketch estimates land inside the advertised error envelope") {
+  test("q22 approx tier: exact columns verified, envelope booleans non-vacuous") {
     import org.apache.spark.sql.functions.{col, countDistinct, expr}
-    val approx = Relational.q22ApproxAgg(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val rows = Relational.q22ApproxAgg(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_orders_exact"),
+          r.getAs[Double]("p50_qty_exact"),
+          r.getAs[Boolean]("approx_within_rsd"),
+          r.getAs[Boolean]("p50_within_band"))).toMap
+    // the exact columns equal an independent computation
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("nd"),
-        expr("percentile(l_quantity, 0.5)").as("p50"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (flag, (nd, p50)) =>
-      val (andv, ap50, _) = approx(flag)
-      // HLL++ at rsd=0.01: allow 5x the advertised std error
-      assert(math.abs(andv - nd).toDouble <= math.max(5.0, 0.05 * nd),
-        s"$flag: approx distinct $andv vs exact $nd")
-      // quantities are integral 1..50; the sketch must land within one
-      // value step of the exact median
-      assert(math.abs(ap50 - p50) <= 1.0, s"$flag: approx p50 $ap50 vs exact $p50")
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("nd"), r.getAs[Double]("p50"), r.getAs[Long]("n"))).toMap
+    assert(rows.keySet == exact.keySet)
+    exact.foreach { case (flag, (nd, p50, n)) =>
+      val (nRows, ndExact, p50Exact, inRsd, inBand) = rows(flag)
+      assert(nRows == n && ndExact == nd, s"$flag: exact columns diverge")
+      assert(p50Exact == p50, s"$flag: histogram median $p50Exact vs percentile $p50")
+      // the booleans the oracle asserts TRUE — and NON-VACUOUSLY so:
+      // recompute the sketches independently and check the band calls
+      // match what the query emitted
+      assert(inRsd && inBand, s"$flag: sketch out of envelope ($inRsd, $inBand)")
+    }
+    val sketches = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_count_distinct(l_orderkey, 0.01)").as("nda"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("p50a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("nda"), r.getAs[Double]("p50a"))).toMap
+    exact.foreach { case (flag, (nd, p50, _)) =>
+      val (nda, p50a) = sketches(flag)
+      assert(math.abs(nda - nd).toDouble <= math.max(5.0, 0.05 * nd),
+        s"$flag: independent sketch $nda vs exact $nd outside the band the query claims")
+      assert(math.abs(p50a - p50) <= 1.0,
+        s"$flag: independent p50 sketch $p50a vs exact $p50 outside the band")
     }
     // determinism: sketches are hash-based, two runs agree exactly
     val again = Relational.q22ApproxAgg(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
-    assert(again == approx, "approx aggregates are not deterministic")
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_orders_exact"),
+          r.getAs[Double]("p50_qty_exact"),
+          r.getAs[Boolean]("approx_within_rsd"),
+          r.getAs[Boolean]("p50_within_band"))).toMap
+    assert(again == rows, "approx aggregates are not deterministic")
   }
 
   test("q19 grouping sets: the asked-for lattice, one scan, margins reconcile") {
