@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -11,13 +9,16 @@ import TextOps.idiv
   * columns with typed metadata, plus a decode/feature-extract stage run
   * as a typed `mapPartitions` over the payload batches.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * STUB — [[StubDecoder]] derives deterministic fake features (md5-based
-  * "dimensions", arithmetic "mean sample") from the payload bytes. The
-  * Spark-side plumbing is real and is the part that matters at scale:
-  * binary schema, per-partition batch iteration (one decoder init per
-  * partition, not per row — exactly how a JNI codec or Python worker
-  * would be amortized), and a narrow no-shuffle plan.
+  * The decode stage (m2) runs a REAL image codec — the JDK's
+  * javax.imageio PNG writer/reader — over deterministic generated
+  * images, so the encode→decode round-trip is exercised with genuine
+  * media bytes and oracle-gated pixel-exactly (see [[m2DecodeFeatures]]).
+  * Codecs the JDK does not ship (JPEG variants, audio, video) swap in
+  * at the same per-partition init point. The Spark-side plumbing is
+  * the part that matters at scale: binary schema, per-partition batch
+  * iteration (one decoder init per partition, not per row — exactly how
+  * a JNI codec or Python worker would be amortized), and a narrow
+  * no-shuffle plan.
   *
   * Scale notes (100 TB of media): payloads dominate row size, so
   * `binary` columns ride parquet's byte-array encoding; decode stages
@@ -41,40 +42,75 @@ object Multimodal {
         hex(substring(col("payload"), 1, 4)).as("header_hex"))
       .transform(Output.ordered(_, col("doc_id")))
 
-  /** One decoded media item (the stub's fake feature record). */
-  case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, width: Long, height: Long,
-      mean_sample: Long, content_md5: String)
+  /** One decoded image's features — everything engine-portable: the
+    * dims and the EXACT integer pixel sum (no float mean), plus the
+    * 4-byte magic of the actual encoded payload. */
+  case class ImageFeatures(
+      doc_id: Long, png_magic: String, width: Long, height: Long,
+      n_px: Long, px_sum: Long)
 
-  /** STUB media decoder — stands in for an image/audio codec that is not
-    * available in this environment. Deterministic pure function of the
-    * payload bytes; swap `decode` for a real codec (libjpeg/ffmpeg via
-    * JNI, or an Arrow-batched Python worker) without touching the
-    * surrounding plumbing. */
-  object StubDecoder {
-    def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
-      val md = MessageDigest.getInstance("MD5")
-      val hash = md.digest(payload).map("%02x".format(_)).mkString
-      // ??? real codec goes here — fake "dimensions" from the hash,
-      // fake "mean sample" from the length, both engine-portable.
-      val w = 16L + (hash.charAt(0).toLong % 16L)
-      val h = 16L + (hash.charAt(1).toLong % 16L)
-      val mean = (payload.length.toLong * 31L + 7L) % 256L
-      MediaFeatures(docId, payload.length.toLong, w, h, mean, hash)
-    }
-  }
+  /** Deterministic image spec for doc_id: dimensions and the grayscale
+    * value of each pixel. The closed form is what makes m2
+    * ORACLE-CHECKABLE with a REAL codec in the loop: the DuckDB oracle
+    * states width/height/Σpixel from the same formulas, so the PNG
+    * encode→decode round-trip must reproduce every pixel exactly for
+    * the hash gate to pass. */
+  def imgWidth(id: Long): Int  = 16 + (id % 16L).toInt
+  def imgHeight(id: Long): Int = 16 + ((id / 16L) % 16L).toInt
+  def imgPixel(id: Long, x: Int, y: Int): Int =
+    ((x * 7L + y * 13L + id) % 256L).toInt
 
-  /** m2: decode/feature-extract over payload partitions. The decoder is
-    * instantiated once per partition (amortization point); rows stream
-    * through without materializing the partition. */
+  /** m2: REAL image decode over payload partitions — the payload column
+    * is genuine PNG bytes (encoded with the JDK's javax.imageio codec
+    * from the deterministic [[imgPixel]] spec), and the features come
+    * from DECODING those bytes back: decoded width/height, pixel count,
+    * and the exact Σpixel over the decoded raster. A wrong decode —
+    * dims off, any pixel corrupted, magic not PNG — fails the DuckDB
+    * hash gate, which states the same values from the closed-form spec.
+    *
+    * The codec runs inside `mapPartitions` with per-partition init
+    * (`ImageIO.setUseCache(false)` once per task, the slot where a JNI
+    * codec handle or Arrow-batched Python worker would be created) —
+    * payloads never shuffle; only the fixed-width feature rows leave
+    * the stage. Non-PNG media (JPEG/audio/video) swap the codec at the
+    * same init point; the surrounding plumbing is codec-agnostic. */
   def m2DecodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val payloads: Dataset[(Long, Array[Byte])] = documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-    payloads.mapPartitions { it =>
-      // per-partition decoder init would live here (codec handle, model…)
-      it.map { case (id, bytes) => StubDecoder.decode(id, bytes) }
+    val ids: Dataset[Long] = documents(s, d).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      // per-partition codec init: no disk-backed stream cache for the
+      // in-memory round-trip (JNI codec/worker handle would go here)
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = imgWidth(id); val h = imgHeight(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, imgPixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val payload = bos.toByteArray // real PNG bytes
+        val magic = payload.take(4).map("%02X".format(_)).mkString
+        // the REAL decode under test
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(back != null, s"PNG decode failed for doc $id")
+        val br = back.getRaster
+        var sum = 0L
+        var yy = 0
+        while (yy < back.getHeight) {
+          var xx = 0
+          while (xx < back.getWidth) { sum += br.getSample(xx, yy, 0); xx += 1 }
+          yy += 1
+        }
+        ImageFeatures(id, magic, back.getWidth.toLong, back.getHeight.toLong,
+          back.getWidth.toLong * back.getHeight, sum)
+      }
     }.toDF()
       .transform(Output.ordered(_, col("doc_id")))
   }
@@ -147,17 +183,21 @@ object Multimodal {
         |  md5(text) AS content_md5,
         |  upper(substr(hex(CAST(text AS BLOB)), 1, 8)) AS header_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // The stub's fake features are deliberately SQL-expressible so even
-    // the decode stage is oracle-checked (a real codec would be
-    // rows-only checked).
+    // m2 runs a REAL PNG encode→decode; the oracle states the decoded
+    // dims and exact pixel sum from the closed-form image spec, so a
+    // codec fault anywhere (dims, any pixel, magic) fails the hash gate
     "m2_decode_features" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  16 + ascii(substr(md5(text), 1, 1)) % 16 AS width,
-        |  16 + ascii(substr(md5(text), 2, 1)) % 16 AS height,
-        |  (CAST(length(text) AS BIGINT) * 31 + 7) % 256 AS mean_sample,
-        |  md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    16 + (doc_id // 16) % 16 AS h FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h,
+        |    sum((x.x*7 + y.y*13 + d.doc_id) % 256) AS px_sum
+        |  FROM d, range(0, 32) x(x), range(0, 32) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h
+        |  GROUP BY d.doc_id, d.w, d.h)
+        |SELECT doc_id, '89504E47' AS png_magic, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(w*h AS BIGINT) AS n_px,
+        |  CAST(px_sum AS BIGINT) AS px_sum
+        |FROM px ORDER BY doc_id""".stripMargin,
     "m3_resize" ->
       s"""WITH p AS (SELECT doc_id, text AS payload,
          |    CAST(length(text) AS BIGINT) AS n_units,

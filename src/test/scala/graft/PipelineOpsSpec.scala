@@ -451,16 +451,25 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   // ---- multimodal ----
 
-  test("m2 stub decode features are consistent with m1 metadata") {
-    val meta = Multimodal.m1BinaryMeta(spark, sf).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Long]("n_bytes"), r.getAs[String]("content_md5"))).toMap
-    Multimodal.m2DecodeFeatures(spark, sf).collect().foreach { r =>
-      val (nb, h) = meta(r.getAs[Long]("doc_id"))
-      assert(r.getAs[Long]("n_bytes") == nb)
-      assert(r.getAs[String]("content_md5") == h,
-        "Catalyst md5(binary) and JVM MessageDigest disagree")
-      assert(r.getAs[Long]("width") >= 16L && r.getAs[Long]("width") < 32L)
+  test("m2 real PNG decode: round-trip is pixel-exact against the closed-form spec") {
+    val rows = Multimodal.m2DecodeFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the payload really was a PNG (magic from the ENCODED bytes)
+      assert(r.getAs[String]("png_magic") == "89504E47",
+        s"doc $id: payload is not a PNG")
+      // decoded dims and the exact pixel sum equal the generation spec —
+      // i.e. the real codec round-tripped every pixel
+      val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+      assert(r.getAs[Long]("width") == w.toLong &&
+        r.getAs[Long]("height") == h.toLong, s"doc $id: decoded dims wrong")
+      assert(r.getAs[Long]("n_px") == w.toLong * h)
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        want += Multimodal.imgPixel(id, x, y)
+      assert(r.getAs[Long]("px_sum") == want,
+        s"doc $id: decoded pixel sum ${r.getAs[Long]("px_sum")} != spec $want")
     }
   }
 
