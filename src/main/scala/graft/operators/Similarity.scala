@@ -95,8 +95,13 @@ object Similarity {
 
   /** s1: brute-force cosine top-k — queries are vec_id < NQueries; for
     * each, the TopK nearest neighbors (self excluded) by exact cosine. */
-  def s1KnnBrute(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
+  def s1KnnBrute(s: SparkSession, d: String): DataFrame =
+    knnBruteWith(withNorm(embeddings(s, d)))
+
+  /** The s1 pipeline over any [[withNorm]]-prepared frame — the exact
+    * ground truth the recall specs/probes measure every ANN variant
+    * against, on real or synthetic corpora. */
+  private[graft] def knnBruteWith(e: DataFrame): DataFrame = {
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
       col("norm_fp").as("q_norm"))
       .filter(col("qid") < NQueries.toLong)
@@ -675,8 +680,13 @@ object Similarity {
     * shape. Approximate on both axes; recall floor pinned by spec. */
   def s8KnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val cents = collectCodebook(e)
-    val cb = collectPqCodebook(e)
+    knnIvfPqWith(e, collectCodebook(e), collectPqCodebook(e))
+  }
+
+  /** The s8 pipeline over explicit IVF + PQ codebooks (no-residual
+    * form) — the trained path and the recall probe plug in here. */
+  private[graft] def knnIvfPqWith(e: DataFrame, cents: Seq[Centroid],
+      cb: Map[Int, Seq[SubCent]]): DataFrame = {
     val codeCols = (0 until PqSubs).map(i => pqCodeCol(cb(i), i))
     val coded = assignClusters(e, cents)
       .select((Seq(col("vec_id").as("nid"), col("cluster")) ++ codeCols): _*)
@@ -696,6 +706,162 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The cluster's centroid embedding as a literal lookup — cids are
+    * 0..k−1 by construction (stand-in and trained both), so
+    * element_at(cluster+1) is the centroid. */
+  private def centEmbFor(cents: Seq[Centroid], cluster: Column): Column =
+    element_at(array(cents.map(c => array(c.emb.map(lit): _*)): _*),
+      cluster.cast("int") + 1)
+
+  /** Per-list RECONSTRUCTION ANCHORS: the Euclidean mean of each IVF
+    * list's members. The assignment codebook is SPHERICAL k-means
+    * (unit-mean M-step — the right trainer for the cosine assignment
+    * objective), but a unit centroid is the wrong thing to SUBTRACT
+    * for residuals: x − c/‖c‖ keeps a cluster-dependent component
+    * whenever the list's mean norm ≠ 1, so residual clouds stay
+    * separated and residual PQ buys nothing. Anchoring residuals at
+    * the plain mean removes exactly the between-list energy — FAISS's
+    * by_residual uses the coarse centroid in the metric it trains in;
+    * this is that idea carried to the cosine/IP setting. One
+    * k×(dim+1)-value map-side-combined aggregate, fixed-point
+    * deterministic; empty lists anchor at 0 (residual = x). */
+  private[graft] def clusterAnchors(corpus: DataFrame,
+      cents: Seq[Centroid]): Seq[Centroid] = {
+    val e = withNorm(corpus)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val u = e.withColumn("u",
+      transform(col("embedding"), v => round(v.cast("double") * 1e9).cast("long")))
+    val sums = assignClusters(u, cents).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(j => sum(element_at(col("u"), j + 1)).as(s"s$j")): _*)
+      .collect()
+    val byC = sums.map(r => r.getAs[Long]("cluster") -> r).toMap
+    cents.map { c =>
+      byC.get(c.cid).fold(Centroid(c.cid, Seq.fill(dim)(0f), 0L)) { r =>
+        val n = r.getAs[Long]("n").toDouble
+        val emb = (0 until dim).map(j => (r.getAs[Long](s"s$j") / n / 1e9).toFloat)
+        Centroid(c.cid, emb, normFpOf(emb))
+      }
+    }
+  }
+
+  /** Train a PQ codebook on IVF RESIDUALS (x − anchor(x)) — the
+    * FAISS-default IVFPQ refinement: after coarse quantization the
+    * residuals concentrate near the origin with far less variance than
+    * the raw vectors, so the same 8-byte budget spends its codes on a
+    * much smaller cell of space (see BASELINE.md's ladder for where
+    * this pays and where it provably cannot). Returns the
+    * reconstruction anchors alongside the codebook — search must
+    * subtract/add the SAME anchors. One extra narrow zip_with (the
+    * subtract) on top of [[trainPqCodebook]]'s per-round shape; the
+    * codebook is shared across clusters (FAISS default), so LUTs stay
+    * cluster-independent at search. */
+  def trainResidualPqCodebook(corpus: DataFrame, cents: Seq[Centroid],
+      iters: Int = 3): (Seq[Centroid], Map[Int, Seq[SubCent]]) = {
+    val e = withNorm(corpus)
+    val anchors = clusterAnchors(corpus, cents)
+    val resid = assignClusters(e, cents)
+      .select(col("vec_id"),
+        zip_with(col("embedding"), centEmbFor(anchors, col("cluster")),
+          (x, c) => x - c).as("embedding"))
+    (anchors, trainPqCodebook(resid, iters))
+  }
+
+  /** Fraction of the corpus's squared-norm energy the coarse quantizer
+    * LEAVES in the residuals: Σ‖x − c(x)‖² / Σ‖x‖² (fixed-point). Near
+    * 1 ⇒ the corpus is isotropic w.r.t. the codebook and residual PQ
+    * cannot improve on plain PQ (same distribution, same budget); near
+    * 0 ⇒ residuals concentrate and the refinement pays. The measured
+    * diagnostic behind the ladder's residual row. */
+  private[graft] def residualEnergyRatio(corpus: DataFrame,
+      cents: Seq[Centroid], anchors: Seq[Centroid]): Double = {
+    val e = withNorm(corpus)
+    val resid = zip_with(col("embedding"), centEmbFor(anchors, col("cluster")),
+      (x, c) => x - c)
+    val r = assignClusters(e, cents)
+      .select(sum(dotFp9(resid, resid)).as("res"), sum(col("norm_fp")).as("tot"))
+      .first()
+    r.getLong(0).toDouble / r.getLong(1).toDouble
+  }
+
+  /** s8's RESIDUAL form — IVF prune + PQ codes over residuals. Encode:
+    * assign cluster (narrow argmax), subtract the centroid (narrow
+    * zip_with), code the residual per subspace (narrow literal-codebook
+    * argmin), and store the EXACT reconstructed norm
+    * ‖centroid + r̂‖²  (fixed-point, computed from literals at encode
+    * time — per row it is one add chain, and at rest it is one stored
+    * long beside the codes). Search: dot(q, x̂) = dot(q, centroid) +
+    * dot(q, r̂); the first term is a per-(query, probed-cluster)
+    * literal dot computed on the tiny probe side, the second is s6's
+    * ADC LUT sum (the residual codebook is cluster-shared, so LUTs
+    * stay per-query). Same one-shuffle plan shape as s8 — the
+    * refinement changes only encode/LUT inputs, exactly as s8's
+    * scaladoc promised. No SQL oracle (trained, like trainCodebook);
+    * recall pinned by spec against exact s1. */
+  private[graft] def knnIvfPqResidualWith(e: DataFrame, cents: Seq[Centroid],
+      anchors: Seq[Centroid], cb: Map[Int, Seq[SubCent]]): DataFrame = {
+    val resid = zip_with(col("embedding"), centEmbFor(anchors, col("cluster")),
+      (x, c) => x - c)
+    val codeCols = (0 until PqSubs).map(i => pqCodeCol(cb(i), i, resid))
+    def residCent(i: Int) =
+      element_at(array(cb(i).map(c => array(c.emb.map(lit): _*)): _*),
+        col(s"code_$i").cast("int") + 1)
+    // recon_norm from literals + codes only (the raw embedding never
+    // reaches — or needs to reach — the search side):
+    val codedN = assignClusters(e, cents)
+      .select(Seq(col("vec_id").as("nid"), col("cluster")) ++ codeCols: _*)
+      .withColumn("recon_norm",
+        (0 until PqSubs).map { i =>
+          val rs = zip_with(
+            slice(centEmbFor(anchors, col("cluster")),
+              i * PqSubDim + 1, PqSubDim),
+            residCent(i), (a, b) => a + b)
+          dotFp9(rs, rs)
+        }.reduce(_ + _))
+    val q = probeClusters(e, cents)
+      .withColumn("q_cent_dot",
+        element_at(array(anchors.map(c =>
+          dotFp9(col("q_emb"), array(c.emb.map(lit): _*))): _*),
+          col("cluster").cast("int") + 1))
+      .select(Seq(col("qid"), col("q_norm"), col("cluster"),
+        col("q_cent_dot")) ++ pqLutCols(cb, col("q_emb")): _*)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    codedN.join(broadcast(q), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        cosine(col("q_cent_dot") + pqAdcDot, col("q_norm"), col("recon_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Deduplicated PQ-training init: per subspace, the first PqK
+    * DISTINCT sub-slices in vec_id order (scanning a bounded prefix of
+    * 16·PqK rows, padded by cycling if the prefix has fewer distinct
+    * values). The naive first-PqK-rows init collapses when sub-slices
+    * repeat — on RESIDUAL corpora most early residual sub-slices are
+    * (near-)identical zeros, so k-means starts with massively
+    * duplicated codes and Lloyd cannot split them (empty-code rule
+    * keeps duplicates frozen); measured on the structured probe corpus
+    * this init moves residual IVFPQ recall 0.34 → ~1.0. Deterministic:
+    * driver-side order is pinned by vec_id. */
+  private[graft] def pqInit(e: DataFrame): Map[Int, Seq[SubCent]] = {
+    val rows = e.orderBy(col("vec_id")).limit(16 * PqK)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    require(rows.nonEmpty, "pqInit: empty corpus")
+    (0 until PqSubs).map { s =>
+      val subs = rows.map(_.slice(s * PqSubDim, (s + 1) * PqSubDim).toSeq).toSeq
+      val distinct = subs.distinct.take(PqK)
+      val padded = (0 until PqK).map(i => distinct(i % distinct.size))
+      s -> padded.zipWithIndex.map { case (u, i) =>
+        SubCent(s, i, u, normFpOf(u))
+      }.toSeq
+    }.toMap
+  }
+
   /** Train PQ sub-codebooks: independent k-means per subspace over the
     * corpus's sub-slices — classic PQ training, on the same
     * bit-deterministic distributed Lloyd shape as [[trainCodebook]].
@@ -710,8 +876,12 @@ object Similarity {
     * their previous centroid. Init: the stand-in codebook (sub-slices
     * of the PqK lowest vec_ids). */
   def trainPqCodebook(corpus: DataFrame, iters: Int = 3): Map[Int, Seq[SubCent]] = {
-    val e = withNorm(corpus)
-    var cb = collectPqCodebook(e)
+    // No withNorm: PQ training never needs norms, and its zero-norm
+    // guard would reject legitimate all-zero RESIDUAL rows (a vector
+    // that coincides with its list's anchor)
+    val e = corpus.select(col("vec_id"),
+      array_compact(col("embedding")).as("embedding"))
+    var cb = pqInit(e)
     for (_ <- 0 until iters) {
       val perSub = e.select(explode(array((0 until PqSubs).map { i =>
         struct(lit(i).as("sub"),
