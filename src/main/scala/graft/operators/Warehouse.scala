@@ -195,6 +195,21 @@ object Warehouse {
       .sortBy("band_idx", "band_key")
       .format("parquet").saveAsTable(table)
 
+  /** APPEND a batch's postings to an existing standing index (same
+    * bucketing — `nBuckets` must match the write-time layout). A band
+    * key can then appear in several posting rows (one per appended
+    * batch); [[graft.operators.Dedup.incrementalFromPostings]]'s join
+    * matches each of them, so candidate generation stays correct
+    * without re-grouping the corpus — the day-2 index growth path
+    * ([[graft.cdc.CdcPipeline]]). Periodic compaction (re-run
+    * [[writePostingsIndex]] over the union) restores one-row-per-key
+    * when the fragment count starts to matter. */
+  def appendPostingsIndex(postings: DataFrame, table: String, nBuckets: Int): Unit =
+    postings.write.mode("append")
+      .bucketBy(nBuckets, "band_idx", "band_key")
+      .sortBy("band_idx", "band_key")
+      .format("parquet").saveAsTable(table)
+
   /** Persist the standing contamination index
     * ([[TextAnalysis.trainShingleIndex]]) hash-bucketed + sorted by
     * shingle — the same pay-the-shuffle-once contract as
