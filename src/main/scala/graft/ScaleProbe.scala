@@ -82,6 +82,25 @@ object ScaleProbe {
     val dedupBatch = spark.range(500L)
       .select((col("id") + nDocs).as("doc_id"), synthText(col("id")).as("text"))
 
+    // containment-probe corpus (see the containment_* entries below):
+    // every 50th doc opens with the boilerplate trigram, groups of 4
+    // share one trigram, everything else is doc-unique
+    def containDocs(mult: Int): DataFrame = {
+      val n = 20000L * mult
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 50L === 0L, lit("b1"))
+            .otherwise(concat(lit("u1x"), col("id"))),
+          when(col("id") % 50L === 0L, lit("b2"))
+            .otherwise(concat(lit("u2x"), col("id"))),
+          when(col("id") % 50L === 0L, lit("b3"))
+            .otherwise(concat(lit("u3x"), col("id"))),
+          concat(lit("p"), expr("id DIV 4")), concat(lit("q"), expr("id DIV 4")),
+          concat(lit("r"), expr("id DIV 4")),
+          concat(lit("x"), col("id")), concat(lit("y"), col("id")),
+          concat(lit("z"), col("id"))).as("text"))
+    }
+
     val results = Seq(
       // q1 shape: full-scan groupBy-agg over lineitem×m
       time("agg") {
@@ -232,6 +251,21 @@ object ScaleProbe {
               concat(lit("u"), col("id")),
               concat(lit("w"), expr("id % 89")),
               concat(lit("w"), expr("id % 7"))).as("text")))
+      },
+      // d9 shape, the maxDf production posture measured: directed
+      // containment over a corpus with one deliberate BOILERPLATE
+      // shingle (df = n/50 — every 50th doc opens with the same three
+      // tokens) on top of constant per-group overlap (df = 4).
+      // UNCAPPED, the boilerplate posting alone expands to (n/50)²
+      // pair rows — super-linear by construction, the Σdf² hazard d9's
+      // scaladoc warns about; with the cap engaged the posting is
+      // dropped and the cost tracks n. Same corpus, same query, one
+      // knob — the capped row is the library-default posture.
+      time("containment_capped") {
+        operators.Dedup.containmentPairs(containDocs(m), maxDf = Some(100L))
+      },
+      time("containment_uncapped") {
+        operators.Dedup.containmentPairs(containDocs(m), maxDf = None)
       },
       // d6/d7 shape: alternating-star connected components over a
       // synthetic 50k×m-node graph of 64-chains — fixed round count

@@ -76,7 +76,18 @@ object Multimodal {
     * same init point; the surrounding plumbing is codec-agnostic. */
   def m2DecodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ids: Dataset[Long] = documents(s, d).select(col("doc_id")).as[Long]
+    decodeFeatures(documents(s, d).select(col("doc_id")).as[Long])
+      .transform(Output.ordered(_, col("doc_id")))
+  }
+
+  /** Library form of [[m2DecodeFeatures]] over any doc-id Dataset,
+    * unordered — and therefore valid on UNBOUNDED (streaming) inputs
+    * too: the decode is a stateless per-partition map (no shuffle, no
+    * watermark, no state), so
+    * [[graft.streaming.StreamOps.decodeStream]] is this same function
+    * applied at ingest. */
+  def decodeFeatures(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
       // per-partition codec init: no disk-backed stream cache for the
       // in-memory round-trip (JNI codec/worker handle would go here)
@@ -112,7 +123,6 @@ object Multimodal {
           back.getWidth.toLong * back.getHeight, sum)
       }
     }.toDF()
-      .transform(Output.ordered(_, col("doc_id")))
   }
 
   /** Thumbnail sample count (m3): 64 strided samples ≈ an 8×8 thumb. */

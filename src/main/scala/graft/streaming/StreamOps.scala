@@ -389,6 +389,19 @@ object StreamOps {
   def piiScrubStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.piiSignals(docs)
 
+  /** Streaming m2: REAL media decode at INGEST — every arriving
+    * document's payload is decoded (the javax.imageio PNG round-trip
+    * of [[graft.operators.Multimodal.decodeFeatures]]) the moment it
+    * lands, the decode-before-store shape a multimodal lake needs.
+    * Same class as [[piiScrubStream]]: a stateless per-partition map —
+    * valid on an unbounded frame with NO watermark, NO state store,
+    * per-row latency; the per-partition codec init amortizes per
+    * micro-batch task exactly as it does per batch task.
+    * Batch-stream equivalence is definitional (same function) and
+    * spec-pinned on bounded replay anyway. */
+  def decodeStream(ids: org.apache.spark.sql.Dataset[Long]): DataFrame =
+    graft.operators.Multimodal.decodeFeatures(ids)
+
   /** One finalized hourly bucket of the event-count series — the input
     * unit of [[anomalyStream]] (what [[hourlyAgg]] emits once the
     * watermark closes a window). */
@@ -479,6 +492,7 @@ object StreamOps {
     "contaminationStream" -> OutputMode.Append(),
     "lmScoreStream" -> OutputMode.Append(),
     "piiScrubStream" -> OutputMode.Append(),
+    "decodeStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append(),
     "anomalyStream" -> OutputMode.Append())
 }

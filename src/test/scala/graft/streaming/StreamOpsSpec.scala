@@ -409,6 +409,35 @@ class StreamOpsSpec extends SparkSpecBase {
     })
   }
 
+  test("decodeStream chunked replay ≡ batch decode, stateless, codec really runs") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("png_magic"), r.getAs[Long]("width"),
+        r.getAs[Long]("height"), r.getAs[Long]("n_px"), r.getAs[Long]("px_sum"))
+    val ids = (0L until 60L).toSeq
+    val in = MemoryStream[Long]
+    val q = StreamOps.decodeStream(in.toDS())
+      .writeStream.format("memory").queryName("decode_stream")
+      .outputMode(OutputMode.Append()).start()
+    // stateless: each chunk's decodes land in that chunk's micro-batch
+    ids.grouped(23).zipWithIndex.foreach { case (chunk, i) =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+      assert(spark.table("decode_stream").count() >= (i * 23 + chunk.length).toLong)
+    }
+    q.stop()
+    val got = spark.table("decode_stream").collect().map(key).toMap
+    val want = Multimodal.decodeFeatures(ids.toDS()).collect().map(key).toMap
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(3)
+      s"stream/batch decode divergence at ${bad.map(k => (k, got.get(k), want(k))).mkString(", ")}"
+    })
+    // the codec genuinely ran on the stream: real PNG magic everywhere
+    assert(got.nonEmpty && got.values.forall(_._1 == "89504E47"))
+  }
+
   test("contaminationStream over the x11 split ≡ driver-computed shared-shingle counts") {
     implicit val sq = spark.sqlContext
     // the same md5 percent-bucket gate x6/x11 use
