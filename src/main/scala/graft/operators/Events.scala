@@ -352,6 +352,43 @@ object Events {
         col("filled_n"), col("is_gap"))
   }
 
+  /** e11: SCD TYPE-2 HISTORY BUILD — the day-2 consumer of a change
+    * stream: turn each user's event sequence into versioned validity
+    * intervals of their state (here: the event_type acts as the
+    * tracked attribute), collapsing no-change runs first. This is the
+    * dimension-table build every CDC pipeline (the reference's
+    * consumers included — its handlers emit raw changes and leave
+    * history construction to the reader) bolts on downstream:
+    * `valid_from_s`/`valid_to_s` half-open intervals, `version`
+    * ordinals, `is_current` on the open row.
+    *
+    * Two window passes over ONE partitioning (user_id): lag to detect
+    * state changes, then lead over the surviving change rows to close
+    * each interval. The filter between them preserves sort order, so
+    * Catalyst plans one exchange + one sort — the second window reuses
+    * both (pinned in EventsSpec).
+    *
+    * Scale notes (100 TB): the change-detection filter runs BEFORE the
+    * second window, so interval construction touches only transitions
+    * (usually ≪ raw changes). One shuffle on the natural key; at real
+    * scale the input would already be bucketed by user_id from the
+    * capture layer and the exchange vanishes. No driver-side state. */
+  def e11Scd2(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("valid_from_s", unix_timestamp(col("ts")))
+      .withColumn("valid_to_s", lead(unix_timestamp(col("ts")), 1).over(byUser))
+      .withColumn("is_current", col("valid_to_s").isNull)
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("event_type").as("state"), col("valid_from_s"),
+        col("valid_to_s"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -363,9 +400,27 @@ object Events {
     "e8_band_join"      -> e8BandJoin _,
     "e9_anomaly"        -> e9Anomaly _,
     "e10_gap_fill"      -> e10GapFill _,
+    "e11_scd2"          -> e11Scd2 _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "e11_scd2" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    date_trunc('microseconds', ts) AS tsu,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('microseconds', ts), event_id) AS prev_state
+        |  FROM events),
+        |chg AS (SELECT * FROM x
+        |  WHERE prev_state IS NULL OR prev_state <> event_type),
+        |v AS (SELECT user_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    event_type AS state, ts_s AS valid_from_s,
+        |    lead(ts_s) OVER w AS valid_to_s
+        |  FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |SELECT user_id, version, state, valid_from_s, valid_to_s,
+        |  valid_to_s IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
     "e10_gap_fill" ->
       """WITH hc AS (SELECT
         |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,

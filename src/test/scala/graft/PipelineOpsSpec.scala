@@ -437,6 +437,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(sessSum == n)
   }
 
+  test("e11 scd2: intervals chain, versions contiguous, one open row per user") {
+    val rows = Events.e11Scd2(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val byV = g.sortBy(_.getAs[Long]("version"))
+      assert(byV.map(_.getAs[Long]("version")).toSeq ==
+        (1L to byV.length.toLong), "versions not contiguous from 1")
+      // no-change runs collapsed: consecutive states always differ
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            "consecutive versions with identical state (run not collapsed)")
+          // half-open intervals chain exactly
+          assert(a.getAs[Long]("valid_to_s") == b.getAs[Long]("valid_from_s"),
+            "valid_to of version n != valid_from of version n+1")
+        case _ => ()
+      }
+      assert(byV.count(_.getAs[Boolean]("is_current")) == 1 &&
+        byV.last.getAs[Boolean]("is_current"),
+        "exactly the last version must be open")
+      assert(byV.last.isNullAt(byV.last.fieldIndex("valid_to_s")),
+        "open row must have null valid_to_s")
+    }
+  }
+
+  test("e11 scd2: both window passes share one exchange and one sort") {
+    val plan = Events.e11Scd2(spark, sf).queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 user_id exchange, got $shuffles:\n$plan")
+    // the change filter preserves (ts, event_id) order, so the later
+    // windows must not re-sort: one partition-local (user_id, ts, ...)
+    // sort below all three (the global output orderBy is separate)
+    val sorts = "Sort \\[user_id#\\d+L ASC NULLS FIRST, ts".r.findAllIn(plan).length
+    assert(sorts == 1, s"expected 1 shared window sort, got $sorts:\n$plan")
+  }
+
   test("e4 asof: every matched purchase precedes (or ties) its click") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), unix_timestamp(col("ts")).as("s")).collect()
