@@ -36,6 +36,12 @@ object GraftFunctions {
   def minhash_sig(hh: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(hh), a, b, p))
 
+  /** (bigint, bigint) → bigint Morton locality code over the low 16
+    * bits of each dimension — codegen'd; see [[ZOrder16Expr]]. */
+  def zorder16(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      ZOrder16Expr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Register graft functions into a session's catalog so `spark.sql`
     * text can call them by name. Idempotent. (`minhash_sig` carries
     * non-expression coefficient parameters, so it stays DataFrame-only.) */
@@ -55,5 +61,8 @@ object GraftFunctions {
     GraftSqlBridge.registerFunction(
       spark, "min_md5", children => MinMd5Expr(children(0)),
       classOf[MinMd5Expr])
+    GraftSqlBridge.registerFunction(
+      spark, "zorder16", children => ZOrder16Expr(children(0), children(1)),
+      classOf[ZOrder16Expr])
   }
 }

@@ -565,6 +565,45 @@ object Relational {
       .orderBy(flag)
   }
 
+  /** q23: Z-ORDER LAYOUT KEY — the Morton-interleaved locality key
+    * ([[graft.functions.ZOrder16Expr]], codegen'd) over two frequently
+    * co-filtered dimensions of `orders`: the customer key and the
+    * order-date day ordinal. Emitting (and sorting by) `zval` is the
+    * oracle-checkable half of the layout op; [[zorderLayout]] is the
+    * write-side form that turns it into actual file skipping, measured
+    * in RelationalSpec (a 2-D box predicate prunes most z-laid-out
+    * files from footer min/max stats alone, where a single-column sort
+    * prunes none for the other dimension).
+    *
+    * Scale notes (100 TB): layout is THE cheapest scan accelerator at
+    * this scale — no index to maintain, just a write-time sort. 16-bit
+    * per-dimension resolution is deliberate (file-granular clustering;
+    * also keeps every spread step positive in signed 64-bit so DuckDB
+    * states the identical arithmetic). The global orderBy here exists
+    * only for the deterministic oracle dump; the layout form uses
+    * repartitionByRange + sortWithinPartitions — no global sort. */
+  def q23Zorder(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 65536L).as("cust_dim"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))).cast("long").as("day_dim"))
+      .withColumn("zval",
+        graft.functions.GraftFunctions.zorder16(col("cust_dim"), col("day_dim")))
+      .orderBy(col("zval"), col("o_orderkey"))
+
+  /** Write-side Z-order layout: attach the Morton key over two bucketed
+    * dimension columns, range-partition into `nFiles` z-contiguous
+    * splits and sort within each — each written file then covers a
+    * tight box in BOTH dimensions, so parquet footer min/max prune 2-D
+    * box queries. No global sort, no driver state; the range
+    * partitioner samples bounds distributed. */
+  def zorderLayout(df: DataFrame, a: Column, b: Column, nFiles: Int): DataFrame =
+    df.withColumn("zval",
+        graft.functions.GraftFunctions.zorder16(a.cast("long"), b.cast("long")))
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> q1Agg _,
     "q2_filter_project" -> q2FilterProject _,
@@ -588,9 +627,31 @@ object Relational {
     "q11_scalar_funcs"  -> q11ScalarFuncs _,
     "q12_case_agg"      -> q12CaseAgg _,
     "q13_distinct_quantiles" -> q13DistinctQuantiles _,
+    "q23_zorder"        -> q23Zorder _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the identical magic-number bit-spread (0x00FF00FF / 0x0F0F0F0F /
+    // 0x33333333 / 0x55555555) stated as BIGINT arithmetic — every
+    // intermediate < 2^32, so signed 64-bit math agrees bit-for-bit
+    // with ZOrder.interleave16
+    "q23_zorder" ->
+      """WITH src AS (SELECT o_orderkey,
+        |    o_custkey % 65536 AS cust_dim,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |         CAST(o_orderdate AS DATE)) AS BIGINT) AS day_dim
+        |  FROM orders),
+        |sa AS (SELECT *, cust_dim & 65535 AS xa, day_dim & 65535 AS xb FROM src),
+        |s1 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS a1,
+        |                 (xb | (xb << 8)) & 16711935 AS b1 FROM sa),
+        |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+        |                 (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+        |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+        |                 (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+        |s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+        |                 (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+        |SELECT o_orderkey, cust_dim, day_dim, a4 | (b4 << 1) AS zval
+        |FROM s4 ORDER BY zval, o_orderkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,

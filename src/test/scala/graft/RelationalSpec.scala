@@ -295,6 +295,82 @@ class RelationalSpec extends SparkSpecBase {
     assert(hotSalts == 8L, s"hot key landed on only $hotSalts of 8 salts")
   }
 
+  test("zorder16: interleave is a bijection on 16+16 bits and locality-monotone") {
+    import graft.functions.ZOrder
+    // spot bijectivity + bit placement against a naive bit loop
+    def naive(a: Long, b: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextInt(65536).toLong
+      val b = rnd.nextInt(65536).toLong
+      assert(ZOrder.interleave16(a, b) == naive(a, b))
+    }
+    // masking: only the low 16 bits of each dimension participate
+    assert(ZOrder.interleave16(65536L + 3L, 0L) == ZOrder.interleave16(3L, 0L))
+    // codegen and interpreted paths agree with the kernel
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions
+    val df = (0 until 500).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("a", "b")
+    df.withColumn("z", GraftFunctions.zorder16(col("a"), col("b")))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("z") ==
+          ZOrder.interleave16(r.getAs[Long]("a"), r.getAs[Long]("b")))
+      }
+  }
+
+  test("zorderLayout: a 2-D box predicate prunes most files; single-col sort prunes none") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max => smax, min => smin}
+    val dims = Relational.q23Zorder(spark, sf)
+      .select(col("o_orderkey"), col("cust_dim"), col("day_dim"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // layout A: z-ordered across 8 z-contiguous files
+    Relational.zorderLayout(dims, col("cust_dim"), col("day_dim"), 8)
+      .write.mode("overwrite").parquet(s"$tmp/z")
+    // layout B: the same rows sorted by the single orderkey column
+    dims.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmp/plain")
+    // per-file dim envelopes = what parquet footer min/max give a reader
+    def candidateFiles(path: String, loC: Long, hiC: Long, loD: Long, hiD: Long): (Long, Long) = {
+      val env = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(smin(col("cust_dim")).as("c0"), smax(col("cust_dim")).as("c1"),
+          smin(col("day_dim")).as("d0"), smax(col("day_dim")).as("d1"))
+        .collect()
+      val hit = env.count { r =>
+        r.getAs[Long]("c1") >= loC && r.getAs[Long]("c0") < hiC &&
+          r.getAs[Long]("d1") >= loD && r.getAs[Long]("d0") < hiD
+      }
+      (hit.toLong, env.length.toLong)
+    }
+    // a selective box on BOTH dimensions (cust keys run 0-149; order
+    // days run ~1096-3500 from the 1992 epoch): ~20% × ~17% of domain
+    val (loC, hiC, loD, hiD) = (100L, 130L, 1200L, 1600L)
+    val (zHit, zAll) = candidateFiles(s"$tmp/z", loC, hiC, loD, hiD)
+    val (pHit, pAll) = candidateFiles(s"$tmp/plain", loC, hiC, loD, hiD)
+    assert(zAll == 8 && pAll == 8, s"expected 8 files each, got $zAll/$pAll")
+    // single-column-sorted files each span ~the whole 2-D space: no pruning
+    assert(pHit >= 7, s"plain layout unexpectedly prunable ($pHit/8)")
+    assert(zHit * 2 <= pHit, s"z-layout pruned only to $zHit vs plain $pHit")
+    // both layouts return identical rows for the box query
+    def rowsOf(path: String) = spark.read.parquet(path)
+      .filter(col("cust_dim") >= loC && col("cust_dim") < hiC &&
+        col("day_dim") >= loD && col("day_dim") < hiD)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rowsOf(s"$tmp/z") == rowsOf(s"$tmp/plain"))
+  }
+
   test("q22 approx tier: exact columns verified, envelope booleans non-vacuous") {
     import org.apache.spark.sql.functions.{col, countDistinct, expr}
     val rows = Relational.q22ApproxAgg(spark, sf).collect()
