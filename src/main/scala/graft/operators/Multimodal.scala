@@ -125,6 +125,95 @@ object Multimodal {
     }.toDF()
   }
 
+  /** One decoded audio clip's features — all engine-portable exact
+    * integers: decoded frame count, the PCM sample-sum and extrema,
+    * plus the container magic of the actual encoded payload. */
+  case class AudioFeatures(
+      doc_id: Long, wav_magic: String, sample_rate: Long,
+      n_samples: Long, amp_sum: Long, amp_min: Long, amp_max: Long)
+
+  val AudioRateHz = 8000f
+
+  /** Deterministic audio spec for doc_id: clip length and the exact
+    * PCM16 value of each sample — a sawtooth-family integer wave (no
+    * trig: float-free, so both engines state it exactly). As with
+    * [[imgPixel]], the closed form is what makes a REAL codec
+    * oracle-checkable: DuckDB restates Σ/min/max over the same formula,
+    * so the WAV encode→decode round-trip must reproduce every 16-bit
+    * sample exactly for the hash gate to pass. */
+  def audioSamples(id: Long): Int = 800 + ((id % 16L) * 100L).toInt
+  def audioSample(id: Long, t: Int): Int =
+    (((t.toLong * (3L + id % 5L) + id) % 2048L) - 1024L).toInt
+
+  /** m5: REAL audio decode over payload partitions — the payload is a
+    * genuine WAV container (PCM16 mono, written by the JDK's
+    * javax.sound.sampled codec from the [[audioSample]] spec) and the
+    * features come from DECODING it back: the container-declared frame
+    * length and rate, and the exact Σ/min/max over the decoded 16-bit
+    * samples. A wrong decode — header misparsed, byte order flipped,
+    * any sample corrupted — fails the DuckDB hash gate.
+    *
+    * Same plumbing contract as [[decodeFeatures]]: stateless
+    * per-partition map (codec handle init once per task), payload bytes
+    * never shuffle, only fixed-width features leave the stage — and
+    * therefore valid unchanged on unbounded streaming input. */
+  def m5AudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeAudioFeatures(documents(s, d).select(col("doc_id")).as[Long])
+      .transform(Output.ordered(_, col("doc_id")))
+  }
+
+  /** Library form of [[m5AudioFeatures]] over any doc-id Dataset,
+    * unordered (streaming-valid). */
+  def decodeAudioFeatures(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      import javax.sound.sampled._
+      // per-partition codec init: the PCM16 little-endian mono format
+      // object is the reusable "handle" here
+      val fmt = new AudioFormat(AudioRateHz, 16, 1, true, false)
+      it.map { id =>
+        val n = audioSamples(id)
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          val v = audioSample(id, t)
+          pcm(2 * t) = (v & 0xff).toByte          // little-endian
+          pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+          t += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(
+          new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        val payload = bos.toByteArray // real WAV container bytes
+        val magic = payload.take(4).map("%02X".format(_)).mkString
+        // the REAL decode under test
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val dec = ais.getFormat
+        require(dec.getSampleSizeInBits == 16 && dec.getChannels == 1,
+          s"unexpected decoded format for doc $id: $dec")
+        val frames = ais.getFrameLength
+        val raw = ais.readAllBytes()
+        var sum = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var i = 0
+        while (i < raw.length) {
+          val v = ((raw(i) & 0xff) | (raw(i + 1) << 8)).toShort.toLong
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 2
+        }
+        AudioFeatures(id, magic, dec.getSampleRate.toLong, frames,
+          sum, mn, mx)
+      }
+    }.toDF()
+  }
+
   /** Thumbnail sample count (m3): 64 strided samples ≈ an 8×8 thumb. */
   val ThumbSamples = 64
   /** Frame grid (m4): payload split into 16 "frames", every 4th kept. */
@@ -184,9 +273,27 @@ object Multimodal {
     "m2_decode_features" -> m2DecodeFeatures _,
     "m3_resize"          -> m3Resize _,
     "m4_frame_sample"    -> m4FrameSample _,
+    "m5_audio_features"  -> m5AudioFeatures _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // restates the audioSample closed form over an unnested sample
+    // index; the Spark side must recover the identical values from
+    // decoding the real WAV container for the hash to match
+    "m5_audio_features" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(800 + (doc_id % 16) * 100 AS BIGINT) AS n_samples,
+        |    3 + (doc_id % 5) AS k FROM documents),
+        |s AS (SELECT doc_id, k, unnest(range(0, n_samples)) AS t FROM d),
+        |v AS (SELECT doc_id, ((t * k + doc_id) % 2048) - 1024 AS v FROM s),
+        |agg AS (SELECT doc_id, sum(v) AS amp_sum, min(v) AS amp_min,
+        |    max(v) AS amp_max FROM v GROUP BY doc_id)
+        |SELECT d.doc_id, '52494646' AS wav_magic,
+        |  CAST(8000 AS BIGINT) AS sample_rate, d.n_samples,
+        |  CAST(agg.amp_sum AS BIGINT) AS amp_sum,
+        |  CAST(agg.amp_min AS BIGINT) AS amp_min,
+        |  CAST(agg.amp_max AS BIGINT) AS amp_max
+        |FROM d JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

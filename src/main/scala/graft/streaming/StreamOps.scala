@@ -402,6 +402,13 @@ object StreamOps {
   def decodeStream(ids: org.apache.spark.sql.Dataset[Long]): DataFrame =
     graft.operators.Multimodal.decodeFeatures(ids)
 
+  /** Streaming m5: the audio twin of [[decodeStream]] — the real WAV
+    * codec ([[graft.operators.Multimodal.decodeAudioFeatures]]) run at
+    * ingest. Same stateless per-partition-map class: no watermark, no
+    * state store, batch ≡ stream by construction. */
+  def audioDecodeStream(ids: org.apache.spark.sql.Dataset[Long]): DataFrame =
+    graft.operators.Multimodal.decodeAudioFeatures(ids)
+
   /** One finalized hourly bucket of the event-count series — the input
     * unit of [[anomalyStream]] (what [[hourlyAgg]] emits once the
     * watermark closes a window). */
@@ -493,6 +500,7 @@ object StreamOps {
     "lmScoreStream" -> OutputMode.Append(),
     "piiScrubStream" -> OutputMode.Append(),
     "decodeStream" -> OutputMode.Append(),
+    "audioDecodeStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append(),
     "anomalyStream" -> OutputMode.Append())
 }

@@ -577,6 +577,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("m5 real WAV decode: container parsed, every PCM16 sample round-trips") {
+    val rows = Multimodal.m5AudioFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the payload really was a RIFF/WAV container
+      assert(r.getAs[String]("wav_magic") == "52494646",
+        s"doc $id: payload is not a WAV")
+      assert(r.getAs[Long]("sample_rate") == 8000L)
+      val n = Multimodal.audioSamples(id)
+      assert(r.getAs[Long]("n_samples") == n.toLong,
+        s"doc $id: decoded frame count wrong")
+      // decoded Σ/min/max equal the generation spec — the codec
+      // round-tripped every 16-bit sample (byte order included)
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      for (t <- 0 until n) {
+        val v = Multimodal.audioSample(id, t).toLong
+        sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+      }
+      assert(r.getAs[Long]("amp_sum") == sum &&
+        r.getAs[Long]("amp_min") == mn && r.getAs[Long]("amp_max") == mx,
+        s"doc $id: decoded sample stats diverge from spec")
+    }
+  }
+
   // ---- plan regression guards for the measured perf fixes ----
 
   test("d1 computes the content hash once (single scan, no self-join)") {

@@ -438,6 +438,26 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.values.forall(_._1 == "89504E47"))
   }
 
+  test("audioDecodeStream chunked replay ≡ batch decode, real WAV magic throughout") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("wav_magic"), r.getAs[Long]("n_samples"),
+        r.getAs[Long]("amp_sum"), r.getAs[Long]("amp_min"), r.getAs[Long]("amp_max"))
+    val ids = (0L until 40L).toSeq
+    val in = MemoryStream[Long]
+    val q = StreamOps.audioDecodeStream(in.toDS())
+      .writeStream.format("memory").queryName("audio_stream")
+      .outputMode(OutputMode.Append()).start()
+    ids.grouped(17).foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("audio_stream").collect().map(key).toMap
+    val want = Multimodal.decodeAudioFeatures(ids.toDS()).collect().map(key).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.forall(_._1 == "52494646"))
+  }
+
   test("contaminationStream over the x11 split ≡ driver-computed shared-shingle counts") {
     implicit val sq = spark.sqlContext
     // the same md5 percent-bucket gate x6/x11 use
