@@ -389,6 +389,54 @@ object Events {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Attribution window: a purchase credits every click by the same
+    * user in the preceding 6 hours. */
+  val AttributionWindowS = 21600L
+
+  /** Shared INTERVAL-JOIN core of e12 and
+    * [[graft.streaming.StreamOps.attributionStream]]: equi-join on the
+    * user key with the event-time range as residual predicate. The
+    * inputs are pre-renamed frames (`user_id, click_ts, click_id` /
+    * `p_user_id, purchase_ts, purchase_id`) so the SAME builder runs on
+    * static frames (where the range predicate is a post-join filter on
+    * the hash join) and on streaming frames (where, with watermarks on
+    * both sides, Spark derives each side's state-retention bound from
+    * this predicate) — batch ≡ stream by construction, not by parallel
+    * reimplementation.
+    *
+    * Scale notes (100 TB): the equi-key carries the shuffle — time is
+    * NOT part of the partitioning, so there is no time-skew hazard; the
+    * range residual evaluates within user groups. An all-pairs-in-
+    * window join without an equi-key would be the e8 band-bucketing
+    * shape instead. `lag_s` is floored-seconds arithmetic in both
+    * engines. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") +
+          expr(s"interval $AttributionWindowS seconds"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        unix_timestamp(col("click_ts")).as("click_s"),
+        unix_timestamp(col("purchase_ts")).as("purchase_s"),
+        (unix_timestamp(col("purchase_ts")) -
+          unix_timestamp(col("click_ts"))).as("lag_s"))
+
+  /** e12: MULTI-TOUCH ATTRIBUTION — the interval join (every click in
+    * the window gets credit), complementing e4's as-of join (only the
+    * nearest single match). See [[attributionJoin]]. */
+  def e12Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    attributionJoin(clicks, purchases)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -401,9 +449,22 @@ object Events {
     "e9_anomaly"        -> e9Anomaly _,
     "e10_gap_fill"      -> e10GapFill _,
     "e11_scd2"          -> e11Scd2 _,
+    "e12_attribution"   -> e12Attribution _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "e12_attribution" ->
+      """SELECT c.click_id, c.user_id, p.purchase_id,
+        |  c.click_s, p.purchase_s, p.purchase_s - c.click_s AS lag_s
+        |FROM (SELECT user_id, event_id AS click_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS click_s
+        |  FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id AS purchase_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS purchase_s
+        |  FROM events WHERE event_type = 'purchase') p
+        |ON c.user_id = p.user_id AND p.ts >= c.ts
+        |  AND p.ts < c.ts + INTERVAL 21600 SECONDS
+        |ORDER BY c.click_id, p.purchase_id""".stripMargin,
     "e11_scd2" ->
       """WITH x AS (SELECT user_id, event_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

@@ -242,6 +242,28 @@ object StreamOps {
         col("click_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming e12 — MULTI-TOUCH attribution over one event stream:
+    * the clicks and purchases sides are two filters of the same
+    * unbounded frame (a stream-stream SELF-join), each watermarked,
+    * joined by the SHARED interval-join core
+    * [[graft.operators.Events.attributionJoin]] — the identical
+    * builder the batch e12 query runs, so batch ≡ stream is by
+    * construction and the replay spec only pins that Spark's state
+    * eviction didn't drop rows. The join condition bounds click time
+    * both ways relative to purchase time, so both sides' buffered
+    * state is evicted as watermarks advance. Inner join → Append. */
+  def attributionStream(events: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", lateness)
+    graft.operators.Events.attributionJoin(clicks, purchases)
+  }
+
   /** Streaming near-dup candidate pairs (streaming d3): each arriving
     * document is MinHash-signed with the SAME staged pipeline the batch
     * dedup uses (TextOps kernels), exploded to LSH band keys, and
@@ -494,6 +516,7 @@ object StreamOps {
     "dedupExact" -> OutputMode.Append(),
     "latestState" -> OutputMode.Update(),
     "attribute" -> OutputMode.Append(),
+    "attributionStream" -> OutputMode.Append(),
     "nearDupCandidates" -> OutputMode.Append(),
     "incrementalDedupStream" -> OutputMode.Append(),
     "contaminationStream" -> OutputMode.Append(),

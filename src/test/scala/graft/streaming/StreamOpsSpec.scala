@@ -763,6 +763,36 @@ class StreamOpsSpec extends SparkSpecBase {
       s"missing=${(batch diff streamed).take(3)} extra=${(streamed diff batch).take(3)}")
   }
 
+  test("batch-stream equivalence: attributionStream replayed over sf0.001 equals e12") {
+    implicit val sq = spark.sqlContext
+    val all = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[KeyedEvent].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val chunks = all.grouped((all.size + 3) / 4).toSeq
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.attributionStream(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("attr_replay")
+      .outputMode(OutputMode.Append()).start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    // push both watermarks far past the horizon so all joined rows emit
+    val sentinel = new Timestamp(all.last.ts.getTime + 24L * 3600 * 1000)
+    in.addData(KeyedEvent(-1L, Long.MaxValue, "click", sentinel),
+      KeyedEvent(-2L, Long.MaxValue, "purchase", sentinel))
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("lag_s"))
+    // the sentinels use distinct fake users so they can't join each
+    // other; filter defensively anyway, then match the batch join
+    val streamed = spark.table("attr_replay").collect().map(key)
+      .filterNot(k => k._1 == Long.MaxValue || k._2 == Long.MaxValue).toSet
+    val batch = graft.operators.Events.e12Attribution(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"missing=${(batch diff streamed).take(3)} extra=${(streamed diff batch).take(3)}")
+  }
+
   test("batch-stream equivalence: latestState replayed over sf0.001 events equals e5") {
     implicit val sq = spark.sqlContext
     val all = graft.Tables.events(spark, sf)
