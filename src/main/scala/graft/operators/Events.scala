@@ -437,6 +437,34 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** e13: HEAVY HITTERS per window — the top-3 most active users each
+    * hour. Two-stage by design: a (hour, user) pre-aggregation (partial
+    * map-side combine takes the raw corpus down to bucket×key
+    * cardinality) and THEN the rank window, partitioned by hour, over
+    * the aggregated frame only. The ordering adds user_id as a
+    * deterministic tie-break so row_number is engine-portable.
+    *
+    * Scale notes (100 TB): the window never sees raw events — it runs
+    * over |hours|×|active users| pre-aggregated rows, partitioned by
+    * hour (thousands of independent partitions, no single-partition
+    * stage). This exact form is the right answer while bucket×key
+    * fits; when keys-per-bucket explodes past memory, the q22-style
+    * sketch tier (count-min / space-saving) is the documented
+    * fallback, trading exactness under the same two-stage shape. */
+  def e13HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("hour_s"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("hour_s"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -450,9 +478,19 @@ object Events {
     "e10_gap_fill"      -> e10GapFill _,
     "e11_scd2"          -> e11Scd2 _,
     "e12_attribution"   -> e12Attribution _,
+    "e13_heavy_hitters" -> e13HeavyHitters _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "e13_heavy_hitters" ->
+      """WITH hc AS (SELECT
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |    user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_s, user_id, n_events,
+        |  CAST(row_number() OVER (PARTITION BY hour_s
+        |    ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+        |FROM hc QUALIFY rnk <= 3 ORDER BY hour_s, rnk""".stripMargin,
     "e12_attribution" ->
       """SELECT c.click_id, c.user_id, p.purchase_id,
         |  c.click_s, p.purchase_s, p.purchase_s - c.click_s AS lag_s

@@ -472,6 +472,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(sorts == 1, s"expected 1 shared window sort, got $sorts:\n$plan")
   }
 
+  test("e13 heavy hitters: top-3 per hour, window runs over the aggregate") {
+    val rows = Events.e13HeavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("hour_s")).values.foreach { g =>
+      val byR = g.sortBy(_.getAs[Long]("rnk"))
+      assert(byR.map(_.getAs[Long]("rnk")).toSeq == (1L to byR.length.toLong))
+      assert(byR.length <= 3)
+      // counts non-increasing down the ranks
+      byR.sliding(2).foreach {
+        case Array(a, b) => assert(
+          a.getAs[Long]("n_events") >= b.getAs[Long]("n_events"))
+        case _ => ()
+      }
+    }
+    // the rank window consumes the (hour, user) aggregate, not raw
+    // events: the hash aggregate must sit BELOW the window in the plan
+    val plan = Events.e13HeavyHitters(spark, sf).queryExecution.executedPlan.toString
+    val winAt = plan.indexOf("Window")
+    val aggAt = plan.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"expected HashAggregate below Window (two-stage heavy hitters):\n$plan")
+  }
+
   test("e4 asof: every matched purchase precedes (or ties) its click") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), unix_timestamp(col("ts")).as("s")).collect()
