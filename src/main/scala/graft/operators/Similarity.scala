@@ -997,6 +997,38 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** s10 radius: keep neighbors with cosine ≥ 0.25 (fixed-point 1e6). */
+  val RadiusE6 = 250000L
+
+  /** s10: RADIUS (range) SEARCH — every corpus vector within a fixed
+    * cosine radius of each query, the "all sufficiently similar"
+    * complement of top-k (s1): result cardinality tracks true
+    * neighborhood density, including ZERO rows for isolated queries,
+    * which no top-k variant can express.
+    *
+    * Scale notes (100 TB): radius search is the SHUFFLE-FREE dense
+    * query — broadcast queries, score, filter; no rank window at all,
+    * so the corpus-side stage is embarrassingly parallel and pipelines
+    * entirely inside whole-stage codegen (the [[dotFp9]] kernel). The
+    * only exchange in the plan is the presentation orderBy. The
+    * IVF/LSH pruned variants compose the same way they do for top-k
+    * (probe-select, then the identical score+filter tail). */
+  def s10RadiusSearch(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      col("norm_fp").as("q_norm"))
+      .filter(col("qid") < NQueries.toLong)
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos_e6",
+        round(cosine(dotFp9(col("q_emb"), col("n_emb")),
+          col("q_norm"), col("n_norm")) * 1e6).cast("long"))
+      .filter(col("cos_e6") >= RadiusE6)
+      .select(col("qid"), col("nid"), col("cos_e6"))
+      .orderBy(col("qid"), col("cos_e6").desc, col("nid"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute"    -> s1KnnBrute _,
     "s2_knn_ivf"      -> s2KnnIvf _,
@@ -1007,6 +1039,7 @@ object Similarity {
     "s7_knn_classify" -> s7KnnClassify _,
     "s8_knn_ivfpq"    -> s8KnnIvfPq _,
     "s9_knn_mips"     -> s9KnnMips _,
+    "s10_radius"      -> s10RadiusSearch _,
     "d7_embed_clusters" -> d7EmbedClusters _,
   )
 
@@ -1051,6 +1084,15 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    "s10_radius" ->
+      (NormCte +
+        s"""
+           |, scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    CAST(round(${oCos(oDot("q.embedding", "c.embedding"),
+                  "q.norm_fp", "c.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+           |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+           |SELECT qid, nid, cos_e6 FROM scored WHERE cos_e6 >= $RadiusE6
+           |ORDER BY qid, cos_e6 DESC, nid""".stripMargin),
     "s9_knn_mips" ->
       (NormCte +
         s"""

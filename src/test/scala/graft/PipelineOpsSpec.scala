@@ -401,6 +401,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"quantization recall implausibly low: $recall")
   }
 
+  test("s10 radius: shuffle-free score+filter; results agree with s1 overlap") {
+    val df = Similarity.s10RadiusSearch(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastExchange"), s"query side not broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 0,
+      s"radius search must not hash-shuffle (no window, no agg):\n$plan")
+    val radius = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Long]("cos_e6")).toMap
+    // consistency vs s1: every top-k neighbor at/above the radius is in
+    // the radius result with the same score; below-radius ones are not
+    Similarity.s1KnnBrute(spark, sf).collect().foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      val cos = r.getAs[Long]("cos_e6")
+      if (cos >= Similarity.RadiusE6)
+        assert(radius.get(k).contains(cos), s"missing/mismatched $k")
+      else assert(!radius.contains(k), s"below-radius pair present $k")
+    }
+  }
+
   test("s1 broadcasts the query side (no shuffle of the corpus)") {
     val plan = planOf(Similarity.s1KnnBrute(spark, sf))
     assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
