@@ -384,6 +384,54 @@ object Dedup {
       .filter(col("containment_e6") >= MinContainE6)
   }
 
+  /** d10: MULTI-STRATEGY BLOCKING UNION — the record-linkage pattern
+    * where several cheap, differently-blind blockers each propose
+    * candidate pairs and the union (with provenance) feeds one
+    * verification pass. Three blockers here, reusing the library
+    * pipelines verbatim: exact content hash (d1's normalized md5 —
+    * catches identical text LSH might tie-break away), MinHash LSH
+    * bands (d3 — word-shingle overlap), and the SimHash hamming ball
+    * (d5 — bit-level near-duplication). Each pair carries `via_*`
+    * provenance booleans and `n_blockers`; the verification/rerank
+    * consumer prioritizes by agreement count.
+    *
+    * Scale notes (100 TB): the union costs exactly the sum of its
+    * already-bucketed blockers (each linear/Σ|bucket|², none all-pairs)
+    * plus ONE groupBy over candidate pairs — pair-space sized, ≪
+    * corpus. Blockers stay independently cappable (maxBucket/maxDf);
+    * adding a fourth blocker is a unionByName branch, not a rewrite. */
+  def d10Blocking(s: SparkSession, d: String): DataFrame =
+    blockingUnion(documents(s, d)).orderBy(col("a"), col("b"))
+
+  /** Library form of [[d10Blocking]] over any (doc_id, text) frame. */
+  def blockingUnion(docs: DataFrame): DataFrame = {
+    val exact = {
+      val h = docs.select(col("doc_id"), md5(normText(col("text"))).as("h"))
+      h.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("a"), col("ids"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+    }
+    val lsh = lshCandidatesRaw(lshIndex(docs.repartition(col("doc_id"))), None)
+      .select(col("a"), col("b"))
+    val sim = simhashPairs(docs).select(col("a"), col("b"))
+    exact.withColumn("src", lit("exact"))
+      .unionByName(lsh.withColumn("src", lit("lsh")))
+      .unionByName(sim.withColumn("src", lit("simhash")))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        max(when(col("src") === "exact", 1).otherwise(0)).as("ef"),
+        max(when(col("src") === "lsh", 1).otherwise(0)).as("lf"),
+        max(when(col("src") === "simhash", 1).otherwise(0)).as("sf"))
+      .select(col("a"), col("b"),
+        (col("ef") === 1).as("via_exact"),
+        (col("lf") === 1).as("via_lsh"),
+        (col("sf") === 1).as("via_simhash"),
+        (col("ef") + col("lf") + col("sf")).cast("long").as("n_blockers"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"    -> d1ExactDedup _,
     "d2_minhash_sig"    -> d2MinhashSig _,
@@ -393,6 +441,7 @@ object Dedup {
     "d6_dup_clusters"   -> d6DupClusters _,
     "d8_incremental_lsh" -> d8IncrementalLsh _,
     "d9_containment"    -> d9Containment _,
+    "d10_blocking"      -> d10Blocking _,
   )
 
   /** Shared oracle CTE: words + distinct-less shingles per doc. */
@@ -467,6 +516,37 @@ object Dedup {
            |  sig[$MinhashK] AS mh_${MinhashK - 1},
            |  bands[1] AS band_0, bands[$LshBandsN] AS band_${LshBandsN - 1}
            |FROM bn ORDER BY doc_id""".stripMargin),
+    // union of the d1/d3/d5 oracle pair sets with provenance flags
+    "d10_blocking" ->
+      (SigCte +
+        s"""
+           |, e AS (SELECT doc_id, sig, band_idx, bands[band_idx] AS band_key
+           |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
+           |lshp AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM e a JOIN e b ON a.band_idx = b.band_idx
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |hx AS (SELECT doc_id,
+           |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h FROM t),
+           |exp_ AS (SELECT x.doc_id AS a, y.doc_id AS b FROM hx x
+           |  JOIN hx y ON x.h = y.h AND x.doc_id < y.doc_id),
+           |ss AS (SELECT doc_id,
+           |    list_aggregate(list_transform(range(1, 33), j ->
+           |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+           |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+           |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+           |  FROM t),
+           |shp AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+           |  WHERE CAST(coalesce(list_sum(list_transform(range(1, 33), j ->
+           |      CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1)
+           |        THEN 1 ELSE 0 END)), 0) AS BIGINT) <= 1),
+           |u AS (SELECT a, b, 1 AS ef, 0 AS lf, 0 AS sf FROM exp_
+           |  UNION ALL SELECT a, b, 0, 1, 0 FROM lshp
+           |  UNION ALL SELECT a, b, 0, 0, 1 FROM shp)
+           |SELECT a, b, max(ef) = 1 AS via_exact, max(lf) = 1 AS via_lsh,
+           |  max(sf) = 1 AS via_simhash,
+           |  CAST(max(ef) + max(lf) + max(sf) AS BIGINT) AS n_blockers
+           |FROM u GROUP BY a, b ORDER BY a, b""".stripMargin),
     "d3_lsh_candidates" ->
       (SigCte +
         s"""

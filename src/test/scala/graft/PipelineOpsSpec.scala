@@ -668,6 +668,32 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"d5 regressed to a quadratic pair scan:\n$plan")
   }
 
+  test("d10 blocking union ≡ union of its three blockers with exact provenance") {
+    val got = Dedup.d10Blocking(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Boolean]("via_exact"), r.getAs[Boolean]("via_lsh"),
+          r.getAs[Boolean]("via_simhash"), r.getAs[Long]("n_blockers"))).toMap
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val lsh = pairs(Dedup.d3LshCandidates(spark, sf))
+    val sim = pairs(Dedup.d5SimhashPairs(spark, sf))
+    val exact = Dedup.d1ExactDedup(spark, sf).collect()
+      .groupBy(_.getAs[String]("content_md5")).values
+      .flatMap { g =>
+        val ids = g.map(_.getAs[Long]("doc_id")).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    assert(got.keySet == (exact ++ lsh ++ sim), "pair sets diverge")
+    got.foreach { case (p, (ve, vl, vs, n)) =>
+      assert(ve == exact(p) && vl == lsh(p) && vs == sim(p),
+        s"provenance wrong for $p")
+      assert(n == Seq(ve, vl, vs).count(identity).toLong)
+    }
+    // the union is non-trivial: some pair is found by >1 blocker and
+    // some by exactly one (else the blockers are redundant here)
+    assert(got.values.exists(_._4 >= 2L) && got.values.exists(_._4 == 1L))
+  }
+
   test("d8 incremental candidates ≡ d3's pair set restricted to the new batch") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("n_sig_match"))
