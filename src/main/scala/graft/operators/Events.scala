@@ -465,6 +465,30 @@ object Events {
       .orderBy(col("hour_s"), col("rnk"))
   }
 
+  /** e14: SLIDING-WINDOW aggregation — 6-hour windows advancing every
+    * hour (e1 is the tumbling special case slide = width). Spark's
+    * `window()` assigns each event to its width/slide = 6 covering
+    * windows via a narrow generate — no self-join against a window
+    * spine — then aggregates on (window, type) with map-side partial
+    * combine on the amplified-but-narrow rows.
+    *
+    * Scale notes (100 TB): the honest cost model is the ×(width/slide)
+    * row amplification BEFORE the partial aggregate. At 6× that is the
+    * right plan; for wide-over-fine windows (24h sliding 1min = 1440×)
+    * compose per-slide tumbling partials (e1) with a frame window over
+    * the bucket series (e9/e15's shape) instead — amplification then
+    * tracks the bucket series, not the corpus. */
+  def e14SlidingAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start_s"),
+        unix_timestamp(col("window.end")).as("win_end_s"),
+        col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("win_start_s"), col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -479,9 +503,22 @@ object Events {
     "e11_scd2"          -> e11Scd2 _,
     "e12_attribution"   -> e12Attribution _,
     "e13_heavy_hitters" -> e13HeavyHitters _,
+    "e14_sliding_agg"   -> e14SlidingAgg _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // each event expands to its 6 covering hour-aligned window starts
+    // (start ≤ ts < start + 6h), mirroring Spark's window() assignment
+    "e14_sliding_agg" ->
+      """WITH x AS (SELECT event_type, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |w AS (SELECT event_type, user_id,
+        |    unnest(range(ts_s // 3600 - 5, ts_s // 3600 + 1)) * 3600
+        |      AS win_start_s
+        |  FROM x)
+        |SELECT win_start_s, win_start_s + 21600 AS win_end_s, event_type,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1, 2, 3 ORDER BY win_start_s, event_type""".stripMargin,
     "e13_heavy_hitters" ->
       """WITH hc AS (SELECT
         |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,

@@ -516,6 +516,33 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"expected HashAggregate below Window (two-stage heavy hitters):\n$plan")
   }
 
+  test("e14 sliding windows: 6 covers per event, tumbling consistency, no spine join") {
+    val rows = Events.e14SlidingAgg(spark, sf).collect()
+    // total mass = 6 × corpus (each event counted in width/slide windows)
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 6 * n)
+    // every window is hour-aligned and 6h wide
+    rows.foreach { r =>
+      assert(r.getAs[Long]("win_start_s") % 3600 == 0)
+      assert(r.getAs[Long]("win_end_s") - r.getAs[Long]("win_start_s") == 21600L)
+    }
+    // the hour-aligned slice of a sliding window equals the sum of its
+    // 6 tumbling buckets (e1), checked on a sample of windows
+    val tumbling = Events.e1HourlyAgg(spark, sf).collect()
+      .map(r => (r.getAs[Long]("hour_s"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n_events")).toMap
+    rows.take(200).foreach { r =>
+      val want = (0 until 6).map(i => tumbling.getOrElse(
+        (r.getAs[Long]("win_start_s") + i * 3600L,
+          r.getAs[String]("event_type")), 0L)).sum
+      assert(r.getAs[Long]("n_events") == want,
+        s"window ${r.getAs[Long]("win_start_s")} diverges from tumbling sum")
+    }
+    // plan: window assignment is a narrow Expand/Generate, not a join
+    val plan = planOf(Events.e14SlidingAgg(spark, sf))
+    assert(!plan.contains("Join"), s"sliding windows must not join a spine:\n$plan")
+  }
+
   test("e4 asof: every matched purchase precedes (or ties) its click") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), unix_timestamp(col("ts")).as("s")).collect()
