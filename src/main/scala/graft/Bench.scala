@@ -19,6 +19,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -96,7 +97,11 @@ object Bench {
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[bench] $name FAILED: $msg")
-        errors ::= name -> msg
+        // keep only the first line, capped: full Spark messages embed
+        // multi-KB plan dumps, and r7 proved a bloated JSON line can
+        // overflow the driver's log-tail window and kill the parse of
+        // the WHOLE bench result. stderr above retains the full text.
+        errors ::= name -> msg.linesIterator.next().take(200)
       }
       val t = (System.nanoTime() - t0) / 1e9
       if ((i + 1) % CalibrateEvery == 0 && i + 1 < selected.size)

@@ -22,14 +22,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark rejects by
-    * default; read it as raw nanos (legacy conf) and truncate to a
-    * microsecond TimestampType — the same truncation every ns-unaware
-    * consumer applies, and what the oracles mirror with
-    * `date_trunc('microseconds', ts)`. */
+  /** `events.ts` has shipped in three physical encodings across driver
+    * corpus versions: TIMESTAMP(NANOS) (read as raw int64 nanos via the
+    * legacy conf), TIMESTAMP_NTZ micros, and TZ-adjusted TIMESTAMP
+    * micros. Normalize all three to a session-TZ TimestampType whose
+    * epoch equals the file's wall-clock read as UTC — every downstream
+    * `unix_timestamp(ts)` is then TZ-free and matches DuckDB's
+    * `epoch(ts)` on the same file. Callers must run with
+    * `spark.sql.session.timeZone=UTC` (Verify/Bench/specs all do). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
