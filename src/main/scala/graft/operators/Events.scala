@@ -489,6 +489,63 @@ object Events {
         col("event_type"), col("n_events"), col("n_users"))
       .orderBy(col("win_start_s"), col("event_type"))
 
+  /** Offset mapping the event stream's user keyspace (0..149) onto the
+    * TAIL of the customer keyspace, so the merge exercises every
+    * action: keys 1450..1499 hit existing base rows (update/delete)
+    * and 1500..1599 miss (insert), while untouched base rows keep. */
+  val CdcKeyOffset = 1450L
+
+  /** e15: CDC batch apply (MERGE) — the reference engine's day-2
+    * semantics as one oracle-gated relational op: a change feed is
+    * collapsed to its LAST change per key and merged into a base
+    * table with upsert + delete semantics (SCD type 1 — e11 is the
+    * type-2 twin that keeps history instead). The feed derives
+    * deterministically from `events` (signup→INSERT, purchase→UPDATE,
+    * error→DELETE, ordered by (ts, event_id)); the base is `customer`.
+    * Output is the materialized post-merge state with its merge action
+    * per key: kept base rows, updated/inserted rows carrying the last
+    * change's value, deleted keys with a NULL balance.
+    *
+    * Shape: the collapse is ONE partial-combined aggregate on the key
+    * (max_by pulls the latest (op, value) without a window pass — no
+    * sort, combiner-friendly), then ONE full-outer equi-join with the
+    * base. At 100 TB the base is bucketed by key, so the merge costs
+    * exactly the change feed's shuffle — the textbook distributed
+    * CDC-apply plan (the reference applies row-at-a-time over a JDBC
+    * loop; see /root/reference/handlers/ for its sink contract). */
+  def e15CdcApply(s: SparkSession, d: String): DataFrame = {
+    val ch = events(s, d)
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(
+        (col("user_id") + CdcKeyOffset).as("key"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "purchase", "U")
+          .otherwise("D").as("op"),
+        cents(col("value")).as("val_c"),
+        col("ts"), col("event_id"))
+      .groupBy(col("key"))
+      .agg(
+        max_by(struct(col("op"), col("val_c")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("key"), col("last.op").as("last_op"),
+        col("last.val_c").as("last_val_c"), col("n_changes"))
+    val base = customer(s, d)
+      .select(col("c_custkey").as("key"), cents(col("c_acctbal")).as("bal_c"))
+    base.join(ch, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        when(col("last_op") === "D", "delete")
+          .when(col("last_op").isNull, "keep")
+          .when(col("bal_c").isNull, "insert")
+          .otherwise("update").as("action"),
+        when(col("last_op") === "D", lit(null).cast("double"))
+          .when(col("last_op").isNull, dollars(col("bal_c")))
+          .otherwise(dollars(col("last_val_c"))).as("final_bal"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+      .orderBy(col("key"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -504,9 +561,36 @@ object Events {
     "e12_attribution"   -> e12Attribution _,
     "e13_heavy_hitters" -> e13HeavyHitters _,
     "e14_sliding_agg"   -> e14SlidingAgg _,
+    "e15_cdc_apply"     -> e15CdcApply _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    "e15_cdc_apply" ->
+      s"""WITH ch AS (SELECT user_id + $CdcKeyOffset AS key,
+         |    CASE event_type WHEN 'signup' THEN 'I'
+         |      WHEN 'purchase' THEN 'U' ELSE 'D' END AS op,
+         |    CAST(round(value * 100) AS BIGINT) AS val_c, ts, event_id
+         |  FROM events
+         |  WHERE event_type IN ('signup', 'purchase', 'error')),
+         |last AS (SELECT key, op AS last_op, val_c AS last_val_c, n_changes
+         |  FROM (SELECT key, op, val_c,
+         |      row_number() OVER (PARTITION BY key
+         |        ORDER BY ts DESC, event_id DESC) AS rn,
+         |      count(*) OVER (PARTITION BY key) AS n_changes
+         |    FROM ch) WHERE rn = 1),
+         |base AS (SELECT c_custkey AS key,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer)
+         |SELECT coalesce(base.key, last.key) AS key,
+         |  CASE WHEN last.last_op = 'D' THEN 'delete'
+         |       WHEN last.key IS NULL THEN 'keep'
+         |       WHEN base.key IS NULL THEN 'insert'
+         |       ELSE 'update' END AS action,
+         |  CASE WHEN last.last_op = 'D' THEN NULL
+         |       WHEN last.key IS NULL THEN base.bal_c / 100.0
+         |       ELSE last.last_val_c / 100.0 END AS final_bal,
+         |  coalesce(last.n_changes, 0) AS n_changes
+         |FROM base FULL OUTER JOIN last ON base.key = last.key
+         |ORDER BY key""".stripMargin,
     // each event expands to its 6 covering hour-aligned window starts
     // (start ≤ ts < start + 6h), mirroring Spark's window() assignment
     "e14_sliding_agg" ->

@@ -604,6 +604,85 @@ object TextAnalysis {
         col("mean_lp_e4"))
   }
 
+  /** BM25 rank cut (x17): matches reported per test doc. */
+  val Bm25TopK = 3
+
+  /** x17: BM25 decontamination retrieval — every test-split document
+    * retrieves its [[Bm25TopK]] highest-scoring train-split documents
+    * under Okapi BM25 (k1 = 1.2, b = 0.75), the ranked complement of
+    * x11's set-overlap contamination check (x11 answers "which train
+    * docs share n-grams"; x17 answers "which train docs would a
+    * retrieval system surface for this test doc" — the standard
+    * benchmark-leakage audit pair).
+    *
+    * Numeric policy (x13's, carried further): BM25's term weight is an
+    * exact RATIONAL once k1 = 6/5 and b = 3/4 are cleared of
+    * denominators —
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *     = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)   with avgdl = T/N —
+    * so the ONLY transcendental is one ln per TERM (the Robertson idf
+    * ln((N − df + ½)/(df + ½)), an exact small-integer ratio),
+    * e4-quantized immediately; each (term, doc) contribution is then
+    * integer floor division and the pair score an exact integer sum.
+    *
+    * Scale notes (100 TB): model stats (df/idf — vocabulary-sized) are
+    * an aggregate broadcast back, exactly x5's df posture; the
+    * retrieval is the x11/d4 inverted-index join — (query-term ×
+    * posting) candidate rows only, shuffled once on the term, with
+    * `maxDf` as the skew/selectivity knob at production (ultra-common
+    * terms carry near-zero idf AND dominate the join — dropping them
+    * bounds Σdf² like d9; uncapped here for oracle parity). */
+  def x17Bm25(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
+      .withColumn("split",
+        when(col("bucket") < 80L, "train")
+          .when(col("bucket") < 90L, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), explode(words(col("text"))).as("w"))
+    val trainTok = tok.filter(col("split") === "train")
+    val tf = trainTok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = trainTok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // global stats as one tiny broadcast row: N train docs, T tokens
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+    val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_e4",
+        round(log((lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L)
+          .cast("double") /
+          (lit(2L) * col("df") + 1L).cast("double")) * 1e4).cast("long"))
+      .select(col("w"), col("idf_e4"))
+    // contributions can be NEGATIVE (Robertson idf of ultra-common
+    // terms), where idiv's floor and DuckDB's toward-zero `//`
+    // disagree by one — divide exactly by clearing the remainder
+    // first (b | a−a%b, and Spark's % truncates like `//`), keeping
+    // the toward-zero semantics in pure integer arithmetic
+    def tdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - a % b) / b).cast("long")
+    val postings = tf
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(idf), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("w"), col("doc_id").as("train_doc"),
+        tdiv(col("idf_e4") * 22L * col("tf") * col("t_tok"),
+          lit(10L) * col("tf") * col("t_tok") + lit(3L) * col("t_tok") +
+            lit(9L) * col("dl") * col("n_docs")).as("contrib_e4"))
+    // BM25 counts each distinct query term once
+    val qTerms = tok.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("w")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_doc"))
+      .orderBy(col("score_e4").desc, col("train_doc"))
+    qTerms.join(postings, Seq("w"))
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("contrib_e4")).as("score_e4"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("test_doc"), col("rank").cast("long").as("rank"),
+        col("train_doc"), col("n_shared"), col("score_e4"))
+      .orderBy(col("test_doc"), col("rank"))
+  }
+
   /** x14: deterministic source-mixture resampling — the data-mixing
     * step that turns a source-skewed crawl into a corpus with CHOSEN
     * per-source proportions. Each source gets an integer weight (here
@@ -811,6 +890,7 @@ object TextAnalysis {
     "x14_source_mix" -> x14SourceMix _,
     "x15_span_dedup" -> x15SpanDedup _,
     "x16_bigram_lm"  -> x16BigramScore _,
+    "x17_bm25"       -> x17Bm25 _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -825,6 +905,47 @@ object TextAnalysis {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors x17's exact-rational BM25: idf e4-quantized per term,
+    // per-(term, doc) contribution by integer floor division
+    "x17_bm25" ->
+      s"""WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws
+         |  FROM documents),
+         |sp AS (SELECT doc_id, ws,
+         |    CASE WHEN ${oBucket4("h")} < 80 THEN 'train'
+         |         WHEN ${oBucket4("h")} < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM t),
+         |tok AS (SELECT doc_id, split, unnest(ws) AS w FROM sp),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE split = 'train' GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |  FROM tok WHERE split = 'train' GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS t_tok FROM dl),
+         |idf AS (SELECT w,
+         |    CAST(round(ln((2 * s.n_docs - 2 * count(*) + 1)::DOUBLE /
+         |      (2 * count(*) + 1)::DOUBLE) * 1e4) AS BIGINT) AS idf_e4
+         |  FROM tf CROSS JOIN stats s GROUP BY w, s.n_docs),
+         |post AS (SELECT tf.w, tf.doc_id AS train_doc,
+         |    (idf.idf_e4 * 22 * tf.tf * s.t_tok) //
+         |      (10 * tf.tf * s.t_tok + 3 * s.t_tok + 9 * dl.dl * s.n_docs)
+         |      AS contrib_e4
+         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN idf ON tf.w = idf.w CROSS JOIN stats s),
+         |q AS (SELECT DISTINCT doc_id AS test_doc, w FROM tok
+         |  WHERE split = 'test'),
+         |pair AS (SELECT q.test_doc, post.train_doc,
+         |    CAST(count(*) AS BIGINT) AS n_shared,
+         |    CAST(sum(contrib_e4) AS BIGINT) AS score_e4
+         |  FROM q JOIN post ON q.w = post.w
+         |  GROUP BY q.test_doc, post.train_doc),
+         |r AS (SELECT test_doc, train_doc, n_shared, score_e4,
+         |    row_number() OVER (PARTITION BY test_doc
+         |      ORDER BY score_e4 DESC, train_doc) AS rank
+         |  FROM pair)
+         |SELECT test_doc, CAST(rank AS BIGINT) AS rank, train_doc,
+         |  n_shared, score_e4
+         |FROM r WHERE rank <= $Bm25TopK ORDER BY test_doc, rank""".stripMargin,
     "x1_token_count" ->
       s"""WITH t AS (SELECT doc_id, text,
          |  list_filter(string_split(text, ' '), w -> w != '') ws FROM documents)
