@@ -125,6 +125,88 @@ object Multimodal {
     }.toDF()
   }
 
+  /** One image's perceptual hash row — the 64-bit aHash split into two
+    * 32-bit halves (bit 63 would overflow a signed BIGINT in either
+    * engine), plus the decoded dims and popcount. */
+  case class ImgHash(
+      doc_id: Long, width: Long, height: Long,
+      ahash_hi: Long, ahash_lo: Long, bits_set: Long)
+
+  /** m6: perceptual image hash (average hash) over the REAL decoded
+    * raster — the multimodal twin of d5's text SimHash: the standard
+    * near-duplicate image fingerprint (aHash: partition into an 8×8
+    * block grid, bit = block mean above global mean). Runs the same
+    * genuine PNG encode→decode loop as m2, then derives every bit with
+    * EXACT integer arithmetic (cross-multiplied block/global sums — no
+    * float means), so the oracle can restate all 64 bits from the
+    * closed-form pixel spec and any decode or blocking fault flips the
+    * hash gate. Bit index by·8+bx, hi = bits 32–63, lo = bits 0–31.
+    *
+    * Scale notes: same contract as m2 — stateless per-partition map,
+    * payloads never shuffle, 3 longs leave the stage per image; the
+    * downstream near-dup join on the hash is d5's hamming-ball
+    * bucketing, unchanged (the hash IS a 64-bit simhash key). */
+  def m6ImgHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imgHash(documents(s, d).select(col("doc_id")).as[Long])
+      .transform(Output.ordered(_, col("doc_id")))
+  }
+
+  /** Library form of [[m6ImgHash]] over any doc-id Dataset, unordered
+    * (streaming-valid, like [[decodeFeatures]]). */
+  def imgHash(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = imgWidth(id); val h = imgHeight(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, imgPixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        require(back != null, s"PNG decode failed for doc $id")
+        val br = back.getRaster
+        val bw = back.getWidth; val bh = back.getHeight
+        val blockSum = new Array[Long](64)
+        val blockN = new Array[Long](64)
+        var totalSum = 0L
+        var yy = 0
+        while (yy < bh) {
+          val by = yy * 8 / bh
+          var xx = 0
+          while (xx < bw) {
+            val v = br.getSample(xx, yy, 0).toLong
+            val idx = by * 8 + (xx * 8 / bw)
+            blockSum(idx) += v; blockN(idx) += 1; totalSum += v
+            xx += 1
+          }
+          yy += 1
+        }
+        val nPx = bw.toLong * bh
+        var hi = 0L; var lo = 0L; var bits = 0L
+        var i = 0
+        while (i < 64) {
+          // block mean > global mean, exact: cross-multiplied sums
+          if (blockSum(i) * nPx > totalSum * blockN(i)) {
+            bits += 1
+            if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+          }
+          i += 1
+        }
+        ImgHash(id, bw.toLong, bh.toLong, hi, lo, bits)
+      }
+    }.toDF()
+  }
+
   /** One decoded audio clip's features — all engine-portable exact
     * integers: decoded frame count, the PCM sample-sum and extrema,
     * plus the container magic of the actual encoded payload. */
@@ -274,9 +356,39 @@ object Multimodal {
     "m3_resize"          -> m3Resize _,
     "m4_frame_sample"    -> m4FrameSample _,
     "m5_audio_features"  -> m5AudioFeatures _,
+    "m6_imghash"         -> m6ImgHash _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // restates all 64 aHash bits from the closed-form pixel spec with
+    // the same exact cross-multiplied integer comparison; the Spark
+    // side must recover them from decoding the real PNG
+    "m6_imghash" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    16 + (doc_id // 16) % 16 AS h FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h,
+        |    (x.x*7 + y.y*13 + d.doc_id) % 256 AS v,
+        |    ((y.y * 8) // d.h) * 8 + (x.x * 8) // d.w AS idx
+        |  FROM d, range(0, 32) x(x), range(0, 32) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |tot AS (SELECT doc_id, sum(v) AS tot_sum, count(*) AS n_px
+        |  FROM px GROUP BY doc_id),
+        |blk AS (SELECT doc_id, idx, sum(v) AS b_sum, count(*) AS b_n
+        |  FROM px GROUP BY doc_id, idx),
+        |bits AS (SELECT blk.doc_id, blk.idx,
+        |    CASE WHEN blk.b_sum * tot.n_px > tot.tot_sum * blk.b_n
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM blk JOIN tot USING (doc_id)),
+        |h AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx < 32
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |    CAST(sum(bit) AS BIGINT) AS bits_set
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        |  CAST(d.h AS BIGINT) AS height, h.ahash_hi, h.ahash_lo, h.bits_set
+        |FROM d JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // restates the audioSample closed form over an unnested sample
     // index; the Spark side must recover the identical values from
     // decoding the real WAV container for the hash to match

@@ -684,9 +684,10 @@ object Similarity {
   }
 
   /** The s8 pipeline over explicit IVF + PQ codebooks (no-residual
-    * form) — the trained path and the recall probe plug in here. */
+    * form) — the trained path, the recall probe, and s11's candidate
+    * stage (wider `topk` cut) plug in here. */
   private[graft] def knnIvfPqWith(e: DataFrame, cents: Seq[Centroid],
-      cb: Map[Int, Seq[SubCent]]): DataFrame = {
+      cb: Map[Int, Seq[SubCent]], topk: Int = TopK): DataFrame = {
     val codeCols = (0 until PqSubs).map(i => pqCodeCol(cb(i), i))
     val coded = assignClusters(e, cents)
       .select((Seq(col("vec_id").as("nid"), col("cluster")) ++ codeCols): _*)
@@ -699,6 +700,48 @@ object Similarity {
     coded.join(broadcast(q), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(pqAdcDot, col("q_norm"), col("recon_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** s11 candidate width: ADC matches re-scored exactly per query. */
+  val RerankK = 20
+
+  /** s11: IVF+PQ with EXACT RERANK — the production two-stage ANN
+    * shape (FAISS `IndexRefine`, every vector-DB's default): the
+    * compressed index (s8's IVF prune + PQ ADC scan) nominates
+    * [[RerankK]] candidates per query, then the TRUE embeddings of
+    * just those candidates are fetched and re-scored with the exact
+    * fixed-point cosine, and the final [[TopK]] is ranked on exact
+    * scores. Buys back ADC's quantization error (rank swaps near the
+    * cut) for the price of RerankK exact dots per query — the recall
+    * ladder records the lift over raw s8 at identical index cost.
+    *
+    * Shape: stage 1 is s8's one-shuffle plan with a wider rank cut;
+    * stage 2 is a BROADCAST of the tiny candidate list (queries ×
+    * RerankK rows) back into the corpus scan — the exact-fetch is a
+    * narrow probe of the stored vectors, no second shuffle of the
+    * corpus. At 100 TB the fetch side is a point-lookup-friendly
+    * bucketed table and the rerank cost stays queries × RerankK
+    * regardless of corpus size. */
+  def s11IvfRerank(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val cand = knnIvfPqWith(e, collectCodebook(e), collectPqCodebook(e),
+      topk = RerankK).select(col("qid"), col("nid"))
+    val q = e.filter(col("vec_id") < NQueries.toLong)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm_fp").as("q_norm"))
+    val candq = cand.join(q, Seq("qid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"))
+      .join(broadcast(candq), Seq("nid"))
+      .withColumn("cos",
+        cosine(dotFp9(col("q_emb"), col("n_emb")), col("q_norm"), col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
@@ -1038,6 +1081,7 @@ object Similarity {
     "s6_knn_pq"       -> s6KnnPq _,
     "s7_knn_classify" -> s7KnnClassify _,
     "s8_knn_ivfpq"    -> s8KnnIvfPq _,
+    "s11_ivf_rerank"  -> s11IvfRerank _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
     "d7_embed_clusters" -> d7EmbedClusters _,
@@ -1070,6 +1114,55 @@ object Similarity {
     (0 until NPlanes).map { h =>
       s"(CASE WHEN ${oDot(emb, oPlane(h))} >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  /** Shared s8/s11 candidate pipeline: IVF probe + PQ ADC scoring,
+    * as the WITH-prefix through `scored(qid, nid, cos)` — s8 ranks it
+    * directly; s11 widens the cut and reranks exactly. */
+  private def oIvfPqScored: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${oDot("embedding", "embedding")} AS norm_fp
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+         |  FROM e WHERE vec_id < $NCentroids),
+         |assigned AS (SELECT vec_id, cluster FROM (
+         |  SELECT e.vec_id, cent.cid AS cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+         |      cent.cid) AS arank
+         |  FROM e CROSS JOIN cent) WHERE arank = 1),
+         |probes AS (SELECT qid, q_emb, q_norm, cluster FROM (
+         |  SELECT q.vec_id AS qid, q.embedding AS q_emb, q.norm_fp AS q_norm,
+         |    cent.cid AS cluster,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${oCos(oDot("q.embedding", "cent.c_emb"), "q.norm_fp", "cent.c_norm")} DESC,
+         |      cent.cid) AS prank
+         |  FROM e q CROSS JOIN cent WHERE q.vec_id < $NQueries) WHERE prank <= $NProbe),
+         |sub AS (SELECT unnest(range(0, $PqSubs)) AS s),
+         |pcent AS (SELECT c.vec_id AS k, sub.s,
+         |    c.embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS cemb
+         |  FROM e c CROSS JOIN sub WHERE c.vec_id < $PqK),
+         |pcentn AS (SELECT k, s, cemb, ${oDot("cemb", "cemb")} AS cnorm FROM pcent),
+         |xs AS (SELECT vec_id, sub.s,
+         |    embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS xemb
+         |  FROM e CROSS JOIN sub),
+         |codes AS (SELECT vec_id, s, k AS code, cnorm FROM (
+         |    SELECT xs.vec_id, xs.s, pcentn.k, pcentn.cnorm,
+         |      row_number() OVER (PARTITION BY xs.vec_id, xs.s ORDER BY
+         |        (${oDot("xemb", "xemb")} - 2 * ${oDot("xemb", "cemb")} + cnorm),
+         |        pcentn.k) AS rk
+         |    FROM xs JOIN pcentn ON xs.s = pcentn.s) WHERE rk = 1),
+         |rn AS (SELECT vec_id, CAST(sum(cnorm) AS BIGINT) AS recon_norm
+         |  FROM codes GROUP BY vec_id),
+         |adc AS (SELECT p.qid, a.vec_id AS nid, p.q_norm,
+         |    CAST(sum(${oDot(s"(p.q_emb[codes.s*$PqSubDim+1 : codes.s*$PqSubDim+$PqSubDim])", "pcentn.cemb")}) AS BIGINT) AS adot
+         |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
+         |    AND p.qid <> a.vec_id
+         |  JOIN codes ON codes.vec_id = a.vec_id
+         |  JOIN pcentn ON pcentn.s = codes.s AND pcentn.k = codes.code
+         |  GROUP BY p.qid, a.vec_id, p.q_norm),
+         |scored AS (SELECT adc.qid, adc.nid,
+         |    adc.adot::DOUBLE / (sqrt(adc.q_norm::DOUBLE) * sqrt(rn.recon_norm::DOUBLE)) AS cos
+         |  FROM adc JOIN rn ON rn.vec_id = adc.nid)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s1_knn_brute" ->
@@ -1225,57 +1318,33 @@ object Similarity {
          |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
     // IVFPQ mirror: s2's assigned/probes CTEs pick WHICH pairs score;
     // s6's codes/centn/rn CTEs price each scored pair by ADC
+    "s11_ivf_rerank" ->
+      (oIvfPqScored +
+        s""",
+           |ar AS (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+           |      AS arank
+           |  FROM scored),
+           |cand AS (SELECT qid, nid FROM ar WHERE arank <= $RerankK),
+           |ex AS (SELECT cand.qid, cand.nid,
+           |    ${oCos(oDot("q.embedding", "c.embedding"), "q.norm_fp", "c.norm_fp")} AS cos
+           |  FROM cand JOIN e q ON q.vec_id = cand.qid
+           |  JOIN e c ON c.vec_id = cand.nid),
+           |r AS (SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |  FROM ex)
+           |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+           |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+           |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     "s8_knn_ivfpq" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    ${oDot("embedding", "embedding")} AS norm_fp
-         |  FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
-         |  FROM e WHERE vec_id < $NCentroids),
-         |assigned AS (SELECT vec_id, cluster FROM (
-         |  SELECT e.vec_id, cent.cid AS cluster,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
-         |      cent.cid) AS arank
-         |  FROM e CROSS JOIN cent) WHERE arank = 1),
-         |probes AS (SELECT qid, q_emb, q_norm, cluster FROM (
-         |  SELECT q.vec_id AS qid, q.embedding AS q_emb, q.norm_fp AS q_norm,
-         |    cent.cid AS cluster,
-         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |      ${oCos(oDot("q.embedding", "cent.c_emb"), "q.norm_fp", "cent.c_norm")} DESC,
-         |      cent.cid) AS prank
-         |  FROM e q CROSS JOIN cent WHERE q.vec_id < $NQueries) WHERE prank <= $NProbe),
-         |sub AS (SELECT unnest(range(0, $PqSubs)) AS s),
-         |pcent AS (SELECT c.vec_id AS k, sub.s,
-         |    c.embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS cemb
-         |  FROM e c CROSS JOIN sub WHERE c.vec_id < $PqK),
-         |pcentn AS (SELECT k, s, cemb, ${oDot("cemb", "cemb")} AS cnorm FROM pcent),
-         |xs AS (SELECT vec_id, sub.s,
-         |    embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS xemb
-         |  FROM e CROSS JOIN sub),
-         |codes AS (SELECT vec_id, s, k AS code, cnorm FROM (
-         |    SELECT xs.vec_id, xs.s, pcentn.k, pcentn.cnorm,
-         |      row_number() OVER (PARTITION BY xs.vec_id, xs.s ORDER BY
-         |        (${oDot("xemb", "xemb")} - 2 * ${oDot("xemb", "cemb")} + cnorm),
-         |        pcentn.k) AS rk
-         |    FROM xs JOIN pcentn ON xs.s = pcentn.s) WHERE rk = 1),
-         |rn AS (SELECT vec_id, CAST(sum(cnorm) AS BIGINT) AS recon_norm
-         |  FROM codes GROUP BY vec_id),
-         |adc AS (SELECT p.qid, a.vec_id AS nid, p.q_norm,
-         |    CAST(sum(${oDot(s"(p.q_emb[codes.s*$PqSubDim+1 : codes.s*$PqSubDim+$PqSubDim])", "pcentn.cemb")}) AS BIGINT) AS adot
-         |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
-         |    AND p.qid <> a.vec_id
-         |  JOIN codes ON codes.vec_id = a.vec_id
-         |  JOIN pcentn ON pcentn.s = codes.s AND pcentn.k = codes.code
-         |  GROUP BY p.qid, a.vec_id, p.q_norm),
-         |scored AS (SELECT adc.qid, adc.nid,
-         |    adc.adot::DOUBLE / (sqrt(adc.q_norm::DOUBLE) * sqrt(rn.recon_norm::DOUBLE)) AS cos
-         |  FROM adc JOIN rn ON rn.vec_id = adc.nid),
-         |r AS (SELECT qid, nid, cos,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-         |  FROM scored)
-         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
-         |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
-         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+      (oIvfPqScored +
+        s""",
+           |r AS (SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+           |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+           |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     "s7_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding, label,
          |    ${oDot("embedding", "embedding")} AS norm_fp

@@ -1599,4 +1599,104 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(Similarity.withNorm(bad.filter(col("vec_id") === 8L)).count() == 1)
     assert(Similarity.quantized(bad.filter(col("vec_id") === 8L)).count() == 1)
   }
+
+  // ---- round-8 additions: e15 merge apply, x17 BM25, s11 rerank, m6 aHash ----
+
+  test("e15 CDC apply: merge actions are consistent with base and feed") {
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Events.e15CdcApply(spark, sf).collect()
+    // every base key appears exactly once unless nothing ever deletes it
+    val byKey = rows.groupBy(_.getAs[Long]("key"))
+    assert(byKey.values.forall(_.length == 1), "duplicate keys in merge output")
+    rows.foreach { r =>
+      val key = r.getAs[Long]("key")
+      val action = r.getAs[String]("action")
+      val n = r.getAs[Long]("n_changes")
+      action match {
+        case "keep" =>
+          assert(n == 0L && base.contains(key))
+          assert(math.round(r.getAs[Double]("final_bal") * 100) == base(key))
+        case "update" => assert(n >= 1L && base.contains(key))
+        case "insert" => assert(n >= 1L && !base.contains(key))
+        case "delete" =>
+          assert(n >= 1L && r.isNullAt(r.fieldIndex("final_bal")))
+        case other => fail(s"unknown action $other")
+      }
+    }
+    // the output covers base ∪ touched keys, nothing else
+    val touched = rows.filter(_.getAs[Long]("n_changes") > 0)
+      .map(_.getAs[Long]("key")).toSet
+    assert(rows.map(_.getAs[Long]("key")).toSet == base.keySet ++ touched)
+  }
+
+  test("x17 BM25: ranked contiguously per test doc, splits disjoint, model broadcast") {
+    val df = TextAnalysis.x17Bm25(spark, sf)
+    val plan = planOf(df)
+    // vocabulary-sized model frames (idf, stats) must broadcast, not shuffle-join
+    assert(plan.contains("BroadcastExchange"), s"idf/stats not broadcast:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val tests = rows.map(_.getAs[Long]("test_doc")).toSet
+    val trains = rows.map(_.getAs[Long]("train_doc")).toSet
+    assert(tests.intersect(trains).isEmpty, "train/test splits overlap")
+    rows.groupBy(_.getAs[Long]("test_doc")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq, "ranks not contiguous from 1")
+      assert(sorted.length <= TextAnalysis.Bm25TopK)
+      val scores = sorted.map(_.getAs[Long]("score_e4")).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not descending: $scores")
+      g.foreach(r => assert(r.getAs[Long]("n_shared") >= 1L))
+    }
+  }
+
+  test("s11 rerank: scores are exact cosines and recall >= raw s8") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exactTop = Similarity.s1KnnBrute(spark, sf)
+    // exact scores for ALL pairs via the radius=anything trick is absent;
+    // use s1's scored rows as the reference for overlapping pairs
+    val exactScores = exactTop.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Long]("cos_e6")).toMap
+    val rer = Similarity.s11IvfRerank(spark, sf).collect()
+    rer.foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      exactScores.get(k).foreach(c =>
+        assert(c == r.getAs[Long]("cos_e6"), s"rerank score != exact for $k"))
+    }
+    val exact = pairs(exactTop)
+    val raw = pairs(Similarity.s8KnnIvfPq(spark, sf)).intersect(exact).size
+    val rr = rer.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .toSet.intersect(exact).size
+    assert(rr >= raw, s"rerank recall $rr below raw ADC recall $raw")
+  }
+
+  test("m6 aHash: decode-derived hash equals the closed-form spec hash") {
+    val rows = Multimodal.m6ImgHash(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+      // independent closed-form re-derivation, no codec in the loop
+      val bs = new Array[Long](64); val bn = new Array[Long](64); var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.imgPixel(id, x, y).toLong
+        val idx = (y * 8 / h) * 8 + (x * 8 / w)
+        bs(idx) += v; bn(idx) += 1; tot += v
+      }
+      var hi = 0L; var lo = 0L; var bits = 0L
+      for (i <- 0 until 64)
+        if (bs(i) * w * h > tot * bn(i)) {
+          bits += 1; if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        }
+      assert(r.getAs[Long]("ahash_hi") == hi, s"hi mismatch doc $id")
+      assert(r.getAs[Long]("ahash_lo") == lo, s"lo mismatch doc $id")
+      assert(r.getAs[Long]("bits_set") == bits)
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
+  }
 }
