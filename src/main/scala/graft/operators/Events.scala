@@ -513,8 +513,10 @@ object Events {
     * exactly the change feed's shuffle — the textbook distributed
     * CDC-apply plan (the reference applies row-at-a-time over a JDBC
     * loop; see /root/reference/handlers/ for its sink contract). */
-  def e15CdcApply(s: SparkSession, d: String): DataFrame = {
-    val ch = events(s, d)
+  /** The e15 change feed: deterministic op mapping over `events` —
+    * the frame a CDC source would deliver. */
+  private[graft] def cdcFeed(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .filter(col("event_type").isin("signup", "purchase", "error"))
       .select(
         (col("user_id") + CdcKeyOffset).as("key"),
@@ -523,13 +525,22 @@ object Events {
           .otherwise("D").as("op"),
         cents(col("value")).as("val_c"),
         col("ts"), col("event_id"))
-      .groupBy(col("key"))
+
+  /** Collapse a change feed to its last change per key + change count —
+    * e15's first stage, shared with the streaming twin
+    * [[graft.streaming.StreamOps.cdcCollapseStream]]. One partial-
+    * combined aggregate; max_by avoids a window sort entirely. */
+  private[graft] def collapseFeed(feed: DataFrame): DataFrame =
+    feed.groupBy(col("key"))
       .agg(
         max_by(struct(col("op"), col("val_c")),
           struct(col("ts"), col("event_id"))).as("last"),
         count(lit(1)).as("n_changes"))
       .select(col("key"), col("last.op").as("last_op"),
         col("last.val_c").as("last_val_c"), col("n_changes"))
+
+  def e15CdcApply(s: SparkSession, d: String): DataFrame = {
+    val ch = collapseFeed(cdcFeed(s, d))
     val base = customer(s, d)
       .select(col("c_custkey").as("key"), cents(col("c_acctbal")).as("bal_c"))
     base.join(ch, Seq("key"), "full_outer")

@@ -207,6 +207,59 @@ object Multimodal {
     }.toDF()
   }
 
+  /** m7 banded-LSH parameters: 8 bands × 8 bits over the 64-bit aHash
+    * guarantee (pigeonhole) that every pair within hamming
+    * [[M7MaxHamming]] = 7 shares at least one clean band — the
+    * blocking is EXACT, not probabilistic, at this radius. */
+  val M7Bands = 8
+  val M7MaxHamming = 7L
+
+  /** m7: image near-duplicate pairs — the multimodal twin of d5's text
+    * SimHash dedup, closing the loop m6 opens: every pair of images
+    * whose aHashes differ in ≤ [[M7MaxHamming]] of 64 bits, found by
+    * banded blocking (each hash emits its [[M7Bands]] byte-bands; only
+    * pairs sharing a band value are compared) with the exact popcount
+    * hamming as the verify filter. Duplicate IMAGES — re-encodes,
+    * slight crops/brightness shifts — collapse to nearby aHashes even
+    * when their bytes differ, which is why image dedup blocks on the
+    * perceptual hash rather than the payload md5 (m1's exact tier).
+    *
+    * Shape: one narrow hash stage (m6's decode map), a ×8 in-place
+    * band explode, ONE shuffle on the band key, per-bucket pair
+    * expansion (Σ|bucket|² like d3/d5 — never n²), exact filter in
+    * codegen, distinct to fold multi-band hits. At 100 TB the band
+    * buckets are the skew knob (a constant-color image cluster is the
+    * hot key), capped exactly like d3's `maxBucket`. */
+  def m7ImgNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the hash stays as its two 32-bit halves end to end — composing
+    // the full 64-bit value risks signed-overflow semantics diverging
+    // between engines when bit 63 is set
+    val hs = imgHash(documents(s, d).select(col("doc_id")).as[Long])
+      .select(col("doc_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
+    val keyed = hs.select(col("doc_id"), col("hi"), col("lo"),
+      explode(array((0 until M7Bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(if (b < 4) col("lo") else col("hi"), (b % 4) * 8)
+            .bitwiseAND(lit(255L)).as("v"))
+      }: _*)).as("k"))
+    val buckets = keyed.groupBy(col("k"))
+      .agg(collect_list(struct(col("doc_id"), col("hi"), col("lo"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    buckets
+      .select(explode(col("docs")).as("da"), col("docs"))
+      .select(col("da"), explode(col("docs")).as("db"))
+      .filter(col("da.doc_id") < col("db.doc_id"))
+      .select(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
+        (bit_count(col("da.hi").bitwiseXOR(col("db.hi"))) +
+          bit_count(col("da.lo").bitwiseXOR(col("db.lo")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= M7MaxHamming)
+      .distinct()
+      .withColumn("exact_dup", col("hamming") === 0L)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** One decoded audio clip's features — all engine-portable exact
     * integers: decoded frame count, the PCM sample-sum and extrema,
     * plus the container magic of the actual encoded payload. */
@@ -357,9 +410,41 @@ object Multimodal {
     "m4_frame_sample"    -> m4FrameSample _,
     "m5_audio_features"  -> m5AudioFeatures _,
     "m6_imghash"         -> m6ImgHash _,
+    "m7_img_neardup"     -> m7ImgNearDup _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // pairwise popcount over the closed-form aHash halves (500 docs →
+    // 125k pairs, trivially exact in the oracle; the ENGINE uses the
+    // banded blocking — the oracle checks the answer, not the plan)
+    "m7_img_neardup" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    16 + (doc_id // 16) % 16 AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (x.x*7 + y.y*13 + d.doc_id) % 256 AS v,
+        |    ((y.y * 8) // d.h) * 8 + (x.x * 8) // d.w AS idx
+        |  FROM d, range(0, 32) x(x), range(0, 32) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |tot AS (SELECT doc_id, sum(v) AS tot_sum, count(*) AS n_px
+        |  FROM px GROUP BY doc_id),
+        |blk AS (SELECT doc_id, idx, sum(v) AS b_sum, count(*) AS b_n
+        |  FROM px GROUP BY doc_id, idx),
+        |bits AS (SELECT blk.doc_id, blk.idx,
+        |    CASE WHEN blk.b_sum * tot.n_px > tot.tot_sum * blk.b_n
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM blk JOIN tot USING (doc_id)),
+        |h AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx < 32
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |      AS BIGINT) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |SELECT a, b, hamming, hamming = 0 AS exact_dup
+        |FROM p WHERE hamming <= 7 ORDER BY a, b""".stripMargin,
     // restates all 64 aHash bits from the closed-form pixel spec with
     // the same exact cross-multiplied integer comparison; the Spark
     // side must recover them from decoding the real PNG

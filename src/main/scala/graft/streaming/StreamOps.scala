@@ -431,6 +431,55 @@ object StreamOps {
   def audioDecodeStream(ids: org.apache.spark.sql.Dataset[Long]): DataFrame =
     graft.operators.Multimodal.decodeAudioFeatures(ids)
 
+  /** One CDC change-feed row — [[cdcCollapseStream]]'s input unit (the
+    * shape [[graft.operators.Events.cdcFeed]] produces in batch). */
+  case class ChangeFeedRow(key: Long, op: String, val_c: Long,
+      ts: java.sql.Timestamp, event_id: Long)
+  /** Per-key collapse state: the newest change's ordering fields plus
+    * the running change count. */
+  case class CollapseState(last_op: String, last_val_c: Long,
+      last_ms: Long, last_event_id: Long, n: Long)
+  case class CollapsedChange(key: Long, last_op: String, last_val_c: Long,
+      n_changes: Long)
+
+  /** Streaming e15 stage 1 (continuous CDC collapse): one state row
+    * per key holding the newest (ts, event_id)-ordered change and the
+    * change count, emitted updated each micro-batch — the SCD1 merge
+    * against the base table stays the SAME downstream join in both
+    * worlds ([[graft.operators.Events.e15CdcApply]] stage 2), so batch
+    * and stream share everything after this operator. Out-of-order
+    * and redelivered changes are safe: a change older than the state's
+    * (ts, event_id) never wins (at-least-once tolerant ordering, the
+    * reference's delivery contract), though redelivery does recount
+    * n_changes — exactly-once counting needs the log-truncation ack
+    * (T3) upstream. Update-mode sinks; state is O(keys), distributed
+    * by key. */
+  def cdcCollapseStream(feed: Dataset[ChangeFeedRow]): Dataset[CollapsedChange] = {
+    implicit val oe: org.apache.spark.sql.Encoder[CollapsedChange] =
+      Encoders.product[CollapsedChange]
+    implicit val se: org.apache.spark.sql.Encoder[CollapseState] =
+      Encoders.product[CollapseState]
+    implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    feed.groupByKey(_.key)
+      .mapGroupsWithState[CollapseState, CollapsedChange](
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[ChangeFeedRow], state: GroupState[CollapseState]) =>
+          val rows = batch.toSeq
+          val newest = rows.maxBy(r => (r.ts.getTime, r.event_id))
+          val prior = state.getOption
+          val keepPrior = prior.exists(p =>
+            p.last_ms > newest.ts.getTime ||
+              (p.last_ms == newest.ts.getTime &&
+                p.last_event_id >= newest.event_id))
+          val next =
+            if (keepPrior) prior.get.copy(n = prior.get.n + rows.size)
+            else CollapseState(newest.op, newest.val_c, newest.ts.getTime,
+              newest.event_id, prior.fold(0L)(_.n) + rows.size)
+          state.update(next)
+          CollapsedChange(key, next.last_op, next.last_val_c, next.n)
+      }
+  }
+
   /** One finalized hourly bucket of the event-count series — the input
     * unit of [[anomalyStream]] (what [[hourlyAgg]] emits once the
     * watermark closes a window). */

@@ -827,6 +827,39 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(planOf(enriched).contains("BroadcastHashJoin"))
     assert(enriched.count() == events.count()) // left join preserves stream rows
   }
+
+  test("cdcCollapseStream replay over the events feed ≡ batch e15 collapse") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.ChangeFeedRow
+    val feedDf = graft.operators.Events.cdcFeed(spark, sf)
+    val feed = feedDf.collect().map(r => ChangeFeedRow(
+      r.getAs[Long]("key"), r.getAs[String]("op"), r.getAs[Long]("val_c"),
+      r.getAs[Timestamp]("ts"), r.getAs[Long]("event_id")))
+    val in = MemoryStream[ChangeFeedRow]
+    val q = StreamOps.cdcCollapseStream(in.toDS())
+      .writeStream.format("memory").queryName("cdc_collapse")
+      .outputMode(OutputMode.Update()).start()
+    // adversarial chunking: batch boundaries land inside keys' change runs
+    feed.grouped(feed.length / 3 + 1).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // Update-mode memory sink appends every update; the last row per key
+    // is the current collapsed state
+    val streamed = spark.table("cdc_collapse").collect()
+      .map(r => (r.getAs[Long]("key"),
+        (r.getAs[String]("last_op"), r.getAs[Long]("last_val_c"),
+          r.getAs[Long]("n_changes"))))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.last._2 }
+    val batch = graft.operators.Events.collapseFeed(feedDf).collect()
+      .map(r => r.getAs[Long]("key") ->
+        (r.getAs[String]("last_op"), r.getAs[Long]("last_val_c"),
+          r.getAs[Long]("n_changes"))).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
+  }
 }
 
 object StreamOpsSpec {
