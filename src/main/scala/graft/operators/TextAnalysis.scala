@@ -625,13 +625,20 @@ object TextAnalysis {
     * e4-quantized immediately; each (term, doc) contribution is then
     * integer floor division and the pair score an exact integer sum.
     *
+    * Only POSITIVE-idf terms retrieve (df < N/2 — the floor-at-zero
+    * variant most production BM25s apply): a term in over half the
+    * corpus carries negative Robertson idf (an anti-signal) while
+    * dominating the inverted-index join's Σ(df_q·df_train) row count —
+    * on this corpus the cut is 40M → 5.8k candidate rows at sf0.1.
+    * The filter is part of the query DEFINITION (both engines state
+    * it), not a lossy engine shortcut.
+    *
     * Scale notes (100 TB): model stats (df/idf — vocabulary-sized) are
     * an aggregate broadcast back, exactly x5's df posture; the
     * retrieval is the x11/d4 inverted-index join — (query-term ×
-    * posting) candidate rows only, shuffled once on the term, with
-    * `maxDf` as the skew/selectivity knob at production (ultra-common
-    * terms carry near-zero idf AND dominate the join — dropping them
-    * bounds Σdf² like d9; uncapped here for oracle parity). */
+    * posting) candidate rows only, shuffled once on the term. The
+    * positive-idf cut IS the `maxDf` skew knob here, with a principled
+    * threshold instead of a tuned constant. */
   def x17Bm25(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
@@ -651,12 +658,13 @@ object TextAnalysis {
         round(log((lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L)
           .cast("double") /
           (lit(2L) * col("df") + 1L).cast("double")) * 1e4).cast("long"))
+      .filter(col("idf_e4") > 0L)
       .select(col("w"), col("idf_e4"))
-    // contributions can be NEGATIVE (Robertson idf of ultra-common
-    // terms), where idiv's floor and DuckDB's toward-zero `//`
-    // disagree by one — divide exactly by clearing the remainder
-    // first (b | a−a%b, and Spark's % truncates like `//`), keeping
-    // the toward-zero semantics in pure integer arithmetic
+    // exact division with the oracle engine's toward-zero semantics
+    // (clear the remainder first; Spark's % truncates like `//`) —
+    // idiv's floor would disagree by one on any negative value, and
+    // the positive-idf filter is a definition choice, not something
+    // the division should silently depend on
     def tdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       ((a - a % b) / b).cast("long")
     val postings = tf
@@ -925,7 +933,8 @@ object TextAnalysis {
          |idf AS (SELECT w,
          |    CAST(round(ln((2 * s.n_docs - 2 * count(*) + 1)::DOUBLE /
          |      (2 * count(*) + 1)::DOUBLE) * 1e4) AS BIGINT) AS idf_e4
-         |  FROM tf CROSS JOIN stats s GROUP BY w, s.n_docs),
+         |  FROM tf CROSS JOIN stats s GROUP BY w, s.n_docs
+         |  HAVING idf_e4 > 0),
          |post AS (SELECT tf.w, tf.doc_id AS train_doc,
          |    (idf.idf_e4 * 22 * tf.tf * s.t_tok) //
          |      (10 * tf.tf * s.t_tok + 3 * s.t_tok + 9 * dl.dl * s.n_docs)
