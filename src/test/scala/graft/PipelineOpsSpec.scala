@@ -1631,6 +1631,21 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("key")).toSet == base.keySet ++ touched)
   }
 
+  test("e15 plan: pushed feed filter, partial agg, one key shuffle per side") {
+    val plan = planOf(Events.e15CdcApply(spark, sf))
+    // the op-type filter must reach the parquet scan
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"feed filter not pushed down:\n$plan")
+    // exactly two hash exchanges: collapsed feed and base, each keyed
+    // once for the merge join (at scale the bucketed base drops to one)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected 2 key shuffles, got $hashEx:\n$plan")
+    // the collapse aggregates partially below its shuffle (map-side
+    // combine on the feed) — two aggregate nodes around the exchange
+    assert("SortAggregate|HashAggregate".r.findAllIn(plan).length >= 2)
+    assert(plan.contains("FullOuter"), s"merge join not full-outer:\n$plan")
+  }
+
   test("x17 BM25: ranked contiguously per test doc, splits disjoint, model broadcast") {
     val df = TextAnalysis.x17Bm25(spark, sf)
     val plan = planOf(df)
