@@ -557,6 +557,50 @@ object Events {
       .orderBy(col("key"))
   }
 
+  /** e16: incremental aggregate maintenance (delta IVM) — the day-2
+    * pattern for every materialized aggregate a CDC feed touches:
+    * instead of recomputing the hourly rollup over the whole corpus,
+    * the "stored" aggregate (built from everything before the delta
+    * cut) absorbs the delta batch's PARTIAL aggregates via one
+    * full-outer merge on the group key — count and sum are
+    * associatively mergeable, which is exactly what makes them
+    * delta-maintainable (count_distinct is NOT, hence absent: that
+    * tier needs a sketch, q22's territory). The delta cut is the top
+    * decile of event_id (exact integer cross-multiply against the
+    * max — both engines state it identically).
+    *
+    * The ORACLE recomputes the aggregate from scratch: hash equality
+    * IS the IVM correctness proof (merged state ≡ full recompute),
+    * plus a per-group `delta_applied` flag both engines derive.
+    *
+    * Scale notes (100 TB): in production the base side is the STORED
+    * aggregate read back (series-sized, bucketed by group key — no
+    * recompute, no shuffle), so maintenance costs only the delta
+    * batch's partial-agg shuffle — O(batch), not O(corpus). Here the
+    * base is rebuilt from the split for oracle parity; the merge
+    * shape (partial agg each side → one full-outer equi-join) is the
+    * production plan. */
+  def e16DeltaAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+      col("event_type"), cents(col("value")).as("val_c"), col("event_id"))
+    val mx = ev.agg(max(col("event_id")).as("mx"))
+    val tagged = ev.crossJoin(broadcast(mx))
+    def agg(df: DataFrame, suffix: String) =
+      df.groupBy(col("hour_s"), col("event_type"))
+        .agg(count(lit(1)).as(s"n_$suffix"), sum(col("val_c")).as(s"c_$suffix"))
+    val base = agg(tagged.filter(col("event_id") * 10L < col("mx") * 9L), "b")
+    val delta = agg(tagged.filter(col("event_id") * 10L >= col("mx") * 9L), "d")
+    base.join(delta, Seq("hour_s", "event_type"), "full_outer")
+      .select(col("hour_s"), col("event_type"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_events"),
+        dollars(coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L)))
+          .as("sum_value"),
+        col("n_d").isNotNull.as("delta_applied"))
+      .orderBy(col("hour_s"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -573,9 +617,28 @@ object Events {
     "e13_heavy_hitters" -> e13HeavyHitters _,
     "e14_sliding_agg"   -> e14SlidingAgg _,
     "e15_cdc_apply"     -> e15CdcApply _,
+    "e16_delta_agg"     -> e16DeltaAgg _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // full recompute — hash equality against the engine's base+delta
+    // merge IS the incremental-maintenance correctness proof
+    "e16_delta_agg" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |x AS (SELECT
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS val_c,
+        |    event_id FROM events),
+        |f AS (SELECT hour_s, event_type, count(*) AS n_events,
+        |    sum(val_c) AS c FROM x GROUP BY hour_s, event_type),
+        |d AS (SELECT DISTINCT hour_s, event_type
+        |  FROM x CROSS JOIN m WHERE event_id * 10 >= mx * 9)
+        |SELECT f.hour_s, f.event_type, f.n_events,
+        |  f.c / 100.0 AS sum_value,
+        |  d.hour_s IS NOT NULL AS delta_applied
+        |FROM f LEFT JOIN d ON f.hour_s = d.hour_s
+        |  AND f.event_type = d.event_type
+        |ORDER BY f.hour_s, f.event_type""".stripMargin,
     "e15_cdc_apply" ->
       s"""WITH ch AS (SELECT user_id + $CdcKeyOffset AS key,
          |    CASE event_type WHEN 'signup' THEN 'I'

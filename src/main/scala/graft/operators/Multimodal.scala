@@ -207,57 +207,103 @@ object Multimodal {
     }.toDF()
   }
 
-  /** m7 banded-LSH parameters: 8 bands × 8 bits over the 64-bit aHash
-    * guarantee (pigeonhole) that every pair within hamming
-    * [[M7MaxHamming]] = 7 shares at least one clean band — the
-    * blocking is EXACT, not probabilistic, at this radius. */
-  val M7Bands = 8
+  /** m7 blocking parameters — multi-index hashing (Norouzi et al.'s
+    * MIH, the standard exact hamming-range scheme): 4 bands × 16 bits
+    * over the 64-bit aHash; every doc INDEXES its 4 band values and
+    * PROBES the radius-1 hamming ball around each (4 × 17 keys).
+    * Exactness by pigeonhole: ≤ [[M7MaxHamming]] = 7 bit errors over
+    * 4 bands leave some band with ≤ ⌊7/4⌋ = 1 error, and a probe ball
+    * of radius 1 hits that band's index key exactly — no slack, not
+    * probabilistic. Band width must track log₂(n): an 8-bit band has
+    * 256 values, so its buckets grow as n/256 and pair expansion goes
+    * Θ(n²/256) on ANY corpus once n ≫ 256; 16-bit bands put the
+    * random-pair collision floor at 4·17/2¹⁶ ≈ 0.1% of brute force,
+    * and wider bands (at exponentially more probe keys for the same
+    * radius) buy further selectivity when n demands it. */
+  val M7Bands = 4
+  val M7BandBits = 16
   val M7MaxHamming = 7L
 
   /** m7: image near-duplicate pairs — the multimodal twin of d5's text
     * SimHash dedup, closing the loop m6 opens: every pair of images
     * whose aHashes differ in ≤ [[M7MaxHamming]] of 64 bits, found by
-    * banded blocking (each hash emits its [[M7Bands]] byte-bands; only
-    * pairs sharing a band value are compared) with the exact popcount
-    * hamming as the verify filter. Duplicate IMAGES — re-encodes,
+    * multi-index hashing (each hash INDEXES its [[M7Bands]] 16-bit
+    * band values and PROBES their radius-1 balls; only pairs whose
+    * some band is within hamming 1 are compared) with the exact
+    * popcount hamming as the verify filter. Duplicate IMAGES — re-encodes,
     * slight crops/brightness shifts — collapse to nearby aHashes even
     * when their bytes differ, which is why image dedup blocks on the
     * perceptual hash rather than the payload md5 (m1's exact tier).
     *
-    * Shape: one narrow hash stage (m6's decode map), a ×8 in-place
-    * band explode, ONE shuffle on the band key, per-bucket pair
-    * expansion (Σ|bucket|² like d3/d5 — never n²), exact filter in
-    * codegen, distinct to fold multi-band hits. At 100 TB the band
-    * buckets are the skew knob (a constant-color image cluster is the
-    * hot key), capped exactly like d3's `maxBucket`. */
+    * Shape: one narrow hash stage (m6's decode map), a ×4 index
+    * explode and a ×68 probe explode joined on the band key (ONE
+    * shuffle each side), exact filter in codegen, distinct to fold
+    * multi-band hits. At 100 TB the index buckets are the skew knob
+    * (a constant-color image cluster is the hot key), capped exactly
+    * like d3's `maxBucket`; the random-pair collision floor of the
+    * blocking is ~0.1% of brute force at these parameters (see
+    * [[M7Bands]]). */
   def m7ImgNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    imgNearDupPairs(
+      imgHash(documents(s, d).select(col("doc_id")).as[Long]),
+      maxBucket = None)
+      .withColumn("exact_dup", col("hamming") === 0L)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Library form of [[m7ImgNearDup]] over any m6-shaped hash frame
+    * (doc_id, ahash_hi, ahash_lo), unordered. `maxBucket` is the
+    * production skew knob — d3's `maxBucket` carried to the image
+    * domain: a run of near-constant images (blank thumbnails, test
+    * cards) lands its WHOLE population in one band bucket and the
+    * per-bucket pair expansion goes quadratic in it; capped runs drop
+    * index buckets larger than the cap before the probe join (losing
+    * only pairs whose every qualifying band key is boilerplate-sized —
+    * the same bounded loss contract as d3, spec-pinned on a
+    * constructed constant-image corpus). None = exact blocking, the
+    * oracle-parity posture. */
+  private[graft] def imgNearDupPairs(hashes: DataFrame,
+      maxBucket: Option[Int]): DataFrame = {
     // the hash stays as its two 32-bit halves end to end — composing
     // the full 64-bit value risks signed-overflow semantics diverging
     // between engines when bit 63 is set
-    val hs = imgHash(documents(s, d).select(col("doc_id")).as[Long])
+    val hs = hashes
       .select(col("doc_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
-    val keyed = hs.select(col("doc_id"), col("hi"), col("lo"),
-      explode(array((0 until M7Bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(if (b < 4) col("lo") else col("hi"), (b % 4) * 8)
-            .bitwiseAND(lit(255L)).as("v"))
-      }: _*)).as("k"))
-    val buckets = keyed.groupBy(col("k"))
-      .agg(collect_list(struct(col("doc_id"), col("hi"), col("lo"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-    buckets
-      .select(explode(col("docs")).as("da"), col("docs"))
-      .select(col("da"), explode(col("docs")).as("db"))
-      .filter(col("da.doc_id") < col("db.doc_id"))
-      .select(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
-        (bit_count(col("da.hi").bitwiseXOR(col("db.hi"))) +
-          bit_count(col("da.lo").bitwiseXOR(col("db.lo")))).cast("long")
+    def bandVal(b: Int) =
+      shiftrightunsigned(if (b < 2) col("lo") else col("hi"), (b % 2) * 16)
+        .bitwiseAND(lit(0xFFFFL))
+    // index side: the 4 band values verbatim
+    val index = hs.select(col("doc_id"), col("hi"), col("lo"),
+      explode(array((0 until M7Bands).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("v"))): _*)).as("k"))
+    // probe side: each band's radius-1 ball (value + 16 single-bit
+    // flips) — an asymmetric join, so a pair collides iff some band is
+    // within hamming 1, exactly the pigeonhole qualifying condition
+    val probes = hs.select(col("doc_id").as("p_doc"),
+      col("hi").as("p_hi"), col("lo").as("p_lo"),
+      explode(array((for {
+        b <- 0 until M7Bands
+        flip <- -1 until M7BandBits
+      } yield struct(lit(b).as("band"),
+        (if (flip < 0) bandVal(b)
+         else bandVal(b).bitwiseXOR(lit(1L << flip))).as("v"))): _*)).as("k"))
+    // skew cap on the INDEX bucket (the side pair counts are quadratic
+    // in); the count rides the same key the join shuffles on
+    val kept = maxBucket.fold(index) { cap =>
+      val big = index.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).select(col("k"), lit(true).as("over"))
+      index.join(broadcast(big), Seq("k"), "left")
+        .filter(col("over").isNull).drop("over")
+    }
+    probes.join(kept, Seq("k"))
+      .filter(col("p_doc") < col("doc_id"))
+      .select(col("p_doc").as("a"), col("doc_id").as("b"),
+        (bit_count(col("p_hi").bitwiseXOR(col("hi"))) +
+          bit_count(col("p_lo").bitwiseXOR(col("lo")))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= M7MaxHamming)
       .distinct()
-      .withColumn("exact_dup", col("hamming") === 0L)
-      .orderBy(col("a"), col("b"))
   }
 
   /** One decoded audio clip's features — all engine-portable exact

@@ -1689,6 +1689,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rr >= raw, s"rerank recall $rr below raw ADC recall $raw")
   }
 
+  test("m7 maxBucket cap drops only boilerplate-bucket pairs, keeps distinct-image pairs") {
+    import spark.implicits._
+    // 20 constant-black "images" (identical hash 0) + 2 near-identical
+    // structured hashes: the boilerplate run floods every band bucket
+    val rows = (0L until 20L).map(id => (id, 0L, 0L)) ++
+      Seq((100L, 0x12345678L, 0x0000000FL), (101L, 0x12345678L, 0x0000000EL))
+    val hashes = rows.toDF("doc_id", "ahash_hi", "ahash_lo")
+    val uncapped = Multimodal.imgNearDupPairs(hashes, None).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val capped = Multimodal.imgNearDupPairs(hashes, Some(10)).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // uncapped finds the full boilerplate quadratic + the real pair
+    assert(uncapped.size == 20 * 19 / 2 + 1)
+    assert(uncapped.contains((100L, 101L)))
+    // capped keeps the real pair (its buckets are size 2) and drops
+    // exactly the boilerplate expansion
+    assert(capped == Set((100L, 101L)), s"capped = $capped")
+  }
+
   test("m6 aHash: decode-derived hash equals the closed-form spec hash") {
     val rows = Multimodal.m6ImgHash(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
