@@ -276,6 +276,54 @@ object ScaleProbe {
           spark.range(n).select(col("id")),
           spark.range(n - 1).filter(col("id") % 64L =!= 63L)
             .select(col("id").as("a"), (col("id") + 1L).as("b")))
+      },
+      // e15 shape: a FIXED 100k-change feed collapsed (one max_by agg)
+      // and merged into an m×-sized base — cost should track the base
+      // scan + its one key shuffle, with the collapse fixed (at real
+      // scale the bucketed base drops its shuffle too and the merge is
+      // O(batch))
+      time("cdc_merge") {
+        val base = spark.range(1000000L * m)
+          .select(col("id").as("key"), (col("id") % 1000L).as("bal_c"))
+        val feed = spark.range(100000L).select(
+          (col("id") % 500000L).as("key"),
+          when(col("id") % 10L === 0L, "D").otherwise("U").as("op"),
+          (col("id") % 777L).as("val_c"),
+          timestamp_seconds(col("id") % 100000L).as("ts"),
+          col("id").as("event_id"))
+        base.join(operators.Events.collapseFeed(feed), Seq("key"), "full_outer")
+          .select(col("key"),
+            coalesce(col("last_val_c"), col("bal_c")).as("v"),
+            coalesce(col("n_changes"), lit(0L)).as("n"))
+      },
+      // e16 shape: a FIXED 100k-row delta's partial aggregates merged
+      // into an m×-row STORED aggregate (the production IVM posture —
+      // no base recompute); should track the stored-side scan+shuffle
+      time("delta_agg_merge") {
+        val n = 1000000L * m
+        val stored = spark.range(n).select(col("id").as("k"),
+          lit(5L).as("n_b"), (col("id") % 997L).as("c_b"))
+        val delta = spark.range(100000L)
+          .select((col("id") * 37L % n).as("k"), col("id"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_d"), sum(col("id")).as("c_d"))
+        stored.join(delta, Seq("k"), "full_outer")
+          .select(col("k"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+            (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("c"))
+      },
+      // m7 shape (codec-free): MIH pair stage over 200k×m synthetic
+      // hashes built to carry constant per-doc true-pair density (each
+      // doc's twin at id+100k×m differs in 1 bit; multiplicative-hash
+      // halves otherwise) — candidates should track n plus the
+      // blocking's ~0.1% random-collision floor, not n²/256
+      time("img_band_pairs") {
+        val n = 200000L * m
+        val hs = spark.range(n).select(col("id").as("doc_id"),
+          expr(s"(id % ${n / 2}) * 2654435761 % 4294967296").as("ahash_hi"),
+          expr(s"((id % ${n / 2}) * 40503 % 4294967296) ^ " +
+            s"CASE WHEN id >= ${n / 2} THEN 1 ELSE 0 END").as("ahash_lo"))
+        operators.Multimodal.imgNearDupPairs(hs, maxBucket = None)
       })
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
