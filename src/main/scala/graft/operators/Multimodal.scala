@@ -144,8 +144,8 @@ object Multimodal {
     *
     * Scale notes: same contract as m2 — stateless per-partition map,
     * payloads never shuffle, 3 longs leave the stage per image; the
-    * downstream near-dup join on the hash is d5's hamming-ball
-    * bucketing, unchanged (the hash IS a 64-bit simhash key). */
+    * downstream near-dup join on the hash is m7's multi-index
+    * blocking (the hash IS a 64-bit simhash-family key). */
   def m6ImgHash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     imgHash(documents(s, d).select(col("doc_id")).as[Long])
