@@ -306,6 +306,66 @@ object Multimodal {
       .distinct()
   }
 
+  /** m8: INCREMENTAL image near-dup — d8's standing-index pattern in
+    * the image domain: the corpus (bottom ~90% of doc_ids) is a
+    * standing hash index; the new batch (top decile, the same exact
+    * integer split e16 uses) probes it AND itself, so only pairs
+    * TOUCHING the batch are produced — the day-2 ingest query. The
+    * oracle is m7's full pairwise answer restricted to batch-touching
+    * pairs: the incremental plan must not change WHICH pairs exist,
+    * only how much work finding them costs.
+    *
+    * Shape: the batch side carries the ×17-per-band probe balls, the
+    * index side (corpus ∪ batch) only its ×4 identity keys — cost per
+    * ingest tracks |batch| × bucket sizes, never corpus×corpus. At
+    * scale the index keys are PERSISTED bucketed by band key (the
+    * Warehouse postings pattern), so the corpus side never reshuffles
+    * per batch. */
+  def m8ImgIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hs = imgHash(documents(s, d).select(col("doc_id")).as[Long])
+    val mx = hs.agg(max(col("doc_id")).as("mx"))
+    val tagged = hs.crossJoin(broadcast(mx))
+      .withColumn("is_new", col("doc_id") * 10L >= col("mx") * 9L)
+    imgNearDupIncremental(tagged.filter(!col("is_new")),
+      tagged.filter(col("is_new")))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** The m8 pipeline over explicit corpus/batch hash frames (m6
+    * shape). Batch docs probe; corpus ∪ batch docs index — pairs
+    * touching the batch only, exact within [[M7MaxHamming]]. */
+  private[graft] def imgNearDupIncremental(corpus: DataFrame,
+      batch: DataFrame): DataFrame = {
+    def half(df: DataFrame) = df
+      .select(col("doc_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
+    val idx = half(corpus).unionByName(half(batch))
+    val bat = half(batch)
+    def bandVal(b: Int) =
+      shiftrightunsigned(if (b < 2) col("lo") else col("hi"), (b % 2) * 16)
+        .bitwiseAND(lit(0xFFFFL))
+    val index = idx.select(col("doc_id"), col("hi"), col("lo"),
+      explode(array((0 until M7Bands).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("v"))): _*)).as("k"))
+    val probes = bat.select(col("doc_id").as("p_doc"),
+      col("hi").as("p_hi"), col("lo").as("p_lo"),
+      explode(array((for {
+        b <- 0 until M7Bands
+        flip <- -1 until M7BandBits
+      } yield struct(lit(b).as("band"),
+        (if (flip < 0) bandVal(b)
+         else bandVal(b).bitwiseXOR(lit(1L << flip))).as("v"))): _*)).as("k"))
+    probes.join(index, Seq("k"))
+      .filter(col("p_doc") =!= col("doc_id"))
+      .select(least(col("p_doc"), col("doc_id")).as("a"),
+        greatest(col("p_doc"), col("doc_id")).as("b"),
+        (bit_count(col("p_hi").bitwiseXOR(col("hi"))) +
+          bit_count(col("p_lo").bitwiseXOR(col("lo")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= M7MaxHamming)
+      .distinct()
+  }
+
   /** One decoded audio clip's features — all engine-portable exact
     * integers: decoded frame count, the PCM sample-sum and extrema,
     * plus the container magic of the actual encoded payload. */
@@ -457,9 +517,42 @@ object Multimodal {
     "m5_audio_features"  -> m5AudioFeatures _,
     "m6_imghash"         -> m6ImgHash _,
     "m7_img_neardup"     -> m7ImgNearDup _,
+    "m8_img_incremental" -> m8ImgIncremental _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // m7's full pairwise answer restricted to batch-touching pairs —
+    // the incremental plan must not change WHICH pairs exist
+    "m8_img_incremental" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    16 + (doc_id // 16) % 16 AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (x.x*7 + y.y*13 + d.doc_id) % 256 AS v,
+        |    ((y.y * 8) // d.h) * 8 + (x.x * 8) // d.w AS idx
+        |  FROM d, range(0, 32) x(x), range(0, 32) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |tot AS (SELECT doc_id, sum(v) AS tot_sum, count(*) AS n_px
+        |  FROM px GROUP BY doc_id),
+        |blk AS (SELECT doc_id, idx, sum(v) AS b_sum, count(*) AS b_n
+        |  FROM px GROUP BY doc_id, idx),
+        |bits AS (SELECT blk.doc_id, blk.idx,
+        |    CASE WHEN blk.b_sum * tot.n_px > tot.tot_sum * blk.b_n
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM blk JOIN tot USING (doc_id)),
+        |h AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx < 32
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |m AS (SELECT max(doc_id) AS mx FROM documents),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |      AS BIGINT) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |SELECT a, b, hamming FROM p CROSS JOIN m
+        |WHERE hamming <= 7 AND (a * 10 >= mx * 9 OR b * 10 >= mx * 9)
+        |ORDER BY a, b""".stripMargin,
     // pairwise popcount over the closed-form aHash halves (500 docs →
     // 125k pairs, trivially exact in the oracle; the ENGINE uses the
     // banded blocking — the oracle checks the answer, not the plan)

@@ -749,6 +749,49 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** s12: ANN-MIPS — the norm-augmentation reduction s9's scaladoc
+    * records (Bachrach et al., RecSys'14), MADE REAL over the IVF
+    * structure: every corpus vector is augmented with component
+    * sqrt(M² − ‖x‖²) (M = max corpus norm, so every augmented vector
+    * has norm M), queries are zero-padded — then cosine structure over
+    * augmented vectors = inner-product structure over the originals,
+    * and the s2 IVF machinery applies UNCHANGED (same stand-in
+    * codebook rule, same zero-exchange assignment, same probe list).
+    * The final ranking is by the exact fixed-point dot itself — the
+    * query's augmented component is 0, so the augmented dot IS the
+    * original MIPS dot, integer-exact in both engines (and sqrt is
+    * IEEE-correctly-rounded everywhere, unlike ln — the augmentation
+    * introduces no cross-engine float risk; the appended component is
+    * cast to float to match the corpus element type in both engines).
+    * Approximate like s2: recall vs exact s9 is the nprobe/nlist
+    * trade, measured in the ladder. */
+  def s12MipsIvf(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val mxFp = e.agg(max(col("norm_fp"))).first().getLong(0)
+    val ea = withNorm(e.select(col("vec_id"),
+      concat(col("embedding"), array(
+        sqrt((lit(mxFp) - col("norm_fp")).cast("double") / 1e9).cast("float")))
+        .as("embedding")))
+    val cents = collectCodebook(ea)
+    val assigned = assignClusters(ea, cents)
+      .select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("cluster"))
+    val q = withNorm(e.filter(col("vec_id") < NQueries.toLong)
+      .select(col("vec_id"),
+        concat(col("embedding"), array(lit(0f))).as("embedding")))
+    val probes = probeClusters(q, cents)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot_fp").desc, col("nid"))
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot_fp", dotFp9(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        col("dot_fp"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** The cluster's centroid embedding as a literal lookup — cids are
     * 0..k−1 by construction (stand-in and trained both), so
     * element_at(cluster+1) is the centroid. */
@@ -1082,6 +1125,7 @@ object Similarity {
     "s7_knn_classify" -> s7KnnClassify _,
     "s8_knn_ivfpq"    -> s8KnnIvfPq _,
     "s11_ivf_rerank"  -> s11IvfRerank _,
+    "s12_mips_ivf"    -> s12MipsIvf _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
     "d7_embed_clusters" -> d7EmbedClusters _,
@@ -1318,6 +1362,42 @@ object Similarity {
          |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
     // IVFPQ mirror: s2's assigned/probes CTEs pick WHICH pairs score;
     // s6's codes/centn/rn CTEs price each scored pair by ADC
+    // mirrors the augmentation exactly: float-cast appended component,
+    // augmented-cosine assignment/probes, ranking by the raw dot
+    "s12_mips_ivf" ->
+      (NormCte +
+        s"""
+           |, mm AS (SELECT max(norm_fp) AS mx FROM e),
+           |an AS (SELECT vec_id, a, ${oDot("a", "a")} AS anorm FROM (
+           |  SELECT e.vec_id, list_append(e.embedding,
+           |      CAST(sqrt((mm.mx - e.norm_fp)::DOUBLE / 1e9) AS FLOAT)) AS a
+           |    FROM e CROSS JOIN mm)),
+           |cent AS (SELECT vec_id AS cid, a AS c_emb, anorm AS c_norm
+           |  FROM an WHERE vec_id < $NCentroids),
+           |assigned AS (SELECT vec_id, a, cluster FROM (
+           |  SELECT an.vec_id, an.a, cent.cid AS cluster,
+           |    row_number() OVER (PARTITION BY an.vec_id ORDER BY
+           |      ${oCos(oDot("an.a", "cent.c_emb"), "an.anorm", "cent.c_norm")} DESC,
+           |      cent.cid) AS arank
+           |  FROM an CROSS JOIN cent) WHERE arank = 1),
+           |qn AS (SELECT vec_id, a, ${oDot("a", "a")} AS anorm FROM (
+           |  SELECT vec_id, list_append(embedding, CAST(0 AS FLOAT)) AS a
+           |    FROM e WHERE vec_id < $NQueries)),
+           |probes AS (SELECT qid, q_emb, cluster FROM (
+           |  SELECT qn.vec_id AS qid, qn.a AS q_emb, cent.cid AS cluster,
+           |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+           |      ${oCos(oDot("qn.a", "cent.c_emb"), "qn.anorm", "cent.c_norm")} DESC,
+           |      cent.cid) AS prank
+           |  FROM qn CROSS JOIN cent) WHERE prank <= $NProbe),
+           |scored AS (SELECT p.qid, x.vec_id AS nid,
+           |    ${oDot("p.q_emb", "x.a")} AS dot_fp
+           |  FROM probes p JOIN assigned x ON p.cluster = x.cluster
+           |  WHERE p.qid <> x.vec_id),
+           |r AS (SELECT qid, nid, dot_fp,
+           |    row_number() OVER (PARTITION BY qid ORDER BY dot_fp DESC, nid) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dot_fp
+           |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     "s11_ivf_rerank" ->
       (oIvfPqScored +
         s""",

@@ -1708,6 +1708,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(capped == Set((100L, 101L)), s"capped = $capped")
   }
 
+  test("m8 incremental image pairs = m7's full answer restricted to the batch") {
+    val full = Multimodal.m7ImgNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val mx = graft.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).first().getLong(0)
+    val expected = full.filter { case (a, b) => a * 10 >= mx * 9 || b * 10 >= mx * 9 }
+    val inc = Multimodal.m8ImgIncremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(expected.nonEmpty, "batch touches no pairs — fixture too small")
+    assert(inc == expected,
+      s"incremental/full divergence: inc-only=${inc -- expected}, missing=${expected -- inc}")
+  }
+
+  test("s12 MIPS-IVF: scores are the exact raw dots; ranking is by dot, not cosine") {
+    val exact = Similarity.s9KnnMips(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Long]("dot_fp")).toMap
+    val rows = Similarity.s12MipsIvf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      // the zero-padded query makes the augmented dot equal the raw
+      // dot — anywhere s9 scored the same pair the integers must agree
+      exact.get(k).foreach(d =>
+        assert(d == r.getAs[Long]("dot_fp"), s"augmented dot != raw dot for $k"))
+    }
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val ds = g.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("dot_fp")).toSeq
+      assert(ds == ds.sorted.reverse, s"not ranked by dot: $ds")
+    }
+    val recall = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .toSet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall > 0.3, s"MIPS-IVF recall implausibly low: $recall")
+  }
+
   test("m6 aHash: decode-derived hash equals the closed-form spec hash") {
     val rows = Multimodal.m6ImgHash(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
