@@ -332,30 +332,45 @@ object Multimodal {
       .orderBy(col("a"), col("b"))
   }
 
-  /** The m8 pipeline over explicit corpus/batch hash frames (m6
-    * shape). Batch docs probe; corpus ∪ batch docs index — pairs
-    * touching the batch only, exact within [[M7MaxHamming]]. */
-  private[graft] def imgNearDupIncremental(corpus: DataFrame,
-      batch: DataFrame): DataFrame = {
-    def half(df: DataFrame) = df
+  private def bandValOf(b: Int) =
+    shiftrightunsigned(if (b < 2) col("lo") else col("hi"), (b % 2) * 16)
+      .bitwiseAND(lit(0xFFFFL))
+
+  /** The STANDING image-hash index layout: each image's [[M7Bands]]
+    * identity band keys as FLAT (band, v) columns — the persistable
+    * form [[graft.operators.Warehouse.writeImgIndex]] buckets by the
+    * join key, so incremental ingests read it back with no
+    * corpus-side exchange (WarehouseSpec-pinned, the d8 postings
+    * contract in the image domain). */
+  private[graft] def imgIndexKeys(hashes: DataFrame): DataFrame =
+    hashes
       .select(col("doc_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
-    val idx = half(corpus).unionByName(half(batch))
-    val bat = half(batch)
-    def bandVal(b: Int) =
-      shiftrightunsigned(if (b < 2) col("lo") else col("hi"), (b % 2) * 16)
-        .bitwiseAND(lit(0xFFFFL))
-    val index = idx.select(col("doc_id"), col("hi"), col("lo"),
-      explode(array((0 until M7Bands).map(b =>
-        struct(lit(b).as("band"), bandVal(b).as("v"))): _*)).as("k"))
-    val probes = bat.select(col("doc_id").as("p_doc"),
-      col("hi").as("p_hi"), col("lo").as("p_lo"),
-      explode(array((for {
-        b <- 0 until M7Bands
-        flip <- -1 until M7BandBits
-      } yield struct(lit(b).as("band"),
-        (if (flip < 0) bandVal(b)
-         else bandVal(b).bitwiseXOR(lit(1L << flip))).as("v"))): _*)).as("k"))
-    probes.join(index, Seq("k"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        explode(array((0 until M7Bands).map(b =>
+          struct(lit(b).as("band"), bandValOf(b).as("v"))): _*)).as("k"))
+      .select(col("k.band").as("band"), col("k.v").as("v"),
+        col("doc_id"), col("hi"), col("lo"))
+
+  /** The m8 join over an explicit standing index ([[imgIndexKeys]]
+    * layout — fresh or read back from the bucketed table) and a batch
+    * hash frame (m6 shape): batch docs probe their hamming balls,
+    * index docs answer — pairs touching the batch only, exact within
+    * [[M7MaxHamming]]. */
+  private[graft] def imgIncrementalFromIndex(index: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val probes = batch
+      .select(col("doc_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
+      .select(col("doc_id").as("p_doc"),
+        col("hi").as("p_hi"), col("lo").as("p_lo"),
+        explode(array((for {
+          b <- 0 until M7Bands
+          flip <- -1 until M7BandBits
+        } yield struct(lit(b).as("band"),
+          (if (flip < 0) bandValOf(b)
+           else bandValOf(b).bitwiseXOR(lit(1L << flip))).as("v"))): _*)).as("k"))
+      .select(col("k.band").as("band"), col("k.v").as("v"),
+        col("p_doc"), col("p_hi"), col("p_lo"))
+    probes.join(index, Seq("band", "v"))
       .filter(col("p_doc") =!= col("doc_id"))
       .select(least(col("p_doc"), col("doc_id")).as("a"),
         greatest(col("p_doc"), col("doc_id")).as("b"),
@@ -365,6 +380,16 @@ object Multimodal {
       .filter(col("hamming") <= M7MaxHamming)
       .distinct()
   }
+
+  /** The m8 pipeline over explicit corpus/batch hash frames (m6
+    * shape): index = corpus ∪ batch identity keys, then
+    * [[imgIncrementalFromIndex]]. */
+  private[graft] def imgNearDupIncremental(corpus: DataFrame,
+      batch: DataFrame): DataFrame =
+    imgIncrementalFromIndex(
+      imgIndexKeys(corpus.unionByName(batch)
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))),
+      batch)
 
   /** One decoded audio clip's features — all engine-portable exact
     * integers: decoded frame count, the PCM sample-sum and extrema,

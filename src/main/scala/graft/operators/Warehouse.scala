@@ -210,6 +210,19 @@ object Warehouse {
       .sortBy("band_idx", "band_key")
       .format("parquet").saveAsTable(table)
 
+  /** Persist the standing IMAGE-HASH index
+    * ([[Multimodal.imgIndexKeys]] layout) bucketed + sorted by the
+    * (band, v) join key — the same pay-the-shuffle-once contract as
+    * [[writePostingsIndex]], for
+    * [[Multimodal.imgIncrementalFromIndex]]'s ingest join
+    * (exchange-free corpus side asserted in WarehouseSpec). Append a
+    * batch's [[Multimodal.imgIndexKeys]] with the same bucketing for
+    * day-2 growth, exactly like [[appendPostingsIndex]]. */
+  def writeImgIndex(index: DataFrame, table: String, nBuckets: Int): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "v").sortBy("band", "v")
+      .format("parquet").saveAsTable(table)
+
   /** Persist the standing contamination index
     * ([[TextAnalysis.trainShingleIndex]]) hash-bucketed + sorted by
     * shingle — the same pay-the-shuffle-once contract as

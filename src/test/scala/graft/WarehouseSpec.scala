@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis, Warehouse}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Warehouse}
 
 /** Plan-audited proof of the write-time layouts the scale notes promise:
   * partition-pruned vector probes and exchange-free co-bucketed joins. */
@@ -234,6 +234,42 @@ class WarehouseSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS wh_orders")
       spark.sql("DROP TABLE IF EXISTS wh_lineitem")
+    }
+  }
+
+  test("bucketed image-hash index: incremental image join never shuffles the corpus side") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hs = Multimodal.imgHash(
+        Tables.documents(spark, sf).select(col("doc_id")).as[Long])
+      val mx = hs.agg(max(col("doc_id"))).first().getLong(0)
+      val corpus = hs.filter(col("doc_id") * 10 < mx * 9)
+      val batch = hs.filter(col("doc_id") * 10 >= mx * 9)
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+      Warehouse.writeImgIndex(Multimodal.imgIndexKeys(corpus), "wh_img_index", 4)
+      val dir = Files.createTempDirectory("graft-imgix-plain").toFile.getAbsolutePath
+      Multimodal.imgIndexKeys(corpus).write.mode("overwrite").parquet(dir)
+
+      val bucketed = Multimodal.imgIncrementalFromIndex(
+        spark.table("wh_img_index"), batch)
+      val plain = Multimodal.imgIncrementalFromIndex(
+        spark.read.parquet(dir), batch)
+      val bPlan = planOf(bucketed)
+      assert(bPlan.contains("wh_img_index"), s"bucketed index not in plan:\n$bPlan")
+      def nShuf(p: String) = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(nShuf(bPlan) == nShuf(planOf(plain)) - 1,
+        s"corpus side still shuffles over the bucketed image index:\n$bPlan")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("hamming"))).toSet
+      val got = rows(bucketed)
+      assert(got.nonEmpty, "no incremental image pairs to compare")
+      assert(got == rows(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS wh_img_index")
     }
   }
 }
