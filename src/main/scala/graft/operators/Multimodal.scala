@@ -357,6 +357,21 @@ object Multimodal {
     * index docs answer — pairs touching the batch only, exact within
     * [[M7MaxHamming]]. */
   private[graft] def imgIncrementalFromIndex(index: DataFrame,
+      batch: DataFrame): DataFrame =
+    imgProbeCandidates(index, batch)
+      .select(least(col("p_doc"), col("doc_id")).as("a"),
+        greatest(col("p_doc"), col("doc_id")).as("b"),
+        col("hamming"))
+      .distinct()
+
+  /** The raw probe join under m8: batch docs probe their hamming
+    * balls against an [[imgIndexKeys]]-layout index — one
+    * (p_doc, doc_id, hamming) row PER matched band key (a pair
+    * sharing several qualifying bands repeats; no distinct, no
+    * normalization), which keeps the stage STATELESS and therefore
+    * valid on unbounded streaming input
+    * ([[graft.streaming.StreamOps.imgDedupStream]]). */
+  private[graft] def imgProbeCandidates(index: DataFrame,
       batch: DataFrame): DataFrame = {
     val probes = batch
       .select(col("doc_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
@@ -372,13 +387,11 @@ object Multimodal {
         col("p_doc"), col("p_hi"), col("p_lo"))
     probes.join(index, Seq("band", "v"))
       .filter(col("p_doc") =!= col("doc_id"))
-      .select(least(col("p_doc"), col("doc_id")).as("a"),
-        greatest(col("p_doc"), col("doc_id")).as("b"),
+      .select(col("p_doc"), col("doc_id"),
         (bit_count(col("p_hi").bitwiseXOR(col("hi"))) +
           bit_count(col("p_lo").bitwiseXOR(col("lo")))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= M7MaxHamming)
-      .distinct()
   }
 
   /** The m8 pipeline over explicit corpus/batch hash frames (m6

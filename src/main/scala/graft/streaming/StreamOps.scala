@@ -431,6 +431,27 @@ object StreamOps {
   def audioDecodeStream(ids: org.apache.spark.sql.Dataset[Long]): DataFrame =
     graft.operators.Multimodal.decodeAudioFeatures(ids)
 
+  /** Streaming m8: image near-dup at INGEST — the decode+hash stage
+    * ([[graft.operators.Multimodal.imgHash]], a stateless
+    * per-partition codec map) followed by the stream-static
+    * multi-index join against the standing image-hash index
+    * ([[graft.operators.Warehouse.writeImgIndex]] layout). Mirrors
+    * [[incrementalDedupStream]]: no watermark, no state store — each
+    * arriving image's candidates emit within its micro-batch, and the
+    * bucketed index side never reshuffles. Emits (new_doc, corpus_doc,
+    * hamming) within [[graft.operators.Multimodal.M7MaxHamming]];
+    * batch ≡ stream pinned on bounded replay. */
+  def imgDedupStream(ids: org.apache.spark.sql.Dataset[Long],
+      index: DataFrame): DataFrame = {
+    import graft.operators.Multimodal
+    // the raw stateless candidate join (no distinct — cross-batch
+    // dedup would need a state store); a pair sharing several
+    // qualifying bands repeats within its batch, consumers fold
+    Multimodal.imgProbeCandidates(index, Multimodal.imgHash(ids))
+      .select(col("p_doc").as("new_doc"), col("doc_id").as("corpus_doc"),
+        col("hamming"))
+  }
+
   /** One CDC change-feed row — [[cdcCollapseStream]]'s input unit (the
     * shape [[graft.operators.Events.cdcFeed]] produces in batch). */
   case class ChangeFeedRow(key: Long, op: String, val_c: Long,

@@ -860,6 +860,47 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(streamed == batch,
       s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
+
+  test("imgDedupStream chunked replay ≡ batch incremental image pairs, codec at ingest") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Multimodal, Warehouse}
+    val hs = Multimodal.imgHash(
+      graft.Tables.documents(spark, sf).select(col("doc_id")).as[Long])
+    val mx = hs.agg(max(col("doc_id"))).first().getLong(0)
+    val corpus = hs.filter(col("doc_id") * 10 < mx * 9)
+    val batchIds = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") * 10 >= mx * 9)
+      .select(col("doc_id")).as[Long].collect()
+    spark.sql("DROP TABLE IF EXISTS wh_img_stream")
+    Warehouse.writeImgIndex(Multimodal.imgIndexKeys(corpus), "wh_img_stream", 4)
+
+    val in = MemoryStream[Long]
+    val q = StreamOps.imgDedupStream(in.toDS(), spark.table("wh_img_stream"))
+      .writeStream.format("memory").queryName("img_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    batchIds.grouped(batchIds.length / 3 + 1).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("img_dedup_stream").collect()
+      .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("corpus_doc"),
+        r.getAs[Long]("hamming"))).toSet
+    // batch reference: new-vs-CORPUS pairs only (the stream twin joins
+    // the standing index, not the accumulating batch — within-batch
+    // pairs are m8's union-index responsibility, not the ingest twin's)
+    val batchHashes = hs.filter(col("doc_id") * 10 >= mx * 9)
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+    val expected = Multimodal
+      .imgProbeCandidates(Multimodal.imgIndexKeys(corpus), batchHashes)
+      .collect()
+      .map(r => (r.getAs[Long]("p_doc"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(expected.nonEmpty, "no cross pairs — fixture too small")
+    assert(streamed == expected,
+      s"stream/batch divergence: ${streamed -- expected} | ${expected -- streamed}")
+    spark.sql("DROP TABLE IF EXISTS wh_img_stream")
+  }
 }
 
 object StreamOpsSpec {
