@@ -691,6 +691,126 @@ object TextAnalysis {
       .orderBy(col("test_doc"), col("rank"))
   }
 
+  /** x18 rank cut: corpus-wide top pairs reported. */
+  val BpeTopPairs = 20
+
+  /** x18: BPE pair statistics — the E-step of byte-pair-encoding
+    * tokenizer training as an oracle-gated corpus query: the
+    * [[BpeTopPairs]] most frequent ADJACENT CHARACTER PAIRS inside
+    * words across the whole corpus (count desc, pair asc — the greedy
+    * trainer's next-merge order). [[trainBpe]] iterates exactly this
+    * aggregate to train real merges (spec-pinned: deterministic,
+    * token count monotone non-increasing); the one-step form is what
+    * a DuckDB oracle can state, so the distributed count itself is
+    * hash-gated.
+    *
+    * Scale notes (100 TB): one explode to (pair) rows and ONE
+    * map-side-combined count — x5's df shape; the pair vocabulary is
+    * tiny (≤ charset²), so the skew a corpus-wide stoppair creates is
+    * absorbed by the combiners, and the top-k is a TakeOrdered over
+    * the counted frame, never a global sort of the pairs. */
+  def x18BpePairs(s: SparkSession, d: String): DataFrame = {
+    // rank assignment runs over the ALREADY-reduced BpeTopPairs rows
+    // (driver-sized by construction) — the single-partition window is
+    // a bounded no-op, not a corpus sort
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair"))
+    documents(s, d)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(BpeTopPairs)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  /** Train `k` BPE merges over a (doc_id, text) corpus — the full
+    * greedy byte-pair-encoding trainer, distributed the way x18's
+    * one-step statistic shows: per round, ONE weighted pair-count
+    * aggregate over the DISTINCT-WORD symbol table (vocabulary-sized,
+    * frequencies carry the corpus weight — the classic BPE trainer
+    * state) picks the next merge (count desc, pair asc — ties
+    * deterministic), and a narrow typed map applies it leftmost-first.
+    * No SQL oracle (iterative; x18 hash-gates the aggregate the loop
+    * is made of); determinism + token-count monotonicity + the known
+    * merge sequence on a constructed corpus are spec-pinned.
+    *
+    * Scale notes (100 TB): the symbol table is O(distinct words) —
+    * built with one corpus-wide word count (x5's df shape) and then
+    * NEVER rescanned; each round costs one map-side-combined
+    * aggregate + one narrow map over the vocabulary, with
+    * localCheckpoint truncating the per-round lineage exactly like
+    * the d6 CC loop. */
+  def trainBpe(docs: DataFrame, k: Int): Seq[(String, String)] = {
+    import docs.sparkSession.implicits._
+    var syms = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("sym"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until k if !exhausted) {
+      val top = syms.filter(size(col("sym")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("sym")) - 1),
+          i => struct(element_at(col("sym"), i).as("a"),
+            element_at(col("sym"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        syms = syms.select(col("n"), col("sym")).as[(Long, Seq[String])]
+          .map { case (n, sym) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < sym.length) {
+              if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += sym(i); i += 1 }
+            }
+            (n, out.toSeq)
+          }.toDF("n", "sym").localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Weighted corpus token count under the current symbol table —
+    * the trainer's objective (Σ word_freq · |symbols|), for the
+    * monotonicity spec. */
+  private[graft] def bpeTokenTotal(docs: DataFrame,
+      merges: Seq[(String, String)]): Long = {
+    import docs.sparkSession.implicits._
+    var syms = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("sym"))
+    merges.foreach { case (a, b) =>
+      syms = syms.select(col("n"), col("sym")).as[(Long, Seq[String])]
+        .map { case (n, sym) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < sym.length) {
+            if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += sym(i); i += 1 }
+          }
+          (n, out.toSeq)
+        }.toDF("n", "sym")
+    }
+    syms.select(sum(col("n") * size(col("sym")))).first().getLong(0)
+  }
+
   /** x14: deterministic source-mixture resampling — the data-mixing
     * step that turns a source-skewed crawl into a corpus with CHOSEN
     * per-source proportions. Each source gets an integer weight (here
@@ -899,6 +1019,7 @@ object TextAnalysis {
     "x15_span_dedup" -> x15SpanDedup _,
     "x16_bigram_lm"  -> x16BigramScore _,
     "x17_bm25"       -> x17Bm25 _,
+    "x18_bpe_pairs"  -> x18BpePairs _,
   )
 
   private def inList(xs: Seq[String]): String =
@@ -913,6 +1034,18 @@ object TextAnalysis {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // restates x18's adjacent-pair count + greedy next-merge order
+    "x18_bpe_pairs" ->
+      s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '')
+         |    AS ws FROM documents),
+         |w AS (SELECT unnest(ws) AS w FROM t),
+         |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+         |  FROM w, unnest(range(1, length(w))) t2(i)
+         |  WHERE length(w) >= 2),
+         |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+         |    AS rank, pair, n
+         |FROM c ORDER BY n DESC, pair LIMIT $BpeTopPairs""".stripMargin,
     // mirrors x17's exact-rational BM25: idf e4-quantized per term,
     // per-(term, doc) contribution by integer floor division
     "x17_bm25" ->

@@ -1743,6 +1743,32 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall > 0.3, s"MIPS-IVF recall implausibly low: $recall")
   }
 
+  test("BPE trainer: known merge sequence, deterministic, objective monotone") {
+    import spark.implicits._
+    // "ab" dominates pairs (3 in-word occurrences via abc/abd + aab's
+    // tail), so the first merge must be (a,b); after it, the corpus
+    // re-pairs deterministically
+    val docs = Seq((0L, "abc abc abd"), (1L, "aab xy"), (2L, "xy xy"))
+      .toDF("doc_id", "text")
+    val m1 = TextAnalysis.trainBpe(docs, 1)
+    assert(m1 == Seq(("a", "b")), s"first merge: $m1")
+    val m3 = TextAnalysis.trainBpe(docs, 3)
+    assert(m3.take(1) == m1, "merge sequence not a stable prefix")
+    assert(m3.map(p => p._1 + p._2).distinct.size == m3.size)
+    // determinism across runs (and partitionings — repartition first)
+    val m3b = TextAnalysis.trainBpe(docs.repartition(7), 3)
+    assert(m3b == m3, s"nondeterministic merges: $m3b vs $m3")
+    // the objective (weighted token total) is monotone non-increasing
+    // in the merge prefix, strictly decreasing while merges apply
+    val totals = (0 to 3).map(i => TextAnalysis.bpeTokenTotal(docs, m3.take(i)))
+    assert(totals == totals.sorted.reverse, s"not monotone: $totals")
+    assert(totals.head > totals.last, "merges never reduced the token count")
+    // real corpus: 3 merges train without error and stay deterministic
+    val real = TextAnalysis.trainBpe(
+      graft.Tables.documents(spark, sf).select(col("doc_id"), col("text")), 3)
+    assert(real.size == 3 && real.distinct.size == 3)
+  }
+
   test("m6 aHash: decode-derived hash equals the closed-form spec hash") {
     val rows = Multimodal.m6ImgHash(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
