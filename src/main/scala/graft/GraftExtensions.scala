@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SimHash32Expr(es(0)), classOf[SimHash32Expr]))
     ext.injectFunction(fn("min_md5",
       es => MinMd5Expr(es(0)), classOf[MinMd5Expr]))
+    // Whole-operator extension: the native as-of join's planner strategy
+    // (logical GraftAsOfJoin → physical AsOfMergeJoinExec). Sessions not
+    // built with extensions get it lazily via AsOfMergeJoin.install.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeJoin.Strategy)
   }
 }

@@ -84,7 +84,10 @@ object Events {
       .select(col("user_id"), col("ts"),
         col("event_id").as("purchase_id"),
         cents(col("value")).as("purchase_cents"))
-    AsOfJoin.asof(clicks, purchases, "user_id", "ts",
+    // Native Catalyst path (custom logical node + strategy +
+    // sort-merge SparkPlan); AsOfJoinNativeSpec pins it equal to the
+    // composed union+window fallback AsOfJoin.asof on this exact shape.
+    graft.plans.AsOfMergeJoin.asof(clicks, purchases, "user_id", "ts",
       Seq("purchase_id", "purchase_cents"))
       .select(col("click_id"), col("user_id"),
         unix_timestamp(col("ts")).as("click_s"),
