@@ -324,6 +324,39 @@ object Dedup {
   def d6DupClusters(s: SparkSession, d: String): DataFrame =
     dupClusters(documents(s, d)).orderBy(col("doc_id"))
 
+  /** d11: canonical-selection manifest — the record a dedup stage
+    * actually ships: per doc its near-dup cluster, its quality score,
+    * the cluster's KEPT doc and the keep/drop bit. d6's representative
+    * is the min doc_id (a graph artifact of the component algorithm);
+    * production dedup keeps the BEST copy of each cluster — here the
+    * x2 quality score, ties broken to the smallest doc_id so the choice
+    * is total and reshuffle-proof.
+    *
+    * Shape: d6's component resolution (alternating-star CC over the d5
+    * SimHash pair set) joined with x2's narrow quality signals, then
+    * ONE window over cluster_rep picks the argmax. Scale: near-dup
+    * clusters are small by construction (they are sets of mutual
+    * near-copies), so the per-cluster window is bounded; the heavy
+    * machinery (pair generation, CC) is exactly d5/d6's and inherits
+    * their bucketed/bounded plans. */
+  def d11Canonical(s: SparkSession, d: String): DataFrame =
+    canonicalManifest(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Library form of [[d11Canonical]] over any (doc_id, text) frame;
+    * presentation order left to the caller. */
+  def canonicalManifest(docs: DataFrame): DataFrame = {
+    val clusters = dupClusters(docs).select(col("doc_id"), col("cluster_rep"))
+    val quality = TextAnalysis.qualitySignals(docs)
+      .select(col("doc_id"), col("quality_e3"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+      .orderBy(col("quality_e3").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("keep",
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+  }
+
   /** Library form of [[d6DupClusters]] over any (doc_id, text) frame;
     * presentation order left to the caller. */
   def dupClusters(docs: DataFrame): DataFrame = {
@@ -442,6 +475,7 @@ object Dedup {
     "d8_incremental_lsh" -> d8IncrementalLsh _,
     "d9_containment"    -> d9Containment _,
     "d10_blocking"      -> d10Blocking _,
+    "d11_canonical"     -> d11Canonical _,
   )
 
   /** Shared oracle CTE: words + distinct-less shingles per doc. */
@@ -633,5 +667,48 @@ object Dedup {
         |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep,
         |  CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // d6's transitive closure + x2's quality signals; per cluster the
+    // highest-quality doc (ties -> smallest doc_id) is kept
+    "d11_canonical" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |sg AS (SELECT doc_id,
+         |    list_aggregate(list_transform(range(1, 33), j ->
+         |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+         |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+         |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+         |  FROM t),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE coalesce(list_sum(list_transform(range(1, 33), j ->
+         |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0) <= 1),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+         |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+         |  FROM reach GROUP BY src),
+         |qb AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_tok_len,
+         |    CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.EnStop)})) AS BIGINT) AS n_stop
+         |  FROM t),
+         |qs AS (SELECT doc_id,
+         |    CAST(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 300 ELSE 0 END +
+         |      CASE WHEN sum_tok_len * 1000 // greatest(n_tokens, 1) BETWEEN 3000 AND 8000 THEN 400 ELSE 0 END +
+         |      CASE WHEN n_stop * 1000 // greatest(n_tokens, 1) BETWEEN 20 AND 400 THEN 300 ELSE 0 END
+         |      AS BIGINT) AS quality_e3
+         |  FROM qb),
+         |j AS (SELECT c.doc_id, CAST(c.cluster_rep AS BIGINT) AS cluster_rep,
+         |    q.quality_e3,
+         |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_rep
+         |      ORDER BY q.quality_e3 DESC, c.doc_id) AS canonical_id
+         |  FROM comp c JOIN qs q ON c.doc_id = q.doc_id)
+         |SELECT doc_id, cluster_rep, quality_e3,
+         |  CAST(canonical_id AS BIGINT) AS canonical_id,
+         |  CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
   )
 }

@@ -551,6 +551,49 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** s13: IVF + int8 scalar quantization composed — the FAISS
+    * "IVF,SQ8" index shape, the missing rung between s5 (full-scan
+    * int8) and s8 (IVF+PQ): IVF pruning picks WHICH rows score (s2's
+    * zero-exchange argmax assignment over the literal codebook — the
+    * index is BUILT on full-precision floats), and each scored pair is
+    * priced by the integer quantized dot (s5's storage format, codegen
+    * [[graft.functions.DotI64]]) instead of PQ's 8-lookup ADC.
+    *
+    * SQ8 keeps 4× compression with near-exact recall (s5 measured 0.98
+    * vs PQ's 0.22 at 32×) — at 100 TB this is the configuration for
+    * corpora that fit memory quantized: IVF bounds rows touched
+    * (nprobe/nlist of the corpus), SQ8 bounds bytes per row, and both
+    * stages stay in whole-stage codegen. Plan shape = s2's exactly
+    * (narrow assign + broadcast probes + one top-k exchange); only the
+    * scoring kernel changes. */
+  def s13KnnIvfSq(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val cents = collectCodebook(e)
+    // corpus rows: (cluster, q8, qnorm) — assignment on floats, storage
+    // quantized; both are narrow maps over the same scan
+    val corpus = quantized(assignClusters(e, cents))
+      .select(col("vec_id").as("nid"), col("q8").as("n_q8"),
+        col("qnorm").as("n_qnorm"), col("cluster"))
+    // probe list with the QUERY's quantized form computed in-place
+    val probeQ = quantized(
+      probeClusters(e, cents)
+        .select(col("qid").as("vec_id"), col("q_emb").as("embedding"),
+          col("cluster")))
+      .select(col("vec_id").as("qid"), col("cluster"),
+        col("q8").as("q_q8"), col("qnorm").as("q_qnorm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    corpus.join(broadcast(probeQ), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        cosine(qdot(col("q_q8"), col("n_q8")), col("q_qnorm"), col("n_qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** PQ geometry: Dim = PqSubs × PqSubDim subspaces, PqK centroids per
     * sub-codebook (stand-in: the sub-slices of vectors vec_id < PqK,
     * the same deterministic stand-in device as s2's codebook — a
@@ -1126,6 +1169,7 @@ object Similarity {
     "s8_knn_ivfpq"    -> s8KnnIvfPq _,
     "s11_ivf_rerank"  -> s11IvfRerank _,
     "s12_mips_ivf"    -> s12MipsIvf _,
+    "s13_ivf_sq"      -> s13KnnIvfSq _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
     "d7_embed_clusters" -> d7EmbedClusters _,
@@ -1397,6 +1441,50 @@ object Similarity {
            |    row_number() OVER (PARTITION BY qid ORDER BY dot_fp DESC, nid) AS rank
            |  FROM scored)
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dot_fp
+           |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // s2's cent/assigned/probes pick WHICH pairs score; s5's
+    // quantization CTEs price each scored pair by the integer int8 dot
+    "s13_ivf_sq" ->
+      (NormCte +
+        s"""
+           |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+           |  FROM e WHERE vec_id < $NCentroids),
+           |assigned AS (SELECT vec_id, cluster FROM (
+           |  SELECT e.vec_id, cent.cid AS cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+           |      cent.cid) AS arank
+           |  FROM e CROSS JOIN cent) WHERE arank = 1),
+           |probes AS (SELECT qid, cluster FROM (
+           |  SELECT q.vec_id AS qid, cent.cid AS cluster,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      ${oCos(oDot("q.embedding", "cent.c_emb"), "q.norm_fp", "cent.c_norm")} DESC,
+           |      cent.cid) AS prank
+           |  FROM e q CROSS JOIN cent WHERE q.vec_id < $NQueries) WHERE prank <= $NProbe),
+           |sc AS (SELECT vec_id, embedding,
+           |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+           |  FROM embeddings),
+           |qq AS (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(x::DOUBLE / scale * 127) AS BIGINT)) AS q8
+           |  FROM sc),
+           |qz AS (SELECT vec_id, q8,
+           |    CAST(coalesce(list_sum(list_transform(q8, v -> v * v)), 0) AS BIGINT)
+           |      AS qnorm
+           |  FROM qq),
+           |scored AS (SELECT p.qid, a.vec_id AS nid,
+           |    CAST(coalesce(list_sum(list_transform(range(1, len(q.q8) + 1),
+           |        i -> q.q8[i] * c.q8[i])), 0) AS BIGINT)::DOUBLE
+           |      / (sqrt(q.qnorm::DOUBLE) * sqrt(c.qnorm::DOUBLE)) AS cos
+           |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
+           |    JOIN qz q ON q.vec_id = p.qid
+           |    JOIN qz c ON c.vec_id = a.vec_id
+           |  WHERE p.qid <> a.vec_id),
+           |r AS (SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+           |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     "s11_ivf_rerank" ->
       (oIvfPqScored +

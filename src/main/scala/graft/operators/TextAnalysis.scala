@@ -709,6 +709,64 @@ object TextAnalysis {
     * tiny (≤ charset²), so the skew a corpus-wide stoppair creates is
     * absorbed by the combiners, and the top-k is a TakeOrdered over
     * the counted frame, never a global sort of the pairs. */
+  /** x19: per-source token-divergence diagnostics — the data-MIXTURE
+    * audit a multi-source pretraining corpus needs: for each source,
+    * the χ² statistic of its unigram distribution against the corpus
+    * (Σ (obs−exp)²/exp over tokens), plus the top-5 tokens driving it
+    * (count desc, token asc). Flags the source whose token mix drifted
+    * (new boilerplate, a scraper gone wrong, template contamination)
+    * before it trains into the model.
+    *
+    * Exactness: the per-token contribution is cleared to an integer —
+    * chi2_e4 = (obs·N − glob·n_src)² · 10⁴ div (glob·n_src·N) — in
+    * decimal(38,0), the e9 pattern: the cross-products exceed int64
+    * once obs·N passes ~9.6e18 (corpus ≈ 3e9 tokens), and decimal38
+    * carries them to ~1e38 ≈ a 1e19-token corpus; both engines state
+    * the identical integral division (operands positive ⇒ floor =
+    * trunc). The e4 quantum keeps the per-token DIVISION result inside
+    * int64 (IntegralDivide's output type) with ~1e3 headroom at 1e19
+    * tokens, since contributions are at most obs·N/den-scaled.
+    *
+    * Scale shape: one explode + three map-side-combined counts off the
+    * same shuffle key family; the token-level join is vocab-keyed
+    * (glob is vocabulary-sized), per-source totals broadcast, N a
+    * 1-row broadcast cross join; the final top-5 window partitions by
+    * source over vocab-sized rows. Nothing touches the corpus twice. */
+  def x19SrcDivergence(s: SparkSession, d: String): DataFrame =
+    srcDivergence(documents(s, d))
+      .transform(Output.ordered(_, col("source"), col("rank")))
+
+  /** Library form of [[x19SrcDivergence]] over any (source, text)
+    * frame; presentation order left to the caller. */
+  def srcDivergence(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tok = docs.select(col("source"), explode(words(col("text"))).as("w"))
+    val bySrcTok = tok.groupBy("source", "w").agg(count(lit(1)).as("obs"))
+    val byTok = tok.groupBy("w").agg(count(lit(1)).as("glob_n"))
+    val bySrc = tok.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val num = col("obs").cast(dec) * col("n_total").cast(dec) -
+      col("glob_n").cast(dec) * col("n_src").cast(dec)
+    val den = col("glob_n").cast(dec) * col("n_src").cast(dec) *
+      col("n_total").cast(dec)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("chi2_e4").desc, col("w"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    bySrcTok
+      .join(byTok, "w")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("chi2_e4",
+        call_function("div", num * num * lit(10000).cast(dec), den))
+      .withColumn("chi2_total_e4", sum(col("chi2_e4")).over(wTot))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5L)
+      .select(col("source"), col("rank"), col("w").as("token"),
+        col("obs"), col("glob_n"), col("chi2_e4"), col("chi2_total_e4"))
+  }
+
   def x18BpePairs(s: SparkSession, d: String): DataFrame = {
     // rank assignment runs over the ALREADY-reduced BpeTopPairs rows
     // (driver-sized by construction) — the single-partition window is
@@ -1020,9 +1078,10 @@ object TextAnalysis {
     "x16_bigram_lm"  -> x16BigramScore _,
     "x17_bm25"       -> x17Bm25 _,
     "x18_bpe_pairs"  -> x18BpePairs _,
+    "x19_src_divergence" -> x19SrcDivergence _,
   )
 
-  private def inList(xs: Seq[String]): String =
+  private[operators] def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
   /** DuckDB mirror of the 4-hex-char md5 bucket fold (x6/x7/x11). */
@@ -1046,6 +1105,32 @@ object TextAnalysis {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
          |    AS rank, pair, n
          |FROM c ORDER BY n DESC, pair LIMIT $BpeTopPairs""".stripMargin,
+    // HUGEINT cross-products mirror the decimal(38,0) widening; //
+    // is floor division = Spark's DIV trunc on the positive operands
+    "x19_src_divergence" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), w -> w != '')) AS w
+        |  FROM documents),
+        |st AS (SELECT source, w, CAST(count(*) AS BIGINT) AS obs
+        |  FROM tok GROUP BY source, w),
+        |gt AS (SELECT w, CAST(count(*) AS BIGINT) AS glob_n FROM tok GROUP BY w),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM tok GROUP BY source),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+        |j AS (SELECT st.source, st.w, st.obs, gt.glob_n,
+        |    CAST(((st.obs::HUGEINT * nt.n_total - gt.glob_n::HUGEINT * ns.n_src)
+        |       * (st.obs::HUGEINT * nt.n_total - gt.glob_n::HUGEINT * ns.n_src)
+        |       * 10000)
+        |      // (gt.glob_n::HUGEINT * ns.n_src * nt.n_total) AS BIGINT) AS chi2_e4
+        |  FROM st JOIN gt ON st.w = gt.w JOIN ns ON st.source = ns.source
+        |    CROSS JOIN nt),
+        |wr AS (SELECT source, w, obs, glob_n, chi2_e4,
+        |    CAST(sum(chi2_e4) OVER (PARTITION BY source) AS BIGINT) AS chi2_total_e4,
+        |    row_number() OVER (PARTITION BY source ORDER BY chi2_e4 DESC, w) AS rank
+        |  FROM j)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, w AS token, obs, glob_n,
+        |  chi2_e4, chi2_total_e4
+        |FROM wr WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // mirrors x17's exact-rational BM25: idf e4-quantized per term,
     // per-(term, doc) contribution by integer floor division
     "x17_bm25" ->

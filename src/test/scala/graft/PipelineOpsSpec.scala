@@ -1794,4 +1794,96 @@ class PipelineOpsSpec extends SparkSpecBase {
       assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
     }
   }
+
+  test("d11 canonical: keeps the best-QUALITY copy, not d6's min-id rep") {
+    import spark.implicits._
+    // docs 1/2 carry identical WORDS (same simhash -> same cluster) but
+    // different raw lengths: doc 1 is under the 100-char quality bar,
+    // doc 2 is space-padded past it (words() ignores the extra spaces,
+    // length(text) does not). doc 3 is an unrelated singleton.
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")  // ~120 chars
+    val short = base.substring(0, 93).trim                 // < 100 chars
+    val docs = Seq(
+      (1L, short),
+      (2L, short + "   " * 10),  // same words, length >= 100
+      (3L, "completely different unrelated content entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.canonicalManifest(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_rep"), r.getAs[Long]("canonical_id"),
+          r.getAs[Long]("keep"))).toMap
+    // same cluster, min-id rep = 1, but canonical = 2 (higher quality)
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L, s"not clustered: $out")
+    assert(out(1L)._2 == 2L && out(2L)._2 == 2L,
+      s"canonical should be the padded (higher-quality) doc: $out")
+    assert(out(1L)._3 == 0L && out(2L)._3 == 1L)
+    // singleton keeps itself
+    assert(out(3L) == ((3L, 3L, 1L)))
+  }
+
+  test("s13 IVF+SQ8: candidates are exactly s2's probed clusters, scores are s5's " +
+      "quantized cosines, corpus side exchange-free before the top-k") {
+    val e = Similarity.withNorm(Tables.embeddings(spark, sf))
+    val cents = Similarity.collectCodebook(e)
+    val clusterOf = Similarity.assignClusters(e, cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probesOf = Similarity.probeClusters(e, cents)
+      .select(col("qid"), col("cluster")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val out = Similarity.s13KnnIvfSq(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, nid) = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      assert(probesOf(qid).contains(clusterOf(nid)),
+        s"neighbor $nid outside $qid's probed clusters")
+    }
+    // scoring kernel: the quantized cosine, same as s5 for shared pairs
+    val s5 = Similarity.s5QuantKnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Long]("cos_e6")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      s5.get(k).foreach(c => assert(c == r.getAs[Long]("cos_e6"),
+        s"s13 score != s5 quantized score for $k"))
+    }
+    // plan: s2's shape — no exchange below the per-query top-k window
+    // (assignment/probes are narrow literal-codebook projections; fresh
+    // df so the un-executed AQE plan prints once)
+    val plan = planOf(Similarity.s13KnnIvfSq(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"probe side not broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected only the top-k window shuffle, got $shuffles:\n$plan")
+  }
+
+  test("x19 divergence: integer-exact chi2 on a constructed skewed source") {
+    import spark.implicits._
+    // srcA skews 'aa' against a balanced, larger srcB (asymmetric sizes
+    // so the two sources' chi2 totals genuinely differ)
+    val docs = Seq(
+      ("srcA", ("aa " * 8 + "bb " * 2).trim),
+      ("srcB", ("aa " * 10 + "bb " * 10).trim)
+    ).toDF("source", "text")
+    val out = TextAnalysis.srcDivergence(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("obs"), r.getAs[Long]("glob_n"),
+          r.getAs[Long]("chi2_e4"), r.getAs[Long]("chi2_total_e4"))).toMap
+    // independent BigInt reference of the published formula
+    def chi2(obs: Long, glob: Long, nSrc: Long, nTot: Long): Long = {
+      val num = BigInt(obs) * nTot - BigInt(glob) * nSrc
+      (num * num * 10000 / (BigInt(glob) * nSrc * nTot)).toLong
+    }
+    val (nTot, nA, nB) = (30L, 10L, 20L)
+    val expA = Map("aa" -> chi2(8, 18, nA, nTot), "bb" -> chi2(2, 12, nA, nTot))
+    val expB = Map("aa" -> chi2(10, 18, nB, nTot), "bb" -> chi2(10, 12, nB, nTot))
+    expA.foreach { case (t, v) =>
+      assert(out(("srcA", t))._3 == v, s"chi2 srcA/$t: ${out(("srcA", t))} != $v") }
+    expB.foreach { case (t, v) => assert(out(("srcB", t))._3 == v) }
+    // totals = sum of contributions; the skewed source diverges more
+    assert(out(("srcA", "aa"))._4 == expA.values.sum)
+    assert(out(("srcB", "aa"))._4 == expB.values.sum)
+    assert(out(("srcA", "aa"))._4 > out(("srcB", "aa"))._4)
+  }
 }
