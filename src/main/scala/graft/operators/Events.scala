@@ -583,6 +583,36 @@ object Events {
     * base is rebuilt from the split for oracle parity; the merge
     * shape (partial agg each side → one full-outer equi-join) is the
     * production plan. */
+  /** Partial hourly aggregate in the MERGEABLE (count, cents) form —
+    * the unit both delta-IVM paths absorb: e16's one-shot base+delta
+    * and [[graft.streaming.StreamOps.deltaAggStream]]'s per-micro-batch
+    * maintenance. count/sum in integer cents so absorption is exact
+    * and associative on any chunking. */
+  def hourlyPartial(ev: DataFrame): DataFrame =
+    ev.select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"), cents(col("value")).as("val_c"))
+      .groupBy(col("hour_s"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("val_c")).as("sum_cents"))
+
+  /** Delta-IVM absorption: ONE full-outer merge of a delta's partial
+    * aggregates into the stored rollup on the group key. Commutative
+    * and associative over [[hourlyPartial]] rows, so replaying a feed
+    * in any chunking converges to the one-shot aggregate (pinned by
+    * StreamOpsSpec). At scale the base is bucketed on (hour_s,
+    * event_type) and the merge costs exactly the delta's shuffle —
+    * the e15 merge-apply argument, applied to aggregates. */
+  def absorbDelta(base: DataFrame, delta: DataFrame): DataFrame =
+    base.select(col("hour_s"), col("event_type"),
+        col("n_events").as("n_b"), col("sum_cents").as("c_b"))
+      .join(delta.select(col("hour_s"), col("event_type"),
+          col("n_events").as("n_d"), col("sum_cents").as("c_d")),
+        Seq("hour_s", "event_type"), "full_outer")
+      .select(col("hour_s"), col("event_type"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L)))
+          .as("sum_cents"))
+
   def e16DeltaAgg(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(
       unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),

@@ -577,6 +577,80 @@ object StreamOps {
       }
   }
 
+  /** Rollup store schema for [[deltaAggStream]]. */
+  val RollupSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hour_s",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_cents",
+        org.apache.spark.sql.types.LongType)))
+
+  private def rollupVersions(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("v"))
+      .flatMap(p => scala.util.Try(p.getName.drop(1).toLong).toOption.map(_ -> p))
+  }
+
+  /** The current standing rollup maintained by [[deltaAggStream]]
+    * (empty before the first batch). `before` bounds the version read —
+    * the stream passes its own batch id so a REDELIVERED micro-batch
+    * (failure before the ack) absorbs into the same base it did the
+    * first time: idempotent re-run instead of double counting. */
+  def deltaAggCurrent(s: org.apache.spark.sql.SparkSession, dir: String,
+      before: Long = Long.MaxValue): DataFrame = {
+    val vs = rollupVersions(s, dir).filter(_._1 < before)
+    if (vs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        RollupSchema)
+    else s.read.parquet(vs.maxBy(_._1)._2.toString)
+  }
+
+  /** Streaming delta-IVM — e16's ingest-time twin: a standing hourly
+    * (count, cents) rollup absorbs each micro-batch's PARTIAL
+    * aggregates via [[graft.operators.Events.absorbDelta]]'s one
+    * full-outer merge; history is never recomputed. foreachBatch,
+    * because the merge target is a persistent TABLE, not stream state
+    * (the rollup outlives the query and is what batch readers join).
+    *
+    * Store = versioned single-writer parquet dirs `dir/v{batchId}`:
+    * the merge must materialize before its base could be deleted, and
+    * a version per batch makes redelivered batches idempotent (the
+    * base read is bounded to versions BEFORE the batch id). Versions
+    * older than the base are pruned after each commit — steady state
+    * holds 2. At warehouse scale the same shape lands on a catalog
+    * table with bucketed (hour_s, event_type) layout, making the merge
+    * cost exactly the delta's shuffle.
+    *
+    * Absorption is exact integer arithmetic and associative, so ANY
+    * chunking of the feed converges to the one-shot [[graft.operators
+    * .Events.hourlyPartial]] answer — pinned by StreamOpsSpec. */
+  def deltaAggStream(events: DataFrame, storeDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val delta = graft.operators.Events.hourlyPartial(batch.toDF())
+        val base = deltaAggCurrent(s, storeDir, before = id)
+        graft.operators.Events.absorbDelta(base, delta)
+          .write.mode("overwrite").parquet(s"$storeDir/v$id")
+        // prune all versions older than the new base
+        val path = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        rollupVersions(s, storeDir).filter(_._1 < id)
+          .sortBy(_._1).dropRight(1)
+          .foreach { case (_, p) => fs.delete(p, true) }
+        ()
+      }
+
   /** Output mode guidance per op (what a caller's writeStream should
     * use): windowed aggs → Append (emit on watermark close) or Update;
     * latestState → Update; dedupExact → Append. */
@@ -595,5 +669,6 @@ object StreamOps {
     "decodeStream" -> OutputMode.Append(),
     "audioDecodeStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append(),
-    "anomalyStream" -> OutputMode.Append())
+    "anomalyStream" -> OutputMode.Append(),
+    "deltaAggStream" -> OutputMode.Update())
 }

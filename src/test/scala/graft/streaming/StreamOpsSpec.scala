@@ -901,8 +901,40 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch divergence: ${streamed -- expected} | ${expected -- streamed}")
     spark.sql("DROP TABLE IF EXISTS wh_img_stream")
   }
+
+  test("deltaAggStream: standing rollup after chunked replay ≡ one-shot aggregate, " +
+      "old versions pruned") {
+    implicit val sq = spark.sqlContext
+    import StreamOpsSpec.VEvent
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = ev.as[VEvent].collect()
+    assert(rows.length > 100, "fixture too small")
+    val dir = java.nio.file.Files.createTempDirectory("delta-agg-store").toString
+    val cp = java.nio.file.Files.createTempDirectory("delta-agg-cp").toString
+    val in = MemoryStream[VEvent]
+    val q = StreamOps.deltaAggStream(in.toDF(), dir)
+      .option("checkpointLocation", cp).start()
+    rows.grouped(rows.length / 5 + 1).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("hour_s"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toMap
+    val streamed = m(StreamOps.deltaAggCurrent(spark, dir))
+    val oneShot = m(graft.operators.Events.hourlyPartial(ev))
+    assert(oneShot.nonEmpty)
+    assert(streamed == oneShot,
+      s"IVM store diverged: ${streamed.toSet -- oneShot.toSet} | ${oneShot.toSet -- streamed.toSet}")
+    // steady state keeps the newest version + its base, nothing older
+    val vs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("v"))
+    assert(vs.length <= 2, s"version pruning failed: ${vs.map(_.getName).toSeq}")
+  }
 }
 
 object StreamOpsSpec {
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class VEvent(ts: java.sql.Timestamp, event_type: String, value: Double)
 }
