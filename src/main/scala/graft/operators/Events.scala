@@ -634,6 +634,35 @@ object Events {
       .orderBy(col("hour_s"), col("event_type"))
   }
 
+  /** e17: as-of join with an attribution WINDOW — e4's backward match
+    * bounded by a 2-hour tolerance: a click attributes to the latest
+    * preceding purchase only if it happened within the window,
+    * otherwise the attribution is null (stale conversions don't
+    * count). Runs on the native [[graft.plans.AsOfMergeJoin]] operator,
+    * whose merge applies the tolerance as an O(1) emit-time filter —
+    * backward monotonicity means the latest preceding row is the
+    * nearest, so "latest outside the window" implies "no match".
+    * The oracle states the same semantics as a correlated LATERAL
+    * top-1 (order ts desc then greatest payload — the operator's
+    * documented tie rule). */
+  def e17AsofWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        cents(col("value")).as("purchase_cents"))
+    graft.plans.AsOfMergeJoin.asof(clicks, purchases, "user_id", "ts",
+      Seq("purchase_id", "purchase_cents"),
+      tolerance = Some(2L * 3600L * 1000000L)) // 2 h in ts micros
+      .select(col("click_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("click_s"),
+        col("purchase_id"),
+        dollars(col("purchase_cents")).as("purchase_value"))
+      .orderBy(col("click_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -651,6 +680,7 @@ object Events {
     "e14_sliding_agg"   -> e14SlidingAgg _,
     "e15_cdc_apply"     -> e15CdcApply _,
     "e16_delta_agg"     -> e16DeltaAgg _,
+    "e17_asof_window"   -> e17AsofWindow _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -834,6 +864,25 @@ object Events {
         |  p.purchase_id, p.purchase_cents/100.0 AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id
         |  AND date_trunc('microseconds', c.ts) >= date_trunc('microseconds', p.ts)
+        |ORDER BY click_id""".stripMargin,
+    // correlated LATERAL top-1: latest preceding purchase within 2 h,
+    // ties (ts) broken to the greatest payload — the native operator's
+    // documented tie rule
+    "e17_asof_window" ->
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |    WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id,
+        |    CAST(round(value*100) AS BIGINT) AS purchase_cents FROM events
+        |    WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s,
+        |  m.purchase_id, m.purchase_cents/100.0 AS purchase_value
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT p.purchase_id, p.purchase_cents FROM p
+        |  WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        |    AND p.ts >= c.ts - INTERVAL 2 HOUR
+        |  ORDER BY p.ts DESC, p.purchase_id DESC, p.purchase_cents DESC
+        |  LIMIT 1) m ON TRUE
         |ORDER BY click_id""".stripMargin,
     "e5_latest_state" ->
       """SELECT user_id, event_id AS last_event_id,

@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+  TimestampNTZType, TimestampType}
 
 /** Native Catalyst as-of join — the (c)-tier custom-operator path:
   * a logical node + planner strategy + physical sort-merge `SparkPlan`.
@@ -24,22 +25,35 @@ import org.apache.spark.sql.functions.col
   * hash-clustered on the key (Catalyst's `EnsureRequirements` inserts
   * co-partitioned exchanges exactly as it does for `SortMergeJoinExec`)
   * and sorted within partitions on (key, ts), then a single O(|L|+|R|)
-  * forward-merge pass attaches to each left row the LAST right row with
-  * the same key and right.ts <= left.ts.
+  * merge pass attaches to each left row its as-of match. The full
+  * `merge_asof` surface:
+  *
+  *  - direction BACKWARD (default): the LAST right row with the same
+  *    key and right.ts <= left.ts;
+  *  - direction FORWARD: the FIRST right row with right.ts >= left.ts;
+  *  - `tolerance`: bound on |right.ts − left.ts| in the ts column's
+  *    native unit (microseconds for timestamps) — a match outside the
+  *    window emits null payload. Backward/forward monotonicity makes
+  *    the tolerance a pure emit-time filter: if the nearest qualifying
+  *    row is outside the window, every other qualifying row is
+  *    farther.
   *
   * Scale shape vs the composed union+window form (`AsOfJoin.asof`):
   * identical shuffle cost (one exchange per side, keyed on the join
   * key), but no window state and no union widening — each task streams
-  * two sorted iterators with O(1) carried state (the current candidate
-  * row), so task memory is independent of key group size. The composed
-  * form remains the pure-DataFrame fallback; `AsOfJoinNativeSpec` pins
-  * the two equal on adversarial inputs.
+  * two sorted iterators with O(1) carried state (backward: the current
+  * candidate row; forward: the most recent (key, ts) tie-run), so task
+  * memory is independent of key group size. The composed form remains
+  * the pure-DataFrame fallback; `AsOfJoinNativeSpec` pins the two
+  * equal on adversarial inputs (forward ≡ composed on negated ts).
   *
   * Tie semantics match the composed form: among right rows equal on
-  * (key, ts), the greatest payload struct wins (the right sort order
-  * appends the payload columns when orderable, and the merge keeps the
-  * LAST qualifying row). Left rows with no qualifying right row emit
-  * null payload fields.
+  * (key, ts), the greatest payload struct wins in BOTH directions (the
+  * right sort appends the payload columns when orderable; backward
+  * keeps the last consumed qualifying row, forward reads to the end of
+  * the first qualifying tie-run). Left rows with no qualifying right
+  * row emit null payload fields; a null left ts matches nothing; null
+  * right ts rows never match.
   */
 object AsOfMergeJoin {
 
@@ -53,7 +67,9 @@ object AsOfMergeJoin {
       rightKeys: Seq[Expression],
       leftTs: Expression,
       rightTs: Expression,
-      payload: Seq[Attribute]) extends BinaryNode {
+      payload: Seq[Attribute],
+      tolerance: Option[Long],
+      forward: Boolean) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ payload.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -66,8 +82,9 @@ object AsOfMergeJoin {
     * `graft.GraftExtensions`. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case GraftAsOfJoin(l, r, lk, rk, lts, rts, pay) =>
-        AsOfMergeJoinExec(lk, rk, lts, rts, pay, planLater(l), planLater(r)) :: Nil
+      case GraftAsOfJoin(l, r, lk, rk, lts, rts, pay, tol, fwd) =>
+        AsOfMergeJoinExec(lk, rk, lts, rts, pay, tol, fwd,
+          planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
   }
@@ -79,6 +96,8 @@ object AsOfMergeJoin {
       leftTs: Expression,
       rightTs: Expression,
       payload: Seq[Attribute],
+      tolerance: Option[Long],
+      forward: Boolean,
       left: SparkPlan,
       right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -92,8 +111,8 @@ object AsOfMergeJoin {
 
     // Within-partition sort: (key, ts) both sides; the right side adds
     // the payload columns as a deterministic tie-break when orderable
-    // ("last qualifying row wins" then means greatest payload, matching
-    // the composed form's documented tie rule).
+    // (the last row of a (key, ts) tie-run then carries the greatest
+    // payload — the documented tie rule, both directions).
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
       val rTie: Seq[Expression] =
         if (payload.forall(p => RowOrdering.isOrderable(p.dataType))) payload
@@ -108,6 +127,16 @@ object AsOfMergeJoin {
     override def outputPartitioning: Partitioning = left.outputPartitioning
     override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+    /** ts value → its underlying long (micros for timestamps, days for
+      * dates) for tolerance arithmetic. */
+    private def tsLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"tolerance unsupported for ts value of ${other.getClass}")
+    }
+
     override protected def doExecute(): RDD[InternalRow] = {
       val lOut = left.output
       val rOut = right.output
@@ -116,11 +145,13 @@ object AsOfMergeJoin {
       val lTsBound = BindReferences.bindReference(leftTs, lOut)
       val rTsBound = BindReferences.bindReference(rightTs, rOut)
       val keyTypes = leftKeys.map(_.dataType)
-      val tsOrdering =
-        TypeUtils.getInterpretedOrdering(leftTs.dataType)
+      val tsOrdering = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(leftTs.dataType)
       val payloadAttrs = payload
       val numPayload = payload.length
       val outAttrs = output
+      val tol = tolerance
+      val fwd = forward
 
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -132,44 +163,115 @@ object AsOfMergeJoin {
         val joined = new JoinedRow
         val rBuf = rIter.buffered
 
-        // Carried candidate: the last consumed right row whose (key, ts)
-        // did not exceed the current left probe. O(1) state per task.
+        // Carried candidate (backward: last qualifying row; forward:
+        // the most recent fully-read (key, ts) tie-run). O(1) state.
         var candKey: UnsafeRow = null
+        var candTs: Any = null
         var candPayload: UnsafeRow = null
 
-        lIter.map { lRow =>
-          val lKey = lKeyProj(lRow)
-          val lTs = lTsBound.eval(lRow)
-          if (lTs == null) {
-            // Null probe time matches nothing (SQL comparison semantics).
-            resultProj(joined(lRow, nullPayload))
-          } else {
-            var advance = true
-            while (advance && rBuf.hasNext) {
-              val rRow = rBuf.head
-              val rKey = rKeyProj(rRow)
-              val cmp = keyOrd.compare(rKey, lKey)
-              if (cmp < 0) {
-                rBuf.next() // earlier key: discard (candKey check gates emit)
-              } else if (cmp == 0) {
-                val rTs = rTsBound.eval(rRow)
-                // Null right ts sorts first under Ascending; it can never
-                // satisfy rTs <= lTs, so consume without candidacy.
-                if (rTs != null && tsOrdering.lteq(rTs, lTs)) {
-                  candKey = rKey.copy()
-                  candPayload = payloadProj(rRow).copy()
-                  rBuf.next()
-                } else if (rTs == null) {
-                  rBuf.next()
+        def withinTol(lTs: Any): Boolean = tol.forall { t =>
+          val diff =
+            if (fwd) tsLong(candTs) - tsLong(lTs)
+            else tsLong(lTs) - tsLong(candTs)
+          diff <= t
+        }
+
+        def emit(lRow: InternalRow, lKey: UnsafeRow, lTs: Any): UnsafeRow = {
+          val matched = candKey != null &&
+            keyOrd.compare(candKey, lKey) == 0 &&
+            (if (fwd) candTs != null && tsOrdering.gteq(candTs, lTs) else true) &&
+            withinTol(lTs)
+          resultProj(joined(lRow, if (matched) candPayload else nullPayload))
+        }
+
+        if (!fwd) {
+          // BACKWARD: consume right rows while (key, ts) <= probe;
+          // the last qualifying consumed row is the match.
+          lIter.map { lRow =>
+            val lKey = lKeyProj(lRow)
+            val lTs = lTsBound.eval(lRow)
+            if (lTs == null) {
+              resultProj(joined(lRow, nullPayload))
+            } else {
+              var advance = true
+              while (advance && rBuf.hasNext) {
+                val rRow = rBuf.head
+                val rKey = rKeyProj(rRow)
+                val cmp = keyOrd.compare(rKey, lKey)
+                if (cmp < 0) {
+                  rBuf.next() // earlier key (candKey check gates emit)
+                } else if (cmp == 0) {
+                  val rTs = rTsBound.eval(rRow)
+                  if (rTs == null) {
+                    rBuf.next() // null ts never matches
+                  } else if (tsOrdering.lteq(rTs, lTs)) {
+                    candKey = rKey.copy()
+                    candTs = rTs
+                    candPayload = payloadProj(rRow).copy()
+                    rBuf.next()
+                  } else {
+                    advance = false
+                  }
                 } else {
                   advance = false
                 }
-              } else {
-                advance = false
               }
+              emit(lRow, lKey, lTs)
             }
-            val matched = candKey != null && keyOrd.compare(candKey, lKey) == 0
-            resultProj(joined(lRow, if (matched) candPayload else nullPayload))
+          }
+        } else {
+          // FORWARD: the cached tie-run (candKey, candTs) serves every
+          // probe with lTs <= candTs; a stale cache (candTs < lTs or
+          // earlier key) re-reads from the stream. Rows skipped have
+          // ts < lTs and can never serve a later (larger-ts) probe.
+          lIter.map { lRow =>
+            val lKey = lKeyProj(lRow)
+            val lTs = lTsBound.eval(lRow)
+            if (lTs == null) {
+              resultProj(joined(lRow, nullPayload))
+            } else {
+              var done = candKey != null &&
+                keyOrd.compare(candKey, lKey) == 0 &&
+                candTs != null && tsOrdering.gteq(candTs, lTs)
+              while (!done && rBuf.hasNext) {
+                val rRow = rBuf.head
+                val rKey = rKeyProj(rRow)
+                val cmp = keyOrd.compare(rKey, lKey)
+                if (cmp < 0) {
+                  rBuf.next()
+                } else if (cmp == 0) {
+                  val rTs = rTsBound.eval(rRow)
+                  if (rTs == null || tsOrdering.lt(rTs, lTs)) {
+                    rBuf.next() // unusable for this and all later probes
+                  } else {
+                    // first qualifying row: read its whole (key, ts)
+                    // tie-run; the run's last row has the greatest
+                    // payload under the right sort order
+                    val runKey = rKey.copy()
+                    val runTs = rTs
+                    var pay = payloadProj(rRow).copy()
+                    rBuf.next()
+                    var run = true
+                    while (run && rBuf.hasNext) {
+                      val nRow = rBuf.head
+                      val nKey = rKeyProj(nRow)
+                      if (keyOrd.compare(nKey, runKey) == 0) {
+                        val nTs = rTsBound.eval(nRow)
+                        if (nTs != null && tsOrdering.equiv(nTs, runTs)) {
+                          pay = payloadProj(nRow).copy()
+                          rBuf.next()
+                        } else run = false
+                      } else run = false
+                    }
+                    candKey = runKey; candTs = runTs; candPayload = pay
+                    done = true
+                  }
+                } else {
+                  done = true // no right rows for this key at >= lTs
+                }
+              }
+              emit(lRow, lKey, lTs)
+            }
           }
         }
       }
@@ -180,10 +282,15 @@ object AsOfMergeJoin {
       copy(left = newLeft, right = newRight)
   }
 
-  /** DataFrame entry point — same contract as `AsOfJoin.asof`: attach to
-    * each left row the latest right row with equal `key` and
-    * `right.ts <= left.ts`, carrying `rightCols` (null when no such
-    * row). Output columns: all left columns, then `rightCols`.
+  /** DataFrame entry point — the `merge_asof` contract: attach to each
+    * left row the latest (backward) or earliest (forward) right row
+    * with equal `key` and right.ts on the matching side of `left.ts`,
+    * within `tolerance` when given, carrying `rightCols` (null when no
+    * such row). Output columns: all left columns, then `rightCols`.
+    *
+    * `tolerance` is in the ts column's NATIVE unit: microseconds for
+    * TIMESTAMP/TIMESTAMP_NTZ, days for DATE, the raw value for
+    * integral ts columns.
     *
     * The right side is pruned AND fresh-aliased before plan
     * construction: pruning is the column-pushdown the optimizer cannot
@@ -191,9 +298,16 @@ object AsOfMergeJoin {
     * exprIds so a self-as-of (both sides from one scan) cannot alias
     * attributes across children. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], tolerance: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     install(spark)
+    tolerance.foreach { _ =>
+      val t = left.schema(ts).dataType
+      require(Seq(TimestampType, TimestampNTZType, DateType, LongType,
+        IntegerType).contains(t),
+        s"tolerance unsupported for ts type $t")
+    }
     val rightPruned = right.select(
       col(key).as(s"__rk_$key") +: col(ts).as(s"__rt_$ts") +:
         rightCols.map(c => col(c).as(s"__rp_$c")): _*)
@@ -208,7 +322,8 @@ object AsOfMergeJoin {
       Seq(attr(rPlan.output, s"__rk_$key")),
       attr(lPlan.output, ts),
       attr(rPlan.output, s"__rt_$ts"),
-      rightCols.map(c => attr(rPlan.output, s"__rp_$c")))
+      rightCols.map(c => attr(rPlan.output, s"__rp_$c")),
+      tolerance, forward)
     val out = GraftSqlBridge.ofRows(spark, plan)
     // Drop the alias prefixes on the payload for caller-facing names.
     out.select(left.columns.map(col) ++

@@ -114,4 +114,75 @@ class AsOfJoinNativeSpec extends SparkSpecBase {
       AsOfMergeJoin.asof(left, right, "k", "ts", Seq("pay")),
       AsOfJoin.asof(left, right, "k", "ts", Seq("pay")))
   }
+
+  test("tolerance: latest-outside-window nulls out; equals composed+post-filter " +
+      "on random inputs") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "near"), (1L, 200L, "far"), (1L, 40L, "none"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, 95L, "r95")).toDF("k", "ts", "rv")
+    val got = AsOfMergeJoin.asof(left, right, "k", "ts", Seq("rv"),
+      tolerance = Some(10L))
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(got("near") == Some("r95"))  // diff 5 <= 10
+    assert(got("far") == None)          // latest is 105 away
+    assert(got("none") == None)         // nothing precedes
+
+    val rnd = new scala.util.Random(7)
+    val l = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong)).toDF("k", "ts", "lid")
+    val r = (0 until 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, s"p$i")).toDF("k", "ts", "pay")
+    val tol = 4L
+    val native = AsOfMergeJoin.asof(l, r, "k", "ts", Seq("pay"),
+      tolerance = Some(tol))
+    // reference: unbounded composed match, then null the payload when
+    // the matched row's ts is outside the window (backward
+    // monotonicity: older rows are farther, so filter ≡ tolerance)
+    val composed = AsOfJoin.asof(l,
+      r.withColumn("pay_ts", struct(col("pay"), col("ts").as("rts"))),
+      "k", "ts", Seq("pay_ts"))
+      .withColumn("pay",
+        when(col("ts") - col("pay_ts.rts") <= tol, col("pay_ts.pay")))
+      .drop("pay_ts")
+    assertSame(native, composed)
+  }
+
+  test("forward direction: first right at or after the probe, ties to greatest " +
+      "payload; equals composed on negated ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 11L, "b"), (1L, 50L, "c")).toDF("k", "ts", "lv")
+    val right = Seq((1L, 11L, "r11-x"), (1L, 11L, "r11-y"), (1L, 20L, "r20"))
+      .toDF("k", "ts", "rv")
+    val got = AsOfMergeJoin.asof(left, right, "k", "ts", Seq("rv"),
+      forward = true)
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(got("a") == Some("r11-y")) // first qualifying ts=11, greatest payload
+    assert(got("b") == Some("r11-y")) // inclusive
+    assert(got("c") == None)          // nothing at or after 50
+
+    val rnd = new scala.util.Random(11)
+    val l = (0 until 300).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong, i.toLong)).toDF("k", "ts", "lid")
+    val r = (0 until 200).map(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong, s"p$i")).toDF("k", "ts", "pay")
+    val fwd = AsOfMergeJoin.asof(l, r, "k", "ts", Seq("pay"), forward = true)
+    // forward ≡ backward on negated ts (ties: both take greatest payload)
+    val neg = AsOfJoin.asof(
+      l.withColumn("ts", -col("ts")), r.withColumn("ts", -col("ts")),
+      "k", "ts", Seq("pay"))
+      .withColumn("ts", -col("ts"))
+    assertSame(fwd, neg)
+  }
+
+  test("forward + tolerance on the real corpus shape runs and bounds the gap") {
+    val (clicks, purchases) = e4Inputs
+    val out = AsOfMergeJoin.asof(clicks, purchases, "user_id", "ts",
+      Seq("purchase_id", "purchase_cents"),
+      tolerance = Some(3600L * 1000000L), forward = true)
+    val rows = out.select(col("ts").cast("long").as("lts"),
+      col("purchase_id")).collect()
+    assert(rows.nonEmpty && rows.exists(!_.isNullAt(1)),
+      "no forward matches at all — fixture degenerate")
+  }
 }
