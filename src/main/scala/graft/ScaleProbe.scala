@@ -312,6 +312,20 @@ object ScaleProbe {
             (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
             (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("c"))
       },
+      // native as-of shape: sort-merge as-of of n×m probes vs n×m
+      // quotes over 100k keys — one exchange+sort per side then a
+      // linear O(1)-state merge; should track n (the composed
+      // union+window twin pays the same exchanges plus a window pass
+      // over the union)
+      time("asof_native") {
+        val n = 1000000L * m
+        val l = spark.range(n).select((col("id") % 100000L).as("k"),
+          (col("id") * 7919L % 1000000L).as("ts"), col("id").as("lid"))
+        val r = spark.range(n).select((col("id") % 100000L).as("k"),
+          (col("id") * 104729L % 1000000L).as("ts"),
+          (col("id") % 997L).as("pay"))
+        graft.plans.AsOfMergeJoin.asof(l, r, "k", "ts", Seq("pay"))
+      },
       // m7 shape (codec-free): MIH pair stage over 200k×m synthetic
       // hashes built to carry constant per-doc true-pair density (each
       // doc's twin at id+100k×m differs in 1 bit; multiplicative-hash

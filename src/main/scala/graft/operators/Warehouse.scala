@@ -223,6 +223,23 @@ object Warehouse {
       .bucketBy(nBuckets, "band", "v").sortBy("band", "v")
       .format("parquet").saveAsTable(table)
 
+  /** Persist the standing hourly rollup ([[Events.hourlyPartial]]
+    * schema) hash-bucketed + sorted by the merge key (hour_s,
+    * event_type). Delta-IVM absorption ([[Events.absorbDelta]])
+    * against the table then plans its full-outer SortMergeJoin with NO
+    * exchange on the rollup side (asserted in WarehouseSpec): the
+    * merge costs exactly the delta's shuffle — the scale contract the
+    * streaming maintainer
+    * ([[graft.streaming.StreamOps.deltaAggStream]]) states. Each
+    * absorption writes the successor rollup to a NEW table (the base
+    * is read lazily; alternate A/B tables in steady state, the same
+    * versioning discipline as the stream's parquet store). */
+  def writeRollup(rollup: DataFrame, table: String, nBuckets: Int): Unit =
+    rollup.write.mode("overwrite")
+      .bucketBy(nBuckets, "hour_s", "event_type")
+      .sortBy("hour_s", "event_type")
+      .format("parquet").saveAsTable(table)
+
   /** Persist the standing contamination index
     * ([[TextAnalysis.trainShingleIndex]]) hash-bucketed + sorted by
     * shingle — the same pay-the-shuffle-once contract as

@@ -272,4 +272,38 @@ class WarehouseSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS wh_img_index")
     }
   }
+
+  test("bucketed rollup: delta-IVM absorb never shuffles the base side") {
+    import graft.operators.Events
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ev = Tables.events(spark, sf)
+      val base = Events.hourlyPartial(ev.filter(col("event_id") % 10L =!= 0L))
+      val delta = Events.hourlyPartial(ev.filter(col("event_id") % 10L === 0L))
+      Warehouse.writeRollup(base, "wh_rollup", 4)
+      val dir = Files.createTempDirectory("graft-rollup-plain").toFile.getAbsolutePath
+      base.write.mode("overwrite").parquet(dir)
+
+      val bucketed = Events.absorbDelta(spark.table("wh_rollup"), delta)
+      val plain = Events.absorbDelta(spark.read.parquet(dir), delta)
+      val bPlan = planOf(bucketed)
+      assert(bPlan.contains("wh_rollup"), s"bucketed rollup not in plan:\n$bPlan")
+      // the write-time layout must eliminate exactly the base-side hash
+      // exchange; the delta still pays its own shuffle
+      assert(nShuffles(bPlan) == nShuffles(planOf(plain)) - 1,
+        s"base side still shuffles over the bucketed rollup:\n$bPlan")
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("hour_s"), r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toMap
+      val got = m(bucketed)
+      assert(got.nonEmpty)
+      assert(got == m(plain))
+      // absorption ≡ the one-shot aggregate over the union feed
+      assert(got == m(Events.hourlyPartial(ev)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS wh_rollup")
+    }
+  }
 }
