@@ -604,6 +604,81 @@ object Relational {
       .repartitionByRange(nFiles, col("zval"))
       .sortWithinPartitions(col("zval"))
 
+  /** PageRank geometry — iterations fixed and small so the oracle can
+    * UNROLL them as plain CTEs (standard SQL forbids aggregation inside
+    * a recursive term, so a recursive CTE cannot state PageRank; six
+    * unrolled aggregate-join rounds can). */
+  val PrIters = 6
+  val PrScale = 1000000000L
+  val PrOffset = 1000000L
+
+  /** q24: link-authority scoring — PageRank over the supplier↔customer
+    * co-transaction graph (distinct (l_suppkey, o_custkey) pairs, edges
+    * both directions), the graph-centrality tier of quality signals (a
+    * web-corpus pipeline ranks domains exactly this way before
+    * sampling). The ITERATIVE NUMERIC fixpoint class: d6's CC loop
+    * iterates a boolean contraction, this iterates a measure —
+    * per round one edge⨝rank join, one map-side-combined contribution
+    * sum, one left join back to the node set.
+    *
+    * Exactness: ranks are e9 fixed-point integers; each contribution is
+    * the INTEGRAL division (rank·85) div (deg·100) — damping 0.85 as an
+    * exact rational, flooring included in the contract — so every
+    * iterate is bit-identical in both engines (same policy as the CC
+    * oracle, extended to numbers; mass lost to flooring is part of the
+    * definition, not an error term).
+    *
+    * Scale shape (100 TB): the per-round cost is ONE shuffle of the
+    * edge list on src (the join), one combined aggregate on dst, and a
+    * node-sized left join; edges and nodes are localCheckpoint-ed once
+    * so no round re-derives them, and per-round lineage truncation
+    * keeps the plan flat (the CC/BPE loop discipline). At cluster
+    * scale the edge list is bucketed by src and the per-round join is
+    * exchange-free on the edge side — the [[Warehouse.writeBucketed]]
+    * contract. */
+  def q24PageRank(s: SparkSession, d: String): DataFrame = {
+    val edges = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sn"),
+        (col("o_custkey") + PrOffset).as("cn"))
+      .distinct()
+    val e = edges.select(col("sn").as("src"), col("cn").as("dst"))
+      .unionByName(edges.select(col("cn").as("src"), col("sn").as("dst")))
+    pageRank(e, PrIters)
+      .select(
+        when(col("node") >= PrOffset, "customer").otherwise("supplier")
+          .as("node_type"),
+        (col("node") % PrOffset).as("node_id"),
+        col("rank").as("rank_e9"))
+      .orderBy(col("node_type"), col("node_id"))
+  }
+
+  /** Library form of [[q24PageRank]] over any directed (src, dst) edge
+    * frame → (node, rank) e9 fixed-point ranks after `iters` rounds;
+    * presentation and node decoding left to the caller. Bit-identical
+    * on any input partitioning (integer arithmetic only — pinned by
+    * RelationalSpec). */
+  def pageRank(e: DataFrame, iters: Int): DataFrame = {
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").localCheckpoint()
+    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
+    var rank = nodes.withColumn("rank", lit(PrScale))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(rank, ed("src") === rank("node"))
+        .select(col("dst").as("node"),
+          call_function("div", col("rank") * lit(85L),
+            col("deg") * lit(100L)).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_c"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(PrScale * 15L / 100L) + coalesce(col("in_c"), lit(0L)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> q1Agg _,
     "q2_filter_project" -> q2FilterProject _,
@@ -628,9 +703,44 @@ object Relational {
     "q12_case_agg"      -> q12CaseAgg _,
     "q13_distinct_quantiles" -> q13DistinctQuantiles _,
     "q23_zorder"        -> q23Zorder _,
+    "q24_pagerank"      -> q24PageRank _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // six unrolled aggregate-join rounds (aggregation is illegal in a
+    // recursive CTE term); // is floor division on the positive ranks,
+    // identical to Spark's DIV
+    "q24_pagerank" -> {
+      val base =
+        s"""WITH ed AS (SELECT DISTINCT l.l_suppkey AS sn,
+           |    o.o_custkey + $PrOffset AS cn
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |e AS (SELECT sn AS src, cn AS dst FROM ed
+           |  UNION ALL SELECT cn, sn FROM ed),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           |  FROM e GROUP BY src),
+           |ed2 AS (SELECT e.src, e.dst, deg.deg FROM e
+           |  JOIN deg ON e.src = deg.src),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |r0 AS (SELECT node, CAST($PrScale AS BIGINT) AS rank FROM nodes)""".stripMargin
+      val rounds = (1 to PrIters).map { i =>
+        s""",
+           |r$i AS (SELECT n.node,
+           |    ${PrScale * 15L / 100L} + coalesce(x.in_c, 0) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed2.dst AS node,
+           |      CAST(sum((r.rank * 85) // (ed2.deg * 100)) AS BIGINT) AS in_c
+           |    FROM ed2 JOIN r${i - 1} r ON ed2.src = r.node
+           |    GROUP BY ed2.dst) x ON n.node = x.node)""".stripMargin
+      }.mkString
+      base + rounds +
+        s"""
+           |SELECT CASE WHEN node >= $PrOffset THEN 'customer'
+           |    ELSE 'supplier' END AS node_type,
+           |  CAST(node % $PrOffset AS BIGINT) AS node_id,
+           |  CAST(rank AS BIGINT) AS rank_e9
+           |FROM r$PrIters ORDER BY node_type, node_id""".stripMargin
+    },
     // the identical magic-number bit-spread (0x00FF00FF / 0x0F0F0F0F /
     // 0x33333333 / 0x55555555) stated as BIGINT arithmetic — every
     // intermediate < 2^32, so signed 64-bit math agrees bit-for-bit

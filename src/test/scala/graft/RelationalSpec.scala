@@ -446,4 +446,32 @@ class RelationalSpec extends SparkSpecBase {
     assert(statusRows.forall(r => r._1.nonEmpty && r._2.isEmpty))
     assert(prioRows.forall(r => r._1.isEmpty && r._2.nonEmpty))
   }
+
+  test("q24 pagerank: fixed-point ranks are partitioning-deterministic, " +
+      "floored mass bounded, authority differentiates") {
+    import graft.operators.Relational
+    val rows = Relational.q24PageRank(spark, sf).collect()
+      .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("node_id")) ->
+        r.getAs[Long]("rank_e9")).toMap
+    assert(rows.nonEmpty)
+    val floor = Relational.PrScale * 15L / 100L
+    // every rank >= the damping base; flooring only LOSES mass, so the
+    // total never exceeds nodes × scale
+    assert(rows.values.forall(_ >= floor))
+    assert(rows.values.map(BigInt(_)).sum <=
+      BigInt(rows.size) * Relational.PrScale)
+    // the measure differentiates: not all nodes collapse to the base
+    assert(rows.values.exists(_ > floor + Relational.PrScale / 100L))
+    // reshuffle-proof: a skew-partitioned chain graph vs the same graph
+    // shuffled — bit-identical iterates (integer arithmetic only)
+    import spark.implicits._
+    val chain = (0L until 300L).flatMap(i =>
+      Seq((i, (i + 1) % 300L), ((i + 1) % 300L, i)))
+      .toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Relational.pageRank(df, 4).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+    assert(m(chain.repartition(1)) ==
+      m(chain.repartition(7, org.apache.spark.sql.functions.col("dst"))))
+  }
 }
