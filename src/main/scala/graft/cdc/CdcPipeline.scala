@@ -2,7 +2,8 @@ package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+  StructField, StructType, TimestampType}
 
 import graft.operators.{Dedup, Warehouse}
 
@@ -45,6 +46,29 @@ object CdcPipeline {
         col("operation") === Operation.Insert.name)
       .select(from_json(col("after"), DocSchema).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+
+  /** Schema of an event row inside the change images — the e-family
+    * shape the aggregation path consumes. */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  /** INSERT after-images of `table` parsed to event rows — the
+    * aggregation-path twin of [[insertedDocs]]. Works identically on a
+    * bounded frame or the unbounded `cdc-log` stream: composing it
+    * with [[graft.streaming.StreamOps.deltaAggStream]] wires CAPTURE
+    * into incremental AGGREGATE MAINTENANCE (each delivered batch's
+    * partial sums absorb into the standing rollup), with exactly-once
+    * absorption from the stream's checkpointed batch ids + the store's
+    * version-bounded base reads — proven end-to-end over a real JDBC
+    * log in CdcPipelineSpec. */
+  def insertedEvents(changes: Dataset[Change], table: String): DataFrame =
+    changes.toDF()
+      .filter(col("table") === table &&
+        col("operation") === Operation.Insert.name)
+      .select(from_json(col("after"), EventSchema).as("r"))
+      .select(col("r.ts").as("ts"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
 
   /** One delivered batch → near-dup candidates against the persisted
     * standing index (plus within-batch pairs) — the capture→curation

@@ -72,4 +72,82 @@ class CdcPipelineSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS wh_cdc_postings"): Unit
     }
   }
+
+  test("capture feeds aggregation: cdc-log stream → delta-IVM rollup ≡ one-shot " +
+      "aggregate, content exactly-once across drains and empty restarts") {
+    import java.sql.DriverManager
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamOps
+
+    val dbDir = Files.createTempDirectory("derby-ivm").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val c0 = DriverManager.getConnection(url)
+    try {
+      c0.createStatement().execute("""CREATE TABLE CDC_LOG (
+        "id" BIGINT PRIMARY KEY, "timestamp" VARCHAR(30) NOT NULL,
+        "tablename" VARCHAR(128) NOT NULL, "operation" VARCHAR(10) NOT NULL,
+        "before" CLOB, "after" CLOB)""")
+    } finally c0.close()
+
+    def evJson(i: Int): (String, String, Double) = {
+      val hour = f"2024-05-06 ${i / 25}%02d:00:00"
+      val typ = if (i % 3 == 0) "click" else "view"
+      val v = (i % 7) + 0.25
+      (hour, typ, v)
+    }
+    def insertEvents(ids: Range): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val ps = c.prepareStatement("INSERT INTO CDC_LOG VALUES (?, ?, ?, ?, ?, ?)")
+        ids.foreach { i =>
+          val (hour, typ, v) = evJson(i)
+          ps.setLong(1, i.toLong)
+          ps.setString(2, f"2024-05-06 00:00:${i % 60}%02d.000")
+          ps.setString(3, "events")
+          ps.setString(4, "INSERT")
+          ps.setString(5, null)
+          ps.setString(6,
+            s"""{"event_id":$i,"ts":"$hour","event_type":"$typ","value":$v}""")
+          ps.addBatch()
+        }
+        ps.executeBatch(); ps.close()
+      } finally c.close()
+    }
+
+    val store = Files.createTempDirectory("ivm-store").toString
+    val ckpt = Files.createTempDirectory("ivm-ckpt").toString
+    def drain(): Unit = {
+      val log = spark.readStream.format("cdc-log")
+        .option("url", url).option("logTable", "CDC_LOG").load()
+      val events = CdcPipeline.insertedEvents(StreamOps.changes(log), "events")
+      val q = StreamOps.deltaAggStream(events, store)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rollup() = StreamOps.deltaAggCurrent(spark, store).collect()
+      .map(r => (r.getAs[Long]("hour_s"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toMap
+    def oneShot(n: Int) = {
+      import spark.implicits._
+      graft.operators.Events.hourlyPartial(
+        (0 until n).map { i =>
+          val (hour, typ, v) = evJson(i)
+          (java.sql.Timestamp.valueOf(hour), typ, v)
+        }.toDF("ts", "event_type", "value")).collect()
+        .map(r => (r.getAs[Long]("hour_s"), r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"))).toMap
+    }
+
+    insertEvents(0 until 100)
+    drain()
+    assert(rollup() == oneShot(100), "first drain diverges from one-shot")
+    // day-2 growth: a later batch absorbs on top of the standing store
+    insertEvents(100 until 150)
+    drain()
+    assert(rollup() == oneShot(150), "second drain diverges")
+    // an empty restart must not change the rollup content
+    drain()
+    assert(rollup() == oneShot(150), "empty restart mutated the rollup")
+  }
 }
