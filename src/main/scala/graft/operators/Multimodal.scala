@@ -493,6 +493,86 @@ object Multimodal {
     }.toDF()
   }
 
+  /** One audio clip's perceptual hash row — 64 temporal-energy bits
+    * split into two 32-bit halves (same signed-BIGINT portability trick
+    * as [[ImgHash]]). */
+  case class AudioHash(
+      doc_id: Long, n_samples: Long,
+      ahash_hi: Long, ahash_lo: Long, bits_set: Long)
+
+  /** m9: perceptual AUDIO hash over the REAL decoded PCM — the m6
+    * pattern carried to the second modality: the clip is split into 64
+    * equal time windows and bit_i = (window mean |amplitude| above the
+    * clip mean), every comparison the cross-multiplied integer
+    * inequality ws·n > total·wn, so the oracle restates all 64 bits
+    * from the closed-form [[audioSample]] spec and any decode fault
+    * (header, byte order, any sample) flips the hash gate. This is the
+    * energy-envelope fingerprint family (Shazam-style constellation
+    * hashing reduces to banded comparisons of exactly this kind).
+    *
+    * The hash rows are drop-in input for the SAME multi-index-hashing
+    * pair machinery as images ([[imgNearDupPairs]] — spec-pinned on a
+    * constructed twin corpus): blocking is modality-blind once a
+    * 64-bit fingerprint exists, which is the point of emitting one.
+    * Plumbing contract as m5: stateless per-partition map, payloads
+    * never shuffle, 4 longs leave the stage per clip. */
+  def m9AudioHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioHash(documents(s, d).select(col("doc_id")).as[Long])
+      .transform(Output.ordered(_, col("doc_id")))
+  }
+
+  /** Library form of [[m9AudioHash]] over any doc-id Dataset, unordered
+    * (streaming-valid). */
+  def audioHash(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(AudioRateHz, 16, 1, true, false)
+      it.map { id =>
+        val n = audioSamples(id)
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          val v = audioSample(id, t)
+          pcm(2 * t) = (v & 0xff).toByte
+          pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+          t += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(
+          new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        // the REAL decode under test
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val raw = ais.readAllBytes()
+        val nDec = raw.length / 2
+        val ws = new Array[Long](64); val wn = new Array[Long](64)
+        var tot = 0L
+        var i = 0
+        while (i < nDec) {
+          val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toLong
+          val av = math.abs(v)
+          val wi = (i * 64 / nDec).toInt
+          ws(wi) += av; wn(wi) += 1; tot += av
+          i += 1
+        }
+        var hi = 0L; var lo = 0L; var bits = 0L
+        var b = 0
+        while (b < 64) {
+          if (ws(b) * nDec > tot * wn(b)) {
+            bits += 1
+            if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+          }
+          b += 1
+        }
+        AudioHash(id, nDec.toLong, hi, lo, bits)
+      }
+    }.toDF()
+  }
+
   /** Thumbnail sample count (m3): 64 strided samples ≈ an 8×8 thumb. */
   val ThumbSamples = 64
   /** Frame grid (m4): payload split into 16 "frames", every 4th kept. */
@@ -556,6 +636,7 @@ object Multimodal {
     "m6_imghash"         -> m6ImgHash _,
     "m7_img_neardup"     -> m7ImgNearDup _,
     "m8_img_incremental" -> m8ImgIncremental _,
+    "m9_audiohash"       -> m9AudioHash _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -650,6 +731,31 @@ object Multimodal {
         |  FROM bits GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
         |  CAST(d.h AS BIGINT) AS height, h.ahash_hi, h.ahash_lo, h.bits_set
+        |FROM d JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // every hash bit restated from the closed-form audioSample spec;
+    // a decode fault anywhere flips the comparison
+    "m9_audiohash" ->
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 16) * 100 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n,
+        |    abs(((t.t * (3 + d.doc_id % 5) + d.doc_id) % 2048) - 1024) AS av,
+        |    (t.t * 64) // d.n AS wi
+        |  FROM d, range(0, 2400) t(t) WHERE t.t < d.n),
+        |tot AS (SELECT doc_id, sum(av) AS ts, count(*) AS np
+        |  FROM s GROUP BY doc_id),
+        |wnd AS (SELECT doc_id, wi, sum(av) AS ws, count(*) AS wn
+        |  FROM s GROUP BY doc_id, wi),
+        |bits AS (SELECT w.doc_id, w.wi,
+        |    CASE WHEN w.ws * tot.np > tot.ts * w.wn THEN 1 ELSE 0 END AS bit
+        |  FROM wnd w JOIN tot USING (doc_id)),
+        |h AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND wi >= 32
+        |      THEN 1::BIGINT << (wi - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND wi < 32
+        |      THEN 1::BIGINT << wi ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |    CAST(sum(bit) AS BIGINT) AS bits_set
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,
+        |  h.ahash_hi, h.ahash_lo, h.bits_set
         |FROM d JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // restates the audioSample closed form over an unnested sample
     // index; the Spark side must recover the identical values from

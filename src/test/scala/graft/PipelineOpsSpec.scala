@@ -1886,4 +1886,44 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(("srcB", "aa"))._4 == expB.values.sum)
     assert(out(("srcA", "aa"))._4 > out(("srcB", "aa"))._4)
   }
+
+  test("m9 audio hash: decode-derived bits equal the closed-form spec; the MIH " +
+      "pair machinery is modality-blind over the audio hashes") {
+    import spark.implicits._
+    val rows = Multimodal.m9AudioHash(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = Multimodal.audioSamples(id)
+      assert(r.getAs[Long]("n_samples") == n.toLong, s"decode length doc $id")
+      // independent closed-form re-derivation, no codec in the loop
+      val ws = new Array[Long](64); val wn = new Array[Long](64); var tot = 0L
+      for (t <- 0 until n) {
+        val av = math.abs(Multimodal.audioSample(id, t)).toLong
+        val wi = t * 64 / n
+        ws(wi) += av; wn(wi) += 1; tot += av
+      }
+      var hi = 0L; var lo = 0L
+      for (b <- 0 until 64) if (ws(b) * n > tot * wn(b)) {
+        if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+      }
+      assert(r.getAs[Long]("ahash_hi") == hi, s"hi mismatch doc $id")
+      assert(r.getAs[Long]("ahash_lo") == lo, s"lo mismatch doc $id")
+    }
+    // cross-modal blocking: the image MIH pair stage runs unchanged on
+    // audio hashes and finds exactly the brute-force hamming<=7 pairs
+    val hs = rows.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("ahash_hi"), r.getAs[Long]("ahash_lo")))
+    val brute = (for {
+      (a, ah, al) <- hs; (b, bh, bl) <- hs if a < b
+      d = java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(al ^ bl)
+      if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    val mih = Multimodal.imgNearDupPairs(
+      hs.toSeq.toDF("doc_id", "ahash_hi", "ahash_lo"), maxBucket = None)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(mih == brute,
+      s"MIH/brute divergence on audio hashes: ${mih -- brute} | ${brute -- mih}")
+  }
 }
