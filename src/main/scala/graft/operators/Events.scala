@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -124,10 +124,22 @@ object Events {
     * This shape is ONE scan and one user_id exchange (the window
     * chain reuses it), then a 3-row aggregate. No per-user event
     * lists are materialized. */
-  def e6Funnel(s: SparkSession, d: String): DataFrame = {
+  def e6Funnel(s: SparkSession, d: String): DataFrame =
+    funnelTimes(events(s, d))
+      .withColumn("stage",
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L).otherwise(1L))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+
+  /** Per-user ordered funnel stage times (the e6 window pass): first
+    * click t1, first view within 24 h after t1, first purchase within
+    * 24 h after t2; users with no click drop. Shared by e6 (stage
+    * counts) and e18 (conversion rates + latency quantiles). */
+  private[graft] def funnelTimes(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     val h24 = expr("INTERVAL 24 HOURS")
-    events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    ev.select(col("user_id"), col("ts"), col("event_type"))
       .withColumn("t1", min(when(col("event_type") === "click", col("ts")))
         .over(byUser))
       .withColumn("t2", min(when(col("event_type") === "view" &&
@@ -139,11 +151,59 @@ object Events {
       .groupBy(col("user_id"))
       .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
       .filter(col("t1").isNotNull)
-      .withColumn("stage",
-        when(col("t3").isNotNull, 3L)
-          .when(col("t2").isNotNull, 2L).otherwise(1L))
-      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
-      .orderBy(col("stage"))
+  }
+
+  /** e18: funnel conversion metrics — what e6's stage counts become
+    * when the question is "how MANY convert, and how FAST": per
+    * transition (click→view, view→purchase) the entered/converted
+    * counts, the conversion rate as an exact integer ratio (e6
+    * quantum), and the DISCRETE p50/p90 time-to-convert in seconds
+    * (the value at sorted position (n−1)·q div 100 — type-1 quantile,
+    * integer-exact in both engines, no interpolation float).
+    *
+    * Scale shape: delays aggregate to a (transition, delay_s)
+    * HISTOGRAM first (map-side combined; the domain is bounded by the
+    * 24 h funnel window — ≤86 400 distinct values per transition), so
+    * the quantile window runs over the bounded value domain, never the
+    * user population — q13's discipline with an even tighter bound. */
+  def e18Conversion(s: SparkSession, d: String): DataFrame = {
+    val times = funnelTimes(events(s, d))
+    val ent = times
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(explode(array(
+        struct(lit("click_to_view").as("transition"),
+          col("n1").as("n_entered"), col("n2").as("n_converted")),
+        struct(lit("view_to_purchase").as("transition"),
+          col("n2").as("n_entered"), col("n3").as("n_converted")))).as("r"))
+      .select(col("r.*"))
+    val delays =
+      times.filter(col("t2").isNotNull)
+        .select(lit("click_to_view").as("transition"),
+          (unix_timestamp(col("t2")) - unix_timestamp(col("t1"))).as("delay_s"))
+        .unionByName(times.filter(col("t3").isNotNull)
+          .select(lit("view_to_purchase").as("transition"),
+            (unix_timestamp(col("t3")) - unix_timestamp(col("t2"))).as("delay_s")))
+    val byT = Window.partitionBy(col("transition"))
+    val cumW = byT.orderBy(col("delay_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = delays.groupBy(col("transition"), col("delay_s"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_end", sum(col("cnt")).over(cumW))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(byT))
+    def atPct(pct: Int): Column = {
+      val pos = call_function("div", (col("n") - 1L) * lit(pct.toLong), lit(100L))
+      max(when(pos >= col("cum_start") && pos < col("cum_end"), col("delay_s")))
+    }
+    val q = cum.groupBy(col("transition"))
+      .agg(atPct(50).as("p50_s"), atPct(90).as("p90_s"))
+    ent.join(q, Seq("transition"), "left")
+      .select(col("transition"), col("n_entered"), col("n_converted"),
+        call_function("div", col("n_converted") * lit(1000000L),
+          col("n_entered")).as("conv_rate_e6"),
+        col("p50_s"), col("p90_s"))
+      .orderBy(col("transition"))
   }
 
   /** e7: weekly cohort retention — each user's cohort is their
@@ -681,6 +741,7 @@ object Events {
     "e15_cdc_apply"     -> e15CdcApply _,
     "e16_delta_agg"     -> e16DeltaAgg _,
     "e17_asof_window"   -> e17AsofWindow _,
+    "e18_conversion"    -> e18Conversion _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -909,6 +970,47 @@ object Events {
         |  FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id))
         |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
         |FROM f GROUP BY stage ORDER BY stage""".stripMargin,
+    // e6's funnel CTEs + discrete positional quantiles over the
+    // per-transition delay histogram; // = Spark's DIV on positives
+    "e18_conversion" ->
+      """WITH c AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+        |    AND e.ts <= c.t1 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t2
+        |    AND e.ts <= v.t2 + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |ent AS (SELECT 'click_to_view' AS transition,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_entered,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_converted
+        |  UNION ALL SELECT 'view_to_purchase',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM v),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM p)),
+        |delays AS (SELECT 'click_to_view' AS transition,
+        |    CAST(floor(epoch(v.t2)) - floor(epoch(c.t1)) AS BIGINT) AS delay_s
+        |  FROM c JOIN v USING (user_id)
+        |  UNION ALL SELECT 'view_to_purchase',
+        |    CAST(floor(epoch(p.t3)) - floor(epoch(v.t2)) AS BIGINT)
+        |  FROM v JOIN p USING (user_id)),
+        |cum AS (SELECT transition, delay_s, cnt,
+        |    sum(cnt) OVER (PARTITION BY transition ORDER BY delay_s) AS cum_end,
+        |    sum(cnt) OVER (PARTITION BY transition) AS n
+        |  FROM (SELECT transition, delay_s, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM delays GROUP BY transition, delay_s)),
+        |q AS (SELECT transition,
+        |    CAST(max(CASE WHEN (n - 1) * 50 // 100 >= cum_end - cnt
+        |      AND (n - 1) * 50 // 100 < cum_end THEN delay_s END) AS BIGINT) AS p50_s,
+        |    CAST(max(CASE WHEN (n - 1) * 90 // 100 >= cum_end - cnt
+        |      AND (n - 1) * 90 // 100 < cum_end THEN delay_s END) AS BIGINT) AS p90_s
+        |  FROM cum GROUP BY transition)
+        |SELECT ent.transition, ent.n_entered, ent.n_converted,
+        |  ent.n_converted * 1000000 // ent.n_entered AS conv_rate_e6,
+        |  q.p50_s, q.p90_s
+        |FROM ent LEFT JOIN q ON ent.transition = q.transition
+        |ORDER BY ent.transition""".stripMargin,
     "e7_retention" ->
       """WITH w AS (SELECT user_id,
         |    CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week FROM events),
