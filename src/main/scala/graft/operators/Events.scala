@@ -167,7 +167,11 @@ object Events {
     * the quantile window runs over the bounded value domain, never the
     * user population — q13's discipline with an even tighter bound. */
   def e18Conversion(s: SparkSession, d: String): DataFrame = {
-    val times = funnelTimes(events(s, d))
+    // the funnel window pass over the full event stream is the heavy
+    // stage; localCheckpoint materializes it ONCE for its three
+    // consumers (entered counts + both delay branches) — the q24/CC
+    // loop discipline applied to a diamond-shaped plan
+    val times = funnelTimes(events(s, d)).localCheckpoint()
     val ent = times
       .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
         count(col("t3")).as("n3"))

@@ -741,10 +741,14 @@ object TextAnalysis {
   def srcDivergence(docs: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val tok = docs.select(col("source"), explode(words(col("text"))).as("w"))
+    // ONE pass over the exploded tokens; every coarser statistic
+    // re-aggregates the (source, token)-grain counts — corpus-sized
+    // work happens once, the rollups are vocabulary/source-sized
     val bySrcTok = tok.groupBy("source", "w").agg(count(lit(1)).as("obs"))
-    val byTok = tok.groupBy("w").agg(count(lit(1)).as("glob_n"))
-    val bySrc = tok.groupBy("source").agg(count(lit(1)).as("n_src"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
+      .localCheckpoint()
+    val byTok = bySrcTok.groupBy("w").agg(sum(col("obs")).as("glob_n"))
+    val bySrc = bySrcTok.groupBy("source").agg(sum(col("obs")).as("n_src"))
+    val total = bySrc.agg(sum(col("n_src")).as("n_total"))
     val num = col("obs").cast(dec) * col("n_total").cast(dec) -
       col("glob_n").cast(dec) * col("n_src").cast(dec)
     val den = col("glob_n").cast(dec) * col("n_src").cast(dec) *
