@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (logical GraftAsOfJoin → physical AsOfMergeJoinExec). Sessions not
     // built with extensions get it lazily via AsOfMergeJoin.install.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeJoin.Strategy)
+    // Analyzer-rule extension (the third Catalyst extension point):
+    // Spark's own merge_asof logical node routes to the native exec
+    // instead of the stock join+aggregate rewrite.
+    ext.injectPostHocResolutionRule(_ =>
+      graft.plans.AsOfMergeJoin.InterceptSparkAsOfJoin)
   }
 }

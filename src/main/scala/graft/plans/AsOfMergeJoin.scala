@@ -158,7 +158,12 @@ object AsOfMergeJoin {
         val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
         val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
         val payloadProj = UnsafeProjection.create(payloadAttrs, rOut)
-        val resultProj = UnsafeProjection.create(outAttrs, lOut ++ payloadAttrs)
+        // bind the output against NULLABLE payload attrs: a
+        // non-nullable payload column (common for constructed frames)
+        // would otherwise skip the null check and read garbage from
+        // the null-payload row of unmatched left rows
+        val resultProj = UnsafeProjection.create(outAttrs,
+          lOut ++ payloadAttrs.map(_.withNullability(true)))
         val nullPayload = new GenericInternalRow(numPayload)
         val joined = new JoinedRow
         val rBuf = rIter.buffered
@@ -336,4 +341,68 @@ object AsOfMergeJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ Strategy
     }
+
+  /** Analyzer rule (injected post-hoc resolution, `GraftExtensions`):
+    * route Spark's OWN logical `AsOfJoin` — the node pandas-on-Spark's
+    * `merge_asof` builds — into [[GraftAsOfJoin]], so sessions carrying
+    * the extensions execute merge_asof on the native sort-merge exec
+    * instead of the stock `RewriteAsOfJoin` join+aggregate expansion
+    * (which joins EVERY qualifying right row per left row before
+    * aggregating them back down).
+    *
+    * Deliberately narrow: left-outer, ≥1 equi-key, inclusive backward
+    * (`l >= r`) or forward (`l <= r`) comparison, no tolerance — the
+    * default merge_asof shape. Anything else (strict inequality,
+    * nearest, tolerance intervals, keyless) falls through untouched to
+    * Spark's rewrite. On (key, ts) ties the stock rewrite's min_by
+    * keeps an ARBITRARY extremal row; the native exec keeps the
+    * greatest-payload one — a deterministic refinement within the same
+    * contract. Output attribute ids/nullability are preserved exactly
+    * (payload = the full right output), so the swap is invisible to
+    * the rest of the plan. */
+  object InterceptSparkAsOfJoin
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{AsOfJoin => SparkAsOfJoin}
+
+    private def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case j @ SparkAsOfJoin(left, right, asOfCond, Some(cond), LeftOuter, _, _)
+          if j.resolved =>
+        val sides = asOfCond match {
+          case GreaterThanOrEqual(l, r)
+              if l.references.subsetOf(left.outputSet) &&
+                r.references.subsetOf(right.outputSet) =>
+            Some((l, r, false)) // backward: latest right.ts <= left.ts
+          case LessThanOrEqual(l, r)
+              if l.references.subsetOf(left.outputSet) &&
+                r.references.subsetOf(right.outputSet) =>
+            Some((l, r, true)) // forward: earliest right.ts >= left.ts
+          case _ => None
+        }
+        val keyPairs = conjuncts(cond).map {
+          case EqualTo(a, b)
+              if a.references.subsetOf(left.outputSet) &&
+                b.references.subsetOf(right.outputSet) => Some((a, b))
+          case EqualTo(a, b)
+              if b.references.subsetOf(left.outputSet) &&
+                a.references.subsetOf(right.outputSet) => Some((b, a))
+          case _ => None
+        }
+        sides match {
+          case Some((lTs, rTs, fwd))
+              if keyPairs.nonEmpty && keyPairs.forall(_.isDefined) =>
+            GraftAsOfJoin(left, right,
+              keyPairs.flatten.map(_._1), keyPairs.flatten.map(_._2),
+              lTs, rTs, right.output, None, fwd)
+          case _ => j
+        }
+    }
+  }
 }

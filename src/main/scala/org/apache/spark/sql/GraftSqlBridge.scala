@@ -28,6 +28,12 @@ object GraftSqlBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Test access to an extension object's built post-hoc resolution
+    * rules (the injection surface is private[sql]). */
+  def postHocResolutionRules(ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildPostHocResolutionRules(spark)
+
   def registerFunction(
       spark: SparkSession,
       name: String,

@@ -175,6 +175,64 @@ class AsOfJoinNativeSpec extends SparkSpecBase {
     assertSame(fwd, neg)
   }
 
+  test("InterceptSparkAsOfJoin routes Spark's merge_asof node to the native exec, " +
+      "matching the stock rewrite; non-matching shapes fall through") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.plans.logical.{AsOfJoin => SparkAsOfJoin}
+    import org.apache.spark.sql.catalyst.plans.{AsOfJoinDirection, LeftOuter}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import spark.implicits._
+
+    // extensions wire the rule into session building
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftSqlBridge.postHocResolutionRules(ext, spark)
+      .contains(AsOfMergeJoin.InterceptSparkAsOfJoin))
+    // an extensions-built session gets rule AND strategy; this session
+    // installs the strategy the lazy way
+    AsOfMergeJoin.install(spark)
+
+    val rnd = new scala.util.Random(3)
+    // tie-free ts per (key, ts) so the stock rewrite's arbitrary-tie
+    // min_by and the native greatest-payload rule cannot diverge
+    val l = (0 until 200).map(i =>
+      (rnd.nextInt(6).toLong, i.toLong * 3 + rnd.nextInt(3), i.toLong))
+      .toDF("k", "ts", "lid")
+    val r = (0 until 150).map(i =>
+      (rnd.nextInt(6).toLong, i.toLong * 4 + rnd.nextInt(4), s"p$i"))
+      .distinct.toDF("k", "ts", "pay")
+      .groupBy("k", "ts").agg(first("pay").as("pay")) // unique (k, ts)
+
+    val lp = GraftSqlBridge.analyzed(l)
+    val rp = GraftSqlBridge.analyzed(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).get
+    def node(direction: String) = SparkAsOfJoin(
+      lp, rp, attr(lp, "ts"), attr(rp, "ts"),
+      Some(EqualTo(attr(lp, "k"), attr(rp, "k"))), LeftOuter,
+      tolerance = None, allowExactMatches = true,
+      direction = AsOfJoinDirection(direction))
+
+    for (dir <- Seq("backward", "forward")) {
+      val stock = GraftSqlBridge.ofRows(spark, node(dir)) // normal rewrite
+      assert(!planOf(stock).contains("AsOfMergeJoin"))
+      val routed = GraftSqlBridge.ofRows(spark,
+        AsOfMergeJoin.InterceptSparkAsOfJoin(node(dir)))
+      assert(planOf(routed).contains("AsOfMergeJoin"),
+        s"$dir did not route to the native exec:\n${planOf(routed)}")
+      // both outputs carry duplicate column NAMES (merge_asof keeps the
+      // right key/ts) in the same positions — compare rows positionally
+      val (a, b) = (routed.collect().map(_.toString).sorted,
+        stock.collect().map(_.toString).sorted)
+      assert(a.sameElements(b),
+        s"$dir diverges: ${a.zip(b).find { case (x, y) => x != y }}")
+    }
+
+    // nearest direction (an Or condition) must fall through untouched
+    val nearest = AsOfMergeJoin.InterceptSparkAsOfJoin(node("nearest"))
+    assert(nearest.isInstanceOf[SparkAsOfJoin], "nearest should fall through")
+  }
+
   test("forward + tolerance on the real corpus shape runs and bounds the gap") {
     val (clicks, purchases) = e4Inputs
     val out = AsOfMergeJoin.asof(clicks, purchases, "user_id", "ts",
