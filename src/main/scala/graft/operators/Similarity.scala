@@ -594,6 +594,52 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** d12's near-dup threshold — s3's τ, so d12's within-cluster pair
+    * set is exactly the co-clustered subset of s3's global pairs. */
+  val SemTau = 0.40
+
+  /** d12: SemDeDup — semantic deduplication AT SCALE (the
+    * cluster-then-dedup method): assign every embedding to its IVF
+    * cluster first (s2's zero-exchange argmax over the literal
+    * codebook), search near-duplicate pairs ONLY within clusters, and
+    * keep one representative (min vec_id) per within-cluster
+    * component. d7 answers the same question exactly with a GLOBAL
+    * tiled pair search — O(n²) dot work however arranged; SemDeDup is
+    * the published trade: with k ≈ √n clusters the pair work drops to
+    * Σ|cluster|² ≈ n^1.5, and the price is missing cross-cluster
+    * near-dup pairs — an explicitly accepted approximation, NOT an
+    * implementation shortcut (the spec pins d12's pair set = d7's
+    * global components restricted to co-clustered pairs).
+    *
+    * Plan: narrow assignment, ONE equi-join on cluster for the pair
+    * search (shuffle keyed by cluster — AQE handles cluster-size
+    * skew; production adds a max-cluster cap exactly like maxBucket),
+    * then the alternating-star component loop over the surviving
+    * pairs. */
+  def d12SemDedup(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val cents = collectCodebook(e)
+    val assigned = assignClusters(e, cents)
+      .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+      .localCheckpoint()
+    val a = assigned.select(col("cluster"), col("vec_id").as("a"),
+      col("embedding").as("a_emb"), col("norm_fp").as("a_norm"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b"),
+      col("embedding").as("b_emb"), col("norm_fp").as("b_norm"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .filter(cosine(dotFp9(col("a_emb"), col("b_emb")),
+        col("a_norm"), col("b_norm")) > SemTau)
+      .select(col("a"), col("b"))
+    val comp = Components.connectedComponents(
+      assigned.select(col("vec_id").as("id")), pairs)
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(comp.select(col("id").as("vec_id"), col("rep")), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("rep"),
+        when(col("vec_id") === col("rep"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** PQ geometry: Dim = PqSubs × PqSubDim subspaces, PqK centroids per
     * sub-codebook (stand-in: the sub-slices of vectors vec_id < PqK,
     * the same deterministic stand-in device as s2's codebook — a
@@ -1170,6 +1216,7 @@ object Similarity {
     "s11_ivf_rerank"  -> s11IvfRerank _,
     "s12_mips_ivf"    -> s12MipsIvf _,
     "s13_ivf_sq"      -> s13KnnIvfSq _,
+    "d12_semdedup"    -> d12SemDedup _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
     "d7_embed_clusters" -> d7EmbedClusters _,
@@ -1442,6 +1489,34 @@ object Similarity {
            |  FROM scored)
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, dot_fp
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // s2's assignment + within-cluster exact pairs + d6's recursive
+    // component closure, min-id representative
+    "d12_semdedup" ->
+      (NormCte.replace("WITH ", "WITH RECURSIVE ") +
+        s"""
+           |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+           |  FROM e WHERE vec_id < $NCentroids),
+           |assigned AS (SELECT vec_id, embedding, norm_fp, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, e.norm_fp, cent.cid AS cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+           |      cent.cid) AS arank
+           |  FROM e CROSS JOIN cent) WHERE arank = 1),
+           |p AS (SELECT x.vec_id AS a, y.vec_id AS b
+           |  FROM assigned x JOIN assigned y
+           |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+           |  WHERE ${oCos(oDot("x.embedding", "y.embedding"), "x.norm_fp", "y.norm_fp")} > $SemTau),
+           |ee AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+           |reach(src, dst) AS (
+           |  SELECT vec_id, vec_id FROM assigned
+           |  UNION
+           |  SELECT r.src, ee.v FROM reach r JOIN ee ON r.dst = ee.u),
+           |comp AS (SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS rep
+           |  FROM reach GROUP BY src)
+           |SELECT a2.vec_id, CAST(a2.cluster AS BIGINT) AS cluster, comp.rep,
+           |  CAST(CASE WHEN a2.vec_id = comp.rep THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM assigned a2 JOIN comp ON a2.vec_id = comp.vec_id
+           |ORDER BY a2.vec_id""".stripMargin),
     // s2's cent/assigned/probes pick WHICH pairs score; s5's
     // quantization CTEs price each scored pair by the integer int8 dot
     "s13_ivf_sq" ->

@@ -1887,6 +1887,35 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(("srcA", "aa"))._4 > out(("srcB", "aa"))._4)
   }
 
+  test("d12 SemDeDup: components = union-find over s3's global pairs restricted " +
+      "to co-clustered vectors (the method's documented approximation, exactly)") {
+    val e = Similarity.withNorm(Tables.embeddings(spark, sf))
+    val cents = Similarity.collectCodebook(e)
+    val clusterOf = Similarity.assignClusters(e, cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val global = Similarity.s3CosinePairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(global.nonEmpty, "no global near-dup pairs at this sf")
+    val coClustered = global.filter { case (a, b) => clusterOf(a) == clusterOf(b) }
+    // reference union-find over the restricted pair set
+    val parent = scala.collection.mutable.Map(clusterOf.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    coClustered.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = clusterOf.keys.map(k => k -> find(k)).toMap
+    val got = Similarity.d12SemDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("rep"), r.getAs[Long]("keep"))).toMap
+    assert(got.keySet == clusterOf.keySet)
+    got.foreach { case (v, (rep, keep)) =>
+      assert(rep == want(v), s"rep mismatch for $v: $rep != ${want(v)}")
+      assert(keep == (if (v == rep) 1L else 0L))
+    }
+  }
+
   test("m9 audio hash: decode-derived bits equal the closed-form spec; the MIH " +
       "pair machinery is modality-blind over the audio hashes") {
     import spark.implicits._
