@@ -622,22 +622,35 @@ object Similarity {
     val assigned = assignClusters(e, cents)
       .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
       .localCheckpoint()
-    val a = assigned.select(col("cluster"), col("vec_id").as("a"),
-      col("embedding").as("a_emb"), col("norm_fp").as("a_norm"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("b"),
-      col("embedding").as("b_emb"), col("norm_fp").as("b_norm"))
-    val pairs = a.join(b, Seq("cluster"))
-      .filter(col("a") < col("b"))
-      .filter(cosine(dotFp9(col("a_emb"), col("b_emb")),
-        col("a_norm"), col("b_norm")) > SemTau)
-      .select(col("a"), col("b"))
     val comp = Components.connectedComponents(
-      assigned.select(col("vec_id").as("id")), pairs)
+      assigned.select(col("vec_id").as("id")),
+      withinClusterPairs(assigned))
     assigned.select(col("vec_id"), col("cluster"))
       .join(comp.select(col("id").as("vec_id"), col("rep")), Seq("vec_id"))
       .select(col("vec_id"), col("cluster"), col("rep"),
         when(col("vec_id") === col("rep"), 1L).otherwise(0L).as("keep"))
       .orderBy(col("vec_id"))
+  }
+
+  /** d12's within-cluster pair stage over any (vec_id, embedding,
+    * norm_fp, cluster) frame — one equi-join on the cluster key. Fed
+    * from a cluster-BUCKETED standing table
+    * ([[Warehouse.writeBucketed]] on `cluster`) the self-join plans
+    * with NO exchange on either side (asserted in WarehouseSpec): the
+    * assignment shuffle is paid once at corpus-build time, and every
+    * SemDeDup run after that is exchange-free until the top of the
+    * component loop — the same pay-the-shuffle-once contract as the
+    * postings/image indexes. */
+  private[graft] def withinClusterPairs(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("cluster"), col("vec_id").as("a"),
+      col("embedding").as("a_emb"), col("norm_fp").as("a_norm"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b"),
+      col("embedding").as("b_emb"), col("norm_fp").as("b_norm"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .filter(cosine(dotFp9(col("a_emb"), col("b_emb")),
+        col("a_norm"), col("b_norm")) > SemTau)
+      .select(col("a"), col("b"))
   }
 
   /** PQ geometry: Dim = PqSubs × PqSubDim subspaces, PqK centroids per

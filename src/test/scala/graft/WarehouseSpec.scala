@@ -273,6 +273,34 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster-bucketed corpus: SemDeDup's pair self-join never shuffles") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = Similarity.withNorm(Tables.embeddings(spark, sf))
+      val assigned = Similarity.assignClusters(e, Similarity.collectCodebook(e))
+        .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+      Warehouse.writeBucketed(assigned, "wh_sem_corpus", "cluster", 4)
+      val dir = Files.createTempDirectory("graft-sem-plain").toFile.getAbsolutePath
+      assigned.write.mode("overwrite").parquet(dir)
+
+      val bucketed = Similarity.withinClusterPairs(spark.table("wh_sem_corpus"))
+      val plain = Similarity.withinClusterPairs(spark.read.parquet(dir))
+      val bPlan = planOf(bucketed)
+      assert(bPlan.contains("wh_sem_corpus"), s"bucketed corpus not in plan:\n$bPlan")
+      // the bucketed self-join drops BOTH sides' exchanges
+      assert(nShuffles(bPlan) == nShuffles(planOf(plain)) - 2,
+        s"pair self-join still shuffles over the bucketed corpus:\n$bPlan")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+      val got = pairs(bucketed)
+      assert(got == pairs(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS wh_sem_corpus")
+    }
+  }
+
   test("bucketed rollup: delta-IVM absorb never shuffles the base side") {
     import graft.operators.Events
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
