@@ -727,6 +727,51 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** e19: sequential pattern matching — the MATCH_RECOGNIZE class
+    * (ISO SQL:2016 row-pattern recognition, which Spark does not
+    * implement): per user, count GREEDY NON-OVERLAPPING completions of
+    * the ordered pattern click → view → purchase across the full event
+    * history, plus the stage the open (incomplete) match has reached.
+    * e6 asks "did the user EVER complete the funnel (windowed)"; this
+    * asks "how many times, sequentially" — the repeated-match
+    * semantics MATCH_RECOGNIZE's `PATTERN (A B C)+` family provides.
+    *
+    * The automaton is a FOLD with the state encoded in one integer:
+    * acc ≡ stage (mod 3), acc div 3 = completed count — and because
+    * the three stages cycle 0→1→2→0, EVERY accepted transition is
+    * literally `acc + 1` (a completion wraps the stage and carries
+    * into the count digit). Both engines state the identical integer
+    * fold (Catalyst `aggregate` lambda / DuckDB `list_reduce`), so the
+    * match count is hash-gated exactly.
+    *
+    * Scale shape: one shuffle to the user key, then a narrow
+    * sort+fold per user inside codegen. Per-user history must fit a
+    * task — the same partition-by contract as SQL MATCH_RECOGNIZE;
+    * hyperactive keys get windowed-split preprocessing upstream. */
+  def e19Pattern(s: SparkSession, d: String): DataFrame = {
+    // full-precision event order: micros, not seconds — a
+    // seconds-truncated key reorders same-second events vs the oracle
+    val ev = events(s, d).select(col("user_id"),
+      struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"),
+        when(col("event_type") === "click", 1L)
+          .when(col("event_type") === "view", 2L)
+          .when(col("event_type") === "purchase", 3L)
+          .otherwise(0L).as("c")).as("r"))
+    ev.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("r"))).as("rs"))
+      .select(col("user_id"),
+        aggregate(transform(col("rs"), r => r.getField("c")), lit(0L),
+          (acc, c) =>
+            when(c === 1L && acc % 3L === 0L, acc + 1L)
+              .when(c === 2L && acc % 3L === 1L, acc + 1L)
+              .when(c === 3L && acc % 3L === 2L, acc + 1L)
+              .otherwise(acc)).as("st"))
+      .select(col("user_id"),
+        call_function("div", col("st"), lit(3L)).as("n_funnels"),
+        (col("st") % 3L).as("open_stage"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -746,6 +791,7 @@ object Events {
     "e16_delta_agg"     -> e16DeltaAgg _,
     "e17_asof_window"   -> e17AsofWindow _,
     "e18_conversion"    -> e18Conversion _,
+    "e19_pattern"       -> e19Pattern _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -974,6 +1020,32 @@ object Events {
         |  FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id))
         |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
         |FROM f GROUP BY stage ORDER BY stage""".stripMargin,
+    // the identical integer automaton, unrolled as a RECURSIVE CTE
+    // stepping one event per iteration (state acc%3 = stage, acc//3 =
+    // completions, accepted moves = +1). NOT list_reduce: DuckDB
+    // 1.0.0's list_reduce mis-evaluates on large grouped batches
+    // (verified: user 41 folds to (6,0) alone or in a 3-user batch,
+    // (7,2) in the full 150-user batch — the CTE and a python fold
+    // both agree on (6,0)), so the oracle states the fold row-by-row
+    "e19_pattern" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |        WHEN 'purchase' THEN 3 ELSE 0 END
+        |      ORDER BY ts, event_id) AS cs
+        |  FROM events GROUP BY user_id),
+        |step(user_id, i, acc) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT) FROM u
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |    CASE WHEN CAST(u.cs[s.i + 1] AS BIGINT) = 1 AND s.acc % 3 = 0 THEN s.acc + 1
+        |         WHEN CAST(u.cs[s.i + 1] AS BIGINT) = 2 AND s.acc % 3 = 1 THEN s.acc + 1
+        |         WHEN CAST(u.cs[s.i + 1] AS BIGINT) = 3 AND s.acc % 3 = 2 THEN s.acc + 1
+        |         ELSE s.acc END
+        |  FROM step s JOIN u ON u.user_id = s.user_id
+        |  WHERE s.i < len(u.cs))
+        |SELECT s.user_id, s.acc // 3 AS n_funnels, s.acc % 3 AS open_stage
+        |FROM step s JOIN u ON u.user_id = s.user_id AND s.i = len(u.cs)
+        |ORDER BY s.user_id""".stripMargin,
     // e6's funnel CTEs + discrete positional quantiles over the
     // per-transition delay histogram; // = Spark's DIV on positives
     "e18_conversion" ->

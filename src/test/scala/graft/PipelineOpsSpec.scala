@@ -1887,6 +1887,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(("srcA", "aa"))._4 > out(("srcB", "aa"))._4)
   }
 
+  test("e19 pattern automaton: greedy non-overlapping matches, stage carry, " +
+      "noise-transparent, order from (ts, event_id)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    // user 1: C V P C V P -> 2 complete; user 2: C C V x P V -> 1, stage 0
+    //   (second C ignored at stage 1; 'x' noise transparent)
+    // user 3: V P C -> 0 complete, open at stage 1
+    // user 4: ts tie-break by event_id: P(id 2) C(id 1) at same second
+    //   ordered C then P -> C opens (stage 1), P ignored
+    val rows = Seq(
+      (1L, 1, 1L, "click"), (1L, 2, 2L, "view"), (1L, 3, 3L, "purchase"),
+      (1L, 4, 4L, "click"), (1L, 5, 5L, "view"), (1L, 6, 6L, "purchase"),
+      (2L, 1, 11L, "click"), (2L, 2, 12L, "click"), (2L, 3, 13L, "view"),
+      (2L, 4, 14L, "signup"), (2L, 5, 15L, "purchase"), (2L, 6, 16L, "view"),
+      (3L, 1, 21L, "view"), (3L, 2, 22L, "purchase"), (3L, 3, 23L, "click"),
+      (4L, 7, 32L, "purchase"), (4L, 7, 31L, "click")
+    ).map { case (u, s, id, ty) => (u, t(s), id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("e19-fixture").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.e19Pattern(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    assert(out(1L) == ((2L, 0L)))
+    assert(out(2L) == ((1L, 0L)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 1L)))
+    assert(out(4L) == ((0L, 1L)), "ts tie must break by event_id")
+    // partitioning-deterministic: the sort is inside the plan, not the input
+    val shuffled = Events.e19Pattern(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    assert(shuffled == out)
+  }
+
   test("d12 SemDeDup: components = union-find over s3's global pairs restricted " +
       "to co-clustered vectors (the method's documented approximation, exactly)") {
     val e = Similarity.withNorm(Tables.embeddings(spark, sf))
