@@ -577,6 +577,52 @@ object StreamOps {
       }
   }
 
+  /** State/output of [[patternStream]]: the automaton accumulator
+    * (acc%3 = open stage, acc/3 = completions) plus the newest scored
+    * (ts_ms, event_id) — the at-least-once guard. */
+  case class PatternState(acc: Long, last_ms: Long, last_event_id: Long)
+  case class PatternProgress(user_id: Long, n_funnels: Long,
+      open_stage: Long)
+
+  /** Streaming row-pattern recognition (continuous e19): the same
+    * greedy click→view→purchase integer automaton, carried as ONE long
+    * of keyed state per user — each arriving event either advances the
+    * accumulator by 1 or leaves it (the 3-cycle encoding from the
+    * batch twin), and the running (completions, open stage) emits per
+    * batch. A fold is order-sensitive, so the state also carries the
+    * newest scored (ts, event_id): a bucket at or before it (late
+    * arrival, duplicate redelivery) is DROPPED rather than folded out
+    * of order — fail-safe under at-least-once delivery, same guard as
+    * [[anomalyStream]]; in-order replay then reproduces batch e19
+    * exactly (spec-pinned). State is O(1) per user — three longs. */
+  def patternStream(events: Dataset[KeyedEvent]): Dataset[PatternProgress] = {
+    implicit val pe: org.apache.spark.sql.Encoder[PatternProgress] =
+      Encoders.product[PatternProgress]
+    implicit val se: org.apache.spark.sql.Encoder[PatternState] =
+      Encoders.product[PatternState]
+    implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[PatternState, PatternProgress](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[KeyedEvent], state: GroupState[PatternState]) =>
+          var st = state.getOption.getOrElse(PatternState(0L, Long.MinValue, Long.MinValue))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val fresh = e.ts.getTime > st.last_ms ||
+              (e.ts.getTime == st.last_ms && e.event_id > st.last_event_id)
+            if (fresh) {
+              val c = e.event_type match {
+                case "click" => 1L; case "view" => 2L; case "purchase" => 3L
+                case _ => 0L
+              }
+              val acc = if (c >= 1L && st.acc % 3L == c - 1L) st.acc + 1L else st.acc
+              st = PatternState(acc, e.ts.getTime, e.event_id)
+            }
+          }
+          state.update(st)
+          PatternProgress(user, st.acc / 3L, st.acc % 3L)
+      }
+  }
+
   /** Rollup store schema for [[deltaAggStream]]. */
   val RollupSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
@@ -670,5 +716,6 @@ object StreamOps {
     "audioDecodeStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append(),
     "anomalyStream" -> OutputMode.Append(),
-    "deltaAggStream" -> OutputMode.Update())
+    "deltaAggStream" -> OutputMode.Update(),
+    "patternStream" -> OutputMode.Update())
 }

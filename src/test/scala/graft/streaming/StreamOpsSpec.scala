@@ -902,6 +902,35 @@ class StreamOpsSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS wh_img_stream")
   }
 
+  test("patternStream: chunked in-order replay ≡ batch e19; duplicate redelivery " +
+      "cannot advance the automaton") {
+    implicit val sq = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[KeyedEvent].collect()
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.patternStream(in.toDS())
+      .writeStream.format("memory").queryName("pattern_stream")
+      .outputMode(OutputMode.Update()).start()
+    val chunks = ev.grouped(ev.length / 7 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    // duplicate redelivery of the last chunk: state must not move
+    in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    // newest update per user = max accumulator (acc is monotone)
+    val streamed = spark.table("pattern_stream").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage")))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).maxBy(p => p._1 * 3L + p._2)).toMap
+    val batch = graft.operators.Events.e19Pattern(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
+  }
+
   test("deltaAggStream: standing rollup after chunked replay ≡ one-shot aggregate, " +
       "old versions pruned") {
     implicit val sq = spark.sqlContext
