@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import TextOps._
@@ -808,6 +808,51 @@ object TextAnalysis {
     * aggregate + one narrow map over the vocabulary, with
     * localCheckpoint truncating the per-round lineage exactly like
     * the d6 CC loop. */
+  /** One BPE merge (a, b) applied to a symbol array as a Catalyst
+    * FOLD — leftmost-first greedy with one-symbol lookbehind, the
+    * exact replacement the trainer performs: append the next symbol,
+    * or fuse it with the accumulator's tail when the tail is `a` and
+    * the symbol is `b`. Chaining [[trainBpe]]'s merges in order makes
+    * ENCODING a pure narrow expression — no UDF, no shuffle. */
+  private[graft] def applyMergeCol(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Encode a word column (string) with a trained merge sequence:
+    * split to characters, apply each merge in training order. */
+  private[graft] def bpeEncode(word: Column,
+      merges: Seq[(String, String)]): Column = {
+    // sequence(1, 0) counts DOWN; the empty word needs an explicit
+    // empty split
+    val chars = when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
+    merges.foldLeft(chars) { case (c, (a, b)) => applyMergeCol(c, a, b) }
+  }
+
+  /** Tokenizer-fit evaluation — the metric a data pipeline runs after
+    * [[trainBpe]]: encode every document with the trained merges and
+    * report per-source FERTILITY (BPE tokens per word, e4 fixed
+    * point). A source whose fertility is an outlier is poorly served
+    * by the tokenizer (wrong language mix, heavy boilerplate) and
+    * either needs its own merges or reweighting — the x19 drift audit
+    * at the tokenization layer. Trained merges are an engine-specific
+    * artifact, so this is spec-pinned (encode ≡ the trainer's own
+    * replacement; fertility monotone non-increasing in merge count)
+    * rather than oracle-gated. One explode + one combined aggregate;
+    * the merge chain is a narrow per-word expression. */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("source"), explode(words(col("text"))).as("w"))
+      .select(col("source"), size(bpeEncode(col("w"), merges)).cast("long")
+        .as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
+      .withColumn("fertility_e4",
+        call_function("div", col("n_bpe_tokens") * lit(10000L), col("n_words")))
+
   def trainBpe(docs: DataFrame, k: Int): Seq[(String, String)] = {
     import docs.sparkSession.implicits._
     var syms = docs.select(explode(words(col("text"))).as("w"))

@@ -1769,6 +1769,48 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(real.size == 3 && real.distinct.size == 3)
   }
 
+  test("BPE encode + fertility: the Catalyst fold equals a reference encoder; " +
+      "fertility is monotone non-increasing in the merge prefix") {
+    import spark.implicits._
+    def refEncode(w: String, merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(w.map(_.toString): Seq[String]) { case (sym, (a, b)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        out.toSeq
+      }
+    // adversarial words incl. overlap (aab, abab) and self-merge (aa)
+    val words = Seq("abc", "aab", "abab", "aaa", "xy", "a", "")
+    val merges = Seq(("a", "b"), ("a", "a"), ("ab", "c"))
+    val got = words.toDF("w")
+      .select(col("w"), TextAnalysis.bpeEncode(col("w"), merges).as("enc"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(got(w) == refEncode(w, merges),
+        s"encode('$w'): ${got(w)} != ${refEncode(w, merges)}")
+    }
+    // fertility over the real corpus, monotone in the merge prefix
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val trained = TextAnalysis.trainBpe(
+      docs.select(col("doc_id"), col("text")), 4)
+    val ferts = (0 to 4).map { i =>
+      val f = TextAnalysis.bpeFertility(docs, trained.take(i)).collect()
+      f.map(r => r.getAs[Long]("n_bpe_tokens")).sum
+    }
+    assert(ferts == ferts.sorted.reverse, s"not monotone: $ferts")
+    assert(ferts.head > ferts.last, "merges never reduced fertility")
+    // per-source fertility_e4 is the exact integer ratio
+    TextAnalysis.bpeFertility(docs, trained).collect().foreach { r =>
+      assert(r.getAs[Long]("fertility_e4") ==
+        r.getAs[Long]("n_bpe_tokens") * 10000L / r.getAs[Long]("n_words"))
+    }
+  }
+
   test("m6 aHash: decode-derived hash equals the closed-form spec hash") {
     val rows = Multimodal.m6ImgHash(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
