@@ -326,6 +326,31 @@ object ScaleProbe {
           (col("id") % 997L).as("pay"))
         graft.plans.AsOfMergeJoin.asof(l, r, "k", "ts", Seq("pay"))
       },
+      // d12 shape: SemDeDup's within-cluster pair join over an n×m
+      // synthetic corpus pre-assigned to √n-ish clusters of FIXED size
+      // 64 — pair work is Σ|cluster|² = 64·n, so the probe should
+      // track n (the method's point: cluster count grows, cluster
+      // size doesn't)
+      time("semdedup_pairs") {
+        val n = 100000L * m
+        val dim = 8
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(dim)),
+            j => ((col("id") * 37L + j * 11L) % 97L).cast("float") / 97.0f)
+            .as("embedding"),
+          (col("id") % (n / 64L)).as("cluster"))
+        val e = operators.Similarity.withNorm(corpus)
+        operators.Similarity.withinClusterPairs(e)
+      },
+      // q24 shape: one PageRank round over an n×m-edge ring graph —
+      // per-round cost is the edge shuffle + combined sum; rounds are
+      // a constant multiplier, so probe one
+      time("pagerank_round") {
+        val n = 1000000L * m
+        val e = spark.range(n).select(col("id").as("src"),
+          ((col("id") + 1L) % n).as("dst"))
+        operators.Relational.pageRank(e, 1)
+      },
       // m7 shape (codec-free): MIH pair stage over 200k×m synthetic
       // hashes built to carry constant per-doc true-pair density (each
       // doc's twin at id+100k×m differs in 1 bit; multiplicative-hash
