@@ -336,7 +336,8 @@ object ScaleProbe {
         val dim = 8
         val corpus = spark.range(n).select(col("id").as("vec_id"),
           transform(sequence(lit(1), lit(dim)),
-            j => ((col("id") * 37L + j * 11L) % 97L).cast("float") / 97.0f)
+            j => (((col("id") * 37L + j * 11L) % 97L + 1L) / 98.0d)
+              .cast("float"))
             .as("embedding"),
           (col("id") % (n / 64L)).as("cluster"))
         val e = operators.Similarity.withNorm(corpus)
