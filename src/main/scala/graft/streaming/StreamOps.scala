@@ -602,8 +602,8 @@ object StreamOps {
       Encoders.product[PatternState]
     implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[PatternState, PatternProgress](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[PatternState, PatternProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[KeyedEvent], state: GroupState[PatternState]) =>
           var st = state.getOption.getOrElse(PatternState(0L, Long.MinValue, Long.MinValue))
           batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
@@ -619,7 +619,7 @@ object StreamOps {
             }
           }
           state.update(st)
-          PatternProgress(user, st.acc / 3L, st.acc % 3L)
+          Iterator.single(PatternProgress(user, st.acc / 3L, st.acc % 3L))
       }
   }
 
@@ -717,5 +717,5 @@ object StreamOps {
     "funnelStages" -> OutputMode.Append(),
     "anomalyStream" -> OutputMode.Append(),
     "deltaAggStream" -> OutputMode.Update(),
-    "patternStream" -> OutputMode.Update())
+    "patternStream" -> OutputMode.Append())
 }

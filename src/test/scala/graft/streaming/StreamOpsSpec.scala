@@ -912,7 +912,7 @@ class StreamOpsSpec extends SparkSpecBase {
     val in = MemoryStream[KeyedEvent]
     val q = StreamOps.patternStream(in.toDS())
       .writeStream.format("memory").queryName("pattern_stream")
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     val chunks = ev.grouped(ev.length / 7 + 1).toSeq
     chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
     // duplicate redelivery of the last chunk: state must not move
@@ -929,6 +929,37 @@ class StreamOpsSpec extends SparkSpecBase {
         (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
     assert(streamed == batch,
       s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
+  }
+
+  test("patternStream recovers the automaton state across kill-and-restart") {
+    implicit val sq = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[KeyedEvent].collect()
+    val (firstHalf, secondHalf) = ev.splitAt(ev.length / 2)
+    val cp = java.nio.file.Files.createTempDirectory("e19-restart-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("e19-restart-out").toString
+    val in = MemoryStream[KeyedEvent]
+    def start() = StreamOps.patternStream(in.toDS())
+      .writeStream.format("parquet").option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start(outDir)
+    // parquet sink is append-only; Update-mode emission means later
+    // rows supersede earlier ones per user — max acc wins (monotone)
+    val q1 = start()
+    in.addData(firstHalf.toIndexedSeq: _*); q1.processAllAvailable(); q1.stop()
+    in.addData(secondHalf.toIndexedSeq: _*) // arrives while down
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage")))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).maxBy(p => p._1 * 3L + p._2)).toMap
+    val batch = graft.operators.Events.e19Pattern(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    assert(streamed == batch,
+      s"restart lost automaton state: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
 
   test("deltaAggStream: standing rollup after chunked replay ≡ one-shot aggregate, " +
