@@ -679,6 +679,57 @@ object Relational {
     rank
   }
 
+  /** q25: the navigation/distribution window-function surface — lag,
+    * lead, percent_rank, cume_dist, nth_value over each customer's
+    * order sequence: days since the previous order, days to the next,
+    * the order's spend percentile within the customer, and the
+    * customer's first-order price as a per-row attribute. One window
+    * family = ONE exchange on o_custkey; all five functions share it
+    * (plan-asserted in RelationalSpec). nth_value pins an explicit
+    * unbounded frame — the engines' default frames differ exactly
+    * there. Ratios ship as exact integer e6 (cross-multiplied from
+    * rank positions), not engine floats. */
+  def q25WindowFuncs(s: SparkSession, d: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od"), col("o_orderkey"))
+    val full = byCust.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("od"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("prev_gap_days",
+        datediff(col("od"), lag(col("od"), 1).over(byCust)).cast("long"))
+      .withColumn("next_gap_days",
+        datediff(lead(col("od"), 1).over(byCust), col("od")).cast("long"))
+      // percent_rank = (rank-1)/(n-1), cume_dist = peers_le/n — state
+      // both as exact integer e6 from the integer positions
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("price_c"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+      .withColumn("peers_le", max(col("rnk")).over(
+        Window.partitionBy(col("o_custkey"), col("price_c")))
+        + count(lit(1)).over(
+          Window.partitionBy(col("o_custkey"), col("price_c"))) - lit(1L))
+      .withColumn("first_price",
+        dollars(nth_value(col("price_c"), 1).over(full)))
+      // the builtins too: their doubles are exact divisions of the
+      // same integers, so they hash cross-engine
+      .withColumn("pct_rank", percent_rank().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("price_c"))))
+      .withColumn("cume", cume_dist().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("price_c"))))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("prev_gap_days"), col("next_gap_days"),
+        when(col("n") > 1L,
+          call_function("div", (col("rnk") - 1L) * lit(1000000L), col("n") - 1L))
+          .otherwise(0L).as("pct_rank_e6"),
+        call_function("div", col("peers_le") * lit(1000000L), col("n"))
+          .as("cume_dist_e6"),
+        col("pct_rank"), col("cume"), col("first_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> q1Agg _,
     "q2_filter_project" -> q2FilterProject _,
@@ -704,9 +755,44 @@ object Relational {
     "q13_distinct_quantiles" -> q13DistinctQuantiles _,
     "q23_zorder"        -> q23Zorder _,
     "q24_pagerank"      -> q24PageRank _,
+    "q25_window_funcs"  -> q25WindowFuncs _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical window family; nth_value pins the explicit unbounded
+    // frame; ratio columns are exact integer e6 + the builtins' exact
+    // integer-division doubles
+    "q25_window_funcs" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(o_orderdate AS DATE) AS od,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders),
+        |w0 AS (SELECT o_orderkey, o_custkey, price_c,
+        |    CAST(od - lag(od, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY od, o_orderkey) AS BIGINT) AS prev_gap_days,
+        |    CAST(lead(od, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY od, o_orderkey) - od AS BIGINT) AS next_gap_days,
+        |    CAST(rank() OVER (PARTITION BY o_custkey ORDER BY price_c)
+        |      AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+        |    percent_rank() OVER (PARTITION BY o_custkey ORDER BY price_c)
+        |      AS pct_rank,
+        |    cume_dist() OVER (PARTITION BY o_custkey ORDER BY price_c) AS cume,
+        |    nth_value(price_c, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY od, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      / 100.0 AS first_price
+        |  FROM o),
+        |w AS (SELECT *,
+        |    CAST(max(rnk) OVER (PARTITION BY o_custkey, price_c)
+        |      + count(*) OVER (PARTITION BY o_custkey, price_c) - 1
+        |      AS BIGINT) AS peers_le
+        |  FROM w0)
+        |SELECT o_orderkey, o_custkey, prev_gap_days, next_gap_days,
+        |  CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1) ELSE 0 END
+        |    AS pct_rank_e6,
+        |  peers_le * 1000000 // n AS cume_dist_e6,
+        |  pct_rank, cume, first_price
+        |FROM w ORDER BY o_orderkey""".stripMargin,
     // six unrolled aggregate-join rounds (aggregation is illegal in a
     // recursive CTE term); // is floor division on the positive ranks,
     // identical to Spark's DIV

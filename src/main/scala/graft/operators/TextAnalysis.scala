@@ -354,6 +354,52 @@ object TextAnalysis {
   def x11Contamination(s: SparkSession, d: String): DataFrame =
     contamination(documents(s, d), maxDf = None)
 
+  /** x21: N-GRAM exact-match decontamination — the published benchmark
+    * protocol (13-gram collision against the training set; x11's
+    * 3-shingle OVERLAP COUNT ranks leak candidates, this STATES the
+    * canonical binary rule): a test doc is flagged when any 13
+    * consecutive words also appear consecutively in any train doc.
+    * Same deterministic x6 hash split as x11. Output per test doc:
+    * gram count, distinct matched grams, the flag.
+    *
+    * Scale shape: grams travel as md5 keys (16 bytes, not 13-word
+    * strings); the train side is a DISTINCT gram set (vocabulary of
+    * the train corpus), the probe a LEFT SEMI join on the gram key —
+    * the same inverted-key family as x11/x17 with the count collapsed
+    * to membership, so the skew cap is unnecessary (no per-pair
+    * expansion survives a semi join). */
+  def x21NgramDecontam(s: SparkSession, d: String): DataFrame =
+    ngramDecontam(documents(s, d), 13)
+
+  /** Library form of [[x21NgramDecontam]] over any (doc_id, text)
+    * frame; `n` is the protocol's gram length. */
+  def ngramDecontam(docs: DataFrame, n: Int): DataFrame = {
+    val base = docs
+      .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
+      .filter(col("bucket") < 80L || col("bucket") >= 90L)
+      .withColumn("split", when(col("bucket") < 80L, "train").otherwise("test"))
+      .select(col("doc_id"), col("split"), words(col("text")).as("ws"))
+    val grams = base.select(col("doc_id"), col("split"),
+      explode(when(size(col("ws")) >= n,
+        transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("ws"), i, lit(n))))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct()
+    val trainG = grams.filter(col("split") === "train")
+      .select(col("g")).distinct()
+    val hits = grams.filter(col("split") === "test")
+      .join(trainG, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    base.filter(col("split") === "test")
+      .select(col("doc_id"),
+        greatest(size(col("ws")) - (n - 1), lit(0)).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Library form of [[x11Contamination]] over any (doc_id, text)
     * frame. `maxDf` is the production skew knob, the exact analog of
     * Dedup.lshCandidates' `maxBucket`: a shingle present in k train
@@ -1128,6 +1174,7 @@ object TextAnalysis {
     "x17_bm25"       -> x17Bm25 _,
     "x18_bpe_pairs"  -> x18BpePairs _,
     "x19_src_divergence" -> x19SrcDivergence _,
+    "x21_ngram_decontam" -> x21NgramDecontam _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1142,6 +1189,33 @@ object TextAnalysis {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // same split as x11; 13-word windows as md5 keys, train side
+    // distinct, EXISTS = the semi join
+    "x21_ngram_decontam" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws,
+         |    md5(doc_id::VARCHAR) AS hh FROM documents),
+         |h AS (SELECT doc_id, ws, ${oBucket4("hh")} AS bucket FROM t),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split, ws
+         |  FROM h WHERE bucket < 80 OR bucket >= 90),
+         |g0 AS (SELECT doc_id, split,
+         |    unnest(CASE WHEN len(ws) >= 13 THEN
+         |      list_transform(range(1, len(ws) - 11),
+         |        i -> md5(array_to_string(ws[i : i + 12], ' ')))
+         |      ELSE [] END) AS g
+         |  FROM sp),
+         |g AS (SELECT DISTINCT doc_id, split, g FROM g0),
+         |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+         |hits AS (SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM g te WHERE te.split = 'test' AND te.g IN (SELECT g FROM tr)
+         |  GROUP BY te.doc_id)
+         |SELECT sp.doc_id,
+         |  CAST(greatest(len(sp.ws) - 12, 0) AS BIGINT) AS n_grams,
+         |  coalesce(hits.n_hits, 0) AS n_hits,
+         |  coalesce(hits.n_hits, 0) > 0 AS flagged
+         |FROM sp LEFT JOIN hits ON sp.doc_id = hits.doc_id
+         |WHERE sp.split = 'test' ORDER BY sp.doc_id""".stripMargin,
     // restates x18's adjacent-pair count + greedy next-merge order
     "x18_bpe_pairs" ->
       s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '')

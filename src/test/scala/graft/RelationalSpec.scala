@@ -447,6 +447,13 @@ class RelationalSpec extends SparkSpecBase {
     assert(prioRows.forall(r => r._1.isEmpty && r._2.nonEmpty))
   }
 
+  test("q25 window family: all five functions share ONE hash exchange " +
+      "(the (cust, price) windows ride the cust partitioning)") {
+    val plan = planOf(Relational.q25WindowFuncs(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"window family fragmented into $shuffles exchanges:\n$plan")
+  }
+
   test("q24 pagerank: fixed-point ranks are partitioning-deterministic, " +
       "floored mass bounded, authority differentiates") {
     import graft.operators.Relational
