@@ -371,6 +371,26 @@ object TextAnalysis {
   def x21NgramDecontam(s: SparkSession, d: String): DataFrame =
     ngramDecontam(documents(s, d), 13)
 
+  /** x22: LEAKAGE-SAFE split — the fix for exactly what x21 detects:
+    * x6 assigns splits per DOCUMENT, so a near-duplicate cluster can
+    * straddle train/test and leak (x21 measures 3 such docs on this
+    * corpus). The published remedy is to split at the DEDUP-CLUSTER
+    * grain: every doc inherits its cluster representative's hash
+    * bucket (d6's component resolution, the same [[hashBucket]] gate
+    * as x6), so whole near-dup clusters land in one split by
+    * construction — membership is still a pure function of content,
+    * deterministic and reshuffle-proof. Spec pins the no-straddle
+    * invariant and that non-clustered docs keep x6's assignment
+    * exactly. */
+  def x22SafeSplit(s: SparkSession, d: String): DataFrame =
+    Dedup.dupClusters(documents(s, d))
+      .select(col("doc_id"), col("cluster_rep"))
+      .withColumn("bucket", hashBucket(col("cluster_rep").cast("string")))
+      .select(col("doc_id"), col("cluster_rep"),
+        when(col("bucket") < 80L, "train")
+          .when(col("bucket") < 90L, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
   /** Library form of [[x21NgramDecontam]] over any (doc_id, text)
     * frame; `n` is the protocol's gram length. */
   def ngramDecontam(docs: DataFrame, n: Int): DataFrame = {
@@ -1175,6 +1195,7 @@ object TextAnalysis {
     "x18_bpe_pairs"  -> x18BpePairs _,
     "x19_src_divergence" -> x19SrcDivergence _,
     "x21_ngram_decontam" -> x21NgramDecontam _,
+    "x22_safe_split"     -> x22SafeSplit _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1189,6 +1210,35 @@ object TextAnalysis {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // d6's recursive component closure, then x6's bucket gate applied
+    // to the REPRESENTATIVE's id instead of the doc's
+    "x22_safe_split" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+        |sg AS (SELECT doc_id,
+        |    list_aggregate(list_transform(range(1, 33), j ->
+        |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+        |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        |  FROM t),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |  WHERE coalesce(list_sum(list_transform(range(1, 33), j ->
+        |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0) <= 1),
+        |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+        |comp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep
+        |  FROM reach GROUP BY src),
+        |hb AS (SELECT doc_id, cluster_rep, md5(cluster_rep::VARCHAR) AS hh FROM comp),
+        |bk AS (SELECT doc_id, cluster_rep, ${oBucket4("hh")} AS bucket
+        |  FROM hb)
+        |SELECT doc_id, cluster_rep,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
     // same split as x11; 13-word windows as md5 keys, train side
     // distinct, EXISTS = the semi join
     "x21_ngram_decontam" ->

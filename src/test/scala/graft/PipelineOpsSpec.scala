@@ -1964,6 +1964,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(shuffled == out)
   }
 
+  test("x22 safe split: near-dup clusters never straddle splits; singletons " +
+      "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
+      "cannot under the cluster-grain split") {
+    val out = TextAnalysis.x22SafeSplit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[String]("split")))
+    assert(out.length == Tables.documents(spark, sf).count())
+    // the no-straddle invariant: one split per cluster
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    perCluster.foreach { case (rep, splits) =>
+      assert(splits.size == 1, s"cluster $rep straddles: $splits")
+    }
+    // singletons (doc_id == rep and nothing else in the cluster) get
+    // exactly the bucket x6 would give the doc itself
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    val bucketOf = Tables.documents(spark, sf).select(col("doc_id"),
+      TextAnalysis.hashBucket(col("doc_id").cast("string")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def splitOfBucket(b: Long) =
+      if (b < 80L) "train" else if (b < 90L) "val" else "test"
+    out.filter(r => r._1 == r._2 && sizes(r._2) == 1).foreach { case (id, _, sp) =>
+      assert(sp == splitOfBucket(bucketOf(id)), s"singleton $id moved splits")
+    }
+    // multi-doc clusters exist on this corpus, so the invariant bites
+    assert(sizes.values.exists(_ > 1), "no clusters — fixture degenerate")
+  }
+
   test("d12 SemDeDup: components = union-find over s3's global pairs restricted " +
       "to co-clustered vectors (the method's documented approximation, exactly)") {
     val e = Similarity.withNorm(Tables.embeddings(spark, sf))
