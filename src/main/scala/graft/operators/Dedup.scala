@@ -357,6 +357,28 @@ object Dedup {
         when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
   }
 
+  /** d13: the dedup RUN REPORT — the one-row summary a pipeline logs
+    * and alerts on after cluster resolution: corpus size, cluster
+    * count, docs dropped (corpus − clusters under keep-one), the drop
+    * rate as an exact integer ratio, the largest cluster, and how many
+    * clusters are non-trivial. A sudden dup-rate jump is the canary
+    * for a scraper loop or an ingestion replay; the largest-cluster
+    * size is the skew canary for the pair stages. All counts
+    * aggregate off ONE component resolution — cluster sizes first
+    * (combiner-friendly), then a driver-sized final fold. */
+  def d13DedupStats(s: SparkSession, d: String): DataFrame = {
+    val sizes = dupClusters(documents(s, d))
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      sum(col("sz")).as("n_docs"),
+      count(lit(1)).as("n_clusters"),
+      (sum(col("sz")) - count(lit(1))).as("n_dropped"),
+      max(col("sz")).as("max_cluster"),
+      sum(when(col("sz") > 1L, 1L).otherwise(0L)).as("n_multi_clusters"))
+      .withColumn("drop_rate_e6",
+        expr("(n_dropped * 1000000) DIV n_docs"))
+  }
+
   /** Library form of [[d6DupClusters]] over any (doc_id, text) frame;
     * presentation order left to the caller. */
   def dupClusters(docs: DataFrame): DataFrame = {
@@ -476,6 +498,7 @@ object Dedup {
     "d9_containment"    -> d9Containment _,
     "d10_blocking"      -> d10Blocking _,
     "d11_canonical"     -> d11Canonical _,
+    "d13_dedup_stats"   -> d13DedupStats _,
   )
 
   /** Shared oracle CTE: words + distinct-less shingles per doc. */
@@ -667,6 +690,34 @@ object Dedup {
         |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep,
         |  CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // d6's closure folded to the one-row run report
+    "d13_dedup_stats" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+        |sg AS (SELECT doc_id,
+        |    list_aggregate(list_transform(range(1, 33), j ->
+        |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+        |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        |  FROM t),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |  WHERE coalesce(list_sum(list_transform(range(1, 33), j ->
+        |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0) <= 1),
+        |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+        |comp AS (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src),
+        |sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY rep)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) - count(*) AS BIGINT) AS n_dropped,
+        |  CAST(max(sz) AS BIGINT) AS max_cluster,
+        |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters,
+        |  CAST((sum(sz) - count(*)) * 1000000 // sum(sz) AS BIGINT) AS drop_rate_e6
+        |FROM sz""".stripMargin,
     // d6's transitive closure + x2's quality signals; per cluster the
     // highest-quality doc (ties -> smallest doc_id) is kept
     "d11_canonical" ->
