@@ -748,28 +748,39 @@ object Events {
     * sort+fold per user inside codegen. Per-user history must fit a
     * task — the same partition-by contract as SQL MATCH_RECOGNIZE;
     * hyperactive keys get windowed-split preprocessing upstream. */
-  def e19Pattern(s: SparkSession, d: String): DataFrame = {
+  def e19Pattern(s: SparkSession, d: String): DataFrame =
+    patternCount(events(s, d), Seq("click", "view", "purchase"))
+      .orderBy(col("user_id"))
+
+  /** Library form of [[e19Pattern]] over any (user_id, event_id,
+    * event_type, ts) frame and ANY ordered stage sequence: the k
+    * stages cycle 0→1→…→k−1→0 with acc%k = open stage and acc div k =
+    * completed count, so every accepted transition is `acc + 1`
+    * whatever the pattern — the generalized `PATTERN (S1 S2 … Sk)+`
+    * greedy counter. Stages must be distinct (the automaton keys its
+    * transition on the stage index a type maps to). */
+  def patternCount(ev: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "pattern stages must be non-empty and distinct")
+    val k = stages.size.toLong
+    val code = stages.zipWithIndex.foldLeft(lit(0L)) { case (c, (st, i)) =>
+      when(col("event_type") === st, (i + 1).toLong).otherwise(c)
+    }
     // full-precision event order: micros, not seconds — a
     // seconds-truncated key reorders same-second events vs the oracle
-    val ev = events(s, d).select(col("user_id"),
+    val rows = ev.select(col("user_id"),
       struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"),
-        when(col("event_type") === "click", 1L)
-          .when(col("event_type") === "view", 2L)
-          .when(col("event_type") === "purchase", 3L)
-          .otherwise(0L).as("c")).as("r"))
-    ev.groupBy(col("user_id"))
+        code.as("c")).as("r"))
+    rows.groupBy(col("user_id"))
       .agg(array_sort(collect_list(col("r"))).as("rs"))
       .select(col("user_id"),
         aggregate(transform(col("rs"), r => r.getField("c")), lit(0L),
           (acc, c) =>
-            when(c === 1L && acc % 3L === 0L, acc + 1L)
-              .when(c === 2L && acc % 3L === 1L, acc + 1L)
-              .when(c === 3L && acc % 3L === 2L, acc + 1L)
+            when(c >= 1L && acc % k === c - 1L, acc + 1L)
               .otherwise(acc)).as("st"))
       .select(col("user_id"),
-        call_function("div", col("st"), lit(3L)).as("n_funnels"),
-        (col("st") % 3L).as("open_stage"))
-      .orderBy(col("user_id"))
+        call_function("div", col("st"), lit(k)).as("n_funnels"),
+        (col("st") % k).as("open_stage"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1962,6 +1962,18 @@ class PipelineOpsSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("user_id") ->
         (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
     assert(shuffled == out)
+    // generalized pattern: a 2-stage cycle counts independently of the
+    // 3-stage one (user 1 has C V C V -> 2 completions of (C,V))
+    val ev2 = graft.Tables.events(spark, dir)
+    val two = Events.patternCount(ev2, Seq("click", "view")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    assert(two(1L) == ((2L, 0L)), s"got ${two(1L)}")
+    assert(two(3L) == ((0L, 1L))) // V P C -> only the trailing C opens
+    // degenerate pattern guard
+    intercept[IllegalArgumentException] {
+      Events.patternCount(ev2, Seq("click", "click"))
+    }
   }
 
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
