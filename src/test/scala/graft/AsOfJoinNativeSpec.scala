@@ -115,6 +115,19 @@ class AsOfJoinNativeSpec extends SparkSpecBase {
       AsOfJoin.asof(left, right, "k", "ts", Seq("pay")))
   }
 
+  test("null ts semantics: a null probe time matches nothing; null right ts " +
+      "rows never become candidates (SQL comparison semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Some(10L), "probe"), (1L, None, "null-probe"))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, None, "r-null"), (1L, Some(5L), "r-5"))
+      .toDF("k", "ts", "rv")
+    val got = AsOfMergeJoin.asof(left, right, "k", "ts", Seq("rv"))
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(got("probe") == Some("r-5"), "null right ts leaked into a match")
+    assert(got("null-probe") == None, "null probe time matched")
+  }
+
   test("tolerance: latest-outside-window nulls out; equals composed+post-filter " +
       "on random inputs") {
     import spark.implicits._
