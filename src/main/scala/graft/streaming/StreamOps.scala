@@ -577,6 +577,37 @@ object StreamOps {
       }
   }
 
+  /** Streaming semantic-dedup admission (continuous d12, stage 1):
+    * each arriving embedding is IVF-assigned with the SAME
+    * zero-exchange literal-codebook argmax as batch d12, then joined
+    * stream-static against the standing cluster-keyed corpus —
+    * within-cluster candidate pairs above `Similarity.SemTau` emit at
+    * ingest, per row, stateless. Fed from the cluster-BUCKETED
+    * catalog table the corpus side never shuffles (WarehouseSpec's
+    * contract). Component/canonical RESOLUTION stays a batch concern:
+    * cluster membership is transitive, so a stream cannot finalize
+    * representatives — it can only admit/flag, exactly like the
+    * d8/m8 ingest twins. Batch ≡ stream on bounded replay pinned in
+    * StreamOpsSpec (cross pairs vs the standing corpus). */
+  def semDedupStream(vecs: DataFrame, corpus: DataFrame,
+      cents: Seq[graft.operators.Similarity.Centroid]): DataFrame = {
+    import graft.operators.Similarity
+    val assigned = Similarity.assignClusters(Similarity.withNorm(vecs), cents)
+      .select(col("vec_id").as("new_vec"), col("embedding").as("n_emb"),
+        col("norm_fp").as("n_norm"), col("cluster"))
+    assigned.join(corpus
+        .select(col("vec_id").as("corpus_vec"), col("embedding").as("c_emb"),
+          col("norm_fp").as("c_norm"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("new_vec") =!= col("corpus_vec"))
+      .withColumn("cos", Similarity.cosine(
+        graft.functions.GraftFunctions.dot_fp9(col("n_emb"), col("c_emb")),
+        col("n_norm"), col("c_norm")))
+      .filter(col("cos") > Similarity.SemTau)
+      .select(col("new_vec"), col("corpus_vec"), col("cluster"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** State/output of [[patternStream]]: the automaton accumulator
     * (acc%3 = open stage, acc/3 = completions) plus the newest scored
     * (ts_ms, event_id) — the at-least-once guard. */
@@ -717,5 +748,6 @@ object StreamOps {
     "funnelStages" -> OutputMode.Append(),
     "anomalyStream" -> OutputMode.Append(),
     "deltaAggStream" -> OutputMode.Update(),
-    "patternStream" -> OutputMode.Append())
+    "patternStream" -> OutputMode.Append(),
+    "semDedupStream" -> OutputMode.Append())
 }

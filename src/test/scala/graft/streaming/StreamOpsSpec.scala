@@ -931,6 +931,45 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
 
+  test("semDedupStream ≡ batch d12's within-cluster pairs restricted to " +
+      "new×corpus on bounded replay") {
+    implicit val sq = spark.sqlContext
+    import StreamOpsSpec.Vec
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val eN = Similarity.withNorm(e)
+    val cents = Similarity.collectCodebook(eN)
+    val split = 400L
+    val corpus = Similarity.assignClusters(
+      Similarity.withNorm(e.filter(col("vec_id") < split)), cents)
+      .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+    val newVecs = e.filter(col("vec_id") >= split).collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[Vec]
+    val q = StreamOps.semDedupStream(in.toDF(), corpus, cents)
+      .writeStream.format("memory").queryName("sem_stream")
+      .outputMode(OutputMode.Append()).start()
+    newVecs.grouped(40).foreach { c =>
+      in.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sem_stream").collect()
+      .map(r => (r.getAs[Long]("corpus_vec"), r.getAs[Long]("new_vec")) ->
+        r.getAs[Long]("cos_e6")).toMap
+    // batch reference: d12's pair stage over the full assigned corpus,
+    // restricted to pairs with exactly one side in the standing corpus
+    val all = Similarity.assignClusters(eN, cents)
+      .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+    val expected = Similarity.withinClusterPairs(all).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+      .filter { case (a, b) => (a < split) != (b < split) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(expected.nonEmpty, "no cross pairs — fixture degenerate")
+    assert(streamed.keySet == expected,
+      s"stream/batch divergence: ${streamed.keySet -- expected} | ${expected -- streamed.keySet}")
+  }
+
   test("patternStream recovers the automaton state across kill-and-restart") {
     implicit val sq = spark.sqlContext
     val ev = graft.Tables.events(spark, sf)
@@ -997,4 +1036,5 @@ class StreamOpsSpec extends SparkSpecBase {
 object StreamOpsSpec {
   case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
   case class VEvent(ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class Vec(vec_id: Long, embedding: Seq[Float])
 }
