@@ -141,14 +141,50 @@ object Bench {
       .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_samples":$cal,"queries":$qs,"reruns":$rr,"rerun_calibration":$rerunCal,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    // stdout first: an unwritable SPARK_GRAFT_BENCH_OUT must not destroy
-    // the run's results on both channels
+    // FULL-DETAIL line: stdout first (an unwritable SPARK_GRAFT_BENCH_OUT
+    // must not destroy the run's results on both channels), then the file.
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), line + "\n"): Unit
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // COMPACT line, printed LAST: the driver parses only the final ~2000
+    // chars of the sbt log (measured: BENCH_r08.json "tail" is exactly
+    // 2000 chars, and sbt appends a ~70-char "[success] Total time" line
+    // after our output). The full-detail line above is ~9 KB — 100 query
+    // names alone total ~1.3 KB, so even a minimal all-queries map
+    // (~2.2 KB) CANNOT fit the window; r07 and r08 both parsed null for
+    // exactly this reason. This line is byte-budgeted to [[TailBudget]]:
+    // headline totals + as many per-query entries as fit, slowest first
+    // (the entries a perf reader wants; the complete map lives in
+    // bench_out.json, committed per-round as BASELINE.md documents).
+    val TailBudget = 1500
+    def ms(v: Double): String = { // 3 decimals, no scientific notation
+      val r = math.rint(v * 1000) / 1000
+      f"$r%.3f"
+    }
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"nqueries":${results.size},"nerrors":${errors.size},"calibration":${ms(calibration)},"full":${jstr(out)},"queries":{"""
+    val close = "}}"
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => jstr(k) + ":" + ms(v) }
+    val sb = new StringBuilder(head)
+    var first = true
+    var fits = true
+    val it = entries.iterator
+    while (fits && it.hasNext) {
+      val e = it.next()
+      val extra = e.length + (if (first) 0 else 1)
+      fits = sb.length + extra + close.length <= TailBudget
+      if (fits) { if (!first) sb.append(','); sb.append(e); first = false }
+    }
+    sb.append(close)
+    // stop Spark BEFORE the final print (shutdown WARN/INFO lines must
+    // not land after it and push it out of the tail window), and
+    // silence the logger so stop() itself stays quiet
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(sb.toString)
+    System.out.flush()
   }
 }

@@ -43,7 +43,14 @@ object AsOfJoin {
       Seq(col(key), col(ts), lit(1).as("__side")) ++
         leftCols.map(col) :+
         lit(null).cast(payloadType).as("__rpay"): _*)
-    val r = right.select(
+    // Null-key and null-ts right rows never match (SQL equi-join /
+    // comparison semantics — the same rule the native
+    // [[graft.plans.AsOfMergeJoin]] exec and Spark's stock
+    // RewriteAsOfJoin apply). Without this filter a null-ts right row
+    // sorts to the head of its window partition and its payload leaks
+    // into every probe of that key; null-keyed rows would pair up in
+    // the null window partition.
+    val r = right.filter(col(key).isNotNull && col(ts).isNotNull).select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightCols.map(col): _*).as("__rpay"): _*)

@@ -783,15 +783,21 @@ object TextAnalysis {
     * (new boilerplate, a scraper gone wrong, template contamination)
     * before it trains into the model.
     *
-    * Exactness: the per-token contribution is cleared to an integer —
-    * chi2_e4 = (obs·N − glob·n_src)² · 10⁴ div (glob·n_src·N) — in
-    * decimal(38,0), the e9 pattern: the cross-products exceed int64
-    * once obs·N passes ~9.6e18 (corpus ≈ 3e9 tokens), and decimal38
-    * carries them to ~1e38 ≈ a 1e19-token corpus; both engines state
-    * the identical integral division (operands positive ⇒ floor =
-    * trunc). The e4 quantum keeps the per-token DIVISION result inside
-    * int64 (IntegralDivide's output type) with ~1e3 headroom at 1e19
-    * tokens, since contributions are at most obs·N/den-scaled.
+    * Exactness: the per-token contribution is cleared to an integer in
+    * TWO integral-division steps over |num| (num = obs·N − glob·n_src)
+    * in decimal(38,0), the e9 pattern:
+    * chi2_e4 = ((|num|·10⁴ div (glob·n_src)) · |num|) div N.
+    * Squaring num BEFORE dividing — the one-step form — overflows
+    * decimal(38,0) once |num| passes ~1e17 (num can reach ~N², so a
+    * mere ~3e8-token corpus breaks it, silently nulling chi2 under
+    * non-ANSI mode); splitting the division keeps every intermediate
+    * bounded by ~10⁴·N² ≤ 1e38 and the two div RESULTS inside int64
+    * (step one ≤ 10⁴·N, the statistic itself ≤ 10⁴·N) up to a
+    * ~1e14-token corpus — ~30,000× the 3e9-token design point. |num|
+    * keeps all operands positive ⇒ floor = trunc in both engines; both
+    * state the identical nested expression, so the statistic is
+    * hash-gated exactly (nesting redefines sub-1e-4 rounding, not the
+    * drift signal).
     *
     * Scale shape: one explode + three map-side-combined counts off the
     * same shuffle key family; the token-level join is vocab-keyed
@@ -815,10 +821,12 @@ object TextAnalysis {
     val byTok = bySrcTok.groupBy("w").agg(sum(col("obs")).as("glob_n"))
     val bySrc = bySrcTok.groupBy("source").agg(sum(col("obs")).as("n_src"))
     val total = bySrc.agg(sum(col("n_src")).as("n_total"))
-    val num = col("obs").cast(dec) * col("n_total").cast(dec) -
-      col("glob_n").cast(dec) * col("n_src").cast(dec)
-    val den = col("glob_n").cast(dec) * col("n_src").cast(dec) *
-      col("n_total").cast(dec)
+    val num = abs(col("obs").cast(dec) * col("n_total").cast(dec) -
+      col("glob_n").cast(dec) * col("n_src").cast(dec))
+    // two-step integral division (see scaladoc): never squares num, so
+    // no intermediate exceeds ~10⁴·N² — decimal38-safe to ~1e14 tokens
+    val stepA = call_function("div", num * lit(10000).cast(dec),
+      col("glob_n").cast(dec) * col("n_src").cast(dec))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("chi2_e4").desc, col("w"))
@@ -829,7 +837,7 @@ object TextAnalysis {
       .join(broadcast(bySrc), "source")
       .crossJoin(broadcast(total))
       .withColumn("chi2_e4",
-        call_function("div", num * num * lit(10000).cast(dec), den))
+        call_function("div", stepA.cast(dec) * num, col("n_total").cast(dec)))
       .withColumn("chi2_total_e4", sum(col("chi2_e4")).over(wTot))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= 5L)
@@ -1291,10 +1299,10 @@ object TextAnalysis {
         |  FROM tok GROUP BY source),
         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
         |j AS (SELECT st.source, st.w, st.obs, gt.glob_n,
-        |    CAST(((st.obs::HUGEINT * nt.n_total - gt.glob_n::HUGEINT * ns.n_src)
-        |       * (st.obs::HUGEINT * nt.n_total - gt.glob_n::HUGEINT * ns.n_src)
-        |       * 10000)
-        |      // (gt.glob_n::HUGEINT * ns.n_src * nt.n_total) AS BIGINT) AS chi2_e4
+        |    CAST(((abs(st.obs::HUGEINT * nt.n_total - gt.glob_n::HUGEINT * ns.n_src)
+        |         * 10000 // (gt.glob_n::HUGEINT * ns.n_src))
+        |       * abs(st.obs::HUGEINT * nt.n_total - gt.glob_n::HUGEINT * ns.n_src))
+        |      // nt.n_total AS BIGINT) AS chi2_e4
         |  FROM st JOIN gt ON st.w = gt.w JOIN ns ON st.source = ns.source
         |    CROSS JOIN nt),
         |wr AS (SELECT source, w, obs, glob_n, chi2_e4,

@@ -53,7 +53,10 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
   * keeps the last consumed qualifying row, forward reads to the end of
   * the first qualifying tie-run). Left rows with no qualifying right
   * row emit null payload fields; a null left ts matches nothing; null
-  * right ts rows never match.
+  * right ts rows never match; a row with ANY null join-key field is
+  * unmatchable on either side (SQL EqualTo semantics — the same rule
+  * Spark's stock `RewriteAsOfJoin` equi-join applies, so the
+  * `InterceptSparkAsOfJoin` swap stays invisible on null-keyed data).
   */
 object AsOfMergeJoin {
 
@@ -138,6 +141,10 @@ object AsOfMergeJoin {
     }
 
     override protected def doExecute(): RDD[InternalRow] = {
+      // the interpreted ts ordering below is built from the LEFT type;
+      // a differently-typed right ts would miscompare raw native units
+      require(leftTs.dataType == rightTs.dataType,
+        s"as-of ts type mismatch: ${leftTs.dataType} vs ${rightTs.dataType}")
       val lOut = left.output
       val rOut = right.output
       val lKeyExprs = leftKeys
@@ -189,13 +196,22 @@ object AsOfMergeJoin {
           resultProj(joined(lRow, if (matched) candPayload else nullPayload))
         }
 
+        // Null-key rows are UNMATCHABLE — SQL equi-join semantics
+        // (EqualTo never matches null), the same rule Spark's stock
+        // RewriteAsOfJoin applies. A null-keyed left probe
+        // short-circuits to null payload below; null-keyed RIGHT rows
+        // need no explicit skip: a right key containing null compares
+        // equal only to a probe key with the same null field (natural
+        // ordering), and every such probe short-circuits before it can
+        // scan or cache — so a null-keyed right row is only ever
+        // consumed as cmp<0 fodder, never cached as a candidate.
         if (!fwd) {
           // BACKWARD: consume right rows while (key, ts) <= probe;
           // the last qualifying consumed row is the match.
           lIter.map { lRow =>
             val lKey = lKeyProj(lRow)
             val lTs = lTsBound.eval(lRow)
-            if (lTs == null) {
+            if (lTs == null || lKey.anyNull) {
               resultProj(joined(lRow, nullPayload))
             } else {
               var advance = true
@@ -232,7 +248,7 @@ object AsOfMergeJoin {
           lIter.map { lRow =>
             val lKey = lKeyProj(lRow)
             val lTs = lTsBound.eval(lRow)
-            if (lTs == null) {
+            if (lTs == null || lKey.anyNull) {
               resultProj(joined(lRow, nullPayload))
             } else {
               var done = candKey != null &&
@@ -307,6 +323,14 @@ object AsOfMergeJoin {
       forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     install(spark)
+    // Mixed ts types would compare raw underlying values in different
+    // native units (DATE days vs TIMESTAMP micros; INT vs LONG) — both
+    // the interpreted ordering (built from the LEFT type) and the
+    // tolerance arithmetic would be silently wrong. Refuse up front;
+    // the caller casts explicitly.
+    require(left.schema(ts).dataType == right.schema(ts).dataType,
+      s"as-of ts type mismatch: left ${left.schema(ts).dataType} vs " +
+        s"right ${right.schema(ts).dataType} — cast one side explicitly")
     tolerance.foreach { _ =>
       val t = left.schema(ts).dataType
       require(Seq(TimestampType, TimestampNTZType, DateType, LongType,
@@ -397,7 +421,11 @@ object AsOfMergeJoin {
         }
         sides match {
           case Some((lTs, rTs, fwd))
-              if keyPairs.nonEmpty && keyPairs.forall(_.isDefined) =>
+              if keyPairs.nonEmpty && keyPairs.forall(_.isDefined) &&
+                // analyzer type coercion should have aligned the ts
+                // sides; if it somehow has not, fall through to the
+                // stock rewrite rather than miscompare native units
+                lTs.dataType == rTs.dataType =>
             GraftAsOfJoin(left, right,
               keyPairs.flatten.map(_._1), keyPairs.flatten.map(_._2),
               lTs, rTs, right.output, None, fwd)

@@ -128,6 +128,68 @@ class AsOfJoinNativeSpec extends SparkSpecBase {
     assert(got("null-probe") == None, "null probe time matched")
   }
 
+  test("null join keys are unmatchable on either side — native, composed, and " +
+      "Spark's stock merge_asof rewrite agree (SQL EqualTo semantics)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.plans.logical.{AsOfJoin => SparkAsOfJoin}
+    import org.apache.spark.sql.catalyst.plans.{AsOfJoinDirection, LeftOuter}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), 10L, "match"),       // normal: matches r1@5
+      (None, 10L, "null-key-probe"),  // null key: must NOT take r-null's payload
+      (Some(2L), 10L, "no-match")     // key 2 has only a later right row
+    ).toDF("k", "ts", "lv")
+    val right = Seq(
+      (Some(1L), 5L, "r1"),
+      (None, 5L, "r-null"),   // null-keyed right row: never a candidate
+      (Some(2L), 20L, "r2")
+    ).toDF("k", "ts", "rv")
+
+    val native = AsOfMergeJoin.asof(left, right, "k", "ts", Seq("rv"))
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(native("match") == Some("r1"))
+    assert(native("null-key-probe") == None,
+      "null-keyed probe matched a null-keyed right row")
+    assert(native("no-match") == None)
+
+    val composed = AsOfJoin.asof(left, right, "k", "ts", Seq("rv"))
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(composed == native, "composed form diverges on null keys")
+
+    // intercepted merge_asof vs Spark's stock RewriteAsOfJoin on the
+    // same null-keyed inputs: the swap must stay invisible
+    AsOfMergeJoin.install(spark)
+    val lp = GraftSqlBridge.analyzed(left)
+    val rp = GraftSqlBridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).get
+    val node = SparkAsOfJoin(
+      lp, rp, attr(lp, "ts"), attr(rp, "ts"),
+      Some(EqualTo(attr(lp, "k"), attr(rp, "k"))), LeftOuter,
+      tolerance = None, allowExactMatches = true,
+      direction = AsOfJoinDirection("backward"))
+    val stock = GraftSqlBridge.ofRows(spark, node)
+    val routed = GraftSqlBridge.ofRows(spark,
+      AsOfMergeJoin.InterceptSparkAsOfJoin(node))
+    assert(planOf(routed).contains("AsOfMergeJoin"))
+    val (a, b) = (routed.collect().map(_.toString).sorted,
+      stock.collect().map(_.toString).sorted)
+    assert(a.sameElements(b),
+      s"intercepted diverges from stock on null keys: ${a.zip(b).find { case (x, y) => x != y }}")
+  }
+
+  test("mixed ts types are refused up front (DATE days vs TIMESTAMP micros " +
+      "would silently miscompare)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lv")
+    val right = Seq((1L, 5, "r")).toDF("k", "ts", "rv") // INT ts vs LONG
+    val e = intercept[IllegalArgumentException] {
+      AsOfMergeJoin.asof(left, right, "k", "ts", Seq("rv"))
+    }
+    assert(e.getMessage.contains("ts type mismatch"), e.getMessage)
+  }
+
   test("tolerance: latest-outside-window nulls out; equals composed+post-filter " +
       "on random inputs") {
     import spark.implicits._
