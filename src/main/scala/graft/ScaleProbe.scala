@@ -343,6 +343,49 @@ object ScaleProbe {
         val e = operators.Similarity.withNorm(corpus)
         operators.Similarity.withinClusterPairs(e)
       },
+      // d12 DEGENERATE case: ONE mega-cluster of 1000·m near-identical
+      // vectors (the boilerplate-embedding failure mode). Uncapped
+      // pair work is n²/2 — quadratic in m by construction; the
+      // maxCluster=64 sub-sharding bounds per-shard work to ~64·n/2,
+      // so capped should track m while uncapped tracks m². The
+      // capped-vs-uncapped ratio at m is the knob's measured value.
+      time("semdedup_mega_uncapped") {
+        val n = 1000L * m
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(8)),
+            j => (lit(0.5d) + (col("id") % 13L).cast("double") / 1e5)
+              .cast("float")).as("embedding"),
+          lit(0L).as("cluster"))
+        operators.Similarity.withinClusterPairs(
+          operators.Similarity.withNorm(corpus), None)
+      },
+      time("semdedup_mega_capped64") {
+        val n = 1000L * m
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(8)),
+            j => (lit(0.5d) + (col("id") % 13L).cast("double") / 1e5)
+              .cast("float")).as("embedding"),
+          lit(0L).as("cluster"))
+        operators.Similarity.withinClusterPairs(
+          operators.Similarity.withNorm(corpus), Some(64))
+      },
+      // e19 DEGENERATE case: ONE hyperactive user with n×m events
+      // (bot / replay loop). The former collect_list form buffered the
+      // whole history in a single task array; the streamed fold pays a
+      // spill-capable sort + an O(1)-state scan — expect ~linear in m,
+      // bounded task memory by construction
+      time("pattern_hyperkey") {
+        val n = 1000000L * m
+        val ev = spark.range(n).select(
+          lit(7L).as("user_id"),
+          timestamp_micros(col("id") * 1000L + 1700000000000000L).as("ts"),
+          col("id").as("event_id"),
+          element_at(
+            array(lit("click"), lit("view"), lit("purchase"), lit("other")),
+            (pmod(col("id"), lit(4L)) + 1L).cast("int")).as("event_type"))
+        operators.Events.patternCount(ev,
+          Seq("click", "view", "purchase"))
+      },
       // q24 shape: one PageRank round over an n×m-edge ring graph —
       // per-round cost is the edge shuffle + combined sum; rounds are
       // a constant multiplier, so probe one

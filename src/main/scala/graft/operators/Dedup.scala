@@ -322,7 +322,7 @@ object Dedup {
     * is_canonical = 1 and drops the rest — this query materializes that
     * decision for every document. */
   def d6DupClusters(s: SparkSession, d: String): DataFrame =
-    dupClusters(documents(s, d)).orderBy(col("doc_id"))
+    sharedClusters(s, d).orderBy(col("doc_id"))
 
   /** d11: canonical-selection manifest — the record a dedup stage
     * actually ships: per doc its near-dup cluster, its quality score,
@@ -340,12 +340,20 @@ object Dedup {
     * machinery (pair generation, CC) is exactly d5/d6's and inherits
     * their bucketed/bounded plans. */
   def d11Canonical(s: SparkSession, d: String): DataFrame =
-    canonicalManifest(documents(s, d)).orderBy(col("doc_id"))
+    canonicalManifestFrom(sharedClusters(s, d), documents(s, d))
+      .orderBy(col("doc_id"))
 
   /** Library form of [[d11Canonical]] over any (doc_id, text) frame;
     * presentation order left to the caller. */
-  def canonicalManifest(docs: DataFrame): DataFrame = {
-    val clusters = dupClusters(docs).select(col("doc_id"), col("cluster_rep"))
+  def canonicalManifest(docs: DataFrame): DataFrame =
+    canonicalManifestFrom(dupClusters(docs), docs)
+
+  /** [[canonicalManifest]] over an ALREADY-RESOLVED cluster frame
+    * (doc_id, cluster_rep, …) — the [[sharedClusters]] consumers'
+    * entry, so the resolution is never recomputed per query. */
+  private[graft] def canonicalManifestFrom(clusterFrame: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val clusters = clusterFrame.select(col("doc_id"), col("cluster_rep"))
     val quality = TextAnalysis.qualitySignals(docs)
       .select(col("doc_id"), col("quality_e3"))
     val w = org.apache.spark.sql.expressions.Window
@@ -367,7 +375,7 @@ object Dedup {
     * aggregate off ONE component resolution — cluster sizes first
     * (combiner-friendly), then a driver-sized final fold. */
   def d13DedupStats(s: SparkSession, d: String): DataFrame = {
-    val sizes = dupClusters(documents(s, d))
+    val sizes = sharedClusters(s, d)
       .groupBy(col("cluster_rep")).agg(count(lit(1)).as("sz"))
     sizes.agg(
       sum(col("sz")).as("n_docs"),
@@ -378,6 +386,28 @@ object Dedup {
       .withColumn("drop_rate_e6",
         expr("(n_dropped * 1000000) DIV n_docs"))
   }
+
+  /** Session-scoped STANDING cluster table: the d5-pair + CC
+    * resolution of a corpus directory, materialized ONCE per
+    * (session, dir) and read by every consumer — d6, d11, d13, x10
+    * and x22 all need the same resolution, and before this cache each
+    * re-ran the full pair+CC pipeline standalone (~4 runs × ~3 s at
+    * sf0.1). This is the d8-postings discipline applied to the
+    * component output: pay the heavy stage once, every later read is
+    * a scan. `localCheckpoint` pins the result (doc_id, cluster_rep,
+    * is_canonical — 3 narrow columns, one row per doc) in
+    * session-lifetime block storage; consumers' plans scan the
+    * checkpointed rows (plan-asserted in the spec — no CC loop, no
+    * pair join re-entry). At warehouse scale the same contract is the
+    * PERSISTED form instead: [[Warehouse.writeBucketed]] on doc_id,
+    * so signal joins (x10's fabric) also plan exchange-free — the
+    * session cache is the single-run twin of that standing table. */
+  def sharedClusters(s: SparkSession, d: String): DataFrame =
+    clusterCache.computeIfAbsent((s, d),
+      _ => dupClusters(documents(s, d)).localCheckpoint())
+
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Library form of [[d6DupClusters]] over any (doc_id, text) frame;
     * presentation order left to the caller. */

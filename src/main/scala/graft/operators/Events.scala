@@ -744,10 +744,11 @@ object Events {
     * fold (Catalyst `aggregate` lambda / DuckDB `list_reduce`), so the
     * match count is hash-gated exactly.
     *
-    * Scale shape: one shuffle to the user key, then a narrow
-    * sort+fold per user inside codegen. Per-user history must fit a
-    * task — the same partition-by contract as SQL MATCH_RECOGNIZE;
-    * hyperactive keys get windowed-split preprocessing upstream. */
+    * Scale shape: one shuffle to the user key, then a spill-capable
+    * within-partition sort and a streaming O(1)-state scan per user
+    * run (see [[patternCount]]) — task memory independent of any
+    * key's history length, so a hyperactive key (bot, replay loop)
+    * costs sort disk, never an OOM. */
   def e19Pattern(s: SparkSession, d: String): DataFrame =
     patternCount(events(s, d), Seq("click", "view", "purchase"))
       .orderBy(col("user_id"))
@@ -758,30 +759,118 @@ object Events {
     * completed count, so every accepted transition is `acc + 1`
     * whatever the pattern — the generalized `PATTERN (S1 S2 … Sk)+`
     * greedy counter. Stages must be distinct (the automaton keys its
-    * transition on the stage index a type maps to). */
+    * transition on the stage index a type maps to).
+    *
+    * Execution is the x9 shape, NOT a per-key collect_list: hash to
+    * the user key, sort within partitions on (user, t, id) — Spark's
+    * spill-capable external sort, so a hyperactive key (bot, replay
+    * loop) costs disk, never task memory — then stream each user's
+    * run once with O(1) carried state (the one-integer accumulator).
+    * This is the MATCH_RECOGNIZE partition contract with the per-key
+    * buffer removed: task memory is independent of the hottest key's
+    * history length (the fold-equivalence with the collect_list form
+    * is spec-pinned on adversarial orderings, and the hyperactive-key
+    * cost is a ScaleProbe row). */
   def patternCount(ev: DataFrame, stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty && stages.distinct.size == stages.size,
-      "pattern stages must be non-empty and distinct")
     val k = stages.size.toLong
-    val code = stages.zipWithIndex.foldLeft(lit(0L)) { case (c, (st, i)) =>
-      when(col("event_type") === st, (i + 1).toLong).otherwise(c)
-    }
-    // full-precision event order: micros, not seconds — a
-    // seconds-truncated key reorders same-second events vs the oracle
-    val rows = ev.select(col("user_id"),
-      struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"),
-        code.as("c")).as("r"))
-    rows.groupBy(col("user_id"))
-      .agg(array_sort(collect_list(col("r"))).as("rs"))
-      .select(col("user_id"),
-        aggregate(transform(col("rs"), r => r.getField("c")), lit(0L),
-          (acc, c) =>
-            when(c >= 1L && acc % k === c - 1L, acc + 1L)
-              .otherwise(acc)).as("st"))
+    patternPrep(ev, stages)
+      .mapPartitions { it =>
+        // partition order is (user, t, id); a user change resets the
+        // accumulator. One output row per user run, O(1) state.
+        val b = it.buffered
+        new Iterator[(Option[Long], Long)] {
+          def hasNext: Boolean = b.hasNext
+          def next(): (Option[Long], Long) = {
+            val u = b.head._1
+            var acc = 0L
+            while (b.hasNext && b.head._1 == u) {
+              val c = b.next()._4
+              if (c >= 1L && acc % k == c - 1L) acc += 1L
+            }
+            (u, acc)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.product[(Option[Long], Long)])
+      .toDF("user_id", "st")
       .select(col("user_id"),
         call_function("div", col("st"), lit(k)).as("n_funnels"),
         (col("st") % k).as("open_stage"))
   }
+
+  /** The shared pattern-automaton input: per event (user_id, t, id,
+    * stage code 1..k or 0), hash-clustered on the user and sorted
+    * within partitions on (user, t, id) — full-precision micros, not
+    * seconds (a truncated key reorders same-second events vs the
+    * oracle), event_id breaking ts ties exactly like the collect_list
+    * form's struct sort. */
+  private def patternPrep(ev: DataFrame, stages: Seq[String]):
+      org.apache.spark.sql.Dataset[(Option[Long], Long, Long, Long)] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "pattern stages must be non-empty and distinct")
+    val code = stages.zipWithIndex.foldLeft(lit(0L)) { case (c, (st, i)) =>
+      when(col("event_type") === st, (i + 1).toLong).otherwise(c)
+    }
+    ev.select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id").as("id"), code.as("c"))
+      .as[(Option[Long], Long, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Option[Long], Long, Long, Long)])
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("t"), col("id"))
+  }
+
+  /** Match SPANS from the same greedy automaton — the MATCH_RECOGNIZE
+    * measures surface (`FIRST(A.id)` / `LAST(C.id)` per completed
+    * match): for each completed cycle, one row (user_id, match_no,
+    * start_event_id, end_event_id) where start is the event that took
+    * the cycle's first accepted transition and end is the completing
+    * event. Same execution contract as [[patternCount]]: sorted
+    * partition stream, O(1) carried state (accumulator + the open
+    * cycle's start id), spans EMITTED as the scan passes them — never
+    * buffered, so a hyperactive key streams its spans out instead of
+    * accumulating them. */
+  def patternMatches(ev: DataFrame, stages: Seq[String]): DataFrame = {
+    val k = stages.size.toLong
+    patternPrep(ev, stages)
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[(Option[Long], Long, Long, Long)] {
+          private var curU: Option[Long] = None
+          private var started = false
+          private var acc = 0L
+          private var curStart = 0L
+          private var out: (Option[Long], Long, Long, Long) = _
+          private def advance(): Unit = {
+            out = null
+            while (out == null && b.hasNext) {
+              val (u, _, id, c) = b.next()
+              if (!started || u != curU) {
+                curU = u; started = true; acc = 0L; curStart = 0L
+              }
+              if (c >= 1L && acc % k == c - 1L) {
+                if (c == 1L) curStart = id
+                acc += 1L
+                if (acc % k == 0L) out = (u, acc / k, curStart, id)
+              }
+            }
+          }
+          advance()
+          def hasNext: Boolean = out != null
+          def next(): (Option[Long], Long, Long, Long) = {
+            val r = out; advance(); r
+          }
+        }
+      }(org.apache.spark.sql.Encoders.product[(Option[Long], Long, Long, Long)])
+      .toDF("user_id", "match_no", "start_event_id", "end_event_id")
+  }
+
+  /** e20: the span-emitting form of e19 on the click→view→purchase
+    * pattern — WHICH rows formed each completed funnel, not just how
+    * many. Oracle: the e19 recursive-CTE automaton extended with the
+    * open cycle's start id, completions read off the step table
+    * (acc incremented to a multiple of k). */
+  def e20PatternSpans(s: SparkSession, d: String): DataFrame =
+    patternMatches(events(s, d), Seq("click", "view", "purchase"))
+      .orderBy(col("user_id"), col("match_no"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_hourly_agg"     -> e1HourlyAgg _,
@@ -803,6 +892,7 @@ object Events {
     "e17_asof_window"   -> e17AsofWindow _,
     "e18_conversion"    -> e18Conversion _,
     "e19_pattern"       -> e19Pattern _,
+    "e20_pattern_spans" -> e20PatternSpans _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1057,6 +1147,35 @@ object Events {
         |SELECT s.user_id, s.acc // 3 AS n_funnels, s.acc % 3 AS open_stage
         |FROM step s JOIN u ON u.user_id = s.user_id AND s.i = len(u.cs)
         |ORDER BY s.user_id""".stripMargin,
+    // e19's recursive automaton extended with the open cycle's start
+    // id; a completion is a step whose acc incremented to a multiple
+    // of k — its span is (start at that step, the consumed event)
+    "e20_pattern_spans" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    list(struct_pack(
+        |        c := CASE event_type WHEN 'click' THEN CAST(1 AS BIGINT)
+        |          WHEN 'view' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END,
+        |        id := event_id)
+        |      ORDER BY ts, event_id) AS es
+        |  FROM events GROUP BY user_id),
+        |step(user_id, i, acc, st) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM u
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |    CASE WHEN u.es[s.i + 1].c >= 1
+        |           AND s.acc % 3 = u.es[s.i + 1].c - 1
+        |         THEN s.acc + 1 ELSE s.acc END,
+        |    CASE WHEN u.es[s.i + 1].c = 1 AND s.acc % 3 = 0
+        |         THEN u.es[s.i + 1].id ELSE s.st END
+        |  FROM step s JOIN u ON u.user_id = s.user_id
+        |  WHERE s.i < len(u.es))
+        |SELECT a.user_id, a.acc // 3 AS match_no,
+        |  a.st AS start_event_id, u.es[a.i].id AS end_event_id
+        |FROM step a
+        |JOIN step b ON b.user_id = a.user_id AND b.i = a.i - 1
+        |JOIN u ON u.user_id = a.user_id
+        |WHERE a.i >= 1 AND a.acc = b.acc + 1 AND a.acc % 3 = 0
+        |ORDER BY a.user_id, match_no""".stripMargin,
     // e6's funnel CTEs + discrete positional quantiles over the
     // per-transition delay histogram; // = Spark's DIV on positives
     "e18_conversion" ->

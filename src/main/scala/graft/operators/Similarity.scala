@@ -612,24 +612,35 @@ object Similarity {
     * global components restricted to co-clustered pairs).
     *
     * Plan: narrow assignment, ONE equi-join on cluster for the pair
-    * search (shuffle keyed by cluster — AQE handles cluster-size
-    * skew; production adds a max-cluster cap exactly like maxBucket),
-    * then the alternating-star component loop over the surviving
-    * pairs. */
+    * search (shuffle keyed by cluster — AQE handles moderate
+    * cluster-size skew; the degenerate mega-cluster case is bounded
+    * by [[withinClusterPairs]]' `maxCluster` sub-sharding knob, off
+    * here for oracle parity — the d9 posture), then the
+    * alternating-star component loop over the surviving pairs. */
   def d12SemDedup(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val cents = collectCodebook(e)
     val assigned = assignClusters(e, cents)
       .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
       .localCheckpoint()
+    resolveSemClusters(assigned).orderBy(col("vec_id"))
+  }
+
+  /** d12's resolution core over an ALREADY-ASSIGNED frame (vec_id,
+    * embedding, norm_fp, cluster): within-cluster pair search (the
+    * `maxCluster` knob passes through) + alternating-star components +
+    * keep-bit. Shared by the batch query and the streaming store's
+    * compaction cycle ([[graft.streaming.StreamOps.semDedupIngest]]),
+    * so both resolve with the identical plan. */
+  def resolveSemClusters(assigned: DataFrame,
+      maxCluster: Option[Int] = None): DataFrame = {
     val comp = Components.connectedComponents(
       assigned.select(col("vec_id").as("id")),
-      withinClusterPairs(assigned))
+      withinClusterPairs(assigned, maxCluster))
     assigned.select(col("vec_id"), col("cluster"))
       .join(comp.select(col("id").as("vec_id"), col("rep")), Seq("vec_id"))
       .select(col("vec_id"), col("cluster"), col("rep"),
         when(col("vec_id") === col("rep"), 1L).otherwise(0L).as("keep"))
-      .orderBy(col("vec_id"))
   }
 
   /** d12's within-cluster pair stage over any (vec_id, embedding,
@@ -640,13 +651,49 @@ object Similarity {
     * assignment shuffle is paid once at corpus-build time, and every
     * SemDeDup run after that is exchange-free until the top of the
     * component loop — the same pay-the-shuffle-once contract as the
-    * postings/image indexes. */
-  private[graft] def withinClusterPairs(assigned: DataFrame): DataFrame = {
-    val a = assigned.select(col("cluster"), col("vec_id").as("a"),
+    * postings/image indexes.
+    *
+    * `maxCluster` is the production skew knob — the d4/d9 `maxDf` /
+    * m7 `maxBucket` lesson applied to the cluster key, but by
+    * SUB-SHARDING rather than dropping: a mega-cluster (boilerplate
+    * embeddings — this very corpus carries a 127-doc one per d13) is
+    * exactly where the dup mass lives, so discarding it would defeat
+    * the dedup. Instead a cluster of size n > cap splits into
+    * ⌈n/cap⌉ deterministic hash shards (xxhash64 of vec_id) and pairs
+    * are searched within (cluster, shard): per-join-key work is
+    * bounded by ~cap² whatever n does, total mega-cluster work drops
+    * from n² to ~n·cap (linear in n at fixed cap), and the price is
+    * the cross-shard pairs — a bounded, documented recall trade (each
+    * member still meets ~n/⌈n/cap⌉ of its cluster, and the component
+    * resolution downstream re-merges shards that share any surviving
+    * edge). Clusters at or under the cap are untouched, so capped ≡
+    * uncapped on a corpus with no mega-cluster (spec-pinned, along
+    * with pair-subset and co-shard-completeness on a constructed
+    * mega-cluster). The cluster-size frame is codebook-sized
+    * (NClusters rows) — broadcast, never a corpus-side shuffle.
+    * None = exact within-cluster search, the oracle-parity posture
+    * (the d9 bench precedent). */
+  private[graft] def withinClusterPairs(assigned: DataFrame,
+      maxCluster: Option[Int] = None): DataFrame = {
+    val keyed = maxCluster match {
+      case None => assigned.withColumn("shard", lit(0L))
+      case Some(cap) =>
+        require(cap > 0, s"maxCluster must be positive, got $cap")
+        val sizes = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cl_n"))
+        val nShards = call_function("div",
+          col("cl_n") + lit(cap.toLong - 1L), lit(cap.toLong))
+        assigned.join(broadcast(sizes), Seq("cluster"))
+          .withColumn("shard",
+            when(col("cl_n") <= cap.toLong, lit(0L))
+              .otherwise(pmod(xxhash64(col("vec_id")), nShards)))
+          .drop("cl_n")
+    }
+    val a = keyed.select(col("cluster"), col("shard"), col("vec_id").as("a"),
       col("embedding").as("a_emb"), col("norm_fp").as("a_norm"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("b"),
+    val b = keyed.select(col("cluster"), col("shard"), col("vec_id").as("b"),
       col("embedding").as("b_emb"), col("norm_fp").as("b_norm"))
-    a.join(b, Seq("cluster"))
+    a.join(b, Seq("cluster", "shard"))
       .filter(col("a") < col("b"))
       .filter(cosine(dotFp9(col("a_emb"), col("b_emb")),
         col("a_norm"), col("b_norm")) > SemTau)

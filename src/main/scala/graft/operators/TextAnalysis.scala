@@ -383,7 +383,7 @@ object TextAnalysis {
     * invariant and that non-clustered docs keep x6's assignment
     * exactly. */
   def x22SafeSplit(s: SparkSession, d: String): DataFrame =
-    Dedup.dupClusters(documents(s, d))
+    Dedup.sharedClusters(s, d)
       .select(col("doc_id"), col("cluster_rep"))
       .withColumn("bucket", hashBucket(col("cluster_rep").cast("string")))
       .select(col("doc_id"), col("cluster_rep"),
@@ -1162,7 +1162,7 @@ object TextAnalysis {
     val docs = documents(s, d)
     val exact = Dedup.exactDupManifest(docs)
       .select(col("doc_id"), col("is_dup"))
-    val near = Dedup.dupClusters(docs)
+    val near = Dedup.sharedClusters(s, d)
       .select(col("doc_id"), col("cluster_rep"), col("is_canonical"))
     val qual = qualitySignals(docs).select(col("doc_id"), col("quality_e3"))
     val lang = langIdSignals(docs).select(col("doc_id"), col("pred_lang"))

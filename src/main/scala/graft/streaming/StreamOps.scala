@@ -608,6 +608,127 @@ object StreamOps {
         round(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Continuous d12 stage 2 — the VERSIONED corpus store with
+    * periodic compaction, closing the admit→resolve arc
+    * [[semDedupStream]] leaves open (admission flags candidate pairs
+    * at ingest, but component membership is transitive, so a stream
+    * cannot finalize representatives):
+    *
+    *  - every micro-batch ADMITS its vectors: IVF-assign (the same
+    *    zero-exchange literal-codebook argmax as batch d12) and
+    *    append to the store's `admitted` log — a narrow map + append,
+    *    per-batch cost independent of corpus size;
+    *  - every `compactEvery` batches a COMPACTION re-resolves the
+    *    full corpus (current version ∪ admitted) with the batch
+    *    resolution core ([[graft.operators.Similarity
+    *    .resolveSemClusters]] — identical plan to the d12 query,
+    *    `maxCluster` passing through) and writes corpus+resolution as
+    *    version `v{batchId}`, then prunes superseded versions and the
+    *    folded-in admitted log — deltaAggStream's single-writer
+    *    versioned-dir discipline verbatim: the new version
+    *    materializes before anything it replaces is deleted, and a
+    *    redelivered batch re-admits idempotently (same rows, same
+    *    version bound).
+    *
+    * At warehouse scale the version write is
+    * [[graft.operators.Warehouse.writeBucketed]] on `cluster`, so the
+    * next compaction's pair join plans exchange-free on the corpus
+    * side (WarehouseSpec's contract); compaction cost is the d12
+    * resolution itself — Σ|cluster|² pair work amortized over
+    * `compactEvery` batches, never per-event. */
+  def semDedupIngest(vecs: DataFrame, storeDir: String,
+      cents: Seq[graft.operators.Similarity.Centroid],
+      compactEvery: Int = 4,
+      maxCluster: Option[Int] = None):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery > 0, "compactEvery must be positive")
+    vecs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import graft.operators.Similarity
+        val s = batch.sparkSession
+        Similarity.assignClusters(Similarity.withNorm(batch.toDF()), cents)
+          .select(col("vec_id"), col("embedding"), col("norm_fp"),
+            col("cluster"))
+          .write.mode("append").parquet(s"$storeDir/admitted")
+        if ((id + 1) % compactEvery == 0) {
+          val corpus = semDedupCorpus(s, storeDir, before = Long.MaxValue)
+            .localCheckpoint()
+          val resolved = Similarity.resolveSemClusters(corpus, maxCluster)
+          corpus.write.mode("overwrite").parquet(s"$storeDir/v$id/corpus")
+          resolved.write.mode("overwrite").parquet(s"$storeDir/v$id/resolved")
+          // prune: the admitted log is folded into v{id}; versions
+          // older than the newest-but-one go too (steady state: 2)
+          val path = new org.apache.hadoop.fs.Path(storeDir)
+          val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/admitted"), true)
+          semDedupVersions(s, storeDir).filter(_._1 < id)
+            .sortBy(_._1).dropRight(1)
+            .foreach { case (_, p) => fs.delete(p, true) }
+        }
+        ()
+      }
+  }
+
+  private def semDedupVersions(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("v"))
+      .flatMap(p => scala.util.Try(p.getName.drop(1).toLong).toOption.map(_ -> p))
+  }
+
+  /** The store's current ASSIGNED corpus: newest compacted version ∪
+    * the admitted log since (empty frame before the first batch).
+    * `before` bounds the version read for redelivery idempotence,
+    * mirroring [[deltaAggCurrent]]. */
+  def semDedupCorpus(s: org.apache.spark.sql.SparkSession, dir: String,
+      before: Long = Long.MaxValue): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("norm_fp",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType)))
+    val vs = semDedupVersions(s, dir).filter(_._1 < before)
+    val base =
+      if (vs.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+      else s.read.parquet(s"${vs.maxBy(_._1)._2}/corpus")
+    val admitted = new org.apache.hadoop.fs.Path(s"$dir/admitted")
+    val fs = admitted.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val all =
+      if (fs.exists(admitted))
+        base.unionByName(s.read.parquet(admitted.toString))
+      else base
+    // a REDELIVERED batch (failure before the ack) re-appends the same
+    // rows to the admitted log; vec_id-dedup makes the corpus — and
+    // therefore every compaction — idempotent under at-least-once
+    // delivery (the re-appended copy is byte-identical: assignment is
+    // a pure function of the vector and the pinned codebook)
+    all.dropDuplicates("vec_id")
+  }
+
+  /** The newest compacted RESOLUTION (d12 schema: vec_id, cluster,
+    * rep, keep), or None before the first compaction. Vectors admitted
+    * after the newest compaction appear in [[semDedupCorpus]] but not
+    * here — resolution is compaction-grain by design (membership is
+    * transitive; the in-between signal is [[semDedupStream]]'s
+    * admission pairs). */
+  def semDedupResolution(s: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val vs = semDedupVersions(s, dir)
+    if (vs.isEmpty) None
+    else Some(s.read.parquet(s"${vs.maxBy(_._1)._2}/resolved"))
+  }
+
   /** State/output of [[patternStream]]: the automaton accumulator
     * (acc%3 = open stage, acc/3 = completions) plus the newest scored
     * (ts_ms, event_id) — the at-least-once guard. */
@@ -749,5 +870,6 @@ object StreamOps {
     "anomalyStream" -> OutputMode.Append(),
     "deltaAggStream" -> OutputMode.Update(),
     "patternStream" -> OutputMode.Append(),
-    "semDedupStream" -> OutputMode.Append())
+    "semDedupStream" -> OutputMode.Append(),
+    "semDedupIngest" -> OutputMode.Update())
 }

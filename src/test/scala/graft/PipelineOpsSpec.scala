@@ -1912,10 +1912,13 @@ class PipelineOpsSpec extends SparkSpecBase {
       .map(r => (r.getAs[String]("source"), r.getAs[String]("token")) ->
         (r.getAs[Long]("obs"), r.getAs[Long]("glob_n"),
           r.getAs[Long]("chi2_e4"), r.getAs[Long]("chi2_total_e4"))).toMap
-    // independent BigInt reference of the published formula
+    // independent BigInt reference of the published formula — the
+    // TWO-STEP integral division over |num| (the overflow-safe form;
+    // squaring num first would overflow decimal(38,0) at ~3e8 tokens)
     def chi2(obs: Long, glob: Long, nSrc: Long, nTot: Long): Long = {
-      val num = BigInt(obs) * nTot - BigInt(glob) * nSrc
-      (num * num * 10000 / (BigInt(glob) * nSrc * nTot)).toLong
+      val num = (BigInt(obs) * nTot - BigInt(glob) * nSrc).abs
+      val stepA = num * 10000 / (BigInt(glob) * nSrc)
+      (stepA * num / nTot).toLong
     }
     val (nTot, nA, nB) = (30L, 10L, 20L)
     val expA = Map("aa" -> chi2(8, 18, nA, nTot), "bb" -> chi2(2, 12, nA, nTot))
@@ -1976,6 +1979,90 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster resolution is materialized once per (session, dir): repeat " +
+      "calls share one checkpointed frame; rows equal a fresh resolution") {
+    val a = Dedup.sharedClusters(spark, sf)
+    val b = Dedup.sharedClusters(spark, sf)
+    assert(a eq b, "second call rebuilt the cluster resolution")
+    // the shared frame reads checkpointed rows — its plan is an RDD
+    // scan, not the pair-join + component loop
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"shared clusters should scan the checkpoint:\n$plan")
+    // correctness: identical to an uncached resolution
+    val fresh = Dedup.dupClusters(Tables.documents(spark, sf)).collect()
+      .map(_.toString).sorted
+    val cached = a.collect().map(_.toString).sorted
+    assert(cached.sameElements(fresh), "cached resolution diverged")
+  }
+
+  test("e19 streamed fold ≡ the collect_list+aggregate form on adversarial " +
+      "random inputs (hot keys, ts ties, noise); e20 spans are exact and " +
+      "consistent with the counts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(19)
+    val types = Seq("click", "view", "purchase", "signup", "other")
+    // hot key 0 takes ~half the events; ts collide heavily (mod 20)
+    val rows = (0 until 2000).map { i =>
+      val u = if (rnd.nextBoolean()) 0L else rnd.nextInt(8).toLong
+      (u, new Timestamp(1700000000000L + rnd.nextInt(20) * 1000L),
+        i.toLong, types(rnd.nextInt(types.size)), 0.0d)
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+      .repartition(7) // adversarial physical layout
+    val stages = Seq("click", "view", "purchase")
+    val k = stages.size.toLong
+    // reference: the former per-key collect_list + Catalyst aggregate
+    // fold (the buffering form this operator replaced)
+    val code = stages.zipWithIndex.foldLeft(lit(0L)) { case (c, (st, i)) =>
+      when(col("event_type") === st, (i + 1).toLong).otherwise(c)
+    }
+    val ref = rows.select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"),
+          code.as("c")).as("r"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("r"))).as("rs"))
+      .select(col("user_id"),
+        aggregate(transform(col("rs"), r => r.getField("c")), lit(0L),
+          (acc, c) => when(c >= 1L && acc % k === c - 1L, acc + 1L)
+            .otherwise(acc)).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Events.patternCount(rows, stages).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels") * k + r.getAs[Long]("open_stage"))).toMap
+    assert(got == ref, s"streamed fold diverged: ${got.toSeq.diff(ref.toSeq)}")
+    // spans agree with counts: per user, max match_no == n_funnels,
+    // match_nos contiguous from 1, spans ordered and non-overlapping
+    val spans = Events.patternMatches(rows, stages).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("match_no"),
+        r.getAs[Long]("start_event_id"), r.getAs[Long]("end_event_id")))
+    val byUser = spans.groupBy(_._1)
+    byUser.foreach { case (u, ss) =>
+      assert(ss.map(_._2).sorted.sameElements(1L to ss.length.toLong),
+        s"user $u match_nos not contiguous")
+      assert(ss.length.toLong == ref(u) / k, s"user $u span count != n_funnels")
+    }
+    ref.filter(_._2 >= k).keys.foreach(u =>
+      assert(byUser.contains(u), s"user $u completed but emitted no span"))
+
+    // exact spans on a constructed history: C(1) V(2) P(3) C(4) C(5)
+    // V(6) P(7) — spans (1,3) and (4,7): the repeat C at 5 must not
+    // reset the open cycle's start
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val fixed = Seq(
+      (9L, ts(1), 1L, "click"), (9L, ts(2), 2L, "view"),
+      (9L, ts(3), 3L, "purchase"), (9L, ts(4), 4L, "click"),
+      (9L, ts(5), 5L, "click"), (9L, ts(6), 6L, "view"),
+      (9L, ts(7), 7L, "purchase")
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val fixedSpans = Events.patternMatches(fixed, stages).collect()
+      .map(r => (r.getAs[Long]("match_no"),
+        r.getAs[Long]("start_event_id"), r.getAs[Long]("end_event_id")))
+      .sortBy(_._1).toSeq
+    assert(fixedSpans == Seq((1L, 1L, 3L), (2L, 4L, 7L)), s"got $fixedSpans")
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
@@ -2030,6 +2117,49 @@ class PipelineOpsSpec extends SparkSpecBase {
       assert(rep == want(v), s"rep mismatch for $v: $rep != ${want(v)}")
       assert(keep == (if (v == rep) 1L else 0L))
     }
+  }
+
+  test("d12 maxCluster sub-shards a mega-cluster: pairs = uncapped pairs " +
+      "restricted to co-sharded members; small clusters and cap-inactive " +
+      "runs are untouched") {
+    import spark.implicits._
+    // 40 identical embeddings in one cluster (every pair is a near-dup:
+    // the degenerate boilerplate case) + a 4-member small cluster of
+    // the same vector (its pairs must survive any cap)
+    val mega = (0L until 40L).map(i => (i, Seq.fill(8)(0.5f), 0L))
+    val small = (100L until 104L).map(i => (i, Seq.fill(8)(0.5f), 1L))
+    val assigned = Similarity.withNorm(
+      (mega ++ small).toDF("vec_id", "embedding", "cluster")
+        .select(col("vec_id"), col("embedding"), col("cluster")))
+      .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+    def pairs(cap: Option[Int]) =
+      Similarity.withinClusterPairs(assigned, cap).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val uncapped = pairs(None)
+    assert(uncapped.size == 40 * 39 / 2 + 4 * 3 / 2,
+      s"uncapped should be all within-cluster pairs, got ${uncapped.size}")
+    val cap = 8
+    val capped = pairs(Some(cap))
+    assert(capped.subsetOf(uncapped), "cap invented pairs")
+    // small cluster (size 4 <= cap): exact, nothing dropped
+    val smallPairs = uncapped.filter(_._1 >= 100L)
+    assert(smallPairs.subsetOf(capped), "cap touched an under-cap cluster")
+    // mega cluster: EXACTLY the co-sharded pairs survive — recompute
+    // the shard assignment with the same engine expression
+    val nShards = (40 + cap - 1) / cap
+    val shardOf = spark.range(0, 40).select(col("id"),
+        pmod(xxhash64(col("id")), lit(nShards.toLong)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantMega = uncapped.filter { case (a, b) =>
+      a < 100L && b < 100L && shardOf(a) == shardOf(b)
+    }
+    val gotMega = capped.filter(p => p._1 < 100L && p._2 < 100L)
+    assert(gotMega == wantMega,
+      s"sharded pair set wrong: missing ${wantMega -- gotMega}, extra ${gotMega -- wantMega}")
+    assert(gotMega.nonEmpty && gotMega.size < 40 * 39 / 2,
+      "cap should keep intra-shard dup pairs while shedding cross-shard work")
+    // a cap at or above the largest cluster is a no-op
+    assert(pairs(Some(40)) == uncapped, "inactive cap changed the result")
   }
 
   test("m9 audio hash: decode-derived bits equal the closed-form spec; the MIH " +

@@ -970,6 +970,64 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch divergence: ${streamed.keySet -- expected} | ${expected -- streamed.keySet}")
   }
 
+  test("semDedupIngest: chunked replay + periodic compaction converges to " +
+      "batch d12's resolution; store holds bounded versions") {
+    implicit val sq = spark.sqlContext
+    import StreamOpsSpec.Vec
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val eN = Similarity.withNorm(e)
+    val cents = Similarity.collectCodebook(eN)
+    val vecs = e.collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+    val store = java.nio.file.Files.createTempDirectory("semdedup-store").toString
+    val in = MemoryStream[Vec]
+    val q = StreamOps.semDedupIngest(in.toDF(), store, cents,
+      compactEvery = 3).start()
+    // 10 chunks of 50 → batches 0..9; compactions after batches 2, 5, 8
+    vecs.grouped(50).foreach { c =>
+      in.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    // mid-replay state: a compaction has already happened
+    assert(StreamOps.semDedupResolution(spark, store).isDefined,
+      "no compaction fired during replay")
+    q.processAllAvailable(); q.stop()
+    // the corpus (latest version ∪ tail admissions) covers everything
+    val corpus = StreamOps.semDedupCorpus(spark, store)
+    assert(corpus.count() == vecs.length.toLong, "corpus lost admissions")
+    // one final compaction closes the arc: resolve the current corpus
+    // the same way the stream's cycle does and compare to batch d12
+    val finalResolved = Similarity.resolveSemClusters(
+      corpus.localCheckpoint()).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("rep"),
+          r.getAs[Long]("keep"))).toMap
+    val batch = Similarity.d12SemDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("rep"),
+          r.getAs[Long]("keep"))).toMap
+    assert(finalResolved == batch,
+      s"compacted resolution diverges from batch d12: " +
+        s"${finalResolved.toSet -- batch.toSet} | ${batch.toSet -- finalResolved.toSet}")
+    // version pruning: steady state keeps at most 2 version dirs and
+    // the folded-in admitted log is gone after each compaction
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+    assert(versions.length <= 2, s"unpruned versions: ${versions.toSeq}")
+    // the newest STORED resolution equals re-resolving its own version
+    // corpus (the stream's resolution is the batch core, not a twin)
+    val stored = StreamOps.semDedupResolution(spark, store).get.collect()
+      .map(_.toString).sorted
+    val latestCorpus = spark.read.parquet(
+      s"$store/v${versions.map(_.drop(1).toLong).max}/corpus")
+    val recomputed = Similarity.resolveSemClusters(
+      latestCorpus.localCheckpoint()).collect().map(_.toString).sorted
+    assert(stored.sameElements(recomputed),
+      "stored resolution != resolution of its own corpus version")
+  }
+
   test("patternStream recovers the automaton state across kill-and-restart") {
     implicit val sq = spark.sqlContext
     val ev = graft.Tables.events(spark, sf)
