@@ -2063,6 +2063,53 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(fixedSpans == Seq((1L, 1L, 3L), (2L, 4L, 7L)), s"got $fixedSpans")
   }
 
+  test("e21 WITHIN window: attempts expire past the window (breaching event " +
+      "may open a fresh attempt), boundary is inclusive, expiry tally exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val W = 10L * 1000000L // 10 s in micros
+    val rows = Seq(
+      // user 1: completes inside the window
+      (1L, ts(0), 1L, "click"), (1L, ts(5), 2L, "view"),
+      (1L, ts(9), 3L, "purchase"),
+      // user 2: purchase breaches the window -> expire, no completion
+      (2L, ts(0), 11L, "click"), (2L, ts(5), 12L, "view"),
+      (2L, ts(11), 13L, "purchase"),
+      // user 3: second click breaches -> expire AND opens fresh;
+      // the fresh attempt completes
+      (3L, ts(0), 21L, "click"), (3L, ts(11), 22L, "click"),
+      (3L, ts(12), 23L, "view"), (3L, ts(13), 24L, "purchase"),
+      // user 4: view breaches -> expire; view cannot open
+      (4L, ts(0), 31L, "click"), (4L, ts(15), 32L, "view"),
+      // user 5: completes EXACTLY at the boundary (inclusive)
+      (5L, ts(0), 41L, "click"), (5L, ts(5), 42L, "view"),
+      (5L, ts(10), 43L, "purchase")
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Events.patternCountWithin(rows,
+      Seq("click", "view", "purchase"), W).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"),
+          r.getAs[Long]("n_expired"))).toMap
+    assert(out(1L) == ((1L, 0L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 1L)), s"got ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, 1L)),
+      s"breaching click must open a fresh attempt: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 1L)), s"got ${out(4L)}")
+    assert(out(5L) == ((1L, 0L, 0L)), s"boundary must be inclusive: ${out(5L)}")
+    // an infinite window degrades to plain e19 counting
+    val inf = Events.patternCountWithin(rows,
+      Seq("click", "view", "purchase"), Long.MaxValue).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    val plain = Events.patternCount(rows,
+      Seq("click", "view", "purchase")).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    assert(inf == plain, "infinite window must equal the unwindowed counter")
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
