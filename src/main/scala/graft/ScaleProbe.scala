@@ -33,7 +33,14 @@ object ScaleProbe {
     def x(name: String): DataFrame =
       spark.read.parquet(Seq.fill(m)(s"$d/$name.parquet"): _*)
 
+    // optional comma-separated shape filter (dev tool: probe one shape
+    // without paying for the whole suite); filtered shapes report -1
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
     def time(name: String)(df: => DataFrame): (String, Double) = {
+      if (!wanted(name)) return name -> -1.0
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       name -> (System.nanoTime() - t0) / 1e9
@@ -43,22 +50,29 @@ object ScaleProbe {
     // written (a) partitioned by sign-LSH bucket and (b) IVF-partitioned
     // by a TRAINED spherical k-means codebook, plus a query vector taken
     // from the base table. Scratch dirs are cleaned at JVM exit.
-    val base = spark.read.parquet(s"$d/embeddings.parquet")
-    val bigCorpus = base.select(col("vec_id"), col("embedding"),
+    // (lazy: a name-filtered run that skips the ANN probes skips this)
+    lazy val base = spark.read.parquet(s"$d/embeddings.parquet")
+    lazy val bigCorpus = base.select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0L), lit(200L * m - 1L))).as("c"))
       .select((col("vec_id") * lit(200L * m) + col("c")).as("vec_id"),
         col("embedding"))
-    val probeQuery = base.filter(col("vec_id") === 3L)
+    lazy val probeQuery = base.filter(col("vec_id") === 3L)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
-    val vectorDir = TempPath.scratch("scaleprobe-vectors")
-    operators.Warehouse.writeVectors(bigCorpus, vectorDir)
+    lazy val vectorDir = {
+      val dir = TempPath.scratch("scaleprobe-vectors")
+      operators.Warehouse.writeVectors(bigCorpus, dir)
+      dir
+    }
     // codebook trained on the base table (the trainer's cost is
     // corpus-linear per round and probed separately by `components`-like
     // shapes; here the PROBE against the trained layout is the target)
-    val trainedCents = operators.Similarity.trainCodebook(
+    lazy val trainedCents = operators.Similarity.trainCodebook(
       base.select(col("vec_id"), col("embedding")))
-    val ivfDir = TempPath.scratch("scaleprobe-ivf")
-    operators.Warehouse.writeIvf(bigCorpus, trainedCents, ivfDir)
+    lazy val ivfDir = {
+      val dir = TempPath.scratch("scaleprobe-ivf")
+      operators.Warehouse.writeIvf(bigCorpus, trainedCents, dir)
+      dir
+    }
 
     // setup for the incremental-dedup shape (untimed): a 50k×m-doc
     // synthetic corpus (unique text per doc: near-zero cross-overlap)
@@ -73,13 +87,16 @@ object ScaleProbe {
       concat(lit("a"), idCol), concat(lit("b"), idCol), concat(lit("c"), idCol),
       concat(lit("d"), idCol), concat(lit("e"), idCol))
     val nDocs = 50000L * m
-    spark.sql("DROP TABLE IF EXISTS scaleprobe_postings")
-    operators.Warehouse.writePostingsIndex(
-      operators.Dedup.corpusPostings(operators.Dedup.lshIndex(
-        spark.range(nDocs).select(col("id").as("doc_id"),
-          synthText(col("id")).as("text")))),
-      "scaleprobe_postings", 32)
-    val dedupBatch = spark.range(500L)
+    lazy val postingsTable = {
+      spark.sql("DROP TABLE IF EXISTS scaleprobe_postings")
+      operators.Warehouse.writePostingsIndex(
+        operators.Dedup.corpusPostings(operators.Dedup.lshIndex(
+          spark.range(nDocs).select(col("id").as("doc_id"),
+            synthText(col("id")).as("text")))),
+        "scaleprobe_postings", 32)
+      "scaleprobe_postings"
+    }
+    lazy val dedupBatch = spark.range(500L)
       .select((col("id") + nDocs).as("doc_id"), synthText(col("id")).as("text"))
 
     // containment-probe corpus (see the containment_* entries below):
@@ -219,7 +236,7 @@ object ScaleProbe {
       // only the postings scan growing in m
       time("incremental_dedup") {
         operators.Dedup.incrementalFromPostings(
-          spark.table("scaleprobe_postings"),
+          spark.table(postingsTable),
           operators.Dedup.lshIndex(dedupBatch), maxBucket = None)
       },
       // q20 shape: exact global rank over a 1M×m-row synthetic frame
@@ -385,6 +402,22 @@ object ScaleProbe {
             (pmod(col("id"), lit(4L)) + 1L).cast("int")).as("event_type"))
         operators.Events.patternCount(ev,
           Seq("click", "view", "purchase"))
+      },
+      // x14 vs x23 DEGENERATE case: ONE source holding all n×m docs —
+      // the rank form's per-source window funnels the whole corpus
+      // through a single task's sort; the threshold form histograms,
+      // finds the boundary bucket, ranks only ~1/256 of the source
+      time("mix_rank_window") {
+        val docs = spark.range(1000000L * m).select(
+          col("id").as("doc_id"), lit("web").as("source"))
+        operators.TextAnalysis.sourceMix(docs)
+          .groupBy(col("source"))
+          .agg(count(when(col("keep"), lit(1))).as("n_kept"))
+      },
+      time("mix_threshold") {
+        val docs = spark.range(1000000L * m).select(
+          col("id").as("doc_id"), lit("web").as("source"))
+        operators.TextAnalysis.sourceMixThreshold(docs)
       },
       // q24 shape: one PageRank round over an n×m-edge ring graph —
       // per-round cost is the edge shuffle + combined sum; rounds are

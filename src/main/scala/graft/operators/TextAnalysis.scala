@@ -1041,6 +1041,95 @@ object TextAnalysis {
         col("quota"), col("src_rank"), col("keep"))
   }
 
+  /** x23: [[sourceMix]]'s THRESHOLD-SELECTION twin — the form x14's
+    * scaladoc promises "at real scale": instead of ranking every
+    * document inside a per-source window (whose sort funnels an entire
+    * source — possibly most of a 100 TB crawl — through one task), the
+    * quota-th smallest hash key per source is FOUND first and selection
+    * becomes a broadcast literal filter. Same weights, same binding
+    * constraint K, same kept SET (the oracle states the rank form — a
+    * value match IS the set-equality proof).
+    *
+    * How the order statistic is found without sorting the corpus:
+    * 1. one map-side-combined groupBy over (source, first-2-hex-chars
+    *    of the doc hash) — a ≤ 256-bucket histogram per source, which
+    *    also yields `n_src` (so the corpus is aggregated ONCE for
+    *    caps + histogram, one pass fewer than x14);
+    * 2. cumulative counts over the sources×256-row histogram locate
+    *    the BOUNDARY bucket holding the quota-th key and the residual
+    *    rank inside it — driver-sized frame, window is a no-op;
+    * 3. only the boundary bucket's rows (~n_src/256 per source; at
+    *    true scale recurse on more prefix chars) are ranked to extract
+    *    the exact threshold key — per-source sort input is 1/256 of
+    *    the source, bounded by construction;
+    * 4. keep ⇔ (hd, doc_id) ≤ (threshold hd, threshold doc_id), a
+    *    broadcast-joined comparison — narrow, reshuffle-proof, and
+    *    late-arriving shards can be filtered with the SAME literal.
+    * Output is the per-source mix report (quota filled exactly, kept
+    * checksum/min/max) rather than x14's per-doc rows — the form a
+    * 100 TB run would actually persist. */
+  def sourceMixThreshold(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .withColumn("hd",
+        md5(concat(col("doc_id").cast("string"), lit(":mix14"))))
+      .withColumn("pfx", conv(substring(col("hd"), 1, 2), 16, 10).cast("int"))
+    // the ONLY corpus-wide aggregation: (source, 256-bucket) histogram
+    val hist = keyed.groupBy(col("source"), col("pfx"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumed 3× below; never recompute the scan
+    // caps + K on the histogram rollup (sources-sized; the global-min
+    // window over it is a driver-sized no-op, the x14 argument)
+    val bySrc = hist.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_src"))
+      .withColumn("weight", lit(1L) + hashBucket(col("source")) % 3L)
+      .withColumn("k",
+        min(idiv(col("n_src"), col("weight"))).over(w.partitionBy()))
+      .withColumn("quota", col("weight") * col("k"))
+    // boundary bucket per source: first pfx whose cumulative count
+    // reaches the quota (sources×256 rows — tiny window)
+    val boundary = hist
+      .join(bySrc.select(col("source"), col("quota")), Seq("source"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(w.partitionBy(col("source"))
+          .orderBy(col("pfx"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("quota") > 0L && col("cum_before") < col("quota") &&
+        col("cum_before") + col("cnt") >= col("quota"))
+      .select(col("source").as("src_b"), col("pfx").as("bpfx"),
+        (col("quota") - col("cum_before")).as("rem"))
+    // rank ONLY the boundary bucket's rows to the exact threshold key
+    val thr = keyed
+      .join(broadcast(boundary),
+        col("source") === col("src_b") && col("pfx") === col("bpfx"))
+      .withColumn("r", row_number().over(w.partitionBy(col("source"))
+        .orderBy(col("hd"), col("doc_id"))).cast("long"))
+      .filter(col("r") === col("rem"))
+      .select(col("source").as("src_t"), col("hd").as("thd"),
+        col("doc_id").as("tdoc"))
+    keyed
+      .join(broadcast(thr), col("source") === col("src_t"), "left")
+      .withColumn("keep", col("thd").isNotNull &&
+        (col("hd") < col("thd") ||
+          (col("hd") === col("thd") && col("doc_id") <= col("tdoc"))))
+      .groupBy(col("source"))
+      .agg(
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L))
+          .as("kept_id_sum"),
+        min(when(col("keep"), col("doc_id"))).as("kept_id_min"),
+        max(when(col("keep"), col("doc_id"))).as("kept_id_max"))
+      .join(broadcast(
+        bySrc.select(col("source"), col("weight"), col("n_src"),
+          col("quota"))), Seq("source"))
+      .select(col("source"), col("weight"), col("n_src"), col("quota"),
+        col("n_kept"), col("kept_id_sum"), col("kept_id_min"),
+        col("kept_id_max"))
+  }
+
+  def x23SourceMixAtScale(s: SparkSession, d: String): DataFrame =
+    sourceMixThreshold(documents(s, d)).orderBy(col("source"))
+
   /** Tokens per duplicate-span-removal segment (x15). */
   val SpanTokens = 5
 
@@ -1204,6 +1293,7 @@ object TextAnalysis {
     "x19_src_divergence" -> x19SrcDivergence _,
     "x21_ngram_decontam" -> x21NgramDecontam _,
     "x22_safe_split"     -> x22SafeSplit _,
+    "x23_mix_threshold"  -> x23SourceMixAtScale _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1660,6 +1750,34 @@ object TextAnalysis {
          |  r.src_rank <= r.weight * k.k AS keep
          |FROM r JOIN caps ON r.source = caps.source CROSS JOIN k
          |ORDER BY r.doc_id""".stripMargin,
+    // the RANK form (x14's), rolled up per source: a value match
+    // against the Spark threshold-selection form proves the two
+    // selection strategies keep the identical document set
+    "x23_mix_threshold" ->
+      s"""WITH h AS (SELECT doc_id, source, md5(source) AS hs,
+         |    md5(doc_id::VARCHAR || ':mix14') AS hd FROM documents),
+         |w AS (SELECT doc_id, source, hd,
+         |    CAST(1 + (${oBucket4("hs")} % 3) AS BIGINT) AS weight FROM h),
+         |caps AS (SELECT source, weight, CAST(count(*) AS BIGINT) AS n_src
+         |  FROM w GROUP BY source, weight),
+         |k AS (SELECT min(CAST(floor(n_src::DOUBLE / weight::DOUBLE) AS BIGINT)) AS k
+         |  FROM caps),
+         |r AS (SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY hd, doc_id)
+         |      AS BIGINT) AS src_rank
+         |  FROM w)
+         |SELECT c.source, c.weight, c.n_src, c.weight * k.k AS quota,
+         |  CAST(count(CASE WHEN r.src_rank <= c.weight * k.k THEN 1 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN r.src_rank <= c.weight * k.k
+         |    THEN r.doc_id END), 0) AS BIGINT) AS kept_id_sum,
+         |  CAST(min(CASE WHEN r.src_rank <= c.weight * k.k THEN r.doc_id END)
+         |    AS BIGINT) AS kept_id_min,
+         |  CAST(max(CASE WHEN r.src_rank <= c.weight * k.k THEN r.doc_id END)
+         |    AS BIGINT) AS kept_id_max
+         |FROM r JOIN caps c ON r.source = c.source CROSS JOIN k
+         |GROUP BY c.source, c.weight, c.n_src, quota
+         |ORDER BY c.source""".stripMargin,
     "x15_span_dedup" ->
       s"""WITH t AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),

@@ -1270,6 +1270,58 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(mixShuffles <= 2, s"x14 shuffles the corpus more than once:\n$mixPlan")
   }
 
+  test("x23 threshold mix: selects exactly x14's kept set (corpus + skew), " +
+      "quota-0 when a source is smaller than its weight, thresholds broadcast") {
+    import spark.implicits._
+    // rollup of x14's per-doc rank form, the semantic ground truth
+    def rankRollup(docs: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.sourceMix(docs)
+        .groupBy(col("source"))
+        .agg(count(when(col("keep"), lit(1))).as("n_kept"),
+          coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L))
+            .as("kept_id_sum"),
+          min(when(col("keep"), col("doc_id"))).as("kept_id_min"),
+          max(when(col("keep"), col("doc_id"))).as("kept_id_max"))
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_sum"),
+            r.getAs[Any]("kept_id_min"), r.getAs[Any]("kept_id_max"))).toMap
+    def thrRollup(docs: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.sourceMixThreshold(docs)
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_sum"),
+            r.getAs[Any]("kept_id_min"), r.getAs[Any]("kept_id_max"))).toMap
+    val corpus = Tables.documents(spark, sf)
+    assert(thrRollup(corpus) == rankRollup(corpus),
+      "threshold selection diverged from the rank form on the corpus")
+    // heavy skew: one source carries nearly everything; selection must
+    // still match and the big source must not be dropped or inflated
+    val skewed = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") < 1990L, lit("web"))
+        .when(col("id") < 1998L, lit("books"))
+        .otherwise(lit("code")).as("source"))
+    assert(thrRollup(skewed) == rankRollup(skewed),
+      "threshold selection diverged under source skew")
+    // a source smaller than its weight forces K = 0 ⇒ nothing kept
+    // anywhere (the binding-constraint contract); find a weight≥2 name
+    // the same way both engines derive weights
+    val names = (1 to 50).map(i => s"src$i")
+    val weights = names.toDF("source")
+      .withColumn("w", lit(1L) + TextAnalysis.hashBucket(col("source")) % 3L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("w")).toMap
+    val heavy = names.find(weights(_) >= 2L).get
+    val tiny = spark.range(100).select(col("id").as("doc_id"),
+        lit("web").as("source"))
+      .union(Seq((10000L, heavy)).toDF("doc_id", "source"))
+    val tinyOut = thrRollup(tiny)
+    assert(tinyOut == rankRollup(tiny))
+    assert(tinyOut.values.forall(_._1 == 0L),
+      s"K=0 must keep nothing, got $tinyOut")
+    // the per-source thresholds and boundary buckets come back as
+    // broadcasts — the corpus is never sorted or windowed whole
+    val plan = planOf(TextAnalysis.x23SourceMixAtScale(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"thresholds not broadcast:\n$plan")
+  }
+
   test("d9 containment: directed — a short doc inside a long one scores 1.0 one way only") {
     import spark.implicits._
     val longText = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
