@@ -72,6 +72,82 @@ object TextAnalysis {
           when(col("stop_ratio_e3").between(20L, 400L), 300L).otherwise(0L))
   }
 
+  /** The eight Gopher "required words" (rule 7). */
+  val GopherReqWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** x24: the published Gopher quality-rule set (Rae et al. 2021,
+    * C4/MassiveText lineage) — the document-level filters a pretraining
+    * corpus build applies beyond x2's generic signals and x8's
+    * repetition family:
+    *   1. 50 ≤ word count ≤ 100,000
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio ('#' chars + '...' occurrences) ≤ 0.1
+    *   4. ≤ 10% of lines start with a bullet ('-', '*', '•')
+    *   5. ≤ 30% of lines end with an ellipsis ('...' or '…')
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 of the eight required stop words present
+    * All ratios are integer fixed-point (×1e3/×1e6) so the verdict is
+    * bit-reproducible and partitioning-independent — the x2/x8
+    * determinism contract. Narrow map end to end (one projection
+    * chain, no shuffle but the presentation tail); at 100 TB this is
+    * the cheapest stage in the pipeline and composes with x7/x14/x23
+    * as a pre-filter. */
+  def x24GopherRules(s: SparkSession, d: String): DataFrame =
+    gopherRules(documents(s, d))
+      .transform(Output.ordered(_, col("doc_id")))
+
+  /** Library form of [[x24GopherRules]] over any (doc_id, text) frame.
+    * Stages ws/lines as projected columns (TextOps staging rule). */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val lines = col("lines")
+    val staged = docs.select(col("doc_id"), col("text"),
+      words(col("text")).as("ws"),
+      words(lower(col("text"))).as("wsl"),
+      split(col("text"), "\n").as("lines"))
+    val base = staged.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+      // '#' count + non-overlapping '...' count, both via replace-diff
+      ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3L)
+        .cast("long").as("n_sym"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+        .cast("long").as("n_bullet"),
+      size(filter(lines, l => rtrim(l).endsWith("...") ||
+        rtrim(l).endsWith("…"))).cast("long").as("n_ellip"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      GopherReqWords.map(r =>
+        when(array_contains(col("wsl"), r), 1L).otherwise(0L))
+        .reduce(_ + _).as("n_req_stop"))
+    base.select(
+      col("doc_id"), col("n_words"),
+      idiv(col("sum_len") * 1000L, greatest(col("n_words"), lit(1L)))
+        .as("mean_word_len_e3"),
+      idiv(col("n_sym") * 1000000L, greatest(col("n_words"), lit(1L)))
+        .as("symbol_ratio_e6"),
+      idiv(col("n_bullet") * 1000000L, col("n_lines"))
+        .as("bullet_ratio_e6"),
+      idiv(col("n_ellip") * 1000000L, col("n_lines"))
+        .as("ellipsis_ratio_e6"),
+      idiv(col("n_alpha") * 1000000L, greatest(col("n_words"), lit(1L)))
+        .as("alpha_ratio_e6"),
+      col("n_req_stop"))
+      .withColumn("gopher_pass",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_e3").between(3000L, 10000L) &&
+          col("symbol_ratio_e6") <= 100000L &&
+          col("bullet_ratio_e6") <= 100000L &&
+          col("ellipsis_ratio_e6") <= 300000L &&
+          col("alpha_ratio_e6") >= 800000L &&
+          col("n_req_stop") >= 2L)
+  }
+
   /** Per-language marker words for the n-gram/stopword langid heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "or"),
@@ -1294,6 +1370,7 @@ object TextAnalysis {
     "x21_ngram_decontam" -> x21NgramDecontam _,
     "x22_safe_split"     -> x22SafeSplit _,
     "x23_mix_threshold"  -> x23SourceMixAtScale _,
+    "x24_gopher_rules"   -> x24GopherRules _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1750,6 +1827,48 @@ object TextAnalysis {
          |  r.src_rank <= r.weight * k.k AS keep
          |FROM r JOIN caps ON r.source = caps.source CROSS JOIN k
          |ORDER BY r.doc_id""".stripMargin,
+    // the Gopher rule arithmetic restated: same fixed-point folds,
+    // same replace-diff symbol counts, same line predicates
+    "x24_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), w -> w != '') AS ws,
+         |    list_filter(string_split(lower(text), ' '), w -> w != '') AS wsl,
+         |    string_split(text, chr(10)) AS lines FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+         |      AS BIGINT) AS sum_len,
+         |    CAST((length(text) - length(replace(text, '#', ''))) +
+         |      (length(text) - length(replace(text, '...', ''))) // 3
+         |      AS BIGINT) AS n_sym,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+         |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+         |      AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+         |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellip,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(${GopherReqWords.map(r =>
+               s"CASE WHEN list_contains(wsl, '$r') THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS BIGINT) AS n_req_stop
+         |  FROM t),
+         |r AS (SELECT doc_id, n_words,
+         |    sum_len * 1000 // greatest(n_words, 1) AS mean_word_len_e3,
+         |    n_sym * 1000000 // greatest(n_words, 1) AS symbol_ratio_e6,
+         |    n_bullet * 1000000 // n_lines AS bullet_ratio_e6,
+         |    n_ellip * 1000000 // n_lines AS ellipsis_ratio_e6,
+         |    n_alpha * 1000000 // greatest(n_words, 1) AS alpha_ratio_e6,
+         |    n_req_stop FROM b)
+         |SELECT *,
+         |  n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len_e3 BETWEEN 3000 AND 10000
+         |    AND symbol_ratio_e6 <= 100000
+         |    AND bullet_ratio_e6 <= 100000
+         |    AND ellipsis_ratio_e6 <= 300000
+         |    AND alpha_ratio_e6 >= 800000
+         |    AND n_req_stop >= 2 AS gopher_pass
+         |FROM r ORDER BY doc_id""".stripMargin,
     // the RANK form (x14's), rolled up per source: a value match
     // against the Spark threshold-selection form proves the two
     // selection strategies keep the identical document set

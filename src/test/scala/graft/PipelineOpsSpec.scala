@@ -1322,6 +1322,47 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastExchange"), s"thresholds not broadcast:\n$plan")
   }
 
+  test("x24 gopher rules: each rule trips on its constructed violator and " +
+      "a clean doc passes all seven") {
+    import spark.implicits._
+    val goodBody = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the of and to be" // 65 words, all alphabetic, 5 required words
+    val docs = Seq(
+      1L -> goodBody,                                     // passes all
+      2L -> "the of and short",                           // rule 1: too few words
+      3L -> ((1 to 60).map(_ => "zq").mkString(" ") + " the of and"), // rule 2: mean len < 3
+      4L -> ((1 to 60).map(i => s"word$i").mkString(" ") +
+        " the of # # # # # # #"),                         // rule 3: symbol ratio > 0.1
+      5L -> ("- one\n- two\n- three\nthe of and " + goodBody), // rule 4: 3/4 bullet lines
+      6L -> ("end...\nmore...\n" + goodBody),              // rule 5: 2/3 ellipsis lines
+      7L -> ((1 to 60).map(_ => "123").mkString(" ") + " the of and"), // rule 6: <80% alpha
+      8L -> ((1 to 60).map(i => s"word$i").mkString(" ")) // rule 7: no required words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"), s"clean doc failed: ${out(1L)}")
+    (2L to 8L).foreach { id =>
+      assert(!out(id).getAs[Boolean]("gopher_pass"), s"doc $id should fail")
+    }
+    // the tripped signal is the intended one
+    assert(out(2L).getAs[Long]("n_words") < 50L)
+    assert(out(3L).getAs[Long]("mean_word_len_e3") < 3000L)
+    assert(out(4L).getAs[Long]("symbol_ratio_e6") > 100000L)
+    assert(out(5L).getAs[Long]("bullet_ratio_e6") > 100000L,
+      s"bullet ratio: ${out(5L)}")
+    assert(out(6L).getAs[Long]("ellipsis_ratio_e6") > 300000L)
+    assert(out(7L).getAs[Long]("alpha_ratio_e6") < 800000L)
+    assert(out(8L).getAs[Long]("n_req_stop") < 2L)
+    // '....' counts ONE non-overlapping '...' in both engines; '…' and
+    // bullet '•' are single chars
+    val sym = TextAnalysis.gopherRules(
+      Seq((9L, "a.... b\n• x\ny …")).toDF("doc_id", "text")).collect()(0)
+    // 1 sym / 4 words ('b\n•' and 'x\ny' are single space-split tokens)
+    assert(sym.getAs[Long]("symbol_ratio_e6") == 250000L, s"got $sym")
+    assert(sym.getAs[Long]("bullet_ratio_e6") == 333333L)
+    assert(sym.getAs[Long]("ellipsis_ratio_e6") == 333333L)
+  }
+
   test("d9 containment: directed — a short doc inside a long one scores 1.0 one way only") {
     import spark.implicits._
     val longText = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
