@@ -483,6 +483,71 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss target dimensionality (s14): 64 → 16. */
+  val RpDim = 16
+
+  /** Random ±1 projection of the corpus (Achlioptas / JL): component h
+    * of the projection is the fixed-point dot against [[planeWeights]]
+    * plane h — the SAME deterministic literal family s4 signs against,
+    * kept as values instead of collapsed to sign bits. The fp9 dot is
+    * floor-divided to e3 so squares and 16-dim dots stay far inside
+    * Long (|y| ≲ 6.4e4 ⇒ pnorm ≲ 7e10) — integer end to end, so the
+    * projected ranking is bit-deterministic and oracle-checkable.
+    *
+    * Scale role: the 4× dimensionality cut is a 4× cut in per-pair
+    * compute and memory bandwidth for EVERY downstream ANN structure
+    * (brute, LSH, IVF build all work unchanged on `proj`), bought once
+    * per vector with a narrow codegen'd map — the standard first move
+    * before indexing a 100 TB embedding corpus. */
+  private[graft] def projected(df: DataFrame): DataFrame =
+    df.withColumn("proj", array((0 until RpDim).map { h =>
+        idiv(dotFp9(col("embedding"),
+          array(planeWeights(h).map(lit): _*)), lit(1000000L))
+      }: _*))
+      .withColumn("pnorm", qdot(col("proj"), col("proj")))
+      // a vector annihilated by the projection cannot be ranked
+      // (0/0 cosine) — fail loudly, the withNorm contract
+      .filter(
+        when(col("pnorm") === 0L,
+          raise_error(concat(
+            lit("projection annihilated vec_id="), col("vec_id"))))
+          .otherwise(lit(true)))
+
+  /** s14: brute top-k in the 16-dim PROJECTED space — s1's shape over
+    * 1/4 the dimensions; the exact cosine of each chosen neighbor is
+    * attached so projected-vs-exact agreement (and the winner's-curse
+    * overestimate on selected pairs) is visible per row. Measured
+    * recall@5 vs s1 is 0.12 on this corpus — the near-isotropic
+    * embeddings' top-k margins are smaller than the ~1/√16 JL noise,
+    * the same honesty note as the s4/s6/s8 ladder rows; on clustered
+    * real-world embeddings (where margins are wide) JL is the
+    * standard candidate generator. */
+  def s14KnnRp(s: SparkSession, d: String): DataFrame = {
+    val e = projected(withNorm(embeddings(s, d)))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      col("norm_fp").as("q_norm"), col("proj").as("q_proj"),
+      col("pnorm").as("q_pnorm"))
+      .filter(col("qid") < NQueries.toLong)
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"), col("proj").as("n_proj"),
+      col("pnorm").as("n_pnorm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("pcos",
+        cosine(qdot(col("q_proj"), col("n_proj")),
+          col("q_pnorm"), col("n_pnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .withColumn("cos",
+        cosine(dotFp9(col("q_emb"), col("n_emb")),
+          col("q_norm"), col("n_norm")))
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("pcos") * 1e6).cast("long").as("pcos_e6"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Per-vector int8 scalar quantization: scale = max |component|,
     * q_j = round(x_j / scale · 127) — the standard 4×-memory-reduction
     * storage format for ANN corpora at scale. Quantization and the
@@ -1276,6 +1341,7 @@ object Similarity {
     "s11_ivf_rerank"  -> s11IvfRerank _,
     "s12_mips_ivf"    -> s12MipsIvf _,
     "s13_ivf_sq"      -> s13KnnIvfSq _,
+    "s14_knn_rp"      -> s14KnnRp _,
     "d12_semdedup"    -> d12SemDedup _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
@@ -1444,6 +1510,35 @@ object Similarity {
            |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            |  FROM scored)
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+           |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+           |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // JL ±1 projection restated: per-plane fp9 dot, explicit floor to
+    // e3 (DuckDB's // truncates toward zero — floor() matches Spark's
+    // idiv on negative dots), integer 16-dim dot, double cosine
+    "s14_knn_rp" ->
+      (NormCte +
+        s"""
+           |, p AS (SELECT vec_id, embedding, norm_fp,
+           |    [${(0 until RpDim).map(h =>
+                  s"CAST(floor((${oDot("embedding", oPlane(h))})::DOUBLE / 1e6) AS BIGINT)")
+                  .mkString(",\n         ")}] AS proj
+           |  FROM e),
+           |pn AS (SELECT vec_id, embedding, norm_fp, proj,
+           |    CAST(coalesce(list_sum(list_transform(proj, v -> v * v)), 0)
+           |      AS BIGINT) AS pnorm
+           |  FROM p),
+           |scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    CAST(coalesce(list_sum(list_transform(range(1, $RpDim + 1),
+           |        i -> q.proj[i] * c.proj[i])), 0) AS BIGINT)::DOUBLE
+           |      / (sqrt(q.pnorm::DOUBLE) * sqrt(c.pnorm::DOUBLE)) AS pcos,
+           |    ${oCos(oDot("q.embedding", "c.embedding"),
+                  "q.norm_fp", "c.norm_fp")} AS cos
+           |  FROM pn q JOIN pn c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+           |r AS (SELECT qid, nid, pcos, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, nid) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+           |  CAST(round(pcos * 1e6) AS BIGINT) AS pcos_e6,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     "s5_quant_knn" ->
