@@ -36,6 +36,11 @@ object GraftFunctions {
   def minhash_sig(hh: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(hh), a, b, p))
 
+  /** string → Unicode-NFC-normalized string — codegen'd with an
+    * ASCII zero-allocation fast path; see [[NfcNormalizeExpr]]. */
+  def nfc(s: Column): Column =
+    GraftSqlBridge.column(NfcNormalizeExpr(GraftSqlBridge.expression(s)))
+
   /** (bigint, bigint) → bigint Morton locality code over the low 16
     * bits of each dimension — codegen'd; see [[ZOrder16Expr]]. */
   def zorder16(a: Column, b: Column): Column =
@@ -64,5 +69,8 @@ object GraftFunctions {
     GraftSqlBridge.registerFunction(
       spark, "zorder16", children => ZOrder16Expr(children(0), children(1)),
       classOf[ZOrder16Expr])
+    GraftSqlBridge.registerFunction(
+      spark, "nfc", children => NfcNormalizeExpr(children(0)),
+      classOf[NfcNormalizeExpr])
   }
 }

@@ -148,6 +148,36 @@ object TextAnalysis {
           col("n_req_stop") >= 2L)
   }
 
+  /** x25: canonical text normalization — the stage that runs FIRST in
+    * a real corpus build, before any hash-addressed operator (x4
+    * fingerprints, d1/d2 dedup, x11/x21 decontam), because visually
+    * identical text must be byte-identical to be dedupable:
+    *   1. Unicode NFC (native codegen'd [[graft.functions.NfcNormalizeExpr]]
+    *      — Spark has no builtin; ASCII short-circuits allocation-free),
+    *   2. newline canonicalization (\r\n, \r → \n),
+    *   3. control-character strip (C0 except \t\n, DEL),
+    *   4. horizontal-whitespace collapse + outer trim.
+    * Narrow map end to end; the cleaned text, before/after char
+    * counts and a changed flag per doc. Oracle: DuckDB nfc_normalize
+    * + the identical regex chain (both engines' regexes are RE2-class
+    * on these patterns; 'g' flag matches Spark's global default). */
+  def x25Normalize(s: SparkSession, d: String): DataFrame =
+    normalizeDocs(documents(s, d))
+      .transform(Output.ordered(_, col("doc_id")))
+
+  /** Library form of [[x25Normalize]]: doc_id, clean_text, counts. */
+  def normalizeDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      trim(regexp_replace(regexp_replace(regexp_replace(
+        graft.functions.GraftFunctions.nfc(col("text")),
+        "\\r\\n|\\r", "\n"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        "[ \\t]+", " ")).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("clean_text")).cast("long").as("n_chars_clean"),
+        (col("clean_text") =!= col("text")).as("changed"))
+
   /** Per-language marker words for the n-gram/stopword langid heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "or"),
@@ -1371,6 +1401,7 @@ object TextAnalysis {
     "x22_safe_split"     -> x22SafeSplit _,
     "x23_mix_threshold"  -> x23SourceMixAtScale _,
     "x24_gopher_rules"   -> x24GopherRules _,
+    "x25_normalize"      -> x25Normalize _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1827,6 +1858,27 @@ object TextAnalysis {
          |  r.src_rank <= r.weight * k.k AS keep
          |FROM r JOIN caps ON r.source = caps.source CROSS JOIN k
          |ORDER BY r.doc_id""".stripMargin,
+    // ICU nfc_normalize + the identical regex chain ('g' = Spark's
+    // global-replace default)
+    "x25_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    nfc_normalize(text),
+        |    chr(13) || chr(10) || '|' || chr(13), chr(10), 'g'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS clean_text,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+        |    nfc_normalize(text),
+        |    chr(13) || chr(10) || '|' || chr(13), chr(10), 'g'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'))) AS BIGINT) AS n_chars_clean,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    nfc_normalize(text),
+        |    chr(13) || chr(10) || '|' || chr(13), chr(10), 'g'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the Gopher rule arithmetic restated: same fixed-point folds,
     // same replace-diff symbol counts, same line predicates
     "x24_gopher_rules" ->

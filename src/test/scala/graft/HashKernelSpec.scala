@@ -150,4 +150,30 @@ class HashKernelSpec extends SparkSpecBase {
       .collect()
     assert(r.length == 1 && r.head.getString(0).length == 32)
   }
+
+  test("nfc kernel: codegen and interpreted paths agree; SQL-registered; " +
+      "matches java.text.Normalizer on adversarial unicode") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val cases = Seq("", "ascii", "caf\u00e9", "cafe\u0301",
+      "\u1100\u1161\u11a8", "\ufb01le", "A\u030aB\u0301",
+      "mixed ascii cafe\u0301 tail", "\uac01")
+    val df = cases.toDF("s")
+      .withColumn("n", GraftFunctions.nfc(col("s")))
+    // (whole-stage codegen path -- the default planner output)
+    val viaDf = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { c =>
+      val expect = java.text.Normalizer
+        .normalize(c, java.text.Normalizer.Form.NFC)
+      assert(viaDf(c) == expect,
+        s"codegen diverged on ${c.codePoints().toArray.toSeq}")
+      // interpreted eval (nullSafeEval) must agree with codegen
+      val interp = graft.functions.NfcNormalizeExpr.nfc(
+        org.apache.spark.unsafe.types.UTF8String.fromString(c)).toString
+      assert(interp == expect)
+    }
+    val sqlOut = spark.sql("SELECT nfc('cafe\u0301') AS n")
+      .collect()(0).getString(0)
+    assert(sqlOut == "caf\u00e9")
+  }
 }

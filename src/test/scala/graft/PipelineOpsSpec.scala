@@ -1386,6 +1386,45 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(sym.getAs[Long]("ellipsis_ratio_e6") == 333333L)
   }
 
+  test("x25 normalize: NFC composes decomposed text (Latin + Hangul), " +
+      "compatibility forms survive, controls/CRLF/whitespace canonicalized, " +
+      "ASCII is an allocation-free identity") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // kernel fast path: ASCII returns the INPUT OBJECT (no copy)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(graft.functions.NfcNormalizeExpr.nfc(ascii) eq ascii)
+    // already-NFC non-ASCII also returns the input object
+    val composed = UTF8String.fromString("caf\u00e9")
+    assert(graft.functions.NfcNormalizeExpr.nfc(composed) eq composed)
+    val docs = Seq(
+      (1L, "cafe\u0301"),           // decomposed e + U+0301 -> U+00E9
+      (2L, "\u1100\u1161\u11a8"),   // Hangul jamo -> syllable U+AC01
+      (3L, "\ufb01le"),             // fi ligature: NFC must NOT touch it
+      (4L, "a\r\nb\rc"),            // CRLF and CR -> LF
+      (5L, "a\u0001b\u0002c\u007fd"), // C0 controls + DEL stripped
+      (6L, "  a \t b  "),           // collapse + trim
+      (7L, "plain")                  // identity
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Boolean]("changed"))).toMap
+    assert(out(1L) == (("caf\u00e9", true)))
+    assert(out(2L) == (("\uac01", true)))
+    assert(out(3L) == (("\ufb01le", false)))
+    assert(out(4L) == (("a\nb\nc", true)))
+    assert(out(5L) == (("abcd", true)))
+    assert(out(6L) == (("a b", true)))
+    assert(out(7L) == (("plain", false)))
+    // normalization makes visually-equal docs hash-equal: the dedup
+    // motivation, end to end through the x4 fingerprint path
+    val fp = TextAnalysis.normalizeDocs(
+      Seq((1L, "cafe\u0301 x"), (2L, "caf\u00e9 x")).toDF("doc_id", "text"))
+      .select(col("doc_id"), md5(col("clean_text")).as("h"))
+      .collect().map(_.getAs[String]("h")).toSet
+    assert(fp.size == 1, "NFC-equal docs must fingerprint identically")
+  }
+
   test("d9 containment: directed — a short doc inside a long one scores 1.0 one way only") {
     import spark.implicits._
     val longText = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
