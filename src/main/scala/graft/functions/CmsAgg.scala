@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Count-Min Sketch as a native `TypedImperativeAggregate` — the
+  * mergeable-sketch tier of frequency estimation (heavy hitters,
+  * join-skew detection, stream×batch frequency joins) that replaces a
+  * corpus-sized exact groupBy with CONSTANT-size state.
+  *
+  * This exercises the one Catalyst extension surface the engine had
+  * not yet used natively: a custom imperative aggregate with real
+  * partial aggregation — per-partition `update`, serialized-buffer
+  * shuffle, `merge` on the reduce side. The sketch contract is why it
+  * scales: state is `depth × width` longs (a few KB) regardless of
+  * corpus size, partial merge is elementwise addition (associative +
+  * commutative ⇒ the result is bit-identical under ANY partitioning,
+  * task order, or AQE re-plan — the engine's determinism contract,
+  * which randomized sketches like KLL would violate), and the same
+  * buffer is the streaming-state shape a continuous twin would keep.
+  *
+  * The aggregate does NOT hash: its child is a staged `array<bigint>`
+  * of `depth` row-hashes (md5-prefix folds, the x6/d2 family), so the
+  * hash definition lives in ONE place, inlined identically into the
+  * Spark plan and the DuckDB oracle. `update` reduces each hash mod
+  * `width` and increments; `eval` returns the flat `depth·width`
+  * counter array. Estimates are then plain column arithmetic:
+  * `min_j counters[j·width + h_j mod width]` — CMS's one-sided
+  * guarantee (estimate ≥ true count) is asserted in the spec and
+  * visible per-row in the q26 output.
+  *
+  * Null child rows are skipped (SQL aggregate convention).
+  */
+case class CmsAggExpr(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(depth >= 1 && width >= 2, "cms requires depth >= 1, width >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch requires array<bigint> of $depth row-hashes, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val hs = v.asInstanceOf[ArrayData]
+      val d = math.min(depth, hs.numElements())
+      var j = 0
+      while (j < d) {
+        if (!hs.isNullAt(j)) {
+          // row-hashes are md5-prefix folds: always >= 0; floorMod
+          // keeps adversarial negative inputs in range anyway
+          val bucket = java.lang.Math.floorMod(hs.getLong(j), width.toLong)
+          b(j * width + bucket.toInt) += 1L
+        }
+        j += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b.length) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Long]): Any = new GenericArrayData(b)
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(b.length * 8)
+    bb.asLongBuffer().put(b)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CmsAggExpr =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CmsAggExpr =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): CmsAggExpr =
+    copy(child = c)
+}

@@ -36,6 +36,15 @@ object GraftFunctions {
   def minhash_sig(hh: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     GraftSqlBridge.column(MinHashSigExpr(GraftSqlBridge.expression(hh), a, b, p))
 
+  /** Count-Min Sketch AGGREGATE over a staged `array<bigint>` of
+    * depth row-hashes → flat depth·width counter array; native
+    * `TypedImperativeAggregate` with partial aggregation; see
+    * [[CmsAggExpr]]. */
+  def cms_sketch(hashes: Column, depth: Int, width: Int): Column =
+    GraftSqlBridge.column(
+      CmsAggExpr(GraftSqlBridge.expression(hashes), depth, width)
+        .toAggregateExpression())
+
   /** string → Unicode-NFC-normalized string — codegen'd with an
     * ASCII zero-allocation fast path; see [[NfcNormalizeExpr]]. */
   def nfc(s: Column): Column =

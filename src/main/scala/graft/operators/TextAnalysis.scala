@@ -178,6 +178,55 @@ object TextAnalysis {
         length(col("clean_text")).cast("long").as("n_chars_clean"),
         (col("clean_text") =!= col("text")).as("changed"))
 
+  /** CMS geometry (x26): 4 rows × 256 buckets = 8 KB of state. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** The staged row-hash array for [[x26CmsFreq]]: md5-prefix folds
+    * salted by row index — defined ONCE, inlined into both engines. */
+  private def cmsHashes(w: Column): Column =
+    array((0 until CmsDepth).map { j =>
+      conv(substring(md5(concat(lit(s"$j:"), w)), 1, 8), 16, 10).cast("long")
+    }: _*)
+
+  /** x26: Count-Min-Sketch token-frequency estimation — the
+    * mergeable-sketch tier of corpus frequency stats, via the engine's
+    * native `TypedImperativeAggregate` ([[graft.functions.CmsAggExpr]]):
+    * per-partition update, serialized-buffer shuffle, reduce-side
+    * merge — CONSTANT 8 KB of state where the exact groupBy carries
+    * vocabulary-sized state. Elementwise-sum merging is associative +
+    * commutative, so the sketch is bit-identical under any
+    * partitioning (spec-pinned 1-vs-13 partitions) — which is what
+    * makes it oracle-checkable at all. Output: the top-20 exact
+    * tokens with exact count, CMS estimate, and the overcount (CMS's
+    * one-sided error: estimate ≥ truth, equality when the token's
+    * buckets are collision-free in some row). Oracle: DuckDB rebuilds
+    * the identical counters via GROUP BY (j, bucket) and takes the
+    * same min over rows. */
+  def x26CmsFreq(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .select(explode(words(col("text"))).as("w"))
+    val sketch = toks.select(col("w"), cmsHashes(col("w")).as("hs"))
+      .agg(graft.functions.GraftFunctions
+        .cms_sketch(col("hs"), CmsDepth, CmsWidth).as("cms"))
+    val probes = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w")).limit(20)
+    val est = (0 until CmsDepth).map { j =>
+      element_at(col("cms"),
+        (lit(j * CmsWidth) +
+          pmod(element_at(col("hs"), j + 1), lit(CmsWidth.toLong)))
+          .cast("int") + 1)
+    }.reduce(least(_, _))
+    probes.crossJoin(broadcast(sketch))
+      .withColumn("hs", cmsHashes(col("w")))
+      .withColumn("cms_n", est)
+      .select(col("w").as("token"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   /** Per-language marker words for the n-gram/stopword langid heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "or"),
@@ -1402,6 +1451,7 @@ object TextAnalysis {
     "x23_mix_threshold"  -> x23SourceMixAtScale _,
     "x24_gopher_rules"   -> x24GopherRules _,
     "x25_normalize"      -> x25Normalize _,
+    "x26_cms_freq"       -> x26CmsFreq _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1858,6 +1908,34 @@ object TextAnalysis {
          |  r.src_rank <= r.weight * k.k AS keep
          |FROM r JOIN caps ON r.source = caps.source CROSS JOIN k
          |ORDER BY r.doc_id""".stripMargin,
+    // CMS counters rebuilt exactly: GROUP BY (row, bucket) over the
+    // same salted md5-prefix hashes, estimate = min over rows
+    "x26_cms_freq" -> {
+      def v(h: String, i: Int) =
+        s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +
+          s" ELSE ascii(substr($h,$i,1)) - 87 END)"
+      def hex8(h: String) = (2 to 8).foldLeft(s"CAST(${v(h, 1)} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${v(h, i)})")
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+         |    w -> w != '')) AS w FROM documents),
+         |hj AS (SELECT w, CAST(unnest(range(0, $CmsDepth)) AS BIGINT) AS j
+         |  FROM toks),
+         |hh AS (SELECT w, j,
+         |    ${hex8(s"md5(j || ':' || w)")} % $CmsWidth AS bucket FROM hj),
+         |counters AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM hh GROUP BY j, bucket),
+         |probes AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_n
+         |  FROM toks GROUP BY w ORDER BY exact_n DESC, w LIMIT 20),
+         |pj AS (SELECT p.w, p.exact_n,
+         |    CAST(unnest(range(0, $CmsDepth)) AS BIGINT) AS j FROM probes p),
+         |pb AS (SELECT w, exact_n, j,
+         |    ${hex8(s"md5(j || ':' || w)")} % $CmsWidth AS bucket FROM pj),
+         |est AS (SELECT pb.w, pb.exact_n, min(c.cnt) AS cms_n
+         |  FROM pb JOIN counters c ON c.j = pb.j AND c.bucket = pb.bucket
+         |  GROUP BY pb.w, pb.exact_n)
+         |SELECT w AS token, exact_n, cms_n, cms_n - exact_n AS overcount
+         |FROM est ORDER BY exact_n DESC, token""".stripMargin
+    },
     // ICU nfc_normalize + the identical regex chain ('g' = Spark's
     // global-replace default)
     "x25_normalize" ->

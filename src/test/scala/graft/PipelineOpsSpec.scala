@@ -1425,6 +1425,49 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(fp.size == 1, "NFC-equal docs must fingerprint identically")
   }
 
+  test("x26 CMS: sketch is bit-identical under any partitioning (merge " +
+      "order), estimates dominate exact counts for EVERY token, and the " +
+      "buffer survives the serialized partial-aggregation shuffle") {
+    import spark.implicits._
+    val words = (1 to 40).flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i"))
+    val staged = words.toDF("w")
+      .withColumn("hs", array((0 until TextAnalysis.CmsDepth).map { j =>
+        conv(substring(md5(concat(lit(s"$j:"), col("w"))), 1, 8), 16, 10)
+          .cast("long")
+      }: _*))
+    def sketchOf(parts: Int): Seq[Long] = staged.repartition(parts)
+      .agg(graft.functions.GraftFunctions.cms_sketch(col("hs"),
+        TextAnalysis.CmsDepth, TextAnalysis.CmsWidth).as("cms"))
+      .collect()(0).getSeq[Long](0)
+    val one = sketchOf(1)
+    val many = sketchOf(13)    // forces partial buffers + serialize/merge
+    assert(one == many, "sketch depends on partitioning/merge order")
+    assert(one.sum == words.size.toLong * TextAnalysis.CmsDepth,
+      "every (token, row) increment must land exactly once")
+    // one-sided guarantee on every token, not just the probed top-k
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (w, n) =>
+      val est = (0 until TextAnalysis.CmsDepth).map { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$j:$w".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val bucket = (java.lang.Long.parseLong(hex, 16) %
+          TextAnalysis.CmsWidth).toInt
+        one(j * TextAnalysis.CmsWidth + bucket)
+      }.min
+      assert(est >= n, s"CMS underestimated $w: $est < $n")
+    }
+    // the query's probe arithmetic agrees with the sketch contract
+    val out = TextAnalysis.x26CmsFreq(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cms_n") >= r.getAs[Long]("exact_n"),
+        s"one-sided bound violated: $r")
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_n") - r.getAs[Long]("exact_n"))
+    }
+  }
+
   test("d9 containment: directed — a short doc inside a long one scores 1.0 one way only") {
     import spark.implicits._
     val longText = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
