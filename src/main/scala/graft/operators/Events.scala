@@ -771,9 +771,18 @@ object Events {
     * history length (the fold-equivalence with the collect_list form
     * is spec-pinned on adversarial orderings, and the hyperactive-key
     * cost is a ScaleProbe row). */
-  def patternCount(ev: DataFrame, stages: Seq[String]): DataFrame = {
-    val k = stages.size.toLong
-    patternPrep(ev, stages)
+  def patternCount(ev: DataFrame, stages: Seq[String]): DataFrame =
+    patternCountSets(ev, stages.map(Seq(_)))
+
+  /** [[patternCount]] with ALTERNATION: stage i accepts any event type
+    * in its set (`PATTERN (A (B|C) D)`). The k-cycle integer automaton
+    * is unchanged — the stage code is simply many-to-one — so counts,
+    * open stage and the greedy non-overlap discipline carry over
+    * verbatim, and single-element sets degrade to [[patternCount]]
+    * exactly (spec-pinned). */
+  def patternCountSets(ev: DataFrame, stageSets: Seq[Seq[String]]): DataFrame = {
+    val k = stageSets.size.toLong
+    patternPrepSets(ev, stageSets)
       .mapPartitions { it =>
         // partition order is (user, t, id); a user change resets the
         // accumulator. One output row per user run, O(1) state.
@@ -804,11 +813,23 @@ object Events {
     * oracle), event_id breaking ts ties exactly like the collect_list
     * form's struct sort. */
   private def patternPrep(ev: DataFrame, stages: Seq[String]):
+      org.apache.spark.sql.Dataset[(Option[Long], Long, Long, Long)] =
+    patternPrepSets(ev, stages.map(Seq(_)))
+
+  /** Stage-SET form of the automaton input (MATCH_RECOGNIZE
+    * alternation — `PATTERN (A (B|C) D)`): stage i is matched by ANY
+    * of its event types. Sets must be pairwise disjoint so the code
+    * is a function of the event alone (non-disjoint alternation would
+    * need automaton lookahead, which the single-pass greedy contract
+    * deliberately excludes). */
+  private def patternPrepSets(ev: DataFrame, stageSets: Seq[Seq[String]]):
       org.apache.spark.sql.Dataset[(Option[Long], Long, Long, Long)] = {
-    require(stages.nonEmpty && stages.distinct.size == stages.size,
-      "pattern stages must be non-empty and distinct")
-    val code = stages.zipWithIndex.foldLeft(lit(0L)) { case (c, (st, i)) =>
-      when(col("event_type") === st, (i + 1).toLong).otherwise(c)
+    val all = stageSets.flatten
+    require(stageSets.nonEmpty && stageSets.forall(_.nonEmpty) &&
+      all.distinct.size == all.size,
+      "pattern stage sets must be non-empty and pairwise disjoint")
+    val code = stageSets.zipWithIndex.foldLeft(lit(0L)) { case (c, (st, i)) =>
+      when(col("event_type").isin(st: _*), (i + 1).toLong).otherwise(c)
     }
     ev.select(col("user_id"), unix_micros(col("ts")).as("t"),
         col("event_id").as("id"), code.as("c"))
@@ -927,6 +948,15 @@ object Events {
       PatternWithinMicros)
       .orderBy(col("user_id"))
 
+  /** e22: alternation funnel — click → (view | error) → purchase: the
+    * user journey that tolerates an error-page detour as its middle
+    * step. MATCH_RECOGNIZE `PATTERN (A (B|C) D)` under the same
+    * greedy single-pass contract as e19. */
+  def e22PatternAlt(s: SparkSession, d: String): DataFrame =
+    patternCountSets(events(s, d),
+      Seq(Seq("click"), Seq("view", "error"), Seq("purchase")))
+      .orderBy(col("user_id"))
+
   /** e20: the span-emitting form of e19 on the click→view→purchase
     * pattern — WHICH rows formed each completed funnel, not just how
     * many. Oracle: the e19 recursive-CTE automaton extended with the
@@ -958,6 +988,7 @@ object Events {
     "e19_pattern"       -> e19Pattern _,
     "e20_pattern_spans" -> e20PatternSpans _,
     "e21_pattern_within" -> e21PatternWithin _,
+    "e22_pattern_alt"    -> e22PatternAlt _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1193,6 +1224,27 @@ object Events {
     // (verified: user 41 folds to (6,0) alone or in a 3-user batch,
     // (7,2) in the full 150-user batch — the CTE and a python fold
     // both agree on (6,0)), so the oracle states the fold row-by-row
+    // e19's automaton with a many-to-one stage code: 'view' OR
+    // 'error' both map to stage 2 — alternation changes only the CASE
+    "e22_pattern_alt" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |        WHEN 'error' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END
+        |      ORDER BY ts, event_id) AS cs
+        |  FROM events GROUP BY user_id),
+        |step(user_id, i, acc) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT) FROM u
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |    CASE WHEN CAST(u.cs[s.i + 1] AS BIGINT) = 1 AND s.acc % 3 = 0 THEN s.acc + 1
+        |         WHEN CAST(u.cs[s.i + 1] AS BIGINT) = 2 AND s.acc % 3 = 1 THEN s.acc + 1
+        |         WHEN CAST(u.cs[s.i + 1] AS BIGINT) = 3 AND s.acc % 3 = 2 THEN s.acc + 1
+        |         ELSE s.acc END
+        |  FROM step s JOIN u ON u.user_id = s.user_id
+        |  WHERE s.i < len(u.cs))
+        |SELECT s.user_id, s.acc // 3 AS n_funnels, s.acc % 3 AS open_stage
+        |FROM step s JOIN u ON u.user_id = s.user_id AND s.i = len(u.cs)
+        |ORDER BY s.user_id""".stripMargin,
     "e19_pattern" ->
       """WITH RECURSIVE u AS (SELECT user_id,
         |    list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2

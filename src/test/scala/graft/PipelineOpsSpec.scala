@@ -2308,6 +2308,52 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(inf == plain, "infinite window must equal the unwindowed counter")
   }
 
+  test("e22 alternation: either branch advances the middle stage, " +
+      "single-element sets degrade to patternCount exactly, " +
+      "overlapping sets are rejected") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val rows = Seq(
+      // user 1: click → view → purchase (branch B)
+      (1L, ts(0), 1L, "click"), (1L, ts(1), 2L, "view"),
+      (1L, ts(2), 3L, "purchase"),
+      // user 2: click → error → purchase (branch C)
+      (2L, ts(0), 11L, "click"), (2L, ts(1), 12L, "error"),
+      (2L, ts(2), 13L, "purchase"),
+      // user 3: both branches fire mid-funnel — only the FIRST advances
+      // (greedy: view consumes stage 2; the error is a no-op);
+      // then purchase completes
+      (3L, ts(0), 21L, "click"), (3L, ts(1), 22L, "view"),
+      (3L, ts(2), 23L, "error"), (3L, ts(3), 24L, "purchase"),
+      // user 4: error alone cannot open (stage 1 is click-only)
+      (4L, ts(0), 31L, "error"), (4L, ts(1), 32L, "purchase")
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val sets = Seq(Seq("click"), Seq("view", "error"), Seq("purchase"))
+    val out = Events.patternCountSets(rows, sets).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    assert(out(1L) == ((1L, 0L)))
+    assert(out(2L) == ((1L, 0L)), s"error branch must advance: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L)))
+    assert(out(4L) == ((0L, 0L)))
+    // single-element sets ≡ the plain stage-list automaton
+    val plain = Events.patternCount(rows, Seq("click", "view", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    val singleton = Events.patternCountSets(rows,
+      Seq(Seq("click"), Seq("view"), Seq("purchase")))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+    assert(singleton == plain)
+    // non-disjoint sets would make the stage code ambiguous
+    val ex = intercept[IllegalArgumentException] {
+      Events.patternCountSets(rows, Seq(Seq("click"), Seq("click", "view")))
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
