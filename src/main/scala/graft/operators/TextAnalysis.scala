@@ -183,8 +183,9 @@ object TextAnalysis {
   val CmsWidth = 256
 
   /** The staged row-hash array for [[x26CmsFreq]]: md5-prefix folds
-    * salted by row index — defined ONCE, inlined into both engines. */
-  private def cmsHashes(w: Column): Column =
+    * salted by row index — defined ONCE, inlined into both engines
+    * (and reused by the streaming twin, StreamOps.cmsStream). */
+  private[graft] def cmsHashes(w: Column): Column =
     array((0 until CmsDepth).map { j =>
       conv(substring(md5(concat(lit(s"$j:"), w)), 1, 8), 16, 10).cast("long")
     }: _*)

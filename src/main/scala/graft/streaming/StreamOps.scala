@@ -411,6 +411,32 @@ object StreamOps {
   def piiScrubStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.piiSignals(docs)
 
+  /** Streaming x26: the Count-Min Sketch maintained CONTINUOUSLY over
+    * an unbounded token stream — the canonical streaming use of a
+    * mergeable sketch. The custom `TypedImperativeAggregate`
+    * ([[graft.functions.CmsAggExpr]]) runs as a streaming global
+    * aggregation: the state store persists exactly the serialized
+    * 8 KB counter buffer, and each micro-batch's partial sketch is
+    * MERGED into it — the same associative+commutative elementwise
+    * sum that makes the batch result partitioning-independent makes
+    * the streaming result replay-chunking-independent (batch ≡ stream
+    * bit-for-bit, spec-pinned). Complete output mode; constant state
+    * regardless of stream length or vocabulary growth — the property
+    * that makes sketches THE frequency structure for streams (an
+    * exact streaming groupBy(token) grows state with the vocabulary).
+    * Counting sketches require exactly-once input (a redelivered
+    * token double-counts): run behind the engine's ack/dedup front
+    * ([[dedupExact]] / the CDC log's exactly-once absorption), the
+    * same contract deltaAggStream documents. */
+  def cmsStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.operators.TextOps.words(col("text"))).as("w"))
+      .select(graft.operators.TextAnalysis.cmsHashes(col("w")).as("hs"))
+      .groupBy()
+      .agg(graft.functions.GraftFunctions.cms_sketch(col("hs"),
+        graft.operators.TextAnalysis.CmsDepth,
+        graft.operators.TextAnalysis.CmsWidth).as("cms"))
+
   /** Streaming m2: REAL media decode at INGEST — every arriving
     * document's payload is decoded (the javax.imageio PNG round-trip
     * of [[graft.operators.Multimodal.decodeFeatures]]) the moment it

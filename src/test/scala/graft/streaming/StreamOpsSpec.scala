@@ -371,6 +371,33 @@ class StreamOpsSpec extends SparkSpecBase {
     })
   }
 
+  test("cmsStream: chunked replay in complete mode equals the batch sketch " +
+      "bit-for-bit, and state is the constant-size buffer") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val chunks = docs.grouped((docs.size + 3) / 4).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.cmsStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_replay")
+      .outputMode(OutputMode.Complete()).start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cms_replay")
+      .collect()(0).getSeq[Long](0)
+    val batch = StreamOps.cmsStream(
+      graft.Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .collect()(0).getSeq[Long](0)
+    assert(streamed == batch,
+      "streaming CMS diverged from the batch sketch")
+    assert(streamed.size ==
+      graft.operators.TextAnalysis.CmsDepth *
+        graft.operators.TextAnalysis.CmsWidth)
+    assert(streamed.sum > 0L)
+  }
+
   test("piiScrubStream chunked replay ≡ batch x12 signals, with no state store") {
     implicit val sq = spark.sqlContext
     import graft.operators.TextAnalysis
