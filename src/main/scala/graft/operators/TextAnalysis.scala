@@ -228,6 +228,45 @@ object TextAnalysis {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
+  /** Weighted-sample size (x27). */
+  val WorK = 100
+
+  /** x27: deterministic WEIGHTED sampling without replacement — the
+    * quality-tier draw a curation pipeline uses to upweight preferred
+    * strata while staying reshuffle-proof: doc weight w (en=3,
+    * de/es/fr=2, else=1) gives the doc w independent md5 draws and its
+    * PRIORITY is the minimum; the sample is the global bottom-K by
+    * priority. A doc's selection odds rise with its weight (w draws at
+    * the min ≈ w× the chance of a low priority) yet membership is a
+    * pure function of (doc_id, weight) — reruns, resharding and late
+    * data keep the same sample, the x6/x7/x14 contract, with NO
+    * floating-point (the A-ES exponential-key scheme needs ln/exp,
+    * which would break cross-engine bit-parity; integer-replicated
+    * min-hash draws are its order-preserving exact twin for integer
+    * weights).
+    *
+    * Scale shape: the priority is a narrow map (≤3 md5s per doc);
+    * bottom-K plans as TakeOrderedAndProject — per-partition heaps
+    * merged on the driver, no global sort (plan-asserted) — and
+    * bottom-K sets are MERGEABLE (bottom-K of a union = bottom-K of
+    * merged per-shard bottom-Ks), so incremental batches maintain the
+    * standing sample without rescanning the corpus. */
+  def x27WeightedSample(s: SparkSession, d: String): DataFrame =
+    weightedSample(documents(s, d))
+
+  /** Library form of [[x27WeightedSample]] over (doc_id, lang). */
+  def weightedSample(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("weight",
+        when(col("lang") === "en", 3L)
+          .when(col("lang").isin("de", "es", "fr"), 2L).otherwise(1L))
+      .withColumn("priority",
+        array_min(transform(sequence(lit(1L), col("weight")), i =>
+          md5(concat(col("doc_id").cast("string"), lit(":wor:"),
+            i.cast("string"))))))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WorK)
+
   /** Per-language marker words for the n-gram/stopword langid heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "or"),
@@ -1453,6 +1492,7 @@ object TextAnalysis {
     "x24_gopher_rules"   -> x24GopherRules _,
     "x25_normalize"      -> x25Normalize _,
     "x26_cms_freq"       -> x26CmsFreq _,
+    "x27_weighted_sample" -> x27WeightedSample _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1909,6 +1949,20 @@ object TextAnalysis {
          |  r.src_rank <= r.weight * k.k AS keep
          |FROM r JOIN caps ON r.source = caps.source CROSS JOIN k
          |ORDER BY r.doc_id""".stripMargin,
+    // identical per-draw md5 keys, list_min priority, same bottom-K
+    "x27_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |    CAST(CASE WHEN lang = 'en' THEN 3
+         |      WHEN lang IN ('de','es','fr') THEN 2 ELSE 1 END AS BIGINT)
+         |      AS weight
+         |  FROM documents),
+         |p AS (SELECT doc_id, lang, weight,
+         |    list_min(list_transform(range(1, weight + 1),
+         |      i -> md5(doc_id::VARCHAR || ':wor:' || i::VARCHAR)))
+         |      AS priority
+         |  FROM w)
+         |SELECT doc_id, lang, weight, priority
+         |FROM p ORDER BY priority, doc_id LIMIT $WorK""".stripMargin,
     // CMS counters rebuilt exactly: GROUP BY (row, bucket) over the
     // same salted md5-prefix hashes, estimate = min over rows
     "x26_cms_freq" -> {

@@ -1468,6 +1468,44 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("x27 weighted sample: reshuffle-proof, plans as TakeOrdered (no " +
+      "global sort), bottom-K is mergeable, higher weight raises selection " +
+      "rate") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.weightedSample(docs).collect()
+    assert(out.length == TextAnalysis.WorK)
+    // membership is a pure function of the data, not the layout
+    val reshuffled = TextAnalysis.weightedSample(
+        docs.repartition(7, col("text"))).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      reshuffled.map(_.getAs[Long]("doc_id")).toSeq)
+    // bottom-K via per-partition heaps, not a global sort
+    val plan = TextAnalysis.weightedSample(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"no TakeOrdered:\n$plan")
+    // mergeable: bottom-K of the union == bottom-K over merged
+    // per-shard bottom-Ks (the incremental-maintenance identity)
+    val half1 = TextAnalysis.weightedSample(docs.filter(col("doc_id") % 2 === 0))
+    val half2 = TextAnalysis.weightedSample(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = half1.union(half2)
+      .orderBy(col("priority"), col("doc_id")).limit(TextAnalysis.WorK)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(merged == out.map(_.getAs[Long]("doc_id")).toSeq,
+      "bottom-K must be mergeable across shards")
+    // per-capita selection rate rises with weight (500 docs, K=100:
+    // the 3×-weighted stratum must out-rate the 1×-weighted one)
+    val pop = docs.groupBy(
+        when(col("lang") === "en", 3L)
+          .when(col("lang").isin("de", "es", "fr"), 2L).otherwise(1L)
+          .as("w"))
+      .count().collect().map(r => r.getAs[Long]("w") -> r.getAs[Long]("count")).toMap
+    val sel = out.groupBy(_.getAs[Long]("weight")).view.mapValues(_.length).toMap
+    val rate3 = sel.getOrElse(3L, 0).toDouble / pop(3L)
+    val rate1 = sel.getOrElse(1L, 0).toDouble / pop(1L)
+    assert(rate3 > rate1,
+      s"weight-3 per-capita rate $rate3 should exceed weight-1 rate $rate1")
+  }
+
   test("d9 containment: directed — a short doc inside a long one scores 1.0 one way only") {
     import spark.implicits._
     val longText = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
