@@ -749,6 +749,68 @@ object Events {
     * run (see [[patternCount]]) — task memory independent of any
     * key's history length, so a hyperactive key (bot, replay loop)
     * costs sort disk, never an OOM. */
+  /** PAA geometry for e23: 8 segments, 3 neighbors, 5 query users. */
+  val PaaSegs = 8
+  val SeriesK = 3
+  val SeriesNQ = 5
+
+  /** e23: time-series SIMILARITY SEARCH over per-user value series —
+    * the distributed TS-similarity problem (PAPERS.md: EDBT'19
+    * streaming-similarity, EDBT'20 incremental top-k): each user's
+    * event-value sequence (ordered by ts, event_id) is reduced to a
+    * fixed [[PaaSegs]]-segment Piecewise Aggregate Approximation
+    * (Keogh's PAA — the standard TS dimensionality reduction; segment
+    * s covers positions ⌊s·n/S⌋..⌊(s+1)·n/S⌋−1 via seg = ⌊pos·S/n⌋),
+    * and the query users' top-k nearest series are found by L2² on
+    * the PAA vectors. Integer-exact end to end: values in e3 fixed
+    * point, segment means floor-divided, distances are integer sums —
+    * bit-deterministic and oracle-checkable (the engine's contract;
+    * z-normalization would need sqrt and is deliberately left out).
+    * Users shorter than S segments are excluded (documented; pad or
+    * shrink S upstream if they matter).
+    *
+    * Scale shape: the sequence/segment stage is ONE per-user window
+    * (hash-partitioned, per-user sort — the e2/e5 shape); PAA rows
+    * collapse 10–100× before the only wide step, and the query side
+    * is [[SeriesNQ]] vectors broadcast against the corpus PAA — the
+    * s1 kNN shape on S-dim integer vectors. At 100 TB the PAA table
+    * is the persistable index (Warehouse-bucketed by user); for
+    * equal-length series (n/S)·PAA-L2² lower-bounds true L2² (the
+    * GEMINI filter guarantee), and across unequal lengths PAA is the
+    * length-invariant comparison form. */
+  def e23SeriesKnn(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val seq = ev.select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 1000d).cast("long").as("v"))
+      .withColumn("pos", row_number().over(wSeq).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("n") >= PaaSegs.toLong)
+      .withColumn("seg", graft.operators.TextOps.idiv(
+        col("pos") * PaaSegs.toLong, col("n")))
+    val paa = seq.groupBy(col("user_id"), col("seg"))
+      .agg(graft.operators.TextOps.idiv(sum(col("v")), count(lit(1))).as("m"))
+    val series = paa.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("seg"), col("m")))).as("sm"))
+      .select(col("user_id"),
+        transform(col("sm"), e => e.getField("m")).as("paa"))
+    val q = series.filter(col("user_id") < SeriesNQ.toLong)
+      .select(col("user_id").as("qid"), col("paa").as("q_paa"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("nid"))
+    series.select(col("user_id").as("nid"), col("paa").as("n_paa"))
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("dist",
+        aggregate(zip_with(col("q_paa"), col("n_paa"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= SeriesK.toLong)
+      .select(col("qid"), col("rank"), col("nid"), col("dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def e19Pattern(s: SparkSession, d: String): DataFrame =
     patternCount(events(s, d), Seq("click", "view", "purchase"))
       .orderBy(col("user_id"))
@@ -989,6 +1051,7 @@ object Events {
     "e20_pattern_spans" -> e20PatternSpans _,
     "e21_pattern_within" -> e21PatternWithin _,
     "e22_pattern_alt"    -> e22PatternAlt _,
+    "e23_series_knn"     -> e23SeriesKnn _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1224,6 +1287,34 @@ object Events {
     // (verified: user 41 folds to (6,0) alone or in a 3-user batch,
     // (7,2) in the full 150-user batch — the CTE and a python fold
     // both agree on (6,0)), so the oracle states the fold row-by-row
+    // PAA restated: same e3 values, explicit floor divisions (DuckDB
+    // // truncates), list-ordered segment means, integer L2^2
+    "e23_series_knn" ->
+      s"""WITH s AS (SELECT user_id,
+         |    CAST(round(value * 1000) AS BIGINT) AS v,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS BIGINT) - 1 AS pos,
+         |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+         |  FROM events),
+         |f AS (SELECT *, CAST(floor((pos * $PaaSegs)::DOUBLE / n) AS BIGINT)
+         |    AS seg FROM s WHERE n >= $PaaSegs),
+         |g AS (SELECT user_id, seg,
+         |    CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS m
+         |  FROM f GROUP BY user_id, seg),
+         |p AS (SELECT user_id, list(m ORDER BY seg) AS paa
+         |  FROM g GROUP BY user_id),
+         |scored AS (SELECT q.user_id AS qid, c.user_id AS nid,
+         |    CAST(list_sum(list_transform(range(1, $PaaSegs + 1),
+         |      i -> (q.paa[i] - c.paa[i]) * (q.paa[i] - c.paa[i])))
+         |      AS BIGINT) AS dist
+         |  FROM p q JOIN p c
+         |    ON q.user_id < $SeriesNQ AND q.user_id <> c.user_id),
+         |r AS (SELECT qid, nid, dist,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
+         |      AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, nid, dist FROM r WHERE rank <= $SeriesK
+         |ORDER BY qid, rank""".stripMargin,
     // e19's automaton with a many-to-one stage code: 'view' OR
     // 'error' both map to stage 2 — alternation changes only the CASE
     "e22_pattern_alt" ->
