@@ -365,6 +365,67 @@ object Dedup {
         when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
   }
 
+  /** Exact-Jaccard verification threshold for d14 (0.8 — the
+    * SlimPajama/RefinedWeb published operating point). */
+  val D14TauE6 = 800000L
+
+  /** d14: the VERIFIED MinHash dedup recipe end-to-end — the published
+    * SlimPajama/RefinedWeb pipeline as ONE manifest: banded-MinHash
+    * LSH candidates (d3's expander — never the pair cross product) →
+    * exact-Jaccard verification at τ=0.8 on distinct shingle sets
+    * (LSH over-generates; the verify step is what makes the recipe's
+    * precision exact) → connected-component closure over the verified
+    * pairs → keep-the-best-copy manifest (d11's quality argmax). The
+    * engine's simhash-based d11 answers "hamming-ball near-dups";
+    * this answers the resemblance-threshold contract the published
+    * recipes specify.
+    *
+    * Scale: candidates are the d3 bucket expansion (maxBucket is the
+    * skew knob; uncapped here for oracle parity), verification is
+    * per-CANDIDATE array intersection (cost = Σ|pair shingles| over
+    * LSH survivors only — the step SlimPajama pays), the closure is
+    * the O(log n)-round alternating-star CC, and the manifest window
+    * is bounded by near-dup cluster size. False-negative honesty: a
+    * ≥τ pair MISSED by every LSH band is absent here by design (the
+    * recipe's recall is the banding curve's); the oracle restates the
+    * same banding, so the gate checks the RECIPE, not a brute-force
+    * ideal. */
+  def d14MinhashDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    verifiedManifest(docs, lshCandidatesRaw(sigs(s, d), maxBucket = None))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Library form of [[d14MinhashDedup]]: candidates (a, b) verified
+    * at [[D14TauE6]] on distinct word-3-gram shingles, closed, and
+    * reduced to the keep-one manifest. */
+  private[graft] def verifiedManifest(docs: DataFrame,
+      candidates: DataFrame): DataFrame = {
+    val docSh = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shingles3(col("ws")).as("sh0"))
+      .select(col("doc_id"), array_distinct(col("sh0")).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("sh")).as("sh"), min(col("n_sh")).as("n_sh"))
+    val verified = candidates.select(col("a"), col("b"))
+      .join(docSh.select(col("doc_id").as("a"), col("sh").as("sha"),
+        col("n_sh").as("na")), Seq("a"))
+      .join(docSh.select(col("doc_id").as("b"), col("sh").as("shb"),
+        col("n_sh").as("nb")), Seq("b"))
+      .withColumn("shared",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard_e6",
+        idiv(col("shared") * 1000000L,
+          greatest(col("na") + col("nb") - col("shared"), lit(1L))))
+      .filter(col("jaccard_e6") >= D14TauE6)
+      .select(col("a"), col("b"))
+    val comp = Components.connectedComponents(
+      docs.select(col("doc_id").as("id")), verified)
+    canonicalManifestFrom(
+      comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep")), docs)
+  }
+
   /** d13: the dedup RUN REPORT — the one-row summary a pipeline logs
     * and alerts on after cluster resolution: corpus size, cluster
     * count, docs dropped (corpus − clusters under keep-one), the drop
@@ -529,6 +590,7 @@ object Dedup {
     "d10_blocking"      -> d10Blocking _,
     "d11_canonical"     -> d11Canonical _,
     "d13_dedup_stats"   -> d13DedupStats _,
+    "d14_minhash_dedup" -> d14MinhashDedup _,
   )
 
   /** Shared oracle CTE: words + distinct-less shingles per doc. */
@@ -750,6 +812,52 @@ object Dedup {
         |FROM sz""".stripMargin,
     // d6's transitive closure + x2's quality signals; per cluster the
     // highest-quality doc (ties -> smallest doc_id) is kept
+    // d3's banded candidates ∩ exact-Jaccard ≥ τ on distinct shingle
+    // lists, then the d11 closure + quality keep-one verbatim
+    "d14_minhash_dedup" ->
+      ("WITH RECURSIVE " + SigCte.stripPrefix("WITH ") +
+        s""",
+           |le AS (SELECT doc_id, band_idx, bands[band_idx] AS band_key
+           |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           |  FROM le a JOIN le b ON a.band_idx = b.band_idx
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+           |sz AS (SELECT doc_id, dsh, CAST(len(dsh) AS BIGINT) AS n_sh FROM ds),
+           |ver AS (SELECT c.a AS a, c.b AS b
+           |  FROM cand c JOIN sz x ON x.doc_id = c.a JOIN sz y ON y.doc_id = c.b
+           |  WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT) * 1000000
+           |    // greatest(x.n_sh + y.n_sh
+           |      - CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT), 1)
+           |    >= $D14TauE6),
+           |e2 AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver),
+           |reach(src, dst) AS (
+           |  SELECT doc_id, doc_id FROM t
+           |  UNION
+           |  SELECT r.src, e2.v FROM reach r JOIN e2 ON r.dst = e2.u),
+           |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+           |  FROM reach GROUP BY src),
+           |qb AS (SELECT doc_id,
+           |    CAST(length(text) AS BIGINT) AS n_chars,
+           |    CAST(len(ws) AS BIGINT) AS n_tokens,
+           |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_tok_len,
+           |    CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.EnStop)})) AS BIGINT) AS n_stop
+           |  FROM t),
+           |qs AS (SELECT doc_id,
+           |    CAST(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 300 ELSE 0 END +
+           |      CASE WHEN sum_tok_len * 1000 // greatest(n_tokens, 1) BETWEEN 3000 AND 8000 THEN 400 ELSE 0 END +
+           |      CASE WHEN n_stop * 1000 // greatest(n_tokens, 1) BETWEEN 20 AND 400 THEN 300 ELSE 0 END
+           |      AS BIGINT) AS quality_e3
+           |  FROM qb),
+           |j AS (SELECT c.doc_id, CAST(c.cluster_rep AS BIGINT) AS cluster_rep,
+           |    q.quality_e3,
+           |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_rep
+           |      ORDER BY q.quality_e3 DESC, c.doc_id) AS canonical_id
+           |  FROM comp c JOIN qs q ON c.doc_id = q.doc_id)
+           |SELECT doc_id, cluster_rep, quality_e3,
+           |  CAST(canonical_id AS BIGINT) AS canonical_id,
+           |  CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM j ORDER BY doc_id""".stripMargin),
     "d11_canonical" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, text,
          |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),

@@ -2432,6 +2432,32 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("d14 verified dedup: near-identical docs cluster, sub-threshold " +
+      "overlap does not, keep-one picks the quality argmax") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"alpha$i").mkString(" ") + " CHANGED"
+    val half = (1 to 15).map(i => s"alpha$i").mkString(" ") + " " +
+      (1 to 15).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, nearDup),     // jaccard 27/29 ≈ 0.93 ≥ 0.8
+      (3L, half),                    // ≈ 0.30 vs doc 1 — below τ
+      (4L, (1 to 30).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.verifiedManifest(docs,
+      Dedup.lshCandidatesRaw(Dedup.lshIndex(docs), maxBucket = None))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_rep"), r.getAs[Long]("keep"))).toMap
+    assert(out(1L)._1 == out(2L)._1, "verified pair must cluster")
+    assert(out(3L)._1 != out(1L)._1, "sub-threshold overlap must NOT cluster")
+    assert(out(4L)._1 != out(1L)._1)
+    // exactly one keeper in the {1,2} cluster, singletons keep themselves
+    assert(out(1L)._2 + out(2L)._2 == 1L)
+    assert(out(3L)._2 == 1L && out(4L)._2 == 1L)
+    // every doc appears exactly once in the manifest
+    assert(out.size == 4)
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
