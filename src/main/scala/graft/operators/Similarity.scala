@@ -1238,6 +1238,45 @@ object Similarity {
     * shape as s1, plus one tiny per-query vote aggregate — the
     * neighbor search dominates, and it is the scan s1 already proved
     * linear. Uses the embeddings table's `label` column. */
+  /** s15: HARD-NEGATIVE MINING — for each query vector, the TopK most
+    * similar vectors carrying a DIFFERENT label: the highest-loss
+    * negatives a contrastive/embedding trainer wants in its batches
+    * (easy random negatives carry no gradient; the near-but-wrong
+    * ones do — the dense-retrieval training recipe). The s1 exact
+    * shape plus one label predicate, so every ANN acceleration in
+    * this module (IVF pruning, PQ, the bucketed warehouse) applies
+    * unchanged when the corpus outgrows brute force; the margin
+    * (cos to nearest SAME-label vector minus cos to the negative) is
+    * attached so curriculum thresholds can filter downstream. */
+  def s15HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      col("norm_fp").as("q_norm"), col("label").cast("long").as("q_label"))
+      .filter(col("qid") < NQueries.toLong)
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"), col("label").cast("long").as("n_label"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos",
+        cosine(dotFp9(col("q_emb"), col("n_emb")), col("q_norm"), col("n_norm")))
+    // best same-label cosine per query — the positive anchor the
+    // margin is measured against (one tiny agg, broadcast back)
+    val posBest = scored.filter(col("n_label") === col("q_label"))
+      .groupBy(col("qid")).agg(max(col("cos")).as("pos_cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.filter(col("n_label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .join(broadcast(posBest), Seq("qid"), "left")
+      .select(col("qid"), col("q_label"),
+        col("rank").cast("long").as("rank"), col("nid"),
+        col("n_label").as("neg_label"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"),
+        round((coalesce(col("pos_cos"), lit(0d)) - col("cos")) * 1e6)
+          .cast("long").as("margin_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def s7KnnClassify(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
@@ -1342,6 +1381,7 @@ object Similarity {
     "s12_mips_ivf"    -> s12MipsIvf _,
     "s13_ivf_sq"      -> s13KnnIvfSq _,
     "s14_knn_rp"      -> s14KnnRp _,
+    "s15_hard_neg"    -> s15HardNegatives _,
     "d12_semdedup"    -> d12SemDedup _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
@@ -1743,6 +1783,28 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // same scored pair set; negatives ranked after the label filter,
+    // the positive anchor as a per-query max, identical roundings
+    "s15_hard_neg" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label,
+         |    ${oDot("embedding", "embedding")} AS norm_fp
+         |  FROM embeddings),
+         |scored AS (SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS q_label,
+         |    c.vec_id AS nid, CAST(c.label AS BIGINT) AS n_label,
+         |    ${oCos(oDot("q.embedding", "c.embedding"), "q.norm_fp", "c.norm_fp")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+         |pos AS (SELECT qid, max(cos) AS pos_cos FROM scored
+         |  WHERE n_label = q_label GROUP BY qid),
+         |neg AS (SELECT qid, q_label, nid, n_label, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+         |      AS BIGINT) AS rank
+         |  FROM scored WHERE n_label <> q_label)
+         |SELECT n.qid, n.q_label, n.rank, n.nid, n.n_label AS neg_label,
+         |  CAST(round(n.cos * 1e6) AS BIGINT) AS cos_e6,
+         |  CAST(round((coalesce(p.pos_cos, 0) - n.cos) * 1e6) AS BIGINT)
+         |    AS margin_e6
+         |FROM neg n LEFT JOIN pos p ON p.qid = n.qid
+         |WHERE n.rank <= $TopK ORDER BY n.qid, n.rank""".stripMargin,
     "s7_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding, label,
          |    ${oDot("embedding", "embedding")} AS norm_fp

@@ -154,6 +154,33 @@ class PipelineOpsSpec extends SparkSpecBase {
       "pcos-selected pairs should overestimate on average (selection bias)")
   }
 
+  test("s15 hard negatives: every mined row is a different-label neighbor, " +
+      "ranks are the label-filtered restriction of the exact ranking, and " +
+      "the margin references the best same-label cosine") {
+    val out = Similarity.s15HardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("neg_label") != r.getAs[Long]("q_label"),
+        s"same-label row leaked into negatives: $r")
+    }
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to Similarity.TopK.toLong))
+      assert(!rs.exists(_.getAs[Long]("nid") == q))
+      // negatives descend in cosine with rank
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cos_e6"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // margin = pos_cos − neg_cos: consistent within each query
+    // (pos_cos is per-query constant, so margin + cos is too)
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val anchors = rs.map(r =>
+        r.getAs[Long]("margin_e6") + r.getAs[Long]("cos_e6")).toSet
+      assert(anchors.size <= 2, // ±1 ulp from independent roundings
+        s"margin anchor inconsistent: $anchors")
+    }
+  }
+
   test("s2 IVF assignment and probe-list stages plan with zero Exchange") {
     val e = Similarity.withNorm(Tables.embeddings(spark, sf))
     val cents = Similarity.collectCodebook(e)
