@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SimHash32Expr(es(0)), classOf[SimHash32Expr]))
     ext.injectFunction(fn("min_md5",
       es => MinMd5Expr(es(0)), classOf[MinMd5Expr]))
+    ext.injectFunction(fn("dot_i64",
+      es => DotI64(es(0), es(1)), classOf[DotI64]))
+    ext.injectFunction(fn("zorder16",
+      es => ZOrder16Expr(es(0), es(1)), classOf[ZOrder16Expr]))
+    ext.injectFunction(fn("nfc",
+      es => NfcNormalizeExpr(es(0)), classOf[NfcNormalizeExpr]))
     // Whole-operator extension: the native as-of join's planner strategy
     // (logical GraftAsOfJoin → physical AsOfMergeJoinExec). Sessions not
     // built with extensions get it lazily via AsOfMergeJoin.install.

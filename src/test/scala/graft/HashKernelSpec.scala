@@ -139,6 +139,13 @@ class HashKernelSpec extends SparkSpecBase {
       ArrayType(StringType))
     val sig = graft.functions.SimHash32Expr(words).eval(null)
     assert(sig.toString.length == 32 && sig.toString.forall("01".contains(_)))
+    // the round-9 additions ride the same surface: nfc composes at
+    // builder-injection time too
+    val nfcOut = graft.functions.NfcNormalizeExpr(
+      Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString("café"),
+        StringType)).eval(null)
+    assert(nfcOut.toString == "café")
   }
 
   test("kernels register as SQL functions") {
