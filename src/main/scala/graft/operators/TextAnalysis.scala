@@ -791,6 +791,50 @@ object TextAnalysis {
         idiv(sum(col("lp_e4")), count(lit(1))).as("mean_lp_e4"))
   }
 
+  /** DSIR sample size (x28). */
+  val DsirN = 100
+
+  /** x28: DATA SELECTION VIA IMPORTANCE RESAMPLING (the DSIR recipe,
+    * Xie et al.) — select raw-corpus documents that look like a TARGET
+    * domain: per-token importance = log p_target(w) − log p_raw(w)
+    * under two Laplace unigram LMs (target = the 'en' stratum here;
+    * swap in any domain frame), per-doc mean importance, and the
+    * resampled set is the deterministic top-[[DsirN]] (the published
+    * method's Gumbel resampling needs RNG; top-N by the same weights
+    * is its reshuffle-proof exact-ranking twin — the x27 rationale).
+    * Numeric policy = x13/x16's: exact integer ratios, one log10 per
+    * token e4-quantized immediately (shared [[lpE4]]), means by floor
+    * division — bit-deterministic, oracle-checkable.
+    *
+    * Scale: both models are vocabulary-sized broadcasts built from
+    * ONE corpus-token pass each (map-side combined); scoring is a
+    * narrow map over the token stream; selection is bottom-K
+    * (TakeOrdered). The corpus is never paired or windowed whole. */
+  def x28Dsir(s: SparkSession, d: String): DataFrame =
+    dsirSelect(documents(s, d))
+
+  /** Library form of [[x28Dsir]] over any (doc_id, lang, text). */
+  def dsirSelect(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(words(col("text"))).as("w"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val raw = tok.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val tgtTot = tgt.agg(sum(col("ct")).as("tt"), count(lit(1)).as("vt"))
+    val rawTot = raw.agg(sum(col("cr")).as("tr"), count(lit(1)).as("vr"))
+    tok.join(broadcast(tgt), Seq("w"), "left")
+      .join(broadcast(raw), Seq("w"))
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .withColumn("imp_e4",
+        lpE4(col("ct"), col("tt"), col("vt")) -
+          lpE4(col("cr"), col("tr"), col("vr")))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"),
+        idiv(sum(col("imp_e4")), count(lit(1))).as("mean_imp_e4"))
+      .orderBy(col("mean_imp_e4").desc, col("doc_id"))
+      .limit(DsirN)
+  }
+
   /** x16: BIGRAM language-model fluency scoring — x13's unigram filter
     * upgraded one conditioning order: p(w₂|w₁) with Laplace smoothing,
     * trained on the x6 train split, every doc scored by its mean
@@ -1493,6 +1537,7 @@ object TextAnalysis {
     "x25_normalize"      -> x25Normalize _,
     "x26_cms_freq"       -> x26CmsFreq _,
     "x27_weighted_sample" -> x27WeightedSample _,
+    "x28_dsir"           -> x28Dsir _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1949,6 +1994,31 @@ object TextAnalysis {
          |  r.src_rank <= r.weight * k.k AS keep
          |FROM r JOIN caps ON r.source = caps.source CROSS JOIN k
          |ORDER BY r.doc_id""".stripMargin,
+    // two Laplace unigram models, per-token e4 log-ratio, floor-mean,
+    // same deterministic top-N (explicit floor: sums can be negative)
+    "x28_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |    unnest(list_filter(string_split(text, ' '), w -> w != '')) AS w
+         |  FROM documents),
+         |tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tok
+         |  WHERE lang = 'en' GROUP BY w),
+         |raw AS (SELECT w, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY w),
+         |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+         |    CAST(count(*) AS BIGINT) AS vt FROM tgt),
+         |tr AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+         |    CAST(count(*) AS BIGINT) AS vr FROM raw),
+         |sc AS (SELECT tok.doc_id, tok.lang,
+         |    CAST(round(log10((coalesce(tgt.ct, 0) + 1)::DOUBLE
+         |        / (tt.tt + tt.vt)::DOUBLE) * 1e4) AS BIGINT)
+         |    - CAST(round(log10((raw.cr + 1)::DOUBLE
+         |        / (tr.tr + tr.vr)::DOUBLE) * 1e4) AS BIGINT) AS imp
+         |  FROM tok LEFT JOIN tgt USING (w) JOIN raw USING (w)
+         |  CROSS JOIN tt CROSS JOIN tr),
+         |a AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(floor(sum(imp)::DOUBLE / count(*)) AS BIGINT) AS mean_imp_e4
+         |  FROM sc GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, n_tok, mean_imp_e4
+         |FROM a ORDER BY mean_imp_e4 DESC, doc_id LIMIT $DsirN""".stripMargin,
     // identical per-draw md5 keys, list_min priority, same bottom-K
     "x27_weighted_sample" ->
       s"""WITH w AS (SELECT doc_id, lang,

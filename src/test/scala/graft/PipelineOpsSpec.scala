@@ -2485,6 +2485,37 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.size == 4)
   }
 
+  test("x28 DSIR: target-domain-looking docs outrank generic ones, the " +
+      "selected set is target-enriched, and ranking is deterministic") {
+    import spark.implicits._
+    // tiny corpus: the target stratum ('en') speaks 'alpha'; a raw doc
+    // written in 'alpha' should out-rank a raw doc written in 'zeta'
+    // even though NEITHER is labeled en
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "en", s"alpha beta gamma tok$i")) ++
+      Seq((100L, "xx", "alpha beta gamma alpha beta"),
+          (101L, "xx", "zeta eta theta zeta eta"))
+    ).toDF("doc_id", "lang", "text")
+    val sel = TextAnalysis.dsirSelect(docs).collect()
+    val byId = sel.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("mean_imp_e4")).toMap
+    assert(byId(100L) > byId(101L),
+      s"target-like doc must outrank: ${byId(100L)} vs ${byId(101L)}")
+    // corpus run: the selected set is enriched in the target stratum
+    val out = TextAnalysis.x28Dsir(spark, sf).collect()
+    assert(out.length == TextAnalysis.DsirN)
+    val enSel = out.count(_.getAs[String]("lang") == "en").toDouble / out.length
+    val corp = Tables.documents(spark, sf)
+    val enAll = corp.filter(col("lang") === "en").count().toDouble / corp.count()
+    assert(enSel > enAll,
+      s"selection not target-enriched: $enSel vs corpus $enAll")
+    // deterministic under re-partitioning (integer scoring end to end)
+    val again = TextAnalysis.dsirSelect(
+      corp.repartition(7, col("text"))).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
