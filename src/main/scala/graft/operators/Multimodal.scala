@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import TextOps.idiv
@@ -627,6 +628,52 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
       .transform(Output.ordered(_, col("doc_id"), col("frame_idx")))
 
+  /** Hamming threshold on 32-bit frame signatures for a shot cut
+    * (m10): random-content frames sit at E[hamming]=16 of 32 bits;
+    * ≥ 12 marks "content changed". */
+  val ShotCutHamming = 12
+
+  /** m10: VIDEO SHOT-BOUNDARY detection — the frame-difference pass a
+    * video curation pipeline runs before sampling (m4) so samples land
+    * one-per-shot instead of blindly k-per-clip: consecutive frame
+    * signatures compared by Hamming distance; a distance ≥
+    * [[ShotCutHamming]] opens a new shot. Per clip (doc): frame
+    * count, cut count, shot count, first cut index.
+    *
+    * Like m4, frames here are fixed-length slices of the stand-in
+    * payload and the per-frame signature is an md5 fold — the REAL
+    * pipeline swaps in m6's perceptual image hash per decoded frame
+    * (the machinery is modality-blind, the m9 lesson); the dataflow
+    * (narrow frame explode → per-clip lag window bounded by
+    * [[NFrames]] → per-clip fold) is the production plan as-is.
+    * Integer end to end: 32-bit signature folds, bit_count(xor) —
+    * bit-identical across engines. */
+  def m10ShotBoundaries(s: SparkSession, d: String): DataFrame = {
+    val fr = documents(s, d)
+      .select(col("doc_id"), col("text").as("payload"),
+        greatest(idiv(length(col("text")).cast("long"), lit(NFrames.toLong)),
+          lit(1L)).as("frame_len"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), lit(NFrames.toLong - 1L)),
+          k => col("payload").substr((k * col("frame_len") + 1L).cast("int"),
+            col("frame_len").cast("int"))))
+          .as(Seq("frame_idx", "frame")))
+      .filter(length(col("frame")) > 0)
+      .withColumn("sig",
+        conv(substring(md5(col("frame")), 1, 8), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    fr.withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("cut", col("prev").isNotNull &&
+        bit_count(col("sig").bitwiseXOR(col("prev"))) >= ShotCutHamming)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+        (sum(when(col("cut"), 1L).otherwise(0L)) + 1L).as("n_shots"),
+        min(when(col("cut"), col("frame_idx").cast("long")))
+          .as("first_cut_idx"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"     -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
@@ -637,6 +684,7 @@ object Multimodal {
     "m7_img_neardup"     -> m7ImgNearDup _,
     "m8_img_incremental" -> m8ImgIncremental _,
     "m9_audiohash"       -> m9AudioHash _,
+    "m10_shot_bounds"    -> m10ShotBoundaries _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -809,6 +857,36 @@ object Multimodal {
          |  CAST(length(thumb) AS BIGINT) AS thumb_units,
          |  md5(thumb) AS thumb_md5
          |FROM t ORDER BY doc_id""".stripMargin,
+    // stride-1 frames, 8-hex md5 fold, lag + bit_count(xor) — the
+    // identical integer chain
+    "m10_shot_bounds" -> {
+      def v(h: String, i: Int) =
+        s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +
+          s" ELSE ascii(substr($h,$i,1)) - 87 END)"
+      def hex8(h: String) = (2 to 8).foldLeft(s"CAST(${v(h, 1)} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${v(h, i)})")
+      s"""WITH p AS (SELECT doc_id, text AS payload,
+         |    greatest(CAST(length(text) AS BIGINT) // $NFrames, 1) AS frame_len
+         |  FROM documents),
+         |f AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         |    substr(payload, CAST(k * frame_len + 1 AS INT),
+         |      CAST(frame_len AS INT)) AS frame
+         |  FROM p CROSS JOIN (SELECT unnest(range(0, $NFrames)) AS k)),
+         |g AS (SELECT doc_id, frame_idx, ${hex8("md5(frame)")} AS sig
+         |  FROM f WHERE length(frame) > 0),
+         |l AS (SELECT doc_id, frame_idx, sig,
+         |    lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+         |  FROM g),
+         |c AS (SELECT doc_id, frame_idx,
+         |    prev IS NOT NULL AND bit_count(xor(sig, prev)) >= $ShotCutHamming
+         |      AS cut
+         |  FROM l)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots,
+         |  CAST(min(CASE WHEN cut THEN frame_idx END) AS BIGINT) AS first_cut_idx
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "m4_frame_sample" ->
       s"""WITH p AS (SELECT doc_id, text AS payload,
          |    greatest(CAST(length(text) AS BIGINT) // $NFrames, 1) AS frame_len

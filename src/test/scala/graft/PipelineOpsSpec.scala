@@ -2516,6 +2516,47 @@ class PipelineOpsSpec extends SparkSpecBase {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("m10 shot boundaries: identical frames yield one shot, a planted " +
+      "content flip yields exactly the hand-computed cuts, short payloads " +
+      "frame partially") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(s: String) = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    def expectedCuts(payload: String): (Long, Long) = {
+      val fl = math.max(payload.length / Multimodal.NFrames, 1)
+      val frames = (0 until Multimodal.NFrames)
+        .map(k => payload.slice(k * fl, k * fl + fl)).filter(_.nonEmpty)
+      val cuts = frames.sliding(2).count {
+        case Seq(a, b) =>
+          java.lang.Long.bitCount(sig(a) ^ sig(b)) >= Multimodal.ShotCutHamming
+        case _ => false
+      }
+      (frames.size.toLong, cuts.toLong)
+    }
+    val steady = "AB" * 16                    // 16 identical "AB" frames
+    val flip = "A" * 16 + "B" * 16           // content change mid-clip
+    val short = "xyz"                        // 3 one-char frames
+    val docs = Seq((1L, steady), (2L, flip), (3L, short))
+      .toDF("doc_id", "text")
+    // drive through a fixture dir so the query path itself is tested
+    val dir = java.nio.file.Files.createTempDirectory("m10").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.m10ShotBoundaries(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+          r.getAs[Long]("n_shots"))).toMap
+    Seq(1L -> steady, 2L -> flip, 3L -> short).foreach { case (id, p) =>
+      val (nf, nc) = expectedCuts(p)
+      assert(out(id) == ((nf, nc, nc + 1L)),
+        s"doc $id: got ${out(id)}, expected ($nf, $nc, ${nc + 1})")
+    }
+    assert(out(1L)._2 == 0L, "identical frames must produce zero cuts")
+    assert(out(3L)._1 == 3L, "short payload frames partially")
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
