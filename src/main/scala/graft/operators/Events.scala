@@ -698,6 +698,52 @@ object Events {
       .orderBy(col("hour_s"), col("event_type"))
   }
 
+  /** e24: incremental JOIN maintenance — the join half of the IVM
+    * story e16 told for aggregates. A materialized join view J = C⋈P
+    * (clicks ⋈ purchases on user) absorbs a delta batch via the
+    * classical bilinear identity
+    * `ΔJ = ΔC⋈P_b ∪ C_b⋈ΔP ∪ ΔC⋈ΔP` — per-batch cost is
+    * DELTA-sized (each term touches a delta side; the delta frames
+    * are broadcast), never view-sized. The query computes the four
+    * terms as four separate joins, tags provenance, unions, and rolls
+    * up per user; the oracle computes ONE full join and classifies
+    * rows by base/delta membership — a value match IS the proof that
+    * the decomposition reconstructs the view exactly (no pair lost,
+    * none double-counted). Split rule = e16's: last ~10% of event_ids
+    * are the arriving batch. The continuously-maintained form is
+    * deltaAggStream's versioned-store discipline with these three
+    * delta joins as the per-batch step. */
+  def e24DeltaJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val mx = ev.agg(max(col("event_id")).as("mx"))
+    val tagged = ev.crossJoin(broadcast(mx))
+      .withColumn("is_delta", col("event_id") * 10L >= col("mx") * 9L)
+    val clicks = tagged.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("is_delta").as("cdelta"))
+    val purch = tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("is_delta").as("pdelta"))
+    val cb = clicks.filter(!col("cdelta")).drop("cdelta")
+    val cd = clicks.filter(col("cdelta")).drop("cdelta")
+    val pb = purch.filter(!col("pdelta")).drop("pdelta")
+    val pd = purch.filter(col("pdelta")).drop("pdelta")
+    def term(c: DataFrame, p: DataFrame, tag: String) =
+      c.join(p, Seq("user_id"))
+        .select(col("user_id"), lit(tag).as("term"))
+    val all = term(cb, pb, "bb")
+      .unionByName(term(broadcast(cd), pb, "db"))
+      .unionByName(term(cb, broadcast(pd), "bd"))
+      .unionByName(term(broadcast(cd), broadcast(pd), "dd"))
+    all.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("term") === "bb", 1L).otherwise(0L)).as("n_bb"),
+        sum(when(col("term") === "db", 1L).otherwise(0L)).as("n_db"),
+        sum(when(col("term") === "bd", 1L).otherwise(0L)).as("n_bd"),
+        sum(when(col("term") === "dd", 1L).otherwise(0L)).as("n_dd"))
+      .orderBy(col("user_id"))
+  }
+
   /** e17: as-of join with an attribution WINDOW — e4's backward match
     * bounded by a 2-hour tolerance: a click attributes to the latest
     * preceding purchase only if it happened within the window,
@@ -1052,6 +1098,7 @@ object Events {
     "e21_pattern_within" -> e21PatternWithin _,
     "e22_pattern_alt"    -> e22PatternAlt _,
     "e23_series_knn"     -> e23SeriesKnn _,
+    "e24_delta_join"     -> e24DeltaJoin _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1287,6 +1334,26 @@ object Events {
     // (verified: user 41 folds to (6,0) alone or in a 3-user batch,
     // (7,2) in the full 150-user batch — the CTE and a python fold
     // both agree on (6,0)), so the oracle states the fold row-by-row
+    // ONE full join classified by base/delta membership — matching the
+    // four-term union proves the bilinear delta decomposition exact
+    "e24_delta_join" ->
+      """WITH mx AS (SELECT max(event_id) AS mx FROM events),
+        |c AS (SELECT user_id, event_id * 10 >= mx.mx * 9 AS cdelta
+        |  FROM events, mx WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id * 10 >= mx.mx * 9 AS pdelta
+        |  FROM events, mx WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.cdelta, p.pdelta
+        |  FROM c JOIN p USING (user_id))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN NOT cdelta AND NOT pdelta THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bb,
+        |  CAST(sum(CASE WHEN cdelta AND NOT pdelta THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_db,
+        |  CAST(sum(CASE WHEN NOT cdelta AND pdelta THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bd,
+        |  CAST(sum(CASE WHEN cdelta AND pdelta THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dd
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
     // PAA restated: same e3 values, explicit floor divisions (DuckDB
     // // truncates), list-ordered segment means, integer L2^2
     "e23_series_knn" ->

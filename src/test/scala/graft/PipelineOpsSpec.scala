@@ -2557,6 +2557,40 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(3L)._1 == 3L, "short payload frames partially")
   }
 
+  test("e24 delta join: the four bilinear terms partition the recomputed " +
+      "join exactly, and the delta sides broadcast") {
+    val out = Events.e24DeltaJoin(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") ==
+        r.getAs[Long]("n_bb") + r.getAs[Long]("n_db") +
+          r.getAs[Long]("n_bd") + r.getAs[Long]("n_dd"),
+        s"terms must partition the join: $r")
+    }
+    // delta terms are non-trivial on the corpus (the last-10% split
+    // contains clicks and purchases)
+    assert(out.map(_.getAs[Long]("n_db")).sum > 0L)
+    assert(out.map(_.getAs[Long]("n_bd")).sum > 0L)
+    // full recompute ≡ the four-term union, independently of the oracle
+    val ev = graft.Tables.events(spark, sf)
+    val mxv = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"))
+    val full = c.join(p, Seq("user_id")).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val ours = out.map(r => r.getAs[Long]("user_id") ->
+      r.getAs[Long]("n_pairs")).toMap
+    assert(ours == full, "decomposition lost or duplicated pairs")
+    // the delta sides plan as broadcasts
+    val plan = Events.e24DeltaJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+      s"delta terms should broadcast:\n$plan")
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
