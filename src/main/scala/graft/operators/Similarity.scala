@@ -548,6 +548,60 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Matryoshka prefix length (s16): rank on the first 16 of 64. */
+  val MrlPrefixDim = 16
+
+  /** s16: Matryoshka-style COARSE-TO-FINE retrieval — stage 1 ranks
+    * every candidate using only the first [[MrlPrefixDim]] components
+    * (a prefix SLICE, not a projection: MRL-trained embeddings
+    * front-load information so each prefix is itself a valid
+    * embedding; on this corpus the prefix is just 16 independent dims,
+    * so recall behaves like s14's JL ladder row — honesty note), and
+    * stage 2 reranks the surviving [[RerankK]] candidates with the
+    * full-dimension exact cosine — s11's IndexRefine shape with a
+    * slice instead of IVF+PQ. The scale story is bandwidth: the scan
+    * stage reads/computes 1/4 of every vector; the exact stage is
+    * candidate-sized, independent of the corpus. Both stages are one
+    * pass here (the frame carries both columns), integer-exact and
+    * oracle-checkable throughout. Prefix-zero vectors cannot be
+    * ranked and fail loudly (withNorm's contract). */
+  def s16MrlRerank(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+      .withColumn("p_emb", slice(col("embedding"), 1, MrlPrefixDim))
+      .withColumn("p_norm", normFp9(col("p_emb")))
+      .filter(
+        when(col("p_norm") === 0L,
+          raise_error(concat(
+            lit("all-zero prefix at vec_id="), col("vec_id"))))
+          .otherwise(lit(true)))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      col("norm_fp").as("q_norm"), col("p_emb").as("qp_emb"),
+      col("p_norm").as("qp_norm"))
+      .filter(col("qid") < NQueries.toLong)
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"), col("p_emb").as("np_emb"),
+      col("p_norm").as("np_norm"))
+    val wCoarse = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("nid"))
+    val wFine = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("pcos",
+        cosine(dotFp9(col("qp_emb"), col("np_emb")),
+          col("qp_norm"), col("np_norm")))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= RerankK)
+      .withColumn("cos",
+        cosine(dotFp9(col("q_emb"), col("n_emb")),
+          col("q_norm"), col("n_norm")))
+      .withColumn("rank", row_number().over(wFine))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"),
+        round(col("pcos") * 1e6).cast("long").as("pcos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Per-vector int8 scalar quantization: scale = max |component|,
     * q_j = round(x_j / scale · 127) — the standard 4×-memory-reduction
     * storage format for ANN corpora at scale. Quantization and the
@@ -1382,6 +1436,7 @@ object Similarity {
     "s13_ivf_sq"      -> s13KnnIvfSq _,
     "s14_knn_rp"      -> s14KnnRp _,
     "s15_hard_neg"    -> s15HardNegatives _,
+    "s16_mrl_rerank"  -> s16MrlRerank _,
     "d12_semdedup"    -> d12SemDedup _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
@@ -1552,6 +1607,34 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // prefix slice, prefix fp9 cosine, RerankK coarse cut, full-dim
+    // fine rank — the identical two-window chain
+    "s16_mrl_rerank" ->
+      (NormCte +
+        s"""
+           |, pe AS (SELECT vec_id, embedding, norm_fp,
+           |    embedding[1:$MrlPrefixDim] AS p_emb
+           |  FROM e),
+           |pn AS (SELECT vec_id, embedding, norm_fp, p_emb,
+           |    ${oDot("p_emb", "p_emb")} AS p_norm
+           |  FROM pe),
+           |scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    ${oCos(oDot("q.p_emb", "c.p_emb"), "q.p_norm", "c.p_norm")} AS pcos,
+           |    ${oCos(oDot("q.embedding", "c.embedding"),
+                  "q.norm_fp", "c.norm_fp")} AS cos
+           |  FROM pn q JOIN pn c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+           |coarse AS (SELECT qid, nid, pcos, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, nid)
+           |      AS crank
+           |  FROM scored),
+           |fine AS (SELECT qid, nid, pcos, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+           |      AS rank
+           |  FROM coarse WHERE crank <= $RerankK)
+           |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+           |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6,
+           |  CAST(round(pcos * 1e6) AS BIGINT) AS pcos_e6
+           |FROM fine WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     // JL ±1 projection restated: per-plane fp9 dot, explicit floor to
     // e3 (DuckDB's // truncates toward zero — floor() matches Spark's
     // idiv on negative dots), integer 16-dim dot, double cosine

