@@ -1065,6 +1065,50 @@ object Events {
       Seq(Seq("click"), Seq("view", "error"), Seq("purchase")))
       .orderBy(col("user_id"))
 
+  /** e25: the OPTIONAL-stage quantifier — `PATTERN (A B? C)` as
+    * click → view? → purchase: a purchase right after the click
+    * completes the funnel without a view (the B-less path), while a
+    * view in between is consumed when present. Greedy,
+    * non-overlapping, single-pass like the rest of the family, but
+    * the cycle trick no longer applies (two accepting paths), so the
+    * fold runs the explicit 3-state automaton: 0 idle →(A) 1 →(B) 2;
+    * states 1 AND 2 complete on C. Output counts completions, HOW
+    * MANY used the optional stage (the MATCH_RECOGNIZE measure
+    * distinguishing the paths), and the open state. Same streamed
+    * O(1)-state execution contract as e19/e21. */
+  def patternCountOptional(ev: DataFrame, a: String, b: String,
+      c: String): DataFrame = {
+    require(Seq(a, b, c).distinct.size == 3, "stages must be distinct")
+    patternPrepSets(ev, Seq(Seq(a), Seq(b), Seq(c)))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Option[Long], Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Option[Long], Long, Long, Long) = {
+            val u = buf.head._1
+            var st = 0L; var done = 0L; var withB = 0L
+            while (buf.hasNext && buf.head._1 == u) {
+              val code = buf.next()._4
+              if (st == 0L) { if (code == 1L) st = 1L }
+              else if (st == 1L) {
+                if (code == 2L) st = 2L
+                else if (code == 3L) { done += 1L; st = 0L }
+              } else { // st == 2
+                if (code == 3L) { done += 1L; withB += 1L; st = 0L }
+              }
+            }
+            (u, done, withB, st)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.product[(Option[Long], Long, Long, Long)])
+      .toDF("user_id", "n_complete", "n_with_b", "open_state")
+  }
+
+  /** e25 over the corpus: click → view? → purchase. */
+  def e25PatternOptional(s: SparkSession, d: String): DataFrame =
+    patternCountOptional(events(s, d), "click", "view", "purchase")
+      .orderBy(col("user_id"))
+
   /** e20: the span-emitting form of e19 on the click→view→purchase
     * pattern — WHICH rows formed each completed funnel, not just how
     * many. Oracle: the e19 recursive-CTE automaton extended with the
@@ -1099,6 +1143,7 @@ object Events {
     "e22_pattern_alt"    -> e22PatternAlt _,
     "e23_series_knn"     -> e23SeriesKnn _,
     "e24_delta_join"     -> e24DeltaJoin _,
+    "e25_pattern_opt"    -> e25PatternOptional _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1334,6 +1379,34 @@ object Events {
     // (verified: user 41 folds to (6,0) alone or in a 3-user batch,
     // (7,2) in the full 150-user batch — the CTE and a python fold
     // both agree on (6,0)), so the oracle states the fold row-by-row
+    // the explicit 3-state optional-stage automaton, stated as the
+    // identical transition table both engines fold
+    "e25_pattern_opt" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |        WHEN 'purchase' THEN 3 ELSE 0 END
+        |      ORDER BY ts, event_id) AS cs
+        |  FROM events GROUP BY user_id),
+        |step(user_id, i, st, done, withb) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT) FROM u
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |    CASE WHEN s.st = 0 AND u.cs[s.i+1] = 1 THEN 1
+        |         WHEN s.st = 1 AND u.cs[s.i+1] = 2 THEN 2
+        |         WHEN s.st = 1 AND u.cs[s.i+1] = 3 THEN 0
+        |         WHEN s.st = 2 AND u.cs[s.i+1] = 3 THEN 0
+        |         ELSE s.st END,
+        |    s.done + CASE WHEN s.st IN (1, 2) AND u.cs[s.i+1] = 3
+        |      THEN 1 ELSE 0 END,
+        |    s.withb + CASE WHEN s.st = 2 AND u.cs[s.i+1] = 3
+        |      THEN 1 ELSE 0 END
+        |  FROM step s JOIN u ON u.user_id = s.user_id
+        |  WHERE s.i < len(u.cs))
+        |SELECT s.user_id, s.done AS n_complete, s.withb AS n_with_b,
+        |  s.st AS open_state
+        |FROM step s JOIN u ON u.user_id = s.user_id AND s.i = len(u.cs)
+        |ORDER BY s.user_id""".stripMargin,
     // ONE full join classified by base/delta membership — matching the
     // four-term union proves the bilinear delta decomposition exact
     "e24_delta_join" ->

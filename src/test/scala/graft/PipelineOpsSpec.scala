@@ -2616,6 +2616,42 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"delta terms should broadcast:\n$plan")
   }
 
+  test("e25 optional stage: A-C completes without B, A-B-C counts the " +
+      "optional use, extra Bs are inert, greedy non-overlap holds") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val rows = Seq(
+      // user 1: click → purchase (B skipped)
+      (1L, ts(0), 1L, "click"), (1L, ts(1), 2L, "purchase"),
+      // user 2: click → view → purchase (B used)
+      (2L, ts(0), 11L, "click"), (2L, ts(1), 12L, "view"),
+      (2L, ts(2), 13L, "purchase"),
+      // user 3: click → view → view → purchase (second B inert)
+      (3L, ts(0), 21L, "click"), (3L, ts(1), 22L, "view"),
+      (3L, ts(2), 23L, "view"), (3L, ts(3), 24L, "purchase"),
+      // user 4: two back-to-back completions, one of each path
+      (4L, ts(0), 31L, "click"), (4L, ts(1), 32L, "purchase"),
+      (4L, ts(2), 33L, "click"), (4L, ts(3), 34L, "view"),
+      (4L, ts(4), 35L, "purchase"),
+      // user 5: view then purchase with no click — nothing
+      (5L, ts(0), 41L, "view"), (5L, ts(1), 42L, "purchase"),
+      // user 6: open at state 2 (click, view, no purchase yet)
+      (6L, ts(0), 51L, "click"), (6L, ts(1), 52L, "view")
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Events.patternCountOptional(rows, "click", "view", "purchase")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_complete"), r.getAs[Long]("n_with_b"),
+          r.getAs[Long]("open_state"))).toMap
+    assert(out(1L) == ((1L, 0L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 1L, 0L)))
+    assert(out(3L) == ((1L, 1L, 0L)), s"extra B must be inert: ${out(3L)}")
+    assert(out(4L) == ((2L, 1L, 0L)))
+    assert(out(5L) == ((0L, 0L, 0L)))
+    assert(out(6L) == ((0L, 0L, 2L)))
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
