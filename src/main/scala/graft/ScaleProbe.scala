@@ -403,6 +403,21 @@ object ScaleProbe {
         operators.Events.patternCount(ev,
           Seq("click", "view", "purchase"))
       },
+      // d14 shape: the verified-dedup recipe (LSH candidates →
+      // exact-Jaccard verify → CC → keep-one) over 50k×m docs where
+      // each doc has exactly one exact twin — candidates stay ~n/2
+      // (unique text elsewhere), verification is candidate-bound, CC
+      // is twin-pair-sized; expect ~linear in m with the maxBucket
+      // cap armed (the production posture; the query row runs
+      // uncapped for oracle parity like d3/d9)
+      time("verified_dedup") {
+        val n = 50000L * m
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          synthText(pmod(col("id"), lit(n / 2))).as("text"))
+        operators.Dedup.verifiedManifest(docs,
+          operators.Dedup.lshCandidatesRaw(
+            operators.Dedup.lshIndex(docs), maxBucket = Some(64)))
+      },
       // x14 vs x23 DEGENERATE case: ONE source holding all n×m docs —
       // the rank form's per-source window funnels the whole corpus
       // through a single task's sort; the threshold form histograms,
