@@ -437,6 +437,64 @@ object StreamOps {
         graft.operators.TextAnalysis.CmsDepth,
         graft.operators.TextAnalysis.CmsWidth).as("cms"))
 
+  /** Shard count for the streaming standing sample (x27's twin). */
+  val SampleShards = 8
+
+  case class SampleIn(doc_id: Long, lang: String)
+  case class SampleState(items: List[(String, Long, String, Long)],
+      seen: Long)
+  case class SampleOut(shard: Long, doc_id: Long, lang: String,
+      weight: Long, priority: String, n_seen: Long)
+
+  /** Streaming x27: the weighted standing sample maintained
+    * CONTINUOUSLY — the bottom-K mergeability the batch spec pins
+    * ("bottom-K of a union = bottom-K of merged per-shard bottom-Ks")
+    * made executable: documents shard by doc_id into [[SampleShards]]
+    * keyed states, each state the shard's K smallest (priority,
+    * doc_id) pairs under the SAME md5 replicated-draw priority as the
+    * batch form; the standing sample at any moment is the global
+    * bottom-K over the shard states (the consumer's tiny
+    * K·shards-row fold). State is K items per shard — constant — and
+    * the insert is keyed by doc_id, so at-least-once REDELIVERY IS
+    * IDEMPOTENT (a re-inserted doc replaces itself), the property
+    * counting state (cmsStream) cannot have and samples get for
+    * free. Emits each shard's full state per batch (Update-mode
+    * sinks; `n_seen` marks the newest emission per shard). */
+  def weightedSampleStream(docs: Dataset[SampleIn],
+      k: Int = graft.operators.TextAnalysis.WorK): Dataset[SampleOut] = {
+    implicit val oe: org.apache.spark.sql.Encoder[SampleOut] =
+      Encoders.product[SampleOut]
+    implicit val se: org.apache.spark.sql.Encoder[SampleState] =
+      Encoders.product[SampleState]
+    implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs
+      .groupByKey(d => java.lang.Math.floorMod(d.doc_id, SampleShards.toLong))
+      .flatMapGroupsWithState[SampleState, SampleOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: Long, batch: Iterator[SampleIn], state: GroupState[SampleState]) =>
+          var st = state.getOption.getOrElse(SampleState(Nil, 0L))
+          batch.foreach { d =>
+            val w = d.lang match {
+              case "en" => 3L
+              case "de" | "es" | "fr" => 2L
+              case _ => 1L
+            }
+            val pri = (1L to w).map(i => md5hex(s"${d.doc_id}:wor:$i")).min
+            val withDoc = (pri, d.doc_id, d.lang, w) ::
+              st.items.filterNot(_._2 == d.doc_id) // redelivery-idempotent
+            st = SampleState(
+              withDoc.sortBy(t => (t._1, t._2)).take(k), st.seen + 1L)
+          }
+          state.update(st)
+          st.items.map { case (p, id, lg, w) =>
+            SampleOut(shard, id, lg, w, p, st.seen)
+          }.iterator
+      }
+  }
+
   /** Streaming m2: REAL media decode at INGEST — every arriving
     * document's payload is decoded (the javax.imageio PNG round-trip
     * of [[graft.operators.Multimodal.decodeFeatures]]) the moment it

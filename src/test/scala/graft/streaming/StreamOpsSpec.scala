@@ -398,6 +398,40 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(streamed.sum > 0L)
   }
 
+  test("weightedSampleStream: chunked replay's final shard states merge to " +
+      "exactly the batch sample; duplicate redelivery leaves states unchanged") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.SampleIn
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[SampleIn]
+      .collect().sortBy(_.doc_id).toSeq
+    val chunks = docs.grouped((docs.size + 3) / 4).toSeq
+    val in = MemoryStream[SampleIn]
+    val q = StreamOps.weightedSampleStream(in.toDS())
+      .writeStream.format("memory").queryName("wsample_replay")
+      .outputMode(OutputMode.Update()).start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    // redeliver the second chunk wholesale: the keyed insert replaces
+    // by doc_id, so states (and thus the sample) must not change
+    in.addData(chunks(1)); q.processAllAvailable()
+    q.stop()
+    // newest emission per shard = max n_seen for that shard
+    val tbl = spark.table("wsample_replay")
+    val latest = tbl.groupBy(col("shard")).agg(max(col("n_seen")).as("mx"))
+      .select(col("shard").as("shard2"), col("mx"))
+    val standing = tbl.join(latest,
+        col("shard") === col("shard2") && col("n_seen") === col("mx"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(graft.operators.TextAnalysis.WorK)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val batch = graft.operators.TextAnalysis.weightedSample(
+      graft.Tables.documents(spark, sf))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(standing == batch,
+      s"standing sample diverged: stream=${standing.take(5)}… batch=${batch.take(5)}…")
+  }
+
   test("piiScrubStream chunked replay ≡ batch x12 signals, with no state store") {
     implicit val sq = spark.sqlContext
     import graft.operators.TextAnalysis
