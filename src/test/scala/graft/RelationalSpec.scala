@@ -481,4 +481,46 @@ class RelationalSpec extends SparkSpecBase {
     assert(m(chain.repartition(1)) ==
       m(chain.repartition(7, org.apache.spark.sql.functions.col("dst"))))
   }
+
+  test("runtime bloom filter injects on the selective fact-fact join shape " +
+      "(Catalyst's runtime row filtering engages at scale settings)") {
+    import org.apache.spark.sql.functions._
+    // the q3 shape: big probe side (lineitem) ⋈ selectively-filtered
+    // creation side (orders). At 100 TB the bloom filter built from
+    // the filtered side prunes probe rows BEFORE the shuffle — verify
+    // the injection fires once broadcast is off and thresholds admit
+    // the creation side, so the engine's join family inherits it
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "500MB")
+      // the production default (10GB) encodes "only bother at scale";
+      // the test corpus is tiny, so admit it explicitly
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderkey") % 100L === 0L)
+        .select(col("o_orderkey"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") &&
+        plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter did not inject:\n$plan")
+      // and the filtered result is still exact
+      val expect = li.join(ord.hint("broadcast"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
