@@ -32,7 +32,8 @@ class CdcEngine(
     maxBatchSize: Int = CdcEngine.DefaultMaxBatchSize,
     pollIntervalMs: Long = 100,
     subsecTimestamps: Boolean = true,
-    wakeup: Wakeup = Wakeup.poll()) {
+    wakeup: Wakeup = Wakeup.poll(),
+    deadLetter: Option[ChangesHandler] = None) {
 
   import spark.implicits._
 
@@ -87,7 +88,32 @@ class CdcEngine(
         val batchDf = spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(batch: _*)),
           batch.head.schema)
-        handler.handle(toChanges(batchDf)) // throws → fail-stop, no ack
+        deadLetter match {
+          case None =>
+            handler.handle(toChanges(batchDf)) // throws → fail-stop, no ack
+          case Some(dl) =>
+            // DEAD-LETTER split: without it, ONE poison row (an
+            // unparseable log timestamp under ANSI parsing, or a null
+            // field from a foreign log producer) fail-stops every
+            // restart at the same batch — the ordered log is wedged
+            // forever. With it, poison rows go to the side sink (full
+            // payload preserved for replay once the producer is
+            // fixed, timestamp decoded tolerantly to null) and ARE
+            // acked. Both handlers return before the ack:
+            // at-least-once holds for the dead-letter channel too;
+            // order inside each channel stays the log order.
+            val fmt = if (subsecTimestamps) Change.LogTsFormat
+              else Change.LogTsFormatNoSubsec
+            val bad = try_to_timestamp(col("timestamp"), lit(fmt)).isNull ||
+              col("tablename").isNull || col("operation").isNull
+            val quarantined = batchDf.filter(bad)
+            handler.handle(toChanges(batchDf.filter(!bad)))
+            if (!quarantined.isEmpty) dl.handle(
+              quarantined.select(
+                col("tablename").as("table"),
+                try_to_timestamp(col("timestamp"), lit(fmt)).as("timestamp"),
+                col("operation"), col("before"), col("after")).as[Change])
+        }
         log.truncate(maxId)                // ack: at-least-once boundary
         offset = maxId
         delivered += batch.length

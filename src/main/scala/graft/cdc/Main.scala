@@ -38,7 +38,8 @@ object Main {
       pollMs: Long = 100,
       availableNow: Boolean = false,
       ignoreDrift: Boolean = false,
-      watchFile: Option[String] = None)
+      watchFile: Option[String] = None,
+      deadLetter: Option[String] = None)
 
   val usage: String =
     """usage: graft.cdc.Main [flags]
@@ -58,6 +59,8 @@ object Main {
       |  --disable-subsec       second-resolution timestamps (old SQLite clients)
       |  --blobs                include BLOB columns (upper-case hex)
       |  --poll-ms <n>          cdc poll interval in milliseconds (default 100)
+      |  --dead-letter <dest>   side sink for poison rows (same forms as --output);
+      |                         without it one unparseable row wedges the log
       |  --available-now        drain what exists and exit instead of tailing
       |  --ignore-drift         downgrade the startup schema-drift check to a warning
       |  --watch <file>         wake the cdc loop on db/-wal/-shm file events
@@ -96,6 +99,7 @@ object Main {
       case "--available-now" :: t      => go(t, c.copy(availableNow = true))
       case "--ignore-drift" :: t       => go(t, c.copy(ignoreDrift = true))
       case "--watch" :: v :: t         => go(t, c.copy(watchFile = Some(v)))
+      case "--dead-letter" :: v :: t   => go(t, c.copy(deadLetter = Some(v)))
       case ("--help" | "-h") :: _      => Left(usage)
       case other :: _                  => Left(s"unknown flag: $other\n$usage")
     }
@@ -206,7 +210,8 @@ object Main {
     val engine = new CdcEngine(spark, log, handlerFor(c.output),
       maxBatchSize = c.batchSize, pollIntervalMs = c.pollMs,
       subsecTimestamps = !c.disableSubsec,
-      wakeup = c.watchFile.fold[Wakeup](Wakeup.poll())(new FileWakeup(_)))
+      wakeup = c.watchFile.fold[Wakeup](Wakeup.poll())(new FileWakeup(_)),
+      deadLetter = c.deadLetter.map(handlerFor))
     onEngine(engine)
 
     def snapshots: Seq[(String, DataFrame)] = c.tables.map { t =>

@@ -61,6 +61,47 @@ class CdcEngineSpec extends SparkSpecBase {
     assert(rec.all.head.after.get == """{"pk":50}""")
   }
 
+  test("dead-letter channel: poison rows route to the side sink with payload " +
+      "intact, valid rows deliver in order, the log never wedges; without a " +
+      "dead-letter handler behavior is unchanged") {
+    import org.apache.spark.sql.Row
+    // the log schema pins tablename/operation NOT NULL (reference DDL
+    // parity), so the reachable poison is the timestamp text
+    def poisoned(): Seq[Row] =
+      logRows(0 until 10) ++ Seq(
+        Row(10L, "not a timestamp", "t", "INSERT", null, """{"pk":10}"""),
+        Row(11L, "2024-13-99 99:99:99.999", "t", "INSERT", null, """{"pk":11}""")) ++
+        logRows(12 until 20).map(r => Row(
+          r.getLong(0) + 12L, r.getString(1), r.getString(2), r.getString(3),
+          r.get(4), r.getString(5)))
+    val log = new ParquetChangeLog(newLogDir())
+    appendRows(log, poisoned())
+    val rec = new RecordingHandler
+    val dead = new RecordingHandler
+    val n = new CdcEngine(spark, log, rec, deadLetter = Some(dead))
+      .cdcAvailableNow()
+    assert(n == 20)
+    // valid rows delivered in log order, poison rows absent
+    val pks = rec.all.map(c => c.after.get.split(":")(1).dropRight(1).toInt)
+    assert(pks == ((0 until 10) ++ (12 until 20)).toList, s"got $pks")
+    // poison rows landed in the dead-letter sink, payload preserved
+    assert(dead.all.size == 2)
+    assert(dead.all.map(_.after.get).toSet ==
+      Set("""{"pk":10}""", """{"pk":11}"""))
+    assert(dead.all.exists(_.timestamp == null), "unparseable ts preserved as null")
+    // the log is fully acked — poison rows cannot wedge it
+    assert(log.committedOffset == 31L)
+    // WITHOUT a dead-letter handler, ANSI timestamp parsing fail-stops
+    // on the poison batch and nothing in it acks: every restart hits
+    // the same row — the wedge this channel exists to break
+    val log2 = new ParquetChangeLog(newLogDir())
+    appendRows(log2, poisoned())
+    val rec2 = new RecordingHandler
+    assertThrows[Exception](
+      new CdcEngine(spark, log2, rec2).cdcAvailableNow())
+    assert(log2.committedOffset < 10L, "poison batch must not ack")
+  }
+
   test("engines are single-use (sync.Once parity)") {
     val log = new ParquetChangeLog(newLogDir())
     val engine = new CdcEngine(spark, log, new RecordingHandler)

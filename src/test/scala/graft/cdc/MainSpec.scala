@@ -44,10 +44,12 @@ class MainSpec extends SparkSpecBase {
       "--table", "a", "--table", "b", "--log-table", "cdc2",
       "--bootstrap", "--cdc", "--output", "json",
       "--batch-size", "7", "--disable-subsec", "--blobs",
-      "--poll-ms", "5", "--available-now")).toOption.get
+      "--poll-ms", "5", "--available-now",
+      "--dead-letter", "json")).toOption.get
     assert(c.tables == Seq("a", "b") && c.logTable == "cdc2" &&
       c.batchSize == 7 && c.output == "json" && c.blobs && c.disableSubsec &&
-      c.bootstrap && c.cdc && c.availableNow && c.pollMs == 5L)
+      c.bootstrap && c.cdc && c.availableNow && c.pollMs == 5L &&
+      c.deadLetter.contains("json"))
     val s = Main.parse(Seq("--db", "u", "--table", "t", "--setup", "--cdc",
       "--watch", "/x/a.db", "--ignore-drift")).toOption.get
     assert(s.setup && s.watchFile.contains("/x/a.db") && s.ignoreDrift)
