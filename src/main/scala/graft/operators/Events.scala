@@ -698,6 +698,32 @@ object Events {
       .orderBy(col("hour_s"), col("event_type"))
   }
 
+  /** e26: VARIANT-typed semi-structured extraction — e3's
+    * get_json_object path re-expressed on Spark 4's VARIANT type:
+    * `parse_json` decodes the JSON TEXT once into the binary variant
+    * encoding, and every later `variant_get` is a cheap binary probe
+    * instead of a re-parse — the representation a 100 TB
+    * semi-structured column should land in (and the one shredded
+    * parquet readers accelerate). Missing paths return null
+    * (`n_absent` pins the semantics: zero hits). The oracle states
+    * the same values via DuckDB's JSON extraction — the gate checks
+    * the VALUES agree across representations, which is the point:
+    * switching text-JSON pipelines to VARIANT must not change one
+    * answer. */
+  def e26VariantExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.absent", "bigint").as("missing"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("missing")).as("n_absent"))
+      .orderBy(col("event_type"))
+
   /** e24: incremental JOIN maintenance — the join half of the IVM
     * story e16 told for aggregates. A materialized join view J = C⋈P
     * (clicks ⋈ purchases on user) absorbs a delta batch via the
@@ -1144,6 +1170,7 @@ object Events {
     "e23_series_knn"     -> e23SeriesKnn _,
     "e24_delta_join"     -> e24DeltaJoin _,
     "e25_pattern_opt"    -> e25PatternOptional _,
+    "e26_variant"        -> e26VariantExtract _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1379,6 +1406,17 @@ object Events {
     // (verified: user 41 folds to (6,0) alone or in a 3-user batch,
     // (7,2) in the full 150-user batch — the CTE and a python fold
     // both agree on (6,0)), so the oracle states the fold row-by-row
+    // the same values from DuckDB's json extraction — representation
+    // (text json vs binary variant) must not change answers
+    "e26_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(count(CAST(json_extract_string(props, '$.absent') AS BIGINT))
+        |    AS BIGINT) AS n_absent
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the explicit 3-state optional-stage automaton, stated as the
     // identical transition table both engines fold
     "e25_pattern_opt" ->

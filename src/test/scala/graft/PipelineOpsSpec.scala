@@ -2652,6 +2652,38 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(6L) == ((0L, 0L, 2L)))
   }
 
+  test("e26 variant: binary variant probes match text-json extraction on " +
+      "nested paths; missing paths null; malformed input nulls under try_") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"k": 7, "nest": {"a": [1, 2, 3]}}""",
+      """{"k": 9}""",
+      """not json at all""").toDF("js")
+    val out = docs.select(
+      try_parse_json(col("js")).as("v"))
+      .select(
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.nest.a[1]", "bigint").as("a1"),
+        variant_get(col("v"), "$.gone", "bigint").as("gone"),
+        col("v").isNull.as("bad"))
+      .collect()
+    assert(out(0).getAs[Long]("k") == 7L)
+    assert(out(0).getAs[Long]("a1") == 2L, "nested array path must probe")
+    assert(out(0).isNullAt(out(0).fieldIndex("gone")))
+    assert(out(1).getAs[Long]("k") == 9L)
+    assert(out(2).getAs[Boolean]("bad"),
+      "malformed json must null under try_parse_json")
+    // the corpus query's variant answers equal the text-json answers
+    val viaVariant = Events.e26VariantExtract(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("sum_k")).toMap
+    val viaText = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("s"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("s")).toMap
+    assert(viaVariant == viaText,
+      "variant representation changed an answer")
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
