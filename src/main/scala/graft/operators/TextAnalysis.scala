@@ -835,6 +835,38 @@ object TextAnalysis {
       .limit(DsirN)
   }
 
+  /** x29: the CORPUS DATASHEET — the one-row "datasheet for datasets"
+    * card a corpus release ships (Gebru et al.): size (docs, tokens),
+    * composition (languages, sources), quality (mean x2 score,
+    * Gopher-rule pass rate), and redundancy (near-dup rate off the
+    * shared cluster resolution). d13 reports the dedup RUN; this
+    * reports the CORPUS — the number a consumer reads before
+    * training. Every component folds to a driver-sized aggregate off
+    * already-specced machinery (x2, x24, d6's clusters), cross-joined
+    * into one row; integer fixed-point throughout. */
+  def x29CorpusCard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        words(col("text")).as("ws"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ws")).cast("long")).as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"))
+    val qual = qualitySignals(docs)
+      .agg(idiv(sum(col("quality_e3")), count(lit(1)))
+        .as("mean_quality_e3"))
+    val gopher = gopherRules(docs)
+      .agg(idiv(sum(when(col("gopher_pass"), 1000000L).otherwise(0L)),
+        count(lit(1))).as("gopher_pass_e6"))
+    val dup = Dedup.sharedClusters(s, d)
+      .agg(count(lit(1)).as("nd"),
+        count_distinct(col("cluster_rep")).as("nc"))
+      .select(idiv((col("nd") - col("nc")) * 1000000L, col("nd"))
+        .as("dup_rate_e6"))
+    base.crossJoin(qual).crossJoin(gopher).crossJoin(dup)
+  }
+
   /** x16: BIGRAM language-model fluency scoring — x13's unigram filter
     * upgraded one conditioning order: p(w₂|w₁) with Laplace smoothing,
     * trained on the x6 train split, every doc scored by its mean
@@ -1538,6 +1570,7 @@ object TextAnalysis {
     "x26_cms_freq"       -> x26CmsFreq _,
     "x27_weighted_sample" -> x27WeightedSample _,
     "x28_dsir"           -> x28Dsir _,
+    "x29_corpus_card"    -> x29CorpusCard _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1994,6 +2027,84 @@ object TextAnalysis {
          |  r.src_rank <= r.weight * k.k AS keep
          |FROM r JOIN caps ON r.source = caps.source CROSS JOIN k
          |ORDER BY r.doc_id""".stripMargin,
+    // the x2 quality fold, the x24 gopher fold and the d6 simhash
+    // closure, each rolled to one driver-sized aggregate
+    "x29_corpus_card" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text, lang, source,
+         |    list_filter(string_split(text, ' '), w -> w != '') AS ws,
+         |    string_split(text, chr(10)) AS lines,
+         |    list_filter(string_split(lower(text), ' '), w -> w != '') AS wsl
+         |  FROM documents),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM t),
+         |qb AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_tok_len,
+         |    CAST(len(list_filter(ws, w -> w IN ${inList(EnStop)})) AS BIGINT) AS n_stop
+         |  FROM t),
+         |qs AS (SELECT doc_id,
+         |    CAST(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 300 ELSE 0 END +
+         |      CASE WHEN sum_tok_len * 1000 // greatest(n_tokens, 1) BETWEEN 3000 AND 8000 THEN 400 ELSE 0 END +
+         |      CASE WHEN n_stop * 1000 // greatest(n_tokens, 1) BETWEEN 20 AND 400 THEN 300 ELSE 0 END
+         |      AS BIGINT) AS quality_e3
+         |  FROM qb),
+         |qagg AS (SELECT CAST(sum(quality_e3) // count(*) AS BIGINT)
+         |    AS mean_quality_e3 FROM qs),
+         |gb AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+         |      AS BIGINT) AS sum_len,
+         |    CAST((length(text) - length(replace(text, '#', ''))) +
+         |      (length(text) - length(replace(text, '...', ''))) // 3
+         |      AS BIGINT) AS n_sym,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+         |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+         |      AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+         |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellip,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(${GopherReqWords.map(r =>
+               s"CASE WHEN list_contains(wsl, '$r') THEN 1 ELSE 0 END")
+               .mkString(" + ")} AS BIGINT) AS n_req_stop
+         |  FROM t),
+         |gp AS (SELECT doc_id,
+         |    n_words BETWEEN 50 AND 100000
+         |      AND sum_len * 1000 // greatest(n_words, 1) BETWEEN 3000 AND 10000
+         |      AND n_sym * 1000000 // greatest(n_words, 1) <= 100000
+         |      AND n_bullet * 1000000 // n_lines <= 100000
+         |      AND n_ellip * 1000000 // n_lines <= 300000
+         |      AND n_alpha * 1000000 // greatest(n_words, 1) >= 800000
+         |      AND n_req_stop >= 2 AS pass
+         |  FROM gb),
+         |gagg AS (SELECT CAST(sum(CASE WHEN pass THEN 1000000 ELSE 0 END)
+         |      // count(*) AS BIGINT) AS gopher_pass_e6 FROM gp),
+         |sg AS (SELECT doc_id,
+         |    list_aggregate(list_transform(range(1, 33), j ->
+         |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+         |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+         |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+         |  FROM t),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE coalesce(list_sum(list_transform(range(1, 33), j ->
+         |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0) <= 1),
+         |ed AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT r.src, ed.v FROM reach r JOIN ed ON r.dst = ed.u),
+         |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+         |  FROM reach GROUP BY src),
+         |dagg AS (SELECT CAST((count(*) - count(DISTINCT cluster_rep))
+         |      * 1000000 // count(*) AS BIGINT) AS dup_rate_e6 FROM comp)
+         |SELECT base.n_docs, base.n_tokens, base.n_langs, base.n_sources,
+         |  qagg.mean_quality_e3, gagg.gopher_pass_e6, dagg.dup_rate_e6
+         |FROM base CROSS JOIN qagg CROSS JOIN gagg CROSS JOIN dagg""".stripMargin,
     // two Laplace unigram models, per-token e4 log-ratio, floor-mean,
     // same deterministic top-N (explicit floor: sums can be negative)
     "x28_dsir" ->

@@ -2684,6 +2684,25 @@ class PipelineOpsSpec extends SparkSpecBase {
       "variant representation changed an answer")
   }
 
+  test("x29 corpus card: one row whose components reconcile with their " +
+      "source queries (gopher rate, dup rate, quality mean)") {
+    val card = TextAnalysis.x29CorpusCard(spark, sf).collect()
+    assert(card.length == 1)
+    val r = card(0)
+    assert(r.getAs[Long]("n_docs") > 0L && r.getAs[Long]("n_tokens") > 0L)
+    // gopher pass rate ≡ the x24 query's own pass fraction
+    val g = TextAnalysis.x24GopherRules(spark, sf).collect()
+    val expG = g.count(_.getAs[Boolean]("gopher_pass")).toLong * 1000000L / g.length
+    assert(r.getAs[Long]("gopher_pass_e6") == expG)
+    // dup rate ≡ d13's drop rate (same cluster resolution)
+    val d13 = Dedup.d13DedupStats(spark, sf).collect()(0)
+    assert(r.getAs[Long]("dup_rate_e6") == d13.getAs[Long]("drop_rate_e6"))
+    // quality mean ≡ the x2 signals' floor-mean
+    val q = TextAnalysis.qualitySignals(Tables.documents(spark, sf)).collect()
+    val expQ = q.map(_.getAs[Long]("quality_e3")).sum / q.length
+    assert(r.getAs[Long]("mean_quality_e3") == expQ)
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
