@@ -602,6 +602,51 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Post-filter candidate depth for s17's comparison leg. */
+  val PostFilterM = 10
+
+  /** s17: FILTERED vector search — top-k among vectors satisfying a
+    * metadata predicate (here: same label as the query), the
+    * vector-database problem where the naive plan is subtly wrong:
+    * POST-filtering (rank everything, cut at m, then filter) LOSES
+    * results whenever fewer than k of the top-m survive the
+    * predicate, while PRE-filtering (apply the predicate before
+    * ranking) is exact by construction. The query computes BOTH — the
+    * exact pre-filtered rank and, per row, whether the post-filter
+    * plan at depth [[PostFilterM]] would have surfaced it — so the
+    * loss is a visible measure (`lost_by_postfilter`), not an
+    * anecdote. Pre-filtering composes with every index in this
+    * module: under IVF the predicate prunes list entries before
+    * scoring; on the bucketed warehouse it rides partition pruning.
+    * Spec pins that the post-filter leg is the truncation it claims
+    * to be and that losses actually occur on this corpus. */
+  def s17FilteredKnn(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      col("norm_fp").as("q_norm"), col("label").cast("long").as("q_label"))
+      .filter(col("qid") < NQueries.toLong)
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"), col("label").cast("long").as("n_label"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos",
+        cosine(dotFp9(col("q_emb"), col("n_emb")), col("q_norm"), col("n_norm")))
+    val wAll = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val wPre = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("grank", row_number().over(wAll)) // unfiltered rank
+      .filter(col("n_label") === col("q_label"))    // PRE-filter
+      .withColumn("rank", row_number().over(wPre))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("q_label"),
+        col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"),
+        // post-filtering at depth m only sees rows with global rank ≤ m
+        (col("grank") > PostFilterM).as("lost_by_postfilter"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Per-vector int8 scalar quantization: scale = max |component|,
     * q_j = round(x_j / scale · 127) — the standard 4×-memory-reduction
     * storage format for ANN corpora at scale. Quantization and the
@@ -1437,6 +1482,7 @@ object Similarity {
     "s14_knn_rp"      -> s14KnnRp _,
     "s15_hard_neg"    -> s15HardNegatives _,
     "s16_mrl_rerank"  -> s16MrlRerank _,
+    "s17_filtered_knn" -> s17FilteredKnn _,
     "d12_semdedup"    -> d12SemDedup _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
@@ -1607,6 +1653,27 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // unfiltered global rank first, label pre-filter second — the
+    // identical two-window chain, loss flag from the global rank
+    "s17_filtered_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label,
+         |    ${oDot("embedding", "embedding")} AS norm_fp
+         |  FROM embeddings),
+         |scored AS (SELECT q.vec_id AS qid, CAST(q.label AS BIGINT) AS q_label,
+         |    c.vec_id AS nid, CAST(c.label AS BIGINT) AS n_label,
+         |    ${oCos(oDot("q.embedding", "c.embedding"), "q.norm_fp", "c.norm_fp")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+         |g AS (SELECT qid, q_label, nid, n_label, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS grank
+         |  FROM scored),
+         |f AS (SELECT qid, q_label, nid, cos, grank,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+         |      AS BIGINT) AS rank
+         |  FROM g WHERE n_label = q_label)
+         |SELECT qid, q_label, rank, nid,
+         |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6,
+         |  grank > $PostFilterM AS lost_by_postfilter
+         |FROM f WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
     // prefix slice, prefix fp9 cosine, RerankK coarse cut, full-dim
     // fine rank — the identical two-window chain
     "s16_mrl_rerank" ->

@@ -206,6 +206,44 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(coarseOnly.nonEmpty)
   }
 
+  test("s17 filtered kNN: pre-filtered ranking is exact (every row same " +
+      "label), the post-filter loss flag is the truncation it claims, and " +
+      "losses occur on this corpus") {
+    val out = Similarity.s17FilteredKnn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("q_label") ==
+      Tables.embeddings(spark, sf)
+        .filter(col("vec_id") === r.getAs[Long]("nid"))
+        .collect()(0).getAs[Int]("label").toLong,
+      "a differently-labeled row leaked through the pre-filter"))
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length.toLong)) // dense ranks from 1
+      val cs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cos_e6"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // the loss flag is real on a ~uniform-label corpus: with L labels,
+    // the top-10 global ranks hold ~10/L same-label rows < TopK, so
+    // SOME of the exact filtered top-k must sit beyond depth 10
+    assert(out.exists(_.getAs[Boolean]("lost_by_postfilter")),
+      "expected post-filter losses on this corpus")
+    // and the flag equals the truncation it claims: recompute global
+    // ranks in-Spark and cross-check a sample row
+    val first = out.filter(_.getAs[Boolean]("lost_by_postfilter")).head
+    val e = Similarity.withNorm(Tables.embeddings(spark, sf))
+    val qv = e.filter(col("vec_id") === first.getAs[Long]("qid"))
+      .select(col("embedding"), col("norm_fp")).collect()(0)
+    val ranked = e.filter(col("vec_id") =!= first.getAs[Long]("qid"))
+      .withColumn("cos", Similarity.cosine(
+        Similarity.dotFp9(col("embedding"),
+          typedLit(qv.getSeq[Float](0))), col("norm_fp"), lit(qv.getLong(1))))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val pos = ranked.indexOf(first.getAs[Long]("nid")) + 1
+    assert(pos > Similarity.PostFilterM,
+      s"flagged row sits at global rank $pos <= ${Similarity.PostFilterM}")
+  }
+
   test("s2 IVF assignment and probe-list stages plan with zero Exchange") {
     val e = Similarity.withNorm(Tables.embeddings(spark, sf))
     val cents = Similarity.collectCodebook(e)
