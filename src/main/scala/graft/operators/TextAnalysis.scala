@@ -307,6 +307,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("pred_lang"), col("score_en"), col("best_score"))
   }
 
+  /** x30: LABEL-NOISE audit — the declared `lang` column cross-checked
+    * against x3's content-based prediction as a confusion matrix plus
+    * a per-declared-label noise rate: the label-QA step a corpus runs
+    * before trusting its metadata for mixing (x7/x14 weight by `lang`
+    * — a mislabeled stratum silently skews the mixture). 'und'
+    * predictions (no marker hits) are reported but excluded from the
+    * noise rate (absence of evidence). One narrow scoring pass (x3's)
+    * + one tiny groupBy; labels² output. */
+  def x30LangConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = langIdSignals(documents(s, d))
+    documents(s, d).select(col("doc_id"), col("lang").as("declared"))
+      .join(pred.select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+      .groupBy(col("declared"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_declared",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("declared"))))
+      .withColumn("mismatch",
+        col("pred_lang") =!= col("declared") && col("pred_lang") =!= "und")
+      .withColumn("noise_rate_e6",
+        idiv(sum(when(col("mismatch"), col("n")).otherwise(0L))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("declared"))) * 1000000L, col("n_declared")))
+      .select(col("declared"), col("pred_lang"), col("n"),
+        col("n_declared"), col("mismatch"), col("noise_rate_e6"))
+      .orderBy(col("declared"), col("pred_lang"))
+  }
+
   /** x4: document fingerprints — exact content hash (md5 of normalized
     * text), min-shingle hash (1-element MinHash / rolling-hash-style
     * content signature), 32-bit SimHash bit string. */
@@ -1571,6 +1599,7 @@ object TextAnalysis {
     "x27_weighted_sample" -> x27WeightedSample _,
     "x28_dsir"           -> x28Dsir _,
     "x29_corpus_card"    -> x29CorpusCard _,
+    "x30_lang_confusion" -> x30LangConfusion _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1748,6 +1777,39 @@ object TextAnalysis {
          |   CASE WHEN avg_tok_len_e3 BETWEEN 3000 AND 8000 THEN 400 ELSE 0 END +
          |   CASE WHEN stop_ratio_e3 BETWEEN 20 AND 400 THEN 300 ELSE 0 END) AS quality_e3
          |FROM q ORDER BY doc_id""".stripMargin,
+    // x3's argmax restated, joined back to the declared label, rolled
+    // into the confusion matrix + per-declared-label noise rate
+    "x30_lang_confusion" -> {
+      val scores = LangMarkers.map { case (lang, markers) =>
+        s"CAST(len(list_filter(ws, w -> w IN ${inList(markers)})) AS BIGINT) AS score_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = LangMarkers.map { case (l, _) => s"score_$l" }
+        .reduce((a, b) => s"greatest($a, $b)")
+      val predCase = LangMarkers.map { case (l, _) =>
+        s"WHEN score_$l = best_score AND best_score > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang AS declared,
+         |    list_filter(string_split(lower(text), ' '), w -> w != '') ws
+         |  FROM documents),
+         |sc AS (SELECT doc_id, declared,
+         |    $scores
+         |  FROM t),
+         |b AS (SELECT *, $bestExpr AS best_score FROM sc),
+         |pr AS (SELECT doc_id, declared,
+         |    CASE $predCase ELSE 'und' END AS pred_lang FROM b),
+         |m AS (SELECT declared, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM pr GROUP BY declared, pred_lang),
+         |r AS (SELECT declared, pred_lang, n,
+         |    sum(n) OVER (PARTITION BY declared) AS n_declared,
+         |    pred_lang <> declared AND pred_lang <> 'und' AS mismatch
+         |  FROM m)
+         |SELECT declared, pred_lang, n,
+         |  CAST(n_declared AS BIGINT) AS n_declared, mismatch,
+         |  CAST(sum(CASE WHEN mismatch THEN n ELSE 0 END)
+         |      OVER (PARTITION BY declared) * 1000000 // n_declared
+         |    AS BIGINT) AS noise_rate_e6
+         |FROM r ORDER BY declared, pred_lang""".stripMargin
+    },
     "x3_lang_id" -> {
       val scores = LangMarkers.map { case (lang, markers) =>
         s"CAST(len(list_filter(ws, w -> w IN ${inList(markers)})) AS BIGINT) AS score_$lang"

@@ -2741,6 +2741,35 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("mean_quality_e3") == expQ)
   }
 
+  test("x30 lang confusion: mislabels flag, matching labels don't, 'und' is " +
+      "excluded from the noise rate, rates are per declared label") {
+    import spark.implicits._
+    def run(docs: org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory("x30").toString
+      docs.withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      TextAnalysis.x30LangConfusion(spark, dir).collect()
+    }
+    val docs = Seq(
+      (1L, "en", "the cat and the dog of a house"),   // correct
+      (2L, "en", "the fish and a bird"),              // correct
+      (3L, "de", "the dog and the cat"),              // MISLABELED (en text)
+      (4L, "de", "der hund und die katze nicht"),     // correct
+      (5L, "de", "zzz qqq xxx")                       // no markers → und
+    ).toDF("doc_id", "lang", "text")
+    val out = run(docs).map(r => (r.getAs[String]("declared"),
+      r.getAs[String]("pred_lang")) ->
+      (r.getAs[Long]("n"), r.getAs[Boolean]("mismatch"),
+        r.getAs[Long]("noise_rate_e6"))).toMap
+    assert(out(("en", "en"))._1 == 2L && !out(("en", "en"))._2)
+    assert(out(("de", "en"))._2, "mislabel must flag")
+    assert(!out(("de", "und"))._2, "'und' must not count as noise")
+    // de noise rate: 1 mislabel of 3 declared-de docs
+    assert(out(("de", "en"))._3 == 1000000L / 3L, s"got ${out(("de", "en"))}")
+    assert(out(("en", "en"))._3 == 0L)
+  }
+
   test("x22 safe split: near-dup clusters never straddle splits; singletons " +
       "keep x6's per-doc assignment; flagged leakage exists under x6 but " +
       "cannot under the cluster-grain split") {
