@@ -250,6 +250,46 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q26: the TPC-H Q2 SHAPE — minimum-cost supplier per part within a
+    * region: for small parts (p_size < 10), among line items shipped
+    * by EUROPE-nation suppliers, the supplier(s) achieving the MINIMUM
+    * extended price for that part. The correlated `price = (SELECT
+    * min(price) WHERE partkey = outer)` subquery is decorrelated into
+    * one per-part aggregate joined back (q17's discipline, on min
+    * instead of avg); region→nation→supplier is a broadcast dim chain
+    * pruned BEFORE touching the fact table, so the fact scan joins
+    * against the small qualified-supplier set — the plan Q2 wants at
+    * scale. Ties (two suppliers at the min price) all emit, ordered
+    * (s_acctbal desc, s_name) per the Q2 convention; top 20 rows. */
+  def q26MinCost(s: SparkSession, d: String): DataFrame = {
+    val euroSupp = supplier(s, d)
+      .join(broadcast(nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val smallParts = part(s, d).filter(col("p_size") < 10)
+      .select(col("p_partkey"), col("p_type"), col("p_size"))
+    val offers = lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+    val minPrice = offers.groupBy(col("p_partkey").as("mp_part"))
+      .agg(min(col("price_c")).as("min_price_c"))
+    offers
+      .join(minPrice, col("p_partkey") === col("mp_part") &&
+        col("price_c") === col("min_price_c"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"),
+        dollars(col("price_c")).as("min_price"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(20)
+  }
+
   /** q18: UNPIVOT — wide-to-long reshaping, the inverse of q16's pivot.
     * A per-returnflag aggregate produces three metric columns, then
     * `unpivot` melts them into (l_returnflag, metric, amount) rows.
@@ -756,12 +796,34 @@ object Relational {
     "q23_zorder"        -> q23Zorder _,
     "q24_pagerank"      -> q24PageRank _,
     "q25_window_funcs"  -> q25WindowFuncs _,
+    "q26_min_cost"      -> q26MinCost _,
   )
 
   def oracleSql: Map[String, String] = Map(
     // identical window family; nth_value pins the explicit unbounded
     // frame; ratio columns are exact integer e6 + the builtins' exact
     // integer-division doubles
+    // the correlated min stated directly; cents-exact price equality
+    "q26_min_cost" ->
+      """WITH es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |sp AS (SELECT p_partkey, p_type FROM part WHERE p_size < 10),
+        |o AS (SELECT l.l_partkey, es.s_name, es.s_acctbal, es.n_name,
+        |    sp.p_type, CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem l
+        |  JOIN es ON l.l_suppkey = es.s_suppkey
+        |  JOIN sp ON l.l_partkey = sp.p_partkey),
+        |m AS (SELECT l_partkey, min(price_c) AS min_price_c
+        |  FROM o GROUP BY l_partkey)
+        |SELECT DISTINCT o.s_acctbal, o.s_name, o.n_name,
+        |  o.l_partkey AS p_partkey, o.p_type,
+        |  o.price_c::DOUBLE / 100.0 AS min_price
+        |FROM o JOIN m ON o.l_partkey = m.l_partkey
+        |  AND o.price_c = m.min_price_c
+        |ORDER BY o.s_acctbal DESC, o.n_name, o.s_name, p_partkey
+        |LIMIT 20""".stripMargin,
     "q25_window_funcs" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |    CAST(o_orderdate AS DATE) AS od,

@@ -482,6 +482,44 @@ class RelationalSpec extends SparkSpecBase {
       m(chain.repartition(7, org.apache.spark.sql.functions.col("dst"))))
   }
 
+  test("q26 min-cost: every row achieves its part's true minimum among " +
+      "qualified offers, only region suppliers appear, dims broadcast") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    import graft.Tables
+    val out = Relational.q26MinCost(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recompute the qualified offer set independently
+    val euro = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val offers = Tables.lineitem(spark, sf)
+      .join(euro, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(spark, sf).filter(col("p_size") < 10),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey").as("pk"), col("s_name").as("sn"),
+        Tables.cents(col("l_extendedprice")).as("pc"))
+      .collect()
+    val minByPart = offers.groupBy(_.getAs[Long]("pk")).view
+      .mapValues(_.map(_.getAs[Long]("pc")).min).toMap
+    val euroNames = offers.map(_.getAs[String]("sn")).toSet
+    out.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      val priceC = math.round(r.getAs[Double]("min_price") * 100)
+      assert(priceC == minByPart(pk),
+        s"part $pk: $priceC is not the qualified min ${minByPart(pk)}")
+      assert(euroNames.contains(r.getAs[String]("s_name")),
+        "non-qualified supplier leaked")
+    }
+    // the dim chain broadcasts ahead of the fact scan
+    val plan = Relational.q26MinCost(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"dim chain not broadcast:\n$plan")
+  }
+
   test("runtime bloom filter injects on the selective fact-fact join shape " +
       "(Catalyst's runtime row filtering engages at scale settings)") {
     import org.apache.spark.sql.functions._
