@@ -437,6 +437,23 @@ object StreamOps {
         graft.operators.TextAnalysis.CmsDepth,
         graft.operators.TextAnalysis.CmsWidth).as("cms"))
 
+  /** Streaming x25: canonical normalization at INGEST — NFC (the
+    * native expression), newline/control/whitespace canonicalization
+    * the moment text lands, BEFORE any hash-addressed stage sees it
+    * (the batch scaladoc's argument, applied at the door). Stateless
+    * narrow projection: no watermark, no state store, per-row latency
+    * — the piiScrubStream class; batch ≡ stream definitional (same
+    * expression tree) and spec-pinned on bounded replay. */
+  def normalizeStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.normalizeDocs(docs)
+
+  /** Streaming x24: the Gopher rule battery at INGEST — every arriving
+    * document gets its quality verdict before storage, so a
+    * quality-gated topic can drop failures at the door instead of in
+    * a nightly sweep. Same stateless class as [[normalizeStream]]. */
+  def gopherStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.gopherRules(docs)
+
   /** Shard count for the streaming standing sample (x27's twin). */
   val SampleShards = 8
 
@@ -948,6 +965,10 @@ object StreamOps {
     "contaminationStream" -> OutputMode.Append(),
     "lmScoreStream" -> OutputMode.Append(),
     "piiScrubStream" -> OutputMode.Append(),
+    "normalizeStream" -> OutputMode.Append(),
+    "gopherStream" -> OutputMode.Append(),
+    "cmsStream" -> OutputMode.Complete(),
+    "weightedSampleStream" -> OutputMode.Update(),
     "decodeStream" -> OutputMode.Append(),
     "audioDecodeStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append(),

@@ -432,6 +432,43 @@ class StreamOpsSpec extends SparkSpecBase {
       s"standing sample diverged: stream=${standing.take(5)}… batch=${batch.take(5)}…")
   }
 
+  test("normalizeStream + gopherStream: chunked replay ≡ batch, stateless " +
+      "(no state store rows)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val chunks = docs.grouped((docs.size + 2) / 3).toSeq
+    def replay(name: String,
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val in = MemoryStream[(Long, String)]
+      val q = f(in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        s"$name must keep no state")
+      q.stop()
+      spark.table(name)
+    }
+    val nStream = replay("norm_replay", StreamOps.normalizeStream)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    val nBatch = graft.operators.TextAnalysis.normalizeDocs(
+      graft.Tables.documents(spark, sf)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(nStream == nBatch)
+    val gStream = replay("gopher_replay", StreamOps.gopherStream)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("gopher_pass")).toMap
+    val gBatch = graft.operators.TextAnalysis.gopherRules(
+      graft.Tables.documents(spark, sf)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("gopher_pass")).toMap
+    assert(gStream == gBatch)
+  }
+
   test("piiScrubStream chunked replay ≡ batch x12 signals, with no state store") {
     implicit val sq = spark.sqlContext
     import graft.operators.TextAnalysis
