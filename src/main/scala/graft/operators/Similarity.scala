@@ -647,6 +647,35 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** s18: the RECALL LADDER as a query — the engine measures its own
+    * approximate indexes against the exact ranking, in-engine, so
+    * index quality is an oracle-gated NUMBER (it rides the same
+    * correctness gate as every answer) instead of a spec-side note:
+    * per method (s14's JL projection, s16's MRL rerank), the fraction
+    * of s1's exact top-k pairs the approximate ranking recovered.
+    * This is the monitoring query a production ANN deployment runs on
+    * a sampled slice after every index rebuild — recall regressions
+    * page before users notice. The oracle derives VERBATIM from the
+    * s1/s14/s16 oracle statements (each as a CTE), so the ladder can
+    * never drift from the rankings it measures. */
+  def s18RecallLadder(s: SparkSession, d: String): DataFrame = {
+    val exact = s1KnnBrute(s, d).select(col("qid"), col("nid"))
+      .localCheckpoint() // consumed 3×: count + two semi joins
+    val nExact = exact.count()
+    def row(method: String, approx: DataFrame): DataFrame = {
+      val hits = exact.join(approx.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_semi").count()
+      val sp = s
+      import sp.implicits._
+      Seq((method, nExact, hits)).toDF("method", "n_exact", "n_hit")
+    }
+    row("jl_rp16", s14KnnRp(s, d))
+      .unionByName(row("mrl_rerank", s16MrlRerank(s, d)))
+      .withColumn("recall_e6",
+        call_function("div", col("n_hit") * lit(1000000L), col("n_exact")))
+      .orderBy(col("method"))
+  }
+
   /** Per-vector int8 scalar quantization: scale = max |component|,
     * q_j = round(x_j / scale · 127) — the standard 4×-memory-reduction
     * storage format for ANN corpora at scale. Quantization and the
@@ -1483,6 +1512,7 @@ object Similarity {
     "s15_hard_neg"    -> s15HardNegatives _,
     "s16_mrl_rerank"  -> s16MrlRerank _,
     "s17_filtered_knn" -> s17FilteredKnn _,
+    "s18_recall_ladder" -> s18RecallLadder _,
     "d12_semdedup"    -> d12SemDedup _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
@@ -1566,7 +1596,32 @@ object Similarity {
          |    adc.adot::DOUBLE / (sqrt(adc.q_norm::DOUBLE) * sqrt(rn.recon_norm::DOUBLE)) AS cos
          |  FROM adc JOIN rn ON rn.vec_id = adc.nid)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // s18's oracle DERIVES from the s1/s14/s16 entries verbatim (each
+    // full statement becomes a CTE), so the ladder can never drift
+    // from the rankings it measures
+    base + ("s18_recall_ladder" ->
+      s"""WITH ex AS (${base("s1_knn_brute")}),
+         |a AS (${base("s14_knn_rp")}),
+         |b AS (${base("s16_mrl_rerank")}),
+         |ladder AS (
+         |  SELECT 'jl_rp16' AS method,
+         |    (SELECT count(*) FROM ex) AS n_exact,
+         |    (SELECT count(*) FROM ex JOIN a
+         |       ON ex.qid = a.qid AND ex.nid = a.nid) AS n_hit
+         |  UNION ALL
+         |  SELECT 'mrl_rerank',
+         |    (SELECT count(*) FROM ex),
+         |    (SELECT count(*) FROM ex JOIN b
+         |       ON ex.qid = b.qid AND ex.nid = b.nid))
+         |SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_e6
+         |FROM ladder ORDER BY method""".stripMargin)
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "s1_knn_brute" ->
       (NormCte +
         s"""

@@ -244,6 +244,22 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"flagged row sits at global rank $pos <= ${Similarity.PostFilterM}")
   }
 
+  test("s18 recall ladder: in-engine recall equals the recomputed " +
+      "intersection for both methods and sits in (0, 1]") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(Similarity.s1KnnBrute(spark, sf))
+    val expect = Map(
+      "jl_rp16" -> pairs(Similarity.s14KnnRp(spark, sf)),
+      "mrl_rerank" -> pairs(Similarity.s16MrlRerank(spark, sf)))
+      .view.mapValues(p =>
+        p.intersect(exact).size.toLong * 1000000L / exact.size).toMap
+    val out = Similarity.s18RecallLadder(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Long]("recall_e6")).toMap
+    assert(out == expect, s"ladder drifted: $out vs $expect")
+    out.values.foreach(v => assert(v > 0L && v <= 1000000L))
+  }
+
   test("s2 IVF assignment and probe-list stages plan with zero Exchange") {
     val e = Similarity.withNorm(Tables.embeddings(spark, sf))
     val cents = Similarity.collectCodebook(e)
