@@ -967,6 +967,81 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("property: the pattern-automaton family (sets / WITHIN / optional) " +
+      "equals driver-side reference folds on random event streams") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(11)
+    val types = Vector("click", "view", "purchase", "error", "other")
+    (1 to 4).foreach { _ =>
+      val n = 20 + rnd.nextInt(120)
+      val rows = (0 until n).map { i =>
+        (1L + rnd.nextInt(4), // few users → long runs
+          new Timestamp(1700000000000L + rnd.nextInt(40) * 1000L), // heavy ts ties
+          i.toLong, types(rnd.nextInt(types.size)), 0.0d)
+      }
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+      // the shared deterministic per-user run the operators consume
+      val runs = rows.groupBy(_._1).view.mapValues(
+        _.sortBy(e => (e._2.getTime, e._3)).map(e => (e._2.getTime, e._4)))
+      // reference 1: stage-set k-cycle counter
+      val sets = Seq(Seq("click"), Seq("view", "error"), Seq("purchase"))
+      def codeOf(t: String) =
+        sets.indexWhere(_.contains(t)) match { case -1 => 0L; case i => i + 1L }
+      val wantSets = runs.map { case (u, es) =>
+        var acc = 0L
+        es.foreach { case (_, t) =>
+          if (codeOf(t) == acc % 3 + 1) acc += 1 }
+        u -> (acc / 3, acc % 3)
+      }.toMap
+      val gotSets = Events.patternCountSets(df, sets).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"))).toMap
+      assert(gotSets == wantSets, s"sets diverged: n=$n")
+      // reference 2: WITHIN expiry (20 s window, ms → micros)
+      val W = 20L * 1000000L
+      val stages = Seq("click", "view", "purchase")
+      def c3(t: String) = stages.indexOf(t) + 1L // 0-as-noise handled below
+      val wantWin = runs.map { case (u, es) =>
+        var acc = 0L; var start = 0L; var nexp = 0L
+        es.foreach { case (tsMs, t) =>
+          val tu = tsMs * 1000L
+          var s = acc % 3
+          if (s > 0 && tu - start > W) { acc -= s; s = 0; nexp += 1 }
+          val code = if (stages.contains(t)) c3(t) else 0L
+          if (code == s + 1) { if (s == 0) start = tu; acc += 1 }
+        }
+        u -> (acc / 3, acc % 3, nexp)
+      }.toMap
+      val gotWin = Events.patternCountWithin(df, stages, W).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_funnels"), r.getAs[Long]("open_stage"),
+            r.getAs[Long]("n_expired"))).toMap
+      assert(gotWin == wantWin, s"WITHIN diverged: n=$n")
+      // reference 3: optional middle stage
+      val wantOpt = runs.map { case (u, es) =>
+        var st = 0L; var done = 0L; var withB = 0L
+        es.foreach { case (_, t) =>
+          val code = t match {
+            case "click" => 1L; case "view" => 2L; case "purchase" => 3L
+            case _ => 0L }
+          if (st == 0L) { if (code == 1L) st = 1L }
+          else if (st == 1L) {
+            if (code == 2L) st = 2L
+            else if (code == 3L) { done += 1; st = 0L }
+          } else if (code == 3L) { done += 1; withB += 1; st = 0L }
+        }
+        u -> (done, withB, st)
+      }.toMap
+      val gotOpt = Events.patternCountOptional(df,
+        "click", "view", "purchase").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_complete"), r.getAs[Long]("n_with_b"),
+            r.getAs[Long]("open_state"))).toMap
+      assert(gotOpt == wantOpt, s"optional diverged: n=$n")
+    }
+  }
+
   test("d6 cluster reps are consistent with d5 pairs (every paired doc shares a rep)") {
     val reps = Dedup.d6DupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
