@@ -1042,6 +1042,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("property: threshold-selection mix equals the rank form on random " +
+      "corpora (boundary-bucket and tiny-source edges)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val names = Vector("web", "books", "code", "wiki", "s1", "s2", "s3")
+    (1 to 4).foreach { _ =>
+      val nSrc = 1 + rnd.nextInt(names.size)
+      val docs = (0 until 30 + rnd.nextInt(400)).map { i =>
+        (i.toLong + rnd.nextInt(5) * 10000L, // sparse, duplicated-range ids
+          names(rnd.nextInt(nSrc)))
+      }.distinctBy(_._1).toDF("doc_id", "source")
+      def roll(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_sum"))).toMap
+      val thr = roll(TextAnalysis.sourceMixThreshold(docs))
+      val rank = roll(TextAnalysis.sourceMix(docs)
+        .groupBy(col("source"))
+        .agg(count(when(col("keep"), lit(1))).as("n_kept"),
+          coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L))
+            .as("kept_id_sum")))
+      assert(thr == rank, s"diverged with $nSrc sources: $thr vs $rank")
+    }
+  }
+
   test("d6 cluster reps are consistent with d5 pairs (every paired doc shares a rep)") {
     val reps = Dedup.d6DupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
