@@ -475,8 +475,9 @@ object StreamOps {
     * the insert is keyed by doc_id, so at-least-once REDELIVERY IS
     * IDEMPOTENT (a re-inserted doc replaces itself), the property
     * counting state (cmsStream) cannot have and samples get for
-    * free. Emits each shard's full state per batch (Update-mode
-    * sinks; `n_seen` marks the newest emission per shard). */
+    * free. Emits each shard's full state per batch (append-mode
+    * sinks accumulate snapshots; `n_seen` marks the newest emission
+    * per shard — the patternStream emission discipline). */
   def weightedSampleStream(docs: Dataset[SampleIn],
       k: Int = graft.operators.TextAnalysis.WorK): Dataset[SampleOut] = {
     implicit val oe: org.apache.spark.sql.Encoder[SampleOut] =
@@ -490,7 +491,7 @@ object StreamOps {
     docs
       .groupByKey(d => java.lang.Math.floorMod(d.doc_id, SampleShards.toLong))
       .flatMapGroupsWithState[SampleState, SampleOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (shard: Long, batch: Iterator[SampleIn], state: GroupState[SampleState]) =>
           var st = state.getOption.getOrElse(SampleState(Nil, 0L))
           batch.foreach { d =>
@@ -968,7 +969,7 @@ object StreamOps {
     "normalizeStream" -> OutputMode.Append(),
     "gopherStream" -> OutputMode.Append(),
     "cmsStream" -> OutputMode.Complete(),
-    "weightedSampleStream" -> OutputMode.Update(),
+    "weightedSampleStream" -> OutputMode.Append(),
     "decodeStream" -> OutputMode.Append(),
     "audioDecodeStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append(),

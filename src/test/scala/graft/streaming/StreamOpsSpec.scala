@@ -410,7 +410,7 @@ class StreamOpsSpec extends SparkSpecBase {
     val in = MemoryStream[SampleIn]
     val q = StreamOps.weightedSampleStream(in.toDS())
       .writeStream.format("memory").queryName("wsample_replay")
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     chunks.foreach { c => in.addData(c); q.processAllAvailable() }
     // redeliver the second chunk wholesale: the keyed insert replaces
     // by doc_id, so states (and thus the sample) must not change
@@ -1124,6 +1124,40 @@ class StreamOpsSpec extends SparkSpecBase {
       latestCorpus.localCheckpoint()).collect().map(_.toString).sorted
     assert(stored.sameElements(recomputed),
       "stored resolution != resolution of its own corpus version")
+  }
+
+  test("weightedSampleStream recovers its shard bottom-K states across " +
+      "kill-and-restart") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.SampleIn
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[SampleIn]
+      .collect().sortBy(_.doc_id)
+    val (firstHalf, secondHalf) = docs.splitAt(docs.length / 2)
+    val cp = java.nio.file.Files.createTempDirectory("wsample-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("wsample-out").toString
+    val in = MemoryStream[SampleIn]
+    def start() = StreamOps.weightedSampleStream(in.toDS())
+      .writeStream.format("parquet").option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start(outDir)
+    val q1 = start()
+    in.addData(firstHalf.toIndexedSeq: _*); q1.processAllAvailable(); q1.stop()
+    in.addData(secondHalf.toIndexedSeq: _*) // arrives while down
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // newest emission per shard (max n_seen), merged bottom-K
+    val tbl = spark.read.parquet(outDir)
+    val latest = tbl.groupBy(col("shard")).agg(max(col("n_seen")).as("mx"))
+      .select(col("shard").as("shard2"), col("mx"))
+    val standing = tbl.join(latest,
+        col("shard") === col("shard2") && col("n_seen") === col("mx"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(graft.operators.TextAnalysis.WorK)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val batch = graft.operators.TextAnalysis.weightedSample(
+      graft.Tables.documents(spark, sf))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(standing == batch, "restart lost shard sample state")
   }
 
   test("patternStream recovers the automaton state across kill-and-restart") {
