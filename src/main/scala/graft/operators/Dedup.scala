@@ -530,6 +530,46 @@ object Dedup {
       .filter(col("containment_e6") >= MinContainE6)
   }
 
+  /** Containment threshold for subsumption (0.9). */
+  val SubsumeTauE6 = 900000L
+
+  /** d15: SUBSUMPTION dedup — the ACTION d9's directed containment
+    * metric exists for: a document ≥90% contained in a LARGER one
+    * (ties by id) is a quote/excerpt/boilerplate copy and is dropped
+    * in favor of its container. Resemblance clustering (d6/d11/d14)
+    * cannot take this action — Jaccard dilutes short-inside-long to
+    * noise — so this is the complementary dedup pass a corpus build
+    * runs after the resemblance pass. Each subsumed doc names its
+    * best container (largest, tie-smallest-id — deterministic); the
+    * strictly-larger/tie rule needs no transitivity, so chains
+    * (a⊂b⊂c) resolve to the maximal doc without iteration.
+    * Scale = d9's (the pair stage is the same inverted-index join;
+    * maxDf is the knob; uncapped here for oracle parity). */
+  def d15Subsumption(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sizes = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shingles3(col("ws")).as("sh0"))
+      .select(col("doc_id"),
+        size(array_distinct(col("sh0"))).cast("long").as("n_sh"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("n_b").desc, col("b"))
+    val subs = containmentPairs(docs, maxDf = None)
+      .filter(col("containment_e6") >= SubsumeTauE6)
+      .join(sizes.select(col("doc_id").as("b2"), col("n_sh").as("n_b")),
+        col("b") === col("b2"))
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("b") < col("a")))
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col("a").as("doc_id"), col("b").as("subsumed_by"),
+        col("containment_e6"))
+    sizes.join(subs, Seq("doc_id"), "left")
+      .withColumn("subsumed", col("subsumed_by").isNotNull)
+      .select(col("doc_id"), col("n_sh"), col("subsumed"),
+        col("subsumed_by"), col("containment_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d10: MULTI-STRATEGY BLOCKING UNION — the record-linkage pattern
     * where several cheap, differently-blind blockers each propose
     * candidate pairs and the union (with provenance) feeds one
@@ -591,6 +631,7 @@ object Dedup {
     "d11_canonical"     -> d11Canonical _,
     "d13_dedup_stats"   -> d13DedupStats _,
     "d14_minhash_dedup" -> d14MinhashDedup _,
+    "d15_subsumption"   -> d15Subsumption _,
   )
 
   /** Shared oracle CTE: words + distinct-less shingles per doc. */
@@ -630,6 +671,42 @@ object Dedup {
          |  FROM g)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // d9's shared-shingle machinery + the strictly-larger/tie rule and
+    // the per-doc best-container argmax; sizes from t so 0-shingle
+    // docs appear unsubsumed
+    "d15_subsumption" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |szall AS (SELECT doc_id,
+         |    CAST(len(list_distinct(CASE WHEN len(ws) >= 3 THEN
+         |      list_transform(range(1, len(ws) - 1),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |      ELSE [] END)) AS BIGINT) AS n_sh
+         |  FROM t),
+         |g0 AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END) AS shingle
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id, shingle FROM g0),
+         |shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM g x JOIN g y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id),
+         |strong AS (SELECT sh.a, sh.b, szb.n_sh AS n_b,
+         |    sh.n_shared * 1000000 // sza.n_sh AS containment_e6
+         |  FROM shared sh JOIN szall sza ON sza.doc_id = sh.a
+         |  JOIN szall szb ON szb.doc_id = sh.b
+         |  WHERE sza.n_sh >= $MinShinglesA
+         |    AND sh.n_shared * 1000000 // sza.n_sh >= $SubsumeTauE6
+         |    AND (szb.n_sh > sza.n_sh
+         |      OR (szb.n_sh = sza.n_sh AND sh.b < sh.a))),
+         |pick AS (SELECT a, b, containment_e6,
+         |    row_number() OVER (PARTITION BY a ORDER BY n_b DESC, b) AS rn
+         |  FROM strong)
+         |SELECT s.doc_id, s.n_sh, p.b IS NOT NULL AS subsumed,
+         |  p.b AS subsumed_by, p.containment_e6
+         |FROM szall s LEFT JOIN pick p ON p.a = s.doc_id AND p.rn = 1
+         |ORDER BY s.doc_id""".stripMargin,
     "d9_containment" ->
       s"""WITH t AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),

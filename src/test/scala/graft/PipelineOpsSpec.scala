@@ -1711,6 +1711,39 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"weight-3 per-capita rate $rate3 should exceed weight-1 rate $rate1")
   }
 
+  test("d15 subsumption: an embedded quote is dropped for its container, " +
+      "chains resolve to the maximal doc, equals are tie-broken by id, " +
+      "and resemblance-distinct docs survive") {
+    import spark.implicits._
+    val inner = (1 to 8).map(i => s"q$i").mkString(" ")       // 6 shingles
+    val mid = inner + " " + (1 to 8).map(i => s"m$i").mkString(" ")
+    val outer = mid + " " + (1 to 8).map(i => s"o$i").mkString(" ")
+    val docs = Seq(
+      (1L, inner),                                   // ⊂ 2 ⊂ 3
+      (2L, mid),
+      (3L, outer),
+      (4L, (1 to 12).map(i => s"z$i").mkString(" ")), // unrelated
+      (5L, inner)                                    // duplicate of 1
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d15").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.d15Subsumption(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("subsumed"), Option(r.get(r.fieldIndex("subsumed_by")))
+          .map(_.asInstanceOf[Long]))).toMap
+    // inner is subsumed and names the LARGEST container (outer, doc 3)
+    assert(out(1L) == ((true, Some(3L))), s"got ${out(1L)}")
+    assert(out(2L) == ((true, Some(3L))))
+    assert(out(3L) == ((false, None)), "the maximal doc must survive")
+    assert(out(4L) == ((false, None)))
+    // equal-content docs: the larger ID defers to the smaller
+    assert(out(5L)._1 && out(5L)._2.exists(b => b == 1L || b == 3L),
+      s"duplicate must be subsumed: ${out(5L)}")
+    assert(!out(1L)._2.contains(5L), "tie rule: 1 must not defer to 5")
+  }
+
   test("d9 containment: directed — a short doc inside a long one scores 1.0 one way only") {
     import spark.implicits._
     val longText = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
