@@ -501,8 +501,20 @@ object Dedup {
     * counts of DISTINCT shared shingles; the score is the exact
     * integer ratio ⌊shared·10⁶ / |S(a)|⌋. */
   def d9Containment(s: SparkSession, d: String): DataFrame =
-    containmentPairs(documents(s, d).repartition(col("doc_id")), maxDf = None)
-      .orderBy(col("a"), col("b"))
+    sharedContainment(s, d).orderBy(col("a"), col("b"))
+
+  /** Session-scoped STANDING containment pair set — the Σdf² inverted-
+    * index stage materialized once per (session, dir) and read by both
+    * consumers (d9's pair listing, d15's subsumption action), the
+    * [[sharedClusters]] discipline applied to the containment family:
+    * pay the heavy join once, every later read is a scan. */
+  private[graft] def sharedContainment(s: SparkSession, d: String): DataFrame =
+    containCache.computeIfAbsent((s, d), _ =>
+      containmentPairs(documents(s, d).repartition(col("doc_id")),
+        maxDf = None).localCheckpoint())
+
+  private val containCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Library form of [[d9Containment]] over any (doc_id, text) frame,
     * unordered; `maxDf` is the production boilerplate cap. */
@@ -553,7 +565,7 @@ object Dedup {
         size(array_distinct(col("sh0"))).cast("long").as("n_sh"))
     val wPick = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a")).orderBy(col("n_b").desc, col("b"))
-    val subs = containmentPairs(docs, maxDf = None)
+    val subs = sharedContainment(s, d)
       .filter(col("containment_e6") >= SubsumeTauE6)
       .join(sizes.select(col("doc_id").as("b2"), col("n_sh").as("n_b")),
         col("b") === col("b2"))
