@@ -55,6 +55,31 @@ class ChangeViewsSpec extends SparkSpecBase {
     assert(ChangeViews.materialize(rows, meta).isEmpty)
   }
 
+  test("schema evolution: images from BEFORE an additive ALTER materialize " +
+      "under the post-ALTER schema with nulls for the new column; extra " +
+      "unknown image fields are ignored") {
+    // day-2 reality: the log spans an ALTER TABLE users ADD COLUMN —
+    // early images lack 'score'; a foreign producer even wrote a field
+    // the schema never had. Typed decode is from_json against the
+    // CURRENT introspected schema, so old rows surface with null for
+    // the late column, new rows carry it, and unknown fields drop —
+    // replaying a mixed-era log needs no migration pass.
+    val rows = log(
+      (1L, "INSERT", None,
+        Some("""{"id":1,"name":"old","avatar":"AA"}""")),          // pre-ALTER
+      (2L, "INSERT", None,
+        Some(img(2, "new", 2.0))),                                 // post-ALTER
+      (3L, "UPDATE", Some("""{"id":1,"name":"old","avatar":"AA"}"""),
+        Some("""{"id":1,"name":"old2","avatar":"AA","ghost":9}"""))) // unknown field
+    val out = ChangeViews.materialize(rows, meta).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(r.fieldIndex("score"))))).toMap
+    assert(out(1L) == (("old2", None)),
+      "pre-ALTER rows must materialize with null for the late column")
+    assert(out(2L) == (("new", Some(2.0))))
+    assert(!out.contains(9L), "unknown image fields must not leak")
+  }
+
   test("materialize refuses bare-rowid tables (no stable key in images)") {
     val noPk = meta.copy(columns = meta.columns.map(_.copy(pkOrdinal = 0)))
     assertThrows[IllegalArgumentException](
