@@ -39,6 +39,22 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(all.size == perModule, "a module's queries were shadowed in the merge")
   }
 
+  test("scale invariant: NO query in the surface plans a CartesianProduct") {
+    // a cartesian product is the one join strategy that cannot survive
+    // the 100 TB target under any knob — every cross-shaped join in
+    // the engine must ride a broadcast (BroadcastNestedLoopJoin over a
+    // driver-sized side) or an equi-shuffle. Planning every declared
+    // query catches a regression the per-query specs might not look
+    // for.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products planned by: ${offenders.mkString(", ")}")
+  }
+
   // ---- dedup ----
 
   test("d1 exact dedup: canonical id is the group min and dups point at it") {
