@@ -39,6 +39,16 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(all.size == perModule, "a module's queries were shadowed in the merge")
   }
 
+  test("gate invariant: every query has DuckDB oracle SQL and every oracle " +
+      "names a query (zero rows-only entries, zero orphans)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
+    SparkEntry.oracleSql.values.foreach(sql =>
+      assert(sql.trim.nonEmpty && sql.toUpperCase.contains("SELECT")))
+  }
+
   test("scale invariant: NO query in the surface plans a CartesianProduct") {
     // a cartesian product is the one join strategy that cannot survive
     // the 100 TB target under any knob — every cross-shaped join in
