@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as compact JSON. Two pieces
+// of sbt framing broke that for three rounds: the forked runner's stdout is
+// re-logged with an "[info] " prefix, and sbt appends a trailing
+// "[success] Total time: ..." line. StdoutOutput passes the forked
+// process's stdout through raw, and showSuccess drops the success banner,
+// so graft.Bench's single JSON line is byte-for-byte the final line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
