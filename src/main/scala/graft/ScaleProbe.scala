@@ -292,6 +292,23 @@ object ScaleProbe {
       time("containment_uncapped") {
         operators.Dedup.containmentPairs(containDocs(m), maxDf = None)
       },
+      // the count-first cap's own hazard shape: ONE shingle with
+      // df = n (every doc opens with the same three tokens — the
+      // crawl-scale `<html>` boilerplate case). The OLD collect-then-
+      // filter form had to materialize that whole posting as a single
+      // unspillable array in one task before the cap could see it;
+      // count-first drops the key with constant aggregation state, so
+      // the BUILD stage survives and total cost tracks n. The
+      // per-group probes above can't see this (their df maxes at
+      // n/50); this one exists to pin the build-stage bound itself.
+      time("postings_megakey") {
+        val n = 1000000L * m
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", lit("h1"), lit("h2"), lit("h3"),
+            concat(lit("x"), col("id")), concat(lit("y"), col("id")),
+            concat(lit("z"), col("id"))).as("text"))
+        operators.Dedup.containmentPairs(docs, maxDf = Some(64L))
+      },
       // d6/d7 shape: alternating-star connected components over a
       // synthetic 50k×m-node graph of 64-chains — fixed round count
       // (O(log diameter)), so the probe isolates per-round linearity

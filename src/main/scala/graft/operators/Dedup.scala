@@ -32,6 +32,49 @@ object Dedup {
   val LshBandsN = 6
   val LshRows = 2
 
+  /** COUNT-FIRST skew cap — the discipline every inverted-index build
+    * in the text family applies BEFORE materializing posting arrays
+    * (ported from m7's image MIH cap,
+    * [[Multimodal.imgNearDupPairs]]). Removes every row whose key
+    * appears more than `cap` times, using a count aggregation + a
+    * broadcast anti-join on the over-cap key set.
+    *
+    * Why count-first matters at 100 TB: `collect_list` followed by
+    * `filter(size(docs) <= cap)` bounds downstream PAIR work but not
+    * the aggregation BUFFER — a single aggregation group cannot spill
+    * partially, so one crawl-scale boilerplate key (an `<html>`
+    * shingle with df in the hundreds of millions) must materialize as
+    * one in-memory array before the size filter ever sees it, and that
+    * task OOMs even with the cap armed. A `count` aggregation has
+    * constant per-group state and map-side partial aggregation, so the
+    * mega-key's cost spreads across its input partitions; the over-cap
+    * key SET is tiny by assumption (boilerplate keys are few) and
+    * broadcasts. Every group that reaches a downstream `collect_list`
+    * is then ≤ `cap` rows by construction. */
+  def dropOverCapKeys(rows: DataFrame, keyCols: Seq[String], cap: Long): DataFrame =
+    dropOverCapKeys(rows, keyCols, cap, rows)
+
+  /** [[dropOverCapKeys]] with a separate `countFrom` frame for the key
+    * census. Spark shares no subtree across join branches, so the
+    * census branch re-computes `rows` from scratch — when `rows` sits
+    * above an aggregate barrier (the d3/d9 plan-hygiene groupBy), that
+    * re-computation includes a wide array shuffle the census doesn't
+    * need. Pass the PRE-barrier form of the same explode instead: any
+    * frame whose key multiset is a superset of `rows`' with equal
+    * counts on `rows`' keys (exact when the source's doc_id is unique;
+    * with upstream duplicates the census only over-counts, which drops
+    * MORE keys — the conservative direction under the bounded-loss cap
+    * contract). */
+  def dropOverCapKeys(rows: DataFrame, keyCols: Seq[String], cap: Long,
+      countFrom: DataFrame): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val big = countFrom.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .select(keyCols.map(col): _*)
+    rows.join(broadcast(big), keyCols, "left_anti")
+  }
+
   /** d1: exact dedup — canonical id per normalized-content hash.
     * Output: every doc with its content hash, the canonical (min) doc_id
     * of its dup group, dup flag and group size. Single pass: group
@@ -123,11 +166,19 @@ object Dedup {
       .agg(min(col("sig")).as("sig"), min(col("bands")).as("bands"))
     val exploded = sg.select(col("doc_id"), col("sig"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val buckets = exploded
+    // capped runs drop over-cap band keys COUNT-FIRST, before any
+    // posting array materializes (see dropOverCapKeys — a mega-bucket
+    // must never reach collect_list's unspillable per-group buffer);
+    // every surviving bucket is ≤ maxBucket rows by construction. The
+    // census reads the pre-barrier index (one row per doc), skipping
+    // sg's array shuffle in the census branch.
+    val capped = maxBucket.fold(exploded)(m =>
+      dropOverCapKeys(exploded, Seq("band_idx", "band_key"), m.toLong,
+        index.select(posexplode(col("bands")).as(Seq("band_idx", "band_key")))))
+    val kept = capped
       .groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
       .filter(size(col("docs")) > 1)
-    val kept = maxBucket.fold(buckets)(m => buckets.filter(size(col("docs")) <= m))
     kept
       .select(explode(col("docs")).as("da"), col("docs"))
       .select(col("da"), explode(col("docs")).as("db"))
@@ -176,7 +227,8 @@ object Dedup {
     * doc with all of them while carrying no discriminating power. */
   def incrementalCandidates(corpusIndex: DataFrame, newIndex: DataFrame,
       maxBucket: Option[Int]): DataFrame =
-    incrementalFromPostings(corpusPostings(corpusIndex), newIndex, maxBucket)
+    incrementalFromPostings(corpusPostings(corpusIndex, maxBucket), newIndex,
+      maxBucket)
 
   /** One (doc_id, sig, bands) row per doc from an [[lshIndex]] frame —
     * the aggregate barrier shared by d3/d8 (see [[lshCandidatesRaw]]). */
@@ -190,13 +242,27 @@ object Dedup {
     * (bucketed/sorted by (band_idx, band_key)): the daily
     * [[incrementalFromPostings]] join then never shuffles the corpus
     * side (plan-asserted in WarehouseSpec). Round-trips through parquet
-    * (spec-pinned). */
-  def corpusPostings(corpusIndex: DataFrame): DataFrame =
-    aggIndex(corpusIndex)
+    * (spec-pinned).
+    *
+    * `maxBucket` is the BUILD-TIME skew cap: the standing index is the
+    * one place a boilerplate band key accumulates the whole corpus, so
+    * an uncapped build is exactly the unspillable-buffer hazard
+    * [[dropOverCapKeys]] documents. Capped builds drop over-cap keys
+    * count-first; None keeps the full index (oracle-parity posture —
+    * [[incrementalFromPostings]] can still cap at read time, since a
+    * persisted array is already bounded by whatever cap built it). */
+  def corpusPostings(corpusIndex: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val exploded = aggIndex(corpusIndex)
       .select(col("doc_id"), col("sig"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    maxBucket.fold(exploded)(m =>
+        dropOverCapKeys(exploded, Seq("band_idx", "band_key"), m.toLong,
+          corpusIndex.select(
+            posexplode(col("bands")).as(Seq("band_idx", "band_key")))))
       .groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
+  }
 
   /** [[incrementalCandidates]] over an already-materialized
     * [[corpusPostings]] frame — the form the daily run actually calls,
@@ -278,8 +344,15 @@ object Dedup {
     simhashPairs(documents(s, d)).orderBy(col("a"), col("b"))
 
   /** The d5 pair pipeline over any (doc_id, text) frame, unordered —
-    * reused by the cluster-resolution step [[d6DupClusters]]. */
-  private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
+    * reused by the cluster-resolution step [[d6DupClusters]].
+    * `maxBucket` caps hamming-ball bucket size count-first (the
+    * [[dropOverCapKeys]] discipline): a run of identical-signature
+    * boilerplate docs lands its whole population in shared buckets,
+    * and capped runs drop those buckets before any posting array
+    * materializes. None = exact hamming-ball blocking, the
+    * oracle-parity posture d5/d6/d10/d11 run with. */
+  private[graft] def simhashPairs(docs: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
     // native SimHash kernel (one digest per word, no hex staging);
     // aggregate barrier stops inferred join/generate filters from
     // re-inlining the SimHash pipeline below the projection (2× eval
@@ -298,8 +371,11 @@ object Dedup {
         .as("bucket"))
     // pairs within buckets (single subtree — same pattern as d3); a
     // hamming-0 pair shares 33 buckets and a hamming-1 pair 2, so
-    // dedupe with distinct before emitting
-    val buckets = keyed.groupBy(col("bucket"))
+    // dedupe with distinct before emitting; capped runs drop over-cap
+    // buckets count-first, before the posting array exists
+    val capped = maxBucket.fold(keyed)(m =>
+      dropOverCapKeys(keyed, Seq("bucket"), m.toLong))
+    val buckets = capped.groupBy(col("bucket"))
       .agg(collect_list(struct(col("doc_id"), col("bits"))).as("docs"))
       .filter(size(col("docs")) > 1)
     buckets
@@ -527,10 +603,17 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("shs")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
-    val postings = sh.groupBy(col("sh"))
+    // capped runs drop over-df shingles count-first (dropOverCapKeys):
+    // the boilerplate-shingle buffer must never reach collect_list.
+    // The census branch recomputes the shingling (no subtree sharing
+    // across join branches) but skips the doc_id barrier's array
+    // shuffle — df per shingle needs no per-doc aggregation.
+    val capped = maxDf.fold(sh)(m => dropOverCapKeys(sh, Seq("sh"), m,
+      docs.select(
+        explode(array_distinct(shingles3(words(col("text"))))).as("sh"))))
+    val kept = capped.groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
       .filter(size(col("docs")) > 1)
-    val kept = maxDf.fold(postings)(m => postings.filter(size(col("docs")) <= m))
     kept
       .select(explode(col("docs")).as("da"), col("docs"))
       .select(col("da"), explode(col("docs")).as("db"))
@@ -601,20 +684,48 @@ object Dedup {
   def d10Blocking(s: SparkSession, d: String): DataFrame =
     blockingUnion(documents(s, d)).orderBy(col("a"), col("b"))
 
-  /** Library form of [[d10Blocking]] over any (doc_id, text) frame. */
-  def blockingUnion(docs: DataFrame): DataFrame = {
+  /** Library form of [[d10Blocking]] over any (doc_id, text) frame.
+    *
+    * `maxBucket` caps the LSH/SimHash bucket blockers (count-first,
+    * [[dropOverCapKeys]]). `maxExactGroup` is the exact blocker's own
+    * knob with a DIFFERENT treatment: an over-cap exact-hash group
+    * (an all-identical-page crawl artifact) is real duplicate mass a
+    * dedup pass must not silently drop, so instead of dropping the
+    * group, the capped path emits its STAR — every member paired with
+    * the group's min doc_id. A star has the same connected-component
+    * closure as the clique (spec-pinned), so every downstream dedup
+    * decision (CC → keep-one) is unchanged, while the emitted pair
+    * count is linear in the group instead of quadratic, and no
+    * posting array ever materializes for the mega-group (min/count
+    * aggregate state only). None everywhere = the oracle-parity
+    * full-clique posture d10 runs with. */
+  def blockingUnion(docs: DataFrame, maxBucket: Option[Int] = None,
+      maxExactGroup: Option[Int] = None): DataFrame = {
     val exact = {
       val h = docs.select(col("doc_id"), md5(normText(col("text"))).as("h"))
-      h.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(col("ids")).as("a"), col("ids"))
-        .select(col("a"), explode(col("ids")).as("b"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"))
+      def clique(rows: DataFrame) =
+        rows.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(col("ids")).as("a"), col("ids"))
+          .select(col("a"), explode(col("ids")).as("b"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+      maxExactGroup.fold(clique(h)) { cap =>
+        // count+min first (constant agg state, partial aggregation);
+        // the over-cap group set is driver-small and broadcasts
+        val over = h.groupBy(col("h"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canon"))
+          .filter(col("n") > cap)
+        val star = h.join(broadcast(over.select(col("h"), col("canon"))), Seq("h"))
+          .filter(col("doc_id") =!= col("canon"))
+          .select(col("canon").as("a"), col("doc_id").as("b"))
+        val small = h.join(broadcast(over.select(col("h"))), Seq("h"), "left_anti")
+        clique(small).union(star)
+      }
     }
-    val lsh = lshCandidatesRaw(lshIndex(docs.repartition(col("doc_id"))), None)
-      .select(col("a"), col("b"))
-    val sim = simhashPairs(docs).select(col("a"), col("b"))
+    val lsh = lshCandidatesRaw(lshIndex(docs.repartition(col("doc_id"))),
+      maxBucket).select(col("a"), col("b"))
+    val sim = simhashPairs(docs, maxBucket).select(col("a"), col("b"))
     exact.withColumn("src", lit("exact"))
       .unionByName(lsh.withColumn("src", lit("lsh")))
       .unionByName(sim.withColumn("src", lit("simhash")))

@@ -650,12 +650,15 @@ object TextAnalysis {
     * corpus-wide boilerplate 3-gram (license headers, nav chrome)
     * dominates the join while carrying zero leakage signal — capped
     * runs DROP shingles whose train-side document frequency exceeds
-    * the cap before the join. The capped path groups train postings
-    * per shingle first (one aggregation on the SAME shingle key the
-    * join shuffles on, so the grouped side feeds the join without a
-    * second exchange); uncapped keeps the plain join for oracle
-    * parity. Capped behavior is pinned by its own spec on a
-    * constructed boilerplate-shingle corpus. */
+    * the cap before the join. The capped path is COUNT-FIRST
+    * ([[Dedup.dropOverCapKeys]]): a count aggregation finds the
+    * over-cap shingles (constant per-group state, partial
+    * aggregation — a boilerplate shingle's cost spreads across its
+    * input partitions) and a broadcast anti-join removes their rows;
+    * no posting array is ever materialized, in either path. Uncapped
+    * keeps the plain join for oracle parity. Capped behavior is
+    * pinned by its own spec on a constructed boilerplate-shingle
+    * corpus. */
   def contamination(docs: DataFrame, maxDf: Option[Int]): DataFrame = {
     val byTest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("test_doc"))
@@ -672,12 +675,8 @@ object TextAnalysis {
       .select(col("shingle"), col("doc_id").as("train_doc"))
     val test = sh.filter(col("split") === "test")
       .select(col("shingle"), col("doc_id").as("test_doc"))
-    val keptTrain = maxDf.fold(train) { m =>
-      train.groupBy(col("shingle"))
-        .agg(collect_list(col("train_doc")).as("docs"))
-        .filter(size(col("docs")) <= m)
-        .select(col("shingle"), explode(col("docs")).as("train_doc"))
-    }
+    val keptTrain = maxDf.fold(train)(m =>
+      Dedup.dropOverCapKeys(train, Seq("shingle"), m.toLong))
     keptTrain.join(test, "shingle")
       .groupBy(col("test_doc"), col("train_doc"))
       .agg(count(lit(1)).as("shared_shingles"))

@@ -930,6 +930,103 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"mega posting list not capped: $capped")
   }
 
+  // ---- count-first cap discipline (the m7 pattern ported to text) ----
+
+  /** Shared fixture: 6 identical boilerplate docs (every index family
+    * puts them in one mega bucket/posting) + 2 near-identical rare
+    * docs whose buckets stay small. */
+  private def capFixture = {
+    import spark.implicits._
+    val boiler = "terms of service apply to all users of this website " +
+      "and may change at any time without further notice to you"
+    val rare = "a genuinely distinctive document about catalyst plan " +
+      "rewrites and whole stage codegen for vectorized execution"
+    ((1L to 6L).map(i => (i, boiler)) ++
+      Seq((10L, rare), (11L, rare))).toDF("doc_id", "text")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("count-first caps: a cap at/above the largest group equals uncapped " +
+    "(every family)") {
+    val docs = capFixture
+    val idx = Dedup.lshIndex(docs)
+    assert(pairSet(Dedup.lshCandidates(idx, Some(6))) ==
+      pairSet(Dedup.lshCandidates(idx, None)), "lshCandidates at-boundary")
+    assert(pairSet(Dedup.simhashPairs(docs, Some(6))) ==
+      pairSet(Dedup.simhashPairs(docs, None)), "simhashPairs at-boundary")
+    assert(Dedup.containmentPairs(docs, Some(6L)).collect().toSet ==
+      Dedup.containmentPairs(docs, None).collect().toSet,
+      "containmentPairs at-boundary")
+    assert(pairSet(Dedup.blockingUnion(docs, Some(6), Some(6))) ==
+      pairSet(Dedup.blockingUnion(docs)), "blockingUnion at-boundary")
+  }
+
+  test("simhashPairs maxBucket drops the boilerplate hamming-ball bucket, " +
+    "keeps small-bucket pairs") {
+    val docs = capFixture
+    val uncapped = pairSet(Dedup.simhashPairs(docs, None))
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
+    val capped = pairSet(Dedup.simhashPairs(docs, Some(3)))
+    assert(capped.contains((10L, 11L)), s"small-bucket pair lost: $capped")
+    assert(!capped.exists(p => p._2 <= 6L),
+      s"mega-bucket pairs survived the cap: $capped")
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("blockingUnion maxExactGroup emits the mega group's star: linear pair " +
+    "count, identical connected-component closure") {
+    val docs = capFixture
+    val uncapped = pairSet(Dedup.blockingUnion(docs))
+    // cap the bucket blockers too, so the mega group's only surviving
+    // candidate edges are the exact blocker's star
+    val capped = pairSet(Dedup.blockingUnion(docs, maxBucket = Some(3),
+      maxExactGroup = Some(3)))
+    // the 6-doc exact group collapses from C(6,2)=15 cliques to a
+    // 5-edge star on the min id; the under-cap exact pair (10,11) and
+    // all bucket-blocker pairs are untouched
+    assert((2L to 6L).forall(i => capped.contains((1L, i))),
+      s"star edges missing: $capped")
+    assert(!capped.exists(p => p._1 >= 2L && p._2 <= 6L),
+      s"non-star mega-group pair survived: $capped")
+    assert(capped.contains((10L, 11L)))
+    // same transitive closure: union-find both pair sets
+    def closure(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1L to 11L).map(i => i -> find(i)).toMap
+    }
+    assert(closure(capped) == closure(uncapped),
+      "star treatment changed the dedup closure")
+  }
+
+  test("corpusPostings build-time cap: no over-cap array exists, and it " +
+    "yields the same candidates as the read-time cap") {
+    val docs = capFixture
+    val corpusIx = Dedup.lshIndex(docs.filter(col("doc_id") <= 10L))
+    val newIx = Dedup.lshIndex(docs.filter(col("doc_id") === 11L))
+    val builtCapped = Dedup.corpusPostings(corpusIx, Some(3))
+    assert(builtCapped.count() > 0, "capped build kept nothing")
+    assert(builtCapped.select(max(size(col("docs")))).collect()(0).getInt(0) <= 3,
+      "an over-cap posting array survived the capped build")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("n_sig_match"))
+    val viaBuild = Dedup.incrementalFromPostings(builtCapped, newIx, None)
+      .collect().map(key).toSet
+    val viaRead = Dedup.incrementalFromPostings(
+      Dedup.corpusPostings(corpusIx, None), newIx, Some(3))
+      .collect().map(key).toSet
+    assert(viaBuild == viaRead, "build-time and read-time caps disagree")
+  }
+
   test("connectedComponents: chain, pair, singleton resolve to component minima") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
