@@ -101,18 +101,24 @@ class CdcEngine(
             // fixed, timestamp decoded tolerantly to null) and ARE
             // acked. Both handlers return before the ack:
             // at-least-once holds for the dead-letter channel too;
-            // order inside each channel stays the log order.
+            // order inside each channel stays the log order. The
+            // dead-letter sink is delivered FIRST: if it throws, the
+            // main handler has not yet run, so a restart redelivers
+            // duplicates only to the side sink (replay storage where
+            // duplicates are expected) — main-first would add a
+            // duplicate-delivery mode for successfully-handled good
+            // rows that the pre-dead-letter engine never had.
             val fmt = if (subsecTimestamps) Change.LogTsFormat
               else Change.LogTsFormatNoSubsec
             val bad = try_to_timestamp(col("timestamp"), lit(fmt)).isNull ||
               col("tablename").isNull || col("operation").isNull
             val quarantined = batchDf.filter(bad)
-            handler.handle(toChanges(batchDf.filter(!bad)))
             if (!quarantined.isEmpty) dl.handle(
               quarantined.select(
                 col("tablename").as("table"),
                 try_to_timestamp(col("timestamp"), lit(fmt)).as("timestamp"),
                 col("operation"), col("before"), col("after")).as[Change])
+            handler.handle(toChanges(batchDf.filter(!bad)))
         }
         log.truncate(maxId)                // ack: at-least-once boundary
         offset = maxId

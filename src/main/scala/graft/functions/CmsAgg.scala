@@ -66,9 +66,15 @@ case class CmsAggExpr(
     val v = child.eval(input)
     if (v != null) {
       val hs = v.asInstanceOf[ArrayData]
-      val d = math.min(depth, hs.numElements())
+      // fail loudly on a short hash array: updating only SOME sketch
+      // rows would silently break the CMS one-sided guarantee
+      // (estimate >= true count) the spec and x26 assert
+      if (hs.numElements() < depth)
+        throw new IllegalArgumentException(
+          s"cms_sketch: row-hash array has ${hs.numElements()} elements, " +
+            s"need $depth (one per sketch row)")
       var j = 0
-      while (j < d) {
+      while (j < depth) {
         if (!hs.isNullAt(j)) {
           // row-hashes are md5-prefix folds: always >= 0; floorMod
           // keeps adversarial negative inputs in range anyway

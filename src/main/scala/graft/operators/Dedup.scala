@@ -540,11 +540,42 @@ object Dedup {
     * so signal joins (x10's fabric) also plan exchange-free — the
     * session cache is the single-run twin of that standing table. */
   def sharedClusters(s: SparkSession, d: String): DataFrame =
-    clusterCache.computeIfAbsent((s, d),
-      _ => dupClusters(documents(s, d)).localCheckpoint())
+    sessionCached(clusterCache, s, d)(dupClusters(documents(s, d)))
 
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The shared-stage cache contract: entries are keyed on
+    * (session, dir) and assume an IMMUTABLE corpus directory for the
+    * session's lifetime — the standing-table assumption every
+    * warehouse consumer of these stages makes anyway (a changed
+    * corpus is a new directory/version, not an in-place rewrite).
+    * Entries (and their checkpoint blocks) are evicted when the
+    * session's SparkContext stops, so a long-lived JVM hosting many
+    * short-lived sessions does not accumulate dead frames. */
+  private def sessionCached(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((s, d), _ => {
+      registerEviction(s)
+      build.localCheckpoint()
+    })
+
+  private val evictionRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  private def registerEviction(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (evictionRegistered.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          clusterCache.keySet.removeIf(_._1.sparkContext eq sc)
+          containCache.keySet.removeIf(_._1.sparkContext eq sc)
+          evictionRegistered.remove(sc)
+        }
+      })
+  }
 
   /** Library form of [[d6DupClusters]] over any (doc_id, text) frame;
     * presentation order left to the caller. */
@@ -585,9 +616,9 @@ object Dedup {
     * [[sharedClusters]] discipline applied to the containment family:
     * pay the heavy join once, every later read is a scan. */
   private[graft] def sharedContainment(s: SparkSession, d: String): DataFrame =
-    containCache.computeIfAbsent((s, d), _ =>
+    sessionCached(containCache, s, d)(
       containmentPairs(documents(s, d).repartition(col("doc_id")),
-        maxDf = None).localCheckpoint())
+        maxDf = None))
 
   private val containCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

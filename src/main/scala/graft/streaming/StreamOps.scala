@@ -754,7 +754,14 @@ object StreamOps {
             col("cluster"))
           .write.mode("append").parquet(s"$storeDir/admitted")
         if ((id + 1) % compactEvery == 0) {
-          val corpus = semDedupCorpus(s, storeDir, before = Long.MaxValue)
+          // before = id: a crash between the v$id write and the prune
+          // leaves a possibly-PARTIAL v$id directory on disk; the
+          // redelivered batch must rebuild from the last COMPLETE
+          // version plus the still-present admitted log (not yet
+          // pruned), never from its own half-written output — then
+          // overwrite v$id whole. Without the bound, rows already
+          // folded into earlier versions could be lost on recovery.
+          val corpus = semDedupCorpus(s, storeDir, before = id)
             .localCheckpoint()
           val resolved = Similarity.resolveSemClusters(corpus, maxCluster)
           corpus.write.mode("overwrite").parquet(s"$storeDir/v$id/corpus")

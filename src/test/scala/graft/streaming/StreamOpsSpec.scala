@@ -1126,6 +1126,39 @@ class StreamOpsSpec extends SparkSpecBase {
       "stored resolution != resolution of its own corpus version")
   }
 
+  test("semDedup compaction recovery: a crash between the version write " +
+      "and the prune rebuilds from the last COMPLETE version") {
+    import spark.implicits._
+    // simulate the crash window the compaction call site guards with
+    // before = id: v2 is the last complete version, the admitted log
+    // still holds the rows folded nowhere else, and v5 is the crashed
+    // compaction's PARTIAL output (one row short)
+    val store = java.nio.file.Files.createTempDirectory("semdedup-crash").toString
+    def vec(id: Long) = (id, Seq(id.toFloat, 1.0f), 1000000L, id % 3)
+    Seq(vec(1), vec(2)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .write.parquet(s"$store/v2/corpus")
+    Seq(vec(3)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .write.parquet(s"$store/admitted")
+    // the partial v5: vec 3 lost mid-write
+    Seq(vec(1), vec(2)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .write.parquet(s"$store/v5/corpus")
+    def ids(before: Long) =
+      StreamOps.semDedupCorpus(spark, store, before).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    // the redelivered batch-5 compaction (before = 5) sees all three
+    // rows; an unbounded read would base on the partial v5 (same ids
+    // here only because admitted is still present — drop it to show
+    // the loss the bound prevents)
+    assert(ids(5L) == Set(1L, 2L, 3L))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/admitted"), true)
+    assert(ids(Long.MaxValue) == Set(1L, 2L),
+      "unbounded read did not base on the newest version")
+    assert(ids(5L) == Set(1L, 2L),
+      "bounded read did not base on the last complete version")
+  }
+
   test("weightedSampleStream recovers its shard bottom-K states across " +
       "kill-and-restart") {
     implicit val sq = spark.sqlContext
