@@ -608,17 +608,32 @@ object Dedup {
     * counts of DISTINCT shared shingles; the score is the exact
     * integer ratio ⌊shared·10⁶ / |S(a)|⌋. */
   def d9Containment(s: SparkSession, d: String): DataFrame =
-    sharedContainment(s, d).orderBy(col("a"), col("b"))
+    sharedContainment(s, d)
+      .select(col("a"), col("b"), col("n_shared"), col("n_a"),
+        col("containment_e6"))
+      .orderBy(col("a"), col("b"))
 
-  /** Session-scoped STANDING containment pair set — the Σdf² inverted-
-    * index stage materialized once per (session, dir) and read by both
-    * consumers (d9's pair listing, d15's subsumption action), the
-    * [[sharedClusters]] discipline applied to the containment family:
-    * pay the heavy join once, every later read is a scan. */
+  /** STANDING containment pair set — the Σdf² inverted-index stage
+    * materialized once and read by both consumers (d9's pair listing,
+    * d15's subsumption action). Unlike [[sharedClusters]]' session
+    * checkpoint, this stage persists as a WAREHOUSE table
+    * ([[Warehouse.writeContainment]], hash-bucketed + sorted by `a`):
+    * d15's per-`a` window then plans with NO exchange above the
+    * bucketed scan (WarehouseSpec), and a later session on the same
+    * catalog reads the standing table without recomputing the pair
+    * stage at all — the cross-session form the d8 postings index
+    * already has. Immutable-corpus contract as documented on
+    * [[sessionCached]]; the table name carries the directory hash. */
   private[graft] def sharedContainment(s: SparkSession, d: String): DataFrame =
-    sessionCached(containCache, s, d)(
-      containmentPairs(documents(s, d).repartition(col("doc_id")),
-        maxDf = None))
+    containCache.computeIfAbsent((s, d), _ => {
+      registerEviction(s)
+      val table = f"graft_containment_${d.hashCode & 0x7fffffff}%x"
+      if (!s.catalog.tableExists(table))
+        Warehouse.writeContainment(
+          containmentPairs(documents(s, d).repartition(col("doc_id")),
+            maxDf = None), table, nBuckets = 32)
+      s.table(table)
+    })
 
   private val containCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -650,7 +665,8 @@ object Dedup {
       .select(col("da"), explode(col("docs")).as("db"))
       .filter(col("da.doc_id") =!= col("db.doc_id"))
       .groupBy(col("da.doc_id").as("a"), col("db.doc_id").as("b"))
-      .agg(count(lit(1)).as("n_shared"), min(col("da.n_sh")).as("n_a"))
+      .agg(count(lit(1)).as("n_shared"), min(col("da.n_sh")).as("n_a"),
+        min(col("db.n_sh")).as("n_b"))
       .filter(col("n_a") >= MinShinglesA)
       .withColumn("containment_e6", idiv(col("n_shared") * 1000000L, col("n_a")))
       .filter(col("containment_e6") >= MinContainE6)
@@ -670,19 +686,27 @@ object Dedup {
     * strictly-larger/tie rule needs no transitivity, so chains
     * (a⊂b⊂c) resolve to the maximal doc without iteration.
     * Scale = d9's (the pair stage is the same inverted-index join;
-    * maxDf is the knob; uncapped here for oracle parity). */
-  def d15Subsumption(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    * maxDf is the knob; uncapped here for oracle parity). The pair
+    * stage carries `n_b` in its stored schema, so the pick needs no
+    * join before the per-`a` window — over the `a`-bucketed standing
+    * table ([[sharedContainment]]) the whole subsumption decision
+    * plans exchange-free on the pair side (WarehouseSpec). */
+  def d15Subsumption(s: SparkSession, d: String): DataFrame =
+    subsumptionFrom(sharedContainment(s, d), documents(s, d))
+      .orderBy(col("doc_id"))
+
+  /** Library form of [[d15Subsumption]] over any containment pair
+    * frame (the [[containmentPairs]] schema, `n_b` included) and its
+    * (doc_id, text) corpus; presentation order left to the caller. */
+  def subsumptionFrom(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val sizes = docs.select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shingles3(col("ws")).as("sh0"))
       .select(col("doc_id"),
         size(array_distinct(col("sh0"))).cast("long").as("n_sh"))
     val wPick = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a")).orderBy(col("n_b").desc, col("b"))
-    val subs = sharedContainment(s, d)
+    val subs = pairs
       .filter(col("containment_e6") >= SubsumeTauE6)
-      .join(sizes.select(col("doc_id").as("b2"), col("n_sh").as("n_b")),
-        col("b") === col("b2"))
       .filter(col("n_b") > col("n_a") ||
         (col("n_b") === col("n_a") && col("b") < col("a")))
       .withColumn("pick", row_number().over(wPick))
@@ -693,7 +717,6 @@ object Dedup {
       .withColumn("subsumed", col("subsumed_by").isNotNull)
       .select(col("doc_id"), col("n_sh"), col("subsumed"),
         col("subsumed_by"), col("containment_e6"))
-      .orderBy(col("doc_id"))
   }
 
   /** d10: MULTI-STRATEGY BLOCKING UNION — the record-linkage pattern

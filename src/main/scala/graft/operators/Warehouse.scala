@@ -240,6 +240,20 @@ object Warehouse {
       .sortBy("hour_s", "event_type")
       .format("parquet").saveAsTable(table)
 
+  /** Persist the standing CONTAINMENT pair stage
+    * ([[Dedup.containmentPairs]] schema, `n_b` included) hash-bucketed
+    * + sorted by `a` — the directed pair set's consumer key: d15's
+    * best-container pick windows per `a`, so over this layout the
+    * whole subsumption decision plans with NO exchange above the
+    * bucketed scan (asserted in WarehouseSpec), and d9's listing is a
+    * straight scan. The Σdf² pair join is the cost that matters at
+    * 100 TB; this pays it once at write time and every later session
+    * reads the standing table ([[Dedup.sharedContainment]]). */
+  def writeContainment(pairs: DataFrame, table: String, nBuckets: Int): Unit =
+    pairs.write.mode("overwrite")
+      .bucketBy(nBuckets, "a").sortBy("a", "b")
+      .format("parquet").saveAsTable(table)
+
   /** Persist the standing contamination index
     * ([[TextAnalysis.trainShingleIndex]]) hash-bucketed + sorted by
     * shingle — the same pay-the-shuffle-once contract as

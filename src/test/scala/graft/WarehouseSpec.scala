@@ -180,6 +180,37 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed containment pairs: the subsumption pick never shuffles " +
+      "the pair side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      Warehouse.writeContainment(
+        Dedup.containmentPairs(docs, maxDf = None), "wh_contain", 4)
+      val dir = Files.createTempDirectory("graft-contain-plain").toFile.getAbsolutePath
+      Dedup.containmentPairs(docs, maxDf = None).write.mode("overwrite").parquet(dir)
+
+      val bucketed = Dedup.subsumptionFrom(spark.table("wh_contain"), docs)
+      val plain = Dedup.subsumptionFrom(spark.read.parquet(dir), docs)
+      val bPlan = planOf(bucketed)
+      assert(bPlan.contains("wh_contain"), s"bucketed pairs not in plan:\n$bPlan")
+      // bucketing by `a` must eliminate exactly the window's pair-side
+      // hash exchange; the sizes join is identical between the plans
+      assert(nShuffles(bPlan) == nShuffles(planOf(plain)) - 1,
+        s"pair side still shuffles over the bucketed table:\n$bPlan")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("subsumed"),
+          Option(r.getAs[java.lang.Long]("subsumed_by")))).toSet
+      val got = rows(bucketed)
+      assert(got.exists(_._2), "no subsumed doc in the fixture corpus")
+      assert(got == rows(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS wh_contain")
+    }
+  }
+
   test("bucketed shingle index: contamination join never shuffles the index side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
