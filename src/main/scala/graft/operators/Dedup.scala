@@ -675,6 +675,22 @@ object Dedup {
   /** Containment threshold for subsumption (0.9). */
   val SubsumeTauE6 = 900000L
 
+  /** Per-posting CONTAINMENT index over a standing corpus: one
+    * (shingle, corpus_doc, n_b) row per distinct shingle per doc —
+    * n_b (the doc's distinct-shingle count) rides every posting so an
+    * arriving doc's containment ratio and the larger-container rule
+    * evaluate without a second corpus lookup. The
+    * [[graft.streaming.StreamOps.subsumptionStream]] static side; at
+    * scale persist bucketed by shingle
+    * ([[Warehouse.writeShingleIndex]]'s discipline) and cap
+    * boilerplate shingles with [[dropOverCapKeys]] at build time. */
+  def containmentIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("corpus_doc"),
+        array_distinct(shingles3(words(col("text")))).as("shs"))
+      .select(col("corpus_doc"), size(col("shs")).cast("long").as("n_b"),
+        explode(col("shs")).as("shingle"))
+      .select(col("shingle"), col("corpus_doc"), col("n_b"))
+
   /** d15: SUBSUMPTION dedup — the ACTION d9's directed containment
     * metric exists for: a document ≥90% contained in a LARGER one
     * (ties by id) is a quote/excerpt/boilerplate copy and is dropped

@@ -365,6 +365,59 @@ object StreamOps {
       .select(col("test_doc"), col("train_doc"), col("shared_shingles"))
   }
 
+  /** Streaming subsumption check (streaming d15): each arriving
+    * document is screened for is-CONTAINED-in-corpus at ingest — the
+    * quote/excerpt/boilerplate-copy admission gate, the one dedup
+    * ACTION that previously had no ingest-time form. Shingles of the
+    * arriving doc join the standing containment index
+    * ([[graft.operators.Dedup.containmentIndex]]: shingle →
+    * (corpus_doc, n_b) postings); per (arrival window, doc,
+    * corpus_doc) the shared-shingle count closes on the watermark and
+    * the d15 decision rule applies verbatim — n_a ≥ MinShinglesA,
+    * c(a→b) = n_shared/n_a ≥ SubsumeTauE6, container strictly larger
+    * (ties by id). One row per qualifying CONTAINER emits;
+    * best-container pick (largest n_b) is the consumer's rerank,
+    * exactly [[contaminationStream]]'s stance (window functions don't
+    * run on streams). Directed and asymmetric by design: arrival
+    * screening answers "is this new doc inside the corpus", never
+    * "is the corpus inside it" — the reverse direction is the batch
+    * pass's job.
+    *
+    * Scale notes: stream-static inner join, no join state; the only
+    * state is the windowed count, bounded by the watermark. Persist
+    * the index bucketed by shingle and cap boilerplate at build time
+    * (a df-k shingle fans every arriving doc out k ways). */
+  def subsumptionStream(docs: DataFrame, corpusIndex: DataFrame,
+      window: String = "1 hour", lateness: String = "1 hour"): DataFrame = {
+    import graft.operators.{Dedup, TextOps}
+    // Watermark caveat (shared with contaminationStream): event time
+    // advances on SHINGLE rows — the generate-inferred size(shs)>0
+    // filter is pushed below the watermark node regardless of where
+    // withWatermark is called (verified empirically: a pre-explode
+    // watermark behaves identically), so a stream of only sub-3-word
+    // docs does not advance the watermark. Real document streams
+    // always carry qualifying traffic; a heartbeat doc is the
+    // operational remedy if one ever doesn't.
+    val sh = docs.withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"),
+        array_distinct(TextOps.shingles3(TextOps.words(col("text")))).as("shs"))
+      .select(col("doc_id"), col("ts"),
+        size(col("shs")).cast("long").as("n_a"),
+        explode(col("shs")).as("shingle"))
+    sh.join(corpusIndex, Seq("shingle"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"), col("corpus_doc"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_a") >= Dedup.MinShinglesA)
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("corpus_doc") < col("doc_id")))
+      .withColumn("containment_e6",
+        TextOps.idiv(col("n_shared") * 1000000L, col("n_a")))
+      .filter(col("containment_e6") >= Dedup.SubsumeTauE6)
+      .select(col("doc_id"), col("corpus_doc").as("subsumed_by"),
+        col("n_shared"), col("n_a"), col("n_b"), col("containment_e6"))
+  }
+
   /** Streaming LM scoring (streaming x13): each arriving document is
     * scored against a STATIC unigram model
     * ([[graft.operators.TextAnalysis.lmModel]], read back from storage)
@@ -971,6 +1024,7 @@ object StreamOps {
     "nearDupCandidates" -> OutputMode.Append(),
     "incrementalDedupStream" -> OutputMode.Append(),
     "contaminationStream" -> OutputMode.Append(),
+    "subsumptionStream" -> OutputMode.Append(),
     "lmScoreStream" -> OutputMode.Append(),
     "piiScrubStream" -> OutputMode.Append(),
     "normalizeStream" -> OutputMode.Append(),

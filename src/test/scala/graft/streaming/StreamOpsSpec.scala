@@ -191,7 +191,7 @@ class StreamOpsSpec extends SparkSpecBase {
     implicit val sq = spark.sqlContext
     import graft.operators.Dedup
     val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-    val corpusIx = Dedup.lshIndex(docs.filter(col("doc_id") < Dedup.IncrementalSplit))
+    val corpusIx = Dedup.lshIndex(docs.filter(col("doc_id") < graft.operators.Dedup.IncrementalSplit))
     // the standing index, round-tripped through storage as in production
     val dir = java.nio.file.Files.createTempDirectory("d8-stream-postings").toString
     Dedup.corpusPostings(corpusIx).write.mode("overwrite").parquet(dir)
@@ -229,7 +229,7 @@ class StreamOpsSpec extends SparkSpecBase {
     implicit val sq = spark.sqlContext
     import graft.operators.Dedup
     val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-    val corpusIx = Dedup.lshIndex(docs.filter(col("doc_id") < Dedup.IncrementalSplit))
+    val corpusIx = Dedup.lshIndex(docs.filter(col("doc_id") < graft.operators.Dedup.IncrementalSplit))
     val postingsDir = java.nio.file.Files
       .createTempDirectory("d8-restart-postings").toString
     Dedup.corpusPostings(corpusIx).write.mode("overwrite").parquet(postingsDir)
@@ -554,6 +554,64 @@ class StreamOpsSpec extends SparkSpecBase {
     val want = Multimodal.decodeAudioFeatures(ids.toDS()).collect().map(key).toMap
     assert(got == want)
     assert(got.nonEmpty && got.values.forall(_._1 == "52494646"))
+  }
+
+  test("subsumptionStream: arriving docs screened against the standing " +
+      "containment index ≡ the driver-computed d15 decision rule") {
+    implicit val sq = spark.sqlContext
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val corpusIds = texts.keySet.filter(_ < graft.operators.Dedup.IncrementalSplit)
+    // a constructed arrival: a verbatim 8-word quote from a corpus doc
+    // (guaranteed ≥0.9 containment in its source), plus the real tail
+    val quoteSrc = corpusIds.filter(texts(_).split(" ").length >= 8).min
+    val quote = texts(quoteSrc).split(" ").take(8).mkString(" ")
+    val arriving = texts.keySet.filter(_ >= graft.operators.Dedup.IncrementalSplit).toSeq.sorted
+      .map(id => id -> texts(id)) :+ (900000L -> quote)
+    val index = graft.operators.Dedup.containmentIndex(
+      graft.Tables.documents(spark, sf)
+        .filter(col("doc_id") < graft.operators.Dedup.IncrementalSplit))
+
+    val in = MemoryStream[Doc]
+    val q = StreamOps.subsumptionStream(in.toDF(), index)
+      .writeStream.format("memory").queryName("subsume_stream")
+      .outputMode(OutputMode.Append()).start()
+    arriving.grouped(20).foreach { chunk =>
+      in.addData(chunk.map { case (id, t) => Doc(id, t, ts("10:00")) }: _*)
+      q.processAllAvailable()
+    }
+    // movers must carry >= 3 words: the watermark advances on shingle
+    // rows (the generate-inferred size filter sits below the watermark
+    // node — see the subsumptionStream scaladoc caveat)
+    in.addData(Doc(999999L, "wm mover one with enough words to shingle", ts("16:00")))
+    q.processAllAvailable()
+    in.addData(Doc(999998L, "wm mover two with enough words to shingle", ts("17:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("subsume_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("subsumed_by")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("containment_e6"))).toMap
+    val want = (for {
+      (a, ta) <- arriving
+      sa = shingleSet(ta)
+      if sa.size >= graft.operators.Dedup.MinShinglesA
+      b <- corpusIds
+      sb = shingleSet(texts(b))
+      shared = sa.intersect(sb).size.toLong
+      contain = shared * 1000000L / sa.size
+      if contain >= graft.operators.Dedup.SubsumeTauE6
+      if sb.size > sa.size || (sb.size == sa.size && b < a)
+    } yield (a, b) -> (shared, contain)).toMap
+    assert(want.nonEmpty, "fixture produced no subsumption arrival")
+    assert(want.contains((900000L, quoteSrc)), "constructed quote not caught")
+    assert(got == want,
+      s"stream-only=${got.keySet -- want.keySet} want-only=${want.keySet -- got.keySet}")
   }
 
   test("contaminationStream over the x11 split ≡ driver-computed shared-shingle counts") {
