@@ -1135,6 +1135,56 @@ object Events {
     patternCountOptional(events(s, d), "click", "view", "purchase")
       .orderBy(col("user_id"))
 
+  /** e27: the COUNTED-REPEAT quantifier — `PATTERN (A B{minB,} C)`:
+    * a completion needs at least `minB` B-events between the A and
+    * the C. The e25 transition-table form generalizes with ONE more
+    * state integer (the open attempt's B count): 0 idle →(A) 1
+    * counting; in state 1 every B increments the count and a C either
+    * completes (count ≥ minB) or fails the attempt — both reset to
+    * idle, C consumed either way (greedy, no lookahead, non-
+    * overlapping, repeated A ignored mid-attempt: the family's
+    * single-pass contract). Measures: completions, total Bs consumed
+    * by completed matches (the `B{2,}` run-length measure), the open
+    * state and the open attempt's B count. Same streamed O(1)-state
+    * execution as e19/e21/e25 — the B count is an integer, never a
+    * buffer, so `B{2,}` over a million-view bot key carries 8 bytes
+    * of state. */
+  def patternCountRepeat(ev: DataFrame, a: String, b: String, c: String,
+      minB: Int): DataFrame = {
+    require(Seq(a, b, c).distinct.size == 3, "stages must be distinct")
+    require(minB >= 1, s"minB must be >= 1, got $minB")
+    patternPrepSets(ev, Seq(Seq(a), Seq(b), Seq(c)))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Option[Long], Long, Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Option[Long], Long, Long, Long, Long) = {
+            val u = buf.head._1
+            var st = 0L; var bc = 0L; var done = 0L; var sumB = 0L
+            while (buf.hasNext && buf.head._1 == u) {
+              val code = buf.next()._4
+              if (st == 0L) { if (code == 1L) { st = 1L; bc = 0L } }
+              else { // st == 1: counting Bs
+                if (code == 2L) bc += 1L
+                else if (code == 3L) {
+                  if (bc >= minB) { done += 1L; sumB += bc }
+                  st = 0L; bc = 0L
+                }
+              }
+            }
+            (u, done, sumB, st, bc)
+          }
+        }
+      }(org.apache.spark.sql.Encoders
+        .product[(Option[Long], Long, Long, Long, Long)])
+      .toDF("user_id", "n_complete", "sum_b", "open_state", "open_b")
+  }
+
+  /** e27 over the corpus: click → view{2,} → purchase. */
+  def e27PatternRepeat(s: SparkSession, d: String): DataFrame =
+    patternCountRepeat(events(s, d), "click", "view", "purchase", minB = 2)
+      .orderBy(col("user_id"))
+
   /** e20: the span-emitting form of e19 on the click→view→purchase
     * pattern — WHICH rows formed each completed funnel, not just how
     * many. Oracle: the e19 recursive-CTE automaton extended with the
@@ -1171,6 +1221,7 @@ object Events {
     "e24_delta_join"     -> e24DeltaJoin _,
     "e25_pattern_opt"    -> e25PatternOptional _,
     "e26_variant"        -> e26VariantExtract _,
+    "e27_pattern_repeat" -> e27PatternRepeat _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1419,6 +1470,37 @@ object Events {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the explicit 3-state optional-stage automaton, stated as the
     // identical transition table both engines fold
+    // the e25 transition table + one more accumulator (the open
+    // attempt's B count) — the engine's streamed fold restated as the
+    // recursive-CTE automaton, completions gated on bc >= 2
+    "e27_pattern_repeat" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |        WHEN 'purchase' THEN 3 ELSE 0 END
+        |      ORDER BY ts, event_id) AS cs
+        |  FROM events GROUP BY user_id),
+        |step(user_id, i, st, bc, done, sumb) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM u
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |    CASE WHEN s.st = 0 AND u.cs[s.i+1] = 1 THEN 1
+        |         WHEN s.st = 1 AND u.cs[s.i+1] = 3 THEN 0
+        |         ELSE s.st END,
+        |    CASE WHEN s.st = 0 AND u.cs[s.i+1] = 1 THEN 0
+        |         WHEN s.st = 1 AND u.cs[s.i+1] = 2 THEN s.bc + 1
+        |         WHEN s.st = 1 AND u.cs[s.i+1] = 3 THEN 0
+        |         ELSE s.bc END,
+        |    s.done + CASE WHEN s.st = 1 AND u.cs[s.i+1] = 3 AND s.bc >= 2
+        |      THEN 1 ELSE 0 END,
+        |    s.sumb + CASE WHEN s.st = 1 AND u.cs[s.i+1] = 3 AND s.bc >= 2
+        |      THEN s.bc ELSE 0 END
+        |  FROM step s JOIN u ON u.user_id = s.user_id
+        |  WHERE s.i < len(u.cs))
+        |SELECT s.user_id, s.done AS n_complete, s.sumb AS sum_b,
+        |  s.st AS open_state, s.bc AS open_b
+        |FROM step s JOIN u ON u.user_id = s.user_id AND s.i = len(u.cs)
+        |ORDER BY s.user_id""".stripMargin,
     "e25_pattern_opt" ->
       """WITH RECURSIVE u AS (SELECT user_id,
         |    list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2

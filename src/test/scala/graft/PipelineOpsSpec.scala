@@ -2961,6 +2961,52 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(6L) == ((0L, 0L, 2L)))
   }
 
+  test("e27 counted repeat B{2,}: two Bs complete, one fails on C, long " +
+      "runs count fully, non-overlap and partition-invariance hold") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val rows = Seq(
+      // user 1: A B B C — the minimum completion (sum_b = 2)
+      (1L, ts(0), 1L, "click"), (1L, ts(1), 2L, "view"),
+      (1L, ts(2), 3L, "view"), (1L, ts(3), 4L, "purchase"),
+      // user 2: A B C — one B short: the C fails the attempt
+      (2L, ts(0), 11L, "click"), (2L, ts(1), 12L, "view"),
+      (2L, ts(2), 13L, "purchase"),
+      // user 3: A B B B B C — greedy run counts all four Bs
+      (3L, ts(0), 21L, "click"), (3L, ts(1), 22L, "view"),
+      (3L, ts(2), 23L, "view"), (3L, ts(3), 24L, "view"),
+      (3L, ts(4), 25L, "view"), (3L, ts(5), 26L, "purchase"),
+      // user 4: failed attempt (A B C) then a completion (A B B C):
+      // the failing C must not leak Bs into the next match
+      (4L, ts(0), 31L, "click"), (4L, ts(1), 32L, "view"),
+      (4L, ts(2), 33L, "purchase"), (4L, ts(3), 34L, "click"),
+      (4L, ts(4), 35L, "view"), (4L, ts(5), 36L, "view"),
+      (4L, ts(6), 37L, "purchase"),
+      // user 5: open attempt with one B so far
+      (5L, ts(0), 41L, "click"), (5L, ts(1), 42L, "view"),
+      // user 6: repeated A mid-attempt is ignored (A B A B C completes
+      // with bc=2 — the second A neither resets nor restarts)
+      (6L, ts(0), 51L, "click"), (6L, ts(1), 52L, "view"),
+      (6L, ts(2), 53L, "click"), (6L, ts(3), 54L, "view"),
+      (6L, ts(4), 55L, "purchase")
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Events.patternCountRepeat(df, "click", "view", "purchase", minB = 2)
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_complete"), r.getAs[Long]("sum_b"),
+            r.getAs[Long]("open_state"), r.getAs[Long]("open_b"))).toMap
+    val out = run(rows)
+    assert(out(1L) == ((1L, 2L, 0L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0L, 0L)), s"one B must fail: ${out(2L)}")
+    assert(out(3L) == ((1L, 4L, 0L, 0L)), s"greedy run: ${out(3L)}")
+    assert(out(4L) == ((1L, 2L, 0L, 0L)), s"no B leak across fail: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 1L, 1L)), s"open attempt: ${out(5L)}")
+    assert(out(6L) == ((1L, 2L, 0L, 0L)), s"mid-attempt A ignored: ${out(6L)}")
+    assert(run(rows.repartition(7)) == out, "partitioning changed the fold")
+  }
+
   test("e26 variant: binary variant probes match text-json extraction on " +
       "nested paths; missing paths null; malformed input nulls under try_") {
     import spark.implicits._
