@@ -540,42 +540,10 @@ object Dedup {
     * so signal joins (x10's fabric) also plan exchange-free — the
     * session cache is the single-run twin of that standing table. */
   def sharedClusters(s: SparkSession, d: String): DataFrame =
-    sessionCached(clusterCache, s, d)(dupClusters(documents(s, d)))
+    SessionCaches.getOrBuild(clusterCache, s, d)(
+      dupClusters(documents(s, d)).localCheckpoint())
 
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** The shared-stage cache contract: entries are keyed on
-    * (session, dir) and assume an IMMUTABLE corpus directory for the
-    * session's lifetime — the standing-table assumption every
-    * warehouse consumer of these stages makes anyway (a changed
-    * corpus is a new directory/version, not an in-place rewrite).
-    * Entries (and their checkpoint blocks) are evicted when the
-    * session's SparkContext stops, so a long-lived JVM hosting many
-    * short-lived sessions does not accumulate dead frames. */
-  private def sessionCached(
-      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
-      s: SparkSession, d: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, d), _ => {
-      registerEviction(s)
-      build.localCheckpoint()
-    })
-
-  private val evictionRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
-
-  private def registerEviction(s: SparkSession): Unit = {
-    val sc = s.sparkContext
-    if (evictionRegistered.add(sc))
-      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          clusterCache.keySet.removeIf(_._1.sparkContext eq sc)
-          containCache.keySet.removeIf(_._1.sparkContext eq sc)
-          evictionRegistered.remove(sc)
-        }
-      })
-  }
+  private val clusterCache = SessionCaches.newCache()
 
   /** Library form of [[d6DupClusters]] over any (doc_id, text) frame;
     * presentation order left to the caller. */
@@ -623,20 +591,18 @@ object Dedup {
     * catalog reads the standing table without recomputing the pair
     * stage at all — the cross-session form the d8 postings index
     * already has. Immutable-corpus contract as documented on
-    * [[sessionCached]]; the table name carries the directory hash. */
+    * [[SessionCaches]]; the table name carries the directory hash. */
   private[graft] def sharedContainment(s: SparkSession, d: String): DataFrame =
-    containCache.computeIfAbsent((s, d), _ => {
-      registerEviction(s)
+    SessionCaches.getOrBuild(containCache, s, d) {
       val table = f"graft_containment_${d.hashCode & 0x7fffffff}%x"
       if (!s.catalog.tableExists(table))
         Warehouse.writeContainment(
           containmentPairs(documents(s, d).repartition(col("doc_id")),
             maxDf = None), table, nBuckets = 32)
       s.table(table)
-    })
+    }
 
-  private val containCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val containCache = SessionCaches.newCache()
 
   /** Library form of [[d9Containment]] over any (doc_id, text) frame,
     * unordered; `maxDf` is the production boilerplate cap. */

@@ -592,7 +592,21 @@ object TextAnalysis {
     * to membership, so the skew cap is unnecessary (no per-pair
     * expansion survives a semi join). */
   def x21NgramDecontam(s: SparkSession, d: String): DataFrame =
-    ngramDecontam(documents(s, d), 13)
+    decontamFromGrams(sharedGrams13(s, d))
+
+  /** Session-scoped 13-GRAM INDEX of the x6-split corpus — the
+    * [[Dedup.sharedClusters]] discipline applied to grams: one row
+    * per split doc (doc_id, split, n_grams, distinct gram-md5 array),
+    * materialized once per (session, dir). Before this cache the x21
+    * probe re-ran the 13-gram md5 pipeline on BOTH join branches and
+    * `words` three times (Spark shares no subtree across branches) —
+    * the single slowest cold query of the round-9 bench; now the
+    * pipeline runs once and every consumer reads the checkpoint. */
+  private[graft] def sharedGrams13(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(gramCache, s, d)(
+      gramSets(documents(s, d), 13).localCheckpoint())
+
+  private val gramCache = SessionCaches.newCache()
 
   /** x22: LEAKAGE-SAFE split — the fix for exactly what x21 detects:
     * x6 assigns splits per DOCUMENT, so a near-duplicate cluster can
@@ -616,26 +630,38 @@ object TextAnalysis {
 
   /** Library form of [[x21NgramDecontam]] over any (doc_id, text)
     * frame; `n` is the protocol's gram length. */
-  def ngramDecontam(docs: DataFrame, n: Int): DataFrame = {
-    val base = docs
+  def ngramDecontam(docs: DataFrame, n: Int): DataFrame =
+    decontamFromGrams(gramSets(docs, n))
+
+  /** Per-doc gram sets of the x6-split corpus: (doc_id, split,
+    * n_grams, gs) with gs the DISTINCT n-gram md5 keys — the frame
+    * [[sharedGrams13]] checkpoints and [[decontamFromGrams]] consumes.
+    * One pass over the text: split gate, words, gram fold. */
+  private[graft] def gramSets(docs: DataFrame, n: Int): DataFrame =
+    docs
       .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
       .filter(col("bucket") < 80L || col("bucket") >= 90L)
       .withColumn("split", when(col("bucket") < 80L, "train").otherwise("test"))
       .select(col("doc_id"), col("split"), words(col("text")).as("ws"))
-    val grams = base.select(col("doc_id"), col("split"),
-      explode(when(size(col("ws")) >= n,
-        transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-          i => md5(concat_ws(" ", slice(col("ws"), i, lit(n))))))
-        .otherwise(array().cast("array<string>"))).as("g"))
-      .distinct()
-    val trainG = grams.filter(col("split") === "train")
-      .select(col("g")).distinct()
-    val hits = grams.filter(col("split") === "test")
+      .select(col("doc_id"), col("split"),
+        greatest(size(col("ws")) - (n - 1), lit(0)).cast("long").as("n_grams"),
+        array_distinct(when(size(col("ws")) >= n,
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("ws"), i, lit(n))))))
+          .otherwise(array().cast("array<string>"))).as("gs"))
+
+  /** The decontamination decision over a [[gramSets]] frame: train
+    * vocabulary (distinct gram keys), LEFT SEMI probe of each test
+    * doc's distinct grams, membership counts, the flag. */
+  private[graft] def decontamFromGrams(g: DataFrame): DataFrame = {
+    val trainG = g.filter(col("split") === "train")
+      .select(explode(col("gs")).as("g")).distinct()
+    val hits = g.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("gs")).as("g"))
       .join(trainG, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    base.filter(col("split") === "test")
-      .select(col("doc_id"),
-        greatest(size(col("ws")) - (n - 1), lit(0)).cast("long").as("n_grams"))
+    g.filter(col("split") === "test")
+      .select(col("doc_id"), col("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
