@@ -1185,6 +1185,53 @@ object Events {
     patternCountRepeat(events(s, d), "click", "view", "purchase", minB = 2)
       .orderBy(col("user_id"))
 
+  /** e28: the PERMUTE quantifier — `PATTERN (PERMUTE(S1 … Sk))`: a
+    * match is one event of EACH stage in ANY order. The greedy
+    * no-lookahead fold carries a k-bit MASK of stages seen in the
+    * open attempt (the e25/e27 transition-table generalization — the
+    * state integer is now a set): an unseen stage sets its bit; a
+    * REPEATED stage invalidates the older partial and restarts the
+    * attempt at the repeating event (the strict-PERMUTE reading — the
+    * open partial must be repetition-free — kept greedy by letting
+    * the newer event start fresh); a full mask completes and resets.
+    * Non-stage events are transparent, as everywhere in the family.
+    * Measures: completions and the open attempt's mask. O(1) state
+    * (one long ≤ 62 stages), same streamed sorted-scan contract as
+    * e19/e21/e25/e27. */
+  def patternCountPermute(ev: DataFrame, stages: Seq[String]): DataFrame = {
+    val k = stages.size
+    require(stages.distinct.size == k, "stages must be distinct")
+    require(k >= 2 && k <= 62, s"permute arity must be in [2, 62], got $k")
+    val full = (1L << k) - 1L
+    patternPrepSets(ev, stages.map(Seq(_)))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Option[Long], Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Option[Long], Long, Long) = {
+            val u = buf.head._1
+            var mask = 0L; var done = 0L
+            while (buf.hasNext && buf.head._1 == u) {
+              val c = buf.next()._4
+              if (c >= 1L) {
+                val bit = 1L << (c - 1L).toInt
+                mask = if ((mask & bit) != 0L) bit else mask | bit
+                if (mask == full) { done += 1L; mask = 0L }
+              }
+            }
+            (u, done, mask)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.product[(Option[Long], Long, Long)])
+      .toDF("user_id", "n_complete", "open_mask")
+  }
+
+  /** e28 over the corpus: one click, one view, one purchase in any
+    * order. */
+  def e28PatternPermute(s: SparkSession, d: String): DataFrame =
+    patternCountPermute(events(s, d), Seq("click", "view", "purchase"))
+      .orderBy(col("user_id"))
+
   /** e20: the span-emitting form of e19 on the click→view→purchase
     * pattern — WHICH rows formed each completed funnel, not just how
     * many. Oracle: the e19 recursive-CTE automaton extended with the
@@ -1222,6 +1269,7 @@ object Events {
     "e25_pattern_opt"    -> e25PatternOptional _,
     "e26_variant"        -> e26VariantExtract _,
     "e27_pattern_repeat" -> e27PatternRepeat _,
+    "e28_pattern_permute" -> e28PatternPermute _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1470,6 +1518,37 @@ object Events {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the explicit 3-state optional-stage automaton, stated as the
     // identical transition table both engines fold
+    // the bitmask fold restated as a recursive CTE: an unseen stage
+    // ORs its bit in, a repeat restarts at that bit, mask 7 completes
+    "e28_pattern_permute" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |        WHEN 'purchase' THEN 3 ELSE 0 END
+        |      ORDER BY ts, event_id) AS cs
+        |  FROM events GROUP BY user_id),
+        |step(user_id, i, st, done) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM u
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |    CASE WHEN (CASE WHEN u.cs[s.i+1] = 0 THEN s.st
+        |        WHEN (s.st & (1 << (u.cs[s.i+1] - 1))) <> 0
+        |          THEN (1 << (u.cs[s.i+1] - 1))
+        |        ELSE s.st | (1 << (u.cs[s.i+1] - 1)) END) = 7
+        |      THEN 0
+        |      ELSE (CASE WHEN u.cs[s.i+1] = 0 THEN s.st
+        |        WHEN (s.st & (1 << (u.cs[s.i+1] - 1))) <> 0
+        |          THEN (1 << (u.cs[s.i+1] - 1))
+        |        ELSE s.st | (1 << (u.cs[s.i+1] - 1)) END) END,
+        |    s.done + CASE WHEN (CASE WHEN u.cs[s.i+1] = 0 THEN s.st
+        |        WHEN (s.st & (1 << (u.cs[s.i+1] - 1))) <> 0
+        |          THEN (1 << (u.cs[s.i+1] - 1))
+        |        ELSE s.st | (1 << (u.cs[s.i+1] - 1)) END) = 7
+        |      THEN 1 ELSE 0 END
+        |  FROM step s JOIN u ON u.user_id = s.user_id
+        |  WHERE s.i < len(u.cs))
+        |SELECT s.user_id, s.done AS n_complete, s.st AS open_mask
+        |FROM step s JOIN u ON u.user_id = s.user_id AND s.i = len(u.cs)
+        |ORDER BY s.user_id""".stripMargin,
     // the e25 transition table + one more accumulator (the open
     // attempt's B count) — the engine's streamed fold restated as the
     // recursive-CTE automaton, completions gated on bc >= 2

@@ -3007,6 +3007,43 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(run(rows.repartition(7)) == out, "partitioning changed the fold")
   }
 
+  test("e28 permute: any order completes, a repeat restarts the attempt, " +
+      "non-overlap and partition-invariance hold") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val rows = Seq(
+      // user 1: reverse order completes (purchase view click)
+      (1L, ts(0), 1L, "purchase"), (1L, ts(1), 2L, "view"),
+      (1L, ts(2), 3L, "click"),
+      // user 2: A B A C — the repeated A invalidates {A,B}; the match
+      // restarts at the second A, leaving {A,C} open (mask 1|4 = 5)
+      (2L, ts(0), 11L, "click"), (2L, ts(1), 12L, "view"),
+      (2L, ts(2), 13L, "click"), (2L, ts(3), 14L, "purchase"),
+      // user 3: two disjoint completions in different orders
+      (3L, ts(0), 21L, "click"), (3L, ts(1), 22L, "view"),
+      (3L, ts(2), 23L, "purchase"), (3L, ts(3), 24L, "view"),
+      (3L, ts(4), 25L, "purchase"), (3L, ts(5), 26L, "click"),
+      // user 4: non-stage noise is transparent mid-attempt
+      (4L, ts(0), 31L, "view"), (4L, ts(1), 32L, "error"),
+      (4L, ts(2), 33L, "click"), (4L, ts(3), 34L, "purchase"),
+      // user 5: open two-of-three (mask view|purchase = 6)
+      (5L, ts(0), 41L, "view"), (5L, ts(1), 42L, "purchase")
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Events.patternCountPermute(df, Seq("click", "view", "purchase"))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_complete"), r.getAs[Long]("open_mask"))).toMap
+    val out = run(rows)
+    assert(out(1L) == ((1L, 0L)), s"reverse order: ${out(1L)}")
+    assert(out(2L) == ((0L, 5L)), s"repeat restarts: ${out(2L)}")
+    assert(out(3L) == ((2L, 0L)), s"disjoint completions: ${out(3L)}")
+    assert(out(4L) == ((1L, 0L)), s"noise transparent: ${out(4L)}")
+    assert(out(5L) == ((0L, 6L)), s"open mask: ${out(5L)}")
+    assert(run(rows.repartition(5)) == out, "partitioning changed the fold")
+  }
+
   test("e26 variant: binary variant probes match text-json extraction on " +
       "nested paths; missing paths null; malformed input nulls under try_") {
     import spark.implicits._
