@@ -937,6 +937,62 @@ object StreamOps {
       }
   }
 
+  case class PermuteState(mask: Long, n_complete: Long, n_seen: Long,
+      last_ms: Long, last_event_id: Long)
+  case class PermuteProgress(user_id: Long, n_complete: Long,
+      open_mask: Long, n_seen: Long)
+
+  /** Streaming PERMUTE recognition (continuous e28): the batch
+    * bitmask automaton — one click + one view + one purchase in any
+    * order, a repeat restarting the attempt — carried as keyed state.
+    * Same at-least-once discipline as [[patternStream]]: the state
+    * carries the newest scored (ts, event_id) and drops anything at
+    * or before it (late arrival, duplicate redelivery), so in-order
+    * replay reproduces batch e28 exactly (spec-pinned). `n_seen`
+    * (stage events folded) is monotone and orders the emitted
+    * progress rows — the mask itself is not monotone, so consumers
+    * take the row with the highest n_seen as current. State is O(1)
+    * per user: five longs. */
+  def permuteStream(events: Dataset[KeyedEvent]): Dataset[PermuteProgress] = {
+    implicit val pe: org.apache.spark.sql.Encoder[PermuteProgress] =
+      Encoders.product[PermuteProgress]
+    implicit val se: org.apache.spark.sql.Encoder[PermuteState] =
+      Encoders.product[PermuteState]
+    implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    val full = 7L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PermuteState, PermuteProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[KeyedEvent], state: GroupState[PermuteState]) =>
+          var st = state.getOption.getOrElse(
+            PermuteState(0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val fresh = e.ts.getTime > st.last_ms ||
+              (e.ts.getTime == st.last_ms && e.event_id > st.last_event_id)
+            if (fresh) {
+              val c = e.event_type match {
+                case "click" => 1L; case "view" => 2L; case "purchase" => 3L
+                case _ => 0L
+              }
+              st =
+                if (c >= 1L) {
+                  val bit = 1L << (c - 1L).toInt
+                  val m0 = if ((st.mask & bit) != 0L) bit else st.mask | bit
+                  if (m0 == full)
+                    PermuteState(0L, st.n_complete + 1L, st.n_seen + 1L,
+                      e.ts.getTime, e.event_id)
+                  else
+                    PermuteState(m0, st.n_complete, st.n_seen + 1L,
+                      e.ts.getTime, e.event_id)
+                } else st.copy(last_ms = e.ts.getTime, last_event_id = e.event_id)
+            }
+          }
+          state.update(st)
+          Iterator.single(
+            PermuteProgress(user, st.n_complete, st.mask, st.n_seen))
+      }
+  }
+
   /** Rollup store schema for [[deltaAggStream]]. */
   val RollupSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
@@ -1037,6 +1093,7 @@ object StreamOps {
     "anomalyStream" -> OutputMode.Append(),
     "deltaAggStream" -> OutputMode.Update(),
     "patternStream" -> OutputMode.Append(),
+    "permuteStream" -> OutputMode.Append(),
     "semDedupStream" -> OutputMode.Append(),
     "semDedupIngest" -> OutputMode.Update())
 }

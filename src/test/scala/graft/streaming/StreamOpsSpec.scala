@@ -1087,6 +1087,37 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
 
+  test("permuteStream: chunked in-order replay ≡ batch e28; duplicate " +
+      "redelivery cannot move the mask") {
+    implicit val sq = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[KeyedEvent].collect()
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.permuteStream(in.toDS())
+      .writeStream.format("memory").queryName("permute_stream")
+      .outputMode(OutputMode.Append()).start()
+    val chunks = ev.grouped(ev.length / 7 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    // duplicate redelivery of the last chunk: state must not move
+    in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    // newest update per user = the row with the highest n_seen (the
+    // mask is not monotone; the folded-event count is)
+    val streamed = spark.table("permute_stream").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_seen"), r.getAs[Long]("n_complete"),
+          r.getAs[Long]("open_mask")))
+      .groupBy(_._1).view
+      .mapValues(v => { val m = v.map(_._2).maxBy(_._1); (m._2, m._3) }).toMap
+    val batch = graft.operators.Events.e28PatternPermute(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_complete"), r.getAs[Long]("open_mask"))).toMap
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
+  }
+
   test("semDedupStream ≡ batch d12's within-cluster pairs restricted to " +
       "new×corpus on bounded replay") {
     implicit val sq = spark.sqlContext
