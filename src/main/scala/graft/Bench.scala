@@ -21,6 +21,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh scratch catalog location per run: managed tables (the
+      // standing containment stage) must not collide with a previous
+      // JVM's leftovers under cwd/spark-warehouse
+      .config("spark.sql.warehouse.dir", TempPath.scratch("bench-wh"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM once (parquet reader, codegen, shuffle machinery)

@@ -141,7 +141,22 @@ object Dedup {
     * Bucket size is the classic LSH skew knob: a boilerplate-text
     * mega-bucket makes |bucket|² explode — cap or salt in production. */
   def d3LshCandidates(s: SparkSession, d: String): DataFrame =
-    lshCandidates(sigs(s, d), maxBucket = None)
+    sharedLshPairs(s, d).orderBy(col("a"), col("b"))
+
+  /** Session-scoped STANDING LSH candidate set — the banded-MinHash
+    * pair stage materialized once per (session, dir) and read by its
+    * three consumers (d3's listing, d10's LSH blocker, d14's
+    * verification input): the [[sharedClusters]] pay-once discipline
+    * applied to the candidate stage itself. Candidate pairs are a
+    * pair-space-sized frame (≪ corpus), so the checkpoint is cheap;
+    * at warehouse scale the same contract is the persisted postings
+    * index ([[Warehouse.writePostingsIndex]]) plus a stored pair
+    * manifest. */
+  private[graft] def sharedLshPairs(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(lshPairCache, s, d)(
+      lshCandidatesRaw(sigs(s, d), maxBucket = None).localCheckpoint())
+
+  private val lshPairCache = SessionCaches.newCache()
 
   /** Candidate pairs from an [[lshIndex]] frame. `maxBucket` is the
     * production skew knob the scale notes call for: a band key shared
@@ -341,7 +356,16 @@ object Dedup {
     * verified by the brute-force DuckDB oracle. This IS the 100 TB
     * design (hamming-ball LSH), not an approximation of it. */
   def d5SimhashPairs(s: SparkSession, d: String): DataFrame =
-    simhashPairs(documents(s, d)).orderBy(col("a"), col("b"))
+    sharedSimhashPairs(s, d).orderBy(col("a"), col("b"))
+
+  /** Session-scoped STANDING SimHash pair set — [[sharedLshPairs]]'
+    * twin for the hamming-ball stage, read by d5's listing, d10's
+    * SimHash blocker, and the [[sharedClusters]] resolution build. */
+  private[graft] def sharedSimhashPairs(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(simPairCache, s, d)(
+      simhashPairs(documents(s, d)).localCheckpoint())
+
+  private val simPairCache = SessionCaches.newCache()
 
   /** The d5 pair pipeline over any (doc_id, text) frame, unordered —
     * reused by the cluster-resolution step [[d6DupClusters]].
@@ -466,11 +490,9 @@ object Dedup {
     * recipe's recall is the banding curve's); the oracle restates the
     * same banding, so the gate checks the RECIPE, not a brute-force
     * ideal. */
-  def d14MinhashDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    verifiedManifest(docs, lshCandidatesRaw(sigs(s, d), maxBucket = None))
+  def d14MinhashDedup(s: SparkSession, d: String): DataFrame =
+    verifiedManifest(documents(s, d), sharedLshPairs(s, d))
       .orderBy(col("doc_id"))
-  }
 
   /** Library form of [[d14MinhashDedup]]: candidates (a, b) verified
     * at [[D14TauE6]] on distinct word-3-gram shingles, closed, and
@@ -541,16 +563,24 @@ object Dedup {
     * session cache is the single-run twin of that standing table. */
   def sharedClusters(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(clusterCache, s, d)(
-      dupClusters(documents(s, d)).localCheckpoint())
+      clustersFromPairs(documents(s, d), sharedSimhashPairs(s, d))
+        .localCheckpoint())
 
   private val clusterCache = SessionCaches.newCache()
 
   /** Library form of [[d6DupClusters]] over any (doc_id, text) frame;
     * presentation order left to the caller. */
-  def dupClusters(docs: DataFrame): DataFrame = {
+  def dupClusters(docs: DataFrame): DataFrame =
+    clustersFromPairs(docs, simhashPairs(docs))
+
+  /** [[dupClusters]] over an already-materialized pair frame — the
+    * [[sharedClusters]] build path, so the pair stage is read from
+    * its own shared checkpoint instead of recomputed. */
+  private[graft] def clustersFromPairs(docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val comp = Components.connectedComponents(
       docs.select(col("doc_id").as("id")),
-      simhashPairs(docs).select(col("a"), col("b")))
+      pairs.select(col("a"), col("b")))
     comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
       when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
   }
@@ -595,10 +625,21 @@ object Dedup {
   private[graft] def sharedContainment(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(containCache, s, d) {
       val table = f"graft_containment_${d.hashCode & 0x7fffffff}%x"
-      if (!s.catalog.tableExists(table))
+      if (!s.catalog.tableExists(table)) {
+        // a previous JVM's in-memory catalog is gone but its managed
+        // LOCATION may survive under the warehouse dir; creating the
+        // table over a stale non-empty location fails
+        // (LOCATION_ALREADY_EXISTS), so clear it first — the catalog
+        // not knowing the table means the location is an orphan
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(
+            s.sessionState.catalog.getDefaultDBPath("default")), table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
         Warehouse.writeContainment(
           containmentPairs(documents(s, d).repartition(col("doc_id")),
             maxDf = None), table, nBuckets = 32)
+      }
       s.table(table)
     }
 
@@ -718,7 +759,9 @@ object Dedup {
     * corpus. Blockers stay independently cappable (maxBucket/maxDf);
     * adding a fourth blocker is a unionByName branch, not a rewrite. */
   def d10Blocking(s: SparkSession, d: String): DataFrame =
-    blockingUnion(documents(s, d)).orderBy(col("a"), col("b"))
+    blockingUnionFrom(documents(s, d), sharedLshPairs(s, d),
+      sharedSimhashPairs(s, d), maxExactGroup = None)
+      .orderBy(col("a"), col("b"))
 
   /** Library form of [[d10Blocking]] over any (doc_id, text) frame.
     *
@@ -736,7 +779,16 @@ object Dedup {
     * aggregate state only). None everywhere = the oracle-parity
     * full-clique posture d10 runs with. */
   def blockingUnion(docs: DataFrame, maxBucket: Option[Int] = None,
-      maxExactGroup: Option[Int] = None): DataFrame = {
+      maxExactGroup: Option[Int] = None): DataFrame =
+    blockingUnionFrom(docs,
+      lshCandidatesRaw(lshIndex(docs.repartition(col("doc_id"))), maxBucket),
+      simhashPairs(docs, maxBucket), maxExactGroup)
+
+  /** [[blockingUnion]] over already-materialized bucket-blocker pair
+    * frames — the d10 query path, reading [[sharedLshPairs]] /
+    * [[sharedSimhashPairs]] instead of re-running both pipelines. */
+  private[graft] def blockingUnionFrom(docs: DataFrame, lshPairs: DataFrame,
+      simPairs: DataFrame, maxExactGroup: Option[Int]): DataFrame = {
     val exact = {
       val h = docs.select(col("doc_id"), md5(normText(col("text"))).as("h"))
       def clique(rows: DataFrame) =
@@ -759,9 +811,8 @@ object Dedup {
         clique(small).union(star)
       }
     }
-    val lsh = lshCandidatesRaw(lshIndex(docs.repartition(col("doc_id"))),
-      maxBucket).select(col("a"), col("b"))
-    val sim = simhashPairs(docs, maxBucket).select(col("a"), col("b"))
+    val lsh = lshPairs.select(col("a"), col("b"))
+    val sim = simPairs.select(col("a"), col("b"))
     exact.withColumn("src", lit("exact"))
       .unionByName(lsh.withColumn("src", lit("lsh")))
       .unionByName(sim.withColumn("src", lit("simhash")))
