@@ -3007,6 +3007,42 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(run(rows.repartition(7)) == out, "partitioning changed the fold")
   }
 
+  test("x31 chunking: full coverage, fixed overlap, no redundant tail, " +
+      "boundary counts exact") {
+    import spark.implicits._
+    // docs straddling every boundary of the 64/48 geometry:
+    // n <= 64 -> 1 chunk; n = 112 (= 48 + 64) -> 2; n = 113 -> 3; empty -> 0
+    val mk = (id: Long, n: Int) => (id, (1 to n).map(i => s"w$i").mkString(" "))
+    val docs = Seq(mk(1L, 10), mk(2L, 64), mk(3L, 65), mk(4L, 112),
+      mk(5L, 113), mk(6L, 200), (7L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocs(docs, 64L, 48L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_word"), r.getAs[Long]("n_chunk_words")))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!byDoc.contains(7L), "empty doc must emit no chunks")
+    assert(byDoc(1L).length == 1 && byDoc(2L).length == 1)
+    assert(byDoc(3L).length == 2 && byDoc(4L).length == 2)
+    assert(byDoc(5L).length == 3 && byDoc(6L).length == 4)
+    val lens = Map(1L -> 10L, 2L -> 64L, 3L -> 65L, 4L -> 112L,
+      5L -> 113L, 6L -> 200L)
+    byDoc.foreach { case (id, cs) =>
+      // geometry: chunk k starts at k*48+1; sizes truncate at n
+      cs.foreach { case (_, k, s0, w) =>
+        assert(s0 == k * 48L + 1L)
+        assert(w == math.min(64L, lens(id) - s0 + 1L))
+      }
+      // coverage: union of [start, start+w) is exactly [1, n]
+      val covered = cs.flatMap { case (_, _, s0, w) => s0 until (s0 + w) }.toSet
+      assert(covered == (1L to lens(id)).toSet, s"coverage hole in doc $id")
+      // no redundant tail: every chunk past the first adds new words
+      cs.sliding(2).foreach {
+        case Array((_, _, s1, w1), (_, _, s2, w2)) =>
+          assert(s2 + w2 > s1 + w1, s"subset tail chunk in doc $id")
+        case _ =>
+      }
+    }
+  }
+
   test("e28 permute: any order completes, a repeat restarts the attempt, " +
       "non-overlap and partition-invariance hold") {
     import spark.implicits._
