@@ -963,6 +963,21 @@ class PipelineOpsSpec extends SparkSpecBase {
       pairSet(Dedup.blockingUnion(docs)), "blockingUnion at-boundary")
   }
 
+  test("count-first caps: the capped plan's anti-join sits BELOW the " +
+      "posting aggregation (the buffer never sees over-cap keys)") {
+    val plan = planOf(Dedup.containmentPairs(capFixture, maxDf = Some(5L)))
+    val lines = plan.linesIterator.toIndexedSeq
+    val aggIdx = lines.indexWhere(l =>
+      l.contains("ObjectHashAggregate") && l.contains("collect_list"))
+    val antiIdx = lines.indexWhere(_.contains("LeftAnti"))
+    assert(aggIdx >= 0, s"no collect_list aggregate in plan:\n$plan")
+    assert(antiIdx >= 0, s"no anti-join in the capped plan:\n$plan")
+    // tree prints top-down: the aggregate consuming the capped rows
+    // must appear ABOVE the anti-join feeding it
+    assert(aggIdx < antiIdx,
+      s"anti-join not below the posting aggregation:\n$plan")
+  }
+
   test("simhashPairs maxBucket drops the boilerplate hamming-ball bucket, " +
     "keeps small-bucket pairs") {
     val docs = capFixture
