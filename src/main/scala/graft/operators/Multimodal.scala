@@ -674,6 +674,25 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m11: AUDIO near-dup pairs — the m7 claim ("the multi-index-
+    * hashing machinery is modality-blind") cashed in as its own
+    * oracle-gated query: m9's temporal-energy audio hashes feed the
+    * SAME banded MIH blocking + exact hamming filter that powers
+    * image near-dup, unchanged — clips within [[M7MaxHamming]] of 64
+    * bits pair up, exactness by the same 4-band radius-1 pigeonhole.
+    * The oracle recomputes the audio hash closed-form and brute-
+    * forces the pair space, so the gate proves the blocking loses
+    * nothing on this modality too. */
+  def m11AudioNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imgNearDupPairs(
+      audioHash(documents(s, d).select(col("doc_id")).as[Long])
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")),
+      maxBucket = None)
+      .withColumn("exact_dup", col("hamming") === 0L)
+      .orderBy(col("a"), col("b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"     -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
@@ -685,9 +704,37 @@ object Multimodal {
     "m8_img_incremental" -> m8ImgIncremental _,
     "m9_audiohash"       -> m9AudioHash _,
     "m10_shot_bounds"    -> m10ShotBoundaries _,
+    "m11_audio_neardup"  -> m11AudioNearDup _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // m9's closed-form hash + m7's brute-force pair tail: the gate
+    // proves the MIH blocking loses nothing on the audio modality
+    "m11_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 16) * 100 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n,
+        |    abs(((t.t * (3 + d.doc_id % 5) + d.doc_id) % 2048) - 1024) AS av,
+        |    (t.t * 64) // d.n AS wi
+        |  FROM d, range(0, 2400) t(t) WHERE t.t < d.n),
+        |tot AS (SELECT doc_id, sum(av) AS ts, count(*) AS np
+        |  FROM s GROUP BY doc_id),
+        |wnd AS (SELECT doc_id, wi, sum(av) AS ws, count(*) AS wn
+        |  FROM s GROUP BY doc_id, wi),
+        |bits AS (SELECT w.doc_id, w.wi,
+        |    CASE WHEN w.ws * tot.np > tot.ts * w.wn THEN 1 ELSE 0 END AS bit
+        |  FROM wnd w JOIN tot USING (doc_id)),
+        |h AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND wi >= 32
+        |      THEN 1::BIGINT << (wi - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND wi < 32
+        |      THEN 1::BIGINT << wi ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |      AS BIGINT) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |SELECT a, b, hamming, hamming = 0 AS exact_dup
+        |FROM p WHERE hamming <= 7 ORDER BY a, b""".stripMargin,
     // m7's full pairwise answer restricted to batch-touching pairs —
     // the incremental plan must not change WHICH pairs exist
     "m8_img_incremental" ->

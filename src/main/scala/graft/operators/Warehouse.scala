@@ -250,7 +250,12 @@ object Warehouse {
     * 100 TB; this pays it once at write time and every later session
     * reads the standing table ([[Dedup.sharedContainment]]). */
   def writeContainment(pairs: DataFrame, table: String, nBuckets: Int): Unit =
-    pairs.write.mode("overwrite")
+    // align tasks with buckets before the write: bucketBy alone makes
+    // EVERY task write its own file per bucket (tasks × buckets small
+    // files); one hash repartition on the bucket key yields exactly
+    // nBuckets files and a listing-cheap read-back
+    pairs.repartition(nBuckets, col("a"))
+      .write.mode("overwrite")
       .bucketBy(nBuckets, "a").sortBy("a", "b")
       .format("parquet").saveAsTable(table)
 

@@ -3022,6 +3022,32 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(run(rows.repartition(7)) == out, "partitioning changed the fold")
   }
 
+  test("m11 audio near-dup: the MIH blocking equals brute force over the " +
+      "decoded audio hashes") {
+    import spark.implicits._
+    val rows = Multimodal.m11AudioNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(rows.nonEmpty, "no audio near-dup pairs found")
+    assert(rows.values.forall(_ <= Multimodal.M7MaxHamming))
+    assert(rows.forall { case ((a, b), _) => a < b })
+    // brute force over the m9 hashes, driver-side — the blocking must
+    // lose nothing and invent nothing
+    val hs = Multimodal.audioHash(
+      graft.Tables.documents(spark, sf).select(col("doc_id")).as[Long])
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ahash_hi"), r.getAs[Long]("ahash_lo"))).sortBy(_._1)
+    val brute = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      ham = java.lang.Long.bitCount(hs(i)._2._1 ^ hs(j)._2._1) +
+        java.lang.Long.bitCount(hs(i)._2._2 ^ hs(j)._2._2)
+      if ham <= Multimodal.M7MaxHamming
+    } yield (hs(i)._1, hs(j)._1) -> ham.toLong).toMap
+    assert(rows == brute,
+      s"blocked-only=${rows.keySet -- brute.keySet} " +
+        s"brute-only=${brute.keySet -- rows.keySet}")
+  }
+
   test("x31 chunking: full coverage, fixed overlap, no redundant tail, " +
       "boundary counts exact") {
     import spark.implicits._
