@@ -837,17 +837,29 @@ class PipelineOpsSpec extends SparkSpecBase {
   }
 
   test("d3 computes the MinHash index once (single scan: bucket pair-gen, not self-join)") {
-    val plan = planOf(Dedup.d3LshCandidates(spark, sf))
+    // the build path (what the shared checkpoint materializes once)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val plan = planOf(Dedup.lshCandidates(Dedup.lshIndex(docs), None))
     assert(plan.split("Scan parquet").length - 1 == 1,
-      s"d3 scans documents more than once:\n$plan")
+      s"d3's build scans documents more than once:\n$plan")
+    // the query path reads the shared checkpoint: ZERO document scans
+    val qPlan = planOf(Dedup.d3LshCandidates(spark, sf))
+    assert(qPlan.split("Scan parquet").length - 1 == 0 &&
+      qPlan.contains("Scan ExistingRDD"),
+      s"d3 query does not read the shared checkpoint:\n$qPlan")
   }
 
   test("d5 hamming-ball bucketing: single scan, no O(n²) pair join") {
-    val plan = planOf(Dedup.d5SimhashPairs(spark, sf))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val plan = planOf(Dedup.simhashPairs(docs))
     assert(plan.split("Scan parquet").length - 1 == 1,
-      s"d5 scans documents more than once:\n$plan")
+      s"d5's build scans documents more than once:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"d5 regressed to a quadratic pair scan:\n$plan")
+    val qPlan = planOf(Dedup.d5SimhashPairs(spark, sf))
+    assert(qPlan.split("Scan parquet").length - 1 == 0 &&
+      qPlan.contains("Scan ExistingRDD"),
+      s"d5 query does not read the shared checkpoint:\n$qPlan")
   }
 
   test("d10 blocking union ≡ union of its three blockers with exact provenance") {
