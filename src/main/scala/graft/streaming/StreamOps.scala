@@ -507,6 +507,18 @@ object StreamOps {
   def gopherStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.gopherRules(docs)
 
+  /** Streaming x31: CONTEXT-WINDOW CHUNKING at ingest — each arriving
+    * document splits into its stride-overlapped training windows the
+    * moment it lands (the stage in front of a streaming embedder or a
+    * chunk-grain store), with the batch geometry verbatim. Stateless
+    * narrow generate ([[normalizeStream]]'s class): no watermark, no
+    * state store — batch ≡ stream definitional and spec-pinned with
+    * the zero-state assertion. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.chunkDocs(docs,
+      graft.operators.TextAnalysis.ChunkWords,
+      graft.operators.TextAnalysis.ChunkStride)
+
   /** Shard count for the streaming standing sample (x27's twin). */
   val SampleShards = 8
 
@@ -1085,6 +1097,7 @@ object StreamOps {
     "piiScrubStream" -> OutputMode.Append(),
     "normalizeStream" -> OutputMode.Append(),
     "gopherStream" -> OutputMode.Append(),
+    "chunkStream" -> OutputMode.Append(),
     "cmsStream" -> OutputMode.Complete(),
     "weightedSampleStream" -> OutputMode.Append(),
     "decodeStream" -> OutputMode.Append(),

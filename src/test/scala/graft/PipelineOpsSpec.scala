@@ -3133,6 +3133,68 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(run(rows.repartition(5)) == out, "partitioning changed the fold")
   }
 
+  test("property: e27/e28 folds match independent reference automata on " +
+      "random event runs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    import java.sql.Timestamp
+    val types = Seq("click", "view", "purchase", "noise")
+    val runGen = Gen.listOfN(6, Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(types))))
+    def refRepeat(seq: List[String], minB: Int): (Long, Long, Long, Long) = {
+      var st = 0L; var bc = 0L; var done = 0L; var sum = 0L
+      seq.foreach {
+        case "click" => if (st == 0L) { st = 1L; bc = 0L }
+        case "view" => if (st == 1L) bc += 1L
+        case "purchase" => if (st == 1L) {
+          if (bc >= minB) { done += 1L; sum += bc }; st = 0L; bc = 0L
+        }
+        case _ =>
+      }
+      (done, sum, st, bc)
+    }
+    def refPermute(seq: List[String]): (Long, Long) = {
+      var mask = 0L; var done = 0L
+      seq.foreach { t =>
+        val c = t match {
+          case "click" => 1L; case "view" => 2L; case "purchase" => 3L
+          case _ => 0L
+        }
+        if (c >= 1L) {
+          val bit = 1L << (c - 1L).toInt
+          mask = if ((mask & bit) != 0L) bit else mask | bit
+          if (mask == 7L) { done += 1L; mask = 0L }
+        }
+      }
+      (done, mask)
+    }
+    val prop = Prop.forAll(runGen) { users =>
+      val rows = users.zipWithIndex.flatMap { case (seq, u) =>
+        seq.zipWithIndex.map { case (t, i) =>
+          (u.toLong, new Timestamp(1700000000000L + i * 1000L),
+            u * 1000L + i, t, 0.0d)
+        }
+      }
+      rows.isEmpty || {
+        val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+        val gotR = Events.patternCountRepeat(df, "click", "view", "purchase", 2)
+          .collect().map(r => r.getAs[Long]("user_id") ->
+            (r.getAs[Long]("n_complete"), r.getAs[Long]("sum_b"),
+              r.getAs[Long]("open_state"), r.getAs[Long]("open_b"))).toMap
+        val gotP = Events.patternCountPermute(df, Seq("click", "view", "purchase"))
+          .collect().map(r => r.getAs[Long]("user_id") ->
+            (r.getAs[Long]("n_complete"), r.getAs[Long]("open_mask"))).toMap
+        users.zipWithIndex.forall { case (seq, u) =>
+          seq.isEmpty ||
+            (gotR(u.toLong) == refRepeat(seq, 2) &&
+              gotP(u.toLong) == refPermute(seq))
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("e26 variant: binary variant probes match text-json extraction on " +
       "nested paths; missing paths null; malformed input nulls under try_") {
     import spark.implicits._

@@ -467,6 +467,18 @@ class StreamOpsSpec extends SparkSpecBase {
       graft.Tables.documents(spark, sf)).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("gopher_pass")).toMap
     assert(gStream == gBatch)
+    def chunkKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("start_word"), r.getAs[Long]("n_chunk_words"),
+          r.getAs[String]("chunk_md5"))
+    val cStream = replay("chunk_replay", StreamOps.chunkStream)
+      .collect().map(chunkKey).toMap
+    val cBatch = graft.operators.TextAnalysis.chunkDocs(
+      graft.Tables.documents(spark, sf),
+      graft.operators.TextAnalysis.ChunkWords,
+      graft.operators.TextAnalysis.ChunkStride).collect()
+      .map(chunkKey).toMap
+    assert(cStream == cBatch)
   }
 
   test("piiScrubStream chunked replay ≡ batch x12 signals, with no state store") {
