@@ -147,11 +147,23 @@ object Multimodal {
     * payloads never shuffle, 3 longs leave the stage per image; the
     * downstream near-dup join on the hash is m7's multi-index
     * blocking (the hash IS a 64-bit simhash-family key). */
-  def m6ImgHash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    imgHash(documents(s, d).select(col("doc_id")).as[Long])
-      .transform(Output.ordered(_, col("doc_id")))
-  }
+  def m6ImgHash(s: SparkSession, d: String): DataFrame =
+    sharedImgHash(s, d).transform(Output.ordered(_, col("doc_id")))
+
+  /** Session-scoped STANDING image-hash stage — the codec loop (PNG
+    * encode→decode→aHash) runs once per (session, dir) and all four
+    * consumers (m6's listing, m7's pair blocking, m8's incremental
+    * split, any warehouse write) read the checkpoint: the shared-pair-
+    * stage discipline applied to the DECODE stage, whose cost per doc
+    * dwarfs any text stage. At warehouse scale the persisted twin is
+    * [[Warehouse.writeImgIndex]]. */
+  private[graft] def sharedImgHash(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(imgHashCache, s, d) {
+      import s.implicits._
+      imgHash(documents(s, d).select(col("doc_id")).as[Long]).localCheckpoint()
+    }
+
+  private val imgHashCache = SessionCaches.newCache()
 
   /** Library form of [[m6ImgHash]] over any doc-id Dataset, unordered
     * (streaming-valid, like [[decodeFeatures]]). */
@@ -244,14 +256,10 @@ object Multimodal {
     * like d3's `maxBucket`; the random-pair collision floor of the
     * blocking is ~0.1% of brute force at these parameters (see
     * [[M7Bands]]). */
-  def m7ImgNearDup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    imgNearDupPairs(
-      imgHash(documents(s, d).select(col("doc_id")).as[Long]),
-      maxBucket = None)
+  def m7ImgNearDup(s: SparkSession, d: String): DataFrame =
+    imgNearDupPairs(sharedImgHash(s, d), maxBucket = None)
       .withColumn("exact_dup", col("hamming") === 0L)
       .orderBy(col("a"), col("b"))
-  }
 
   /** Library form of [[m7ImgNearDup]] over any m6-shaped hash frame
     * (doc_id, ahash_hi, ahash_lo), unordered. `maxBucket` is the
@@ -323,8 +331,7 @@ object Multimodal {
     * Warehouse postings pattern), so the corpus side never reshuffles
     * per batch. */
   def m8ImgIncremental(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val hs = imgHash(documents(s, d).select(col("doc_id")).as[Long])
+    val hs = sharedImgHash(s, d)
     val mx = hs.agg(max(col("doc_id")).as("mx"))
     val tagged = hs.crossJoin(broadcast(mx))
       .withColumn("is_new", col("doc_id") * 10L >= col("mx") * 9L)
@@ -517,11 +524,18 @@ object Multimodal {
     * 64-bit fingerprint exists, which is the point of emitting one.
     * Plumbing contract as m5: stateless per-partition map, payloads
     * never shuffle, 4 longs leave the stage per clip. */
-  def m9AudioHash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    audioHash(documents(s, d).select(col("doc_id")).as[Long])
-      .transform(Output.ordered(_, col("doc_id")))
-  }
+  def m9AudioHash(s: SparkSession, d: String): DataFrame =
+    sharedAudioHash(s, d).transform(Output.ordered(_, col("doc_id")))
+
+  /** [[sharedImgHash]]'s audio twin — the WAV decode loop runs once
+    * per (session, dir) for m9's listing and m11's pair blocking. */
+  private[graft] def sharedAudioHash(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(audioHashCache, s, d) {
+      import s.implicits._
+      audioHash(documents(s, d).select(col("doc_id")).as[Long]).localCheckpoint()
+    }
+
+  private val audioHashCache = SessionCaches.newCache()
 
   /** Library form of [[m9AudioHash]] over any doc-id Dataset, unordered
     * (streaming-valid). */
@@ -683,15 +697,13 @@ object Multimodal {
     * The oracle recomputes the audio hash closed-form and brute-
     * forces the pair space, so the gate proves the blocking loses
     * nothing on this modality too. */
-  def m11AudioNearDup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def m11AudioNearDup(s: SparkSession, d: String): DataFrame =
     imgNearDupPairs(
-      audioHash(documents(s, d).select(col("doc_id")).as[Long])
+      sharedAudioHash(s, d)
         .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")),
       maxBucket = None)
       .withColumn("exact_dup", col("hamming") === 0L)
       .orderBy(col("a"), col("b"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"     -> m1BinaryMeta _,
