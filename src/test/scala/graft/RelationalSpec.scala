@@ -561,4 +561,48 @@ class RelationalSpec extends SparkSpecBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("AQE skew join splits a hot partition at runtime (skew=true) — the " +
+      "automatic complement to q21's salting") {
+    import org.apache.spark.sql.functions._
+    // q21 salts a KNOWN hot key at plan time; AQE handles the hot key
+    // nobody predicted by splitting the oversized partition when the
+    // shuffle materializes. Verify the engine's settings admit that
+    // re-plan: one key carries ~all left rows, thresholds lowered so
+    // the toy corpus qualifies (production defaults encode "at scale").
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000L)
+        .select(when(col("id") % 10L =!= 0L, lit(0L))
+          .otherwise(col("id")).as("k"),
+          concat(lit("payload-padding-for-bytes-"), col("id")).as("pad"))
+      val right = spark.range(2000L).select(col("id").as("k"),
+        col("id").as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS dataset's own physical plan (count() would build
+      // a separate QueryExecution and leave this one un-executed) —
+      // AQE finalizes the plan as the shuffle materializes
+      val n = joined.queryExecution.toRdd.count()
+      assert(n > 0L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
