@@ -1325,6 +1325,37 @@ class StreamOpsSpec extends SparkSpecBase {
       s"restart lost automaton state: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
 
+  test("permuteStream recovers the bitmask state across kill-and-restart") {
+    implicit val sq = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[KeyedEvent].collect()
+    val (firstHalf, secondHalf) = ev.splitAt(ev.length / 2)
+    val cp = java.nio.file.Files.createTempDirectory("e28-restart-cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("e28-restart-out").toString
+    val in = MemoryStream[KeyedEvent]
+    def start() = StreamOps.permuteStream(in.toDS())
+      .writeStream.format("parquet").option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start(outDir)
+    val q1 = start()
+    in.addData(firstHalf.toIndexedSeq: _*); q1.processAllAvailable(); q1.stop()
+    in.addData(secondHalf.toIndexedSeq: _*) // arrives while down
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // newest row per user = highest folded-event ordinal (n_seen)
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_seen"), r.getAs[Long]("n_complete"),
+          r.getAs[Long]("open_mask")))
+      .groupBy(_._1).view
+      .mapValues(v => { val m = v.map(_._2).maxBy(_._1); (m._2, m._3) }).toMap
+    val batch = graft.operators.Events.e28PatternPermute(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_complete"), r.getAs[Long]("open_mask"))).toMap
+    assert(streamed == batch,
+      s"restart lost mask state: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
+  }
+
   test("deltaAggStream: standing rollup after chunked replay ≡ one-shot aggregate, " +
       "old versions pruned") {
     implicit val sq = spark.sqlContext
