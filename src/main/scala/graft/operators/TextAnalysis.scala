@@ -943,6 +943,49 @@ object TextAnalysis {
     * training. Every component folds to a driver-sized aggregate off
     * already-specced machinery (x2, x24, d6's clusters), cross-joined
     * into one row; integer fixed-point throughout. */
+  /** x32: the DEDUP WATERFALL — the one-row release metric a corpus
+    * team reports: documents and tokens surviving each CUMULATIVE
+    * dedup stage, in the order a pipeline applies them — exact
+    * (d1's canonical wins its content-hash group), then near-dup
+    * (d6's cluster canonical), then subsumption (d15's not-contained
+    * rule). x29's card states rates per stage in isolation; this
+    * states the joint survivorship — the stages overlap (an exact dup
+    * is usually also a near-dup), so the waterfall is NOT derivable
+    * from the per-stage rates.
+    *
+    * Composition: three boolean keep-columns joined on doc_id — the
+    * exact manifest is a narrow window, the near-dup and containment
+    * verdicts read their SHARED materialized stages
+    * ([[Dedup.sharedClusters]] / [[Dedup.sharedContainment]]) so the
+    * query adds only doc-count-sized joins + one fold. */
+  def x32DedupWaterfall(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tok"))
+    val exact = Dedup.exactDupManifest(docs)
+      .select(col("doc_id"), (!col("is_dup")).as("k_exact"))
+    val near = Dedup.sharedClusters(s, d)
+      .select(col("doc_id"), (col("is_canonical") === 1L).as("k_near"))
+    val sub = Dedup.subsumptionFrom(Dedup.sharedContainment(s, d), docs)
+      .select(col("doc_id"), (!col("subsumed")).as("k_sub"))
+    toks.join(exact, Seq("doc_id")).join(near, Seq("doc_id"))
+      .join(sub, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("k_exact"), 1L).otherwise(0L)).as("n_after_exact"),
+        sum(when(col("k_exact"), col("n_tok")).otherwise(0L))
+          .as("tok_after_exact"),
+        sum(when(col("k_exact") && col("k_near"), 1L).otherwise(0L))
+          .as("n_after_near"),
+        sum(when(col("k_exact") && col("k_near"), col("n_tok")).otherwise(0L))
+          .as("tok_after_near"),
+        sum(when(col("k_exact") && col("k_near") && col("k_sub"), 1L)
+          .otherwise(0L)).as("n_after_subsume"),
+        sum(when(col("k_exact") && col("k_near") && col("k_sub"),
+          col("n_tok")).otherwise(0L)).as("tok_after_subsume"))
+  }
+
   def x29CorpusCard(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val base = docs
@@ -1672,6 +1715,7 @@ object TextAnalysis {
     "x29_corpus_card"    -> x29CorpusCard _,
     "x30_lang_confusion" -> x30LangConfusion _,
     "x31_chunk" -> x31Chunk _,
+    "x32_dedup_waterfall" -> x32DedupWaterfall _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1882,6 +1926,69 @@ object TextAnalysis {
          |    AS BIGINT) AS noise_rate_e6
          |FROM r ORDER BY declared, pred_lang""".stripMargin
     },
+    // d1's window + d6's recursive closure + d15's containment rule,
+    // joined per doc and folded to the cumulative survivorship row
+    "x32_dedup_waterfall" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM t),
+         |hx AS (SELECT doc_id,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h FROM t),
+         |ex AS (SELECT doc_id,
+         |    doc_id = min(doc_id) OVER (PARTITION BY h) AS k_exact FROM hx),
+         |sg AS (SELECT doc_id,
+         |    list_aggregate(list_transform(range(1, 33), j ->
+         |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+         |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+         |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+         |  FROM t),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |  WHERE coalesce(list_sum(list_transform(range(1, 33), j ->
+         |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0) <= 1),
+         |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+         |nr AS (SELECT src AS doc_id, min(dst) = src AS k_near
+         |  FROM reach GROUP BY src),
+         |szall AS (SELECT doc_id,
+         |    CAST(len(list_distinct(CASE WHEN len(ws) >= 3 THEN
+         |      list_transform(range(1, len(ws) - 1),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |      ELSE [] END)) AS BIGINT) AS n_sh
+         |  FROM t),
+         |g0 AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END) AS shingle
+         |  FROM t),
+         |g AS (SELECT DISTINCT doc_id, shingle FROM g0),
+         |shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM g x JOIN g y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id),
+         |strong AS (SELECT sh.a, sh.b, szb.n_sh AS n_b,
+         |    sh.n_shared * 1000000 // sza.n_sh AS containment_e6
+         |  FROM shared sh JOIN szall sza ON sza.doc_id = sh.a
+         |  JOIN szall szb ON szb.doc_id = sh.b
+         |  WHERE sza.n_sh >= ${Dedup.MinShinglesA}
+         |    AND sh.n_shared * 1000000 // sza.n_sh >= ${Dedup.SubsumeTauE6}
+         |    AND (szb.n_sh > sza.n_sh
+         |      OR (szb.n_sh = sza.n_sh AND sh.b < sh.a))),
+         |sb AS (SELECT s.doc_id, NOT EXISTS (SELECT 1 FROM strong st
+         |    WHERE st.a = s.doc_id) AS k_sub
+         |  FROM szall s)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN k_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_after_exact,
+         |  CAST(sum(CASE WHEN k_exact THEN n_tok ELSE 0 END) AS BIGINT) AS tok_after_exact,
+         |  CAST(sum(CASE WHEN k_exact AND k_near THEN 1 ELSE 0 END) AS BIGINT) AS n_after_near,
+         |  CAST(sum(CASE WHEN k_exact AND k_near THEN n_tok ELSE 0 END) AS BIGINT) AS tok_after_near,
+         |  CAST(sum(CASE WHEN k_exact AND k_near AND k_sub THEN 1 ELSE 0 END) AS BIGINT) AS n_after_subsume,
+         |  CAST(sum(CASE WHEN k_exact AND k_near AND k_sub THEN n_tok ELSE 0 END) AS BIGINT) AS tok_after_subsume
+         |FROM tok JOIN ex USING (doc_id) JOIN nr USING (doc_id)
+         |JOIN sb USING (doc_id)""".stripMargin,
     // the same window geometry restated: chunk count
     // 1 + ceil(max(0, n - size)/stride), boundaries and the per-chunk
     // md5 over the identical word slice

@@ -3060,6 +3060,43 @@ class PipelineOpsSpec extends SparkSpecBase {
         s"brute-only=${brute.keySet -- rows.keySet}")
   }
 
+  test("x32 waterfall reconciles against its three source stages, and " +
+      "survivorship is monotone") {
+    val row = TextAnalysis.x32DedupWaterfall(spark, sf).collect()(0)
+    def g(c: String) = row.getAs[Long](c)
+    // monotone: each stage can only drop mass
+    assert(g("n_docs") >= g("n_after_exact") &&
+      g("n_after_exact") >= g("n_after_near") &&
+      g("n_after_near") >= g("n_after_subsume"))
+    assert(g("n_tokens") >= g("tok_after_exact") &&
+      g("tok_after_exact") >= g("tok_after_near") &&
+      g("tok_after_near") >= g("tok_after_subsume"))
+    // reconcile against the source queries driver-side
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.operators.TextOps.words(col("text")))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kExact = Dedup.d1ExactDedup(spark, sf).collect()
+      .filter(!_.getAs[Boolean]("is_dup")).map(_.getAs[Long]("doc_id")).toSet
+    val kNear = Dedup.d6DupClusters(spark, sf).collect()
+      .filter(_.getAs[Long]("is_canonical") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val kSub = Dedup.d15Subsumption(spark, sf).collect()
+      .filter(!_.getAs[Boolean]("subsumed")).map(_.getAs[Long]("doc_id")).toSet
+    val afterNear = kExact.intersect(kNear)
+    val afterSub = afterNear.intersect(kSub)
+    assert(g("n_after_exact") == kExact.size.toLong)
+    assert(g("tok_after_exact") == kExact.toSeq.map(toks).sum)
+    assert(g("n_after_near") == afterNear.size.toLong)
+    assert(g("n_after_subsume") == afterSub.size.toLong)
+    assert(g("tok_after_subsume") == afterSub.toSeq.map(toks).sum)
+    // the waterfall must drop something overall on this corpus, or
+    // the query proves nothing (which stage drops is corpus-dependent:
+    // the sf0.001 fixture has near-dups and subsumed docs but no
+    // exact dups)
+    assert(g("n_after_subsume") < g("n_docs"))
+  }
+
   test("x31 chunking: full coverage, fixed overlap, no redundant tail, " +
       "boundary counts exact") {
     import spark.implicits._
