@@ -1232,6 +1232,37 @@ object Events {
     patternCountPermute(events(s, d), Seq("click", "view", "purchase"))
       .orderBy(col("user_id"))
 
+  /** e29: VALUE-RANGE window frame — the window capability q15's
+    * ROWS frames cannot express: per event, the trailing-1-hour
+    * count and cents sum for its type via `RANGE BETWEEN 3599
+    * PRECEDING AND CURRENT ROW` over epoch seconds. A range frame is
+    * defined by the ORDER-BY VALUE, not a row offset — same-second
+    * ties all share one frame (deterministic under any row order,
+    * which is what makes the hash gate meaningful), and gaps in the
+    * stream shrink the frame instead of reaching further back.
+    *
+    * Scale: one hash exchange on event_type, then a single sorted
+    * pass with a sliding two-pointer frame (Spark's unbounded-
+    * preceding-free range frame is O(n) per partition, not O(n·w)).
+    * event_type is LOW-cardinality, so at 100 TB this exact form is
+    * a skew hazard — partition the production twin by (type, day
+    * bucket) and stitch boundaries, or pre-aggregate per second and
+    * frame over the rollup (the x23/e14 discipline); this form is
+    * what the oracle can verify row-for-row. */
+  def e29RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts_s"))
+      .rangeBetween(-3599L, 0L)
+    events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        graft.Tables.cents(col("value")).as("val_c"))
+      .select(col("event_id"), col("event_type"), col("ts_s"),
+        count(lit(1)).over(w).as("n_trail_1h"),
+        sum(col("val_c")).over(w).as("sum_cents_trail"))
+      .orderBy(col("event_id"))
+  }
+
   /** e20: the span-emitting form of e19 on the click→view→purchase
     * pattern — WHICH rows formed each completed funnel, not just how
     * many. Oracle: the e19 recursive-CTE automaton extended with the
@@ -1270,6 +1301,7 @@ object Events {
     "e26_variant"        -> e26VariantExtract _,
     "e27_pattern_repeat" -> e27PatternRepeat _,
     "e28_pattern_permute" -> e28PatternPermute _,
+    "e29_range_frame"    -> e29RangeFrame _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1518,6 +1550,20 @@ object Events {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the explicit 3-state optional-stage automaton, stated as the
     // identical transition table both engines fold
+    // value-range frame over epoch seconds: tie-inclusive trailing
+    // hour per type — both engines' RANGE frame semantics must agree
+    "e29_range_frame" ->
+      """WITH x AS (SELECT event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    CAST(round(value * 100) AS BIGINT) AS val_c
+        |  FROM events)
+        |SELECT event_id, event_type, ts_s,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trail_1h,
+        |  CAST(sum(val_c) OVER w AS BIGINT) AS sum_cents_trail
+        |FROM x
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // the bitmask fold restated as a recursive CTE: an unseen stage
     // ORs its bit in, a repeat restarts at that bit, mask 7 completes
     "e28_pattern_permute" ->

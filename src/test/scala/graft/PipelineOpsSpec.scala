@@ -3133,6 +3133,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("e29 range frame: tie rows share one frame, the boundary is " +
+      "inclusive at 3599s, and gaps shrink the frame") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val rows = Seq(
+      (1L, ts(0)), (2L, ts(0)),          // ties at t=0
+      (3L, ts(3599)),                    // exactly on the boundary
+      (4L, ts(3600)),                    // one past: 0/2 drop out
+      (5L, ts(100000))                   // far gap: frame of one
+    ).map { case (id, t) => (0L, t, id, "click", 1.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3599L, 0L)
+    val out = rows.select(col("event_id"),
+        count(lit(1)).over(w).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L && out(2L) == 2L, "ties must share the frame")
+    assert(out(3L) == 3L, "3599s back is inside the inclusive boundary")
+    assert(out(4L) == 2L, "t=3600 must drop the t=0 ties (3,4 remain)")
+    assert(out(5L) == 1L, "a gap shrinks the frame to the row itself")
+  }
+
   test("e28 permute: any order completes, a repeat restarts the attempt, " +
       "non-overlap and partition-invariance hold") {
     import spark.implicits._
