@@ -1543,6 +1543,74 @@ object TextAnalysis {
   def x23SourceMixAtScale(s: SparkSession, d: String): DataFrame =
     sourceMixThreshold(documents(s, d)).orderBy(col("source"))
 
+  /** x33: TOKEN-BUDGET SELECTION — trim the corpus to a token budget
+    * (half the corpus here) by deterministic priority: docs are
+    * ordered by a salted content-independent hash (the x27/x6
+    * reproducible-shuffle discipline) and kept while the cumulative
+    * token count stays within budget — the release-time "cut to N
+    * tokens" every corpus ships with.
+    *
+    * Scale: the naive form is a GLOBAL priority sort + running sum
+    * (one partition, the x23 strawman). This runs the x23 histogram
+    * discipline instead: one 256-bucket (count, token) histogram is
+    * the only corpus-wide aggregation; the budget boundary bucket is
+    * found on the 256-row rollup; only THAT bucket's rows (~n/256)
+    * are ranked to the exact threshold key; the keep decision is then
+    * a broadcast-threshold comparison per row — no global sort, no
+    * corpus-wide window. Every keep bit is a pure function of
+    * (doc_id, corpus histogram), so the manifest is reshuffle-proof
+    * and the DuckDB oracle restates it as the straight global-cumsum
+    * definition. */
+  def x33BudgetSelect(s: SparkSession, d: String): DataFrame =
+    budgetSelect(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Library form of [[x33BudgetSelect]]: keep docs in salted-hash
+    * priority order while cumulative tokens ≤ ⌊total/2⌋. */
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("hd",
+        md5(concat(col("doc_id").cast("string"), lit(":budget"))))
+      .withColumn("pfx", conv(substring(col("hd"), 1, 2), 16, 10).cast("int"))
+    // the ONLY corpus-wide aggregation: 256-bucket (count, tokens)
+    val hist = keyed.groupBy(col("pfx"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("tok"))
+      .localCheckpoint()
+    // boundary bucket on the 256-row rollup (driver-sized windows,
+    // the x23 argument): first pfx whose cumulative tokens reach the
+    // budget; `rem` is the token headroom entering it
+    val boundary = hist
+      .withColumn("budget", idiv(sum(col("tok")).over(w.partitionBy()), lit(2L)))
+      .withColumn("cum_before",
+        coalesce(sum(col("tok")).over(w.partitionBy()
+          .orderBy(col("pfx"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < col("budget") &&
+        col("cum_before") + col("tok") >= col("budget"))
+      .select(col("pfx").as("bpfx"),
+        (col("budget") - col("cum_before")).as("rem"))
+    // rank ONLY the boundary bucket (~n/256 rows) to the exact
+    // threshold key: the last doc whose in-bucket running total fits
+    val thr = keyed
+      .join(broadcast(boundary), col("pfx") === col("bpfx"))
+      .withColumn("cum", sum(col("n_tok")).over(w.partitionBy()
+        .orderBy(col("hd"), col("doc_id"))
+        .rowsBetween(w.unboundedPreceding, 0)))
+      .filter(col("cum") <= col("rem"))
+      .agg(max(struct(col("hd"), col("doc_id"))).as("t"))
+      .select(col("t.hd").as("thd"), col("t.doc_id").as("tdoc"))
+    keyed
+      .crossJoin(broadcast(boundary))
+      .crossJoin(broadcast(thr))
+      .withColumn("kept",
+        col("pfx") < col("bpfx") ||
+          (col("pfx") === col("bpfx") && col("thd").isNotNull &&
+            (col("hd") < col("thd") ||
+              (col("hd") === col("thd") && col("doc_id") <= col("tdoc")))))
+      .select(col("doc_id"), col("n_tok"), col("kept"))
+  }
+
   /** Tokens per duplicate-span-removal segment (x15). */
   val SpanTokens = 5
 
@@ -1716,6 +1784,7 @@ object TextAnalysis {
     "x30_lang_confusion" -> x30LangConfusion _,
     "x31_chunk" -> x31Chunk _,
     "x32_dedup_waterfall" -> x32DedupWaterfall _,
+    "x33_budget_select" -> x33BudgetSelect _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1926,6 +1995,22 @@ object TextAnalysis {
          |    AS BIGINT) AS noise_rate_e6
          |FROM r ORDER BY declared, pred_lang""".stripMargin
     },
+    // the straight global-cumsum definition the histogram form must
+    // reproduce bit-for-bit: priority order (hd, doc_id), keep while
+    // cumulative tokens <= floor(total/2)
+    "x33_budget_select" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w != ''))
+        |      AS BIGINT) AS n_tok,
+        |    md5(doc_id::VARCHAR || ':budget') AS hd
+        |  FROM documents),
+        |b AS (SELECT CAST(sum(n_tok) // 2 AS BIGINT) AS budget FROM t),
+        |c AS (SELECT doc_id, n_tok, hd,
+        |    sum(n_tok) OVER (ORDER BY hd, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT c.doc_id, c.n_tok, c.cum <= b.budget AS kept
+        |FROM c, b ORDER BY c.doc_id""".stripMargin,
     // d1's window + d6's recursive closure + d15's containment rule,
     // joined per doc and folded to the cumulative survivorship row
     "x32_dedup_waterfall" ->

@@ -3060,6 +3060,32 @@ class PipelineOpsSpec extends SparkSpecBase {
         s"brute-only=${brute.keySet -- rows.keySet}")
   }
 
+  test("x33 budget selection: kept tokens fit the half budget TIGHTLY " +
+      "(next-priority doc would overflow), reshuffle-proof") {
+    val rows = TextAnalysis.x33BudgetSelect(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Boolean]("kept")))
+    val total = rows.map(_._2).sum
+    val budget = total / 2
+    val keptTok = rows.filter(_._3).map(_._2).sum
+    assert(keptTok <= budget, s"kept $keptTok > budget $budget")
+    // tight: the highest-priority dropped doc would not have fit
+    def hd(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$id:budget".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val dropped = rows.filter(!_._3)
+    assert(dropped.nonEmpty && rows.exists(_._3))
+    val firstDropped = dropped.minBy(r => (hd(r._1), r._1))
+    assert(keptTok + firstDropped._2 > budget,
+      s"selection not tight: $keptTok + ${firstDropped._2} <= $budget")
+    // keep set = the priority-order prefix (driver recompute)
+    val inOrder = rows.sortBy(r => (hd(r._1), r._1))
+    var cum = 0L
+    val expect = inOrder.map { r => cum += r._2; (r._1, cum <= budget) }.toMap
+    assert(rows.forall(r => expect(r._1) == r._3), "keep set != cumsum prefix")
+  }
+
   test("x32 waterfall reconciles against its three source stages, and " +
       "survivorship is monotone") {
     val row = TextAnalysis.x32DedupWaterfall(spark, sf).collect()(0)
