@@ -1564,6 +1564,55 @@ object TextAnalysis {
   def x33BudgetSelect(s: SparkSession, d: String): DataFrame =
     budgetSelect(documents(s, d)).orderBy(col("doc_id"))
 
+  /** x34: TRAINING ORDER — the total order a dataloader consumes:
+    * docs deterministically shuffled within each source (salted-hash
+    * rank, the x6/x27 reproducibility discipline) and ROUND-ROBIN
+    * interleaved across sources, so no source clumps at any point of
+    * training (the data-ordering concern behind published interleaved
+    * mixtures): slot = (rank_within_source − 1) · n_sources +
+    * source_index. Slots are unique, each source's slots form an
+    * arithmetic progression with stride n_sources, and position is a
+    * pure function of (doc_id, source, corpus composition) —
+    * reshuffle-proof and resumable.
+    *
+    * Scale: the within-source rank uses [[Relational.globalRank]]
+    * over (source, hash, doc_id) minus a broadcast per-source offset
+    * — the exact-rank machinery with NO single-partition window, so a
+    * giant source never lands in one task (the per-source `row_number`
+    * window the oracle states would do exactly that). */
+  def x34TrainOrder(s: SparkSession, d: String): DataFrame =
+    trainOrder(documents(s, d)).orderBy(col("doc_id"))
+
+  /** Library form of [[x34TrainOrder]] over any (doc_id, source)
+    * frame; presentation order left to the caller. */
+  def trainOrder(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .withColumn("hd",
+        md5(concat(col("doc_id").cast("string"), lit(":curr"))))
+    val ranked = Relational.globalRank(keyed,
+      Seq(col("source").asc, col("hd").asc, col("doc_id").asc), "grank")
+    // per-source offsets + dense index: a sources-sized rollup,
+    // collected and broadcast as literals (the x23/globalRank
+    // driver-sized-metadata argument)
+    val srcRows = keyed.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val k = srcRows.length.toLong
+    var acc = 0L
+    val offsets = srcRows.map { case (src, n) =>
+      val o = acc; acc += n; src -> o
+    }.toMap
+    val indexes = srcRows.map(_._1).zipWithIndex
+      .map { case (src, i) => src -> i.toLong }.toMap
+    ranked
+      .withColumn("src_rank",
+        col("grank") - coalesce(element_at(typedLit(offsets), col("source")),
+          lit(0L)))
+      .withColumn("slot",
+        (col("src_rank") - 1L) * k +
+          coalesce(element_at(typedLit(indexes), col("source")), lit(0L)))
+      .select(col("doc_id"), col("source"), col("src_rank"), col("slot"))
+  }
+
   /** Library form of [[x33BudgetSelect]]: keep docs in salted-hash
     * priority order while cumulative tokens ≤ ⌊total/2⌋. */
   def budgetSelect(docs: DataFrame): DataFrame = {
@@ -1785,6 +1834,7 @@ object TextAnalysis {
     "x31_chunk" -> x31Chunk _,
     "x32_dedup_waterfall" -> x32DedupWaterfall _,
     "x33_budget_select" -> x33BudgetSelect _,
+    "x34_train_order" -> x34TrainOrder _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -1995,6 +2045,20 @@ object TextAnalysis {
          |    AS BIGINT) AS noise_rate_e6
          |FROM r ORDER BY declared, pred_lang""".stripMargin
     },
+    // the interleave definition stated directly: per-source salted
+    // row_number + dense source index, slot = (r-1)*k + idx
+    "x34_train_order" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    md5(doc_id::VARCHAR || ':curr') AS hd FROM documents),
+        |kk AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS k FROM t),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY hd, doc_id) AS BIGINT) AS src_rank,
+        |    CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) - 1 AS src_idx
+        |  FROM t)
+        |SELECT r.doc_id, r.source, r.src_rank,
+        |  (r.src_rank - 1) * kk.k + r.src_idx AS slot
+        |FROM r, kk ORDER BY r.doc_id""".stripMargin,
     // the straight global-cumsum definition the histogram form must
     // reproduce bit-for-bit: priority order (hd, doc_id), keep while
     // cumulative tokens <= floor(total/2)

@@ -3060,6 +3060,34 @@ class PipelineOpsSpec extends SparkSpecBase {
         s"brute-only=${brute.keySet -- rows.keySet}")
   }
 
+  test("x34 train order: slots unique, per-source stride-k progressions, " +
+      "round-robin head, deterministic under repartition") {
+    val rows = TextAnalysis.x34TrainOrder(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("src_rank"), r.getAs[Long]("slot")))
+    val k = rows.map(_._2).distinct.length.toLong
+    assert(k >= 2, "fixture needs several sources")
+    assert(rows.map(_._4).distinct.length == rows.length, "slots collide")
+    // per source: slots are an arithmetic progression with stride k
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val slots = g.sortBy(_._3).map(_._4)
+      assert(slots.head < k, s"$src does not start in the first round")
+      slots.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == k, s"$src stride broken")
+        case _ =>
+      }
+    }
+    // the first k slots hold exactly one doc from each source
+    val head = rows.filter(_._4 < k)
+    assert(head.length == k.toInt && head.map(_._2).distinct.length == k.toInt,
+      "first round is not one-per-source")
+    // deterministic: recompute over a repartitioned frame
+    val re = TextAnalysis.trainOrder(
+      Tables.documents(spark, sf).repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("slot")).toMap
+    assert(rows.forall(r => re(r._1) == r._4), "order not reshuffle-proof")
+  }
+
   test("x33 budget selection: kept tokens fit the half budget TIGHTLY " +
       "(next-priority doc would overflow), reshuffle-proof") {
     val rows = TextAnalysis.x33BudgetSelect(spark, sf).collect()
