@@ -1554,10 +1554,13 @@ object TextAnalysis {
     * (one partition, the x23 strawman). This runs the x23 histogram
     * discipline instead: one 256-bucket (count, token) histogram is
     * the only corpus-wide aggregation; the budget boundary bucket is
-    * found on the 256-row rollup; only THAT bucket's rows (~n/256)
-    * are ranked to the exact threshold key; the keep decision is then
-    * a broadcast-threshold comparison per row — no global sort, no
-    * corpus-wide window. Every keep bit is a pure function of
+    * found on the 65536-row rollup; only THAT bucket's rows
+    * (~n/65536 — ~1.5M rows for a 10^10-doc corpus, one comfortable
+    * task) are ranked to the exact threshold key; the keep decision
+    * is then a broadcast-threshold comparison per row — no global
+    * sort, no corpus-wide window. If a corpus ever outgrows one
+    * boundary task, the same construction recurses on the next hash
+    * chars within the bucket. Every keep bit is a pure function of
     * (doc_id, corpus histogram), so the manifest is reshuffle-proof
     * and the DuckDB oracle restates it as the straight global-cumsum
     * definition. */
@@ -1621,8 +1624,10 @@ object TextAnalysis {
       .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
       .withColumn("hd",
         md5(concat(col("doc_id").cast("string"), lit(":budget"))))
-      .withColumn("pfx", conv(substring(col("hd"), 1, 2), 16, 10).cast("int"))
-    // the ONLY corpus-wide aggregation: 256-bucket (count, tokens)
+      .withColumn("pfx", conv(substring(col("hd"), 1, 4), 16, 10).cast("int"))
+    // the ONLY corpus-wide aggregation: 65536-bucket (count, tokens) —
+    // still a driver-sized rollup, and the boundary bucket shrinks to
+    // ~n/65536 rows
     val hist = keyed.groupBy(col("pfx"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("tok"))
       .localCheckpoint()
