@@ -1232,6 +1232,58 @@ object Events {
     patternCountPermute(events(s, d), Seq("click", "view", "purchase"))
       .orderBy(col("user_id"))
 
+  /** e30: counted repeat UNDER a deadline — `PATTERN (A B{minB,} C)
+    * WITHIN w`, the e27×e21 composition that proves the quantifier
+    * family composes: the open attempt carries its start time, an
+    * event arriving past the window EXPIRES the attempt first (e21's
+    * discipline — the breaching event may itself open a fresh
+    * attempt), and the counted-repeat rule then applies verbatim.
+    * State: four longs (stage, B count, start ts, —) plus the three
+    * tallies; same streamed O(1)-state contract as the whole family. */
+  def patternCountRepeatWithin(ev: DataFrame, a: String, b: String,
+      c: String, minB: Int, windowMicros: Long): DataFrame = {
+    require(Seq(a, b, c).distinct.size == 3, "stages must be distinct")
+    require(minB >= 1 && windowMicros > 0L, "need minB >= 1, window > 0")
+    patternPrepSets(ev, Seq(Seq(a), Seq(b), Seq(c)))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Option[Long], Long, Long, Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Option[Long], Long, Long, Long, Long, Long) = {
+            val u = buf.head._1
+            var st = 0L; var bc = 0L; var t0 = 0L
+            var done = 0L; var sumB = 0L; var nexp = 0L
+            while (buf.hasNext && buf.head._1 == u) {
+              val (_, t, _, code) = buf.next()
+              // expiry precedes the transition (e21's rule)
+              if (st == 1L && t - t0 > windowMicros) {
+                nexp += 1L; st = 0L; bc = 0L
+              }
+              if (st == 0L) {
+                if (code == 1L) { st = 1L; bc = 0L; t0 = t }
+              } else {
+                if (code == 2L) bc += 1L
+                else if (code == 3L) {
+                  if (bc >= minB) { done += 1L; sumB += bc }
+                  st = 0L; bc = 0L
+                }
+              }
+            }
+            (u, done, sumB, nexp, st, bc)
+          }
+        }
+      }(org.apache.spark.sql.Encoders
+        .product[(Option[Long], Long, Long, Long, Long, Long)])
+      .toDF("user_id", "n_complete", "sum_b", "n_expired",
+        "open_state", "open_b")
+  }
+
+  /** e30 over the corpus: click → view{2,} → purchase within 7 days. */
+  def e30PatternRepeatWithin(s: SparkSession, d: String): DataFrame =
+    patternCountRepeatWithin(events(s, d), "click", "view", "purchase",
+      minB = 2, windowMicros = PatternWithinMicros)
+      .orderBy(col("user_id"))
+
   /** e29: VALUE-RANGE window frame — the window capability q15's
     * ROWS frames cannot express: per event, the trailing-1-hour
     * count and cents sum for its type via `RANGE BETWEEN 3599
@@ -1302,6 +1354,7 @@ object Events {
     "e27_pattern_repeat" -> e27PatternRepeat _,
     "e28_pattern_permute" -> e28PatternPermute _,
     "e29_range_frame"    -> e29RangeFrame _,
+    "e30_repeat_within"  -> e30PatternRepeatWithin _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1564,6 +1617,46 @@ object Events {
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // the e27 transition table over the POST-EXPIRY state (computed
+    // once in the recursive arm's subquery via lateral aliases)
+    "e30_repeat_within" ->
+      s"""WITH RECURSIVE u AS (SELECT user_id,
+         |    list(struct_pack(
+         |        c := CASE event_type WHEN 'click' THEN CAST(1 AS BIGINT)
+         |          WHEN 'view' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END,
+         |        t := epoch_us(ts)) ORDER BY ts, event_id) AS es
+         |  FROM events GROUP BY user_id),
+         |step(user_id, i, st, bc, t0, done, sumb, nexp) AS (
+         |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT) FROM u
+         |  UNION ALL
+         |  SELECT user_id, i + 1,
+         |    CASE WHEN pst = 0 AND c = 1 THEN 1
+         |         WHEN pst = 1 AND c = 3 THEN 0
+         |         ELSE pst END,
+         |    CASE WHEN pst = 0 AND c = 1 THEN 0
+         |         WHEN pst = 1 AND c = 2 THEN pbc + 1
+         |         WHEN pst = 1 AND c = 3 THEN 0
+         |         ELSE pbc END,
+         |    CASE WHEN pst = 0 AND c = 1 THEN t ELSE t0 END,
+         |    done + CASE WHEN pst = 1 AND c = 3 AND pbc >= 2
+         |      THEN 1 ELSE 0 END,
+         |    sumb + CASE WHEN pst = 1 AND c = 3 AND pbc >= 2
+         |      THEN pbc ELSE 0 END,
+         |    nexp + CASE WHEN expired THEN 1 ELSE 0 END
+         |  FROM (SELECT s.user_id, s.i, s.t0, s.done, s.sumb, s.nexp,
+         |      u.es[s.i+1].c AS c, u.es[s.i+1].t AS t,
+         |      s.st = 1 AND u.es[s.i+1].t - s.t0 > $PatternWithinMicros
+         |        AS expired,
+         |      CASE WHEN expired THEN 0 ELSE s.st END AS pst,
+         |      CASE WHEN expired THEN 0 ELSE s.bc END AS pbc
+         |    FROM step s JOIN u ON u.user_id = s.user_id
+         |    WHERE s.i < len(u.es)))
+         |SELECT s.user_id, s.done AS n_complete, s.sumb AS sum_b,
+         |  s.nexp AS n_expired, s.st AS open_state, s.bc AS open_b
+         |FROM step s JOIN u ON u.user_id = s.user_id AND s.i = len(u.es)
+         |ORDER BY s.user_id""".stripMargin,
     // the bitmask fold restated as a recursive CTE: an unseen stage
     // ORs its bit in, a repeat restarts at that bit, mask 7 completes
     "e28_pattern_permute" ->

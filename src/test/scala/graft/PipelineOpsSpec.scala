@@ -3211,6 +3211,42 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(5L) == 1L, "a gap shrinks the frame to the row itself")
   }
 
+  test("e30 repeat-within: in-window completes, late C expires the attempt " +
+      "and is consumed idle, a breaching A reopens fresh") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day = 86400L
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val w = 7L * day * 1000000L // micros
+    val rows = Seq(
+      // user 1: A B B C inside the window — completes
+      (1L, ts(0), 1L, "click"), (1L, ts(10), 2L, "view"),
+      (1L, ts(20), 3L, "view"), (1L, ts(30), 4L, "purchase"),
+      // user 2: A B B then C at day 8 — the attempt expires; the C
+      // lands idle (no completion, one expiry)
+      (2L, ts(0), 11L, "click"), (2L, ts(10), 12L, "view"),
+      (2L, ts(20), 13L, "view"), (2L, ts(8 * day), 14L, "purchase"),
+      // user 3: A at t0, then a SECOND A at day 8 breaches the window
+      // and reopens fresh; B B C complete inside the new window
+      (3L, ts(0), 21L, "click"), (3L, ts(8 * day), 22L, "click"),
+      (3L, ts(8 * day + 10), 23L, "view"), (3L, ts(8 * day + 20), 24L, "view"),
+      (3L, ts(8 * day + 30), 25L, "purchase"),
+      // user 4: open attempt inside the window (no expiry yet)
+      (4L, ts(0), 31L, "click"), (4L, ts(10), 32L, "view")
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Events.patternCountRepeatWithin(rows,
+        "click", "view", "purchase", minB = 2, windowMicros = w)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_complete"), r.getAs[Long]("sum_b"),
+          r.getAs[Long]("n_expired"), r.getAs[Long]("open_state"),
+          r.getAs[Long]("open_b"))).toMap
+    assert(out(1L) == ((1L, 2L, 0L, 0L, 0L)), s"in-window: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 1L, 0L, 0L)), s"late C: ${out(2L)}")
+    assert(out(3L) == ((1L, 2L, 1L, 0L, 0L)), s"breaching A: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L, 1L, 1L)), s"open: ${out(4L)}")
+  }
+
   test("e28 permute: any order completes, a repeat restarts the attempt, " +
       "non-overlap and partition-invariance hold") {
     import spark.implicits._
