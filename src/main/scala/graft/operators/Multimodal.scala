@@ -662,8 +662,10 @@ object Multimodal {
     * [[NFrames]] → per-clip fold) is the production plan as-is.
     * Integer end to end: 32-bit signature folds, bit_count(xor) —
     * bit-identical across engines. */
-  def m10ShotBoundaries(s: SparkSession, d: String): DataFrame = {
-    val fr = documents(s, d)
+  /** Per-frame 32-bit signatures of every clip — the shared stage
+    * m10's cut detector and m12's keyframe picker both fold over. */
+  private def frameSigs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), col("text").as("payload"),
         greatest(idiv(length(col("text")).cast("long"), lit(NFrames.toLong)),
           lit(1L)).as("frame_len"))
@@ -675,6 +677,33 @@ object Multimodal {
       .filter(length(col("frame")) > 0)
       .withColumn("sig",
         conv(substring(md5(col("frame")), 1, 8), 16, 10).cast("long"))
+
+  /** m12: KEYFRAME manifest — one representative frame per detected
+    * shot (the first frame of each shot: clip start, then every cut
+    * frame), the selection stage that feeds an image embedder or a
+    * thumbnail store instead of embedding all frames. Composes m10's
+    * cut detector with a per-clip running shot index (a cumsum window
+    * bounded by [[NFrames]]); emits (doc, shot_idx, start_frame,
+    * keyframe signature). Scale = m10's: narrow frame explode, one
+    * per-clip lag/cumsum window, output rows = shots ≪ frames. */
+  def m12Keyframes(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameSigs(s, d)
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("cut", col("prev").isNotNull &&
+        bit_count(col("sig").bitwiseXOR(col("prev"))) >= ShotCutHamming)
+      .withColumn("shot_idx",
+        sum(when(col("cut"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cut") || col("prev").isNull)
+      .select(col("doc_id"), col("shot_idx"),
+        col("frame_idx").cast("long").as("start_frame"),
+        col("sig").as("keyframe_sig"))
+      .orderBy(col("doc_id"), col("shot_idx"))
+  }
+
+  def m10ShotBoundaries(s: SparkSession, d: String): DataFrame = {
+    val fr = frameSigs(s, d)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     fr.withColumn("prev", lag(col("sig"), 1).over(w))
       .withColumn("cut", col("prev").isNotNull &&
@@ -717,6 +746,7 @@ object Multimodal {
     "m9_audiohash"       -> m9AudioHash _,
     "m10_shot_bounds"    -> m10ShotBoundaries _,
     "m11_audio_neardup"  -> m11AudioNearDup _,
+    "m12_keyframes"      -> m12Keyframes _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -918,6 +948,41 @@ object Multimodal {
          |FROM t ORDER BY doc_id""".stripMargin,
     // stride-1 frames, 8-hex md5 fold, lag + bit_count(xor) — the
     // identical integer chain
+    // m10's frame/cut CTEs + a per-clip running shot index; keyframes
+    // are the clip start and every cut frame
+    "m12_keyframes" -> {
+      def v(h: String, i: Int) =
+        s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +
+          s" ELSE ascii(substr($h,$i,1)) - 87 END)"
+      def hex8(h: String) = (2 to 8).foldLeft(s"CAST(${v(h, 1)} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${v(h, i)})")
+      s"""WITH p AS (SELECT doc_id, text AS payload,
+         |    greatest(CAST(length(text) AS BIGINT) // $NFrames, 1) AS frame_len
+         |  FROM documents),
+         |f AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         |    substr(payload, CAST(k * frame_len + 1 AS INT),
+         |      CAST(frame_len AS INT)) AS frame
+         |  FROM p CROSS JOIN (SELECT unnest(range(0, $NFrames)) AS k)),
+         |g AS (SELECT doc_id, frame_idx, ${hex8("md5(frame)")} AS sig
+         |  FROM f WHERE length(frame) > 0),
+         |l AS (SELECT doc_id, frame_idx, sig,
+         |    lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+         |  FROM g),
+         |c AS (SELECT doc_id, frame_idx, sig,
+         |    prev IS NULL AS first,
+         |    prev IS NOT NULL AND bit_count(xor(sig, prev)) >= $ShotCutHamming
+         |      AS cut
+         |  FROM l),
+         |sh AS (SELECT doc_id, frame_idx, sig, cut, first,
+         |    sum(CASE WHEN cut THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY frame_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_idx
+         |  FROM c)
+         |SELECT doc_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+         |  frame_idx AS start_frame, sig AS keyframe_sig
+         |FROM sh WHERE cut OR first
+         |ORDER BY doc_id, shot_idx""".stripMargin
+    },
     "m10_shot_bounds" -> {
       def v(h: String, i: Int) =
         s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +

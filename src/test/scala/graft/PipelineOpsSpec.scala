@@ -3034,6 +3034,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(run(rows.repartition(7)) == out, "partitioning changed the fold")
   }
 
+  test("m12 keyframes: one per shot, shot indexes dense from 0, first " +
+      "keyframe at clip start, counts reconcile with m10") {
+    val kf = Multimodal.m12Keyframes(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shot_idx"),
+        r.getAs[Long]("start_frame")))
+    val shots = Multimodal.m10ShotBoundaries(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shots")).toMap
+    val byDoc = kf.groupBy(_._1)
+    assert(byDoc.keySet == shots.keySet)
+    byDoc.foreach { case (doc, g) =>
+      assert(g.length.toLong == shots(doc),
+        s"doc $doc: ${g.length} keyframes != ${shots(doc)} shots")
+      assert(g.map(_._2).sorted.sameElements(0L until shots(doc)),
+        s"doc $doc: shot indexes not dense")
+      assert(g.minBy(_._2)._3 == 0L, s"doc $doc: first keyframe not frame 0")
+    }
+    assert(kf.exists(_._2 > 0L), "no multi-shot clip in the fixture")
+  }
+
   test("m11 audio near-dup: the MIH blocking equals brute force over the " +
       "decoded audio hashes") {
     import spark.implicits._
