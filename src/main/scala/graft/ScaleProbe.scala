@@ -468,6 +468,26 @@ object ScaleProbe {
           ((col("id") + 1L) % n).as("dst"))
         operators.Relational.pageRank(e, 1)
       },
+      // x31 shape: stride-overlap chunking over 200k×m synthetic docs
+      // of ~200 words — a narrow generate, expected flat-to-linear
+      time("chunk_windows") {
+        val n = 200000L * m
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 200).map(i =>
+            concat(lit(s"w$i"), col("id") % 97L)): _*).as("text"))
+        operators.TextAnalysis.chunkDocs(docs, 64L, 48L)
+      },
+      // x33 shape: token-budget threshold selection over 1M×m docs —
+      // the histogram discipline's cost is one rollup + the boundary
+      // bucket's rank (~n/65536 rows), so growth should track the
+      // scan, never a global sort
+      time("budget_threshold") {
+        val n = 1000000L * m
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", lit("a"), lit("b"), lit("c"),
+            concat(lit("d"), col("id"))).as("text"))
+        operators.TextAnalysis.budgetSelect(docs)
+      },
       // m7 shape (codec-free): MIH pair stage over 200k×m synthetic
       // hashes built to carry constant per-doc true-pair density (each
       // doc's twin at id+100k×m differs in 1 bit; multiplicative-hash
