@@ -621,10 +621,27 @@ object Dedup {
     * catalog reads the standing table without recomputing the pair
     * stage at all — the cross-session form the d8 postings index
     * already has. Immutable-corpus contract as documented on
-    * [[SessionCaches]]; the table name carries the directory hash. */
+    * [[SessionCaches]]; the table name carries an md5 digest of the
+    * corpus directory and the directory itself rides TBLPROPERTIES,
+    * validated before a pre-existing table is reused. */
   private[graft] def sharedContainment(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(containCache, s, d) {
-      val table = f"graft_containment_${d.hashCode & 0x7fffffff}%x"
+      // table suffix is a REAL digest of the corpus directory (md5,
+      // 128-bit), not String.hashCode (31-bit — silent collisions
+      // would hand a later session the WRONG corpus's pairs); the
+      // source path is also pinned in TBLPROPERTIES and validated
+      // before any pre-existing table is trusted
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val table = s"graft_containment_$digest"
+      if (s.catalog.tableExists(table)) {
+        val src = scala.util.Try(
+          s.sql(s"SHOW TBLPROPERTIES $table ('graft.source')")
+            .collect().headOption.map(_.getString(1))).toOption.flatten
+        require(src.contains(d),
+          s"standing table $table carries graft.source=$src, expected $d — " +
+            "refusing to serve another corpus's containment pairs")
+      }
       if (!s.catalog.tableExists(table)) {
         // a previous JVM's in-memory catalog is gone but its managed
         // LOCATION may survive under the warehouse dir; creating the
@@ -639,6 +656,8 @@ object Dedup {
         Warehouse.writeContainment(
           containmentPairs(documents(s, d).repartition(col("doc_id")),
             maxDf = None), table, nBuckets = 32)
+        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('graft.source' = '${d.replace("'", "''")}')")
       }
       s.table(table)
     }

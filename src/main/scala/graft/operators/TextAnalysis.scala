@@ -1552,7 +1552,7 @@ object TextAnalysis {
     *
     * Scale: the naive form is a GLOBAL priority sort + running sum
     * (one partition, the x23 strawman). This runs the x23 histogram
-    * discipline instead: one 256-bucket (count, token) histogram is
+    * discipline instead: one 65536-bucket (count, token) histogram is
     * the only corpus-wide aggregation; the budget boundary bucket is
     * found on the 65536-row rollup; only THAT bucket's rows
     * (~n/65536 — ~1.5M rows for a 10^10-doc corpus, one comfortable
@@ -1631,9 +1631,13 @@ object TextAnalysis {
     val hist = keyed.groupBy(col("pfx"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("tok"))
       .localCheckpoint()
-    // boundary bucket on the 256-row rollup (driver-sized windows,
+    // boundary bucket on the 65536-row rollup (driver-sized windows,
     // the x23 argument): first pfx whose cumulative tokens reach the
-    // budget; `rem` is the token headroom entering it
+    // budget; `rem` is the token headroom entering it. Aggregated to
+    // one ALWAYS-PRESENT row (the filter matches exactly one bucket
+    // when budget > 0, zero when budget = 0 — e.g. an all-empty-doc
+    // corpus — where a bare cross join would drop every row instead
+    // of marking them all kept=false; bpfx is null in that case).
     val boundary = hist
       .withColumn("budget", idiv(sum(col("tok")).over(w.partitionBy()), lit(2L)))
       .withColumn("cum_before",
@@ -1644,7 +1648,8 @@ object TextAnalysis {
         col("cum_before") + col("tok") >= col("budget"))
       .select(col("pfx").as("bpfx"),
         (col("budget") - col("cum_before")).as("rem"))
-    // rank ONLY the boundary bucket (~n/256 rows) to the exact
+      .agg(max(col("bpfx")).as("bpfx"), max(col("rem")).as("rem"))
+    // rank ONLY the boundary bucket (~n/65536 rows) to the exact
     // threshold key: the last doc whose in-bucket running total fits
     val thr = keyed
       .join(broadcast(boundary), col("pfx") === col("bpfx"))
@@ -1658,10 +1663,11 @@ object TextAnalysis {
       .crossJoin(broadcast(boundary))
       .crossJoin(broadcast(thr))
       .withColumn("kept",
-        col("pfx") < col("bpfx") ||
-          (col("pfx") === col("bpfx") && col("thd").isNotNull &&
-            (col("hd") < col("thd") ||
-              (col("hd") === col("thd") && col("doc_id") <= col("tdoc")))))
+        col("bpfx").isNotNull &&
+          (col("pfx") < col("bpfx") ||
+            (col("pfx") === col("bpfx") && col("thd").isNotNull &&
+              (col("hd") < col("thd") ||
+                (col("hd") === col("thd") && col("doc_id") <= col("tdoc"))))))
       .select(col("doc_id"), col("n_tok"), col("kept"))
   }
 

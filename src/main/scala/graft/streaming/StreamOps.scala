@@ -818,30 +818,59 @@ object StreamOps {
           .select(col("vec_id"), col("embedding"), col("norm_fp"),
             col("cluster"))
           .write.mode("append").parquet(s"$storeDir/admitted")
-        if ((id + 1) % compactEvery == 0) {
-          // before = id: a crash between the v$id write and the prune
-          // leaves a possibly-PARTIAL v$id directory on disk; the
-          // redelivered batch must rebuild from the last COMPLETE
-          // version plus the still-present admitted log (not yet
-          // pruned), never from its own half-written output — then
-          // overwrite v$id whole. Without the bound, rows already
-          // folded into earlier versions could be lost on recovery.
-          val corpus = semDedupCorpus(s, storeDir, before = id)
-            .localCheckpoint()
-          val resolved = Similarity.resolveSemClusters(corpus, maxCluster)
-          corpus.write.mode("overwrite").parquet(s"$storeDir/v$id/corpus")
-          resolved.write.mode("overwrite").parquet(s"$storeDir/v$id/resolved")
-          // prune: the admitted log is folded into v{id}; versions
-          // older than the newest-but-one go too (steady state: 2)
-          val path = new org.apache.hadoop.fs.Path(storeDir)
-          val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/admitted"), true)
-          semDedupVersions(s, storeDir).filter(_._1 < id)
-            .sortBy(_._1).dropRight(1)
-            .foreach { case (_, p) => fs.delete(p, true) }
-        }
+        if ((id + 1) % compactEvery == 0) semDedupCompact(s, storeDir, id, maxCluster)
         ()
       }
+  }
+
+  /** One compaction cycle, idempotent under at-least-once redelivery.
+    *
+    * The crash hazard this method closes: a naive in-place
+    * `overwrite` of `v$id` followed by `delete(admitted)` opens a
+    * window where `v$id` is the ONLY copy of the admitted rows, yet a
+    * crash before the micro-batch checkpoint commits makes the
+    * redelivered batch rebuild `v$id` from the PRIOR version with the
+    * admitted log already gone — destroying every batch admitted
+    * since the previous compaction except the redelivered one.
+    *
+    * Discipline here instead:
+    *  1. the version is written to a hidden staging dir
+    *     (`.stage_v$id` — invisible to both [[semDedupVersions]]'s
+    *     `v`-prefix filter and parquet readers) and RENAMED into
+    *     place, so `v$id` only ever exists complete;
+    *  2. a redelivered compaction that finds `v$id` already present
+    *     trusts it (the rename guarantee) and SKIPS the rebuild —
+    *     it can no longer base a rewrite on a stale corpus;
+    *  3. only after `v$id` exists complete are the admitted log and
+    *     superseded versions pruned — both deletes are idempotent,
+    *     and the re-appended admitted copy of the redelivered batch
+    *     is safe to drop because its rows are already in `v$id`.
+    * Every crash point therefore recovers: before the rename the
+    * admitted log is untouched and the rebuild (bounded `before = id`
+    * so a staging leftover can never be read) sees every row; after
+    * the rename the skip branch re-runs only the idempotent prunes. */
+  private[streaming] def semDedupCompact(s: org.apache.spark.sql.SparkSession,
+      storeDir: String, id: Long, maxCluster: Option[Int] = None): Unit = {
+    import graft.operators.Similarity
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(s"$storeDir/v$id")
+    if (!fs.exists(vPath)) {
+      val corpus = semDedupCorpus(s, storeDir, before = id)
+        .localCheckpoint()
+      val resolved = Similarity.resolveSemClusters(corpus, maxCluster)
+      val stage = new org.apache.hadoop.fs.Path(s"$storeDir/.stage_v$id")
+      fs.delete(stage, true) // clear any half-written earlier attempt
+      corpus.write.mode("overwrite").parquet(s"$stage/corpus")
+      resolved.write.mode("overwrite").parquet(s"$stage/resolved")
+      require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
+    }
+    // prune: the admitted log is folded into v{id}; versions older
+    // than the newest-but-one go too (steady state: 2). Idempotent.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/admitted"), true)
+    semDedupVersions(s, storeDir).filter(_._1 < id)
+      .sortBy(_._1).dropRight(1)
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
   private def semDedupVersions(s: org.apache.spark.sql.SparkSession,

@@ -3133,6 +3133,18 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rows.forall(r => expect(r._1) == r._3), "keep set != cumsum prefix")
   }
 
+  test("x33 degenerate budget: an all-empty-doc corpus (budget = 0) yields " +
+      "every doc with kept = false, not an empty frame") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.budgetSelect(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Boolean]("kept")))
+    assert(rows.length == 20, s"degenerate budget dropped rows: ${rows.length}")
+    assert(rows.forall(r => r._2 == 0L && !r._3),
+      "zero budget must keep nothing but still emit every doc")
+  }
+
   test("x32 waterfall reconciles against its three source stages, and " +
       "survivorship is monotone") {
     val row = TextAnalysis.x32DedupWaterfall(spark, sf).collect()(0)

@@ -211,6 +211,34 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("standing containment table: md5-digest name + graft.source " +
+      "property — a mismatched pre-existing table is refused, a matching " +
+      "one is reused without rebuild") {
+    import spark.implicits._
+    def digest(d: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // poisoned: the table name for dirA exists but carries another
+    // corpus's source path — sharedContainment must refuse to serve it
+    val dirA = "/no/such/corpus/a"
+    val tA = s"graft_containment_${digest(dirA)}"
+    val fake = Seq((1L, 2L, 3L, 3L, 1000000L))
+      .toDF("a", "b", "n_shared", "n_a", "containment_e6")
+    try {
+      Warehouse.writeContainment(fake, tA, 4)
+      spark.sql(s"ALTER TABLE $tA SET TBLPROPERTIES ('graft.source' = '/somewhere/else')")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.sharedContainment(spark, dirA).collect()
+      }
+      assert(e.getMessage.contains("refusing"), e.getMessage)
+      // matching: fixing the property makes the standing table served
+      // as-is — no rebuild (dirA has no parquet; a rebuild would throw)
+      spark.sql(s"ALTER TABLE $tA SET TBLPROPERTIES ('graft.source' = '$dirA')")
+      val served = Dedup.sharedContainment(spark, dirA).collect()
+      assert(served.length == 1 && served(0).getAs[Long]("a") == 1L,
+        "matching standing table was not reused")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tA")
+  }
+
   test("bucketed shingle index: contamination join never shuffles the index side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

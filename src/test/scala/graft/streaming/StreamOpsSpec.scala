@@ -1260,6 +1260,66 @@ class StreamOpsSpec extends SparkSpecBase {
       "bounded read did not base on the last complete version")
   }
 
+  test("semDedup compaction recovery: crash AFTER the admitted-log prune " +
+      "cannot destroy folded rows — the complete v$id is trusted, not rebuilt") {
+    import spark.implicits._
+    // The r10-ADVICE window: original compaction of batch 5 completed
+    // the v5 write AND deleted the admitted log, then crashed before
+    // the micro-batch checkpoint committed. Redelivery re-appends only
+    // ITS OWN rows (vec 3); batches admitted earlier in the window
+    // (vec 2) now live ONLY inside v5. A rebuild from before=5 would
+    // base on v2 + {vec 3} and overwrite v5 — losing vec 2 forever.
+    val store = java.nio.file.Files.createTempDirectory("semdedup-crash2").toString
+    def vec(id: Long) = (id, Seq(id.toFloat, 1.0f), 1000000L, 0L)
+    Seq(vec(1)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .write.parquet(s"$store/v2/corpus")
+    Seq(vec(1)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .withColumn("rep", col("vec_id")).withColumn("keep", lit(1L))
+      .write.parquet(s"$store/v2/resolved")
+    // the COMPLETE v5 (rename already happened): holds vecs 1,2,3
+    Seq(vec(1), vec(2), vec(3)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .write.parquet(s"$store/v5/corpus")
+    Seq(vec(1), vec(2), vec(3)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .withColumn("rep", lit(1L)).withColumn("keep", col("vec_id") === 1L)
+      .select(col("vec_id"), col("cluster"), col("rep"),
+        col("keep").cast("long").as("keep"))
+      .write.parquet(s"$store/v5/resolved")
+    // redelivered batch 5 re-appended its own rows before compacting
+    Seq(vec(3)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .write.parquet(s"$store/admitted")
+    StreamOps.semDedupCompact(spark, store, 5L)
+    val ids = StreamOps.semDedupCorpus(spark, store)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L),
+      s"redelivered compaction destroyed folded rows: corpus = $ids")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/admitted")),
+      "redelivered compaction must still run the idempotent prunes")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/v2")),
+      "prune must keep the newest-but-one version (steady state: 2)")
+    // and the other side of the window: crash BEFORE the rename left a
+    // half-written staging dir — a fresh compaction must clear it and
+    // rebuild from the admitted log, which is still intact
+    val store2 = java.nio.file.Files.createTempDirectory("semdedup-crash3").toString
+    Seq(vec(1)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .write.parquet(s"$store2/v2/corpus")
+    Seq(vec(2), vec(3)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .write.parquet(s"$store2/admitted")
+    Seq(vec(2)).toDF("vec_id", "embedding", "norm_fp", "cluster")
+      .write.parquet(s"$store2/.stage_v5/corpus") // partial leftover
+    StreamOps.semDedupCompact(spark, store2, 5L)
+    val ids2 = StreamOps.semDedupCorpus(spark, store2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(1L, 2L, 3L), s"pre-rename recovery lost rows: $ids2")
+    val fs2 = new org.apache.hadoop.fs.Path(store2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs2.exists(new org.apache.hadoop.fs.Path(s"$store2/v5/resolved")),
+      "compaction did not materialize the complete version")
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(s"$store2/.stage_v5")),
+      "staging leftover not cleared")
+  }
+
   test("weightedSampleStream recovers its shard bottom-K states across " +
       "kill-and-restart") {
     implicit val sq = spark.sqlContext
