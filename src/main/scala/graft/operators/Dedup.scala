@@ -494,6 +494,28 @@ object Dedup {
     verifiedManifest(documents(s, d), sharedLshPairs(s, d))
       .orderBy(col("doc_id"))
 
+  /** Bucket cap for [[d17VerifiedCapped]]: the sf0.01 band-bucket
+    * maximum is 3, so a cap of 2 is ARMED — it drops real buckets and
+    * shrinks the candidate set (24 vs 30 pairs), so the gate
+    * distinguishes capped from uncapped. */
+  val D17MaxBucket = 2
+
+  /** d17: the d14 verified-dedup RECIPE with the PRODUCTION LSH
+    * bucket cap armed — candidates come from
+    * [[lshCandidatesRaw]]`(maxBucket = Some(D17MaxBucket))` (the
+    * count-first [[dropOverCapKeys]] path), then the identical
+    * verify → closure → keep-one manifest. The DuckDB oracle restates
+    * the cap as `HAVING count(*) <= maxBucket` over the exploded band
+    * census before pair expansion, so the capped recipe's recall
+    * contract (boilerplate buckets shed wholesale BEFORE any posting
+    * array exists) is pinned cross-engine, not just in-spec. */
+  def d17VerifiedCapped(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).repartition(col("doc_id"))
+    verifiedManifest(docs,
+      lshCandidatesRaw(lshIndex(docs), maxBucket = Some(D17MaxBucket)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Library form of [[d14MinhashDedup]]: candidates (a, b) verified
     * at [[D14TauE6]] on distinct word-3-gram shingles, closed, and
     * reduced to the keep-one manifest. */
@@ -607,6 +629,30 @@ object Dedup {
     * integer ratio ⌊shared·10⁶ / |S(a)|⌋. */
   def d9Containment(s: SparkSession, d: String): DataFrame =
     sharedContainment(s, d)
+      .select(col("a"), col("b"), col("n_shared"), col("n_a"),
+        col("containment_e6"))
+      .orderBy(col("a"), col("b"))
+
+  /** df cap for [[d16ContainmentCapped]]: strictly inside the sf0.01
+    * df range (max observed df = 7), so the cap is ARMED — it drops
+    * real shingles AND changes the pair set vs uncapped d9 (44 vs 50
+    * pairs), proving the gate distinguishes the two postures. */
+  val D16MaxDf = 3L
+
+  /** d16: d9 with the PRODUCTION boilerplate cap armed —
+    * [[containmentPairs]] runs `maxDf = Some(D16MaxDf)` (the
+    * count-first [[dropOverCapKeys]] path in front of the posting
+    * build), gated against a DuckDB oracle whose posting CTE restates
+    * the cap as a deterministic df predicate (`HAVING count(*) <=
+    * maxDf` over the distinct doc-shingle census). This is VERDICT
+    * r10's ask: the 100 TB posture itself rides the cross-engine hash
+    * gate, with cap semantics pinned exactly — `n_a` stays the FULL
+    * distinct-shingle size (the cap drops candidate keys, not the
+    * containment denominator), so a capped pair's score is unchanged,
+    * only discovery through over-df shingles is shed. */
+  def d16ContainmentCapped(s: SparkSession, d: String): DataFrame =
+    containmentPairs(documents(s, d).repartition(col("doc_id")),
+      maxDf = Some(D16MaxDf))
       .select(col("a"), col("b"), col("n_shared"), col("n_a"),
         col("containment_e6"))
       .orderBy(col("a"), col("b"))
@@ -861,7 +907,44 @@ object Dedup {
     "d13_dedup_stats"   -> d13DedupStats _,
     "d14_minhash_dedup" -> d14MinhashDedup _,
     "d15_subsumption"   -> d15Subsumption _,
+    "d16_containment_capped" -> d16ContainmentCapped _,
+    "d17_verified_capped" -> d17VerifiedCapped _,
   )
+
+  /** d9/d16 shared oracle: distinct doc-shingle census, pair counts,
+    * directed containment. With `maxDf`, the posting CTE restates the
+    * engine's count-first cap (`HAVING count(*) <= maxDf` over the
+    * census — df per shingle, since doc_id is unique) BEFORE pair
+    * expansion; `n_a` stays the FULL distinct-shingle size in both
+    * postures (the cap sheds candidate keys, not the denominator).
+    * One template for both rows so they can never drift. */
+  private def containmentOracle(maxDf: Option[Long]): String = {
+    val capCte = maxDf match {
+      case None => "gk AS (SELECT doc_id, shingle FROM g),"
+      case Some(m) =>
+        s"""df AS (SELECT shingle FROM g GROUP BY shingle HAVING count(*) <= $m),
+           |gk AS (SELECT g.doc_id, g.shingle FROM g JOIN df USING (shingle)),""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+       |g0 AS (SELECT doc_id,
+       |    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END) AS shingle
+       |  FROM t),
+       |g AS (SELECT DISTINCT doc_id, shingle FROM g0),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM g GROUP BY doc_id),
+       |$capCte
+       |shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM gk x JOIN gk y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT a, b, n_shared, sz.n_sh AS n_a,
+       |  n_shared * 1000000 // sz.n_sh AS containment_e6
+       |FROM shared JOIN sz ON sz.doc_id = a
+       |WHERE sz.n_sh >= $MinShinglesA
+       |  AND n_shared * 1000000 // sz.n_sh >= $MinContainE6
+       |ORDER BY a, b""".stripMargin
+  }
 
   /** Shared oracle CTE: words + distinct-less shingles per doc. */
   private val ShinglesCte =
@@ -898,6 +981,67 @@ object Dedup {
          |          array_to_string(list_transform(sig[b*$LshRows+1 : b*$LshRows+$LshRows],
          |            v -> v::VARCHAR), ','))) AS bands
          |  FROM g)""".stripMargin
+
+  /** d14/d17 shared oracle: d3's banded candidates ∩ exact-Jaccard ≥ τ
+    * on distinct shingle lists, then the d11 closure + quality
+    * keep-one verbatim. With `maxBucket`, a census CTE drops over-cap
+    * (band_idx, band_key) buckets BEFORE pair expansion — the
+    * count-first [[dropOverCapKeys]] contract restated cross-engine.
+    * One template for both rows so they can never drift. */
+  private def verifiedManifestOracle(maxBucket: Option[Int]): String = {
+    val capCte = maxBucket match {
+      case None => "lk AS (SELECT doc_id, band_idx, band_key FROM le),"
+      case Some(m) =>
+        s"""lc AS (SELECT band_idx, band_key FROM le
+           |  GROUP BY band_idx, band_key HAVING count(*) <= $m),
+           |lk AS (SELECT le.doc_id, le.band_idx, le.band_key
+           |  FROM le JOIN lc USING (band_idx, band_key)),""".stripMargin
+    }
+    "WITH RECURSIVE " + SigCte.stripPrefix("WITH ") +
+      s""",
+         |le AS (SELECT doc_id, band_idx, bands[band_idx] AS band_key
+         |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
+         |$capCte
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM lk a JOIN lk b ON a.band_idx = b.band_idx
+         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+         |sz AS (SELECT doc_id, dsh, CAST(len(dsh) AS BIGINT) AS n_sh FROM ds),
+         |ver AS (SELECT c.a AS a, c.b AS b
+         |  FROM cand c JOIN sz x ON x.doc_id = c.a JOIN sz y ON y.doc_id = c.b
+         |  WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT) * 1000000
+         |    // greatest(x.n_sh + y.n_sh
+         |      - CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT), 1)
+         |    >= $D14TauE6),
+         |e2 AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT r.src, e2.v FROM reach r JOIN e2 ON r.dst = e2.u),
+         |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+         |  FROM reach GROUP BY src),
+         |qb AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_tok_len,
+         |    CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.EnStop)})) AS BIGINT) AS n_stop
+         |  FROM t),
+         |qs AS (SELECT doc_id,
+         |    CAST(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 300 ELSE 0 END +
+         |      CASE WHEN sum_tok_len * 1000 // greatest(n_tokens, 1) BETWEEN 3000 AND 8000 THEN 400 ELSE 0 END +
+         |      CASE WHEN n_stop * 1000 // greatest(n_tokens, 1) BETWEEN 20 AND 400 THEN 300 ELSE 0 END
+         |      AS BIGINT) AS quality_e3
+         |  FROM qb),
+         |j AS (SELECT c.doc_id, CAST(c.cluster_rep AS BIGINT) AS cluster_rep,
+         |    q.quality_e3,
+         |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_rep
+         |      ORDER BY q.quality_e3 DESC, c.doc_id) AS canonical_id
+         |  FROM comp c JOIN qs q ON c.doc_id = q.doc_id)
+         |SELECT doc_id, cluster_rep, quality_e3,
+         |  CAST(canonical_id AS BIGINT) AS canonical_id,
+         |  CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // d9's shared-shingle machinery + the strictly-larger/tie rule and
@@ -936,25 +1080,11 @@ object Dedup {
          |  p.b AS subsumed_by, p.containment_e6
          |FROM szall s LEFT JOIN pick p ON p.a = s.doc_id AND p.rn = 1
          |ORDER BY s.doc_id""".stripMargin,
-    "d9_containment" ->
-      s"""WITH t AS (SELECT doc_id,
-         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
-         |g0 AS (SELECT doc_id,
-         |    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
-         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END) AS shingle
-         |  FROM t),
-         |g AS (SELECT DISTINCT doc_id, shingle FROM g0),
-         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM g GROUP BY doc_id),
-         |shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
-         |    CAST(count(*) AS BIGINT) AS n_shared
-         |  FROM g x JOIN g y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
-         |  GROUP BY x.doc_id, y.doc_id)
-         |SELECT a, b, n_shared, sz.n_sh AS n_a,
-         |  n_shared * 1000000 // sz.n_sh AS containment_e6
-         |FROM shared JOIN sz ON sz.doc_id = a
-         |WHERE sz.n_sh >= $MinShinglesA
-         |  AND n_shared * 1000000 // sz.n_sh >= $MinContainE6
-         |ORDER BY a, b""".stripMargin,
+    "d9_containment" -> containmentOracle(maxDf = None),
+    // the same pair listing with the PRODUCTION df cap armed: the
+    // posting CTE drops over-df shingles before pair expansion,
+    // exactly the count-first dropOverCapKeys contract
+    "d16_containment_capped" -> containmentOracle(maxDf = Some(D16MaxDf)),
     "d1_exact_dedup" ->
       """WITH h AS (SELECT doc_id,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_md5
@@ -1120,50 +1250,10 @@ object Dedup {
     // highest-quality doc (ties -> smallest doc_id) is kept
     // d3's banded candidates ∩ exact-Jaccard ≥ τ on distinct shingle
     // lists, then the d11 closure + quality keep-one verbatim
-    "d14_minhash_dedup" ->
-      ("WITH RECURSIVE " + SigCte.stripPrefix("WITH ") +
-        s""",
-           |le AS (SELECT doc_id, band_idx, bands[band_idx] AS band_key
-           |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
-           |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-           |  FROM le a JOIN le b ON a.band_idx = b.band_idx
-           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
-           |sz AS (SELECT doc_id, dsh, CAST(len(dsh) AS BIGINT) AS n_sh FROM ds),
-           |ver AS (SELECT c.a AS a, c.b AS b
-           |  FROM cand c JOIN sz x ON x.doc_id = c.a JOIN sz y ON y.doc_id = c.b
-           |  WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT) * 1000000
-           |    // greatest(x.n_sh + y.n_sh
-           |      - CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT), 1)
-           |    >= $D14TauE6),
-           |e2 AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver),
-           |reach(src, dst) AS (
-           |  SELECT doc_id, doc_id FROM t
-           |  UNION
-           |  SELECT r.src, e2.v FROM reach r JOIN e2 ON r.dst = e2.u),
-           |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
-           |  FROM reach GROUP BY src),
-           |qb AS (SELECT doc_id,
-           |    CAST(length(text) AS BIGINT) AS n_chars,
-           |    CAST(len(ws) AS BIGINT) AS n_tokens,
-           |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_tok_len,
-           |    CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.EnStop)})) AS BIGINT) AS n_stop
-           |  FROM t),
-           |qs AS (SELECT doc_id,
-           |    CAST(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 300 ELSE 0 END +
-           |      CASE WHEN sum_tok_len * 1000 // greatest(n_tokens, 1) BETWEEN 3000 AND 8000 THEN 400 ELSE 0 END +
-           |      CASE WHEN n_stop * 1000 // greatest(n_tokens, 1) BETWEEN 20 AND 400 THEN 300 ELSE 0 END
-           |      AS BIGINT) AS quality_e3
-           |  FROM qb),
-           |j AS (SELECT c.doc_id, CAST(c.cluster_rep AS BIGINT) AS cluster_rep,
-           |    q.quality_e3,
-           |    first_value(c.doc_id) OVER (PARTITION BY c.cluster_rep
-           |      ORDER BY q.quality_e3 DESC, c.doc_id) AS canonical_id
-           |  FROM comp c JOIN qs q ON c.doc_id = q.doc_id)
-           |SELECT doc_id, cluster_rep, quality_e3,
-           |  CAST(canonical_id AS BIGINT) AS canonical_id,
-           |  CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT) AS keep
-           |FROM j ORDER BY doc_id""".stripMargin),
+    "d14_minhash_dedup" -> verifiedManifestOracle(maxBucket = None),
+    // the d14 recipe with the PRODUCTION bucket cap armed: over-cap
+    // band buckets shed wholesale before pair expansion
+    "d17_verified_capped" -> verifiedManifestOracle(maxBucket = Some(D17MaxBucket)),
     "d11_canonical" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, text,
          |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),

@@ -819,6 +819,30 @@ object Similarity {
     resolveSemClusters(assigned).orderBy(col("vec_id"))
   }
 
+  /** Cluster cap for [[d18SemdedupCapped]]: below every sf0.01 cluster
+    * size but 48 (62.5 avg over 8 centroids), so sub-sharding arms on
+    * 7 of the 8 clusters and leaves one on the untouched branch —
+    * both code paths ride the same gated row. */
+  val D18MaxCluster = 50
+
+  /** d18: d12 with the PRODUCTION posture armed — `maxCluster`
+    * sub-sharding live, gated against a DuckDB oracle that restates
+    * the deterministic shard function exactly (sizes → ⌈n/cap⌉ shards
+    * → [[shardHash]] mod shards → within-(cluster, shard) pairs →
+    * the same component closure). This is the 100 TB plan itself
+    * riding the hash gate, not just the uncapped oracle-parity twin:
+    * cross-shard recall loss is part of the CONTRACT the oracle
+    * states, so a drifting shard expression or size census fails the
+    * gate instead of silently changing recall. */
+  def d18SemdedupCapped(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val cents = collectCodebook(e)
+    val assigned = assignClusters(e, cents)
+      .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+      .localCheckpoint()
+    resolveSemClusters(assigned, Some(D18MaxCluster)).orderBy(col("vec_id"))
+  }
+
   /** d12's resolution core over an ALREADY-ASSIGNED frame (vec_id,
     * embedding, norm_fp, cluster): within-cluster pair search (the
     * `maxCluster` knob passes through) + alternating-star components +
@@ -862,10 +886,21 @@ object Similarity {
     * edge). Clusters at or under the cap are untouched, so capped ≡
     * uncapped on a corpus with no mega-cluster (spec-pinned, along
     * with pair-subset and co-shard-completeness on a constructed
-    * mega-cluster). The cluster-size frame is codebook-sized
+    * mega-cluster; the cap ARMED also rides the DuckDB hash gate as
+    * `d18_semdedup_capped`). The cluster-size frame is codebook-sized
     * (NClusters rows) — broadcast, never a corpus-side shuffle.
     * None = exact within-cluster search, the oracle-parity posture
     * (the d9 bench precedent). */
+  /** Deterministic sub-shard hash: first 16 bits of md5 of the decimal
+    * id. Any uniform hash works here — this one (over `xxhash64`) is
+    * chosen because DuckDB restates it verbatim
+    * (`('0x' || substr(md5(id::VARCHAR), 1, 4))::BIGINT`), which is
+    * what lets the ARMED cap ride the cross-engine hash gate (d18)
+    * instead of only in-JVM specs. 65536 values is plenty for shard
+    * counts that are ⌈n/cap⌉ small integers. */
+  private[graft] def shardHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
   private[graft] def withinClusterPairs(assigned: DataFrame,
       maxCluster: Option[Int] = None): DataFrame = {
     val keyed = maxCluster match {
@@ -879,7 +914,7 @@ object Similarity {
         assigned.join(broadcast(sizes), Seq("cluster"))
           .withColumn("shard",
             when(col("cl_n") <= cap.toLong, lit(0L))
-              .otherwise(pmod(xxhash64(col("vec_id")), nShards)))
+              .otherwise(pmod(shardHash(col("vec_id")), nShards)))
           .drop("cl_n")
     }
     val a = keyed.select(col("cluster"), col("shard"), col("vec_id").as("a"),
@@ -1514,6 +1549,7 @@ object Similarity {
     "s17_filtered_knn" -> s17FilteredKnn _,
     "s18_recall_ladder" -> s18RecallLadder _,
     "d12_semdedup"    -> d12SemDedup _,
+    "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
     "d7_embed_clusters" -> d7EmbedClusters _,
@@ -1595,6 +1631,52 @@ object Similarity {
          |scored AS (SELECT adc.qid, adc.nid,
          |    adc.adot::DOUBLE / (sqrt(adc.q_norm::DOUBLE) * sqrt(rn.recon_norm::DOUBLE)) AS cos
          |  FROM adc JOIN rn ON rn.vec_id = adc.nid)""".stripMargin
+
+  /** d12/d18 shared oracle: s2's assignment + within-cluster exact
+    * pairs + d6's recursive component closure, min-id representative.
+    * With `maxCluster` set, the pair CTE restates the engine's
+    * sub-sharding exactly: cluster sizes → ⌈n/cap⌉ shards →
+    * [[shardHash]] (md5-prefix, `('0x'||substr(md5(id),1,4))::BIGINT`
+    * in DuckDB) mod shards, pairs within (cluster, shard) only. One
+    * template for both rows so capped and uncapped can never drift. */
+  private def semDedupOracle(maxCluster: Option[Int]): String = {
+    val keyedCte = maxCluster match {
+      case None => "keyed AS (SELECT *, 0 AS shard FROM assigned),"
+      case Some(cap) =>
+        s"""szc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cl_n
+           |  FROM assigned GROUP BY cluster),
+           |keyed AS (SELECT a.*, CASE WHEN szc.cl_n <= $cap THEN 0
+           |    ELSE (('0x' || substr(md5(a.vec_id::VARCHAR), 1, 4))::BIGINT)
+           |      % ((szc.cl_n + $cap - 1) // $cap) END AS shard
+           |  FROM assigned a JOIN szc USING (cluster)),""".stripMargin
+    }
+    NormCte.replace("WITH ", "WITH RECURSIVE ") +
+      s"""
+         |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+         |  FROM e WHERE vec_id < $NCentroids),
+         |assigned AS (SELECT vec_id, embedding, norm_fp, cluster FROM (
+         |  SELECT e.vec_id, e.embedding, e.norm_fp, cent.cid AS cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+         |      cent.cid) AS arank
+         |  FROM e CROSS JOIN cent) WHERE arank = 1),
+         |$keyedCte
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM keyed x JOIN keyed y
+         |    ON x.cluster = y.cluster AND x.shard = y.shard AND x.vec_id < y.vec_id
+         |  WHERE ${oCos(oDot("x.embedding", "y.embedding"), "x.norm_fp", "y.norm_fp")} > $SemTau),
+         |ee AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT vec_id, vec_id FROM assigned
+         |  UNION
+         |  SELECT r.src, ee.v FROM reach r JOIN ee ON r.dst = ee.u),
+         |comp AS (SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS rep
+         |  FROM reach GROUP BY src)
+         |SELECT a2.vec_id, CAST(a2.cluster AS BIGINT) AS cluster, comp.rep,
+         |  CAST(CASE WHEN a2.vec_id = comp.rep THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM assigned a2 JOIN comp ON a2.vec_id = comp.vec_id
+         |ORDER BY a2.vec_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
@@ -1891,32 +1973,11 @@ object Similarity {
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     // s2's assignment + within-cluster exact pairs + d6's recursive
     // component closure, min-id representative
-    "d12_semdedup" ->
-      (NormCte.replace("WITH ", "WITH RECURSIVE ") +
-        s"""
-           |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
-           |  FROM e WHERE vec_id < $NCentroids),
-           |assigned AS (SELECT vec_id, embedding, norm_fp, cluster FROM (
-           |  SELECT e.vec_id, e.embedding, e.norm_fp, cent.cid AS cluster,
-           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
-           |      cent.cid) AS arank
-           |  FROM e CROSS JOIN cent) WHERE arank = 1),
-           |p AS (SELECT x.vec_id AS a, y.vec_id AS b
-           |  FROM assigned x JOIN assigned y
-           |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-           |  WHERE ${oCos(oDot("x.embedding", "y.embedding"), "x.norm_fp", "y.norm_fp")} > $SemTau),
-           |ee AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
-           |reach(src, dst) AS (
-           |  SELECT vec_id, vec_id FROM assigned
-           |  UNION
-           |  SELECT r.src, ee.v FROM reach r JOIN ee ON r.dst = ee.u),
-           |comp AS (SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS rep
-           |  FROM reach GROUP BY src)
-           |SELECT a2.vec_id, CAST(a2.cluster AS BIGINT) AS cluster, comp.rep,
-           |  CAST(CASE WHEN a2.vec_id = comp.rep THEN 1 ELSE 0 END AS BIGINT) AS keep
-           |FROM assigned a2 JOIN comp ON a2.vec_id = comp.vec_id
-           |ORDER BY a2.vec_id""".stripMargin),
+    "d12_semdedup" -> semDedupOracle(maxCluster = None),
+    // the same resolution with the PRODUCTION cluster cap armed: the
+    // oracle restates the deterministic shard function (⌈n/cap⌉
+    // md5-prefix shards) so the capped plan itself rides the gate
+    "d18_semdedup_capped" -> semDedupOracle(maxCluster = Some(D18MaxCluster)),
     // s2's cent/assigned/probes pick WHICH pairs score; s5's
     // quantization CTEs price each scored pair by the integer int8 dot
     "s13_ivf_sq" ->

@@ -3541,9 +3541,15 @@ class PipelineOpsSpec extends SparkSpecBase {
     // mega cluster: EXACTLY the co-sharded pairs survive — recompute
     // the shard assignment with the same engine expression
     val nShards = (40 + cap - 1) / cap
-    val shardOf = spark.range(0, 40).select(col("id"),
-        pmod(xxhash64(col("id")), lit(nShards.toLong)).as("s"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent DRIVER-side re-derivation of the shard hash (md5
+    // 16-bit prefix mod shards — the DuckDB-expressible form d18's
+    // oracle restates), not the engine expression
+    val shardOf = (0L until 40L).map { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val v = ((h(0) & 0xffL) << 8) | (h(1) & 0xffL)
+      id -> (v % nShards)
+    }.toMap
     val wantMega = uncapped.filter { case (a, b) =>
       a < 100L && b < 100L && shardOf(a) == shardOf(b)
     }
