@@ -488,6 +488,28 @@ object ScaleProbe {
             concat(lit("d"), col("id"))).as("text"))
         operators.TextAnalysis.budgetSelect(docs)
       },
+      // x18 shape: the BATCHED BPE trainer (production mode) taking a
+      // 1024-merge vocabulary off a 200k×m-doc corpus with a ~50k-word
+      // vocabulary — the r10 watch item was one driver round-trip PER
+      // MERGE (32k jobs for a real tokenizer); batched mode accepts
+      // every pairwise-disjoint top pair per round, so driver rounds
+      // are ~k/batch and the wall clock is minutes, not hours. The
+      // trainer's per-round cost is symbol-table-sized (distinct
+      // words), so growth in m comes only from the one corpus-wide
+      // word count at the front.
+      time("bpe_batched_1024") {
+        val n = 200000L * m
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ",
+            concat(lit("al"), pmod(col("id") * 7L, lit(50021L))),
+            concat(lit("be"), pmod(col("id") * 13L, lit(50021L))),
+            concat(lit("ga"), pmod(col("id") * 31L, lit(50021L))),
+            concat(lit("de"), pmod(col("id") * 61L, lit(50021L)))).as("text"))
+        val merges = operators.TextAnalysis.trainBpeBatched(
+          docs, 1024, scanWidth = 4096, exact = false)
+        import spark.implicits._
+        merges.toDF("a", "b")
+      },
       // m7 shape (codec-free): MIH pair stage over 200k×m synthetic
       // hashes built to carry constant per-doc true-pair density (each
       // doc's twin at id+100k×m differs in 1 bit; multiplicative-hash

@@ -1340,42 +1340,158 @@ object TextAnalysis {
       .withColumn("fertility_e4",
         call_function("div", col("n_bpe_tokens") * lit(10000L), col("n_words")))
 
+  /** One leftmost-first greedy merge pass over a symbol array — the
+    * executor-side twin of [[applyMergeCol]], shared by the sequential
+    * and batched trainers so their replacement step cannot drift. */
+  private def applyMergeSeq(sym: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   def trainBpe(docs: DataFrame, k: Int): Seq[(String, String)] = {
     import docs.sparkSession.implicits._
-    var syms = docs.select(explode(words(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(col("n"),
-        transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))).as("sym"))
-      .localCheckpoint()
+    var syms = bpeSymbolTable(docs)
     val merges = scala.collection.mutable.Buffer.empty[(String, String)]
     var exhausted = false
     for (_ <- 0 until k if !exhausted) {
-      val top = syms.filter(size(col("sym")) >= 2)
-        .select(col("n"), explode(transform(
-          sequence(lit(1), size(col("sym")) - 1),
-          i => struct(element_at(col("sym"), i).as("a"),
-            element_at(col("sym"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a"), col("p.b")).agg(sum(col("n")).as("cnt"))
+      val top = bpePairCounts(syms)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         syms = syms.select(col("n"), col("sym")).as[(Long, Seq[String])]
-          .map { case (n, sym) =>
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < sym.length) {
-              if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
-                out += a + b; i += 2
-              } else { out += sym(i); i += 1 }
-            }
-            (n, out.toSeq)
-          }.toDF("n", "sym").localCheckpoint()
+          .map { case (n, sym) => (n, applyMergeSeq(sym, a, b)) }
+          .toDF("n", "sym").localCheckpoint()
       }
     }
     merges.toSeq
+  }
+
+  /** The trainer's weighted distinct-word symbol table. */
+  private def bpeSymbolTable(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("sym"))
+      .localCheckpoint()
+
+  /** Weighted adjacent-pair counts over a symbol table — the trainer's
+    * per-round aggregate (x18's one-step statistic). */
+  private def bpePairCounts(syms: DataFrame): DataFrame =
+    syms.filter(size(col("sym")) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(1), size(col("sym")) - 1),
+        i => struct(element_at(col("sym"), i).as("a"),
+          element_at(col("sym"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(sum(col("n")).as("cnt"))
+
+  /** [[trainBpe]] with BATCHED merge rounds — the production trainer
+    * (VERDICT r10 #2): one driver round-trip per ROUND instead of per
+    * MERGE, accepting from each round's top-`scanWidth` pair listing a
+    * greedy prefix of merges that is PROVABLY identical to running the
+    * sequential trainer merge-by-merge. Returns exactly
+    * `trainBpe(docs, k)` (spec-pinned on constructed and real corpora)
+    * while cutting driver jobs from k to ~k/batch.
+    *
+    * Why the acceptance rule is exact, not approximate. Applying a
+    * merge (a,b) can change the count of (or create) only pairs that
+    * SHARE A SYMBOL with it: old pairs elsewhere are untouched, old
+    * overlapping pairs only lose occurrences, and the new pairs
+    * (x,ab)/(ab,y) inherit at most the old count of (x,a)/(b,y) —
+    * both overlapping. So a later candidate `p`, disjoint from every
+    * accepted merge, still has its OLD count when the sequential
+    * trainer would pick it, and it remains the strict argmax as long
+    * as count(p) strictly exceeds every pair count the accepted merges
+    * could have touched: the scanned pairs overlapping the accepted
+    * set, and (conservatively) everything below the scan horizon,
+    * bounded by the last scanned count. Ties are never batched (a
+    * changed/created pair could tie and win the (count, pair) order),
+    * which is why the comparison is strict. When the proof fails the
+    * round simply closes — the worst case degenerates to the
+    * sequential trainer, never to a different merge list.
+    *
+    * `exact = false` is the PRODUCTION mode for large vocabularies —
+    * standard batched BPE as real tokenizer trainers run it: every
+    * pairwise-disjoint pair in the scanned listing is accepted per
+    * round with no dominance proof, so a 32k-merge vocabulary costs
+    * ~k/batch driver rounds unconditionally. The merge LIST may then
+    * depart from strict sequential order on interlocked corpora (the
+    * documented, industry-accepted approximation; on corpora whose top
+    * pairs are disjoint it is identical — spec-pinned), but every
+    * merge is still chosen from true corpus-wide counts. Natural-text
+    * early rounds interlock heavily (er/or/in share letters), so exact
+    * mode may not batch at all there — that is the honesty the proof
+    * buys; choose the mode by whether the artifact must reproduce the
+    * sequential reference or just be a good tokenizer fast. */
+  def trainBpeBatched(docs: DataFrame, k: Int,
+      scanWidth: Int = 256, exact: Boolean = true): Seq[(String, String)] =
+    trainBpeBatchedRounds(docs, k, scanWidth, exact)._1
+
+  /** [[trainBpeBatched]] exposing the driver round count for the
+    * batching-efficiency spec. */
+  private[graft] def trainBpeBatchedRounds(docs: DataFrame, k: Int,
+      scanWidth: Int = 256, exact: Boolean = true): (Seq[(String, String)], Int) = {
+    require(scanWidth >= 2, s"scanWidth must be >= 2, got $scanWidth")
+    import docs.sparkSession.implicits._
+    var syms = bpeSymbolTable(docs)
+    val merges = scala.collection.mutable.Buffer.empty[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (merges.length < k && !exhausted) {
+      val rows = bpePairCounts(syms)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(scanWidth)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (rows.isEmpty) exhausted = true
+      else {
+        // anything below the scan horizon is bounded by the last
+        // scanned count; with the whole pair table scanned there is
+        // nothing below it
+        val ceiling = if (rows.length == scanWidth) rows.last._3 else 0L
+        val accepted = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+        def touches(p: (String, String, Long),
+            ms: Seq[(String, String, Long)]): Boolean =
+          ms.exists(m => m._1 == p._1 || m._1 == p._2 ||
+            m._2 == p._1 || m._2 == p._2)
+        var stop = false
+        for (p <- rows if !stop && merges.length + accepted.length < k) {
+          if (!touches(p, accepted.toSeq)) {
+            if (accepted.isEmpty || !exact) accepted += p // argmax / approx
+            else {
+              // strict dominance over every count the accepted merges
+              // could have changed. Two exemptions: the accepted
+              // merges themselves (the leftmost-greedy pass consumes
+              // every a-b adjacency, so their own counts drop to 0),
+              // and pairs touching only p (their counts are unchanged
+              // when the sequential trainer reaches p, and p precedes
+              // them in the (count desc, pair) order).
+              val overlapMax = rows.iterator
+                .filter(q => q != p && !accepted.contains(q) &&
+                  touches(q, accepted.toSeq))
+                .map(_._3).maxOption.getOrElse(0L)
+              if (p._3 > math.max(overlapMax, ceiling)) accepted += p
+              else stop = true
+            }
+          }
+        }
+        merges ++= accepted.map(t => (t._1, t._2))
+        val batch = accepted.map(t => (t._1, t._2)).toList
+        syms = syms.select(col("n"), col("sym")).as[(Long, Seq[String])]
+          .map { case (n, sym0) =>
+            (n, batch.foldLeft(sym0)((s, m) => applyMergeSeq(s, m._1, m._2)))
+          }.toDF("n", "sym").localCheckpoint()
+      }
+    }
+    (merges.toSeq, rounds)
   }
 
   /** Weighted corpus token count under the current symbol table —

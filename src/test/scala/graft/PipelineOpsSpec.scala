@@ -2393,6 +2393,57 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(real.size == 3 && real.distinct.size == 3)
   }
 
+  test("batched BPE trainer: merge list identical to the sequential trainer " +
+      "on constructed and real corpora, with fewer driver rounds") {
+    import spark.implicits._
+    // constructed: many disjoint high-frequency pairs (batchable) plus
+    // interacting chains (aab/abab force the exactness guard to split
+    // rounds) — the adversarial mix for an accept-prefix rule
+    val docs = Seq(
+      (0L, "abc abc abd xy xy xy"), (1L, "aab abab pq pq pq"),
+      (2L, "mn mn mn uv uv west west"), (3L, "aaa bba ccd ccd")
+    ).toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 6, 10)) {
+      val seqM = TextAnalysis.trainBpe(docs, k)
+      val (batM, _) = TextAnalysis.trainBpeBatchedRounds(docs, k)
+      assert(batM == seqM, s"k=$k: batched $batM != sequential $seqM")
+      // a starved scan width degrades batch size, never correctness
+      assert(TextAnalysis.trainBpeBatched(docs, k, scanWidth = 2) == seqM,
+        s"k=$k: scanWidth=2 diverged")
+    }
+    // a batchable corpus (disjoint letters, strictly separated counts):
+    // the exactness proof admits every merge in ONE driver round
+    val disjoint = (Seq.fill(100)("ab") ++ Seq.fill(90)("cd") ++
+      Seq.fill(80)("ef") ++ Seq.fill(70)("gh"))
+      .grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val seqD = TextAnalysis.trainBpe(disjoint, 4)
+    val (batD, roundsD) = TextAnalysis.trainBpeBatchedRounds(disjoint, 4)
+    assert(batD == seqD, s"disjoint corpus diverged: $batD != $seqD")
+    assert(roundsD == 1, s"disjoint top pairs must batch in one round: $roundsD")
+    // approximate mode ≡ exact ≡ sequential when the top pairs are
+    // disjoint (the spec-pinned regime the production mode relies on)
+    assert(TextAnalysis.trainBpeBatched(disjoint, 4, exact = false) == seqD)
+    // real corpus: EXACT mode reproduces the sequential list verbatim
+    // (natural-text top pairs interlock — er/or/in share letters — so
+    // the proof may not batch at all; that honesty is the contract)
+    val real = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val k = 8
+    val seqReal = TextAnalysis.trainBpe(real, k)
+    val (batReal, _) = TextAnalysis.trainBpeBatchedRounds(real, k)
+    assert(batReal == seqReal, s"real corpus diverged: $batReal != $seqReal")
+    // production mode on the real corpus: k merges in << k driver
+    // rounds, every merge a valid vocabulary entry chosen from true
+    // corpus-wide counts
+    val (apxReal, apxRounds) = TextAnalysis.trainBpeBatchedRounds(real, k,
+      exact = false)
+    assert(apxReal.size == k && apxReal.distinct.size == k)
+    assert(apxRounds <= (k + 1) / 2,
+      s"approximate mode failed to batch: $apxRounds rounds for $k merges")
+  }
+
   test("BPE encode + fertility: the Catalyst fold equals a reference encoder; " +
       "fertility is monotone non-increasing in the merge prefix") {
     import spark.implicits._
