@@ -53,7 +53,12 @@ object Components {
     // with, concurrent queries on the same session).
 
     // large-star: every neighbor larger than u links to the minimum of
-    // u's neighborhood (incl. u) — halves large-id fan-out paths
+    // u's neighborhood (incl. u) — halves large-id fan-out paths.
+    // NO trailing dedup: the round dedupes ONCE, at small-star's end
+    // (the paper's per-round grain) — min-aggregation is duplicate-
+    // insensitive, so the only cost of carrying dups into small-star
+    // is shuffle volume bounded by large-star's output, and dropping
+    // the exchange+distinct cuts a quarter of the round's stages
     def largeStar(e: DataFrame, w: Int): DataFrame = {
       val s = sym(e).repartition(w, col("u"))
       val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
@@ -61,7 +66,6 @@ object Components {
       s.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .repartition(w, col("u"), col("v")).distinct()
     }
 
     // small-star: u and its not-larger neighbors all link to their min
@@ -109,6 +113,15 @@ object Components {
     def loopWidth(edgeCount: Long): Int =
       math.max(1L, math.min(sessionWidth.toLong,
         (edgeCount + EdgesPerPartition - 1) / EdgesPerPartition)).toInt
+    // ONE star round per job. A double round per job was measured and
+    // REJECTED (round 11): each star consumes its input from several
+    // join/union branches, and while sibling branches inside one round
+    // dedupe through ReusedExchange, nesting a second round above the
+    // first defeated that reuse in practice — d7/d12 warm cost grew
+    // ~3× (4.5→17 s at sf0.1) from recomputed inner rounds. The lazy
+    // checkpoint + fingerprint action already packs compute + persist
+    // + convergence check into a single job per round, so a round's
+    // floor is one job, not 2-3.
     while (!converged && i < maxIter) {
       val w = loopWidth(fp._1)
       val next = smallStar(largeStar(e, w), w).localCheckpoint(eager = false)

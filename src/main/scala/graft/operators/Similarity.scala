@@ -325,7 +325,23 @@ object Similarity {
     * (τ ≳ 0.7) use the bucketed path [[s4KnnSignLsh]] / Dedup.d5 — at
     * those thresholds the per-bit gap is wide and banding is sound. */
   def s3CosinePairs(s: SparkSession, d: String): DataFrame =
-    cosinePairs(embeddings(s, d), s.sparkContext.defaultParallelism)
+    // the checkpoint behind the shared stage doubles as the shuffle
+    // barrier the presentation sort needs (see [[cosinePairs]]): the
+    // range partitioner's sampling pass replays cached blocks, not the
+    // O(n²) tile join
+    sharedEmbedPairs(s, d).orderBy(col("a"), col("b"))
+
+  /** Session-scoped STANDING exact-cosine pair set — the tiled O(n²)
+    * stage materialized once per (session, dir) and read by both
+    * consumers (s3's listing, d7's cluster resolution): the
+    * [[graft.operators.Dedup.sharedLshPairs]] pay-once discipline
+    * applied to the most expensive pair stage in the library. */
+  private[graft] def sharedEmbedPairs(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(embedPairCache, s, d)(
+      cosinePairsRaw(embeddings(s, d), s.sparkContext.defaultParallelism)
+        .localCheckpoint())
+
+  private val embedPairCache = SessionCaches.newCache()
 
   /** Tiled exact cosine-pair join over any (vec_id, embedding) frame —
     * the library form of [[s3CosinePairs]].
@@ -409,11 +425,9 @@ object Similarity {
     * near-dup decision paths a pipeline runs (text-shingle and
     * embedding-space): KEEP is_canonical = 1, drop the rest. */
   def d7EmbedClusters(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
     val comp = Components.connectedComponents(
-      e.select(col("vec_id").as("id")),
-      cosinePairsRaw(e, s.sparkContext.defaultParallelism)
-        .select(col("a"), col("b")))
+      embeddings(s, d).select(col("vec_id").as("id")),
+      sharedEmbedPairs(s, d).select(col("a"), col("b")))
     comp.select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
       when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
       .orderBy(col("vec_id"))
