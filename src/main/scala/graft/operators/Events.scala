@@ -1185,6 +1185,61 @@ object Events {
     patternCountRepeat(events(s, d), "click", "view", "purchase", minB = 2)
       .orderBy(col("user_id"))
 
+  /** e31: the BOUNDED counted-repeat quantifier —
+    * `PATTERN (A B{minB,maxB} C)`: a completion needs between `minB`
+    * and `maxB` B-events (inclusive) between the A and the C. The e27
+    * automaton gains ONE comparison: in the counting state the
+    * (maxB+1)-th B OVERFLOWS the attempt — greedy with no lookahead,
+    * the attempt can no longer match, so it fails to idle on the spot
+    * (the overflowing B is consumed; B is not A, so nothing re-opens)
+    * and the kill is tallied in `n_overflow`. A C then completes only
+    * from a live attempt, where `bc` is ≤ maxB by construction, so the
+    * completion check stays `bc >= minB`. Non-overlapping, repeated A
+    * ignored mid-attempt, C consumed either way — the family's
+    * single-pass contract, still O(1) state (the same count integer,
+    * one more comparison — the VERDICT r10 #5 observation verbatim). */
+  def patternCountRepeatBounded(ev: DataFrame, a: String, b: String,
+      c: String, minB: Int, maxB: Int): DataFrame = {
+    require(Seq(a, b, c).distinct.size == 3, "stages must be distinct")
+    require(minB >= 1 && maxB >= minB,
+      s"need 1 <= minB <= maxB, got {$minB,$maxB}")
+    patternPrepSets(ev, Seq(Seq(a), Seq(b), Seq(c)))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Option[Long], Long, Long, Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Option[Long], Long, Long, Long, Long, Long) = {
+            val u = buf.head._1
+            var st = 0L; var bc = 0L
+            var done = 0L; var sumB = 0L; var over = 0L
+            while (buf.hasNext && buf.head._1 == u) {
+              val code = buf.next()._4
+              if (st == 0L) { if (code == 1L) { st = 1L; bc = 0L } }
+              else { // st == 1: counting Bs under the cap
+                if (code == 2L) {
+                  bc += 1L
+                  if (bc > maxB) { over += 1L; st = 0L; bc = 0L }
+                } else if (code == 3L) {
+                  if (bc >= minB) { done += 1L; sumB += bc }
+                  st = 0L; bc = 0L
+                }
+              }
+            }
+            (u, done, sumB, over, st, bc)
+          }
+        }
+      }(org.apache.spark.sql.Encoders
+        .product[(Option[Long], Long, Long, Long, Long, Long)])
+      .toDF("user_id", "n_complete", "sum_b", "n_overflow",
+        "open_state", "open_b")
+  }
+
+  /** e31 over the corpus: click → view{2,4} → purchase. */
+  def e31PatternRepeatBounded(s: SparkSession, d: String): DataFrame =
+    patternCountRepeatBounded(events(s, d), "click", "view", "purchase",
+      minB = 2, maxB = 4)
+      .orderBy(col("user_id"))
+
   /** e28: the PERMUTE quantifier — `PATTERN (PERMUTE(S1 … Sk))`: a
     * match is one event of EACH stage in ANY order. The greedy
     * no-lookahead fold carries a k-bit MASK of stages seen in the
@@ -1352,6 +1407,7 @@ object Events {
     "e25_pattern_opt"    -> e25PatternOptional _,
     "e26_variant"        -> e26VariantExtract _,
     "e27_pattern_repeat" -> e27PatternRepeat _,
+    "e31_pattern_repeat_bounded" -> e31PatternRepeatBounded _,
     "e28_pattern_permute" -> e28PatternPermute _,
     "e29_range_frame"    -> e29RangeFrame _,
     "e30_repeat_within"  -> e30PatternRepeatWithin _,
@@ -1691,6 +1747,40 @@ object Events {
     // the e25 transition table + one more accumulator (the open
     // attempt's B count) — the engine's streamed fold restated as the
     // recursive-CTE automaton, completions gated on bc >= 2
+    // e27's automaton + the overflow kill: the (maxB+1)-th B fails the
+    // attempt (bc > 4 branch), C completes only from bc in [2, 4]
+    "e31_pattern_repeat_bounded" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |        WHEN 'purchase' THEN 3 ELSE 0 END
+        |      ORDER BY ts, event_id) AS cs
+        |  FROM events GROUP BY user_id),
+        |step(user_id, i, st, bc, done, sumb, over) AS (
+        |  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM u
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |    CASE WHEN s.st = 0 AND u.cs[s.i+1] = 1 THEN 1
+        |         WHEN s.st = 1 AND u.cs[s.i+1] = 2 AND s.bc + 1 > 4 THEN 0
+        |         WHEN s.st = 1 AND u.cs[s.i+1] = 3 THEN 0
+        |         ELSE s.st END,
+        |    CASE WHEN s.st = 0 AND u.cs[s.i+1] = 1 THEN 0
+        |         WHEN s.st = 1 AND u.cs[s.i+1] = 2 THEN
+        |           CASE WHEN s.bc + 1 > 4 THEN 0 ELSE s.bc + 1 END
+        |         WHEN s.st = 1 AND u.cs[s.i+1] = 3 THEN 0
+        |         ELSE s.bc END,
+        |    s.done + CASE WHEN s.st = 1 AND u.cs[s.i+1] = 3 AND s.bc >= 2
+        |      THEN 1 ELSE 0 END,
+        |    s.sumb + CASE WHEN s.st = 1 AND u.cs[s.i+1] = 3 AND s.bc >= 2
+        |      THEN s.bc ELSE 0 END,
+        |    s.over + CASE WHEN s.st = 1 AND u.cs[s.i+1] = 2 AND s.bc + 1 > 4
+        |      THEN 1 ELSE 0 END
+        |  FROM step s JOIN u ON u.user_id = s.user_id
+        |  WHERE s.i < len(u.cs))
+        |SELECT s.user_id, s.done AS n_complete, s.sumb AS sum_b,
+        |  s.over AS n_overflow, s.st AS open_state, s.bc AS open_b
+        |FROM step s JOIN u ON u.user_id = s.user_id AND s.i = len(u.cs)
+        |ORDER BY s.user_id""".stripMargin,
     "e27_pattern_repeat" ->
       """WITH RECURSIVE u AS (SELECT user_id,
         |    list(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2

@@ -3133,6 +3133,57 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(run(rows.repartition(7)) == out, "partitioning changed the fold")
   }
 
+  test("e31 bounded repeat B{2,4}: in-range completes, the 5th B kills the " +
+      "attempt greedily, boundary counts complete, partition-invariant") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    def ev(u: Long, ids: Seq[(Long, String)]) =
+      ids.zipWithIndex.map { case ((id, ty), i) => (u, ts(i), id, ty) }
+    val A = "click"; val B = "view"; val C = "purchase"
+    val rows = (
+      // user 1: A B B C — lower boundary completes (bc = 2)
+      ev(1L, Seq((1L, A), (2L, B), (3L, B), (4L, C))) ++
+      // user 2: A B B B B C — upper boundary completes exactly (bc = 4)
+      ev(2L, Seq((11L, A), (12L, B), (13L, B), (14L, B), (15L, B), (16L, C))) ++
+      // user 3: A B B B B B C — the 5th B OVERFLOWS: attempt dies on the
+      // spot, the later C finds no open attempt
+      ev(3L, Seq((21L, A), (22L, B), (23L, B), (24L, B), (25L, B), (26L, B),
+        (27L, C))) ++
+      // user 4: overflow then a fresh attempt completes — the kill must
+      // not poison the next A (A 5×B, then A B B C)
+      ev(4L, Seq((31L, A), (32L, B), (33L, B), (34L, B), (35L, B), (36L, B),
+        (37L, A), (38L, B), (39L, B), (40L, C))) ++
+      // user 5: A B C — under minB, C fails the attempt
+      ev(5L, Seq((41L, A), (42L, B), (43L, C))) ++
+      // user 6: open attempt at the cap (A B B B B, no C yet): state
+      // stays live — only the (maxB+1)-th B kills
+      ev(6L, Seq((51L, A), (52L, B), (53L, B), (54L, B), (55L, B)))
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Events.patternCountRepeatBounded(df, A, B, C, minB = 2, maxB = 4)
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_complete"), r.getAs[Long]("sum_b"),
+            r.getAs[Long]("n_overflow"), r.getAs[Long]("open_state"),
+            r.getAs[Long]("open_b"))).toMap
+    val out = run(rows)
+    assert(out(1L) == ((1L, 2L, 0L, 0L, 0L)), s"min boundary: ${out(1L)}")
+    assert(out(2L) == ((1L, 4L, 0L, 0L, 0L)), s"max boundary: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 1L, 0L, 0L)), s"overflow kill: ${out(3L)}")
+    assert(out(4L) == ((1L, 2L, 1L, 0L, 0L)), s"kill not poisoning: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 0L, 0L, 0L)), s"under min: ${out(5L)}")
+    assert(out(6L) == ((0L, 0L, 0L, 1L, 4L)), s"open at cap: ${out(6L)}")
+    assert(run(rows.repartition(7)) == out, "partitioning changed the fold")
+    // unbounded agreement: where no attempt ever exceeds maxB, e31 ≡ e27
+    val small = rows.filter(col("user_id").isin(1L, 5L, 6L))
+    val unb = Events.patternCountRepeat(small, A, B, C, minB = 2)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_complete"), r.getAs[Long]("sum_b"))).toMap
+    val bnd = run(small).view.mapValues(t => (t._1, t._2)).toMap
+    assert(bnd == unb, s"bounded drifted from e27 under the cap: $bnd vs $unb")
+  }
+
   test("m12 keyframes: one per shot, shot indexes dense from 0, first " +
       "keyframe at clip start, counts reconcile with m10") {
     val kf = Multimodal.m12Keyframes(spark, sf).collect()
