@@ -1034,6 +1034,79 @@ object StreamOps {
       }
   }
 
+  case class RepeatWithinState(stage: Long, bc: Long, t0_us: Long,
+      n_complete: Long, sum_b: Long, n_expired: Long, n_seen: Long,
+      last_us: Long, last_event_id: Long)
+  case class RepeatWithinProgress(user_id: Long, n_complete: Long,
+      sum_b: Long, n_expired: Long, open_state: Long, open_b: Long,
+      n_seen: Long)
+
+  /** Streaming counted-repeat-under-deadline recognition (continuous
+    * e30 — the family's last member without a streaming twin, VERDICT
+    * r10 #8): `A B{minB,} C WITHIN w` as keyed state. The fold is the
+    * batch automaton verbatim — expiry precedes the transition (e21's
+    * rule: an event arriving past `w` from the open attempt's start
+    * expires it FIRST, and may itself then open a fresh attempt), the
+    * counted-repeat rule applies after. The expiry clock is EVENT time
+    * in micros (the batch's unix_micros), not wall clock, so replay
+    * reproduces batch e30 exactly (spec-pinned). Same at-least-once
+    * discipline as [[patternStream]]: the state carries the newest
+    * scored (t_us, event_id) and drops anything at or before it.
+    * `n_seen` counts folded events and orders the emitted progress
+    * rows. State is O(1) per user: eight longs. */
+  def repeatWithinStream(events: Dataset[KeyedEvent], minB: Int,
+      windowMicros: Long): Dataset[RepeatWithinProgress] = {
+    require(minB >= 1 && windowMicros > 0L, "need minB >= 1, window > 0")
+    implicit val pe: org.apache.spark.sql.Encoder[RepeatWithinProgress] =
+      Encoders.product[RepeatWithinProgress]
+    implicit val se: org.apache.spark.sql.Encoder[RepeatWithinState] =
+      Encoders.product[RepeatWithinState]
+    implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RepeatWithinState, RepeatWithinProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[KeyedEvent],
+            state: GroupState[RepeatWithinState]) =>
+          var st = state.getOption.getOrElse(RepeatWithinState(
+            0L, 0L, 0L, 0L, 0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            val fresh = t > st.last_us ||
+              (t == st.last_us && e.event_id > st.last_event_id)
+            if (fresh) {
+              val c = e.event_type match {
+                case "click" => 1L; case "view" => 2L; case "purchase" => 3L
+                case _ => 0L
+              }
+              // expiry precedes the transition (the batch's e21 rule)
+              if (st.stage == 1L && t - st.t0_us > windowMicros)
+                st = st.copy(stage = 0L, bc = 0L,
+                  n_expired = st.n_expired + 1L)
+              st =
+                if (st.stage == 0L) {
+                  if (c == 1L) st.copy(stage = 1L, bc = 0L, t0_us = t)
+                  else st
+                } else {
+                  if (c == 2L) st.copy(bc = st.bc + 1L)
+                  else if (c == 3L) {
+                    val hit = st.bc >= minB
+                    st.copy(stage = 0L, bc = 0L,
+                      n_complete = st.n_complete + (if (hit) 1L else 0L),
+                      sum_b = st.sum_b + (if (hit) st.bc else 0L))
+                  } else st
+                }
+              st = st.copy(n_seen = st.n_seen + 1L,
+                last_us = t, last_event_id = e.event_id)
+            }
+          }
+          state.update(st)
+          Iterator.single(RepeatWithinProgress(user, st.n_complete,
+            st.sum_b, st.n_expired, st.stage, st.bc, st.n_seen))
+      }
+  }
+
   /** Rollup store schema for [[deltaAggStream]]. */
   val RollupSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
@@ -1136,6 +1209,7 @@ object StreamOps {
     "deltaAggStream" -> OutputMode.Update(),
     "patternStream" -> OutputMode.Append(),
     "permuteStream" -> OutputMode.Append(),
+    "repeatWithinStream" -> OutputMode.Append(),
     "semDedupStream" -> OutputMode.Append(),
     "semDedupIngest" -> OutputMode.Update())
 }

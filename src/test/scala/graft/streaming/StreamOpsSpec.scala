@@ -1130,6 +1130,68 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
 
+  test("repeatWithinStream: chunked in-order replay ≡ batch e30 (counted " +
+      "repeat under deadline); duplicate redelivery cannot move the state; " +
+      "expiry fires across chunk boundaries on event time") {
+    implicit val sq = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[KeyedEvent].collect()
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.repeatWithinStream(in.toDS(), minB = 2,
+      windowMicros = graft.operators.Events.PatternWithinMicros)
+      .writeStream.format("memory").queryName("rw_stream")
+      .outputMode(OutputMode.Append()).start()
+    val chunks = ev.grouped(ev.length / 7 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    // duplicate redelivery of the last chunk: state must not move
+    in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rw_stream").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_seen"), (r.getAs[Long]("n_complete"),
+          r.getAs[Long]("sum_b"), r.getAs[Long]("n_expired"),
+          r.getAs[Long]("open_state"), r.getAs[Long]("open_b"))))
+      .groupBy(_._1).view
+      .mapValues(v => v.map(_._2).maxBy(_._1)._2).toMap
+    val batch = graft.operators.Events.e30PatternRepeatWithin(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_complete"), r.getAs[Long]("sum_b"),
+          r.getAs[Long]("n_expired"), r.getAs[Long]("open_state"),
+          r.getAs[Long]("open_b"))).toMap
+    assert(batch.values.exists(_._3 > 0L),
+      "fixture degenerate: no expiry in the corpus — window check idle")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
+    // constructed straddle: the attempt opens in one micro-batch and the
+    // breaching event arrives chunks later — expiry must fire on EVENT
+    // time carried in state, and the breaching A opens a fresh attempt
+    import java.sql.Timestamp
+    val w = 1000000L // 1 s window
+    def t(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val in2 = MemoryStream[KeyedEvent]
+    val q2 = StreamOps.repeatWithinStream(in2.toDS(), minB = 1,
+      windowMicros = w)
+      .writeStream.format("memory").queryName("rw_straddle")
+      .outputMode(OutputMode.Append()).start()
+    in2.addData(KeyedEvent(9L, 1L, "click", t(0)),
+      KeyedEvent(9L, 2L, "view", t(1)))
+    q2.processAllAvailable()
+    // 10 s later (far past the 1 s window): A then B then C — the old
+    // attempt expires, the new one completes
+    in2.addData(KeyedEvent(9L, 3L, "click", t(10)),
+      KeyedEvent(9L, 4L, "view", t(10)), KeyedEvent(9L, 5L, "purchase", t(11)))
+    q2.processAllAvailable(); q2.stop()
+    val fin = spark.table("rw_straddle").collect()
+      .map(r => (r.getAs[Long]("n_seen"), (r.getAs[Long]("n_complete"),
+        r.getAs[Long]("n_expired"), r.getAs[Long]("open_state"))))
+      .maxBy(_._1)._2
+    assert(fin == ((1L, 1L, 0L)),
+      s"straddled expiry wrong (want 1 completion, 1 expiry, idle): $fin")
+  }
+
   test("semDedupStream ≡ batch d12's within-cluster pairs restricted to " +
       "new×corpus on bounded replay") {
     implicit val sq = spark.sqlContext
