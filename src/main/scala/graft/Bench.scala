@@ -145,14 +145,21 @@ object Bench {
       .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_samples":$cal,"queries":$qs,"reruns":$rr,"rerun_calibration":$rerunCal,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    // FULL-DETAIL line: stdout first (an unwritable SPARK_GRAFT_BENCH_OUT
-    // must not destroy the run's results on both channels), then the file.
-    println(line)
+    // FULL-DETAIL line: to the file; stdout carries it ONLY when the
+    // file write fails (an unwritable SPARK_GRAFT_BENCH_OUT must not
+    // destroy the run's results on both channels). Unconditional
+    // stdout-first was the r10 artifact smell: the driver's log tail
+    // caught the full line's rerun-block END plus the compact line —
+    // two JSON fragments in one artifact. Normal runs now emit exactly
+    // ONE stdout line, the compact one below.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(out), line + "\n"): Unit
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
-    }
+    val wrote =
+      try { Files.writeString(Paths.get(out), line + "\n"); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+        false
+      }
+    if (!wrote) println(line)
     // COMPACT line, printed LAST: the driver parses only the final ~2000
     // chars of the sbt log (measured: BENCH_r08.json "tail" is exactly
     // 2000 chars, and sbt appends a ~70-char "[success] Total time" line
