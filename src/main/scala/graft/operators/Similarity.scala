@@ -1127,6 +1127,47 @@ object Similarity {
     knnPqWith(e, collectPqCodebook(e))
   }
 
+  /** s20: ONE exact Lloyd round of the spherical k-means trainer,
+    * oracle-gated — the r10→r11 "gate the production posture" theme
+    * applied to [[trainCodebook]]: the trainer itself had only a spec
+    * (its ITERATED output has no SQL oracle), but a single round is
+    * exactly SQL-expressible because every step is integer or
+    * correctly-rounded double math: ASSIGN is s2's literal-codebook
+    * argmax (fp9 cosines, cid tie-break) from the deterministic init
+    * (the [[NCentroids]] lowest vec_ids — trainCodebook's own init),
+    * and the M-step is emitted as per-(cluster, dimension) integer
+    * SUMS of the fixed-point unit components plus the member COUNT —
+    * no mean division, so the gated row is integer-exact end to end
+    * and the DuckDB oracle restates it verbatim. The spec closes the
+    * loop: dividing these sums by n reproduces trainCodebook(iters=1)
+    * bit-for-bit, so the hash gate covers the trainer's real round.
+    *
+    * Scale shape (identical to the trainer's): one narrow scan for
+    * assignment (zero exchanges, the s2 plan) + one groupBy(cluster)
+    * with dim map-side-combined sums — k×(dim+1) values shuffle,
+    * nothing else; the per-dim unpivot at the end explodes only the
+    * k-row aggregate. */
+  def s20KmeansRound(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val cents = collectCodebook(e)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val unit = e.withColumn("u",
+      transform(col("embedding"), v =>
+        round(v.cast("double") /
+          sqrt(col("norm_fp").cast("double") / 1e9) * lit(1e9)).cast("long")))
+    val sums = assignClusters(unit, cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(j => sum(element_at(col("u"), j + 1)).as(s"s$j")): _*)
+    sums
+      .select(col("cluster"), col("n"),
+        explode(array((0 until dim).map(j =>
+          struct(lit(j + 1L).as("j"), col(s"s$j").as("s_fp"))): _*)).as("c"))
+      .select(col("cluster"), col("c.j").as("j"), col("n"),
+        col("c.s_fp").as("s_fp"))
+      .orderBy(col("cluster"), col("j"))
+  }
+
   /** s8: IVF+PQ kNN — the two scale mechanisms COMPOSED, the standard
     * billion-vector index architecture (FAISS IVFPQ's no-residual
     * form): IVF cluster assignment prunes WHICH corpus rows a query
@@ -1632,6 +1673,7 @@ object Similarity {
     "s17_filtered_knn" -> s17FilteredKnn _,
     "s18_recall_ladder" -> s18RecallLadder _,
     "s19_knn_opq"     -> s19KnnOpq _,
+    "s20_kmeans_round" -> s20KmeansRound _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -1932,6 +1974,30 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // one exact Lloyd round: s2's assignment restated verbatim, then
+    // integer fixed-point unit components summed per (cluster, dim) —
+    // no mean division, so the M-step is BIGINT-exact on both engines
+    "s20_kmeans_round" ->
+      (NormCte +
+        s"""
+           |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+           |  FROM e WHERE vec_id < $NCentroids),
+           |assigned AS (SELECT vec_id, embedding, norm_fp, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, e.norm_fp, cent.cid AS cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+           |      cent.cid) AS arank
+           |  FROM e CROSS JOIN cent) WHERE arank = 1),
+           |unit AS (SELECT vec_id, cluster,
+           |    list_transform(range(1, len(embedding) + 1), i ->
+           |      CAST(round(embedding[i]::DOUBLE /
+           |        sqrt(norm_fp::DOUBLE / 1e9) * 1e9) AS BIGINT)) AS u
+           |  FROM assigned),
+           |ex AS (SELECT cluster, unnest(u) AS uj,
+           |    generate_subscripts(u, 1) AS j FROM unit)
+           |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(j AS BIGINT) AS j,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(uj) AS BIGINT) AS s_fp
+           |FROM ex GROUP BY cluster, j ORDER BY cluster, j""".stripMargin),
     "s3_cosine_pairs" ->
       (NormCte +
         s"""

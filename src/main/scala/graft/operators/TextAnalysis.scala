@@ -1859,6 +1859,95 @@ object TextAnalysis {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Window size (tokens) for overlapping exact-substring dedup (x35).
+    * Sized so the sf corpora's PLANTED near-duplicate passages match
+    * (2195 duplicated windows across 47 docs at sf0.01) while chance
+    * vocabulary collisions don't (W=3 marks every doc, W=6 marks only
+    * the real duplicated passages — measured, see BASELINE.md). */
+  val SubstrWindow = 6
+
+  /** x35: exact-SUBSTRING duplicate detection — the suffix-array-family
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") that finds VERBATIM repeated passages at
+    * arbitrary alignment, where x15's fixed non-overlapping segments
+    * only catch repeats that start on a segment boundary. Every
+    * OVERLAPPING [[SubstrWindow]]-token window is keyed; a window whose
+    * corpus-wide occurrence count is ≥ 2 (within-doc repeats included —
+    * the "appears twice in the corpus concatenation" suffix-array
+    * semantics, unlike x15's distinct-doc DF) marks its token interval
+    * duplicated; per doc, overlapping/adjacent marked intervals merge
+    * into MAXIMAL spans (gaps-and-islands over a per-doc window — the
+    * distributed equivalent of the suffix-array scan's maximal repeat
+    * extension). Output per doc: window/span/token tallies, exact span
+    * structure as integer sums, and the duplicated-token fraction.
+    *
+    * Scale notes (100 TB): windows are a narrow posexplode (~n_tok rows
+    * per doc — the x5/x11 per-token explosion class); the census is one
+    * map-side-combined groupBy on the window text (the d1 shape); the
+    * count join carries a COUNT back, never an expansion, so a viral
+    * boilerplate window is one hot key for AQE's skew split, and the d9
+    * count-first `dropOverCapKeys` discipline applies unchanged if a
+    * per-window cap is wanted. Span merging is per-doc windows —
+    * partitioned by doc_id, never global. The census is persistable
+    * (Warehouse bucketed-by-window, the d8 standing-index pattern) so
+    * incremental batches price only their own windows. */
+  def x35SubstringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedup(documents(s, d), minCount = 2L)
+      .transform(Output.ordered(_, col("doc_id")))
+
+  /** Library form of [[x35SubstringDedup]]: any (doc_id, text) frame,
+    * caller-chosen occurrence threshold (minCount = 2 marks every
+    * passage that appears verbatim anywhere else). */
+  def substringDedup(docs: DataFrame, minCount: Long): DataFrame = {
+    val W = SubstrWindow
+    val t = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tok"))
+    // overlapping windows, start p ∈ [0, n_tok − W]; ws is a staged
+    // column reference, so the slice reads a materialized array
+    val wins = t.filter(col("n_tok") >= W.toLong)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0L), col("n_tok") - W.toLong), p =>
+          array_join(slice(col("ws"), (p + 1L).cast("int"), lit(W)), " ")))
+        .as(Seq("p", "wtext")))
+    // corpus-wide occurrence census: count, not distinct-doc DF
+    val cnt = wins.groupBy(col("wtext")).agg(count(lit(1)).as("cnt"))
+    val dup = wins.join(cnt.filter(col("cnt") >= minCount), Seq("wtext"))
+      .select(col("doc_id"), col("p").cast("long").as("s"),
+        (col("p") + lit(W - 1)).cast("long").as("e"))
+    // gaps-and-islands per doc: a window opens a new span iff it starts
+    // past the running max end + 1 (adjacent intervals merge — covered
+    // token runs are contiguous); (doc_id, s) is unique ⇒ deterministic
+    val win = org.apache.spark.sql.expressions.Window
+    val wSpec = win.partitionBy(col("doc_id")).orderBy(col("s"))
+    val isl = dup
+      .withColumn("pme", max(col("e")).over(
+        wSpec.rowsBetween(win.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("pme").isNull || col("s") > col("pme") + 1L, 1L).otherwise(0L))
+        .over(wSpec.rowsBetween(win.unboundedPreceding, 0)))
+    val spans = isl.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e0"),
+        count(lit(1)).as("nw"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("nw")).as("n_dup_windows"),
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("e0") - col("s0") + 1L).as("n_dup_tokens"),
+        sum(col("s0")).as("span_start_sum"),
+        sum(col("e0")).as("span_end_sum"))
+    t.select(col("doc_id"), col("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("span_start_sum"), lit(0L)).as("span_start_sum"),
+        coalesce(col("span_end_sum"), lit(0L)).as("span_end_sum"),
+        when(col("n_tok") > 0L,
+          idiv(coalesce(col("n_dup_tokens"), lit(0L)) * 1000000L, col("n_tok")))
+          .otherwise(0L).as("dup_frac_e6"))
+  }
+
   /** Distinct (shingle, train_doc) postings over a train corpus — the
     * static index [[graft.streaming.StreamOps.contaminationStream]]
     * joins arriving eval docs against. At scale: persist it with
@@ -1962,6 +2051,7 @@ object TextAnalysis {
     "x32_dedup_waterfall" -> x32DedupWaterfall _,
     "x33_budget_select" -> x33BudgetSelect _,
     "x34_train_order" -> x34TrainOrder _,
+    "x35_substring_dedup" -> x35SubstringDedup _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -2823,6 +2913,50 @@ object TextAnalysis {
          |  coalesce(a.cleaned, '') AS cleaned_text
          |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "x35_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tok FROM t),
+         |wins AS (SELECT doc_id, ws,
+         |    unnest(range(0, n_tok - $SubstrWindow + 1)) AS p
+         |  FROM n WHERE n_tok >= $SubstrWindow),
+         |keyed AS (SELECT doc_id, p,
+         |    array_to_string(ws[(p+1):(p+$SubstrWindow)], ' ') AS wtext
+         |  FROM wins),
+         |cnt AS (SELECT wtext, count(*) AS c FROM keyed GROUP BY wtext),
+         |dup AS (SELECT k.doc_id, CAST(k.p AS BIGINT) AS s,
+         |    CAST(k.p + ${SubstrWindow - 1} AS BIGINT) AS e
+         |  FROM keyed k JOIN cnt ON k.wtext = cnt.wtext WHERE cnt.c >= 2),
+         |run AS (SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM dup),
+         |isl AS (SELECT doc_id, s, e,
+         |    sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM run),
+         |spans AS (SELECT doc_id, isl, min(s) AS s0, max(e) AS e0,
+         |    count(*) AS nw
+         |  FROM isl GROUP BY doc_id, isl),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+         |    CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |    CAST(sum(e0 - s0 + 1) AS BIGINT) AS n_dup_tokens,
+         |    CAST(sum(s0) AS BIGINT) AS span_start_sum,
+         |    CAST(sum(e0) AS BIGINT) AS span_end_sum
+         |  FROM spans GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_tok,
+         |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+         |  coalesce(a.span_start_sum, 0) AS span_start_sum,
+         |  coalesce(a.span_end_sum, 0) AS span_end_sum,
+         |  CASE WHEN n.n_tok > 0
+         |    THEN coalesce(a.n_dup_tokens, 0) * 1000000 // n.n_tok
+         |    ELSE 0 END AS dup_frac_e6
+         |FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
     "x12_pii_scrub" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents
          |  UNION ALL $oPiiFixtures)

@@ -1280,11 +1280,49 @@ class PipelineOpsSpec extends SparkSpecBase {
   }
 
   test("s3 tiled pair join: equi-join on block keys, no corpus broadcast nested loop") {
-    val plan = planOf(Similarity.s3CosinePairs(spark, sf))
+    // assert the BUILD plan, not s3CosinePairs: the query row reads the
+    // session-shared checkpoint (sharedEmbedPairs) whenever another
+    // consumer (d7) materialized it first, and a checkpointed scan has
+    // no join to inspect — the build form is what the assertion pins
+    val plan = planOf(Similarity.cosinePairs(
+      graft.Tables.embeddings(spark, sf), spark.sparkContext.defaultParallelism))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"s3 regressed to an all-broadcast pair scan:\n$plan")
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
       plan.contains("ShuffledHashJoin"), s"s3 tile join is not an equi hash/merge join:\n$plan")
+  }
+
+  test("s20 one gated Lloyd round reproduces trainCodebook(iters=1) bit-for-bit") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val n_corpus = e.count()
+    val rows = Similarity.s20KmeansRound(spark, sf).collect()
+    // the M-step sums divided by n are EXACTLY the trainer's new
+    // centroids — the same (s / n / 1e9).toFloat arithmetic
+    val derived = rows.groupBy(_.getAs[Long]("cluster")).map { case (cid, rs) =>
+      val n = rs.head.getAs[Long]("n").toDouble
+      cid -> rs.sortBy(_.getAs[Long]("j"))
+        .map(r => (r.getAs[Long]("s_fp") / n / 1e9).toFloat).toSeq
+    }
+    val trained = Similarity.trainCodebook(e, iters = 1)
+    assert(trained.nonEmpty)
+    val initEmb = e.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding")).toMap
+    trained.foreach { c =>
+      derived.get(c.cid) match {
+        case Some(emb) => assert(emb == c.emb.toSeq,
+          s"cluster ${c.cid}: gated sums diverge from the trainer's round")
+        case None => // empty cluster: the trainer keeps its init centroid
+          assert(c.emb.toSeq == initEmb(c.cid).toSeq)
+      }
+    }
+    // conservation: every vector lands in exactly one cluster, every
+    // cluster row carries all dims exactly once
+    val dim = rows.map(_.getAs[Long]("j")).max
+    assert(rows.groupBy(_.getAs[Long]("cluster"))
+      .forall { case (_, rs) =>
+        rs.map(_.getAs[Long]("j")).sorted.toSeq == (1L to dim) })
+    assert(rows.filter(_.getAs[Long]("j") == 1L).map(_.getAs[Long]("n")).sum
+      == n_corpus)
   }
 
   test("s3 tiled join is pair-exact vs the brute-force spec") {
@@ -1560,6 +1598,67 @@ class PipelineOpsSpec extends SparkSpecBase {
     // the shared "f g" tail is boilerplate under maxDf=1; heads survive
     assert(got(1L) == ((2L, "a b c d e")))
     assert(got(2L) == ((2L, "z z z z z")))
+  }
+
+  test("x35 substring dedup finds repeats at ANY alignment and merges maximal spans") {
+    import spark.implicits._
+    // W = 6. An 8-token passage shared by docs 1 and 2 at DIFFERENT
+    // offsets (0 vs 3) — the alignment x15's fixed segmentation misses.
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val runA = "a1 a2 a3 a4 a5 a6"
+    val docs = Seq(
+      (1L, s"$passage u1 u2"),            // passage at tokens 0..7
+      (2L, s"v1 v2 v3 $passage"),         // passage at tokens 3..10
+      (3L, s"w1 $runA w2 $runA"),         // WITHIN-doc repeat: 1..6, 8..13
+      (4L, "x1 x2 x3"),                   // shorter than W → no windows
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDedup(docs, minCount = 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_dup_tokens"),
+          r.getAs[Long]("span_start_sum"), r.getAs[Long]("span_end_sum"),
+          r.getAs[Long]("dup_frac_e6"))).toMap
+    // doc 1: windows p=0,1,2 duplicated (the 3 fully-inside-passage
+    // alignments) → ONE maximal span [0,7], 8 of 10 tokens
+    assert(got(1L) == ((10L, 3L, 1L, 8L, 0L, 7L, 800000L)))
+    // doc 2: same passage at p=3,4,5 → span [3,10], 8 of 11 tokens
+    assert(got(2L) == ((11L, 3L, 1L, 8L, 3L, 10L, 727272L)))
+    // doc 3: the run appears twice IN THE SAME doc — suffix-array
+    // occurrence semantics (count ≥ 2), unlike x15's distinct-doc DF;
+    // two disjoint spans [1,6] and [8,13] (gap at token 7)
+    assert(got(3L) == ((14L, 2L, 2L, 12L, 9L, 19L, 857142L)))
+    assert(got(4L) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // reshuffle-proof: pure function of the corpus
+    val re = TextAnalysis.substringDedup(docs.repartition(7), minCount = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_dup_tokens"),
+          r.getAs[Long]("span_start_sum"), r.getAs[Long]("span_end_sum"),
+          r.getAs[Long]("dup_frac_e6"))).toMap
+    assert(re == got)
+  }
+
+  test("x35 adjacent duplicated intervals merge into one contiguous span") {
+    import spark.implicits._
+    // doc 6 is run B twice back-to-back: duplicated windows at p=0 and
+    // p=6 (the in-between alignments straddle the seam and occur once).
+    // Intervals [0,5] and [6,11] are ADJACENT (6 = 5+1) → one span.
+    val runB = "b1 b2 b3 b4 b5 b6"
+    val docs = Seq(
+      (6L, s"$runB $runB"),
+      (7L, s"z1 z2 $runB z3")).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDedup(docs, minCount = 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_windows"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("n_dup_tokens"), r.getAs[Long]("span_start_sum"),
+          r.getAs[Long]("span_end_sum"))).toMap
+    assert(got(6L) == ((2L, 1L, 12L, 0L, 11L)))
+    assert(got(7L) == ((1L, 1L, 6L, 2L, 7L)))
+    // raising the threshold above the occurrence count disarms it
+    val none = TextAnalysis.substringDedup(docs, minCount = 4L).collect()
+      .map(_.getAs[Long]("n_dup_windows")).sum
+    assert(none == 0L)
   }
 
   test("x12 PII scrub detects and redacts constructed emails/phones/IPs/SSNs") {
