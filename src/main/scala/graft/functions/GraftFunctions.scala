@@ -45,6 +45,15 @@ object GraftFunctions {
       CmsAggExpr(GraftSqlBridge.expression(hashes), depth, width)
         .toAggregateExpression())
 
+  /** HyperLogLog AGGREGATE over a staged 60-bit BIGINT row hash →
+    * m register maxima; native `TypedImperativeAggregate` whose
+    * elementwise-MAX merge is duplicate-insensitive; see
+    * [[HllAggExpr]]. */
+  def hll_sketch(hash: Column, m: Int): Column =
+    GraftSqlBridge.column(
+      HllAggExpr(GraftSqlBridge.expression(hash), m)
+        .toAggregateExpression())
+
   /** string → Unicode-NFC-normalized string — codegen'd with an
     * ASCII zero-allocation fast path; see [[NfcNormalizeExpr]]. */
   def nfc(s: Column): Column =

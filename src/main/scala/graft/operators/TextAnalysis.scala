@@ -228,6 +228,100 @@ object TextAnalysis {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
+  /** HLL geometry (x36): 64 registers — 6 index bits over the 60-bit
+    * row hash, leaving a 54-bit rank field (rank ∈ [1, 55]). */
+  val HllM = 64
+
+  /** The 60-bit staged row hash for [[x36HllDistinct]]: 15 hex chars of
+    * md5 as a BIGINT — defined once, inlined into both engines (the
+    * x6/x26 md5-prefix-fold family; 60 bits keeps the parse inside a
+    * signed 64-bit integer on both). */
+  private[graft] def hllHash(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  /** α₆₄ · m² · 2⁵⁵ — the harmonic-estimate numerator, precomputed
+    * driver-side and inlined as ONE double literal into both plans
+    * (Double.toString round-trips, so both engines parse the identical
+    * value). est = num / Σᵢ 2^(55−Mᵢ): the integer sum makes the
+    * harmonic mean ORDER-INDEPENDENT (each term is an exact power of
+    * two ≤ 2⁵⁵ summed in BIGINT — a float Σ2^(−Mᵢ) could round
+    * differently under aggregation reordering), and the single final
+    * double division is correctly rounded on both engines. */
+  private[graft] val HllEstNum: Double =
+    0.7213 / (1.0 + 1.079 / 64.0) * (64.0 * 64.0) * 36028797018963968.0
+
+  /** x36: HyperLogLog distinct-count sketch — per-source vocabulary
+    * cardinality (distinct 3-gram shingles) via the engine's native
+    * [[graft.functions.HllAggExpr]] `TypedImperativeAggregate`: m
+    * register maxima, elementwise-MAX merge. The counterpart of x26's
+    * CMS (frequency): together they are the two constant-state sketches
+    * a corpus-stats pipeline carries where exact distinct/frequency
+    * counting would shuffle the full key set. MAX-merge is
+    * duplicate-INSENSITIVE (spec-pinned: corpus ∪ corpus sketches
+    * identically), so the sketch ingests raw shingle OCCURRENCES — no
+    * distinct in front — and an at-least-once streaming twin needs no
+    * exactly-once fence at all, unlike CMS's additive merge.
+    *
+    * Output: the m registers per source (the gate covers the full
+    * sketch state), the raw harmonic estimate in e3 fixed point, and
+    * the exact distinct count beside it (the honest-error display; the
+    * raw estimator's expected relative error is 1.04/√64 ≈ 13%, and
+    * the small-range linear-counting correction is deliberately
+    * omitted — it needs ln(), which no cross-engine bit-parity
+    * contract covers). Oracle: DuckDB rebuilds the identical registers
+    * via GROUP BY (source, idx) + a 64-row spine, the identical
+    * `55 − length(bin(w))` rank arithmetic, and the identical integer
+    * harmonic sum. */
+  def x36HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("source"), words(col("text")).as("ws"))
+      .select(col("source"), explode(shingles3(col("ws"))).as("g"))
+    val hashed = sh.select(col("source"), hllHash(col("g")).as("h"))
+    val sk = hashed.groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.hll_sketch(col("h"), HllM).as("regs"))
+    val exact = sh.groupBy(col("source"))
+      .agg(countDistinct(col("g")).as("n_exact"))
+    sk
+      .withColumn("s_int",
+        aggregate(col("regs"), lit(0L),
+          (acc, mr) => acc + pow(lit(2.0), lit(55L) - mr).cast("long")))
+      .withColumn("est_e3",
+        round(lit(HllEstNum) / col("s_int").cast("double") * 1000.0)
+          .cast("long"))
+      .join(exact, Seq("source"))
+      .select(col("source"),
+        posexplode(col("regs")).as(Seq("register", "max_rank")),
+        col("n_exact"), col("est_e3"))
+      .select(col("source"), col("register").cast("long").as("register"),
+        col("max_rank"), col("n_exact"), col("est_e3"))
+      .orderBy(col("source"), col("register"))
+  }
+
+  /** Executable-spec twin of the native sketch: registers via plain
+    * groupBy(source, idx) + max(rank) + a dense spine — tested
+    * equivalent to [[graft.functions.HllAggExpr]], never used in query
+    * paths (it shuffles (source × m) group keys where the native
+    * aggregate shuffles one serialized buffer per partition). */
+  private[graft] def hllRegistersSpec(hashed: DataFrame): DataFrame = {
+    val rk = hashed.select(col("source"),
+      pmod(col("h"), lit(HllM.toLong)).as("idx"),
+      shiftright(col("h"), 6).as("w"))
+      .select(col("source"), col("idx"),
+        when(col("w") === 0L, 55L)
+          .otherwise(lit(55L) - length(bin(col("w")))).as("rank"))
+    val regs0 = rk.groupBy(col("source"), col("idx"))
+      .agg(max(col("rank")).as("mr"))
+      .withColumnRenamed("source", "src0")
+    val grid = hashed.select(col("source")).distinct()
+      .select(col("source"),
+        explode(sequence(lit(0L), lit(HllM - 1L))).as("register"))
+    grid.join(regs0,
+        col("source") === col("src0") && col("register") === col("idx"),
+        "left")
+      .select(col("source"), col("register"),
+        coalesce(col("mr"), lit(0L)).as("max_rank"))
+  }
+
   /** Weighted-sample size (x27). */
   val WorK = 100
 
@@ -2052,6 +2146,7 @@ object TextAnalysis {
     "x33_budget_select" -> x33BudgetSelect _,
     "x34_train_order" -> x34TrainOrder _,
     "x35_substring_dedup" -> x35SubstringDedup _,
+    "x36_hll_distinct" -> x36HllDistinct _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -2957,6 +3052,41 @@ object TextAnalysis {
          |    ELSE 0 END AS dup_frac_e6
          |FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+    // registers restated via GROUP BY (source, idx) + a 64-row spine;
+    // rank = 55 − length(bin(w)) — bin() is the minimal binary string
+    // on both engines; harmonic sum in BIGINT (exact powers of two)
+    "x36_hll_distinct" ->
+      s"""WITH t AS (SELECT source,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |sh AS (SELECT source,
+         |    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END) AS g
+         |  FROM t),
+         |h AS (SELECT source, g, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+         |  FROM sh),
+         |rk AS (SELECT source, h % $HllM AS idx,
+         |    CASE WHEN h // $HllM = 0 THEN 55
+         |      ELSE 55 - length(bin(h // $HllM)) END AS rank
+         |  FROM h),
+         |regs0 AS (SELECT source, idx, max(rank) AS mr
+         |  FROM rk GROUP BY source, idx),
+         |grid AS (SELECT source, unnest(range(0, $HllM)) AS register
+         |  FROM (SELECT DISTINCT source FROM sh)),
+         |regs AS (SELECT grid.source, grid.register,
+         |    coalesce(r0.mr, 0) AS max_rank
+         |  FROM grid LEFT JOIN regs0 r0
+         |    ON grid.source = r0.source AND grid.register = r0.idx),
+         |s AS (SELECT source,
+         |    sum(CAST(power(2.0, 55 - max_rank) AS BIGINT)) AS s_int
+         |  FROM regs GROUP BY source),
+         |ex AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS n_exact
+         |  FROM sh GROUP BY source)
+         |SELECT regs.source, CAST(regs.register AS BIGINT) AS register,
+         |  CAST(regs.max_rank AS BIGINT) AS max_rank, ex.n_exact,
+         |  CAST(round($HllEstNum / s.s_int::DOUBLE * 1000.0) AS BIGINT) AS est_e3
+         |FROM regs JOIN s ON regs.source = s.source
+         |  JOIN ex ON regs.source = ex.source
+         |ORDER BY regs.source, regs.register""".stripMargin,
     "x12_pii_scrub" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents
          |  UNION ALL $oPiiFixtures)

@@ -1970,6 +1970,64 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("x36 HLL: native registers match the groupBy spec, MAX-merge is " +
+      "duplicate-insensitive and partitioning-proof, rank arithmetic " +
+      "pinned on crafted hashes, estimate lands in the documented band") {
+    import spark.implicits._
+    val vals = (1 to 300).map(i => (if (i % 3 == 0) "a" else "b", s"val$i"))
+    val hashed = vals.toDF("source", "g")
+      .select(col("source"), TextAnalysis.hllHash(col("g")).as("h"))
+    def regsOf(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      df.groupBy(col("source"))
+        .agg(graft.functions.GraftFunctions
+          .hll_sketch(col("h"), TextAnalysis.HllM).as("regs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val one = regsOf(hashed.repartition(1))
+    val many = regsOf(hashed.repartition(13)) // partial buffers + merge
+    assert(one == many, "sketch depends on partitioning/merge order")
+    // MAX-merge is idempotent: duplicated input leaves the sketch
+    // unchanged — the algebra that frees the streaming twin from
+    // exactly-once fencing
+    val dup = regsOf(hashed.union(hashed).repartition(7))
+    assert(dup == one, "duplicate rows changed the sketch")
+    // native ≡ executable groupBy spec, register by register
+    val spec = TextAnalysis.hllRegistersSpec(hashed).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("register")) ->
+        r.getAs[Long]("max_rank")).toMap
+    one.foreach { case (src, regs) =>
+      regs.zipWithIndex.foreach { case (mr, i) =>
+        assert(spec((src, i.toLong)) == mr,
+          s"register $i of $src: native $mr vs spec") } }
+    // rank arithmetic on crafted hashes h = idx + 64·w:
+    //   w = 0 → 55; w = 1 → 54; w = 2 → 53; w = 2^53 (top bit) → 1
+    val crafted = Seq(0L, 1L + 64L, 2L + 128L, 3L + (1L << 59))
+      .map(h => ("c", h)).toDF("source", "h")
+    val cregs = regsOf(crafted)("c")
+    assert(cregs(0) == 55L && cregs(1) == 54L && cregs(2) == 53L &&
+      cregs(3) == 1L && cregs.drop(4).forall(_ == 0L))
+    // end to end: every source emits all m registers; the raw harmonic
+    // estimate lands within the documented band of the exact count
+    // (1.04/√64 ≈ 13% expected error; assert a loose 2σ-ish 40%)
+    val out = TextAnalysis.x36HllDistinct(spark, sf).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_.getAs[Long]("register")).sorted.toSeq ==
+        (0L until TextAnalysis.HllM.toLong))
+      val n = rows.head.getAs[Long]("n_exact").toDouble
+      val est = rows.head.getAs[Long]("est_e3").toDouble / 1000.0
+      assert(n > 0 && math.abs(est - n) / n < 0.40,
+        s"$src: estimate $est vs exact $n out of band")
+    }
+    // adversarial negative hash fails loudly, never mis-registers
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq(("z", -1L)).toDF("source", "h").groupBy(col("source"))
+        .agg(graft.functions.GraftFunctions.hll_sketch(col("h"), 64))
+        .collect()
+    }
+    assert(ex.getMessage.contains("hll_sketch") ||
+      ex.getCause != null)
+  }
+
   test("x27 weighted sample: reshuffle-proof, plans as TakeOrdered (no " +
       "global sort), bottom-K is mergeable, higher weight raises selection " +
       "rate") {
