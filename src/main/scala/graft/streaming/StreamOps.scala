@@ -490,6 +490,29 @@ object StreamOps {
         graft.operators.TextAnalysis.CmsDepth,
         graft.operators.TextAnalysis.CmsWidth).as("cms"))
 
+  /** Streaming x36: the HyperLogLog registers maintained CONTINUOUSLY
+    * — per-source distinct-shingle cardinality over an unbounded doc
+    * stream, the [[cmsStream]] shape (streaming grouped aggregation:
+    * the state store persists exactly the serialized m-long register
+    * buffer per source; each micro-batch's partial sketch merges in;
+    * Complete mode; constant state regardless of vocabulary growth)
+    * with the one property counting sketches cannot have: MAX-merge is
+    * IDEMPOTENT, so at-least-once REDELIVERY leaves the registers
+    * unchanged — this twin needs NO exactly-once fence at all
+    * (spec-pinned by replaying chunks duplicated), where cmsStream
+    * documents a mandatory dedup/ack front. */
+  def hllStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        graft.operators.TextOps.words(col("text")).as("ws"))
+      .select(col("source"),
+        explode(graft.operators.TextOps.shingles3(col("ws"))).as("g"))
+      .select(col("source"),
+        graft.operators.TextAnalysis.hllHash(col("g")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.hll_sketch(col("h"),
+        graft.operators.TextAnalysis.HllM).as("regs"))
+
   /** Streaming x25: canonical normalization at INGEST — NFC (the
     * native expression), newline/control/whitespace canonicalization
     * the moment text lands, BEFORE any hash-addressed stage sees it
@@ -1201,6 +1224,7 @@ object StreamOps {
     "gopherStream" -> OutputMode.Append(),
     "chunkStream" -> OutputMode.Append(),
     "cmsStream" -> OutputMode.Complete(),
+    "hllStream" -> OutputMode.Complete(),
     "weightedSampleStream" -> OutputMode.Append(),
     "decodeStream" -> OutputMode.Append(),
     "audioDecodeStream" -> OutputMode.Append(),

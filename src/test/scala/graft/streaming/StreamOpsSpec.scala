@@ -398,6 +398,39 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(streamed.sum > 0L)
   }
 
+  test("hllStream: chunked replay equals the batch registers bit-for-bit, " +
+      "and DUPLICATED chunks leave the sketch unchanged (no exactly-once " +
+      "fence needed)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docsDf = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text"))
+    val docs = docsDf.as[(String, String)].collect().sortBy(_._2).toSeq
+    val chunks = docs.grouped((docs.size + 3) / 4).toSeq
+    def run(name: String, feed: Seq[Seq[(String, String)]]): Map[String, Seq[Long]] = {
+      val in = MemoryStream[(String, String)]
+      val q = StreamOps.hllStream(in.toDF().toDF("source", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      feed.foreach { c => in.addData(c); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    }
+    val streamed = run("hll_replay", chunks)
+    val batch = StreamOps.hllStream(docsDf).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed == batch, "streaming HLL diverged from the batch sketch")
+    assert(batch.values.forall(_.size == graft.operators.TextAnalysis.HllM))
+    // at-least-once redelivery: every chunk delivered twice (and the
+    // first re-delivered once more at the end) — MAX-merge idempotence
+    // means the registers cannot move, with NO dedup front in the plan
+    val redelivered = run("hll_redeliver",
+      chunks.flatMap(c => Seq(c, c)) :+ chunks.head)
+    assert(redelivered == batch,
+      "duplicate redelivery changed the sketch — MAX-merge idempotence broken")
+  }
+
   test("weightedSampleStream: chunked replay's final shard states merge to " +
       "exactly the batch sample; duplicate redelivery leaves states unchanged") {
     implicit val sq = spark.sqlContext
