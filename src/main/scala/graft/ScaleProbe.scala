@@ -224,6 +224,43 @@ object ScaleProbe {
               concat(lit("v"), col("id"))).as("text")),
           maxDf = 3L)
       },
+      // x35 shape: OVERLAPPING-window substring dedup over the same
+      // fixed-overlap construction — each group of 4 docs shares a
+      // 7-token prefix (two duplicated 6-token windows per doc, merged
+      // into one span), unique tails. Window census + count join +
+      // per-doc islands: linear in n with constant per-doc overlap.
+      time("substring_dedup") {
+        val n = 50000L * m
+        operators.TextAnalysis.substringDedup(
+          spark.range(n).select(col("id").as("doc_id"),
+            concat_ws(" ",
+              concat(lit("p"), expr("id DIV 4")),
+              concat(lit("q"), expr("id DIV 4")),
+              concat(lit("r"), expr("id DIV 4")),
+              concat(lit("s"), expr("id DIV 4")),
+              concat(lit("t"), expr("id DIV 4")),
+              concat(lit("u"), expr("id DIV 4")),
+              concat(lit("v"), expr("id DIV 4")),
+              concat(lit("x"), col("id")), concat(lit("y"), col("id")),
+              concat(lit("z"), col("id")), concat(lit("w"), col("id")),
+              concat(lit("k"), col("id"))).as("text")),
+          minCount = 2L)
+      },
+      // x36 shape: the HLL aggregate over a growing all-distinct value
+      // stream — per-partition state is the constant 64-long buffer, so
+      // cost must track the narrow md5 scan (linear), never the
+      // cardinality (an exact distinct would shuffle all n keys)
+      time("hll_sketch") {
+        val n = 2000000L * m
+        spark.range(n)
+          .select((col("id") % 8L).cast("string").as("source"),
+            concat(lit("g"), col("id")).as("g"))
+          .select(col("source"),
+            operators.TextAnalysis.hllHash(col("g")).as("h"))
+          .groupBy(col("source"))
+          .agg(graft.functions.GraftFunctions.hll_sketch(col("h"),
+            operators.TextAnalysis.HllM).as("regs"))
+      },
       // warehouse ANN shape: probe a sign-LSH-partitioned corpus of
       // 100k×m vectors (written untimed above). Probe wall time should
       // stay ~flat in m: the scan partition-prunes to the query's

@@ -51,24 +51,26 @@ object Dedup {
     * key SET is tiny by assumption (boilerplate keys are few) and
     * broadcasts. Every group that reaches a downstream `collect_list`
     * is then ≤ `cap` rows by construction. */
-  def dropOverCapKeys(rows: DataFrame, keyCols: Seq[String], cap: Long): DataFrame =
-    dropOverCapKeys(rows, keyCols, cap, rows)
-
-  /** [[dropOverCapKeys]] with a separate `countFrom` frame for the key
-    * census. Spark shares no subtree across join branches, so the
-    * census branch re-computes `rows` from scratch — when `rows` sits
-    * above an aggregate barrier (the d3/d9 plan-hygiene groupBy), that
-    * re-computation includes a wide array shuffle the census doesn't
-    * need. Pass the PRE-barrier form of the same explode instead: any
-    * frame whose key multiset is a superset of `rows`' with equal
-    * counts on `rows`' keys (exact when the source's doc_id is unique;
-    * with upstream duplicates the census only over-counts, which drops
-    * MORE keys — the conservative direction under the bounded-loss cap
-    * contract). */
-  def dropOverCapKeys(rows: DataFrame, keyCols: Seq[String], cap: Long,
-      countFrom: DataFrame): DataFrame = {
+  def dropOverCapKeys(rows: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    val big = countFrom.groupBy(keyCols.map(col): _*)
+    // The census reads `rows` itself — the POST-barrier form. Spark
+    // shares no subtree across join branches, so the barrier subtree
+    // (the d3/d9 plan-hygiene groupBy and its array shuffle) executes
+    // twice, once per branch. A round-11 variant fed the census a
+    // PRE-barrier explode to skip that second shuffle, and it was a
+    // measured 30× LOSS, not a win (d17 at sf0.1: 34 s census vs ~1 s
+    // through the barrier): without an Aggregate in between,
+    // InferFiltersFromGenerate's `size(bands) > 0` lands directly on
+    // the staged projection chain and predicate-pushdown SUBSTITUTES
+    // the full expression into the condition — each level of the
+    // staged pipeline (bands→sig→hashes→shingles→words) multiplies by
+    // its reference count and the text re-tokenizes many times per
+    // row, the exact cascade the TextOps staging rule documents. The
+    // barrier's second execution is linear and bounded; the re-inline
+    // is neither. (At warehouse scale the census is free anyway: the
+    // persisted postings index already materializes the exploded keys
+    // once — [[corpusPostings]] / Warehouse.writePostingsIndex.) */
+    val big = rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > cap)
       .select(keyCols.map(col): _*)
@@ -177,6 +179,15 @@ object Dedup {
     // from being pushed (re-inlined) into the signature computation —
     // predicates on non-grouping outputs cannot cross an Aggregate.
     // At scale this is the "build the dedup index" stage you'd persist.
+    // Capped runs execute this barrier twice (census + anti-join
+    // stream side; no subtree sharing across join branches). A lazy
+    // localCheckpoint to share it was measured and REJECTED: checkpoint
+    // blocks are unevictable (no lineage to recompute), so pinning a
+    // corpus-sized signature frame starves execution memory — the
+    // postings_megakey probe (10M docs) OOMed in the census hashAgg
+    // with the pin and survives without it. Two bounded linear
+    // executions beat one unevictable corpus-sized pin; at warehouse
+    // scale the persisted postings index IS the shared materialization.
     val sg = index.groupBy(col("doc_id"))
       .agg(min(col("sig")).as("sig"), min(col("bands")).as("bands"))
     val exploded = sg.select(col("doc_id"), col("sig"),
@@ -185,11 +196,10 @@ object Dedup {
     // posting array materializes (see dropOverCapKeys — a mega-bucket
     // must never reach collect_list's unspillable per-group buffer);
     // every surviving bucket is ≤ maxBucket rows by construction. The
-    // census reads the pre-barrier index (one row per doc), skipping
-    // sg's array shuffle in the census branch.
+    // census reads the post-barrier explode — see dropOverCapKeys for
+    // why a pre-barrier census is a measured 30× loss.
     val capped = maxBucket.fold(exploded)(m =>
-      dropOverCapKeys(exploded, Seq("band_idx", "band_key"), m.toLong,
-        index.select(posexplode(col("bands")).as(Seq("band_idx", "band_key")))))
+      dropOverCapKeys(exploded, Seq("band_idx", "band_key"), m.toLong))
     val kept = capped
       .groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
@@ -272,9 +282,7 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     maxBucket.fold(exploded)(m =>
-        dropOverCapKeys(exploded, Seq("band_idx", "band_key"), m.toLong,
-          corpusIndex.select(
-            posexplode(col("bands")).as(Seq("band_idx", "band_key")))))
+        dropOverCapKeys(exploded, Seq("band_idx", "band_key"), m.toLong))
       .groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
   }
@@ -716,6 +724,10 @@ object Dedup {
     // aggregate barrier on the unique key (d3's pattern): sizes and
     // distinct shingle sets materialize once, and generate-inferred
     // filters cannot re-inline the shingling below the explode
+    // (capped runs execute this twice — census + anti-join stream
+    // side; a shared localCheckpoint was measured and rejected, see
+    // lshCandidatesRaw: unevictable corpus-sized pin OOMs the
+    // megakey-scale census)
     val sh = docs
       .select(col("doc_id"), array_distinct(shingles3(words(col("text")))).as("shs"))
       .groupBy(col("doc_id")).agg(min(col("shs")).as("shs"))
@@ -723,12 +735,10 @@ object Dedup {
         explode(col("shs")).as("sh"))
     // capped runs drop over-df shingles count-first (dropOverCapKeys):
     // the boilerplate-shingle buffer must never reach collect_list.
-    // The census branch recomputes the shingling (no subtree sharing
-    // across join branches) but skips the doc_id barrier's array
-    // shuffle — df per shingle needs no per-doc aggregation.
-    val capped = maxDf.fold(sh)(m => dropOverCapKeys(sh, Seq("sh"), m,
-      docs.select(
-        explode(array_distinct(shingles3(words(col("text"))))).as("sh"))))
+    // The census reads the post-barrier explode — a pre-barrier census
+    // (nested shingles3(words(text)) under the inferred generate
+    // filter) was a measured 30× re-inline loss, see dropOverCapKeys.
+    val capped = maxDf.fold(sh)(m => dropOverCapKeys(sh, Seq("sh"), m))
     val kept = capped.groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
       .filter(size(col("docs")) > 1)
