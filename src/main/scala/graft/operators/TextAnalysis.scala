@@ -1177,6 +1177,37 @@ object TextAnalysis {
         col("mean_lp_e4"))
   }
 
+  /** x37: CCNet-style HEAD/MIDDLE/TAIL quality buckets — the published
+    * CCNet recipe's final stage: rank every document by LM fluency
+    * (x16's bigram mean log-prob — CCNet uses a Wikipedia KenLM; the
+    * dataflow is identical) and cut the corpus into exact thirds: head
+    * (most fluent — what CCNet ships for LM training), middle, tail.
+    * Bucket = the q20 closed form `((rank−1)·3) div n + 1` over the
+    * total order (score DESC NULLS LAST, doc_id) — pairless docs have
+    * NULL scores and land at the tail end deterministically in both
+    * engines.
+    *
+    * Scale notes (100 TB): the rank comes from
+    * [[Relational.globalRank]] — range-repartition + per-partition
+    * row_number + driver-sized offset map — so the plan has NO
+    * single-partition window (the q20 contract); the corpus-count side
+    * is a 1-row broadcast. The scoring join is x16's (pair-table
+    * equi-join, map-side-combined counts). */
+  def x37CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = bigramScore(documents(s, d))
+      .select(col("doc_id"), col("mean_lp_e4"))
+    val ranked = Relational.globalRank(scored,
+      Seq(col("mean_lp_e4").desc_nulls_last, col("doc_id").asc))
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket_i", expr("((rank - 1) * 3) div n_total + 1"))
+      .select(col("doc_id"), col("mean_lp_e4"), col("rank"),
+        when(col("bucket_i") === 1L, "head")
+          .when(col("bucket_i") === 2L, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("rank"))
+  }
+
   /** BM25 rank cut (x17): matches reported per test doc. */
   val Bm25TopK = 3
 
@@ -2147,6 +2178,7 @@ object TextAnalysis {
     "x34_train_order" -> x34TrainOrder _,
     "x35_substring_dedup" -> x35SubstringDedup _,
     "x36_hll_distinct" -> x36HllDistinct _,
+    "x37_ccnet_buckets" -> x37CcnetBuckets _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -2160,7 +2192,23 @@ object TextAnalysis {
     s"((((CAST(${v(1)} AS BIGINT) * 16 + ${v(2)}) * 16 + ${v(3)}) * 16 + ${v(4)}) % 100)"
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // x37 DERIVES from the x16 entry verbatim (the s18 pattern): the
+    // bucketing can never drift from the score it ranks
+    base + ("x37_ccnet_buckets" ->
+      s"""WITH x16 AS (${base("x16_bigram_lm")}),
+         |r AS (SELECT doc_id, mean_lp_e4,
+         |    CAST(row_number() OVER (ORDER BY mean_lp_e4 DESC NULLS LAST,
+         |      doc_id) AS BIGINT) AS rank,
+         |    count(*) OVER () AS n FROM x16)
+         |SELECT doc_id, mean_lp_e4, rank,
+         |  CASE ((rank - 1) * 3) // n + 1 WHEN 1 THEN 'head'
+         |    WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r ORDER BY rank""".stripMargin)
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     // d6's recursive component closure, then x6's bucket gate applied
     // to the REPRESENTATIVE's id instead of the doc's
     "x22_safe_split" ->
