@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-linearity probe (dev tool, like Probe): re-lists the same
@@ -260,6 +260,30 @@ object ScaleProbe {
           .groupBy(col("source"))
           .agg(graft.functions.GraftFunctions.hll_sketch(col("h"),
             operators.TextAnalysis.HllM).as("regs"))
+      },
+      // d19 shape: a growing incoming batch tested against a FIXED
+      // standing corpus's window bloom — the corpus side collapses to
+      // one 32 KB broadcast bitset; incoming cost is a narrow window
+      // explode + per-window bit test, and the exact verification join
+      // touches only the planted ~25% overlap. Must stay linear in the
+      // batch — never batch × corpus.
+      time("bloom_novelty") {
+        def doc7(key: Column, id: Column): Column = concat_ws(" ",
+          concat(lit("p"), key), concat(lit("q"), key),
+          concat(lit("r"), key), concat(lit("s"), key),
+          concat(lit("t"), key), concat(lit("u"), key),
+          concat(lit("v"), key),
+          concat(lit("x"), id), concat(lit("y"), id),
+          concat(lit("z"), id), concat(lit("w"), id),
+          concat(lit("k"), id))
+        val corpus = spark.range(20000L)
+          .select(col("id").as("doc_id"),
+            doc7(col("id").cast("string"), col("id")).as("text"))
+        val inc = spark.range(50000L * m)
+          .select((col("id") + 1000000L).as("doc_id"),
+            doc7(expr("CASE WHEN id % 4 = 0 THEN CAST((id DIV 4) % 20000 AS STRING) " +
+              "ELSE concat('n', id) END"), col("id") + 1000000L).as("text"))
+        operators.Dedup.bloomNovelty(corpus, inc)
       },
       // warehouse ANN shape: probe a sign-LSH-partitioned corpus of
       // 100k×m vectors (written untimed above). Probe wall time should

@@ -54,6 +54,15 @@ object GraftFunctions {
       HllAggExpr(GraftSqlBridge.expression(hash), m)
         .toAggregateExpression())
 
+  /** Bloom filter AGGREGATE over a staged `array<bigint>` of k bit
+    * positions → m bits packed into m/64 longs; native
+    * `TypedImperativeAggregate` whose elementwise-OR merge is
+    * duplicate-insensitive; see [[BloomAggExpr]]. */
+  def bloom_sketch(positions: Column, m: Int): Column =
+    GraftSqlBridge.column(
+      BloomAggExpr(GraftSqlBridge.expression(positions), m)
+        .toAggregateExpression())
+
   /** string → Unicode-NFC-normalized string — codegen'd with an
     * ASCII zero-allocation fast path; see [[NfcNormalizeExpr]]. */
   def nfc(s: Column): Column =

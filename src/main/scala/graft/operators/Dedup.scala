@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import TextOps._
@@ -524,6 +524,134 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom geometry for [[d19BloomNovelty]]: 2^18 bits packed into
+    * 4096 longs (32 KB broadcast state), 3 positions per key. Sized
+    * for the standing corpus's ~19k distinct 6-token windows at the
+    * gate SF: fill ≈ 20%, so the false-positive floor is ~0.2³ ≈ 0.8%
+    * (measured at sf0.01: 3 misfires across ~4.9k incoming windows;
+    * the exact `n_seen` column sits beside `n_maybe` to display the
+    * floor honestly). At 100 TB, m scales with the standing window
+    * census (~10 bits/key keeps FP ≈ 1%) — still a broadcastable
+    * bitset where the census itself is a corpus-sized join side. */
+  val BloomMBits = 262144
+  val BloomK = 3
+
+  /** Staged bloom bit positions: k md5-prefix folds mod m — the
+    * x6/x26/x36 hash-staging family (the position definition lives
+    * HERE once and is inlined identically into the Spark plan and the
+    * DuckDB oracle; [[graft.functions.BloomAggExpr]] never hashes). */
+  private[operators] def bloomPositions(key: Column): Column =
+    transform(sequence(lit(0), lit(BloomK - 1)), i =>
+      conv(substring(md5(concat(key, lit(":"), i.cast("string"))), 1, 15),
+        16, 10).cast("long") % lit(BloomMBits.toLong))
+
+  /** Distinct (doc_id, window) 6-token overlapping windows — the x35
+    * substring grain ([[graft.operators.TextAnalysis.SubstrWindow]]). */
+  private[graft] def distinctWindows(docs: DataFrame): DataFrame = {
+    val W = TextAnalysis.SubstrWindow
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= W.toLong)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0L), col("n_tok") - W.toLong), p =>
+          array_join(slice(col("ws"), (p + 1L).cast("int"), lit(W)), " ")))
+        .as("g"))
+      .distinct()
+  }
+
+  /** One-row packed-word bloom over a (doc_id, text) frame's distinct
+    * 6-token windows — [[bloomNovelty]]'s corpus side as a standalone
+    * aggregation, used by the streaming twin
+    * [[graft.streaming.StreamOps.bloomStream]] (per-g position arrays
+    * may repeat across docs; OR-merge idempotence makes that free). */
+  def streamingWindowBloom(docs: DataFrame): DataFrame =
+    distinctWindows(docs)
+      .select(bloomPositions(col("g")).as("pos"))
+      .groupBy()
+      .agg(graft.functions.GraftFunctions.bloom_sketch(col("pos"), BloomMBits)
+        .as("bits"))
+
+  /** d19: BLOOM-GATED SUBSTRING NOVELTY — approximate decontamination
+    * / novelty scoring of an incoming batch against a standing corpus
+    * via the engine's native [[graft.functions.BloomAggExpr]]
+    * `TypedImperativeAggregate`, completing the sketch triad (x26 CMS
+    * = frequency, x36 HLL = cardinality, bloom = MEMBERSHIP). The
+    * corpus's distinct 6-token windows (x35's substring grain — the
+    * granularity at which the corpora's planted duplicate passages
+    * actually collide) fold into one m-bit filter; every incoming
+    * doc's windows are tested against the broadcast bitset, and ONLY
+    * the maybe-seen minority (true overlaps + the measured FP floor)
+    * pays the exact verification join — definitely-new windows never
+    * touch the corpus key set. Output per incoming doc: window count,
+    * bloom maybe-count, exact seen-count (the honesty column), the
+    * novelty fraction the bloom alone would report, and the filter's
+    * set-bit census (pins the packed word state cross-engine: DuckDB
+    * counts distinct positions, Spark popcounts the packed words —
+    * equal iff the packing is correct).
+    *
+    * Scale notes (100 TB): the corpus side collapses to a
+    * constant-size sketch (one map-side-combined aggregate, OR-merge
+    * — associative, commutative, IDEMPOTENT, so redelivered corpus
+    * rows cannot change it and the streaming twin needs no
+    * exactly-once fence, unlike CMS). The incoming side is a narrow
+    * window explode + one broadcast of KB–GB of bits; the exact join
+    * runs over the maybe minority only — at a 1% FP floor that is
+    * ~1% of definitely-new traffic, vs 100% for the join-everything
+    * plan d8/x21 run. Windows ⊂ corpus make the filter persistable
+    * as-is (32 KB at test geometry); rebuilds are one linear pass. */
+  def d19BloomNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    bloomNovelty(
+      docs.filter(col("doc_id") < IncrementalSplit),
+      docs.filter(col("doc_id") >= IncrementalSplit))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Library form of [[d19BloomNovelty]]: any standing/incoming
+    * (doc_id, text) frames. Docs with fewer than 6 tokens carry no
+    * windows and report vacuous full novelty (n_win = 0,
+    * novelty_e6 = 1000000). */
+  def bloomNovelty(corpus: DataFrame, incoming: DataFrame): DataFrame = {
+    val cw = distinctWindows(corpus).select(col("g")).distinct()
+    val sketch = cw
+      .select(bloomPositions(col("g")).as("pos"))
+      .groupBy()
+      .agg(graft.functions.GraftFunctions.bloom_sketch(col("pos"), BloomMBits)
+        .as("bits"))
+    val iw = distinctWindows(incoming)
+    val tested = iw
+      .withColumn("pos", bloomPositions(col("g")))
+      .crossJoin(broadcast(sketch))
+      .withColumn("maybe", expr(
+        "forall(pos, p -> (shiftright(element_at(bits, CAST(p div 64 AS INT) + 1), " +
+          "CAST(p % 64 AS INT)) & 1) = 1)"))
+    // exact verification join ONLY over the maybe-seen minority — the
+    // production recipe's cost model made literal
+    val seen = tested.filter(col("maybe"))
+      .join(cw.select(col("g"), lit(1L).as("hit")), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_maybe"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_seen"))
+    val nbits = sketch.select(expr(
+      "aggregate(bits, CAST(0 AS BIGINT), (acc, w) -> acc + CAST(bit_count(w) AS BIGINT))")
+      .as("n_set_bits"))
+    incoming.select(col("doc_id")).distinct()
+      .join(iw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win")),
+        Seq("doc_id"), "left")
+      .join(seen, Seq("doc_id"), "left")
+      .crossJoin(broadcast(nbits))
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_win"), lit(0L)) > 0L,
+          idiv((col("n_win") - coalesce(col("n_maybe"), lit(0L))) * 1000000L,
+            col("n_win")))
+          .otherwise(1000000L).as("novelty_e6"),
+        col("n_set_bits"))
+  }
+
   /** Library form of [[d14MinhashDedup]]: candidates (a, b) verified
     * at [[D14TauE6]] on distinct word-3-gram shingles, closed, and
     * reduced to the keep-one manifest. */
@@ -919,6 +1047,7 @@ object Dedup {
     "d15_subsumption"   -> d15Subsumption _,
     "d16_containment_capped" -> d16ContainmentCapped _,
     "d17_verified_capped" -> d17VerifiedCapped _,
+    "d19_bloom_novelty" -> d19BloomNovelty _,
   )
 
   /** d9/d16 shared oracle: distinct doc-shingle census, pair counts,
@@ -1264,6 +1393,49 @@ object Dedup {
     // the d14 recipe with the PRODUCTION bucket cap armed: over-cap
     // band buckets shed wholesale before pair expansion
     "d17_verified_capped" -> verifiedManifestOracle(maxBucket = Some(D17MaxBucket)),
+    // the bloom rebuilt as a distinct-position SET (membership per
+    // incoming window via left join, bool_and over the k positions);
+    // n_set_bits = count(distinct p) vs Spark's packed-word popcount —
+    // equal iff the engine's bit packing is correct
+    "d19_bloom_novelty" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |w0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 6 THEN
+         |      list_transform(range(1, len(ws) - 4), i ->
+         |        ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5])
+         |    ELSE [] END) AS g FROM t),
+         |w AS (SELECT DISTINCT doc_id, g FROM w0),
+         |ks AS (SELECT unnest(range(0, $BloomK)) AS i),
+         |cg AS (SELECT DISTINCT g FROM w WHERE doc_id < $IncrementalSplit),
+         |setb AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(cg.g || ':' || CAST(ks.i AS VARCHAR)), 1, 15))::BIGINT
+         |      % $BloomMBits AS p
+         |  FROM cg CROSS JOIN ks),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_set_bits FROM setb),
+         |iw AS (SELECT doc_id, g FROM w WHERE doc_id >= $IncrementalSplit),
+         |ip AS (SELECT doc_id, g,
+         |    ('0x' || substr(md5(g || ':' || CAST(ks.i AS VARCHAR)), 1, 15))::BIGINT
+         |      % $BloomMBits AS p
+         |  FROM iw CROSS JOIN ks),
+         |mem AS (SELECT doc_id, g, bool_and(sb.p IS NOT NULL) AS maybe
+         |  FROM ip LEFT JOIN setb sb ON ip.p = sb.p GROUP BY doc_id, g),
+         |st AS (SELECT mem.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_win,
+         |    CAST(count(*) FILTER (WHERE maybe) AS BIGINT) AS n_maybe,
+         |    CAST(count(*) FILTER (WHERE maybe AND cg.g IS NOT NULL) AS BIGINT)
+         |      AS n_seen
+         |  FROM mem LEFT JOIN cg ON mem.g = cg.g GROUP BY mem.doc_id),
+         |docs AS (SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id >= $IncrementalSplit)
+         |SELECT d.doc_id, coalesce(st.n_win, 0) AS n_win,
+         |  coalesce(st.n_maybe, 0) AS n_maybe,
+         |  coalesce(st.n_seen, 0) AS n_seen,
+         |  CASE WHEN coalesce(st.n_win, 0) > 0
+         |    THEN (st.n_win - st.n_maybe) * 1000000 // st.n_win
+         |    ELSE 1000000 END AS novelty_e6,
+         |  nb.n_set_bits
+         |FROM docs d LEFT JOIN st ON d.doc_id = st.doc_id CROSS JOIN nb
+         |ORDER BY d.doc_id""".stripMargin,
     "d11_canonical" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, text,
          |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),

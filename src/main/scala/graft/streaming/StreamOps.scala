@@ -513,6 +513,19 @@ object StreamOps {
       .agg(graft.functions.GraftFunctions.hll_sketch(col("h"),
         graft.operators.TextAnalysis.HllM).as("regs"))
 
+  /** Streaming d19: the standing-corpus window BLOOM maintained
+    * CONTINUOUSLY — every arriving document's distinct 6-token windows
+    * OR into the global membership bitset (the admission filter a
+    * novelty gate reads), the [[hllStream]] class exactly: streaming
+    * global aggregation, the state store persists the serialized
+    * packed-word buffer, Complete mode, constant state regardless of
+    * corpus growth. OR-merge is IDEMPOTENT like HLL's MAX (unlike
+    * CMS's sum), so at-least-once redelivery leaves the bits unchanged
+    * and the twin needs NO exactly-once fence (spec-pinned by
+    * replaying chunks duplicated). */
+  def bloomStream(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.streamingWindowBloom(docs)
+
   /** Streaming x25: canonical normalization at INGEST — NFC (the
     * native expression), newline/control/whitespace canonicalization
     * the moment text lands, BEFORE any hash-addressed stage sees it

@@ -2028,6 +2028,37 @@ class PipelineOpsSpec extends SparkSpecBase {
       ex.getCause != null)
   }
 
+  test("x37 ccnet buckets equal the single-window ntile form; thirds are " +
+      "exact; pairless (NULL-score) docs land in the tail") {
+    val got = TextAnalysis.x37CcnetBuckets(spark, sf).collect()
+    val scored = TextAnalysis.bigramScore(graft.Tables.documents(spark, sf))
+      .select(col("doc_id"), col("mean_lp_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_lp_e4").desc_nulls_last, col("doc_id").asc)
+    val ref = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .withColumn("b", expr("((rank - 1) * 3) div n + 1"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("b"))).toMap
+    assert(got.nonEmpty && got.length == ref.size)
+    got.foreach { r =>
+      val (rk, b) = ref(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("rank") == rk,
+        s"rank diverged for doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[String]("bucket") == Seq("head", "middle", "tail")(b.toInt - 1))
+    }
+    // exact thirds: bucket sizes differ by at most 1
+    val sizes = got.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length)
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toMap.toString)
+    // NULL scores (pairless docs) rank LAST — tail membership
+    got.filter(r => r.isNullAt(r.fieldIndex("mean_lp_e4"))).foreach { r =>
+      assert(r.getAs[String]("bucket") == "tail",
+        s"NULL-score doc ${r.getAs[Long]("doc_id")} not in tail")
+    }
+  }
+
   test("x27 weighted sample: reshuffle-proof, plans as TakeOrdered (no " +
       "global sort), bottom-K is mergeable, higher weight raises selection " +
       "rate") {
@@ -3073,6 +3104,83 @@ class PipelineOpsSpec extends SparkSpecBase {
       assert(rs.length == Events.SeriesK)
       assert(!rs.exists(_.getAs[Long]("nid") == q), "self in neighbors")
       assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("d19 bloom novelty: OR-merge sketch is partitioning-proof and " +
+      "duplicate-insensitive, membership has no false negatives, the exact " +
+      "column matches a direct all-windows join, and the set-bit census " +
+      "pins the word packing") {
+    import spark.implicits._
+    // constructed: corpus doc 0 shares a verbatim 8-token passage with
+    // incoming doc 500 (⇒ exactly 3 shared 6-token windows); 501 is
+    // fully novel; 502 is sub-window-length
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (0L, s"one two three $passage four five six"),
+      (1L, "solo text with plenty of ordinary words here")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (500L, s"prefix words go here $passage suffix words too"),
+      (501L, "completely different vocabulary nothing shared at all ever"),
+      (502L, "tiny")).toDF("doc_id", "text")
+    val by = Dedup.bloomNovelty(corpus, incoming).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(by.size == 3)
+    assert(by(500L).getAs[Long]("n_seen") == 3L, by(500L).toString)
+    assert(by(500L).getAs[Long]("n_maybe") >= 3L, "false negative — impossible for a bloom")
+    // ≤36 set bits in 2^18 ⇒ FP odds ~1e-9: the novel doc reads clean
+    assert(by(501L).getAs[Long]("n_maybe") == 0L &&
+      by(501L).getAs[Long]("novelty_e6") == 1000000L)
+    assert(by(502L).getAs[Long]("n_win") == 0L &&
+      by(502L).getAs[Long]("novelty_e6") == 1000000L)
+    // set-bit census equals a JVM-side recompute of the distinct positions
+    val expectBits = Dedup.distinctWindows(corpus).select("g").distinct()
+      .as[String].collect().flatMap { g =>
+        (0 until Dedup.BloomK).map { i =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$g:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15)
+          java.lang.Long.parseLong(hex, 16) % Dedup.BloomMBits
+        }
+      }.distinct.length.toLong
+    assert(by(500L).getAs[Long]("n_set_bits") == expectBits)
+    // the native sketch: partitioning-proof and duplicate-insensitive
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Dedup.streamingWindowBloom(df).collect().head.getSeq[Long](0)
+    val one = bits(corpus.repartition(1))
+    assert(one == bits(corpus.repartition(7)), "partitioning changed the bits")
+    assert(one == bits(corpus.union(corpus)), "duplicate rows changed the bits")
+    assert(one.map(java.lang.Long.bitCount(_).toLong).sum == expectBits)
+    // out-of-range staged position fails loudly, never aliases
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq(Seq(Dedup.BloomMBits.toLong)).toDF("pos").groupBy()
+        .agg(graft.functions.GraftFunctions
+          .bloom_sketch(col("pos"), Dedup.BloomMBits)).collect()
+    }
+    assert(ex.getMessage.contains("bloom_sketch") || ex.getCause != null)
+    // sf gate: exact n_seen per doc equals the join-everything strawman
+    val out = Dedup.d19BloomNovelty(spark, sf).collect()
+    assert(out.nonEmpty && out.exists(_.getAs[Long]("n_seen") > 0L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_seen") <= r.getAs[Long]("n_maybe"))
+      if (r.getAs[Long]("n_win") > 0L)
+        assert(r.getAs[Long]("novelty_e6") ==
+          (r.getAs[Long]("n_win") - r.getAs[Long]("n_maybe")) * 1000000L /
+            r.getAs[Long]("n_win"))
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    val cwAll = Dedup.distinctWindows(
+      docs.filter(col("doc_id") < Dedup.IncrementalSplit))
+      .select(col("g")).distinct()
+    val direct = Dedup.distinctWindows(
+      docs.filter(col("doc_id") >= Dedup.IncrementalSplit))
+      .join(cwAll, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_seen") ==
+        direct.getOrElse(r.getAs[Long]("doc_id"), 0L),
+        s"exact column diverged for doc ${r.getAs[Long]("doc_id")}")
     }
   }
 

@@ -431,6 +431,35 @@ class StreamOpsSpec extends SparkSpecBase {
       "duplicate redelivery changed the sketch — MAX-merge idempotence broken")
   }
 
+  test("bloomStream: chunked replay equals the batch bits bit-for-bit, and " +
+      "DUPLICATED chunks leave the filter unchanged (OR-merge idempotence, " +
+      "no exactly-once fence needed)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docsDf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val docs = docsDf.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val chunks = docs.grouped((docs.size + 3) / 4).toSeq
+    def run(name: String, feed: Seq[Seq[(Long, String)]]): Seq[Long] = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamOps.bloomStream(in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      feed.foreach { c => in.addData(c); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().head.getSeq[Long](0)
+    }
+    val streamed = run("bloom_replay", chunks)
+    val batch = graft.operators.Dedup.streamingWindowBloom(docsDf)
+      .collect().head.getSeq[Long](0)
+    assert(streamed == batch, "streaming bloom diverged from the batch bits")
+    assert(batch.size == graft.operators.Dedup.BloomMBits / 64)
+    val redelivered = run("bloom_redeliver",
+      chunks.flatMap(c => Seq(c, c)) :+ chunks.head)
+    assert(redelivered == batch,
+      "duplicate redelivery changed the bits — OR-merge idempotence broken")
+  }
+
   test("weightedSampleStream: chunked replay's final shard states merge to " +
       "exactly the batch sample; duplicate redelivery leaves states unchanged") {
     implicit val sq = spark.sqlContext
