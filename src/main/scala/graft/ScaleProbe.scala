@@ -285,6 +285,21 @@ object ScaleProbe {
               "ELSE concat('n', id) END"), col("id") + 1000000L).as("text"))
         operators.Dedup.bloomNovelty(corpus, inc)
       },
+      // m13 shape: temporal-offset voting over per-frame signatures —
+      // each pair of clips shares a planted aligned 4-run, all other
+      // frames unique. One sig equi-join (postings of 2) + pair-space
+      // vote groupBy + mergeable argmax: linear in clips, and the
+      // production sig cap is ARMED (count-first) like the real run.
+      time("temporal_votes") {
+        val n = 50000L * m
+        val f = spark.range(n)
+          .select(col("id").as("doc_id"),
+            explode(expr("sequence(0, 15)")).as("fi"))
+          .select(col("doc_id"), col("fi").cast("long").as("frame_idx"),
+            expr("CASE WHEN fi < 4 THEN (doc_id DIV 2) * 16 + fi " +
+              "ELSE 1000000000 + doc_id * 16 + fi END").as("sig"))
+        operators.Multimodal.temporalNearDup(f, maxSig = Some(8L))
+      },
       // warehouse ANN shape: probe a sign-LSH-partitioned corpus of
       // 100k×m vectors (written untimed above). Probe wall time should
       // stay ~flat in m: the scan partition-prunes to the query's

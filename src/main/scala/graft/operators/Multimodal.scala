@@ -702,6 +702,63 @@ object Multimodal {
       .orderBy(col("doc_id"), col("shot_idx"))
   }
 
+  /** Minimum temporally-aligned frame matches for an m13 pair: 3
+    * consecutive-offset agreements separate real shared footage from
+    * single-frame coincidence (21 of 274 (pair, offset) groups reach
+    * it at sf0.01 — the planted duplicated passages). */
+  val M13MinAligned = 3L
+
+  /** m13: VIDEO COPY DETECTION by temporal-offset voting — the
+    * published video near-dup recipe (the temporal Hough alignment of
+    * Douze et al.'s frame-voting family): frame-level signature
+    * matches between two clips VOTE for their temporal offset
+    * `delta = frame_a − frame_b`, and a pair is a copy candidate when
+    * some single offset accumulates ≥ [[M13MinAligned]] votes — i.e.
+    * a run of frames agrees on ONE alignment, where unrelated clips
+    * that coincide on a frame scatter across offsets. Output per
+    * detected pair: the winning offset and its vote count (ties break
+    * to the smallest delta, deterministically).
+    *
+    * Reuses m10/m12's per-frame signature stage verbatim (the
+    * modality-blind lesson again: swap the md5 fold for m6's
+    * perceptual aHash per decoded frame and the dataflow is the
+    * production video-copy pipeline unchanged).
+    *
+    * Scale notes (100 TB): the frame explode is narrow ([[NFrames]]
+    * rows/clip); the ONLY corpus-wide shuffle is the equi-join on the
+    * 32-bit signature — postings per sig are the skew knob (a
+    * constant/black frame is the classic hot key), capped by the
+    * count-first [[Dedup.dropOverCapKeys]] discipline via `maxSig`
+    * (None here for oracle parity — the cap twin is spec-pinned);
+    * offset voting is one pair-space-sized groupBy with map-side
+    * combine, and the winning-offset argmax is a mergeable
+    * max-of-struct, never a window. */
+  def m13VideoNearDup(s: SparkSession, d: String): DataFrame =
+    temporalNearDup(frameSigs(s, d), maxSig = None)
+      .orderBy(col("a"), col("b"))
+
+  /** Library form of [[m13VideoNearDup]] over any (doc_id, frame_idx,
+    * sig) frame table. `maxSig` caps the per-signature posting length
+    * (count-first, before any pair expands). */
+  def temporalNearDup(frames: DataFrame, maxSig: Option[Long]): DataFrame = {
+    val f = frames.select(col("doc_id"), col("frame_idx").cast("long").as("fi"),
+      col("sig"))
+    val kept = maxSig.fold(f)(m =>
+      graft.operators.Dedup.dropOverCapKeys(f, Seq("sig"), m))
+    val votes = kept.as("x").join(kept.as("y"),
+        col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (col("x.fi") - col("y.fi")).as("delta"))
+      .groupBy(col("a"), col("b"), col("delta"))
+      .agg(count(lit(1)).as("n"))
+    votes
+      .groupBy(col("a"), col("b"))
+      .agg(max(struct(col("n"), (-col("delta")).as("nd"))).as("t"))
+      .select(col("a"), col("b"), (-col("t.nd")).as("best_delta"),
+        col("t.n").as("n_aligned"))
+      .filter(col("n_aligned") >= M13MinAligned)
+  }
+
   def m10ShotBoundaries(s: SparkSession, d: String): DataFrame = {
     val fr = frameSigs(s, d)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
@@ -747,6 +804,7 @@ object Multimodal {
     "m10_shot_bounds"    -> m10ShotBoundaries _,
     "m11_audio_neardup"  -> m11AudioNearDup _,
     "m12_keyframes"      -> m12Keyframes _,
+    "m13_video_neardup"  -> m13VideoNearDup _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -950,6 +1008,34 @@ object Multimodal {
     // identical integer chain
     // m10's frame/cut CTEs + a per-clip running shot index; keyframes
     // are the clip start and every cut frame
+    // m10's frame-signature CTE + offset voting: matches vote for
+    // delta = fa − fb; winning offset per pair by (votes DESC, delta
+    // ASC), pairs kept at >= M13MinAligned votes
+    "m13_video_neardup" -> {
+      def v(h: String, i: Int) =
+        s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +
+          s" ELSE ascii(substr($h,$i,1)) - 87 END)"
+      def hex8(h: String) = (2 to 8).foldLeft(s"CAST(${v(h, 1)} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${v(h, i)})")
+      s"""WITH p AS (SELECT doc_id, text AS payload,
+         |    greatest(CAST(length(text) AS BIGINT) // $NFrames, 1) AS frame_len
+         |  FROM documents),
+         |f AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         |    substr(payload, CAST(k * frame_len + 1 AS INT),
+         |      CAST(frame_len AS INT)) AS frame
+         |  FROM p CROSS JOIN (SELECT unnest(range(0, $NFrames)) AS k)),
+         |g AS (SELECT doc_id, frame_idx, ${hex8("md5(frame)")} AS sig
+         |  FROM f WHERE length(frame) > 0),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    x.frame_idx - y.frame_idx AS delta, CAST(count(*) AS BIGINT) AS n
+         |  FROM g x JOIN g y ON x.sig = y.sig AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT a, b, delta, n, row_number() OVER (
+         |    PARTITION BY a, b ORDER BY n DESC, delta ASC) AS rn FROM m)
+         |SELECT a, b, delta AS best_delta, n AS n_aligned
+         |FROM r WHERE rn = 1 AND n >= $M13MinAligned
+         |ORDER BY a, b""".stripMargin
+    },
     "m12_keyframes" -> {
       def v(h: String, i: Int) =
         s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +

@@ -3241,6 +3241,48 @@ class PipelineOpsSpec extends SparkSpecBase {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("m13 temporal near-dup: aligned runs vote one offset, scattered " +
+      "coincidences stay below threshold, offset ties break to the smallest " +
+      "delta, and the sig cap sheds constant-frame pairs count-first") {
+    import spark.implicits._
+    def frames(rows: (Long, Seq[Long])*): org.apache.spark.sql.DataFrame =
+      rows.flatMap { case (id, sigs) =>
+        sigs.zipWithIndex.map { case (sg, fi) => (id, fi.toLong, sg) }
+      }.toDF("doc_id", "frame_idx", "sig")
+    val f = frames(
+      1L -> Seq(10L, 11L, 12L, 13L, 14L, 15L),
+      2L -> Seq(90L, 91L, 10L, 11L, 12L, 13L),   // clip 1 shifted by −2
+      3L -> Seq(11L, 99L, 14L, 98L, 97L, 96L),   // 2 hits at 2 offsets
+      5L -> Seq(1L, 2L, 3L, 1L, 2L, 3L),         // periodic: ties with 6
+      6L -> Seq(1L, 2L, 3L),
+      7L -> Seq(777L, 777L, 777L, 777L, 777L, 777L), // constant frame
+      8L -> Seq(777L, 777L, 777L, 777L, 777L, 777L))
+    val out = Multimodal.temporalNearDup(f, maxSig = None).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("best_delta"), r.getAs[Long]("n_aligned"))).toMap
+    assert(out((1L, 2L)) == (-2L, 4L), out.toString) // 4 votes at one offset
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)),
+      "scattered single-offset coincidences crossed the threshold")
+    // 3 votes at delta 0 AND at delta 3 — deterministic smallest wins
+    assert(out((5L, 6L)) == (0L, 3L), out.toString)
+    // the degenerate constant-frame pair rides offset 0 with 6 votes…
+    assert(out((7L, 8L))._2 == 6L)
+    // …and the count-first cap sheds it wholesale while real aligned
+    // pairs survive untouched
+    val capped = Multimodal.temporalNearDup(f, maxSig = Some(5L)).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("best_delta"), r.getAs[Long]("n_aligned"))).toMap
+    assert(!capped.contains((7L, 8L)), "mega-sig pair survived the cap")
+    assert(capped((1L, 2L)) == (-2L, 4L) && capped((5L, 6L)) == (0L, 3L))
+    // sf gate: pairs exist, ordered a < b, all at/above the vote floor
+    val sfOut = Multimodal.m13VideoNearDup(spark, sf).collect()
+    assert(sfOut.nonEmpty)
+    sfOut.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Long]("n_aligned") >= Multimodal.M13MinAligned)
+    }
+  }
+
   test("m10 shot boundaries: identical frames yield one shot, a planted " +
       "content flip yields exactly the hand-computed cuts, short payloads " +
       "frame partially") {
