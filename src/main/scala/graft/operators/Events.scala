@@ -1018,6 +1018,67 @@ object Events {
       .toDF("user_id", "match_no", "start_event_id", "end_event_id")
   }
 
+  /** OVERLAPPING matches — MATCH_RECOGNIZE `AFTER MATCH SKIP TO NEXT
+    * ROW`, the OTHER standard skip mode (every row of the family so
+    * far runs `SKIP PAST LAST ROW`, the greedy non-overlap
+    * discipline): every stage-1 event that can complete the funnel
+    * yields its own match, and matches share suffix events freely
+    * (two clicks before one view/purchase both match through it).
+    *
+    * The semantics make the scalable plan DIFFERENT in kind from the
+    * automaton family: because each stage greedily takes the EARLIEST
+    * next occurrence, concurrent attempts share suffixes, so the
+    * match set is exactly a NEXT-POINTER CHAIN — per event, "first
+    * stage-2 at/after me" and "first stage-3 at/after me" are two
+    * `first(..., ignoreNulls)` columns over ONE per-user forward
+    * window frame (one exchange + sort), and a 3-stage match is a
+    * stage-1 row joined to its pointed-at stage-2 row's stage-3
+    * pointer (one equi-join, null-safe on the user key). No automaton
+    * state, no per-attempt buffering — an overlap-counting automaton
+    * would carry O(open attempts) state, which is O(partition) on an
+    * all-clicks stream; the chain form is O(1) per row by
+    * construction and every operator is mergeable/spillable.
+    *
+    * Output: one row per completed overlapping match
+    * (user_id, start/mid/end event ids), deterministic by the
+    * (ts, event_id) total order both engines state. */
+  def patternOverlap(ev: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size == 3, "patternOverlap states the 3-stage funnel")
+    val code = stages.zipWithIndex.foldLeft(lit(0L)) { case (c, (st, i)) =>
+      when(col("event_type") === st, (i + 1).toLong).otherwise(c)
+    }
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("id"))
+      .rowsBetween(1L, Window.unboundedFollowing)
+    val base = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id").as("id"), code.as("c"))
+      .withColumn("nx2", first(when(col("c") === 2L, col("id")),
+        ignoreNulls = true).over(w))
+      .withColumn("nx3", first(when(col("c") === 3L, col("id")),
+        ignoreNulls = true).over(w))
+    val starts = base.filter(col("c") === 1L && col("nx2").isNotNull)
+      .select(col("user_id").as("u"), col("id").as("start_event_id"),
+        col("nx2").as("mid_event_id"))
+    val mids = base.filter(col("c") === 2L && col("nx3").isNotNull)
+      .select(col("user_id").as("mu"), col("id").as("mid"),
+        col("nx3").as("end_event_id"))
+    starts.join(mids,
+        col("u") <=> col("mu") && col("mid_event_id") === col("mid"))
+      .select(col("u").as("user_id"), col("start_event_id"),
+        col("mid_event_id"), col("end_event_id"))
+  }
+
+  /** e32: the overlapping-match surface over the standard
+    * click → view → purchase funnel — one row per stage-1 event that
+    * completes, suffixes shared (compare e20: the same funnel under
+    * `SKIP PAST LAST ROW` — e32's match set is a superset row-wise
+    * and every e20 span start also starts an e32 match;
+    * spec-pinned). */
+  def e32PatternOverlap(s: SparkSession, d: String): DataFrame =
+    patternOverlap(events(s, d), Seq("click", "view", "purchase"))
+      .orderBy(col("user_id"), col("start_event_id"))
+
   /** e21's attempt window: a funnel attempt must complete within 7
     * days of its first accepted event (MATCH_RECOGNIZE `WITHIN`). */
   val PatternWithinMicros: Long = 7L * 86400L * 1000000L
@@ -1408,6 +1469,7 @@ object Events {
     "e26_variant"        -> e26VariantExtract _,
     "e27_pattern_repeat" -> e27PatternRepeat _,
     "e31_pattern_repeat_bounded" -> e31PatternRepeatBounded _,
+    "e32_pattern_overlap" -> e32PatternOverlap _,
     "e28_pattern_permute" -> e28PatternPermute _,
     "e29_range_frame"    -> e29RangeFrame _,
     "e30_repeat_within"  -> e30PatternRepeatWithin _,
@@ -1747,6 +1809,28 @@ object Events {
     // the e25 transition table + one more accumulator (the open
     // attempt's B count) — the engine's streamed fold restated as the
     // recursive-CTE automaton, completions gated on bc >= 2
+    // SKIP TO NEXT ROW needs no recursive automaton: the overlapping
+    // match set is the suffix-shared next-pointer chain — two
+    // IGNORE-NULLS forward-frame window pointers + one join, the same
+    // plan the engine states
+    "e32_pattern_overlap" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'purchase' THEN 3 ELSE 0 END AS c
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, c,
+        |    first_value(CASE WHEN c = 2 THEN event_id END IGNORE NULLS)
+        |      OVER nxt AS nx2,
+        |    first_value(CASE WHEN c = 3 THEN event_id END IGNORE NULLS)
+        |      OVER nxt AS nx3
+        |  FROM e WINDOW nxt AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT a.user_id, a.event_id AS start_event_id,
+        |  a.nx2 AS mid_event_id, b.nx3 AS end_event_id
+        |FROM w a JOIN w b
+        |  ON a.user_id IS NOT DISTINCT FROM b.user_id AND a.nx2 = b.event_id
+        |WHERE a.c = 1 AND b.nx3 IS NOT NULL
+        |ORDER BY a.user_id, start_event_id""".stripMargin,
     // e27's automaton + the overflow kill: the (maxB+1)-th B fails the
     // attempt (bc > 4 branch), C completes only from bc in [2, 4]
     "e31_pattern_repeat_bounded" ->

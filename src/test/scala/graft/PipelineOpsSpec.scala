@@ -3491,6 +3491,70 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(bnd == unb, s"bounded drifted from e27 under the cap: $bnd vs $unb")
   }
 
+  test("e32 overlap: suffix-shared matches under SKIP TO NEXT ROW, strict " +
+      "superset of the SKIP PAST LAST ROW spans, same-timestamp ties break " +
+      "by event id, null users survive the null-safe join, " +
+      "partition-invariant") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val A = "click"; val V = "view"; val P = "purchase"
+    val rows = Seq(
+      // user 1: A V A V P — two overlapping matches share purchase 5
+      (Some(1L), ts(0), 1L, A), (Some(1L), ts(1), 2L, V),
+      (Some(1L), ts(2), 3L, A), (Some(1L), ts(3), 4L, V),
+      (Some(1L), ts(4), 5L, P),
+      // user 2: A V P A — trailing click never completes
+      (Some(2L), ts(0), 11L, A), (Some(2L), ts(1), 12L, V),
+      (Some(2L), ts(2), 13L, P), (Some(2L), ts(3), 14L, A),
+      // user 3: V P A — wrong order, no match
+      (Some(3L), ts(0), 21L, V), (Some(3L), ts(1), 22L, P),
+      (Some(3L), ts(2), 23L, A),
+      // user 4: two clicks at the SAME timestamp — id order decides
+      (Some(4L), ts(0), 31L, A), (Some(4L), ts(0), 32L, A),
+      (Some(4L), ts(1), 33L, V), (Some(4L), ts(2), 34L, P),
+      // null user: the null-safe join must keep the match
+      (None, ts(0), 41L, A), (None, ts(1), 42L, V), (None, ts(2), 43L, P)
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Events.patternOverlap(df, Seq(A, V, P)).collect()
+        .map(r => (Option(r.get(r.fieldIndex("user_id")))
+            .map(_.asInstanceOf[Long]),
+          r.getAs[Long]("start_event_id"), r.getAs[Long]("mid_event_id"),
+          r.getAs[Long]("end_event_id"))).toSet
+    val out = run(rows)
+    assert(out == Set(
+      (Some(1L), 1L, 2L, 5L), (Some(1L), 3L, 4L, 5L),
+      (Some(2L), 11L, 12L, 13L),
+      (Some(4L), 31L, 33L, 34L), (Some(4L), 32L, 33L, 34L),
+      (None, 41L, 42L, 43L)), out.toString)
+    assert(run(rows.repartition(7)) == out, "partitioning changed the matches")
+    // non-overlap (e20, SKIP PAST LAST ROW) on the same input: 1 span
+    // for user 1 — and every one of its span starts also starts an
+    // overlap match
+    val spans = Events.patternMatches(rows, Seq(A, V, P)).collect()
+      .map(r => (Option(r.get(r.fieldIndex("user_id")))
+          .map(_.asInstanceOf[Long]),
+        r.getAs[Long]("start_event_id"))).toSet
+    assert(spans.count(_._1 == Some(1L)) == 1)
+    val overlapStarts = out.map(m => (m._1, m._2))
+    assert(spans.subsetOf(overlapStarts),
+      s"a greedy span start is missing from the overlap set: $spans")
+    // sf gate: the superset property holds on real events too
+    val sfOut = Events.e32PatternOverlap(spark, sf).collect()
+      .map(r => (Option(r.get(r.fieldIndex("user_id")))
+          .map(_.asInstanceOf[Long]),
+        r.getAs[Long]("start_event_id"))).toSet
+    assert(sfOut.nonEmpty)
+    val sfSpans = Events.patternMatches(
+        graft.Tables.events(spark, sf), Seq(A, V, P)).collect()
+      .map(r => (Option(r.get(r.fieldIndex("user_id")))
+          .map(_.asInstanceOf[Long]),
+        r.getAs[Long]("start_event_id"))).toSet
+    assert(sfSpans.subsetOf(sfOut))
+  }
+
   test("m12 keyframes: one per shot, shot indexes dense from 0, first " +
       "keyframe at clip start, counts reconcile with m10") {
     val kf = Multimodal.m12Keyframes(spark, sf).collect()
