@@ -1168,6 +1168,53 @@ object Similarity {
       .orderBy(col("cluster"), col("j"))
   }
 
+  /** s21: SIMPLIFIED-SILHOUETTE cluster audit — the published scalable
+    * variant of Rousseeuw's silhouette (a = distance to OWN centroid,
+    * b = distance to the NEAREST OTHER centroid, instead of the
+    * all-pairs within/between means): per vector,
+    * `sil = (b − a) / max(a, b)` in cosine distance, which with
+    * b ≥ a ≥ 0 closes to `(cos_own − cos_next) / (1 − cos_next)` —
+    * the quality audit that closes the clustering loop
+    * (s20 trains → s2 assigns → s21 judges the fit; a low-silhouette
+    * cluster is where d12's SemDeDup over-merges and where the IVF
+    * ladder's recall sags).
+    *
+    * Scale notes (100 TB): the true silhouette is Σ within-cluster
+    * pair work (the d7 quadratic); the simplified form is a ZERO-
+    * EXCHANGE narrow projection — the same literal-codebook ranked
+    * array s2's assignment reads, taking elements 1 AND 2 instead of
+    * 1. Cost = one corpus scan, mergeable, no shuffle at all.
+    * Determinism: cosines are exact-input double math (bit-identical
+    * cross-engine), and the one division is correctly-rounded IEEE on
+    * identical inputs — the cos_e6 contract. A vector equidistant
+    * from both top centroids (1 − cos_next = 0 ⇒ a = b = 0) reports
+    * silhouette 0 by convention, guarded not hoped. */
+  def s21Silhouette(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    silhouetteWith(e, collectCodebook(e))
+  }
+
+  /** The s21 pipeline over an explicit codebook — the trained path
+    * (s20's output) and the spec's constructed geometries plug in. */
+  private[graft] def silhouetteWith(e: DataFrame,
+      cents: Seq[Centroid]): DataFrame = {
+    e.select(col("vec_id"),
+        rankedCentroids(cents, col("embedding"), col("norm_fp")).as("rc"))
+      .select(col("vec_id"),
+        element_at(col("rc"), 1).getField("cid").as("cluster"),
+        (-element_at(col("rc"), 1).getField("neg_cos")).as("cos1"),
+        element_at(col("rc"), 2).getField("cid").as("next_cluster"),
+        (-element_at(col("rc"), 2).getField("neg_cos")).as("cos2"))
+      .select(col("vec_id"), col("cluster"), col("next_cluster"),
+        round(col("cos1") * 1e6).cast("long").as("cos_own_e6"),
+        round(col("cos2") * 1e6).cast("long").as("cos_next_e6"),
+        when(lit(1.0) - col("cos2") === 0.0, lit(0L))
+          .otherwise(round((col("cos1") - col("cos2")) /
+            (lit(1.0) - col("cos2")) * 1e6).cast("long"))
+          .as("sil_e6"))
+      .orderBy(col("vec_id"))
+  }
+
   /** s8: IVF+PQ kNN — the two scale mechanisms COMPOSED, the standard
     * billion-vector index architecture (FAISS IVFPQ's no-residual
     * form): IVF cluster assignment prunes WHICH corpus rows a query
@@ -1674,6 +1721,7 @@ object Similarity {
     "s18_recall_ladder" -> s18RecallLadder _,
     "s19_knn_opq"     -> s19KnnOpq _,
     "s20_kmeans_round" -> s20KmeansRound _,
+    "s21_silhouette" -> s21Silhouette _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -1974,6 +2022,31 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // s2's ranked-centroid window cut at the top TWO ranks, pivoted to
+    // (own, next); the silhouette division is IEEE double on identical
+    // inputs (the cos_e6 contract), equidistant guard included
+    "s21_silhouette" ->
+      (NormCte +
+        s"""
+           |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+           |  FROM e WHERE vec_id < $NCentroids),
+           |ranked AS (SELECT e.vec_id, cent.cid,
+           |    ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} AS cos,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+           |      cent.cid) AS arank
+           |  FROM e CROSS JOIN cent),
+           |t AS (SELECT a.vec_id, a.cid AS cluster, a.cos AS cos1,
+           |    b.cid AS next_cluster, b.cos AS cos2
+           |  FROM ranked a JOIN ranked b ON a.vec_id = b.vec_id
+           |  WHERE a.arank = 1 AND b.arank = 2)
+           |SELECT vec_id, cluster, next_cluster,
+           |  CAST(round(cos1 * 1e6) AS BIGINT) AS cos_own_e6,
+           |  CAST(round(cos2 * 1e6) AS BIGINT) AS cos_next_e6,
+           |  CASE WHEN 1.0 - cos2 = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(round((cos1 - cos2) / (1.0 - cos2) * 1e6) AS BIGINT)
+           |    END AS sil_e6
+           |FROM t ORDER BY vec_id""".stripMargin),
     // one exact Lloyd round: s2's assignment restated verbatim, then
     // integer fixed-point unit components summed per (cluster, dim) —
     // no mean division, so the M-step is BIGINT-exact on both engines

@@ -1292,6 +1292,54 @@ class PipelineOpsSpec extends SparkSpecBase {
       plan.contains("ShuffledHashJoin"), s"s3 tile join is not an equi hash/merge join:\n$plan")
   }
 
+  test("s21 simplified silhouette: hand-computed geometries, equidistant " +
+      "guard, cluster agrees with the s2 assignment, zero-join narrow plan") {
+    import spark.implicits._
+    import Similarity.{silhouetteWith, collectCodebook, withNorm}
+    def frame(rows: (Long, Seq[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    // codebook = ids < 8: orthogonal axes (1,0) and (0,1)
+    val f = withNorm(frame(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      100L -> Seq(2f, 0f),   // on-axis: cos1=1, cos2=0 → sil = 1e6
+      101L -> Seq(3f, 3f),   // exact tie: cos1=cos2 → sil = 0 (not guard)
+      102L -> Seq(0f, -5f))) // cos 0 vs −1 → sil = (0+1)/(1+1) = 5e5
+    val by = silhouetteWith(f, collectCodebook(f)).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("next_cluster"),
+          r.getAs[Long]("sil_e6"))).toMap
+    assert(by(100L) == ((0L, 1L, 1000000L)), by.toString)
+    assert(by(101L) == ((0L, 1L, 0L)), s"tie must break to cid 0: $by")
+    assert(by(102L) == ((0L, 1L, 500000L)), by.toString)
+    // duplicate-direction centroids: cos_own == cos_next == ~1 (the
+    // IEEE value is 1 + 2⁻⁵², so the 1−cos guard stays cold and the
+    // EXACT numerator tie carries the 0 — both paths land silhouette 0
+    // deterministically, and both engines compute the identical bits)
+    val g = withNorm(frame(0L -> Seq(1f, 0f), 1L -> Seq(2f, 0f),
+      100L -> Seq(4f, 0f)))
+    val gr = silhouetteWith(g, collectCodebook(g)).collect()
+      .filter(_.getAs[Long]("vec_id") == 100L).head
+    assert(gr.getAs[Long]("cos_next_e6") == 1000000L &&
+      gr.getAs[Long]("sil_e6") == 0L, gr.toString)
+    // sf gate: one row per vector, cluster ≡ the s2 assignment, range
+    // sane, and the plan stays pair-free (no join, no aggregate)
+    val sfDf = Similarity.s21Silhouette(spark, sf)
+    val out = sfDf.collect()
+    val e = withNorm(graft.Tables.embeddings(spark, sf))
+    val assigned = Similarity.assignClusters(e, collectCodebook(e))
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(out.length == assigned.size)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster") == assigned(r.getAs[Long]("vec_id")))
+      val sil = r.getAs[Long]("sil_e6")
+      assert(sil >= -1000000L && sil <= 1000000L, r.toString)
+    }
+    val plan = planOf(sfDf)
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      "silhouette must stay a narrow pair-free projection")
+  }
+
   test("s20 one gated Lloyd round reproduces trainCodebook(iters=1) bit-for-bit") {
     val e = graft.Tables.embeddings(spark, sf)
     val n_corpus = e.count()
