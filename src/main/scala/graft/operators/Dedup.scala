@@ -353,6 +353,83 @@ object Dedup {
       .limit(20)
   }
 
+  /** Banding designs audited by [[d20LshScurve]]: every factorization
+    * b·r of the [[MinhashK]]-element signature from per-row banding
+    * (12, 1) to two wide bands (2, 6), including the engine's own
+    * (6, 2). */
+  val D20Configs: Seq[(Int, Int)] =
+    Seq((12, 1), (6, 2), (4, 3), (2, 6))
+
+  /** d20: LSH BANDING DESIGN AUDIT — the S-curve trade made
+    * measurable (the s18 self-measuring pattern on the dedup side):
+    * for every banding (b, r) of the SAME MinHash signature, the
+    * exact confusion counts of "pairs sharing ≥1 band" against the
+    * exact-Jaccard ≥ τ ground truth — tp / fp (the verification load
+    * a design buys) / fn (the recall it forfeits), with recall and
+    * precision in e6 fixed point. The published S-curve
+    * `P(cand) = 1 − (1 − j^r)^b` says narrow bands (r = 1) catch
+    * everything but flood verification and wide bands (r = 6) starve
+    * recall at mid-jaccard; this row audits the engine's (6, 2)
+    * choice against its neighbors on the REAL corpus (at the gate SF
+    * the corpus is bimodal, so the spread shows on the load axis:
+    * 1278 → 30 → 25 candidates for the same 25 true pairs; the
+    * recall axis is pinned by spec on constructed mid-jaccard docs).
+    *
+    * Scale notes (100 TB): the signature pipeline runs ONCE behind
+    * the d3 aggregate barrier; each audited banding re-slices the
+    * 12-long sig array (narrow map) and pays one band-key equi-join —
+    * the same cost class as d3 per config, pair-space aggregates
+    * after. Ground truth is the d4 inverted-index join (never
+    * all-pairs); auditing on a SAMPLE of the corpus (the production
+    * posture for a design sweep) is a `.sample` in front, unchanged
+    * machinery. */
+  def d20LshScurve(s: SparkSession, d: String): DataFrame =
+    lshScurve(documents(s, d), D14TauE6)
+
+  /** Library form of [[d20LshScurve]]: any (doc_id, text) frame,
+    * caller-chosen ground-truth threshold. */
+  def lshScurve(docs: DataFrame, tauE6: Long): DataFrame = {
+    val base = lshIndex(docs.repartition(col("doc_id")))
+      .select(col("doc_id"), array_distinct(col("sh")).as("dsh"), col("sig"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("dsh")).as("dsh"), min(col("sig")).as("sig"))
+    val inv = base.select(col("doc_id"),
+      size(col("dsh")).cast("long").as("n_sh"), explode(col("dsh")).as("shingle"))
+    val truth = inv.select(col("shingle"), col("doc_id").as("a"), col("n_sh").as("na"))
+      .join(inv.select(col("shingle"), col("doc_id").as("b"), col("n_sh").as("nb")),
+        "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(idiv(col("shared") * 1000000L,
+        greatest(col("na") + col("nb") - col("shared"), lit(1L))) >= tauE6)
+      .select(col("a"), col("b"))
+    D20Configs.map { case (b, r) =>
+      val e = base.select(col("doc_id"),
+        posexplode(lshBands(col("sig"), b, r)).as(Seq("bi", "bk")))
+      val cand = e.select(col("bi"), col("bk"), col("doc_id").as("a"))
+        .join(e.select(col("bi"), col("bk"), col("doc_id").as("b")),
+          Seq("bi", "bk"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      truth.select(col("a"), col("b"), lit(1L).as("t"))
+        .join(cand.select(col("a"), col("b"), lit(1L).as("c")),
+          Seq("a", "b"), "full_outer")
+        .agg(sum(coalesce(col("t"), lit(0L))).as("n_true"),
+          sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+          sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_true"), col("n_cand"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_true") - col("tp")).as("fn"),
+          idiv(col("tp") * 1000000L, greatest(col("n_true"), lit(1L)))
+            .as("recall_e6"),
+          idiv(col("tp") * 1000000L, greatest(col("n_cand"), lit(1L)))
+            .as("precision_e6"))
+    }.reduce(_.unionByName(_)).orderBy(col("bands").desc)
+  }
+
   /** d5: SimHash near-dup pairs — 32-bit signatures, pairs within
     * hamming distance ≤ 1, found by exact hamming-ball bucketing: each
     * doc emits 33 keys — its 32-bit signature plus the 32 one-bit
@@ -1048,6 +1125,7 @@ object Dedup {
     "d16_containment_capped" -> d16ContainmentCapped _,
     "d17_verified_capped" -> d17VerifiedCapped _,
     "d19_bloom_novelty" -> d19BloomNovelty _,
+    "d20_lsh_scurve" -> d20LshScurve _,
   )
 
   /** d9/d16 shared oracle: distinct doc-shingle census, pair counts,
@@ -1393,6 +1471,43 @@ object Dedup {
     // the d14 recipe with the PRODUCTION bucket cap armed: over-cap
     // band buckets shed wholesale before pair expansion
     "d17_verified_capped" -> verifiedManifestOracle(maxBucket = Some(D17MaxBucket)),
+    // the SAME signature re-banded per audited config; exact-Jaccard
+    // truth at τ, confusion scalars per config, 4 one-row branches
+    "d20_lsh_scurve" -> {
+      val perConfig = D20Configs.map { case (b, r) =>
+        s""",
+           |bn_$b AS (SELECT doc_id, list_transform(range(0, $b), bb ->
+           |    md5(bb::VARCHAR || '#' ||
+           |        array_to_string(list_transform(sig[bb*$r+1 : bb*$r+$r],
+           |          v -> v::VARCHAR), ','))) AS bands FROM g),
+           |e_$b AS (SELECT doc_id, bi, bands[bi] AS bk
+           |  FROM bn_$b CROSS JOIN (SELECT unnest(range(1, $b + 1)) AS bi)),
+           |cand_$b AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM e_$b x JOIN e_$b y
+           |    ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
+      }.mkString
+      val branches = D20Configs.map { case (b, r) =>
+        s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_true,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cand_$b) AS n_cand,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tr JOIN cand_$b USING (a, b)) AS tp""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      SigCte + s""",
+         |ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+         |sz AS (SELECT doc_id, dsh, CAST(len(dsh) AS BIGINT) AS n_sh FROM ds),
+         |tr AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sz x JOIN sz y ON x.doc_id < y.doc_id
+         |  WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT) * 1000000
+         |    // greatest(x.n_sh + y.n_sh
+         |      - CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT), 1)
+         |    >= $D14TauE6)""".stripMargin + perConfig + s"""
+         |SELECT bands, rows_per_band, n_true, n_cand, tp,
+         |  n_cand - tp AS fp, n_true - tp AS fn,
+         |  tp * 1000000 // greatest(n_true, 1) AS recall_e6,
+         |  tp * 1000000 // greatest(n_cand, 1) AS precision_e6
+         |FROM ($branches)
+         |ORDER BY bands DESC""".stripMargin
+    },
     // the bloom rebuilt as a distinct-position SET (membership per
     // incoming window via left join, bool_and over the k positions);
     // n_set_bits = count(distinct p) vs Spark's packed-word popcount —

@@ -3232,6 +3232,57 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("d20 LSH S-curve audit: mid-jaccard recall decays as bands widen, " +
+      "confusion counts reconcile, truth is config-invariant, and the " +
+      "engine's (6,2) rides the knee on the gate corpus") {
+    import spark.implicits._
+    // 30 constructed pairs at jaccard ≈ 0.47 (18 of 38 union shingles
+    // shared): the mid-similarity band where the S-curve actually
+    // separates — per-row banding (r=1) catches nearly all, two wide
+    // bands (r=6) miss most
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = (0 until 30).flatMap { p =>
+      val shared = words(s"s${p}_", 20)
+      Seq((2L * p, shared + " " + words(s"a${p}_", 10)),
+        (2L * p + 1, shared + " " + words(s"b${p}_", 10)))
+    }.toDF("doc_id", "text")
+    val out = Dedup.lshScurve(docs, tauE6 = 300000L).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")) -> r)
+      .toMap
+    assert(out.size == Dedup.D20Configs.size)
+    val nTrue = out.values.map(_.getAs[Long]("n_true")).toSet
+    assert(nTrue == Set(30L), s"truth must be config-invariant: $nTrue")
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("fp") ==
+        r.getAs[Long]("n_cand") - r.getAs[Long]("tp"))
+      assert(r.getAs[Long]("fn") ==
+        r.getAs[Long]("n_true") - r.getAs[Long]("tp"))
+    }
+    val recallByR = Dedup.D20Configs.map { case (b, r) =>
+      r -> out((b.toLong, r.toLong)).getAs[Long]("recall_e6") }.toMap
+    assert(recallByR(1) > recallByR(6),
+      s"mid-jaccard recall must decay with band width: $recallByR")
+    assert(out((2L, 6L)).getAs[Long]("fn") > 0L,
+      "wide bands lost nothing at j≈0.47 — the S-curve axis is dead")
+    assert(recallByR(1) >= recallByR(2) && recallByR(2) >= recallByR(3) &&
+      recallByR(3) >= recallByR(6), s"recall not monotone in r: $recallByR")
+    // gate corpus (sf0.001, measured): both S-curve axes are alive —
+    // r ≤ 3 configs keep full recall, the widest band forfeits 2 of
+    // the 28 true pairs, and the load axis orders per-row banding
+    // (1285 candidates) ≫ the engine's (6,2) at 31 ≥ (4,3) at 28
+    val sfOut = Dedup.d20LshScurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")) -> r)
+      .toMap
+    Seq((12L, 1L), (6L, 2L), (4L, 3L)).foreach { c =>
+      assert(sfOut(c).getAs[Long]("recall_e6") == 1000000L, sfOut(c).toString) }
+    assert(sfOut((2L, 6L)).getAs[Long]("fn") == 2L, sfOut((2L, 6L)).toString)
+    assert(sfOut((12L, 1L)).getAs[Long]("n_cand") >
+      sfOut((6L, 2L)).getAs[Long]("n_cand"))
+    assert(sfOut((6L, 2L)).getAs[Long]("n_cand") >=
+      sfOut((4L, 3L)).getAs[Long]("n_cand"))
+  }
+
   test("d14 verified dedup: near-identical docs cluster, sub-threshold " +
       "overlap does not, keep-one picks the quality argmax") {
     import spark.implicits._
