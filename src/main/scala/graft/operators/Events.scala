@@ -698,6 +698,74 @@ object Events {
       .orderBy(col("hour_s"), col("event_type"))
   }
 
+  /** e33: incremental DISTINCT-COUNT maintenance — the IVM tier e16's
+    * scaladoc documents as NOT delta-mergeable, closed by the
+    * published counting algorithm (Gupta–Mumick view maintenance):
+    * keep per-(group, element) SUPPORT COUNTS as auxiliary state;
+    * inserts add +1, retractions −1, and the group's distinct count
+    * moves only on 0 ↔ positive support transitions. This is also
+    * why the sketch tier (x36 HLL, q22) cannot replace it when the
+    * feed retracts: MAX-merged registers are deletion-blind — exact
+    * support counts are the price of retractable distinct.
+    *
+    * Scenario: distinct active users per hour; base = first 90% of
+    * the feed (e16's exact integer decile cut), delta inserts = the
+    * last decile, delta retractions = a deterministic subset OF BASE
+    * (every third error event) — a valid retraction stream can only
+    * delete what exists, so support never goes negative (and the
+    * engine would rightly fail loudly if it did: negative support is
+    * feed corruption, not a state to average over). Null users are
+    * excluded up front (SQL `count(DISTINCT)` convention). Output
+    * per hour: distinct before/after, and the appear/vanish
+    * transition tallies only the support table can see.
+    *
+    * Scale notes (100 TB): the auxiliary (group, element) support
+    * table is the KNOWN cost of exact distinct IVM — stored bucketed
+    * by its key (the e15/e16 stored-state argument), so maintenance
+    * is the delta's partial ±counts plus one equi-merge, O(batch)
+    * not O(corpus); the from-scratch alternative recomputes a
+    * corpus-wide distinct per refresh. All counts integer-exact. */
+  def e33DeltaDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("user_id"), col("event_type"), col("event_id"))
+    val mx = ev.agg(max(col("event_id")).as("mx"))
+    val t = ev.crossJoin(broadcast(mx))
+    val base = t.filter(col("event_id") * 10L < col("mx") * 9L)
+    val ins = t.filter(col("event_id") * 10L >= col("mx") * 9L)
+    val del = base.filter(col("event_type") === "error" &&
+      col("event_id") % 3L === 0L)
+    deltaDistinct(base, ins, del).orderBy(col("hour_s"))
+  }
+
+  /** Library form of [[e33DeltaDistinct]]: stored support counts from
+    * `base`, one ±1 partial aggregate over the delta, one full-outer
+    * merge, transition tallies per group. `del` must be a sub-multiset
+    * of `base` per (hour_s, user_id) — the retraction contract. */
+  def deltaDistinct(base: DataFrame, ins: DataFrame,
+      del: DataFrame): DataFrame = {
+    val sb = base.groupBy(col("hour_s"), col("user_id"))
+      .agg(count(lit(1)).as("cnt_b"))
+    val dd = ins.select(col("hour_s"), col("user_id"), lit(1L).as("w"))
+      .unionByName(del.select(col("hour_s"), col("user_id"),
+        lit(-1L).as("w")))
+      .groupBy(col("hour_s"), col("user_id"))
+      .agg(sum(col("w")).as("cnt_d"))
+    sb.join(dd, Seq("hour_s", "user_id"), "full_outer")
+      .select(col("hour_s"), col("cnt_b"),
+        (coalesce(col("cnt_b"), lit(0L)) + coalesce(col("cnt_d"), lit(0L)))
+          .as("cnt"))
+      .groupBy(col("hour_s"))
+      .agg(
+        sum(when(col("cnt_b").isNotNull, 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("cnt") > 0L, 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("cnt_b").isNull && col("cnt") > 0L, 1L).otherwise(0L))
+          .as("n_appear"),
+        sum(when(col("cnt_b").isNotNull && col("cnt") === 0L, 1L)
+          .otherwise(0L)).as("n_vanish"))
+  }
+
   /** e26: VARIANT-typed semi-structured extraction — e3's
     * get_json_object path re-expressed on Spark 4's VARIANT type:
     * `parse_json` decodes the JSON TEXT once into the binary variant
@@ -1470,6 +1538,7 @@ object Events {
     "e27_pattern_repeat" -> e27PatternRepeat _,
     "e31_pattern_repeat_bounded" -> e31PatternRepeatBounded _,
     "e32_pattern_overlap" -> e32PatternOverlap _,
+    "e33_delta_distinct" -> e33DeltaDistinct _,
     "e28_pattern_permute" -> e28PatternPermute _,
     "e29_range_frame"    -> e29RangeFrame _,
     "e30_repeat_within"  -> e30PatternRepeatWithin _,
@@ -1809,6 +1878,38 @@ object Events {
     // the e25 transition table + one more accumulator (the open
     // attempt's B count) — the engine's streamed fold restated as the
     // recursive-CTE automaton, completions gated on bc >= 2
+    // single-pass ±1-weighted support recompute (structurally NOT the
+    // engine's stored-state + merge plan): per (hour, user) the summed
+    // weights give final support, bool_or the base membership — hash
+    // equality proves the IVM merge ≡ the from-scratch multiset
+    "e33_delta_distinct" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |x AS (SELECT
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |    user_id, event_type, event_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |w AS (
+        |  SELECT hour_s, user_id, TRUE AS in_base, 1 AS w
+        |    FROM x CROSS JOIN m WHERE event_id * 10 < mx * 9
+        |  UNION ALL
+        |  SELECT hour_s, user_id, FALSE, 1
+        |    FROM x CROSS JOIN m WHERE event_id * 10 >= mx * 9
+        |  UNION ALL
+        |  SELECT hour_s, user_id, FALSE, -1
+        |    FROM x CROSS JOIN m
+        |    WHERE event_id * 10 < mx * 9 AND event_type = 'error'
+        |      AND event_id % 3 = 0),
+        |su AS (SELECT hour_s, user_id, bool_or(in_base) AS has_base,
+        |    sum(w) AS supp
+        |  FROM w GROUP BY hour_s, user_id)
+        |SELECT hour_s,
+        |  CAST(count(*) FILTER (WHERE has_base) AS BIGINT) AS n_before,
+        |  CAST(count(*) FILTER (WHERE supp > 0) AS BIGINT) AS n_after,
+        |  CAST(count(*) FILTER (WHERE NOT has_base AND supp > 0) AS BIGINT)
+        |    AS n_appear,
+        |  CAST(count(*) FILTER (WHERE has_base AND supp = 0) AS BIGINT)
+        |    AS n_vanish
+        |FROM su GROUP BY hour_s ORDER BY hour_s""".stripMargin,
     // SKIP TO NEXT ROW needs no recursive automaton: the overlapping
     // match set is the suffix-shared next-pointer chain — two
     // IGNORE-NULLS forward-frame window pointers + one join, the same

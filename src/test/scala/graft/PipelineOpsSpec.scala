@@ -3654,6 +3654,63 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(sfSpans.subsetOf(sfOut))
   }
 
+  test("e33 delta distinct: support counting survives partial retraction, " +
+      "full retraction vanishes, delta-only net-zero never appears, and " +
+      "the merged state equals a from-scratch multiset recompute at SF") {
+    import spark.implicits._
+    val h0 = 3600L
+    def f(rows: (Long, Long, String, Long)*) =
+      rows.toDF("hour_s", "user_id", "event_type", "event_id")
+    val base = f(
+      (h0, 1L, "click", 10L), (h0, 1L, "error", 12L), // user 1: support 2
+      (h0, 2L, "error", 21L))                          // user 2: support 1
+    val ins = f(
+      (h0, 3L, "click", 91L),                          // user 3 appears
+      (h0, 4L, "click", 92L))                          // user 4 appears
+    // retract ONE of user 1's two events and user 2's only event —
+    // retractions target base rows by construction
+    val del = base.filter(col("event_id").isin(12L, 21L))
+    val out = Events.deltaDistinct(base, ins, del).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_before") == 2L, r.toString)
+    // user 1 survives partial retraction (2−1), user 2 vanishes (1−1),
+    // users 3 and 4 appear: after = {1, 3, 4}
+    assert(r.getAs[Long]("n_after") == 3L, r.toString)
+    assert(r.getAs[Long]("n_appear") == 2L && r.getAs[Long]("n_vanish") == 1L,
+      r.toString)
+    // sf gate: transition identity + merged ≡ from-scratch multiset
+    val sfOut = Events.e33DeltaDistinct(spark, sf).collect()
+    assert(sfOut.nonEmpty)
+    sfOut.foreach { r =>
+      assert(r.getAs[Long]("n_after") == r.getAs[Long]("n_before") -
+        r.getAs[Long]("n_vanish") + r.getAs[Long]("n_appear"), r.toString)
+    }
+    assert(sfOut.map(_.getAs[Long]("n_appear")).sum > 0L,
+      "delta decile introduced no new users — scenario degenerate")
+    // independent scratch recompute (the weights formulation, not the
+    // engine's stored-state merge)
+    val ev = graft.Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("user_id"), col("event_type"), col("event_id"))
+    val mx = ev.agg(max(col("event_id")).as("mx"))
+    val t = ev.crossJoin(broadcast(mx))
+    val scratch = t.select(col("hour_s"), col("user_id"), lit(1L).as("w"))
+      .unionByName(t.filter(col("event_id") * 10L < col("mx") * 9L &&
+          col("event_type") === "error" && col("event_id") % 3L === 0L)
+        .select(col("hour_s"), col("user_id"), lit(-1L).as("w")))
+      .groupBy(col("hour_s"), col("user_id"))
+      .agg(sum(col("w")).as("supp"))
+      .filter(col("supp") > 0L)
+      .groupBy(col("hour_s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("hour_s") -> r.getAs[Long]("n")).toMap
+    sfOut.foreach { r =>
+      assert(r.getAs[Long]("n_after") ==
+        scratch.getOrElse(r.getAs[Long]("hour_s"), 0L),
+        s"merged state diverged from scratch at hour ${r.getAs[Long]("hour_s")}")
+    }
+  }
+
   test("m12 keyframes: one per shot, shot indexes dense from 0, first " +
       "keyframe at clip start, counts reconcile with m10") {
     val kf = Multimodal.m12Keyframes(spark, sf).collect()
