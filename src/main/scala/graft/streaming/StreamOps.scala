@@ -1179,6 +1179,81 @@ object StreamOps {
     else s.read.parquet(vs.maxBy(_._1)._2.toString)
   }
 
+  /** Support-table schema maintained by [[deltaDistinctStream]]. */
+  private val SupportSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("hour_s",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("supp",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The standing (hour_s, user_id, supp) support table maintained by
+    * [[deltaDistinctStream]] (empty before the first batch). `before`
+    * bounds the version read — the deltaAggCurrent redelivery
+    * contract: a redelivered micro-batch absorbs into the same base
+    * it did the first time. */
+  def deltaDistinctCurrent(s: org.apache.spark.sql.SparkSession,
+      dir: String, before: Long = Long.MaxValue): DataFrame = {
+    val vs = rollupVersions(s, dir).filter(_._1 < before)
+    if (vs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        SupportSchema)
+    else s.read.parquet(vs.maxBy(_._1)._2.toString)
+  }
+
+  /** The maintained VIEW over the standing support table: distinct
+    * elements per group — what e33 calls `n_after`, continuously. */
+  def deltaDistinctView(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    deltaDistinctCurrent(s, dir).filter(col("supp") > 0L)
+      .groupBy(col("hour_s")).agg(count(lit(1)).as("n_distinct"))
+
+  /** Streaming e33 — retractable distinct-count IVM at ingest: the
+    * change feed carries (hour_s, user_id, w) rows with w = +1 for
+    * inserts and −1 for retractions; each micro-batch's ±1 partial
+    * sums absorb into the standing SUPPORT table via one full-outer
+    * merge (the counting algorithm's auxiliary state as a persistent
+    * versioned table — [[deltaAggStream]]'s machinery verbatim, which
+    * also carries its redelivery idempotence: the `before = id` bound
+    * makes a redelivered batch rebuild the same version from the same
+    * base). Zero-support rows leave the table (it stays bounded by
+    * LIVE elements); NEGATIVE merged support is feed corruption — a
+    * retraction of something that never existed — and fails the batch
+    * loudly instead of storing nonsense. NOTE the contrast with
+    * [[hllStream]]: the sketch twin is redelivery-proof by ALGEBRA
+    * (MAX-merge) but deletion-blind; this twin handles retractions
+    * but needs the version-chain fence — you cannot have both with
+    * constant state. */
+  def deltaDistinctStream(changes: DataFrame, storeDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        val delta = batch.toDF()
+          .groupBy(col("hour_s"), col("user_id")).agg(sum(col("w")).as("d"))
+        val base = deltaDistinctCurrent(s, storeDir, before = id)
+        base.join(delta, Seq("hour_s", "user_id"), "full_outer")
+          .select(col("hour_s"), col("user_id"),
+            (coalesce(col("supp"), lit(0L)) + coalesce(col("d"), lit(0L)))
+              .as("supp"))
+          .filter(
+            when(col("supp") < 0L, raise_error(concat(
+              lit("deltaDistinctStream: negative support for (hour_s="),
+              col("hour_s"), lit(", user_id="), col("user_id"),
+              lit(") — retraction of a non-existent element"))))
+              .otherwise(lit(true)))
+          .filter(col("supp") > 0L)
+          .write.mode("overwrite").parquet(s"$storeDir/v$id")
+        val path = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        rollupVersions(s, storeDir).filter(_._1 < id)
+          .sortBy(_._1).dropRight(1)
+          .foreach { case (_, p) => fs.delete(p, true) }
+        ()
+      }
+
   /** Streaming delta-IVM — e16's ingest-time twin: a standing hourly
     * (count, cents) rollup absorbs each micro-batch's PARTIAL
     * aggregates via [[graft.operators.Events.absorbDelta]]'s one
@@ -1244,6 +1319,7 @@ object StreamOps {
     "funnelStages" -> OutputMode.Append(),
     "anomalyStream" -> OutputMode.Append(),
     "deltaAggStream" -> OutputMode.Update(),
+    "deltaDistinctStream" -> OutputMode.Update(),
     "patternStream" -> OutputMode.Append(),
     "permuteStream" -> OutputMode.Append(),
     "repeatWithinStream" -> OutputMode.Append(),

@@ -1540,6 +1540,65 @@ class StreamOpsSpec extends SparkSpecBase {
       s"restart lost mask state: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
 
+  test("deltaDistinctStream: support table after chunked ±1 replay ≡ the " +
+      "batch e33 view, zero-support rows leave the table, and a retraction " +
+      "of a non-existent element fails the batch loudly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // the e33 feed as a change stream: every base/ins event is a +1,
+    // every retraction (third base error) a −1 — replayed in 5 chunks
+    val ev = graft.Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("user_id"), col("event_type"), col("event_id"))
+    val mx = ev.agg(max(col("event_id")).as("mx"))
+    val t = ev.crossJoin(broadcast(mx))
+    val changes = t.select(col("hour_s"), col("user_id"), lit(1L).as("w"),
+        col("event_id"))
+      .unionByName(t.filter(col("event_id") * 10L < col("mx") * 9L &&
+          col("event_type") === "error" && col("event_id") % 3L === 0L)
+        .select(col("hour_s"), col("user_id"), lit(-1L).as("w"),
+          (col("event_id") + 1000000L).as("event_id")))
+      .orderBy(col("event_id"))
+      .select(col("hour_s"), col("user_id"), col("w"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("dd-store").toString
+    val cp = java.nio.file.Files.createTempDirectory("dd-cp").toString
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.deltaDistinctStream(
+      in.toDF().toDF("hour_s", "user_id", "w"), dir)
+      .option("checkpointLocation", cp).start()
+    changes.grouped(changes.size / 5 + 1).foreach { chunk =>
+      in.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = StreamOps.deltaDistinctView(spark, dir).collect()
+      .map(r => r.getAs[Long]("hour_s") -> r.getAs[Long]("n_distinct")).toMap
+    val batch = graft.operators.Events.e33DeltaDistinct(spark, sf).collect()
+      .map(r => r.getAs[Long]("hour_s") -> r.getAs[Long]("n_after"))
+      .toMap.filter(_._2 > 0L)
+    assert(batch.nonEmpty && streamed == batch,
+      s"support store diverged: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
+    // the stored table holds only LIVE elements (no zero-support rows)
+    assert(StreamOps.deltaDistinctCurrent(spark, dir)
+      .filter(col("supp") <= 0L).isEmpty)
+    // corruption fails loudly: retracting a never-inserted element
+    val dir2 = java.nio.file.Files.createTempDirectory("dd-store2").toString
+    val cp2 = java.nio.file.Files.createTempDirectory("dd-cp2").toString
+    val in2 = MemoryStream[(Long, Long, Long)]
+    val q2 = StreamOps.deltaDistinctStream(
+      in2.toDF().toDF("hour_s", "user_id", "w"), dir2)
+      .option("checkpointLocation", cp2).start()
+    in2.addData((3600L, 999L, -1L))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("negative support"), chain.take(400))
+  }
+
   test("deltaAggStream: standing rollup after chunked replay ≡ one-shot aggregate, " +
       "old versions pruned") {
     implicit val sq = spark.sqlContext
