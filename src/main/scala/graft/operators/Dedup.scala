@@ -435,6 +435,54 @@ object Dedup {
     }.reduce(_.unionByName(_)).orderBy(col("bands").desc)
   }
 
+  /** Edit-similarity floor for [[d21EditVerify]]: cleanly separates
+    * the gate corpus's bimodal candidate set (LSH false positives sit
+    * at 24–33% similarity, planted near-dups above 93% — measured at
+    * sf0.01). */
+  val D21SimE6 = 500000L
+
+  /** d21: EDIT-DISTANCE VERIFICATION — the character-level verify
+    * tier of fuzzy dedup (the published recipe's final stage when
+    * shingle Jaccard is too coarse: transpositions, small in-word
+    * edits and punctuation churn move few characters but can shift
+    * many shingles): every LSH candidate pair scored by Levenshtein
+    * distance over the d1-normalized text, with the similarity
+    * `1 − lev/max_len` in e6 fixed point and the ≥ [[D21SimE6]]
+    * verdict beside it. Complements d14's Jaccard verify — same
+    * candidates, a different metric axis; the oracle proves the
+    * engine's codegen'd Levenshtein agrees with DuckDB's
+    * character-for-character.
+    *
+    * Scale notes (100 TB): Levenshtein is O(len_a·len_b) PER PAIR —
+    * affordable exactly because it runs on the banded candidate set
+    * (|candidates| ≪ n²), never as a pair generator; the texts join
+    * onto candidates by doc_id (two hash joins moving only candidate
+    * rows). In production the bounded form (Spark's 3-arg
+    * `levenshtein(a, b, threshold)` returns −1 past the bound and
+    * runs the banded O(k·min_len) algorithm) caps the worst pair at
+    * the verdict boundary — the full distance here because the gated
+    * columns carry it. */
+  def d21EditVerify(s: SparkSession, d: String): DataFrame =
+    editVerify(sharedLshPairs(s, d), documents(s, d))
+      .orderBy(col("a"), col("b"))
+
+  /** Library form of [[d21EditVerify]]: any (a, b) candidate frame
+    * against any (doc_id, text) corpus. */
+  def editVerify(candidates: DataFrame, docs: DataFrame): DataFrame = {
+    val txt = docs.select(col("doc_id"), normText(col("text")).as("nt"))
+    candidates.select(col("a"), col("b"))
+      .join(txt.select(col("doc_id").as("a"), col("nt").as("ta")), Seq("a"))
+      .join(txt.select(col("doc_id").as("b"), col("nt").as("tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("max_len"))
+      .withColumn("edit_sim_e6",
+        idiv((col("max_len") - col("lev")) * 1000000L,
+          greatest(col("max_len"), lit(1L))))
+      .withColumn("verified", col("edit_sim_e6") >= D21SimE6)
+  }
+
   /** d5: SimHash near-dup pairs — 32-bit signatures, pairs within
     * hamming distance ≤ 1, found by exact hamming-ball bucketing: each
     * doc emits 33 keys — its 32-bit signature plus the 32 one-bit
@@ -1131,6 +1179,7 @@ object Dedup {
     "d17_verified_capped" -> d17VerifiedCapped _,
     "d19_bloom_novelty" -> d19BloomNovelty _,
     "d20_lsh_scurve" -> d20LshScurve _,
+    "d21_edit_verify" -> d21EditVerify _,
   )
 
   /** d9/d16 shared oracle: distinct doc-shingle census, pair counts,
@@ -1476,6 +1525,29 @@ object Dedup {
     // the d14 recipe with the PRODUCTION bucket cap armed: over-cap
     // band buckets shed wholesale before pair expansion
     "d17_verified_capped" -> verifiedManifestOracle(maxBucket = Some(D17MaxBucket)),
+    // d3's banded candidates + DuckDB's own levenshtein over the
+    // d1-normalized text — the gate proves the engines' edit-distance
+    // kernels agree character for character
+    "d21_edit_verify" ->
+      (SigCte +
+        s"""
+           |, e AS (SELECT doc_id, band_idx, bands[band_idx] AS band_key
+           |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM e x JOIN e y ON x.band_idx = y.band_idx
+           |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+           |nt AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt FROM t),
+           |sc AS (SELECT cand.a, cand.b,
+           |    CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS lev,
+           |    CAST(greatest(length(ta.nt), length(tb.nt)) AS BIGINT) AS max_len
+           |  FROM cand JOIN nt ta ON ta.doc_id = cand.a
+           |    JOIN nt tb ON tb.doc_id = cand.b)
+           |SELECT a, b, lev, max_len,
+           |  (max_len - lev) * 1000000 // greatest(max_len, 1) AS edit_sim_e6,
+           |  (max_len - lev) * 1000000 // greatest(max_len, 1) >= $D21SimE6
+           |    AS verified
+           |FROM sc ORDER BY a, b""".stripMargin),
     // the SAME signature re-banded per audited config; exact-Jaccard
     // truth at τ, confusion scalars per config, 4 one-row branches
     "d20_lsh_scurve" -> {

@@ -759,6 +759,43 @@ object Multimodal {
       .filter(col("n_aligned") >= M13MinAligned)
   }
 
+  /** m14: IMAGE DEDUP MANIFEST — the full keep-one recipe (pairs →
+    * transitive closure → canonical selection, d6/d11's machinery)
+    * applied to the image modality: m7's MIH-blocked aHash pairs are
+    * the edges, [[graft.operators.Components.connectedComponents]]
+    * resolves clusters, and each cluster keeps its
+    * HIGHEST-RESOLUTION copy (max width·height, ties to the smallest
+    * doc_id) — the image-dedup policy, where text dedup keeps the
+    * quality argmax (d11) and near-dup sets collapse to the best
+    * master. Every doc ships with its cluster, pixel count, the kept
+    * canonical and the keep/drop bit.
+    *
+    * Scale notes (100 TB): pair generation is m7's (banded MIH, never
+    * all-pairs, `maxBucket`-cappable); the closure is the
+    * alternating-star CC (O(log n) rounds); the keep-one window runs
+    * per cluster — bounded by construction, mutual-near-dup sets are
+    * small. Nothing here is new machinery: the row exists to pin that
+    * the recipe composes UNCHANGED across modalities. */
+  def m14ImgManifest(s: SparkSession, d: String): DataFrame = {
+    val hashes = sharedImgHash(s, d)
+    val pairs = imgNearDupPairs(hashes, maxBucket = None)
+      .select(col("a"), col("b"))
+    val comp = graft.operators.Components.connectedComponents(
+      hashes.select(col("doc_id").as("id")), pairs)
+    val px = hashes.select(col("doc_id"),
+      (col("width") * col("height")).as("n_px"))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("n_px").desc, col("doc_id"))
+    comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .join(px, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("keep",
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("cluster_rep"), col("n_px"),
+        col("canonical_id"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def m10ShotBoundaries(s: SparkSession, d: String): DataFrame = {
     val fr = frameSigs(s, d)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
@@ -805,6 +842,7 @@ object Multimodal {
     "m11_audio_neardup"  -> m11AudioNearDup _,
     "m12_keyframes"      -> m12Keyframes _,
     "m13_video_neardup"  -> m13VideoNearDup _,
+    "m14_img_manifest"   -> m14ImgManifest _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1008,6 +1046,52 @@ object Multimodal {
     // identical integer chain
     // m10's frame/cut CTEs + a per-clip running shot index; keyframes
     // are the clip start and every cut frame
+    // m7's closed-form hash + brute pairs, then the d11 oracle shape:
+    // recursive closure, min rep, keep-one by (n_px DESC, doc_id)
+    "m14_img_manifest" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    16 + (doc_id // 16) % 16 AS h FROM documents),
+        |px AS (SELECT d.doc_id,
+        |    (x.x*7 + y.y*13 + d.doc_id) % 256 AS v,
+        |    ((y.y * 8) // d.h) * 8 + (x.x * 8) // d.w AS idx
+        |  FROM d, range(0, 32) x(x), range(0, 32) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h),
+        |tot AS (SELECT doc_id, sum(v) AS tot_sum, count(*) AS n_px
+        |  FROM px GROUP BY doc_id),
+        |blk AS (SELECT doc_id, idx, sum(v) AS b_sum, count(*) AS b_n
+        |  FROM px GROUP BY doc_id, idx),
+        |bits AS (SELECT blk.doc_id, blk.idx,
+        |    CASE WHEN blk.b_sum * tot.n_px > tot.tot_sum * blk.b_n
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM blk JOIN tot USING (doc_id)),
+        |hsh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx < 32
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+        |e2 AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT r.src, e2.v FROM reach r JOIN e2 ON r.dst = e2.u),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+        |  FROM reach GROUP BY src),
+        |npx AS (SELECT doc_id, CAST(w * h AS BIGINT) AS n_px FROM d),
+        |can AS (SELECT cluster_rep, doc_id AS canonical_id FROM (
+        |  SELECT comp.cluster_rep, comp.doc_id,
+        |      row_number() OVER (PARTITION BY comp.cluster_rep
+        |        ORDER BY npx.n_px DESC, comp.doc_id) AS rn
+        |    FROM comp JOIN npx USING (doc_id)) WHERE rn = 1)
+        |SELECT comp.doc_id, comp.cluster_rep, npx.n_px, can.canonical_id,
+        |  CASE WHEN comp.doc_id = can.canonical_id
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+        |FROM comp JOIN npx USING (doc_id)
+        |  JOIN can ON comp.cluster_rep = can.cluster_rep
+        |ORDER BY comp.doc_id""".stripMargin,
     // m10's frame-signature CTE + offset voting: matches vote for
     // delta = fa − fb; winning offset per pair by (votes DESC, delta
     // ASC), pairs kept at >= M13MinAligned votes

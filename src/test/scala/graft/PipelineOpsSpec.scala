@@ -3283,6 +3283,49 @@ class PipelineOpsSpec extends SparkSpecBase {
       sfOut((4L, 3L)).getAs[Long]("n_cand"))
   }
 
+  test("d21 edit verify: catches the transposition Jaccard misses, rejects " +
+      "unrelated band collisions, and splits the gate corpus's bimodal " +
+      "candidate set at the measured boundary") {
+    import spark.implicits._
+    // word transposition: shingle Jaccard collapses (3 of 8 shared
+    // 3-grams) while the character edit is tiny — the metric axis d21
+    // adds over d14
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta zeta epsilon eta theta iota kappa"),
+      (3L, "utterly unrelated content with different words entirely now yes"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val by = Dedup.editVerify(cands, docs).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (r.getAs[Long]("edit_sim_e6"), r.getAs[Boolean]("verified"))).toMap
+    assert(by((1L, 2L))._2, s"transposition not verified: $by")
+    assert(by((1L, 2L))._1 > 750000L, by.toString)
+    assert(!by((1L, 3L))._2, s"unrelated pair verified: $by")
+    // the Jaccard contrast: the same transposed pair sits BELOW d14's
+    // verify threshold on distinct 3-gram shingles
+    val sh = docs.filter(col("doc_id") < 3L)
+      .select(col("doc_id"), array_distinct(
+        graft.operators.TextOps.shingles3(
+          graft.operators.TextOps.words(col("text")))).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
+      .toMap
+    val inter = (sh(1L) & sh(2L)).size.toDouble
+    val jac = inter / (sh(1L).size + sh(2L).size - inter)
+    assert(jac * 1e6 < Dedup.D14TauE6,
+      s"constructed pair not below the Jaccard verify bar: $jac")
+    // gate corpus (sf0.001 shares the bimodal structure): every LSH
+    // candidate is either a high-sim near-dup or a low-sim collision —
+    // nothing within 150000 of the boundary on either side
+    val sfOut = Dedup.d21EditVerify(spark, sf).collect()
+    assert(sfOut.nonEmpty)
+    val (ver, rej) = sfOut.partition(_.getAs[Boolean]("verified"))
+    assert(ver.nonEmpty && rej.nonEmpty,
+      s"gate corpus not bimodal: ${sfOut.map(_.getAs[Long]("edit_sim_e6")).sorted.toSeq}")
+    assert(ver.forall(_.getAs[Long]("edit_sim_e6") > Dedup.D21SimE6 + 150000L))
+    assert(rej.forall(_.getAs[Long]("edit_sim_e6") < Dedup.D21SimE6 - 150000L))
+  }
+
   test("d14 verified dedup: near-identical docs cluster, sub-threshold " +
       "overlap does not, keep-one picks the quality argmax") {
     import spark.implicits._
@@ -3338,6 +3381,40 @@ class PipelineOpsSpec extends SparkSpecBase {
       corp.repartition(7, col("text"))).collect()
     assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
       again.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("m14 image manifest: m7 pairs co-cluster, exactly one keeper per " +
+      "cluster and it is the pixel-count argmax, singletons keep themselves") {
+    val rows = Multimodal.m14ImgManifest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("n_px"), r.getAs[Long]("canonical_id"),
+        r.getAs[Long]("keep")))
+    assert(rows.nonEmpty)
+    val cluster = rows.map(t => t._1 -> t._2).toMap
+    // every m7 near-dup pair resolved into ONE cluster
+    val pairs = Multimodal.m7ImgNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters") }
+    // exactly one keeper per cluster — the pixel-count argmax with
+    // doc_id tiebreak — and every member points at it
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._5 == 1L) == 1, s"cluster $rep keeper count")
+      val argmax = members.minBy(m => (-m._3, m._1))
+      members.foreach { m =>
+        assert(m._4 == argmax._1, s"canonical of ${m._1} is not the argmax") }
+      assert(argmax._5 == 1L)
+    }
+    // singletons keep themselves; n_px reconciles with the m6 decode
+    val wh = Multimodal.m6ImgHash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("width") * r.getAs[Long]("height")).toMap
+    rows.foreach { m =>
+      assert(m._3 == wh(m._1), s"n_px drift for doc ${m._1}")
+      if (rows.count(_._2 == m._2) == 1)
+        assert(m._4 == m._1 && m._5 == 1L, s"singleton ${m._1} not kept")
+    }
   }
 
   test("m13 temporal near-dup: aligned runs vote one offset, scattered " +
