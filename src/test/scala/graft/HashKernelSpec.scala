@@ -126,6 +126,73 @@ class HashKernelSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: sketch aggregates equal JVM reference folds under " +
+      "arbitrary partitioning; duplication is free for OR/MAX merges and " +
+      "exactly doubles the additive CMS") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val posGen = Gen.listOf(Gen.chooseNum(0L, 4095L)).map(_.take(8))
+    val hashGen = Gen.chooseNum(0L, (1L << 60) - 1)
+    val wordGen = Gen.alphaNumStr.map(w => if (w.isEmpty) "x" else w.take(6))
+    val prop = Prop.forAll(
+      Gen.listOfN(24, posGen), Gen.listOfN(24, hashGen),
+      Gen.listOfN(24, wordGen), Gen.chooseNum(1, 7)) {
+      (poss, hs, ws, nPart) =>
+        // Bloom (m = 4096): distributed == JVM bitset; dup-insensitive
+        def bloomOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+          df.repartition(nPart).groupBy()
+            .agg(GraftFunctions.bloom_sketch(col("pos"), 4096))
+            .collect().head.getSeq[Long](0)
+        val bdf = poss.toDF("pos")
+        val bref = new Array[Long](64)
+        poss.flatten.foreach(p => bref((p >>> 6).toInt) |= 1L << (p & 63L))
+        val bloomOk = bloomOf(bdf) == bref.toSeq &&
+          bloomOf(bdf.union(bdf)) == bref.toSeq
+        // HLL (m = 64): distributed == JVM register maxima; dup-insensitive
+        def hllOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+          df.repartition(nPart).groupBy()
+            .agg(GraftFunctions.hll_sketch(col("h"), 64))
+            .collect().head.getSeq[Long](0)
+        val hdf = hs.toDF("h")
+        val href = new Array[Long](64)
+        hs.foreach { h =>
+          val idx = (h % 64L).toInt
+          val w = h >>> 6
+          val rank =
+            if (w == 0L) 55L
+            else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+          if (rank > href(idx)) href(idx) = rank
+        }
+        val hllOk = hllOf(hdf) == href.toSeq &&
+          hllOf(hdf.union(hdf)) == href.toSeq
+        // CMS (4×256): distributed == JVM counters; duplication DOUBLES
+        import graft.operators.TextAnalysis.{CmsDepth, CmsWidth, cmsHashes}
+        def cmsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+          df.repartition(nPart)
+            .select(cmsHashes(col("w")).as("hs")).groupBy()
+            .agg(GraftFunctions.cms_sketch(col("hs"), CmsDepth, CmsWidth))
+            .collect().head.getSeq[Long](0)
+        val cdf = ws.toDF("w")
+        val cref = new Array[Long](CmsDepth * CmsWidth)
+        ws.foreach { w =>
+          (0 until CmsDepth).foreach { j =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$j:$w".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(8)
+            val b = (java.lang.Long.parseLong(hex, 16) % CmsWidth).toInt
+            cref(j * CmsWidth + b) += 1L
+          }
+        }
+        val cgot = cmsOf(cdf)
+        val cmsOk = cgot == cref.toSeq &&
+          cmsOf(cdf.union(cdf)) == cref.toSeq.map(_ * 2L)
+        bloomOk && hllOk && cmsOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("GraftExtensions injects the function set at session-build time") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
