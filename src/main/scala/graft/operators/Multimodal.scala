@@ -828,6 +828,33 @@ object Multimodal {
       .withColumn("exact_dup", col("hamming") === 0L)
       .orderBy(col("a"), col("b"))
 
+  /** m15: AUDIO DEDUP MANIFEST — [[m14ImgManifest]]'s recipe on the
+    * audio modality, completing the per-modality trio (text keeps the
+    * quality argmax, images the highest resolution, audio the LONGEST
+    * clip — max n_samples, doc_id tiebreak): m11's MIH-blocked
+    * temporal-energy-hash pairs as edges, alternating-star CC,
+    * keep-one per cluster. Same machinery, third modality — the
+    * modality-blind claim cashed end-to-end everywhere. */
+  def m15AudioManifest(s: SparkSession, d: String): DataFrame = {
+    val hashes = sharedAudioHash(s, d)
+    val pairs = imgNearDupPairs(
+      hashes.select(col("doc_id"), col("ahash_hi"), col("ahash_lo")),
+      maxBucket = None).select(col("a"), col("b"))
+    val comp = graft.operators.Components.connectedComponents(
+      hashes.select(col("doc_id").as("id")), pairs)
+    val len = hashes.select(col("doc_id"), col("n_samples"))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("n_samples").desc, col("doc_id"))
+    comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .join(len, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("keep",
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("cluster_rep"), col("n_samples"),
+        col("canonical_id"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"     -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
@@ -843,6 +870,7 @@ object Multimodal {
     "m12_keyframes"      -> m12Keyframes _,
     "m13_video_neardup"  -> m13VideoNearDup _,
     "m14_img_manifest"   -> m14ImgManifest _,
+    "m15_audio_manifest" -> m15AudioManifest _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1046,6 +1074,50 @@ object Multimodal {
     // identical integer chain
     // m10's frame/cut CTEs + a per-clip running shot index; keyframes
     // are the clip start and every cut frame
+    // m11's closed-form audio hash + brute pairs, then the m14 shape:
+    // recursive closure, keep-one by (n_samples DESC, doc_id)
+    "m15_audio_manifest" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    800 + (doc_id % 16) * 100 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n,
+        |    abs(((t.t * (3 + d.doc_id % 5) + d.doc_id) % 2048) - 1024) AS av,
+        |    (t.t * 64) // d.n AS wi
+        |  FROM d, range(0, 2400) t(t) WHERE t.t < d.n),
+        |tot AS (SELECT doc_id, sum(av) AS ts, count(*) AS np
+        |  FROM s GROUP BY doc_id),
+        |wnd AS (SELECT doc_id, wi, sum(av) AS ws, count(*) AS wn
+        |  FROM s GROUP BY doc_id, wi),
+        |bits AS (SELECT w.doc_id, w.wi,
+        |    CASE WHEN w.ws * tot.np > tot.ts * w.wn THEN 1 ELSE 0 END AS bit
+        |  FROM wnd w JOIN tot USING (doc_id)),
+        |hsh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND wi >= 32
+        |      THEN 1::BIGINT << (wi - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND wi < 32
+        |      THEN 1::BIGINT << wi ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+        |e2 AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT r.src, e2.v FROM reach r JOIN e2 ON r.dst = e2.u),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster_rep
+        |  FROM reach GROUP BY src),
+        |ln AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples FROM d),
+        |can AS (SELECT cluster_rep, doc_id AS canonical_id FROM (
+        |  SELECT comp.cluster_rep, comp.doc_id,
+        |      row_number() OVER (PARTITION BY comp.cluster_rep
+        |        ORDER BY ln.n_samples DESC, comp.doc_id) AS rn
+        |    FROM comp JOIN ln USING (doc_id)) WHERE rn = 1)
+        |SELECT comp.doc_id, comp.cluster_rep, ln.n_samples, can.canonical_id,
+        |  CASE WHEN comp.doc_id = can.canonical_id
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+        |FROM comp JOIN ln USING (doc_id)
+        |  JOIN can ON comp.cluster_rep = can.cluster_rep
+        |ORDER BY comp.doc_id""".stripMargin,
     // m7's closed-form hash + brute pairs, then the d11 oracle shape:
     // recursive closure, min rep, keep-one by (n_px DESC, doc_id)
     "m14_img_manifest" ->

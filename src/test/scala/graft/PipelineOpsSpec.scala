@@ -3417,6 +3417,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("m15 audio manifest: m11 pairs co-cluster, one keeper per cluster " +
+      "is the longest clip, singletons keep themselves") {
+    val rows = Multimodal.m15AudioManifest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("n_samples"), r.getAs[Long]("canonical_id"),
+        r.getAs[Long]("keep")))
+    assert(rows.nonEmpty)
+    val cluster = rows.map(t => t._1 -> t._2).toMap
+    val pairs = Multimodal.m11AudioNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters") }
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._5 == 1L) == 1, s"cluster $rep keeper count")
+      val argmax = members.minBy(m => (-m._3, m._1))
+      members.foreach { m =>
+        assert(m._4 == argmax._1, s"canonical of ${m._1} not the longest") }
+    }
+    rows.filter(m => rows.count(_._2 == m._2) == 1).foreach { m =>
+      assert(m._4 == m._1 && m._5 == 1L, s"singleton ${m._1} not kept") }
+  }
+
   test("m13 temporal near-dup: aligned runs vote one offset, scattered " +
       "coincidences stay below threshold, offset ties break to the smallest " +
       "delta, and the sig cap sheds constant-frame pairs count-first") {
