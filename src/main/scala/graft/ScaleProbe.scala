@@ -430,6 +430,23 @@ object ScaleProbe {
             (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
             (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_d"), lit(0L))).as("c"))
       },
+      // e33 shape: a fixed-size ±1 delta absorbed into a GROWING
+      // stored support table (the retractable-distinct auxiliary
+      // state) — one delta partial agg + one full-outer merge +
+      // transition tallies; must track the stored-table scan
+      // (linear in n), never recompute a corpus distinct
+      time("delta_distinct_merge") {
+        val n = 1000000L * m
+        val base = spark.range(n).select((col("id") % 720L).as("hour_s"),
+          col("id").as("user_id"), col("id").as("event_id"),
+          lit("click").as("event_type"))
+        val ins = spark.range(100000L)
+          .select((col("id") % 720L).as("hour_s"),
+            (col("id") + n).as("user_id"), (col("id") + n).as("event_id"),
+            lit("click").as("event_type"))
+        val del = base.filter(col("user_id") % 13L === 0L)
+        operators.Events.deltaDistinct(base, ins, del)
+      },
       // native as-of shape: sort-merge as-of of n×m probes vs n×m
       // quotes over 100k keys — one exchange+sort per side then a
       // linear O(1)-state merge; should track n (the composed

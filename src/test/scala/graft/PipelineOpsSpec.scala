@@ -3206,8 +3206,14 @@ class PipelineOpsSpec extends SparkSpecBase {
           .bloom_sketch(col("pos"), Dedup.BloomMBits)).collect()
     }
     assert(ex.getMessage.contains("bloom_sketch") || ex.getCause != null)
+    // the 1-row sketch reaches the per-window test via BROADCAST — a
+    // plain cartesian against the bitset would re-shuffle the corpus
+    val sfDf = Dedup.d19BloomNovelty(spark, sf)
+    assert(planOf(sfDf).contains("BroadcastNestedLoopJoin") ||
+      planOf(sfDf).contains("BroadcastExchange"),
+      "bloom bitset not broadcast to the incoming side")
     // sf gate: exact n_seen per doc equals the join-everything strawman
-    val out = Dedup.d19BloomNovelty(spark, sf).collect()
+    val out = sfDf.collect()
     assert(out.nonEmpty && out.exists(_.getAs[Long]("n_seen") > 0L))
     out.foreach { r =>
       assert(r.getAs[Long]("n_seen") <= r.getAs[Long]("n_maybe"))
