@@ -1857,29 +1857,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("src_rank"), col("slot"))
   }
 
-  /** Library form of [[x33BudgetSelect]]: keep docs in salted-hash
-    * priority order while cumulative tokens ≤ ⌊total/2⌋. */
-  def budgetSelect(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val keyed = docs
+  /** x33's salted-hash keying stage: per doc, token count, the md5
+    * draw `hd` and its 4-hex-char (65536-bucket) prefix. */
+  private[graft] def budgetKeyed(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
       .withColumn("hd",
         md5(concat(col("doc_id").cast("string"), lit(":budget"))))
       .withColumn("pfx", conv(substring(col("hd"), 1, 4), 16, 10).cast("int"))
-    // the ONLY corpus-wide aggregation: 65536-bucket (count, tokens) —
-    // still a driver-sized rollup, and the boundary bucket shrinks to
-    // ~n/65536 rows
-    val hist = keyed.groupBy(col("pfx"))
+
+  /** x33's 65536-bucket (count, tokens) histogram over a keyed frame —
+    * ADDITIVE (count/sum partials merge exactly on any chunking), so
+    * it is also the per-micro-batch unit the streaming twin
+    * [[graft.streaming.StreamOps.budgetThresholdStream]] absorbs. */
+  private[graft] def budgetHistFromKeyed(keyed: DataFrame): DataFrame =
+    keyed.groupBy(col("pfx"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_tok")).as("tok"))
-      .localCheckpoint()
-    // boundary bucket on the 65536-row rollup (driver-sized windows,
-    // the x23 argument): first pfx whose cumulative tokens reach the
-    // budget; `rem` is the token headroom entering it. Aggregated to
-    // one ALWAYS-PRESENT row (the filter matches exactly one bucket
-    // when budget > 0, zero when budget = 0 — e.g. an all-empty-doc
-    // corpus — where a bare cross join would drop every row instead
-    // of marking them all kept=false; bpfx is null in that case).
-    val boundary = hist
+
+  /** The budget boundary over a histogram rollup: first pfx whose
+    * cumulative tokens reach ⌊total/2⌋; `rem` is the token headroom
+    * entering it. Driver-sized windows over ≤65536 rows (the x23
+    * argument). Aggregated to one ALWAYS-PRESENT row (the filter
+    * matches exactly one bucket when budget > 0, zero when budget = 0
+    * — e.g. an all-empty-doc corpus — where a bare cross join would
+    * drop every row instead of marking them all kept=false; bpfx is
+    * null in that case). */
+  private[graft] def budgetBoundary(hist: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    hist
       .withColumn("budget", idiv(sum(col("tok")).over(w.partitionBy()), lit(2L)))
       .withColumn("cum_before",
         coalesce(sum(col("tok")).over(w.partitionBy()
@@ -1890,6 +1895,18 @@ object TextAnalysis {
       .select(col("pfx").as("bpfx"),
         (col("budget") - col("cum_before")).as("rem"))
       .agg(max(col("bpfx")).as("bpfx"), max(col("rem")).as("rem"))
+  }
+
+  /** Library form of [[x33BudgetSelect]]: keep docs in salted-hash
+    * priority order while cumulative tokens ≤ ⌊total/2⌋. */
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val keyed = budgetKeyed(docs)
+    // the ONLY corpus-wide aggregation: 65536-bucket (count, tokens) —
+    // still a driver-sized rollup, and the boundary bucket shrinks to
+    // ~n/65536 rows
+    val hist = budgetHistFromKeyed(keyed).localCheckpoint()
+    val boundary = budgetBoundary(hist)
     // rank ONLY the boundary bucket (~n/65536 rows) to the exact
     // threshold key: the last doc whose in-bucket running total fits
     val thr = keyed

@@ -1179,6 +1179,75 @@ object StreamOps {
     else s.read.parquet(vs.maxBy(_._1)._2.toString)
   }
 
+  /** Histogram schema maintained by [[budgetThresholdStream]]. */
+  private val BudgetHistSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("pfx",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cnt",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tok",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The standing 65536-bucket budget histogram maintained by
+    * [[budgetThresholdStream]] (empty before the first batch);
+    * `before` is the deltaAggCurrent redelivery bound. */
+  def budgetHistCurrent(s: org.apache.spark.sql.SparkSession,
+      dir: String, before: Long = Long.MaxValue): DataFrame = {
+    val vs = rollupVersions(s, dir).filter(_._1 < before)
+    if (vs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        BudgetHistSchema)
+    else s.read.parquet(vs.maxBy(_._1)._2.toString)
+  }
+
+  /** The maintained VIEW: the corpus's current token budget boundary —
+    * x33's (budget, boundary bucket, headroom) computed off the
+    * standing histogram, continuously. A selection stage reads this
+    * one row to decide keeps at ingest without any corpus-wide pass. */
+  def budgetThresholdView(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val hist = budgetHistCurrent(s, dir)
+    hist.agg(graft.operators.TextOps.idiv(
+        coalesce(sum(col("tok")), lit(0L)), lit(2L)).as("budget"))
+      .crossJoin(graft.operators.TextAnalysis.budgetBoundary(hist))
+  }
+
+  /** Streaming x33 — the BUDGET THRESHOLD maintained continuously:
+    * each micro-batch's 65536-bucket (count, tokens) histogram partial
+    * (ADDITIVE, so chunking-exact) absorbs into a standing versioned
+    * histogram (deltaAggStream's machinery + its `before = id`
+    * redelivery idempotence); the boundary recomputes per batch off
+    * the ≤65536-row store — driver-sized work, never a corpus pass.
+    * The honest scope note: the THRESHOLD is what streams (it moves as
+    * the corpus grows); re-grading previously-kept docs against the
+    * moved threshold is a batch sweep by construction (x33's keep set
+    * is defined over the WHOLE corpus — no per-event operator can emit
+    * it before seeing the corpus). */
+  def budgetThresholdStream(docs: DataFrame, storeDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = batch.sparkSession
+        import graft.operators.TextAnalysis.{budgetKeyed, budgetHistFromKeyed}
+        val delta = budgetHistFromKeyed(budgetKeyed(batch.toDF()))
+          .select(col("pfx"), col("cnt").as("cnt_d"), col("tok").as("tok_d"))
+        val base = budgetHistCurrent(s, storeDir, before = id)
+        base.join(delta, Seq("pfx"), "full_outer")
+          .select(col("pfx"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L)))
+              .as("cnt"),
+            (coalesce(col("tok"), lit(0L)) + coalesce(col("tok_d"), lit(0L)))
+              .as("tok"))
+          .write.mode("overwrite").parquet(s"$storeDir/v$id")
+        val path = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        rollupVersions(s, storeDir).filter(_._1 < id)
+          .sortBy(_._1).dropRight(1)
+          .foreach { case (_, p) => fs.delete(p, true) }
+        ()
+      }
+
   /** Support-table schema maintained by [[deltaDistinctStream]]. */
   private val SupportSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("hour_s",
@@ -1320,6 +1389,7 @@ object StreamOps {
     "anomalyStream" -> OutputMode.Append(),
     "deltaAggStream" -> OutputMode.Update(),
     "deltaDistinctStream" -> OutputMode.Update(),
+    "budgetThresholdStream" -> OutputMode.Update(),
     "patternStream" -> OutputMode.Append(),
     "permuteStream" -> OutputMode.Append(),
     "repeatWithinStream" -> OutputMode.Append(),

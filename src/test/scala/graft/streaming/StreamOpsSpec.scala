@@ -1540,6 +1540,43 @@ class StreamOpsSpec extends SparkSpecBase {
       s"restart lost mask state: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
 
+  test("budgetThresholdStream: the standing histogram after chunked replay " +
+      "yields exactly the batch boundary (budget, bucket, headroom); the " +
+      "empty store reports the degenerate zero budget") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docsDf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val docs = docsDf.as[(Long, String)].collect().sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("bt-store").toString
+    val cp = java.nio.file.Files.createTempDirectory("bt-cp").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.budgetThresholdStream(
+      in.toDF().toDF("doc_id", "text"), dir)
+      .option("checkpointLocation", cp).start()
+    docs.grouped(docs.size / 5 + 1).foreach { chunk =>
+      in.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val view = StreamOps.budgetThresholdView(spark, dir).collect()
+    assert(view.length == 1)
+    val keyed = graft.operators.TextAnalysis.budgetKeyed(docsDf)
+    val hist = graft.operators.TextAnalysis.budgetHistFromKeyed(keyed)
+    val wantBudget = keyed.agg(sum(col("n_tok"))).collect().head.getLong(0) / 2L
+    val wantB = graft.operators.TextAnalysis.budgetBoundary(hist)
+      .collect().head
+    val v = view.head
+    assert(v.getAs[Long]("budget") == wantBudget, v.toString)
+    assert(v.getAs[Int]("bpfx") == wantB.getAs[Int]("bpfx"), v.toString)
+    assert(v.getAs[Long]("rem") == wantB.getAs[Long]("rem"), v.toString)
+    // degenerate: a store that never saw a batch → budget 0, null bucket
+    val empty = StreamOps.budgetThresholdView(spark,
+      java.nio.file.Files.createTempDirectory("bt-empty").toString)
+      .collect().head
+    assert(empty.getAs[Long]("budget") == 0L &&
+      empty.isNullAt(empty.fieldIndex("bpfx")), empty.toString)
+  }
+
   test("deltaDistinctStream: support table after chunked ±1 replay ≡ the " +
       "batch e33 view, zero-support rows leave the table, and a retraction " +
       "of a non-existent element fails the batch loudly") {
