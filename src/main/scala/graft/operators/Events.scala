@@ -1147,6 +1147,59 @@ object Events {
     patternOverlap(events(s, d), Seq("click", "view", "purchase"))
       .orderBy(col("user_id"), col("start_event_id"))
 
+  /** e34: OVERLAPPING matches bounded by `WITHIN` — e32's
+    * suffix-shared chain with the e21 deadline composed in: a
+    * stage-1 event's match counts only if its chained completion
+    * lands within `windowMicros` of it. The chain stays GREEDY and
+    * non-backtracking (each stage takes the earliest next occurrence;
+    * a match whose earliest completion misses the deadline is dropped,
+    * never retried against a later view — e21's discipline): the
+    * next-pointers simply carry (t, id) structs instead of ids, and
+    * the deadline is one filter on the joined chain. The WITHIN bound
+    * is also what makes a STREAMING twin of overlap matching possible
+    * at all — pending attempts expire after the window, so keyed
+    * state is bounded by window × event rate instead of O(partition)
+    * (the unbounded e32 has no twin for exactly that reason, its
+    * scaladoc's argument). */
+  def patternOverlapWithin(ev: DataFrame, stages: Seq[String],
+      windowMicros: Long): DataFrame = {
+    require(stages.size == 3, "patternOverlapWithin states the 3-stage funnel")
+    require(windowMicros > 0L, "window must be positive")
+    val code = stages.zipWithIndex.foldLeft(lit(0L)) { case (c, (st, i)) =>
+      when(col("event_type") === st, (i + 1).toLong).otherwise(c)
+    }
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("id"))
+      .rowsBetween(1L, Window.unboundedFollowing)
+    val base = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id").as("id"), code.as("c"))
+      .withColumn("nx2", first(when(col("c") === 2L,
+        struct(col("t"), col("id"))), ignoreNulls = true).over(w))
+      .withColumn("nx3", first(when(col("c") === 3L,
+        struct(col("t"), col("id"))), ignoreNulls = true).over(w))
+    val starts = base.filter(col("c") === 1L && col("nx2").isNotNull)
+      .select(col("user_id").as("u"), col("t").as("start_t"),
+        col("id").as("start_event_id"), col("nx2.id").as("mid_event_id"))
+    val mids = base.filter(col("c") === 2L && col("nx3").isNotNull)
+      .select(col("user_id").as("mu"), col("id").as("mid"),
+        col("nx3.t").as("end_t"), col("nx3.id").as("end_event_id"))
+    starts.join(mids,
+        col("u") <=> col("mu") && col("mid_event_id") === col("mid"))
+      .filter(col("end_t") - col("start_t") <= windowMicros)
+      .select(col("u").as("user_id"), col("start_event_id"),
+        col("mid_event_id"), col("end_event_id"),
+        (col("end_t") - col("start_t")).as("span_us"))
+  }
+
+  /** e34's gated surface: the standard funnel under the e21 7-day
+    * window (at sf0.01 the deadline is ARMED: it drops real e32
+    * matches — spec-pinned subset relation). */
+  def e34OverlapWithin(s: SparkSession, d: String): DataFrame =
+    patternOverlapWithin(events(s, d), Seq("click", "view", "purchase"),
+      PatternWithinMicros)
+      .orderBy(col("user_id"), col("start_event_id"))
+
   /** e21's attempt window: a funnel attempt must complete within 7
     * days of its first accepted event (MATCH_RECOGNIZE `WITHIN`). */
   val PatternWithinMicros: Long = 7L * 86400L * 1000000L
@@ -1539,6 +1592,7 @@ object Events {
     "e31_pattern_repeat_bounded" -> e31PatternRepeatBounded _,
     "e32_pattern_overlap" -> e32PatternOverlap _,
     "e33_delta_distinct" -> e33DeltaDistinct _,
+    "e34_overlap_within" -> e34OverlapWithin _,
     "e28_pattern_permute" -> e28PatternPermute _,
     "e29_range_frame"    -> e29RangeFrame _,
     "e30_repeat_within"  -> e30PatternRepeatWithin _,
@@ -1878,6 +1932,30 @@ object Events {
     // the e25 transition table + one more accumulator (the open
     // attempt's B count) — the engine's streamed fold restated as the
     // recursive-CTE automaton, completions gated on bc >= 2
+    // e32's chain with (t, id) pointers and the deadline filter; the
+    // span rides the gate so the window arithmetic is pinned exactly
+    "e34_overlap_within" ->
+      s"""WITH e AS (SELECT user_id, ts, epoch_us(ts) AS t, event_id,
+         |    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+         |      WHEN 'purchase' THEN 3 ELSE 0 END AS c
+         |  FROM events),
+         |w AS (SELECT user_id, event_id, c, t,
+         |    first_value(CASE WHEN c = 2 THEN event_id END IGNORE NULLS)
+         |      OVER nxt AS nx2_id,
+         |    first_value(CASE WHEN c = 3 THEN event_id END IGNORE NULLS)
+         |      OVER nxt AS nx3_id,
+         |    first_value(CASE WHEN c = 3 THEN t END IGNORE NULLS)
+         |      OVER nxt AS nx3_t
+         |  FROM e WINDOW nxt AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         |SELECT a.user_id, a.event_id AS start_event_id,
+         |  a.nx2_id AS mid_event_id, b.nx3_id AS end_event_id,
+         |  b.nx3_t - a.t AS span_us
+         |FROM w a JOIN w b
+         |  ON a.user_id IS NOT DISTINCT FROM b.user_id AND a.nx2_id = b.event_id
+         |WHERE a.c = 1 AND b.nx3_id IS NOT NULL
+         |  AND b.nx3_t - a.t <= $PatternWithinMicros
+         |ORDER BY a.user_id, start_event_id""".stripMargin,
     // single-pass ±1-weighted support recompute (structurally NOT the
     // engine's stored-state + merge plan): per (hour, user) the summed
     // weights give final support, bool_or the base membership — hash

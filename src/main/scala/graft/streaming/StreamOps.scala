@@ -1179,6 +1179,82 @@ object StreamOps {
     else s.read.parquet(vs.maxBy(_._1)._2.toString)
   }
 
+  case class OverlapWithinState(
+      starts: List[(Long, Long)],
+      pairs: List[(Long, Long, Long)],
+      last_us: Long, last_event_id: Long)
+  case class OverlapMatch(user_id: Long, start_event_id: Long,
+      mid_event_id: Long, end_event_id: Long, span_us: Long)
+
+  /** Streaming e34 — OVERLAPPING matches under `WITHIN`, as keyed
+    * state: pending stage-1 starts await the next view (ALL of them
+    * chain to it — the suffix-sharing semantics), pending
+    * (start, view) pairs await the next purchase, and matches emit
+    * the moment they complete (Append mode, per-event latency). The
+    * WITHIN deadline is precisely what makes this twin POSSIBLE:
+    * every arriving event first expires state older than the window,
+    * so a key's state is bounded by window × event rate — the
+    * unbounded e32 chain has NO streaming twin because its pending
+    * set is O(history) on an all-clicks stream (its scaladoc's
+    * argument; the batch chain form is the answer there). Greedy and
+    * non-backtracking like the batch twin: a pair whose first
+    * purchase misses the deadline is dropped, never retried.
+    * Duplicate redelivery is fenced by the (last_us, last_event_id)
+    * freshness bound (the repeatWithinStream discipline); idle-key
+    * GC would use a state timeout in production — state here is
+    * bounded per ACTIVE key by the window. */
+  def overlapWithinStream(events: Dataset[KeyedEvent],
+      windowMicros: Long): Dataset[OverlapMatch] = {
+    require(windowMicros > 0L, "window must be positive")
+    implicit val oe: org.apache.spark.sql.Encoder[OverlapMatch] =
+      Encoders.product[OverlapMatch]
+    implicit val se: org.apache.spark.sql.Encoder[OverlapWithinState] =
+      Encoders.product[OverlapWithinState]
+    implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OverlapWithinState, OverlapMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[KeyedEvent],
+            state: GroupState[OverlapWithinState]) =>
+          var st = state.getOption.getOrElse(
+            OverlapWithinState(Nil, Nil, Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ListBuffer[OverlapMatch]()
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            val fresh = t > st.last_us ||
+              (t == st.last_us && e.event_id > st.last_event_id)
+            if (fresh) {
+              // event-time expiry BOUNDS the state: anything older
+              // than the window can never complete in-window again
+              st = st.copy(
+                starts = st.starts.filter(s => t - s._1 <= windowMicros),
+                pairs = st.pairs.filter(p => t - p._1 <= windowMicros))
+              e.event_type match {
+                case "click" =>
+                  st = st.copy(starts = st.starts :+ ((t, e.event_id)))
+                case "view" =>
+                  st = st.copy(
+                    pairs = st.pairs ++
+                      st.starts.map(s => (s._1, s._2, e.event_id)),
+                    starts = Nil)
+                case "purchase" =>
+                  st.pairs.foreach { p =>
+                    out += OverlapMatch(user, p._2, p._3, e.event_id,
+                      t - p._1)
+                  }
+                  st = st.copy(pairs = Nil)
+                case _ => ()
+              }
+              st = st.copy(last_us = t, last_event_id = e.event_id)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Histogram schema maintained by [[budgetThresholdStream]]. */
   private val BudgetHistSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("pfx",
@@ -1390,6 +1466,7 @@ object StreamOps {
     "deltaAggStream" -> OutputMode.Update(),
     "deltaDistinctStream" -> OutputMode.Update(),
     "budgetThresholdStream" -> OutputMode.Update(),
+    "overlapWithinStream" -> OutputMode.Append(),
     "patternStream" -> OutputMode.Append(),
     "permuteStream" -> OutputMode.Append(),
     "repeatWithinStream" -> OutputMode.Append(),

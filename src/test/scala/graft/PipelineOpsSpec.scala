@@ -3817,6 +3817,49 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("e34 overlap within: matches are exactly the in-window subset of " +
+      "e32, the deadline is armed on real events, and the greedy chain " +
+      "never retries a missed completion") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val W = 5000000L // 5 s
+    val rows = Seq(
+      // in-window match: A at 0, V at 1, P at 3 → span 3 s ≤ 5 s
+      (1L, ts(0), 1L, "click"), (1L, ts(1), 2L, "view"),
+      (1L, ts(2), 3L, "click"), (1L, ts(3), 4L, "purchase"),
+      // greedy no-retry: A at 0, first V at 1, first P after it at 10
+      // (span 10 s > W) — dropped even though a LATER chain could not
+      // exist; the second A at 8 chains V?  no view after 8 → no match
+      (2L, ts(0), 11L, "click"), (2L, ts(1), 12L, "view"),
+      (2L, ts(8), 13L, "click"), (2L, ts(10), 14L, "purchase")
+    ).map { case (u, t, id, ty) => (u, t, id, ty, 0.0d) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Events.patternOverlapWithin(rows,
+        Seq("click", "view", "purchase"), W).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_event_id"),
+        r.getAs[Long]("end_event_id"), r.getAs[Long]("span_us"))).toSet
+    // user 1: click1 → view2 → purchase4 (span 3 s); click3 → no view
+    // after it. user 2: click11 → view12 → purchase14 span 10 s > W
+    // dropped; click13 → no view after it.
+    assert(got == Set((1L, 1L, 4L, 3000000L)), got.toString)
+    // sf gate: e34 ⊆ e32 with spans within the 7-day window, and the
+    // deadline drops real matches (armed)
+    val within = Events.e34OverlapWithin(spark, sf).collect()
+      .map(r => (Option(r.get(r.fieldIndex("user_id")))
+          .map(_.asInstanceOf[Long]),
+        r.getAs[Long]("start_event_id"), r.getAs[Long]("end_event_id")))
+      .toSet
+    val all = Events.e32PatternOverlap(spark, sf).collect()
+      .map(r => (Option(r.get(r.fieldIndex("user_id")))
+          .map(_.asInstanceOf[Long]),
+        r.getAs[Long]("start_event_id"), r.getAs[Long]("end_event_id")))
+      .toSet
+    assert(within.subsetOf(all), "within-matches not a subset of e32")
+    assert(within.size < all.size,
+      "the 7-day deadline dropped nothing — window check idle at SF")
+  }
+
   test("m12 keyframes: one per shot, shot indexes dense from 0, first " +
       "keyframe at clip start, counts reconcile with m10") {
     val kf = Multimodal.m12Keyframes(spark, sf).collect()

@@ -1540,6 +1540,64 @@ class StreamOpsSpec extends SparkSpecBase {
       s"restart lost mask state: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
 
+  test("overlapWithinStream: chunked in-order replay emits exactly the " +
+      "batch e34 match set, duplicate redelivery adds nothing, and expired " +
+      "pendings die across chunk boundaries on event time") {
+    implicit val sq = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[KeyedEvent].collect()
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.overlapWithinStream(in.toDS(),
+        graft.operators.Events.PatternWithinMicros)
+      .writeStream.format("memory").queryName("ow_stream")
+      .outputMode(OutputMode.Append()).start()
+    val chunks = ev.grouped(ev.length / 7 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(u: Long, s: Long, m: Long, e: Long, sp: Long) = (u, s, m, e, sp)
+    val streamed = spark.table("ow_stream").collect()
+      .map(r => key(r.getAs[Long]("user_id"), r.getAs[Long]("start_event_id"),
+        r.getAs[Long]("mid_event_id"), r.getAs[Long]("end_event_id"),
+        r.getAs[Long]("span_us")))
+    assert(streamed.length == streamed.distinct.length,
+      "duplicate redelivery re-emitted a match")
+    val batch = graft.operators.Events.e34OverlapWithin(spark, sf).collect()
+      .map(r => key(r.getAs[Long]("user_id"), r.getAs[Long]("start_event_id"),
+        r.getAs[Long]("mid_event_id"), r.getAs[Long]("end_event_id"),
+        r.getAs[Long]("span_us")))
+    assert(batch.nonEmpty && streamed.toSet == batch.toSet,
+      s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
+    // constructed straddle: pendings opened in one micro-batch expire on
+    // EVENT time chunks later; overlap sharing emits two matches through
+    // one purchase
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val in2 = MemoryStream[KeyedEvent]
+    val q2 = StreamOps.overlapWithinStream(in2.toDS(), 5000000L)
+      .writeStream.format("memory").queryName("ow_straddle")
+      .outputMode(OutputMode.Append()).start()
+    in2.addData(KeyedEvent(9L, 1L, "click", t(0)),
+      KeyedEvent(9L, 2L, "click", t(1)), KeyedEvent(9L, 3L, "view", t(2)))
+    q2.processAllAvailable()
+    // purchase at 4 s: BOTH pending pairs complete (suffix sharing)
+    in2.addData(KeyedEvent(9L, 4L, "purchase", t(4)))
+    q2.processAllAvailable()
+    // a fresh attempt opened at 20 s never meets a view until 30 s —
+    // past the 5 s window, so the start expired in state: no match
+    in2.addData(KeyedEvent(9L, 5L, "click", t(20)))
+    q2.processAllAvailable()
+    in2.addData(KeyedEvent(9L, 6L, "view", t(30)),
+      KeyedEvent(9L, 7L, "purchase", t(31)))
+    q2.processAllAvailable(); q2.stop()
+    val fin = spark.table("ow_straddle").collect()
+      .map(r => (r.getAs[Long]("start_event_id"),
+        r.getAs[Long]("end_event_id"), r.getAs[Long]("span_us"))).toSet
+    assert(fin == Set((1L, 4L, 4000000L), (2L, 4L, 3000000L)), fin.toString)
+  }
+
   test("budgetThresholdStream: the standing histogram after chunked replay " +
       "yields exactly the batch boundary (budget, bucket, headroom); the " +
       "empty store reports the degenerate zero budget") {
