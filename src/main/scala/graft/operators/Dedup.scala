@@ -380,11 +380,13 @@ object Dedup {
     * consumer, so the barrier SUBTREE re-executes once per config
     * plus once for ground truth — bounded linear passes, the same
     * two-pass trade the capped-census fix measured and chose over an
-    * unevictable checkpoint pin (BASELINE round-11). A production
-    * design sweep would persist the signature table once (Warehouse
-    * bucketed by doc_id, the d8 standing-index pattern) and run every
-    * config against the stored sigs; auditing on a SAMPLE of the
-    * corpus is a `.sample` in front, unchanged machinery. Each config
+    * unevictable checkpoint pin (BASELINE round-11). The production
+    * sweep persists the signature table once
+    * ([[Warehouse.writeSigTable]], bucketed by doc_id) and runs every
+    * config against the stored sigs via [[lshScurveFrom]] —
+    * WarehouseSpec pins that path recomputing NO signature kernel and
+    * matching this inline form; auditing on a SAMPLE of the corpus is
+    * a `.sample` in front, unchanged machinery. Each config
     * then re-slices the 12-long sig array (narrow map) and pays one
     * band-key equi-join — the d3 cost class per config. Ground truth
     * is the d4 inverted-index join, never all-pairs. */
@@ -393,11 +395,24 @@ object Dedup {
 
   /** Library form of [[d20LshScurve]]: any (doc_id, text) frame,
     * caller-chosen ground-truth threshold. */
-  def lshScurve(docs: DataFrame, tauE6: Long): DataFrame = {
-    val base = lshIndex(docs.repartition(col("doc_id")))
+  def lshScurve(docs: DataFrame, tauE6: Long): DataFrame =
+    lshScurveFrom(sweepSigBase(docs), tauE6)
+
+  /** The per-doc (doc_id, dsh, sig) frame every audited config and the
+    * ground truth consume — built inline here, PERSISTED once by
+    * [[Warehouse.writeSigTable]] for the production sweep (each config
+    * then re-reads stored sigs instead of re-running the signature
+    * pipeline; WarehouseSpec pins the stored path computes no
+    * signature kernel and matches this inline form row-for-row). */
+  private[graft] def sweepSigBase(docs: DataFrame): DataFrame =
+    lshIndex(docs.repartition(col("doc_id")))
       .select(col("doc_id"), array_distinct(col("sh")).as("dsh"), col("sig"))
       .groupBy(col("doc_id"))
       .agg(min(col("dsh")).as("dsh"), min(col("sig")).as("sig"))
+
+  /** [[lshScurve]] over an already-materialized signature base —
+    * the stored-table sweep entry. */
+  def lshScurveFrom(base: DataFrame, tauE6: Long): DataFrame = {
     val inv = base.select(col("doc_id"),
       size(col("dsh")).cast("long").as("n_sh"), explode(col("dsh")).as("shingle"))
     val truth = inv.select(col("shingle"), col("doc_id").as("a"), col("n_sh").as("na"))

@@ -195,6 +195,19 @@ object Warehouse {
       .sortBy("band_idx", "band_key")
       .format("parquet").saveAsTable(table)
 
+  /** Persist the per-doc MinHash signature base
+    * ([[Dedup.sweepSigBase]]: doc_id, distinct shingles, 12-long sig)
+    * bucketed by doc_id — the d20 design sweep's production posture:
+    * the signature pipeline runs ONCE at write time, and every
+    * audited banding config (plus the exact-Jaccard ground truth)
+    * re-reads stored sigs instead of re-executing the shingle→hash→
+    * minhash chain per consumer (the inline sweep's documented
+    * bounded-linear-passes trade, eliminated here). */
+  def writeSigTable(base: DataFrame, table: String, nBuckets: Int): Unit =
+    base.write.mode("overwrite")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+
   /** APPEND a batch's postings to an existing standing index (same
     * bucketing — `nBuckets` must match the write-time layout). A band
     * key can then appear in several posting rows (one per appended

@@ -332,6 +332,28 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("stored signature table: the d20 design sweep reads sigs without " +
+      "recomputing any signature kernel and matches the inline sweep") {
+    try {
+      val docs = Tables.documents(spark, sf)
+      Warehouse.writeSigTable(Dedup.sweepSigBase(docs), "wh_sweep_sigs", 4)
+      val stored = Dedup.lshScurveFrom(spark.table("wh_sweep_sigs"),
+        tauE6 = Dedup.D14TauE6)
+      val plan = planOf(stored)
+      assert(plan.contains("wh_sweep_sigs"), s"stored sigs not in plan:\n$plan")
+      // the stored sweep computes band keys (md5 over stored sigs) but
+      // never a signature kernel: no shingle hashing, no minhash
+      assert(!plan.contains("shingle_hash32") && !plan.contains("minhash_sig"),
+        "stored sweep re-ran the signature pipeline")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")) ->
+          (r.getAs[Long]("n_true"), r.getAs[Long]("n_cand"),
+            r.getAs[Long]("tp"))).toMap
+      assert(rows(stored) == rows(Dedup.lshScurve(docs, Dedup.D14TauE6)),
+        "stored sweep diverged from the inline sweep")
+    } finally spark.sql("DROP TABLE IF EXISTS wh_sweep_sigs")
+  }
+
   test("cluster-bucketed corpus: SemDeDup's pair self-join never shuffles") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
