@@ -1215,6 +1215,81 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Neighbors per vector in the s22/s23 kNN graph. */
+  val GraphK = 3
+
+  /** Directed top-k edges from an (a, b, cos_e6) unordered pair frame:
+    * each pair feeds both endpoints' candidate lists; rank by the e6
+    * fixed-point cosine (nid tiebreak) so both engines state the
+    * identical total order. */
+  private def knnGraphFromPairs(pairs: DataFrame): DataFrame = {
+    val directed = pairs
+      .select(col("a").as("src"), col("b").as("nid"), col("cos_e6"))
+      .unionByName(pairs
+        .select(col("b").as("src"), col("a").as("nid"), col("cos_e6")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_e6").desc, col("nid"))
+    directed
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= GraphK.toLong)
+      .select(col("src"), col("rank"), col("nid"), col("cos_e6"))
+  }
+
+  /** s22: the EXACT kNN GRAPH — every vector's [[GraphK]] nearest
+    * neighbors (not just the query set s1 serves): the precursor
+    * artifact of SemDeDup-style clustering, kNN-LM retrieval and
+    * graph-based ANN index builds. Edges come from the s3 tiled
+    * all-pairs stage with the threshold OPEN (every pair scored once
+    * per unordered pair, each feeding both endpoints' lists), then
+    * one per-vector window cut.
+    *
+    * Scale notes (100 TB): this is the honest O(n²) baseline — the
+    * tiled pair stage bounds task memory (never a corpus broadcast)
+    * and the per-src window is k-bounded, but pair count is
+    * quadratic; the production path is s23's IVF-pruned graph
+    * (Σ|cluster|²·nprobe work), with NN-descent the published
+    * refinement beyond both. The ranking is by e6 fixed-point cosine
+    * with nid tiebreak — the same total order both engines state. */
+  def s22KnnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphFromPairs(cosinePairsRaw(embeddings(s, d),
+      s.sparkContext.defaultParallelism, threshold = -2.0))
+      .orderBy(col("src"), col("rank"))
+
+  /** s23: the IVF-PRUNED kNN graph — s22's production form: every
+    * vector probes its [[NProbe]] nearest codebook clusters (the s2
+    * machinery, applied to ALL vectors instead of the query set) and
+    * ranks only co-clustered candidates; pair work collapses from n²
+    * to Σ(cluster × probe fan). Approximate exactly like s2: recall
+    * vs the exact graph is measured by spec (and the miss pattern is
+    * the s18 ladder's lesson — cross-cluster true neighbors). Each
+    * (src, nid) candidate appears at most once (nid lives in ONE
+    * cluster), so no dedup stage is needed before the window. */
+  def s23KnnGraphIvf(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val cents = collectCodebook(e)
+    val assigned = assignClusters(e, cents)
+      .select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("norm_fp").as("n_norm"), col("cluster"))
+    val probed = e
+      .select(col("vec_id").as("src"), col("embedding").as("q_emb"),
+        col("norm_fp").as("q_norm"),
+        explode(transform(
+          slice(rankedCentroids(cents, col("embedding"), col("norm_fp")),
+            1, NProbe),
+          _.getField("cid"))).as("cluster"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_e6").desc, col("nid"))
+    probed.join(assigned, Seq("cluster"))
+      .filter(col("src") =!= col("nid"))
+      .select(col("src"), col("nid"),
+        round(cosine(dotFp9(col("q_emb"), col("n_emb")),
+          col("q_norm"), col("n_norm")) * 1e6).cast("long").as("cos_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= GraphK.toLong)
+      .select(col("src"), col("rank"), col("nid"), col("cos_e6"))
+      .orderBy(col("src"), col("rank"))
+  }
+
   /** s8: IVF+PQ kNN — the two scale mechanisms COMPOSED, the standard
     * billion-vector index architecture (FAISS IVFPQ's no-residual
     * form): IVF cluster assignment prunes WHICH corpus rows a query
@@ -1722,6 +1797,8 @@ object Similarity {
     "s19_knn_opq"     -> s19KnnOpq _,
     "s20_kmeans_round" -> s20KmeansRound _,
     "s21_silhouette" -> s21Silhouette _,
+    "s22_knn_graph" -> s22KnnGraph _,
+    "s23_knn_graph_ivf" -> s23KnnGraphIvf _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -2022,6 +2099,52 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // brute all-pairs, rank by the e6 fixed-point cosine (nid
+    // tiebreak) — the same total order the engine's window states
+    "s22_knn_graph" ->
+      (NormCte +
+        s"""
+           |, scored AS (SELECT q.vec_id AS src, c.vec_id AS nid,
+           |    CAST(round(${oCos(oDot("q.embedding", "c.embedding"),
+                  "q.norm_fp", "c.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+           |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+           |r AS (SELECT src, nid, cos_e6,
+           |    CAST(row_number() OVER (PARTITION BY src
+           |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS rank
+           |  FROM scored)
+           |SELECT src, rank, nid, cos_e6 FROM r WHERE rank <= $GraphK
+           |ORDER BY src, rank""".stripMargin),
+    // s2's assignment + probe lists for EVERY vector, candidates
+    // restricted to probed clusters, the identical window cut
+    "s23_knn_graph_ivf" ->
+      (NormCte +
+        s"""
+           |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+           |  FROM e WHERE vec_id < $NCentroids),
+           |assigned AS (SELECT vec_id, embedding, norm_fp, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, e.norm_fp, cent.cid AS cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+           |      cent.cid) AS arank
+           |  FROM e CROSS JOIN cent) WHERE arank = 1),
+           |probes AS (SELECT src, q_emb, q_norm, cluster FROM (
+           |  SELECT q.vec_id AS src, q.embedding AS q_emb, q.norm_fp AS q_norm,
+           |    cent.cid AS cluster,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      ${oCos(oDot("q.embedding", "cent.c_emb"), "q.norm_fp", "cent.c_norm")} DESC,
+           |      cent.cid) AS prank
+           |  FROM e q CROSS JOIN cent) WHERE prank <= $NProbe),
+           |scored AS (SELECT p.src, a.vec_id AS nid,
+           |    CAST(round(${oCos(oDot("p.q_emb", "a.embedding"),
+                  "p.q_norm", "a.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+           |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
+           |  WHERE p.src <> a.vec_id),
+           |r AS (SELECT src, nid, cos_e6,
+           |    CAST(row_number() OVER (PARTITION BY src
+           |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS rank
+           |  FROM scored)
+           |SELECT src, rank, nid, cos_e6 FROM r WHERE rank <= $GraphK
+           |ORDER BY src, rank""".stripMargin),
     // s2's ranked-centroid window cut at the top TWO ranks, pivoted to
     // (own, next); the silhouette division is IEEE double on identical
     // inputs (the cos_e6 contract), equidistant guard included

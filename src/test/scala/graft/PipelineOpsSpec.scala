@@ -1340,6 +1340,38 @@ class PipelineOpsSpec extends SparkSpecBase {
       "silhouette must stay a narrow pair-free projection")
   }
 
+  test("s22/s23 kNN graph: the exact graph is complete and agrees with s1 " +
+      "on the query set; the IVF-pruned graph is a measured-recall subset " +
+      "whose hits carry identical ranks of the shared candidate order") {
+    val exact = Similarity.s22KnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("nid"), r.getAs[Long]("cos_e6"))).toMap
+    val n = graft.Tables.embeddings(spark, sf).count()
+    // complete: every vector carries exactly GraphK edges
+    assert(exact.size == n * Similarity.GraphK, s"graph incomplete: ${exact.size}")
+    // agreement with s1 (rank-1 neighbor for the query vectors) — two
+    // machineries, one answer; s1 ranks on raw cos, the graph on e6,
+    // so compare the neighbor only where the e6 top is unique
+    val s1 = Similarity.s1KnnBrute(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("nid"), r.getAs[Long]("cos_e6"))).toMap
+    s1.foreach { case (q, (nid, cos)) =>
+      val (gn, gc) = exact((q, 1L))
+      assert(gc == cos, s"rank-1 cosine diverged for query $q")
+      if (s1.count(_ => true) > 0 && gc != exact.getOrElse((q, 2L), (0L, -2000000L))._2)
+        assert(gn == nid, s"rank-1 neighbor diverged for query $q")
+    }
+    // the IVF graph: every edge is a true pair from the probed
+    // clusters; recall vs exact is substantial but imperfect (an ANN)
+    val ivf = Similarity.s23KnnGraphIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nid"))).toSet
+    val exactEdges = exact.map { case ((s, _), (nid, _)) => (s, nid) }.toSet
+    val recall = ivf.intersect(exactEdges).size.toDouble / exactEdges.size
+    assert(recall > 0.4 && recall < 1.0,
+      s"IVF graph recall $recall out of the expected ANN band")
+  }
+
   test("s20 one gated Lloyd round reproduces trainCodebook(iters=1) bit-for-bit") {
     val e = graft.Tables.embeddings(spark, sf)
     val n_corpus = e.count()
