@@ -1264,8 +1264,13 @@ object Similarity {
     * the s18 ladder's lesson — cross-cluster true neighbors). Each
     * (src, nid) candidate appears at most once (nid lives in ONE
     * cluster), so no dedup stage is needed before the window. */
-  def s23KnnGraphIvf(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
+  def s23KnnGraphIvf(s: SparkSession, d: String): DataFrame =
+    ivfGraphEdges(withNorm(embeddings(s, d)))
+      .orderBy(col("src"), col("rank"))
+
+  /** s23's edge frame (pre-presentation-sort) — shared with s24's
+    * NN-descent refinement. */
+  private def ivfGraphEdges(e: DataFrame): DataFrame = {
     val cents = collectCodebook(e)
     val assigned = assignClusters(e, cents)
       .select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
@@ -1281,6 +1286,46 @@ object Similarity {
       .orderBy(col("cos_e6").desc, col("nid"))
     probed.join(assigned, Seq("cluster"))
       .filter(col("src") =!= col("nid"))
+      .select(col("src"), col("nid"),
+        round(cosine(dotFp9(col("q_emb"), col("n_emb")),
+          col("q_norm"), col("n_norm")) * 1e6).cast("long").as("cos_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= GraphK.toLong)
+      .select(col("src"), col("rank"), col("nid"), col("cos_e6"))
+  }
+
+  /** s24: one NN-DESCENT refinement round over the IVF graph — the
+    * published kNN-graph improvement (Dong et al.'s "a neighbor of my
+    * neighbor is likely my neighbor"): candidates = the current graph
+    * G ∪ its one-hop composition G∘G ∪ its reverse Gᵀ, re-scored by
+    * exact cosine and cut back to top-k. Recovers exactly the
+    * cross-cluster true neighbors IVF pruning loses (spec measures
+    * recall vs the exact graph strictly ABOVE s23's — the
+    * self-measuring-improvement pattern of s18).
+    *
+    * Scale notes (100 TB): per round the candidate set is ≤ k² + 2k
+    * per vector — graph-sized, never corpus-sized; the expansion is
+    * one self-join of the k-bounded edge list on nid = src, the
+    * re-score joins embeddings by id (two hash joins moving candidate
+    * rows), and the cut is the same k-bounded window. Production runs
+    * a few rounds to convergence; ONE round is stated here so the
+    * gate pins the recipe's step exactly. */
+  def s24NnDescent(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val g = ivfGraphEdges(e).select(col("src"), col("nid"))
+    val cand = g
+      .unionByName(g.as("g1").join(g.as("g2"),
+          col("g1.nid") === col("g2.src") && col("g1.src") =!= col("g2.nid"))
+        .select(col("g1.src").as("src"), col("g2.nid").as("nid")))
+      .unionByName(g.select(col("nid").as("src"), col("src").as("nid")))
+      .distinct()
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_e6").desc, col("nid"))
+    cand
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("q_emb"),
+        col("norm_fp").as("q_norm")), Seq("src"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("norm_fp").as("n_norm")), Seq("nid"))
       .select(col("src"), col("nid"),
         round(cosine(dotFp9(col("q_emb"), col("n_emb")),
           col("q_norm"), col("n_norm")) * 1e6).cast("long").as("cos_e6"))
@@ -1799,6 +1844,7 @@ object Similarity {
     "s21_silhouette" -> s21Silhouette _,
     "s22_knn_graph" -> s22KnnGraph _,
     "s23_knn_graph_ivf" -> s23KnnGraphIvf _,
+    "s24_nn_descent" -> s24NnDescent _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -1819,6 +1865,37 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, embedding,
        |    ${oDot("embedding", "embedding")} AS norm_fp
        |  FROM embeddings)""".stripMargin
+
+  /** The s23 IVF-graph CTE chain through `r` (ranked co-clustered
+    * candidates for EVERY vector) — shared by the s23 and s24 oracles
+    * so refinement can never drift from the graph it refines. */
+  private lazy val IvfGraphCte =
+    NormCte +
+      s"""
+         |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+         |  FROM e WHERE vec_id < $NCentroids),
+         |assigned AS (SELECT vec_id, embedding, norm_fp, cluster FROM (
+         |  SELECT e.vec_id, e.embedding, e.norm_fp, cent.cid AS cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+         |      cent.cid) AS arank
+         |  FROM e CROSS JOIN cent) WHERE arank = 1),
+         |probes AS (SELECT src, q_emb, q_norm, cluster FROM (
+         |  SELECT q.vec_id AS src, q.embedding AS q_emb, q.norm_fp AS q_norm,
+         |    cent.cid AS cluster,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${oCos(oDot("q.embedding", "cent.c_emb"), "q.norm_fp", "cent.c_norm")} DESC,
+         |      cent.cid) AS prank
+         |  FROM e q CROSS JOIN cent) WHERE prank <= $NProbe),
+         |scored AS (SELECT p.src, a.vec_id AS nid,
+         |    CAST(round(${oCos(oDot("p.q_emb", "a.embedding"),
+                "p.q_norm", "a.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+         |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
+         |  WHERE p.src <> a.vec_id),
+         |r AS (SELECT src, nid, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY src
+         |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS rank
+         |  FROM scored)""".stripMargin
 
   /** Plane h's ±1 weights as a DuckDB list literal — same driver-side
     * derivation the Spark plan embeds, so both engines hash against
@@ -2117,33 +2194,30 @@ object Similarity {
     // s2's assignment + probe lists for EVERY vector, candidates
     // restricted to probed clusters, the identical window cut
     "s23_knn_graph_ivf" ->
-      (NormCte +
+      (IvfGraphCte +
         s"""
-           |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
-           |  FROM e WHERE vec_id < $NCentroids),
-           |assigned AS (SELECT vec_id, embedding, norm_fp, cluster FROM (
-           |  SELECT e.vec_id, e.embedding, e.norm_fp, cent.cid AS cluster,
-           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
-           |      cent.cid) AS arank
-           |  FROM e CROSS JOIN cent) WHERE arank = 1),
-           |probes AS (SELECT src, q_emb, q_norm, cluster FROM (
-           |  SELECT q.vec_id AS src, q.embedding AS q_emb, q.norm_fp AS q_norm,
-           |    cent.cid AS cluster,
-           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-           |      ${oCos(oDot("q.embedding", "cent.c_emb"), "q.norm_fp", "cent.c_norm")} DESC,
-           |      cent.cid) AS prank
-           |  FROM e q CROSS JOIN cent) WHERE prank <= $NProbe),
-           |scored AS (SELECT p.src, a.vec_id AS nid,
-           |    CAST(round(${oCos(oDot("p.q_emb", "a.embedding"),
-                  "p.q_norm", "a.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
-           |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
-           |  WHERE p.src <> a.vec_id),
-           |r AS (SELECT src, nid, cos_e6,
+           |SELECT src, rank, nid, cos_e6 FROM r WHERE rank <= $GraphK
+           |ORDER BY src, rank""".stripMargin),
+    // one NN-descent round DERIVED from the s23 CTE verbatim (the s18
+    // derivation pattern): G ∪ G∘G ∪ Gᵀ re-scored exactly, same cut
+    "s24_nn_descent" ->
+      (IvfGraphCte +
+        s"""
+           |, g AS (SELECT src, nid FROM r WHERE rank <= $GraphK),
+           |cand AS (SELECT src, nid FROM g
+           |  UNION SELECT g1.src, g2.nid FROM g g1 JOIN g g2
+           |    ON g1.nid = g2.src AND g1.src <> g2.nid
+           |  UNION SELECT nid AS src, src AS nid FROM g),
+           |sc AS (SELECT c.src, c.nid,
+           |    CAST(round(${oCos(oDot("q.embedding", "n.embedding"),
+                  "q.norm_fp", "n.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+           |  FROM cand c JOIN e q ON q.vec_id = c.src
+           |    JOIN e n ON n.vec_id = c.nid),
+           |r2 AS (SELECT src, nid, cos_e6,
            |    CAST(row_number() OVER (PARTITION BY src
            |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS rank
-           |  FROM scored)
-           |SELECT src, rank, nid, cos_e6 FROM r WHERE rank <= $GraphK
+           |  FROM sc)
+           |SELECT src, rank, nid, cos_e6 FROM r2 WHERE rank <= $GraphK
            |ORDER BY src, rank""".stripMargin),
     // s2's ranked-centroid window cut at the top TWO ranks, pivoted to
     // (own, next); the silhouette division is IEEE double on identical

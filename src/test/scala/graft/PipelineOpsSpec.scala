@@ -1370,6 +1370,13 @@ class PipelineOpsSpec extends SparkSpecBase {
     val recall = ivf.intersect(exactEdges).size.toDouble / exactEdges.size
     assert(recall > 0.4 && recall < 1.0,
       s"IVF graph recall $recall out of the expected ANN band")
+    // one NN-descent round recovers cross-cluster neighbors: recall
+    // strictly improves over the raw IVF graph
+    val refined = Similarity.s24NnDescent(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nid"))).toSet
+    val recall2 = refined.intersect(exactEdges).size.toDouble / exactEdges.size
+    assert(recall2 > recall,
+      s"NN-descent round did not lift recall: $recall -> $recall2")
   }
 
   test("s20 one gated Lloyd round reproduces trainCodebook(iters=1) bit-for-bit") {
