@@ -932,8 +932,7 @@ object Dedup {
     * containment denominator), so a capped pair's score is unchanged,
     * only discovery through over-df shingles is shed. */
   def d16ContainmentCapped(s: SparkSession, d: String): DataFrame =
-    containmentPairs(documents(s, d).repartition(col("doc_id")),
-      maxDf = Some(D16MaxDf))
+    sharedContainment(s, d, maxDf = Some(D16MaxDf))
       .select(col("a"), col("b"), col("n_shared"), col("n_a"),
         col("containment_e6"))
       .orderBy(col("a"), col("b"))
@@ -950,9 +949,22 @@ object Dedup {
     * already has. Immutable-corpus contract as documented on
     * [[SessionCaches]]; the table name carries an md5 digest of the
     * corpus directory and the directory itself rides TBLPROPERTIES,
-    * validated before a pre-existing table is reused. */
-  private[graft] def sharedContainment(s: SparkSession, d: String): DataFrame =
-    SessionCaches.getOrBuild(containCache, s, d) {
+    * validated before a pre-existing table is reused.
+    *
+    * `maxDf` selects the CAPPED posture's standing table instead (the
+    * d16 production form) — the cap is a pure function of (corpus,
+    * maxDf), so it earns the same pay-once discipline: the Σdf² kernel
+    * (and the census double-pass the capped path carries — the
+    * count-first [[dropOverCapKeys]] census reads the post-barrier
+    * rows, see [[containmentPairs]]) executes ONCE at write time, and
+    * every later d16 run is a bucketed scan. The cap rides both the
+    * table NAME (`_cap<m>_`) and TBLPROPERTIES (`graft.maxdf`),
+    * validated alongside the source path, so capped and uncapped
+    * postures can never serve each other's pairs. */
+  private[graft] def sharedContainment(s: SparkSession, d: String,
+      maxDf: Option[Long] = None): DataFrame =
+    SessionCaches.getOrBuild(containCache, s,
+        maxDf.fold(d)(m => s"$d|maxdf=$m")) {
       // table suffix is a REAL digest of the corpus directory (md5,
       // 128-bit), not String.hashCode (31-bit — silent collisions
       // would hand a later session the WRONG corpus's pairs); the
@@ -960,14 +972,21 @@ object Dedup {
       // before any pre-existing table is trusted
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      val table = s"graft_containment_$digest"
+      val capTag = maxDf.fold("")(m => s"cap${m}_")
+      val capProp = maxDf.fold("none")(_.toString)
+      val table = s"graft_containment_$capTag$digest"
       if (s.catalog.tableExists(table)) {
-        val src = scala.util.Try(
-          s.sql(s"SHOW TBLPROPERTIES $table ('graft.source')")
+        def prop(k: String) = scala.util.Try(
+          s.sql(s"SHOW TBLPROPERTIES $table ('$k')")
             .collect().headOption.map(_.getString(1))).toOption.flatten
+        val src = prop("graft.source")
         require(src.contains(d),
           s"standing table $table carries graft.source=$src, expected $d — " +
             "refusing to serve another corpus's containment pairs")
+        val cap = prop("graft.maxdf")
+        require(cap.contains(capProp),
+          s"standing table $table carries graft.maxdf=$cap, expected $capProp — " +
+            "refusing to serve another cap posture's containment pairs")
       }
       if (!s.catalog.tableExists(table)) {
         // a previous JVM's in-memory catalog is gone but its managed
@@ -982,9 +1001,10 @@ object Dedup {
         if (fs.exists(loc)) fs.delete(loc, true)
         Warehouse.writeContainment(
           containmentPairs(documents(s, d).repartition(col("doc_id")),
-            maxDf = None), table, nBuckets = 32)
+            maxDf), table, nBuckets = 32)
         s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-          s"('graft.source' = '${d.replace("'", "''")}')")
+          s"('graft.source' = '${d.replace("'", "''")}', " +
+          s"'graft.maxdf' = '$capProp')")
       }
       s.table(table)
     }

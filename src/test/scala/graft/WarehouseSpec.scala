@@ -225,7 +225,8 @@ class WarehouseSpec extends SparkSpecBase {
       .toDF("a", "b", "n_shared", "n_a", "containment_e6")
     try {
       Warehouse.writeContainment(fake, tA, 4)
-      spark.sql(s"ALTER TABLE $tA SET TBLPROPERTIES ('graft.source' = '/somewhere/else')")
+      spark.sql(s"ALTER TABLE $tA SET TBLPROPERTIES " +
+        "('graft.source' = '/somewhere/else', 'graft.maxdf' = 'none')")
       val e = intercept[IllegalArgumentException] {
         Dedup.sharedContainment(spark, dirA).collect()
       }
@@ -236,7 +237,52 @@ class WarehouseSpec extends SparkSpecBase {
       val served = Dedup.sharedContainment(spark, dirA).collect()
       assert(served.length == 1 && served(0).getAs[Long]("a") == 1L,
         "matching standing table was not reused")
+      // cap-posture fence: the same table must NOT serve a capped ask —
+      // its graft.maxdf says 'none', d16's posture says '3'
+      val e2 = intercept[IllegalArgumentException] {
+        // a capped ask resolves to a DIFFERENT table name, so poison
+        // that name too: right source, wrong (missing→'none') cap
+        val tCap = s"graft_containment_cap${Dedup.D16MaxDf}_${digest(dirA)}"
+        try {
+          Warehouse.writeContainment(fake, tCap, 4)
+          spark.sql(s"ALTER TABLE $tCap SET TBLPROPERTIES " +
+            s"('graft.source' = '$dirA', 'graft.maxdf' = 'none')")
+          Dedup.sharedContainment(spark, dirA, Some(Dedup.D16MaxDf)).collect()
+        } finally spark.sql(
+          s"DROP TABLE IF EXISTS graft_containment_cap${Dedup.D16MaxDf}_${digest(dirA)}")
+      }
+      assert(e2.getMessage.contains("graft.maxdf"), e2.getMessage)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tA")
+  }
+
+  test("capped containment standing table: d16's kernel is paid once — " +
+      "the second read is a bucketed scan with no pair-stage recompute") {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val table = s"graft_containment_cap${Dedup.D16MaxDf}_$digest"
+    try {
+      val first = Dedup.d16ContainmentCapped(spark, sf).collect()
+      assert(first.nonEmpty, "capped containment produced no pairs")
+      // the second ask plans a catalog-table scan, not the Σdf² join:
+      // the executed plan names the standing table and contains no
+      // shingle explode / aggregate barrier
+      val again = Dedup.d16ContainmentCapped(spark, sf)
+      val plan = planOf(again)
+      assert(plan.contains(table), s"capped read-back not from $table:\n$plan")
+      assert(!plan.toLowerCase.contains("generate"),
+        s"capped read-back re-runs the shingle explode:\n$plan")
+      assert(again.collect().toSeq == first.toSeq,
+        "standing capped table drifted from the first materialization")
+      // capped vs uncapped must stay distinguishable (the ARMED-cap
+      // contract d16 gates on): pair sets differ at this corpus
+      val uncapped = Dedup.d9Containment(spark, sf).collect()
+      assert(uncapped.length != first.length,
+        "cap is not armed at this corpus — capped == uncapped pair count")
+    } finally {
+      // leave the standing table in place: the session cache still
+      // points at it, and the next JVM's orphan-location cleanup
+      // (sharedContainment) handles the leftover warehouse directory
+    }
   }
 
   test("bucketed shingle index: contamination join never shuffles the index side") {
