@@ -257,9 +257,24 @@ object Multimodal {
     * blocking is ~0.1% of brute force at these parameters (see
     * [[M7Bands]]). */
   def m7ImgNearDup(s: SparkSession, d: String): DataFrame =
-    imgNearDupPairs(sharedImgHash(s, d), maxBucket = None)
+    sharedImgPairs(s, d)
       .withColumn("exact_dup", col("hamming") === 0L)
       .orderBy(col("a"), col("b"))
+
+  /** Session-scoped STANDING image near-dup PAIR stage — the banded
+    * MIH probe join (×17 probe fan per band) runs once per (session,
+    * dir) and both consumers (m7's pair listing, m14's manifest
+    * edges) read the checkpoint: [[sharedImgHash]] already shares the
+    * decode, but the pair join over those hashes was still paid per
+    * consumer — the [[graft.operators.Dedup.sharedSimhashPairs]]
+    * discipline applied one stage later. Checkpointed rows are the
+    * tiny survivor set (pairs ≤ hamming cap), never the probe fan. */
+  private[graft] def sharedImgPairs(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(imgPairCache, s, d) {
+      imgNearDupPairs(sharedImgHash(s, d), maxBucket = None).localCheckpoint()
+    }
+
+  private val imgPairCache = SessionCaches.newCache()
 
   /** Library form of [[m7ImgNearDup]] over any m6-shaped hash frame
     * (doc_id, ahash_hi, ahash_lo), unordered. `maxBucket` is the
@@ -778,10 +793,7 @@ object Multimodal {
     * the recipe composes UNCHANGED across modalities. */
   def m14ImgManifest(s: SparkSession, d: String): DataFrame = {
     val hashes = sharedImgHash(s, d)
-    val pairs = imgNearDupPairs(hashes, maxBucket = None)
-      .select(col("a"), col("b"))
-    val comp = graft.operators.Components.connectedComponents(
-      hashes.select(col("doc_id").as("id")), pairs)
+    val comp = sharedImgComponents(s, d)
     val px = hashes.select(col("doc_id"),
       (col("width") * col("height")).as("n_px"))
     val w = Window.partitionBy(col("cluster_rep"))
@@ -821,12 +833,51 @@ object Multimodal {
     * forces the pair space, so the gate proves the blocking loses
     * nothing on this modality too. */
   def m11AudioNearDup(s: SparkSession, d: String): DataFrame =
-    imgNearDupPairs(
-      sharedAudioHash(s, d)
-        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")),
-      maxBucket = None)
+    sharedAudioPairs(s, d)
       .withColumn("exact_dup", col("hamming") === 0L)
       .orderBy(col("a"), col("b"))
+
+  /** [[sharedImgPairs]]' audio twin: the MIH pair join over the
+    * temporal-energy hashes, paid once for m11's listing and m15's
+    * manifest edges. */
+  private[graft] def sharedAudioPairs(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(audioPairCache, s, d) {
+      imgNearDupPairs(
+        sharedAudioHash(s, d)
+          .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")),
+        maxBucket = None).localCheckpoint()
+    }
+
+  private val audioPairCache = SessionCaches.newCache()
+
+  /** Session-scoped STANDING cluster resolution per modality — the
+    * [[graft.operators.Dedup.sharedClusters]] discipline on the
+    * image/audio graphs: the alternating-star CC loop (an iterative
+    * multi-job stage) runs once per (session, corpus) and every
+    * manifest consumer reads the checkpointed (id, rep) map. The
+    * resolution is a pure function of the standing pair set, and at
+    * warehouse scale it persists as a doc_id-bucketed table exactly
+    * like the text form ([[graft.operators.Warehouse.writeBucketed]]). */
+  private[graft] def sharedImgComponents(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(imgCompCache, s, d) {
+      graft.operators.Components.connectedComponents(
+        sharedImgHash(s, d).select(col("doc_id").as("id")),
+        sharedImgPairs(s, d).select(col("a"), col("b")))
+        .localCheckpoint()
+    }
+
+  private val imgCompCache = SessionCaches.newCache()
+
+  /** [[sharedImgComponents]]' audio twin. */
+  private[graft] def sharedAudioComponents(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(audioCompCache, s, d) {
+      graft.operators.Components.connectedComponents(
+        sharedAudioHash(s, d).select(col("doc_id").as("id")),
+        sharedAudioPairs(s, d).select(col("a"), col("b")))
+        .localCheckpoint()
+    }
+
+  private val audioCompCache = SessionCaches.newCache()
 
   /** m15: AUDIO DEDUP MANIFEST — [[m14ImgManifest]]'s recipe on the
     * audio modality, completing the per-modality trio (text keeps the
@@ -837,11 +888,7 @@ object Multimodal {
     * modality-blind claim cashed end-to-end everywhere. */
   def m15AudioManifest(s: SparkSession, d: String): DataFrame = {
     val hashes = sharedAudioHash(s, d)
-    val pairs = imgNearDupPairs(
-      hashes.select(col("doc_id"), col("ahash_hi"), col("ahash_lo")),
-      maxBucket = None).select(col("a"), col("b"))
-    val comp = graft.operators.Components.connectedComponents(
-      hashes.select(col("doc_id").as("id")), pairs)
+    val comp = sharedAudioComponents(s, d)
     val len = hashes.select(col("doc_id"), col("n_samples"))
     val w = Window.partitionBy(col("cluster_rep"))
       .orderBy(col("n_samples").desc, col("doc_id"))

@@ -106,8 +106,16 @@ def main():
     for q, va, vb, ratio in rows[: args.top]:
         mark = ""
         if ratio >= args.threshold and vb - va > 0.2:
-            mark = "  REGRESSION"
-            flagged += 1
+            # a regression call needs a throttle-free second opinion on
+            # the NEW side: Bench reruns every query at run end (since
+            # r12), so a missing rerun sample means an old artifact
+            # whose sub-2s cold time has no deflake — say so instead of
+            # crying REGRESSION on unadjudicated noise
+            if q in (b.get("reruns") or {}):
+                mark = "  REGRESSION"
+                flagged += 1
+            else:
+                mark = "  UNADJUDICATED (no rerun sample in new run)"
         elif ratio <= 1 / args.threshold and va - vb > 0.2:
             mark = "  improved"
         print(f"{q:34} {va:8.2f} {vb:8.2f} {ratio:7.2f}{mark}")
