@@ -504,6 +504,28 @@ object ScaleProbe {
         operators.Similarity.withinClusterPairs(
           operators.Similarity.withNorm(corpus), Some(64))
       },
+      // s24/nnDescent shape: one NN-descent round over a synthetic
+      // GraphK-regular graph on n×m vectors — the candidate expansion
+      // is ≤ k² + 2k per vector BY CONSTRUCTION (graph-sized, never
+      // corpus²), and the re-score is two hash joins moving candidate
+      // rows; expect ~linear in m. The convergence loop is this round
+      // iterated a small constant number of times.
+      time("nn_descent_round") {
+        val n = 20000L * m
+        val dim = 8
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(dim)),
+            j => (((col("id") * 37L + j * 11L) % 97L + 1L) / 98.0d)
+              .cast("float")).as("embedding"))
+        val e = operators.Similarity.withNorm(corpus)
+        val g0 = spark.range(n).select(col("id").as("src"),
+            explode(sequence(lit(1L),
+              lit(operators.Similarity.GraphK.toLong))).as("i"))
+          .select(col("src"), col("i").as("rank"),
+            pmod(col("src") + col("i"), lit(n)).as("nid"),
+            lit(0L).as("cos_e6"))
+        operators.Similarity.nnDescentRound(e, g0)
+      },
       // e19 DEGENERATE case: ONE hyperactive user with n×m events
       // (bot / replay loop). The former collect_list form buffered the
       // whole history in a single task array; the streamed fold pays a

@@ -1149,7 +1149,16 @@ object Similarity {
     * k-row aggregate. */
   def s20KmeansRound(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val cents = collectCodebook(e)
+    kmeansSums(e, collectCodebook(e))
+  }
+
+  /** One Lloyd round's M-step emission over an explicit codebook —
+    * the s20 body, shared with [[s25KmeansTrain]]'s later rounds:
+    * assign (narrow literal-codebook argmax), then per-(cluster, dim)
+    * integer sums of the fixed-point unit components plus the member
+    * count. No division anywhere, so the output is BIGINT-exact on
+    * both engines regardless of which round's centroids feed it. */
+  private[graft] def kmeansSums(e: DataFrame, cents: Seq[Centroid]): DataFrame = {
     val dim = e.select(size(col("embedding"))).first().getInt(0)
     val unit = e.withColumn("u",
       transform(col("embedding"), v =>
@@ -1166,6 +1175,31 @@ object Similarity {
       .select(col("cluster"), col("c.j").as("j"), col("n"),
         col("c.s_fp").as("s_fp"))
       .orderBy(col("cluster"), col("j"))
+  }
+
+  /** s25: the trained-IVF FIXPOINT gated one composition deeper than
+    * s20 — TWO Lloyd rounds unrolled cross-engine (VERDICT r11 #4):
+    * round 1 is [[trainCodebook]]'s real first iteration (assign from
+    * the deterministic init, integer M-step sums, divide, keep empty
+    * clusters — the trainer's own driver-sized fold, the q24 CTE-
+    * unroll pattern's Spark half), and the emitted row set is round
+    * 2's M-step sums over those round-1 centroids. The DuckDB oracle
+    * restates the whole chain as plain CTEs: init → argmax → integer
+    * sums → per-dim mean CAST to REAL (float round-trip identical
+    * cross-engine: both are IEEE double division then double→float
+    * rounding on identical inputs; empty clusters keep the init
+    * component via LEFT JOIN + COALESCE) → re-ranked argmax over the
+    * round-1 centroids → round-2 sums. The spec closes the loop the
+    * way s20's does: dividing the emitted sums reproduces
+    * trainCodebook(iters = 2) bit-for-bit, so the hash gate now pins
+    * the train→assign composition, not just one step.
+    *
+    * Scale shape: two of s20's rounds — each one narrow corpus scan +
+    * one k×(dim+1) map-side-combined aggregate; the inter-round
+    * centroid state is the driver-sized codebook by construction. */
+  def s25KmeansTrain(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    kmeansSums(e, trainCodebook(embeddings(s, d), NCentroids, iters = 1))
   }
 
   /** s21: SIMPLIFIED-SILHOUETTE cluster audit — the published scalable
@@ -1312,7 +1346,19 @@ object Similarity {
     * gate pins the recipe's step exactly. */
   def s24NnDescent(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val g = ivfGraphEdges(e).select(col("src"), col("nid"))
+    nnDescentRound(e, ivfGraphEdges(e))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  /** One NN-descent round over an explicit graph — the s24 body,
+    * shared with [[nnDescent]]'s convergence loop: candidates =
+    * G ∪ G∘G ∪ Gᵀ (≤ k² + 2k per vector, graph-sized never
+    * corpus-sized), re-scored by exact fixed-point cosine against the
+    * [[withNorm]]-prepared corpus `e`, cut back to the top [[GraphK]]
+    * per src. Input needs only (src, nid); extra columns are
+    * ignored. */
+  private[graft] def nnDescentRound(e: DataFrame, graph: DataFrame): DataFrame = {
+    val g = graph.select(col("src"), col("nid"))
     val cand = g
       .unionByName(g.as("g1").join(g.as("g2"),
           col("g1.nid") === col("g2.src") && col("g1.src") =!= col("g2.nid"))
@@ -1332,7 +1378,47 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= GraphK.toLong)
       .select(col("src"), col("rank"), col("nid"), col("cos_e6"))
-      .orderBy(col("src"), col("rank"))
+  }
+
+  /** NN-DESCENT TO CONVERGENCE — the production form s24's single
+    * gated round is the recipe step of (VERDICT r11 #3): iterate
+    * [[nnDescentRound]] until an iteration changes no edge (or
+    * `maxRounds`), returning the refined graph and the number of
+    * rounds that did real work. Each round's per-vector list only
+    * ever improves in the (cos_e6 DESC, nid) total order — the
+    * current top-k is always among its own candidates — so recall vs
+    * the exact graph is monotone non-decreasing round over round
+    * (spec-pinned), and a round that changes nothing proves the
+    * FIXPOINT: its successor would see the identical candidate set.
+    *
+    * Scale notes (100 TB): the CC-loop discipline — each round's
+    * k-bounded edge list is localCheckpoint()ed (lineage would
+    * otherwise stack one join tree per round until planning
+    * collapses), the convergence probe is one exceptAll-count over
+    * two k-bounded lists (graph-sized, never corpus²), and per-round
+    * candidate growth stays ≤ k² + 2k per vector by construction.
+    * Round count in practice is small (the published convergence
+    * behavior — candidates stop producing better neighbors within a
+    * few rounds at modest k); the embeddings frame `e` is scanned
+    * only by the re-score joins. */
+  def nnDescent(e: DataFrame, graph: DataFrame,
+      maxRounds: Int = 10): (DataFrame, Int) = {
+    require(maxRounds >= 0, "maxRounds must be non-negative")
+    var g = graph.select(col("src"), col("rank"), col("nid"), col("cos_e6"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = nnDescentRound(e, g).localCheckpoint()
+      // an edge list is per-src rank-keyed; the round changed nothing
+      // iff the (src, nid) sets agree (ranks/cos are functions of them)
+      val changed = next.select(col("src"), col("nid"))
+        .exceptAll(g.select(col("src"), col("nid"))).count()
+      converged = changed == 0L
+      g = next
+      if (!converged) rounds += 1
+    }
+    (g, rounds)
   }
 
   /** s8: IVF+PQ kNN — the two scale mechanisms COMPOSED, the standard
@@ -1845,6 +1931,7 @@ object Similarity {
     "s22_knn_graph" -> s22KnnGraph _,
     "s23_knn_graph_ivf" -> s23KnnGraphIvf _,
     "s24_nn_descent" -> s24NnDescent _,
+    "s25_kmeans_train" -> s25KmeansTrain _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -2268,6 +2355,58 @@ object Similarity {
            |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(j AS BIGINT) AS j,
            |  CAST(count(*) AS BIGINT) AS n, CAST(sum(uj) AS BIGINT) AS s_fp
            |FROM ex GROUP BY cluster, j ORDER BY cluster, j""".stripMargin),
+    // TWO Lloyd rounds unrolled as plain CTEs (the q24 pattern —
+    // standard SQL forbids aggregation in a recursive term): round 1
+    // is s20's chain verbatim, the per-dim mean CASTs to REAL exactly
+    // like the trainer's toFloat (IEEE double divide then double→float
+    // on identical inputs), empty clusters keep the init component via
+    // LEFT JOIN + COALESCE, and the emitted rows are round 2's sums
+    // over those round-1 centroids
+    "s25_kmeans_train" ->
+      (NormCte +
+        s"""
+           |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+           |  FROM e WHERE vec_id < $NCentroids),
+           |un AS (SELECT vec_id,
+           |    list_transform(range(1, len(embedding) + 1), i ->
+           |      CAST(round(embedding[i]::DOUBLE /
+           |        sqrt(norm_fp::DOUBLE / 1e9) * 1e9) AS BIGINT)) AS u
+           |  FROM e),
+           |assigned AS (SELECT vec_id, cluster FROM (
+           |  SELECT e.vec_id, cent.cid AS cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+           |      cent.cid) AS arank
+           |  FROM e CROSS JOIN cent) WHERE arank = 1),
+           |ex1 AS (SELECT a.cluster, unnest(un.u) AS uj,
+           |    generate_subscripts(un.u, 1) AS j
+           |  FROM assigned a JOIN un ON un.vec_id = a.vec_id),
+           |sums1 AS (SELECT cluster, j, count(*) AS n, sum(uj) AS s_fp
+           |  FROM ex1 GROUP BY cluster, j),
+           |dims AS (SELECT unnest(range(1,
+           |    (SELECT max(len(embedding)) FROM e) + 1)) AS j),
+           |cent2v AS (SELECT c.cid, d.j,
+           |    COALESCE(CAST(s.s_fp / CAST(s.n AS DOUBLE) / 1e9 AS REAL),
+           |      c.c_emb[d.j]) AS cj
+           |  FROM cent c CROSS JOIN dims d
+           |  LEFT JOIN sums1 s ON s.cluster = c.cid AND s.j = d.j),
+           |cent2 AS (SELECT cid, list(CAST(cj AS REAL) ORDER BY j) AS c_emb
+           |  FROM cent2v GROUP BY cid),
+           |cent2n AS (SELECT cid, c_emb,
+           |    ${oDot("c_emb", "c_emb")} AS c_norm
+           |  FROM cent2),
+           |assigned2 AS (SELECT vec_id, cluster FROM (
+           |  SELECT e.vec_id, c2.cid AS cluster,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${oCos(oDot("e.embedding", "c2.c_emb"), "e.norm_fp", "c2.c_norm")} DESC,
+           |      c2.cid) AS arank
+           |  FROM e CROSS JOIN cent2n c2) WHERE arank = 1),
+           |ex2 AS (SELECT a.cluster, unnest(un.u) AS uj,
+           |    generate_subscripts(un.u, 1) AS j
+           |  FROM assigned2 a JOIN un ON un.vec_id = a.vec_id)
+           |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(j AS BIGINT) AS j,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(uj) AS BIGINT) AS s_fp
+           |FROM ex2 GROUP BY cluster, j ORDER BY cluster, j""".stripMargin),
     "s3_cosine_pairs" ->
       (NormCte +
         s"""

@@ -1412,6 +1412,79 @@ class PipelineOpsSpec extends SparkSpecBase {
       == n_corpus)
   }
 
+  test("s25 two gated Lloyd rounds reproduce trainCodebook(iters=2) bit-for-bit") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val n_corpus = e.count()
+    val rows = Similarity.s25KmeansTrain(spark, sf).collect()
+    // round-2 sums divided by n are EXACTLY the two-round trainer's
+    // centroids — the same (s / n / 1e9).toFloat arithmetic, so the
+    // gated row pins the train→assign COMPOSITION, not one step
+    val derived = rows.groupBy(_.getAs[Long]("cluster")).map { case (cid, rs) =>
+      val n = rs.head.getAs[Long]("n").toDouble
+      cid -> rs.sortBy(_.getAs[Long]("j"))
+        .map(r => (r.getAs[Long]("s_fp") / n / 1e9).toFloat).toSeq
+    }
+    val trained = Similarity.trainCodebook(e, iters = 2)
+    val round1 = Similarity.trainCodebook(e, iters = 1).map(c => c.cid -> c).toMap
+    assert(trained.nonEmpty)
+    trained.foreach { c =>
+      derived.get(c.cid) match {
+        case Some(emb) => assert(emb == c.emb.toSeq,
+          s"cluster ${c.cid}: gated round-2 sums diverge from the trainer")
+        case None => // round-2-empty cluster: the trainer keeps round 1's
+          assert(c.emb.toSeq == round1(c.cid).emb.toSeq)
+      }
+    }
+    // conservation at round 2: every vector in exactly one cluster
+    assert(rows.filter(_.getAs[Long]("j") == 1L).map(_.getAs[Long]("n")).sum
+      == n_corpus)
+  }
+
+  test("nnDescent: per-round recall vs the exact graph is monotone " +
+      "non-decreasing, the loop stops at a round-stable fixpoint, and " +
+      "the library form agrees with the manual iteration") {
+    val e = Similarity.withNorm(graft.Tables.embeddings(spark, sf))
+    val exactEdges = Similarity.s22KnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nid"))).toSet
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nid"))).toSet
+    def recallOf(edges: Set[(Long, Long)]) =
+      edges.intersect(exactEdges).size.toDouble / exactEdges.size
+    val g0 = Similarity.s23KnnGraphIvf(spark, sf).localCheckpoint()
+    var g = g0.toDF()
+    var prev = edgeSet(g)
+    var recalls = List(recallOf(prev))
+    var manualRounds = 0
+    var stable = false
+    while (!stable && manualRounds < 10) {
+      val next = Similarity.nnDescentRound(e, g).localCheckpoint()
+      val cur = edgeSet(next)
+      stable = cur == prev
+      if (!stable) {
+        manualRounds += 1
+        recalls ::= recallOf(cur)
+      }
+      prev = cur
+      g = next
+    }
+    assert(stable, "NN-descent did not reach a fixpoint in 10 rounds")
+    assert(manualRounds >= 1, "the IVF graph was already a fixpoint — " +
+      "the refinement spec is vacuous at this corpus")
+    // monotone non-decreasing recall, strictly above the IVF start
+    recalls.reverse.sliding(2).foreach {
+      case List(a, b) => assert(b >= a, s"recall regressed: $recalls")
+      case _ =>
+    }
+    assert(recalls.head > recalls.last,
+      s"convergence never lifted recall above the IVF graph: $recalls")
+    // the library loop lands on the same fixpoint with the same count
+    val (refined, rounds) = Similarity.nnDescent(e, g0.toDF(), maxRounds = 10)
+    assert(rounds == manualRounds,
+      s"nnDescent counted $rounds working rounds, manual loop $manualRounds")
+    assert(edgeSet(refined) == prev,
+      "nnDescent's fixpoint differs from the manual iteration's")
+  }
+
   test("s3 tiled join is pair-exact vs the brute-force spec") {
     val tiled = Similarity.s3CosinePairs(spark, sf).collect().map(_.toSeq).toSeq
     val brute = Similarity.s3CosinePairsBrute(spark, sf).collect().map(_.toSeq).toSeq
