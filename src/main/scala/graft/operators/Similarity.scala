@@ -162,6 +162,20 @@ object Similarity {
       element_at(rankedCentroids(cents, col("embedding"), col("norm_fp")), 1)
         .getField("cid"))
 
+  /** Assignment AND probe list in one ranked-codebook pass — the
+    * admission projection of the streaming kNN-graph maintainer
+    * ([[graft.streaming.StreamOps.knnGraphStream]]): `cluster` is the
+    * argmax (= probes head), `probes` the `nprobe` nearest cids in
+    * s23's exact order. Stored at admission because both are pure
+    * functions of (vector, pinned codebook) — the standing corpus then
+    * serves the existing→new probe direction without re-ranking. */
+  private[graft] def assignWithProbes(e: DataFrame, cents: Seq[Centroid],
+      nprobe: Int = NProbe): DataFrame =
+    e.withColumn("rc", rankedCentroids(cents, col("embedding"), col("norm_fp")))
+      .select(col("vec_id"), col("embedding"), col("norm_fp"),
+        element_at(col("rc"), 1).getField("cid").as("cluster"),
+        transform(slice(col("rc"), 1, nprobe), _.getField("cid")).as("probes"))
+
   /** IVF probe-list stage: the `nprobe` nearest centroids per query — a
     * narrow slice+explode of the same ranked-codebook array, no
     * exchange (the explode fans each query row out ×nprobe in place). */

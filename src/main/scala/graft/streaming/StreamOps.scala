@@ -909,7 +909,9 @@ object StreamOps {
       .foreach { case (_, p) => fs.delete(p, true) }
   }
 
-  private def semDedupVersions(s: org.apache.spark.sql.SparkSession,
+  /** Versioned single-writer store directories `dir/v{batchId}` —
+    * shared by the semDedup, delta-agg and kNN-graph stores. */
+  private def versionDirs(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -918,6 +920,9 @@ object StreamOps {
       .filter(_.getName.startsWith("v"))
       .flatMap(p => scala.util.Try(p.getName.drop(1).toLong).toOption.map(_ -> p))
   }
+
+  private def semDedupVersions(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = versionDirs(s, dir)
 
   /** The store's current ASSIGNED corpus: newest compacted version ∪
     * the admitted log since (empty frame before the first batch).
@@ -967,6 +972,169 @@ object StreamOps {
     if (vs.isEmpty) None
     else Some(s.read.parquet(s"${vs.maxBy(_._1)._2}/resolved"))
   }
+
+  /** Streaming kNN-GRAPH maintenance — continuous s23, the last
+    * standing production artifact without an ingest-time form
+    * (VERDICT r11 #2). Every micro-batch:
+    *
+    *  1. ADMITS its vectors: one ranked-codebook pass yields the
+    *     argmax cluster AND the nprobe probe list
+    *     ([[graft.operators.Similarity.assignWithProbes]] — both pure
+    *     functions of (vector, pinned codebook), stored so the
+    *     standing corpus serves the existing→new probe direction
+    *     without ever re-ranking), appended to the store's `admitted`
+    *     log — the d8-postings append discipline, dedup-on-read by
+    *     vec_id for at-least-once idempotence;
+    *  2. generates BOTH candidate directions of s23's asymmetric
+    *     probe join — new→(corpus ∪ batch) through the batch's probe
+    *     lists, existing→new through the STORED probe lists keyed by
+    *     the batch's assigned clusters — so every (src, nid) pair
+    *     with nid.cluster ∈ src.probes is considered exactly once
+    *     across the stream's lifetime;
+    *  3. MERGES into the standing graph: only TOUCHED srcs (those
+    *     with a new candidate) re-cut their k-list; untouched rows
+    *     carry over by anti-join, and the successor graph writes as
+    *     version `v{batchId}` under the semDedup staging-rename
+    *     discipline (a complete redelivered version is trusted and
+    *     skipped, never rebuilt).
+    *
+    * Top-k merge is exact: a per-src list only improves in the
+    * (cos_e6 DESC, nid) total order, so chunked replay converges to
+    * batch s23's graph verbatim (spec-pinned, redelivery included).
+    *
+    * Scale notes (100 TB): per-batch work is batch-sized — the
+    * candidate fan is Σ over batch vectors of probed-cluster sizes
+    * (never corpus×corpus), the re-cut window runs only over touched
+    * srcs (≤ batch × (1 + max cluster fan)), and the engine itself
+    * holds NO streaming state (the store is the state, versioned on
+    * disk). At warehouse scale the admitted log is the cluster-
+    * bucketed standing table ([[graft.operators.Warehouse
+    * .writeBucketed]] on `cluster`) so step 2's corpus side plans
+    * exchange-free, and the full-graph version write amortizes to a
+    * touched-src delta + periodic compaction — the fragment trade
+    * documented on [[graft.operators.Warehouse.appendPostingsIndex]]. */
+  def knnGraphStream(vecs: DataFrame, storeDir: String,
+      cents: Seq[graft.operators.Similarity.Centroid]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        knnGraphAbsorb(batch.toDF(), storeDir, id, cents)
+        ()
+      }
+
+  /** One batch absorption, idempotent under at-least-once redelivery
+    * (the [[semDedupCompact]] crash analysis applies verbatim: the
+    * version only ever exists complete, a crashed attempt's admitted
+    * re-append dedupes by vec_id, and prunes are idempotent). */
+  private[streaming] def knnGraphAbsorb(batch: DataFrame, storeDir: String,
+      id: Long, cents: Seq[graft.operators.Similarity.Centroid]): Unit = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(s"$storeDir/v$id")
+    if (!fs.exists(vPath)) {
+      // the corpus BEFORE this batch's append; a crashed earlier
+      // attempt may already have appended this batch's rows — their
+      // existing→new candidates duplicate new→new ones and dedupe out
+      val prev = knnGraphCorpus(s, storeDir).localCheckpoint()
+      val newA = Similarity.assignWithProbes(
+        Similarity.withNorm(batch), cents).localCheckpoint()
+      newA.write.mode("append").parquet(s"$storeDir/admitted")
+      val corpusNow = prev.unionByName(newA).dropDuplicates("vec_id")
+      def probeJoin(srcSide: DataFrame, nidSide: DataFrame): DataFrame =
+        srcSide.select(col("vec_id").as("src"), col("embedding").as("q_emb"),
+            col("norm_fp").as("q_norm"), explode(col("probes")).as("cluster"))
+          .join(nidSide.select(col("vec_id").as("nid"),
+            col("embedding").as("n_emb"), col("norm_fp").as("n_norm"),
+            col("cluster")), Seq("cluster"))
+          .filter(col("src") =!= col("nid"))
+          .select(col("src"), col("nid"),
+            round(Similarity.cosine(
+              graft.functions.GraftFunctions.dot_fp9(col("q_emb"), col("n_emb")),
+              col("q_norm"), col("n_norm")) * 1e6).cast("long").as("cos_e6"))
+      // each direction materializes BEFORE the union: the two branches
+      // share the newA/prev checkpoint leaves, and Union constraint
+      // propagation over shared-attribute branches breaks on the
+      // streaming (AQE-off) optimizer path — LogicalRDD children keep
+      // the union's constraints self-contained (both are batch-sized)
+      val dir1 = probeJoin(newA, corpusNow).localCheckpoint()
+      val dir2 = probeJoin(prev, newA).localCheckpoint()
+      val scored = dir1.unionByName(dir2)
+        .dropDuplicates("src", "nid")
+        .localCheckpoint()
+      val prevGraph = knnGraphVersion(s, storeDir, before = id)
+      val touched = scored.select(col("src")).distinct()
+      val untouched = prevGraph.join(touched, Seq("src"), "left_anti")
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos_e6").desc, col("nid"))
+      val prevEdges = prevGraph.join(touched, Seq("src"), "left_semi")
+        .select(col("src"), col("nid"), col("cos_e6"))
+        .localCheckpoint() // same Union-constraint hazard as dir1/dir2
+      val recut = prevEdges
+        .unionByName(scored)
+        .dropDuplicates("src", "nid") // prev edge re-found: same cos_e6
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= Similarity.GraphK.toLong)
+        .select(col("src"), col("rank"), col("nid"), col("cos_e6"))
+      // the successor graph = untouched ∪ recut, written as two legs
+      // into the SAME staged dir (overwrite then append) instead of an
+      // in-plan Union — the same constraint-propagation hazard the
+      // dir1/dir2 checkpoints dodge above, avoided here without
+      // materializing the full graph an extra time
+      val stage = new org.apache.hadoop.fs.Path(s"$storeDir/.stage_v$id")
+      fs.delete(stage, true)
+      untouched.write.mode("overwrite").parquet(s"$stage/graph")
+      recut.write.mode("append").parquet(s"$stage/graph")
+      require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
+    }
+    // prune superseded versions (keep newest-but-one; idempotent)
+    versionDirs(s, storeDir).filter(_._1 < id)
+      .sortBy(_._1).dropRight(1)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The store's admitted corpus (assigned + probe lists), dedup'd by
+    * vec_id — empty frame before the first batch. */
+  def knnGraphCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("norm_fp", LongType),
+      StructField("cluster", LongType),
+      StructField("probes", ArrayType(LongType))))
+    val admitted = new org.apache.hadoop.fs.Path(s"$dir/admitted")
+    val fs = admitted.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(admitted))
+      s.read.parquet(admitted.toString).dropDuplicates("vec_id")
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The newest complete graph version strictly below `before`
+    * (redelivery bound, mirroring [[semDedupCorpus]]), or the empty
+    * graph before the first version. */
+  private def knnGraphVersion(s: org.apache.spark.sql.SparkSession,
+      dir: String, before: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("rank", LongType),
+      StructField("nid", LongType), StructField("cos_e6", LongType)))
+    val vs = versionDirs(s, dir).filter(_._1 < before)
+    if (vs.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.parquet(s"${vs.maxBy(_._1)._2}/graph")
+  }
+
+  /** The current standing kNN graph — s23's schema (src, rank, nid,
+    * cos_e6), one k-list per admitted vector. */
+  def knnGraphCurrent(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = knnGraphVersion(s, dir, Long.MaxValue)
 
   /** State/output of [[patternStream]]: the automaton accumulator
     * (acc%3 = open stage, acc/3 = completions) plus the newest scored
@@ -1471,5 +1639,6 @@ object StreamOps {
     "permuteStream" -> OutputMode.Append(),
     "repeatWithinStream" -> OutputMode.Append(),
     "semDedupStream" -> OutputMode.Append(),
-    "semDedupIngest" -> OutputMode.Update())
+    "semDedupIngest" -> OutputMode.Update(),
+    "knnGraphStream" -> OutputMode.Update())
 }

@@ -1351,6 +1351,57 @@ class StreamOpsSpec extends SparkSpecBase {
       "stored resolution != resolution of its own corpus version")
   }
 
+  test("knnGraphStream: chunked replay converges to batch s23's graph; " +
+      "redelivery is idempotent on both the complete-version and " +
+      "crashed-attempt paths") {
+    implicit val sq = spark.sqlContext
+    import StreamOpsSpec.Vec
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val eN = Similarity.withNorm(e)
+    val cents = Similarity.collectCodebook(eN)
+    val vecs = e.collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+    val store = java.nio.file.Files.createTempDirectory("knngraph-store").toString
+    val in = MemoryStream[Vec]
+    val q = StreamOps.knnGraphStream(in.toDF(), store, cents).start()
+    val chunks = vecs.grouped(100).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    def graphSet() = StreamOps.knnGraphCurrent(spark, store).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nid"), r.getAs[Long]("cos_e6"))).toSet
+    val streamed = graphSet()
+    val batch = Similarity.s23KnnGraphIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nid"), r.getAs[Long]("cos_e6"))).toSet
+    assert(streamed == batch,
+      s"stream/batch graph divergence: ${(streamed -- batch).take(5)} | " +
+        s"${(batch -- streamed).take(5)}")
+    // the incremental merge did real work: more than one version was
+    // ever written (pruning keeps ≤ 2) and the corpus covers everything
+    assert(StreamOps.knnGraphCorpus(spark, store).count() == vecs.length.toLong)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+    assert(versions.length <= 2, s"unpruned versions: ${versions.toSeq}")
+    val lastId = versions.map(_.drop(1).toLong).max
+    import spark.implicits._
+    val lastChunk = spark.createDataset(chunks.last).toDF()
+    // redelivery path 1: the complete version is trusted, not rebuilt
+    StreamOps.knnGraphAbsorb(lastChunk, store, lastId, cents)
+    assert(graphSet() == batch, "complete-version redelivery changed the graph")
+    // redelivery path 2: crash BEFORE the rename — v{lastId} is gone but
+    // the admitted log still holds the chunk's rows; the re-absorption
+    // re-appends (dedup-on-read) and rebuilds the identical version
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/v$lastId"), true)
+    StreamOps.knnGraphAbsorb(lastChunk, store, lastId, cents)
+    assert(graphSet() == batch, "crashed-attempt redelivery diverged")
+    assert(StreamOps.knnGraphCorpus(spark, store).count() == vecs.length.toLong,
+      "double-append broke the corpus dedup")
+  }
+
   test("semDedup compaction recovery: a crash between the version write " +
       "and the prune rebuilds from the last COMPLETE version") {
     import spark.implicits._
