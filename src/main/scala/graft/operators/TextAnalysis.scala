@@ -2159,6 +2159,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x38: the RELEASE MANIFEST — the curation pipeline COMPOSED end to
+    * end as ONE gated row set (VERDICT r11 #9): per document, every
+    * keep/drop decision with its reason and, for survivors, the
+    * training bucket. The waterfall is the components' own order —
+    * dedup facts first (x10's exact/near reasons, d15's subsumption),
+    * then x10's quality gates (lang, quality), then the split
+    * ('holdout': val/test docs are the benchmark side, not training
+    * data), then decontamination ('decontam': a train doc sharing any
+    * 13-gram with the test split — x21's semi join run in the RELEASE
+    * direction, train probing the test vocabulary), and survivors
+    * carry x37's CCNet fluency tertile. Every signal is the standing
+    * component artifact read verbatim (sharedClusters,
+    * sharedContainment, sharedGrams13, x37's rank), and the DuckDB
+    * oracle restates the whole composition from the SAME component
+    * CTEs (x10's and x37's oracle strings embedded unchanged, x32's
+    * subsumption chain, x21's gram CTEs), so the release decision can
+    * never drift from the components it composes.
+    *
+    * Scale notes (100 TB): pure composition — x10's broadcast-joined
+    * signal fabric over the doc_id-bucketed corpus, the pay-once
+    * shared stages for pairs/containment/grams, x37's two-aggregate
+    * global rank; the manifest itself adds only doc_id equi-joins on
+    * the bucketed key. */
+  def x38ReleaseManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val curated = x10Curate(s, d)
+      .select(col("doc_id"), col("reject_reason"), col("cluster_rep"),
+        col("quality_e3"), col("pred_lang"))
+    val sub = Dedup.subsumptionFrom(Dedup.sharedContainment(s, d), docs)
+      .select(col("doc_id"), col("subsumed"))
+    val split = docs
+      .select(col("doc_id"), hashBucket(col("doc_id").cast("string")).as("bk"))
+      .select(col("doc_id"),
+        when(col("bk") < 80L, "train").when(col("bk") < 90L, "val")
+          .otherwise("test").as("split"))
+    val grams = sharedGrams13(s, d)
+    val testG = grams.filter(col("split") === "test")
+      .select(explode(col("gs")).as("g")).distinct()
+    val dirty = grams.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(testG, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("decontam_hit", lit(true))
+    val buck = x37CcnetBuckets(s, d)
+      .select(col("doc_id"), col("bucket").as("cc_bucket"))
+    curated
+      .join(sub, Seq("doc_id"))
+      .join(split, Seq("doc_id"))
+      .join(dirty, Seq("doc_id"), "left")
+      .join(buck, Seq("doc_id"))
+      .withColumn("reason",
+        when(col("reject_reason").isin("exact_dup", "near_dup"),
+          col("reject_reason"))
+          .when(col("subsumed"), "subsumed")
+          .when(col("reject_reason").isNotNull, col("reject_reason"))
+          .when(col("split") =!= "train", "holdout")
+          .when(col("decontam_hit"), "decontam"))
+      .select(col("doc_id"), col("split"), col("reason").isNull.as("keep"),
+        col("reason"), col("cluster_rep"), col("quality_e3"),
+        col("pred_lang"),
+        when(col("reason").isNull, col("cc_bucket")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_token_count" -> x1TokenCount _,
     "x2_quality"     -> x2Quality _,
@@ -2196,6 +2260,7 @@ object TextAnalysis {
     "x35_substring_dedup" -> x35SubstringDedup _,
     "x36_hll_distinct" -> x36HllDistinct _,
     "x37_ccnet_buckets" -> x37CcnetBuckets _,
+    "x38_release_manifest" -> x38ReleaseManifest _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -2213,7 +2278,7 @@ object TextAnalysis {
     val base = oracleSqlBase
     // x37 DERIVES from the x16 entry verbatim (the s18 pattern): the
     // bucketing can never drift from the score it ranks
-    base + ("x37_ccnet_buckets" ->
+    val x37Sql =
       s"""WITH x16 AS (${base("x16_bigram_lm")}),
          |r AS (SELECT doc_id, mean_lp_e4,
          |    CAST(row_number() OVER (ORDER BY mean_lp_e4 DESC NULLS LAST,
@@ -2222,7 +2287,76 @@ object TextAnalysis {
          |SELECT doc_id, mean_lp_e4, rank,
          |  CASE ((rank - 1) * 3) // n + 1 WHEN 1 THEN 'head'
          |    WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-         |FROM r ORDER BY rank""".stripMargin)
+         |FROM r ORDER BY rank""".stripMargin
+    // x38 COMPOSES component oracles verbatim (x10's and x37's strings
+    // embedded unchanged, x32's subsumption chain, x21's gram CTEs) —
+    // the release decision cannot drift from the components it joins
+    val x38Sql =
+      s"""WITH x10 AS (${base("x10_curate")}),
+         |x37 AS ($x37Sql),
+         |t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws,
+         |    md5(doc_id::VARCHAR) AS hh FROM documents),
+         |h AS (SELECT doc_id, ws, ${oBucket4("hh")} AS bucket FROM t),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |    ws FROM h),
+         |g130 AS (SELECT doc_id, split,
+         |    unnest(CASE WHEN len(ws) >= 13 THEN
+         |      list_transform(range(1, len(ws) - 11),
+         |        i -> md5(array_to_string(ws[i : i + 12], ' ')))
+         |      ELSE [] END) AS g
+         |  FROM sp WHERE split <> 'val'),
+         |g13 AS (SELECT DISTINCT doc_id, split, g FROM g130),
+         |te AS (SELECT DISTINCT g FROM g13 WHERE split = 'test'),
+         |dirty AS (SELECT DISTINCT doc_id FROM g13
+         |  WHERE split = 'train' AND g IN (SELECT g FROM te)),
+         |szall AS (SELECT doc_id,
+         |    CAST(len(list_distinct(CASE WHEN len(ws) >= 3 THEN
+         |      list_transform(range(1, len(ws) - 1),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |      ELSE [] END)) AS BIGINT) AS n_sh
+         |  FROM t),
+         |s3g0 AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE [] END) AS shingle
+         |  FROM t),
+         |s3g AS (SELECT DISTINCT doc_id, shingle FROM s3g0),
+         |shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM s3g x JOIN s3g y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id),
+         |strong AS (SELECT sh.a, sh.b
+         |  FROM shared sh JOIN szall sza ON sza.doc_id = sh.a
+         |  JOIN szall szb ON szb.doc_id = sh.b
+         |  WHERE sza.n_sh >= ${Dedup.MinShinglesA}
+         |    AND sh.n_shared * 1000000 // sza.n_sh >= ${Dedup.SubsumeTauE6}
+         |    AND (szb.n_sh > sza.n_sh
+         |      OR (szb.n_sh = sza.n_sh AND sh.b < sh.a))),
+         |sb AS (SELECT s.doc_id, EXISTS (SELECT 1 FROM strong st
+         |    WHERE st.a = s.doc_id) AS subsumed
+         |  FROM szall s),
+         |fin AS (SELECT x10.doc_id, sp.split,
+         |    CASE WHEN x10.reject_reason IN ('exact_dup', 'near_dup')
+         |           THEN x10.reject_reason
+         |         WHEN sb.subsumed THEN 'subsumed'
+         |         WHEN x10.reject_reason IS NOT NULL THEN x10.reject_reason
+         |         WHEN sp.split <> 'train' THEN 'holdout'
+         |         WHEN x10.doc_id IN (SELECT doc_id FROM dirty)
+         |           THEN 'decontam'
+         |    END AS reason,
+         |    x10.cluster_rep, x10.quality_e3, x10.pred_lang,
+         |    x37.bucket AS cb
+         |  FROM x10 JOIN sp ON sp.doc_id = x10.doc_id
+         |    JOIN sb ON sb.doc_id = x10.doc_id
+         |    JOIN x37 ON x37.doc_id = x10.doc_id)
+         |SELECT doc_id, split, reason IS NULL AS keep, reason, cluster_rep,
+         |  quality_e3, pred_lang,
+         |  CASE WHEN reason IS NULL THEN cb END AS bucket
+         |FROM fin ORDER BY doc_id""".stripMargin
+    base + ("x37_ccnet_buckets" -> x37Sql) +
+      ("x38_release_manifest" -> x38Sql)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
