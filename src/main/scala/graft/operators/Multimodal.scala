@@ -749,8 +749,29 @@ object Multimodal {
     * combine, and the winning-offset argmax is a mergeable
     * max-of-struct, never a window. */
   def m13VideoNearDup(s: SparkSession, d: String): DataFrame =
-    temporalNearDup(frameSigs(s, d), maxSig = None)
+    sharedVideoPairs(s, d)
       .orderBy(col("a"), col("b"))
+
+  /** Session-scoped STANDING video temporal-vote pair stage — the
+    * [[sharedImgPairs]] discipline on [[temporalNearDup]], paid once
+    * for m13's listing and m16's manifest edges. */
+  private[graft] def sharedVideoPairs(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(videoPairCache, s, d) {
+      temporalNearDup(frameSigs(s, d), maxSig = None).localCheckpoint()
+    }
+
+  private val videoPairCache = SessionCaches.newCache()
+
+  /** [[sharedImgComponents]]' video twin. */
+  private[graft] def sharedVideoComponents(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(videoCompCache, s, d) {
+      graft.operators.Components.connectedComponents(
+        documents(s, d).select(col("doc_id").as("id")),
+        sharedVideoPairs(s, d).select(col("a"), col("b")))
+        .localCheckpoint()
+    }
+
+  private val videoCompCache = SessionCaches.newCache()
 
   /** Library form of [[m13VideoNearDup]] over any (doc_id, frame_idx,
     * sig) frame table. `maxSig` caps the per-signature posting length
@@ -804,6 +825,32 @@ object Multimodal {
       .withColumn("keep",
         when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
       .select(col("doc_id"), col("cluster_rep"), col("n_px"),
+        col("canonical_id"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** m16: VIDEO DEDUP MANIFEST — the keep-one recipe's FOURTH modality,
+    * completing the quartet (text keeps the quality argmax, images the
+    * highest resolution, audio the longest clip, video the clip with
+    * the MOST NON-EMPTY FRAMES — max n_frames, doc_id tiebreak): m13's
+    * temporal-offset-vote pairs as edges, alternating-star CC, one
+    * canonical per cluster. Same machinery, fourth modality — the
+    * modality-blind claim closed over every media type the engine
+    * models. Pair and component stages are session-shared with m13
+    * (the m14/m15 discipline). */
+  def m16VideoManifest(s: SparkSession, d: String): DataFrame = {
+    val comp = sharedVideoComponents(s, d)
+    val len = frameSigs(s, d).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("n_frames").desc, col("doc_id"))
+    comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .join(len, Seq("doc_id"), "left")
+      .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("keep",
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("cluster_rep"), col("n_frames"),
         col("canonical_id"), col("keep"))
       .orderBy(col("doc_id"))
   }
@@ -918,6 +965,7 @@ object Multimodal {
     "m13_video_neardup"  -> m13VideoNearDup _,
     "m14_img_manifest"   -> m14ImgManifest _,
     "m15_audio_manifest" -> m15AudioManifest _,
+    "m16_video_manifest" -> m16VideoManifest _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1211,6 +1259,52 @@ object Multimodal {
         |FROM comp JOIN npx USING (doc_id)
         |  JOIN can ON comp.cluster_rep = can.cluster_rep
         |ORDER BY comp.doc_id""".stripMargin,
+    // m13's pair CTEs verbatim + the m14 closure/keep-one template on
+    // the video modality (canonical = most non-empty frames)
+    "m16_video_manifest" -> {
+      def v(h: String, i: Int) =
+        s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +
+          s" ELSE ascii(substr($h,$i,1)) - 87 END)"
+      def hex8(h: String) = (2 to 8).foldLeft(s"CAST(${v(h, 1)} AS BIGINT)")(
+        (acc, i) => s"($acc * 16 + ${v(h, i)})")
+      s"""WITH RECURSIVE p AS (SELECT doc_id, text AS payload,
+         |    greatest(CAST(length(text) AS BIGINT) // $NFrames, 1) AS frame_len
+         |  FROM documents),
+         |f AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         |    substr(payload, CAST(k * frame_len + 1 AS INT),
+         |      CAST(frame_len AS INT)) AS frame
+         |  FROM p CROSS JOIN (SELECT unnest(range(0, $NFrames)) AS k)),
+         |g AS (SELECT doc_id, frame_idx, ${hex8("md5(frame)")} AS sig
+         |  FROM f WHERE length(frame) > 0),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    x.frame_idx - y.frame_idx AS delta, CAST(count(*) AS BIGINT) AS n
+         |  FROM g x JOIN g y ON x.sig = y.sig AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3),
+         |pr AS (SELECT a, b FROM (SELECT a, b, n, row_number() OVER (
+         |    PARTITION BY a, b ORDER BY n DESC, delta ASC) AS rn FROM m)
+         |  WHERE rn = 1 AND n >= $M13MinAligned),
+         |e2 AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM p
+         |  UNION
+         |  SELECT r.src, e2.v FROM reach r JOIN e2 ON r.dst = e2.u),
+         |comp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep
+         |  FROM reach GROUP BY src),
+         |nf AS (SELECT p.doc_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_frames
+         |  FROM p LEFT JOIN (SELECT doc_id, count(*) AS n FROM g
+         |    GROUP BY doc_id) cnt ON cnt.doc_id = p.doc_id),
+         |can AS (SELECT cluster_rep, doc_id AS canonical_id FROM (
+         |  SELECT comp.cluster_rep, comp.doc_id,
+         |      row_number() OVER (PARTITION BY comp.cluster_rep
+         |        ORDER BY nf.n_frames DESC, comp.doc_id) AS rn
+         |    FROM comp JOIN nf USING (doc_id)) WHERE rn = 1)
+         |SELECT comp.doc_id, comp.cluster_rep, nf.n_frames, can.canonical_id,
+         |  CASE WHEN comp.doc_id = can.canonical_id THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM comp JOIN nf USING (doc_id)
+         |  JOIN can ON comp.cluster_rep = can.cluster_rep
+         |ORDER BY comp.doc_id""".stripMargin
+    },
     // m10's frame-signature CTE + offset voting: matches vote for
     // delta = fa − fb; winning offset per pair by (votes DESC, delta
     // ASC), pairs kept at >= M13MinAligned votes

@@ -1415,6 +1415,20 @@ object Similarity {
     * behavior — candidates stop producing better neighbors within a
     * few rounds at modest k); the embeddings frame `e` is scanned
     * only by the re-score joins. */
+  /** s26: TWO NN-descent rounds — the refinement ITERATION gated one
+    * composition deeper than s24 (the s20 → s25 pattern applied to
+    * the graph loop): [[nnDescentRound]] composed with itself over
+    * the IVF graph, oracle-built from the SAME per-round SQL template
+    * as s24 so the unroll provably cannot drift from the single round
+    * it iterates. Recall vs the exact graph is ≥ s24's by the
+    * monotonicity argument on [[nnDescent]] (spec-pinned). Candidate
+    * growth stays ≤ k² + 2k per vector PER ROUND — graph-sized. */
+  def s26NnDescent2(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    nnDescentRound(e, nnDescentRound(e, ivfGraphEdges(e)))
+      .orderBy(col("src"), col("rank"))
+  }
+
   def nnDescent(e: DataFrame, graph: DataFrame,
       maxRounds: Int = 10): (DataFrame, Int) = {
     require(maxRounds >= 0, "maxRounds must be non-negative")
@@ -1946,6 +1960,7 @@ object Similarity {
     "s23_knn_graph_ivf" -> s23KnnGraphIvf _,
     "s24_nn_descent" -> s24NnDescent _,
     "s25_kmeans_train" -> s25KmeansTrain _,
+    "s26_nn_descent2" -> s26NnDescent2 _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -1997,6 +2012,28 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY src
          |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS rank
          |  FROM scored)""".stripMargin
+
+  /** One NN-descent round as SQL CTEs over a ranked graph CTE `rIn`
+    * (src, nid, cos_e6, rank): cut to [[GraphK]], expand G ∪ G∘G ∪ Gᵀ,
+    * re-score exactly, re-rank as `r$sfx` — ONE template for the s24
+    * and s26 oracles, so a deeper unroll can never drift from the
+    * single round it composes. */
+  private def oNnRound(rIn: String, sfx: String): String =
+    s"""
+       |, g$sfx AS (SELECT src, nid FROM $rIn WHERE rank <= $GraphK),
+       |cand$sfx AS (SELECT src, nid FROM g$sfx
+       |  UNION SELECT g1.src, g2.nid FROM g$sfx g1 JOIN g$sfx g2
+       |    ON g1.nid = g2.src AND g1.src <> g2.nid
+       |  UNION SELECT nid AS src, src AS nid FROM g$sfx),
+       |sc$sfx AS (SELECT c.src, c.nid,
+       |    CAST(round(${oCos(oDot("q.embedding", "n.embedding"),
+              "q.norm_fp", "n.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+       |  FROM cand$sfx c JOIN e q ON q.vec_id = c.src
+       |    JOIN e n ON n.vec_id = c.nid),
+       |r$sfx AS (SELECT src, nid, cos_e6,
+       |    CAST(row_number() OVER (PARTITION BY src
+       |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS rank
+       |  FROM sc$sfx)""".stripMargin
 
   /** Plane h's ±1 weights as a DuckDB list literal — same driver-side
     * derivation the Spark plan embeds, so both engines hash against
@@ -2302,23 +2339,17 @@ object Similarity {
     // one NN-descent round DERIVED from the s23 CTE verbatim (the s18
     // derivation pattern): G ∪ G∘G ∪ Gᵀ re-scored exactly, same cut
     "s24_nn_descent" ->
-      (IvfGraphCte +
+      (IvfGraphCte + oNnRound("r", "2") +
         s"""
-           |, g AS (SELECT src, nid FROM r WHERE rank <= $GraphK),
-           |cand AS (SELECT src, nid FROM g
-           |  UNION SELECT g1.src, g2.nid FROM g g1 JOIN g g2
-           |    ON g1.nid = g2.src AND g1.src <> g2.nid
-           |  UNION SELECT nid AS src, src AS nid FROM g),
-           |sc AS (SELECT c.src, c.nid,
-           |    CAST(round(${oCos(oDot("q.embedding", "n.embedding"),
-                  "q.norm_fp", "n.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
-           |  FROM cand c JOIN e q ON q.vec_id = c.src
-           |    JOIN e n ON n.vec_id = c.nid),
-           |r2 AS (SELECT src, nid, cos_e6,
-           |    CAST(row_number() OVER (PARTITION BY src
-           |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS rank
-           |  FROM sc)
            |SELECT src, rank, nid, cos_e6 FROM r2 WHERE rank <= $GraphK
+           |ORDER BY src, rank""".stripMargin),
+    // TWO rounds from the SAME template — the refinement ITERATION
+    // (nnDescent's composed step) pinned cross-engine, the s20→s25
+    // one-composition-deeper pattern applied to s24
+    "s26_nn_descent2" ->
+      (IvfGraphCte + oNnRound("r", "2") + oNnRound("r2", "3") +
+        s"""
+           |SELECT src, rank, nid, cos_e6 FROM r3 WHERE rank <= $GraphK
            |ORDER BY src, rank""".stripMargin),
     // s2's ranked-centroid window cut at the top TWO ranks, pivoted to
     // (own, next); the silhouette division is IEEE double on identical

@@ -1377,6 +1377,12 @@ class PipelineOpsSpec extends SparkSpecBase {
     val recall2 = refined.intersect(exactEdges).size.toDouble / exactEdges.size
     assert(recall2 > recall,
       s"NN-descent round did not lift recall: $recall -> $recall2")
+    // the second gated round (s26) never regresses the first
+    val refined2 = Similarity.s26NnDescent2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nid"))).toSet
+    val recall3 = refined2.intersect(exactEdges).size.toDouble / exactEdges.size
+    assert(recall3 >= recall2,
+      s"second NN-descent round regressed recall: $recall2 -> $recall3")
   }
 
   test("s20 one gated Lloyd round reproduces trainCodebook(iters=1) bit-for-bit") {
@@ -3553,6 +3559,29 @@ class PipelineOpsSpec extends SparkSpecBase {
       val argmax = members.minBy(m => (-m._3, m._1))
       members.foreach { m =>
         assert(m._4 == argmax._1, s"canonical of ${m._1} not the longest") }
+    }
+    rows.filter(m => rows.count(_._2 == m._2) == 1).foreach { m =>
+      assert(m._4 == m._1 && m._5 == 1L, s"singleton ${m._1} not kept") }
+  }
+
+  test("m16 video manifest: m13 pairs co-cluster, one keeper per cluster " +
+      "is the most-frames clip, singletons keep themselves") {
+    val rows = Multimodal.m16VideoManifest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("n_frames"), r.getAs[Long]("canonical_id"),
+        r.getAs[Long]("keep")))
+    assert(rows.nonEmpty)
+    val cluster = rows.map(t => t._1 -> t._2).toMap
+    val pairs = Multimodal.m13VideoNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.nonEmpty, "no video near-dup pairs — fixture degenerate")
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters") }
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._5 == 1L) == 1, s"cluster $rep keeper count")
+      val argmax = members.minBy(m => (-m._3, m._1))
+      members.foreach { m =>
+        assert(m._4 == argmax._1, s"canonical of ${m._1} not most-frames") }
     }
     rows.filter(m => rows.count(_._2 == m._2) == 1).foreach { m =>
       assert(m._4 == m._1 && m._5 == 1L, s"singleton ${m._1} not kept") }
