@@ -1313,8 +1313,21 @@ object Similarity {
     * (src, nid) candidate appears at most once (nid lives in ONE
     * cluster), so no dedup stage is needed before the window. */
   def s23KnnGraphIvf(s: SparkSession, d: String): DataFrame =
-    ivfGraphEdges(withNorm(embeddings(s, d)))
+    sharedIvfGraph(s, d)
       .orderBy(col("src"), col("rank"))
+
+  /** Session-scoped STANDING IVF kNN graph — [[ivfGraphEdges]]
+    * materialized once per (session, dir) and read by its three
+    * consumers (s23's listing, s24's single refinement round, s26's
+    * two-round unroll): the graph is THE standing artifact this family
+    * maintains (n×k rows, tiny), and
+    * [[graft.streaming.StreamOps.knnGraphStream]]'s versioned store is
+    * its cross-session form. */
+  private[graft] def sharedIvfGraph(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(ivfGraphCache, s, d)(
+      ivfGraphEdges(withNorm(embeddings(s, d))).localCheckpoint())
+
+  private val ivfGraphCache = SessionCaches.newCache()
 
   /** s23's edge frame (pre-presentation-sort) — shared with s24's
     * NN-descent refinement. */
@@ -1360,7 +1373,7 @@ object Similarity {
     * gate pins the recipe's step exactly. */
   def s24NnDescent(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    nnDescentRound(e, ivfGraphEdges(e))
+    nnDescentRound(e, sharedIvfGraph(s, d))
       .orderBy(col("src"), col("rank"))
   }
 
@@ -1425,7 +1438,7 @@ object Similarity {
     * growth stays ≤ k² + 2k per vector PER ROUND — graph-sized. */
   def s26NnDescent2(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    nnDescentRound(e, nnDescentRound(e, ivfGraphEdges(e)))
+    nnDescentRound(e, nnDescentRound(e, sharedIvfGraph(s, d)))
       .orderBy(col("src"), col("rank"))
   }
 
