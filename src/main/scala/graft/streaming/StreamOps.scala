@@ -1002,15 +1002,19 @@ object StreamOps {
     * (cos_e6 DESC, nid) total order, so chunked replay converges to
     * batch s23's graph verbatim (spec-pinned, redelivery included).
     *
-    * Scale notes (100 TB): per-batch work is batch-sized — the
-    * candidate fan is Σ over batch vectors of probed-cluster sizes
-    * (never corpus×corpus), the re-cut window runs only over touched
-    * srcs (≤ batch × (1 + max cluster fan)), and the engine itself
-    * holds NO streaming state (the store is the state, versioned on
-    * disk). At warehouse scale the admitted log is the cluster-
-    * bucketed standing table ([[graft.operators.Warehouse
-    * .writeBucketed]] on `cluster`) so step 2's corpus side plans
-    * exchange-free, and the full-graph version write amortizes to a
+    * Scale notes (100 TB): per-batch work is batch-sized — BOTH store
+    * layouts are directory-partitioned on their join direction's key
+    * (admitted/ by assigned cluster, postings/ by probe cluster, the
+    * d8 postings pattern) and each batch pins its driver-sized
+    * (codebook-bounded) cluster lists as `isin` partition filters, so
+    * the standing-corpus scans list only the batch's clusters instead
+    * of the whole log (the Warehouse.ivfProbe discipline; spec-pinned
+    * on the plan). The candidate fan is Σ over batch vectors of
+    * probed-cluster sizes (never corpus×corpus), the re-cut window
+    * runs only over touched srcs (≤ batch × (1 + max cluster fan)),
+    * and the engine itself holds NO streaming state (the store is the
+    * state, versioned on disk). At warehouse scale the remaining
+    * trade is the full-graph version write, which amortizes to a
     * touched-src delta + periodic compaction — the fragment trade
     * documented on [[graft.operators.Warehouse.appendPostingsIndex]]. */
   def knnGraphStream(vecs: DataFrame, storeDir: String,
@@ -1036,21 +1040,46 @@ object StreamOps {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val vPath = new org.apache.hadoop.fs.Path(s"$storeDir/v$id")
     if (!fs.exists(vPath)) {
-      // the corpus BEFORE this batch's append; a crashed earlier
-      // attempt may already have appended this batch's rows — their
-      // existing→new candidates duplicate new→new ones and dedupe out
-      val prev = knnGraphCorpus(s, storeDir).localCheckpoint()
       val newA = Similarity.assignWithProbes(
         Similarity.withNorm(batch), cents).localCheckpoint()
-      newA.write.mode("append").parquet(s"$storeDir/admitted")
-      val corpusNow = prev.unionByName(newA).dropDuplicates("vec_id")
-      def probeJoin(srcSide: DataFrame, nidSide: DataFrame): DataFrame =
-        srcSide.select(col("vec_id").as("src"), col("embedding").as("q_emb"),
-            col("norm_fp").as("q_norm"), explode(col("probes")).as("cluster"))
-          .join(nidSide.select(col("vec_id").as("nid"),
-            col("embedding").as("n_emb"), col("norm_fp").as("n_norm"),
-            col("cluster")), Seq("cluster"))
-          .filter(col("src") =!= col("nid"))
+      // batch cluster lists, collected as partition-filter literals —
+      // driver-sized by the codebook (≤ nlist values each), the
+      // Warehouse.ivfProbe discipline: the filters below prune the
+      // standing store's directory listing at planning time, so a
+      // batch's scan cost tracks its cluster fan, never the corpus
+      // (the claim that makes this an ingest twin at 100 TB)
+      val batchClusters = newA.select(col("cluster")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val batchProbed = newA.select(explode(col("probes")).as("c")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      // the corpus BEFORE this batch's append; a crashed earlier
+      // attempt may already have appended this batch's rows — their
+      // existing→new candidates duplicate new→new ones and dedupe out.
+      // Two standing layouts, each pruned by the direction it serves:
+      //  - admitted/  partitioned by ASSIGNED cluster → dir1's nid
+      //    side reads only the batch's PROBED clusters;
+      //  - postings/  the ×nprobe exploded copy partitioned by PROBE
+      //    cluster (the d8 postings pattern) → dir2's src side reads
+      //    only the batch's ASSIGNED clusters.
+      val prevProbeSide =
+        knnGraphCorpus(s, storeDir, within = Some(batchProbed))
+          .localCheckpoint()
+      val prevPostings =
+        knnGraphPostings(s, storeDir, within = Some(batchClusters))
+          .localCheckpoint()
+      newA.write.mode("append").partitionBy("cluster")
+        .parquet(s"$storeDir/admitted")
+      newA.select(explode(col("probes")).as("pcluster"), col("vec_id"),
+          col("embedding"), col("norm_fp"), col("cluster"))
+        .write.mode("append").partitionBy("pcluster")
+        .parquet(s"$storeDir/postings")
+      val corpusNow = prevProbeSide
+        .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+        .unionByName(newA
+          .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster")))
+        .dropDuplicates("vec_id")
+      def score(df: DataFrame): DataFrame =
+        df.filter(col("src") =!= col("nid"))
           .select(col("src"), col("nid"),
             round(Similarity.cosine(
               graft.functions.GraftFunctions.dot_fp9(col("q_emb"), col("n_emb")),
@@ -1060,8 +1089,18 @@ object StreamOps {
       // propagation over shared-attribute branches breaks on the
       // streaming (AQE-off) optimizer path — LogicalRDD children keep
       // the union's constraints self-contained (both are batch-sized)
-      val dir1 = probeJoin(newA, corpusNow).localCheckpoint()
-      val dir2 = probeJoin(prev, newA).localCheckpoint()
+      val dir1 = score(newA
+        .select(col("vec_id").as("src"), col("embedding").as("q_emb"),
+          col("norm_fp").as("q_norm"), explode(col("probes")).as("cluster"))
+        .join(corpusNow.select(col("vec_id").as("nid"),
+          col("embedding").as("n_emb"), col("norm_fp").as("n_norm"),
+          col("cluster")), Seq("cluster"))).localCheckpoint()
+      val dir2 = score(prevPostings
+        .select(col("vec_id").as("src"), col("embedding").as("q_emb"),
+          col("norm_fp").as("q_norm"), col("pcluster").as("cluster"))
+        .join(newA.select(col("vec_id").as("nid"),
+          col("embedding").as("n_emb"), col("norm_fp").as("n_norm"),
+          col("cluster")), Seq("cluster"))).localCheckpoint()
       val scored = dir1.unionByName(dir2)
         .dropDuplicates("src", "nid")
         .localCheckpoint()
@@ -1097,21 +1136,58 @@ object StreamOps {
   }
 
   /** The store's admitted corpus (assigned + probe lists), dedup'd by
-    * vec_id — empty frame before the first batch. */
+    * vec_id — empty frame before the first batch. Directory-partitioned
+    * by the ASSIGNED cluster, so an `isin` filter on `cluster` prunes
+    * the listing at planning time (the dir1 ingest path); the partition
+    * column comes back via directory inference and is normalized to
+    * LongType here. */
   def knnGraphCorpus(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String, within: Option[Seq[Long]] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("norm_fp", LongType),
+      StructField("probes", ArrayType(LongType)),
+      StructField("cluster", LongType)))
+    val admitted = new org.apache.hadoop.fs.Path(s"$dir/admitted")
+    val fs = admitted.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(admitted)) {
+      // explicit schema: the partition column is LongType DIRECTLY
+      // (directory inference would type it int, and the long-literal
+      // isin below would then sit behind a cast that blocks pruning);
+      // the prune filter sits BELOW the dedup aggregate — above it, a
+      // non-grouping-column predicate cannot reach the scan. Filter
+      // and dedup commute because re-appended duplicate rows are
+      // byte-identical (pure function of vector + pinned codebook).
+      val raw = s.read.schema(schema).parquet(admitted.toString)
+      within.fold(raw)(cs => raw.filter(col("cluster").isin(cs: _*)))
+        .dropDuplicates("vec_id")
+    } else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The store's ×nprobe exploded postings copy (one row per admitted
+    * vector per PROBE cluster — the d8 postings pattern), dedup'd for
+    * at-least-once re-appends; directory-partitioned by `pcluster` so
+    * the dir2 ingest join prunes to the batch's assigned clusters. */
+  private[streaming] def knnGraphPostings(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      within: Option[Seq[Long]] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("norm_fp", LongType),
       StructField("cluster", LongType),
-      StructField("probes", ArrayType(LongType))))
-    val admitted = new org.apache.hadoop.fs.Path(s"$dir/admitted")
-    val fs = admitted.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(admitted))
-      s.read.parquet(admitted.toString).dropDuplicates("vec_id")
-    else s.createDataFrame(
+      StructField("pcluster", LongType)))
+    val postings = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fs = postings.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(postings)) {
+      val raw = s.read.schema(schema).parquet(postings.toString)
+      within.fold(raw)(cs => raw.filter(col("pcluster").isin(cs: _*)))
+        .dropDuplicates("vec_id", "pcluster")
+    } else s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 

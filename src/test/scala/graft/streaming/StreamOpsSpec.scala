@@ -1400,6 +1400,19 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(graphSet() == batch, "crashed-attempt redelivery diverged")
     assert(StreamOps.knnGraphCorpus(spark, store).count() == vecs.length.toLong,
       "double-append broke the corpus dedup")
+    // the ingest joins' prune filters reach the SCAN as partition
+    // filters — planning-time directory pruning, so a batch's standing
+    // -corpus scan cost tracks its cluster fan, never the corpus
+    def partFilter(df: org.apache.spark.sql.DataFrame, key: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val hit = raw"PartitionFilters: \[[^\]]*$key".r.findFirstIn(plan)
+      assert(hit.isDefined,
+        s"$key isin filter did not prune partitions:\n$plan")
+    }
+    partFilter(StreamOps.knnGraphCorpus(spark, store, within = Some(Seq(0L))),
+      "cluster")
+    partFilter(StreamOps.knnGraphPostings(spark, store, within = Some(Seq(0L))),
+      "pcluster")
   }
 
   test("semDedup compaction recovery: a crash between the version write " +
