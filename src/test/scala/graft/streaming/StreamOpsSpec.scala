@@ -1415,6 +1415,47 @@ class StreamOpsSpec extends SparkSpecBase {
       "pcluster")
   }
 
+  test("knnGraph absorb property: random corpora under random chunkings " +
+      "converge to the single-batch graph (top-k merge is order-exact)") {
+    // the incremental merge's correctness argument — every (src, nid)
+    // candidate considered once across the stream's lifetime, top-k
+    // merge monotone in the (cos_e6 DESC, nid) total order — checked
+    // on seeded random geometry instead of the one fixture corpus
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 60 + rnd.nextInt(60)
+      val dim = 6
+      val vecs = (0L until n.toLong).map(i =>
+        (i, Seq.fill(dim)(rnd.nextFloat() - 0.5f)))
+      val e = spark.createDataset(vecs).toDF("vec_id", "embedding")
+      val cents = Similarity.collectCodebook(Similarity.withNorm(e))
+      def graphOf(chunks: Seq[Seq[(Long, Seq[Float])]]): Set[(Long, Long, Long, Long)] = {
+        val store = java.nio.file.Files
+          .createTempDirectory(s"knnprop-$trial").toString
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          StreamOps.knnGraphAbsorb(
+            spark.createDataset(c).toDF("vec_id", "embedding"),
+            store, i.toLong, cents)
+        }
+        StreamOps.knnGraphCurrent(spark, store).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      }
+      val whole = graphOf(Seq(vecs))
+      assert(whole.nonEmpty, s"trial $trial: empty single-batch graph")
+      // random chunk boundaries + shuffled arrival order within the run
+      val shuffled = rnd.shuffle(vecs)
+      val nChunks = 2 + rnd.nextInt(3)
+      val chunked = graphOf(shuffled.grouped(
+        math.max(1, shuffled.size / nChunks)).toSeq)
+      assert(chunked == whole,
+        s"trial $trial: chunked graph diverged from single-batch " +
+          s"(${(chunked -- whole).take(3)} | ${(whole -- chunked).take(3)})")
+    }
+  }
+
   test("semDedup compaction recovery: a crash between the version write " +
       "and the prune rebuilds from the last COMPLETE version") {
     import spark.implicits._
