@@ -438,14 +438,25 @@ object Similarity {
     * canonical representative. Together with d6 this closes both
     * near-dup decision paths a pipeline runs (text-shingle and
     * embedding-space): KEEP is_canonical = 1, drop the rest. */
-  def d7EmbedClusters(s: SparkSession, d: String): DataFrame = {
-    val comp = Components.connectedComponents(
-      embeddings(s, d).select(col("vec_id").as("id")),
-      sharedEmbedPairs(s, d).select(col("a"), col("b")))
-    comp.select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
-      when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
+  def d7EmbedClusters(s: SparkSession, d: String): DataFrame =
+    sharedEmbedComponents(s, d)
+      .select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
+        when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
       .orderBy(col("vec_id"))
-  }
+
+  /** Session-scoped STANDING embedding-cluster resolution — the
+    * [[graft.operators.Dedup.sharedClusters]] discipline on the
+    * cosine-pair graph: the multi-job CC loop runs once per (session,
+    * dir) over the shared pair stage and consumers read the
+    * checkpointed (id, rep) map. */
+  private[graft] def sharedEmbedComponents(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(embedCompCache, s, d)(
+      Components.connectedComponents(
+        embeddings(s, d).select(col("vec_id").as("id")),
+        sharedEmbedPairs(s, d).select(col("a"), col("b")))
+        .localCheckpoint())
+
+  private val embedCompCache = SessionCaches.newCache()
 
   /** Brute-force (broadcast nested loop) twin of [[s3CosinePairs]] —
     * kept as the semantic spec the tiled join is tested against; never
@@ -840,14 +851,28 @@ object Similarity {
     * by [[withinClusterPairs]]' `maxCluster` sub-sharding knob, off
     * here for oracle parity — the d9 posture), then the
     * alternating-star component loop over the surviving pairs. */
-  def d12SemDedup(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
-    val cents = collectCodebook(e)
-    val assigned = assignClusters(e, cents)
-      .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
-      .localCheckpoint()
-    resolveSemClusters(assigned).orderBy(col("vec_id"))
-  }
+  def d12SemDedup(s: SparkSession, d: String): DataFrame =
+    sharedSemResolution(s, d, maxCluster = None).orderBy(col("vec_id"))
+
+  /** Session-scoped STANDING SemDeDup resolution — assignment +
+    * within-cluster pairs + CC, a pure function of (corpus,
+    * maxCluster), checkpointed once per posture (the cap rides the
+    * cache key — the sharedContainment fence). The streaming store
+    * ([[graft.streaming.StreamOps.semDedupIngest]]) is its
+    * cross-session versioned form. */
+  private[graft] def sharedSemResolution(s: SparkSession, d: String,
+      maxCluster: Option[Int]): DataFrame =
+    SessionCaches.getOrBuild(semResCache, s,
+        maxCluster.fold(d)(m => s"$d|maxcluster=$m")) {
+      val e = withNorm(embeddings(s, d))
+      val cents = collectCodebook(e)
+      val assigned = assignClusters(e, cents)
+        .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+        .localCheckpoint()
+      resolveSemClusters(assigned, maxCluster).localCheckpoint()
+    }
+
+  private val semResCache = SessionCaches.newCache()
 
   /** Cluster cap for [[d18SemdedupCapped]]: below every sf0.01 cluster
     * size but 48 (62.5 avg over 8 centroids), so sub-sharding arms on
@@ -864,14 +889,9 @@ object Similarity {
     * cross-shard recall loss is part of the CONTRACT the oracle
     * states, so a drifting shard expression or size census fails the
     * gate instead of silently changing recall. */
-  def d18SemdedupCapped(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
-    val cents = collectCodebook(e)
-    val assigned = assignClusters(e, cents)
-      .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
-      .localCheckpoint()
-    resolveSemClusters(assigned, Some(D18MaxCluster)).orderBy(col("vec_id"))
-  }
+  def d18SemdedupCapped(s: SparkSession, d: String): DataFrame =
+    sharedSemResolution(s, d, maxCluster = Some(D18MaxCluster))
+      .orderBy(col("vec_id"))
 
   /** d12's resolution core over an ALREADY-ASSIGNED frame (vec_id,
     * embedding, norm_fp, cluster): within-cluster pair search (the
