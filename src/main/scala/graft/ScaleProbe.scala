@@ -46,6 +46,14 @@ object ScaleProbe {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // side-effecting shapes (store absorbs) — times the body itself
+    def timeUnit(name: String)(body: => Unit): (String, Double) = {
+      if (!wanted(name)) return name -> -1.0
+      val t0 = System.nanoTime()
+      body
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
     // setup for the ANN probe shapes (untimed): a 100k×m-vector corpus
     // written (a) partitioned by sign-LSH bucket and (b) IVF-partitioned
     // by a TRAINED spherical k-means codebook, plus a query vector taken
@@ -526,6 +534,43 @@ object ScaleProbe {
             lit(0L).as("cos_e6"))
         operators.Similarity.nnDescentRound(e, g0)
       },
+      // knnGraphStream ingest shape: ONE micro-batch (1000 vectors)
+      // absorbed against a standing n×m store seeded directly in the
+      // store's own layout (admitted/ by assigned cluster, postings/
+      // by probe cluster — plain parquet, so seeding bypasses the
+      // absorb path). nlist follows the production √n rule, so
+      // per-batch cost tracks batch × cluster size ≈ batch × √n ×
+      // nprobe — expect ~√m growth, never corpus² and never a full
+      // corpus scan (the partition-pruned isin reads only the batch's
+      // clusters).
+      (if (!wanted("knn_graph_absorb")) "knn_graph_absorb" -> -1.0
+       else {
+        // untimed seeding: the standing store in its own layout
+        val n = 20000L * m
+        val dim = 8
+        def synth(ids: org.apache.spark.sql.Dataset[java.lang.Long]): DataFrame =
+          ids.select(
+            col("id").as("vec_id"),
+            transform(sequence(lit(1), lit(dim)),
+              j => (((col("id") * 37L + j * 11L) % 97L + 1L) / 98.0d)
+                .cast("float")).as("embedding"))
+        val corpus = synth(spark.range(n))
+        val k = math.max(16, math.sqrt(n.toDouble).toInt)
+        val cents = operators.Similarity.trainCodebook(corpus, k, iters = 0)
+        val store = TempPath.scratch(s"knn-absorb-$m")
+        val seeded = operators.Similarity.assignWithProbes(
+          operators.Similarity.withNorm(corpus), cents)
+        seeded.write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$store/admitted")
+        seeded.select(explode(col("probes")).as("pcluster"), col("vec_id"),
+            col("embedding"), col("norm_fp"), col("cluster"))
+          .write.mode("overwrite").partitionBy("pcluster")
+          .parquet(s"$store/postings")
+        val batch = synth(spark.range(n, n + 1000L))
+        timeUnit("knn_graph_absorb") {
+          streaming.StreamOps.knnGraphAbsorb(batch, store, 7L, cents)
+        }
+      }),
       // e19 DEGENERATE case: ONE hyperactive user with n×m events
       // (bot / replay loop). The former collect_list form buffered the
       // whole history in a single task array; the streamed fold pays a

@@ -1031,7 +1031,7 @@ object StreamOps {
     * (the [[semDedupCompact]] crash analysis applies verbatim: the
     * version only ever exists complete, a crashed attempt's admitted
     * re-append dedupes by vec_id, and prunes are idempotent). */
-  private[streaming] def knnGraphAbsorb(batch: DataFrame, storeDir: String,
+  private[graft] def knnGraphAbsorb(batch: DataFrame, storeDir: String,
       id: Long, cents: Seq[graft.operators.Similarity.Centroid]): Unit = {
     import graft.operators.Similarity
     import org.apache.spark.sql.expressions.Window
@@ -1171,7 +1171,7 @@ object StreamOps {
     * vector per PROBE cluster — the d8 postings pattern), dedup'd for
     * at-least-once re-appends; directory-partitioned by `pcluster` so
     * the dir2 ingest join prunes to the batch's assigned clusters. */
-  private[streaming] def knnGraphPostings(
+  private[graft] def knnGraphPostings(
       s: org.apache.spark.sql.SparkSession, dir: String,
       within: Option[Seq[Long]] = None): DataFrame = {
     import org.apache.spark.sql.types._
