@@ -1448,8 +1448,12 @@ class StreamOpsSpec extends SparkSpecBase {
       // random chunk boundaries + shuffled arrival order within the run
       val shuffled = rnd.shuffle(vecs)
       val nChunks = 2 + rnd.nextInt(3)
-      val chunked = graphOf(shuffled.grouped(
-        math.max(1, shuffled.size / nChunks)).toSeq)
+      val chunks = shuffled.grouped(
+        math.max(1, shuffled.size / nChunks)).toSeq
+      // an EMPTY micro-batch mid-stream (idle trigger) must carry the
+      // graph forward unchanged
+      val chunked = graphOf(
+        chunks.take(1) ++ Seq(Seq.empty[(Long, Seq[Float])]) ++ chunks.drop(1))
       assert(chunked == whole,
         s"trial $trial: chunked graph diverged from single-batch " +
           s"(${(chunked -- whole).take(3)} | ${(whole -- chunked).take(3)})")
