@@ -534,6 +534,28 @@ object ScaleProbe {
             lit(0L).as("cos_e6"))
         operators.Similarity.nnDescentRound(e, g0)
       },
+      // s27 search shape: a FIXED query set (the operator's 10) beam-
+      // searched over a standing n×m-edge graph. Per-hop work is one
+      // hash join of a query-sized frontier against the k-bounded edge
+      // list — the graph side is scanned (linear in m here; bucketed
+      // by src at warehouse scale), never expanded, and the visited/
+      // re-score frames stay query-sized at every m.
+      time("graph_search") {
+        val n = 20000L * m
+        val dim = 8
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(dim)),
+            j => (((col("id") * 37L + j * 11L) % 97L + 1L) / 98.0d)
+              .cast("float")).as("embedding"))
+        val e = operators.Similarity.withNorm(corpus)
+        val g0 = spark.range(n).select(col("id").as("src"),
+            explode(sequence(lit(1L),
+              lit(operators.Similarity.GraphK.toLong))).as("i"))
+          .select(col("src"), col("i").as("rank"),
+            pmod(col("src") + col("i"), lit(n)).as("nid"),
+            lit(0L).as("cos_e6"))
+        operators.Similarity.graphSearch(e, g0)
+      },
       // knnGraphStream ingest shape: ONE micro-batch (1000 vectors)
       // absorbed against a standing n×m store seeded directly in the
       // store's own layout (admitted/ by assigned cluster, postings/

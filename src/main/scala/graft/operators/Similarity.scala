@@ -1391,11 +1391,22 @@ object Similarity {
     * rows), and the cut is the same k-bounded window. Production runs
     * a few rounds to convergence; ONE round is stated here so the
     * gate pins the recipe's step exactly. */
-  def s24NnDescent(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
-    nnDescentRound(e, sharedIvfGraph(s, d))
+  def s24NnDescent(s: SparkSession, d: String): DataFrame =
+    sharedNnRound1(s, d)
       .orderBy(col("src"), col("rank"))
-  }
+
+  /** Session-scoped FIRST NN-descent round — s24's body materialized
+    * once per (session, dir): s24 reads it directly and s26 composes
+    * its second round on top instead of re-running round one (the
+    * [[sharedIvfGraph]] discipline moved one rung up the refinement
+    * ladder — the round is a pure function of (corpus, graph), and
+    * the checkpointed frame is n×k rows, graph-sized). */
+  private[graft] def sharedNnRound1(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(nnRound1Cache, s, d)(
+      nnDescentRound(withNorm(embeddings(s, d)), sharedIvfGraph(s, d))
+        .localCheckpoint())
+
+  private val nnRound1Cache = SessionCaches.newCache()
 
   /** One NN-descent round over an explicit graph — the s24 body,
     * shared with [[nnDescent]]'s convergence loop: candidates =
@@ -1458,7 +1469,7 @@ object Similarity {
     * growth stays ≤ k² + 2k per vector PER ROUND — graph-sized. */
   def s26NnDescent2(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    nnDescentRound(e, nnDescentRound(e, sharedIvfGraph(s, d)))
+    nnDescentRound(e, sharedNnRound1(s, d))
       .orderBy(col("src"), col("rank"))
   }
 
@@ -1480,6 +1491,77 @@ object Similarity {
       if (!converged) rounds += 1
     }
     (g, rounds)
+  }
+
+  /** Beam width (entry fan and per-hop survivor cut) for [[s27GraphSearch]]. */
+  val NEntry = 2
+
+  /** s27: GRAPH-BASED ANN SEARCH — the search layer of the
+    * graph-index family (HNSW/NSG/DiskANN lineage: greedy best-first
+    * expansion over a proximity graph), unrolled to TWO hops so the
+    * gate pins each expansion exactly (the s24→s26 unroll pattern
+    * applied to search). Seeds are the literal-codebook vectors (real
+    * corpus rows — DiskANN's fixed entry-point set): each query keeps
+    * its [[NEntry]] best seeds by exact cosine (zero-exchange ranked
+    * array, the s2 machinery), expands their graph out-edges, keeps
+    * the [[NEntry]] best visited (the beam), expands once more, and
+    * ranks EVERYTHING VISITED by exact cosine for the final
+    * [[GraphK]] cut. Self-matches are excluded like s1.
+    *
+    * Scale notes (100 TB): the graph is the standing n×k artifact
+    * ([[graft.streaming.StreamOps.knnGraphStream]]'s store, bucketed
+    * by src at warehouse scale, so each hop joins exchange-free on
+    * the graph side); per query the visited set is ≤ NEntry·(2k + 1)
+    * rows — QUERY-sized, never corpus-sized — and the exact re-score
+    * joins move only those candidate rows. This is the read path the
+    * s22–s26 build ladder exists to serve: queries never scan the
+    * corpus, only the beam's graph neighborhood. */
+  def s27GraphSearch(s: SparkSession, d: String): DataFrame =
+    graphSearch(withNorm(embeddings(s, d)), sharedIvfGraph(s, d))
+      .orderBy(col("qid"), col("rank"))
+
+  /** The s27 pipeline over an explicit graph — [[nnDescent]] output
+    * and constructed spec geometries plug in. `graph` needs
+    * (src, nid) ranked rows (rank ≤ [[GraphK]] enforced here). */
+  private[graft] def graphSearch(e: DataFrame, graph: DataFrame): DataFrame = {
+    val cents = collectCodebook(e)
+    val g = graph.filter(col("rank") <= GraphK.toLong)
+      .select(col("src"), col("nid"))
+    // frontier 0: each query's NEntry best seeds among the codebook
+    // vectors — a narrow zero-exchange projection (cid IS the seed's
+    // vec_id: the literal codebook is made of corpus rows)
+    val f0 = e.filter(col("vec_id") < NQueries.toLong)
+      .select(col("vec_id").as("qid"),
+        slice(rankedCentroids(cents, col("embedding"), col("norm_fp")),
+          1, NEntry).as("rc"))
+      .select(col("qid"), explode(col("rc")).as("c"))
+      .select(col("qid"), col("c.cid").as("nid"))
+    def hop(frontier: DataFrame): DataFrame =
+      frontier.select(col("qid"), col("nid").as("f_nid"))
+        .join(g.select(col("src").as("f_nid"), col("nid")), Seq("f_nid"))
+        .select(col("qid"), col("nid"))
+    def rescore(v: DataFrame): DataFrame = v
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm_fp").as("q_norm")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("norm_fp").as("n_norm")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(dotFp9(col("q_emb"), col("n_emb")),
+          col("q_norm"), col("n_norm")) * 1e6).cast("long").as("cos_e6"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("nid"))
+    val v1 = f0.unionByName(hop(f0))
+      .filter(col("qid") =!= col("nid")).distinct()
+    val b1 = rescore(v1)
+      .withColumn("brank", row_number().over(w))
+      .filter(col("brank") <= NEntry)
+      .select(col("qid"), col("nid"))
+    val v2 = v1.unionByName(hop(b1))
+      .filter(col("qid") =!= col("nid")).distinct()
+    rescore(v2)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= GraphK.toLong)
+      .select(col("qid"), col("rank"), col("nid"), col("cos_e6"))
   }
 
   /** s8: IVF+PQ kNN — the two scale mechanisms COMPOSED, the standard
@@ -1994,6 +2076,7 @@ object Similarity {
     "s24_nn_descent" -> s24NnDescent _,
     "s25_kmeans_train" -> s25KmeansTrain _,
     "s26_nn_descent2" -> s26NnDescent2 _,
+    "s27_graph_search" -> s27GraphSearch _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -2384,6 +2467,45 @@ object Similarity {
         s"""
            |SELECT src, rank, nid, cos_e6 FROM r3 WHERE rank <= $GraphK
            |ORDER BY src, rank""".stripMargin),
+    // graph search DERIVED from the s23 CTE verbatim: seed with the
+    // NEntry best codebook vectors (cid IS a corpus vec_id), two
+    // beam-cut graph expansions, exact re-score of everything visited
+    "s27_graph_search" ->
+      (IvfGraphCte +
+        s"""
+           |, g AS (SELECT src, nid FROM r WHERE rank <= $GraphK),
+           |f0 AS (SELECT qid, cid AS nid FROM (
+           |  SELECT q.vec_id AS qid, cent.cid,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      ${oCos(oDot("q.embedding", "cent.c_emb"),
+                  "q.norm_fp", "cent.c_norm")} DESC, cent.cid) AS erank
+           |  FROM e q CROSS JOIN cent WHERE q.vec_id < $NQueries)
+           |  WHERE erank <= $NEntry),
+           |v1 AS (SELECT qid, nid FROM f0 WHERE qid <> nid
+           |  UNION SELECT f0.qid, g.nid FROM f0 JOIN g ON g.src = f0.nid
+           |    WHERE f0.qid <> g.nid),
+           |sc1 AS (SELECT v.qid, v.nid,
+           |    CAST(round(${oCos(oDot("q.embedding", "n.embedding"),
+                  "q.norm_fp", "n.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+           |  FROM v1 v JOIN e q ON q.vec_id = v.qid
+           |    JOIN e n ON n.vec_id = v.nid),
+           |b1 AS (SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY cos_e6 DESC, nid) AS brank FROM sc1)
+           |  WHERE brank <= $NEntry),
+           |v2 AS (SELECT qid, nid FROM v1
+           |  UNION SELECT b1.qid, g.nid FROM b1 JOIN g ON g.src = b1.nid
+           |    WHERE b1.qid <> g.nid),
+           |sc2 AS (SELECT v.qid, v.nid,
+           |    CAST(round(${oCos(oDot("q.embedding", "n.embedding"),
+                  "q.norm_fp", "n.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+           |  FROM v2 v JOIN e q ON q.vec_id = v.qid
+           |    JOIN e n ON n.vec_id = v.nid),
+           |res AS (SELECT qid, nid, cos_e6,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS rank FROM sc2)
+           |SELECT qid, rank, nid, cos_e6 FROM res WHERE rank <= $GraphK
+           |ORDER BY qid, rank""".stripMargin),
     // s2's ranked-centroid window cut at the top TWO ranks, pivoted to
     // (own, next); the silhouette division is IEEE double on identical
     // inputs (the cos_e6 contract), equidistant guard included
