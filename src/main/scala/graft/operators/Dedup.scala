@@ -837,6 +837,20 @@ object Dedup {
     * cap). */
   private[graft] def verifiedClustersFrom(docs: DataFrame,
       candidates: DataFrame): DataFrame = {
+    val comp = Components.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      verifiedPairsFrom(docs, candidates))
+    comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
+  /** The verify HALF of [[verifiedClustersFrom]] — candidate pairs cut
+    * to exact 3-shingle Jaccard ≥ [[D14TauE6]], returned as (a, b)
+    * without the closure: the form x40's ingest decision consumes (an
+    * arriving doc needs only "do I have a verified smaller partner",
+    * never the cluster). Pair-space work only — the shingle-set join
+    * moves candidate rows, not corpus². */
+  private[graft] def verifiedPairsFrom(docs: DataFrame,
+      candidates: DataFrame): DataFrame = {
     val docSh = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shingles3(col("ws")).as("sh0"))
@@ -844,7 +858,7 @@ object Dedup {
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
       .groupBy(col("doc_id"))
       .agg(min(col("sh")).as("sh"), min(col("n_sh")).as("n_sh"))
-    val verified = candidates.select(col("a"), col("b"))
+    candidates.select(col("a"), col("b"))
       .join(docSh.select(col("doc_id").as("a"), col("sh").as("sha"),
         col("n_sh").as("na")), Seq("a"))
       .join(docSh.select(col("doc_id").as("b"), col("sh").as("shb"),
@@ -856,9 +870,6 @@ object Dedup {
           greatest(col("na") + col("nb") - col("shared"), lit(1L))))
       .filter(col("jaccard_e6") >= D14TauE6)
       .select(col("a"), col("b"))
-    val comp = Components.connectedComponents(
-      docs.select(col("doc_id").as("id")), verified)
-    comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
   /** d13: the dedup RUN REPORT — the one-row summary a pipeline logs
@@ -1321,6 +1332,29 @@ object Dedup {
          |          array_to_string(list_transform(sig[b*$LshRows+1 : b*$LshRows+$LshRows],
          |            v -> v::VARCHAR), ','))) AS bands
          |  FROM g)""".stripMargin
+
+  /** The banded-candidate + exact-Jaccard-verify stages through
+    * `ver(a, b)` (a < b, uncapped), as a WITH-prefix other modules'
+    * oracles compose (x40's ingest decision) — the d14 oracle's own
+    * stages, so an ingest consumer can never drift from the batch
+    * recipe it claims to apply. Also defines `t(doc_id, text, ws)`
+    * and `s(.., sh)` for the composer's own CTEs. */
+  private[graft] def oVerifiedPairsCte: String =
+    SigCte +
+      s""",
+         |le AS (SELECT doc_id, band_idx, bands[band_idx] AS band_key
+         |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM le a JOIN le b ON a.band_idx = b.band_idx
+         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+         |sz AS (SELECT doc_id, dsh, CAST(len(dsh) AS BIGINT) AS n_sh FROM ds),
+         |ver AS (SELECT c.a AS a, c.b AS b
+         |  FROM cand c JOIN sz x ON x.doc_id = c.a JOIN sz y ON y.doc_id = c.b
+         |  WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT) * 1000000
+         |    // greatest(x.n_sh + y.n_sh
+         |      - CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT), 1)
+         |    >= $D14TauE6)""".stripMargin
 
   /** d14/d17 shared oracle: d3's banded candidates ∩ exact-Jaccard ≥ τ
     * on distinct shingle lists, then the d11 closure + quality

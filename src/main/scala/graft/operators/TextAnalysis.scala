@@ -2223,6 +2223,341 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** x16's per-doc mean bigram log-prob, with the MODEL side and the
+    * SCORED side decoupled — the ingest form of [[bigramScore]]: the
+    * model (pair counts, context totals, vocab) comes from
+    * `modelDocs`' train split only, and `scoredDocs` is scored
+    * against that FIXED model without contributing to it. Returns
+    * (doc_id, mean_lp_e4), NULL for docs with no bigrams — exactly
+    * x16's integer policy. [[bigramScore]] keeps its own fused plan
+    * (its model derives from the same bigram frame it scores, one
+    * scan) so the gated x16/x37 rows are untouched. */
+  private[graft] def bigramMeanLp(modelDocs: DataFrame,
+      scoredDocs: DataFrame): DataFrame = {
+    def staged(docs: DataFrame) = docs
+      .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
+      .withColumn("split",
+        when(col("bucket") < 80L, "train")
+          .when(col("bucket") < 90L, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), words(col("text")).as("ws"))
+    def bigramsOf(base: DataFrame) = base
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("split"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("split"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val mbase = staged(modelDocs).filter(col("split") === "train")
+    val c2 = bigramsOf(mbase)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = c2.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    val v = mbase.select(explode(col("ws")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val base = staged(scoredDocs)
+    val perDoc = bigramsOf(base)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp_e4",
+        lpE4(col("c"), coalesce(col("ctx"), lit(0L)), col("v")))
+      .groupBy(col("doc_id"))
+      .agg(idiv(sum(col("lp_e4")), count(lit(1))).as("mean_lp_e4"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("mean_lp_e4"))
+  }
+
+  /** x40: the INGEST-TIME release decision — x38's manifest re-stated
+    * for the batch a pipeline actually admits daily (the d8 split:
+    * doc_id < [[Dedup.IncrementalSplit]] is the standing corpus,
+    * at-or-above is the arriving batch), every decision made against
+    * STANDING state plus earlier arrivals only — never against later
+    * documents, which is what makes the decision computable at ingest
+    * time (x38's cluster representatives and tertile ranks depend on
+    * the whole corpus including the future; this form does not):
+    *   1. `exact_dup` — content hash matches a standing doc or an
+    *      earlier arrival (the whole-corpus group-min manifest
+    *      restricted to the batch states exactly this),
+    *   2. `near_dup` — a verified (exact-Jaccard ≥ τ) partner with a
+    *      smaller id, candidates from the d8 standing-postings
+    *      machinery (batch×corpus ∪ batch×batch, never corpus²),
+    *   3. `subsumed` — ≥90% contained in a larger/earlier doc (the
+    *      standing containment pair stage restricted to batch `a`s),
+    *   4. `lang` / 5. `quality` — x10's stateless per-doc signals,
+    *   6. `holdout` — the x6 hash split (stateless),
+    *   7. `decontam` — shares a 13-gram with the STANDING test split,
+    * and survivors get a CCNet bucket by VALUE THRESHOLD: the tertile
+    * boundary scores of the standing corpus under the standing-train
+    * bigram model (ties land in the better bucket; an unscorable doc
+    * lands in tail) — the ingest analogue of x37's rank bucketing,
+    * since a rank among future docs is unknowable at admission.
+    *
+    * Scale notes (100 TB): per batch this touches batch-sized and
+    * index-sized frames only — the standing md5 set / postings /
+    * containment index / 13-gram set are the persisted artifacts the
+    * d8/subsumption/decontam streaming twins already maintain, the
+    * bigram model is vocabulary-sized, and the two boundary scores
+    * are one driver-sized broadcast recomputed at the corpus owner's
+    * cadence. [[graft.streaming.StreamOps]] carries the per-component
+    * continuous forms; this row pins their COMPOSED decision
+    * cross-engine. */
+  def x40IngestDecide(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val split = Dedup.IncrementalSplit
+    val rdocs = docs.repartition(col("doc_id"))
+    val arriving = docs.filter(col("doc_id") >= split)
+    val exact = Dedup.exactDupManifest(docs)
+      .filter(col("doc_id") >= split)
+      .select(col("doc_id"), col("is_dup"))
+    val cands = Dedup.incrementalCandidates(
+      Dedup.lshIndex(rdocs.filter(col("doc_id") < split)),
+      Dedup.lshIndex(rdocs.filter(col("doc_id") >= split)),
+      maxBucket = None)
+    val near = Dedup.verifiedPairsFrom(docs, cands.select(col("a"), col("b")))
+      .filter(col("b") >= split) // pairs are canonical a < b: "has a
+      .select(col("b").as("doc_id")) // verified smaller partner" = appears as b
+      .distinct()
+      .withColumn("near_dup", lit(true))
+    val sub = Dedup.subsumptionFrom(
+      Dedup.sharedContainment(s, d).filter(col("a") >= split), arriving)
+      .select(col("doc_id"), col("subsumed"))
+    val qual = qualitySignals(arriving).select(col("doc_id"), col("quality_e3"))
+    val lang = langIdSignals(arriving).select(col("doc_id"), col("pred_lang"))
+    val splits = arriving
+      .select(col("doc_id"), hashBucket(col("doc_id").cast("string")).as("bk"))
+      .select(col("doc_id"),
+        when(col("bk") < 80L, "train").when(col("bk") < 90L, "val")
+          .otherwise("test").as("split"))
+    val grams = sharedGrams13(s, d)
+    val teStanding = grams
+      .filter(col("split") === "test" && col("doc_id") < split)
+      .select(explode(col("gs")).as("g")).distinct()
+    val dirty = grams
+      .filter(col("split") === "train" && col("doc_id") >= split)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(teStanding, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("decontam_hit", lit(true))
+    val scoredAll = bigramMeanLp(docs.filter(col("doc_id") < split), docs)
+    assembleIngestDecision(arriving, exact, near, sub, qual, lang, splits,
+      dirty, scoredAll,
+      ccnetBoundaries(scoredAll.filter(col("doc_id") < split)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The two CCNet tertile BOUNDARY scores of a standing corpus's
+    * (doc_id, mean_lp_e4) frame — a 1-row (b_head, b_mid) frame the
+    * ingest decision broadcasts (x37's rank bucketing collapsed to
+    * the value thresholds an arriving doc can be compared against). */
+  private[graft] def ccnetBoundaries(scoredStanding: DataFrame): DataFrame = {
+    val ranked = Relational.globalRank(scoredStanding,
+      Seq(col("mean_lp_e4").desc_nulls_last, col("doc_id").asc))
+    val nTot = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("bucket_i", expr("((rank - 1) * 3) div n_total + 1"))
+      .agg(min(when(col("bucket_i") === 1L, col("mean_lp_e4"))).as("b_head"),
+        min(when(col("bucket_i") === 2L, col("mean_lp_e4"))).as("b_mid"))
+  }
+
+  /** The x40 decision ASSEMBLY — reason precedence + value-threshold
+    * bucket — over pre-computed component frames, shared by the gated
+    * batch row and [[graft.streaming.StreamOps.ingestDecideStream]]'s
+    * per-batch absorb so the two forms cannot drift in precedence or
+    * schema. All component frames are batch-doc-keyed; `bnd` is the
+    * 1-row [[ccnetBoundaries]] frame. */
+  private[graft] def assembleIngestDecision(batchDocs: DataFrame,
+      exact: DataFrame, near: DataFrame, sub: DataFrame, qual: DataFrame,
+      lang: DataFrame, splits: DataFrame, dirty: DataFrame,
+      scored: DataFrame, bnd: DataFrame): DataFrame =
+    batchDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .join(sub, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(splits, Seq("doc_id"))
+      .join(dirty, Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"))
+      .crossJoin(broadcast(bnd))
+      .withColumn("reason",
+        when(col("is_dup"), "exact_dup")
+          .when(col("near_dup"), "near_dup")
+          .when(col("subsumed"), "subsumed")
+          .when(col("pred_lang") =!= "en", "lang")
+          .when(col("quality_e3") < CurateMinQuality, "quality")
+          .when(col("split") =!= "train", "holdout")
+          .when(col("decontam_hit"), "decontam"))
+      .select(col("doc_id"), col("split"), col("reason").isNull.as("keep"),
+        col("reason"), col("quality_e3"), col("pred_lang"),
+        col("mean_lp_e4"),
+        when(col("reason").isNotNull, lit(null).cast("string"))
+          .when(col("mean_lp_e4") >= col("b_head"), "head")
+          .when(col("mean_lp_e4") >= col("b_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+
+  /** The x40 decision for ONE ARRIVING BATCH against an explicit
+    * prior corpus — the form [[graft.streaming.StreamOps
+    * .ingestDecideStream]] runs per micro-batch. `prior` is the
+    * standing corpus PLUS every earlier admitted arrival (the
+    * stream's append-only store); `standingOnly` is the original
+    * standing corpus, whose test-split 13-grams, train-split bigram
+    * model and tertile boundaries are the decision's FIXED artifacts
+    * (they update at the corpus owner's cadence, not per batch).
+    * Component semantics are x40's restated for an explicit prior:
+    *   - exact: content hash in `prior`, or an earlier (smaller-id)
+    *     doc of the same batch;
+    *   - near: a verified partner in `prior`, or a smaller-id
+    *     verified partner in the batch (candidates from the d8
+    *     incremental postings machinery — batch×prior ∪ batch×batch);
+    *   - subsumed: d15's rule against the containment index of
+    *     prior ∪ batch (container larger, ties to the smaller id).
+    * Applied to the WHOLE arriving set as one batch this equals the
+    * gated x40 row-for-row (spec-pinned — a real cross-derivation:
+    * different exact/near/subsumption constructions, same decisions).
+    * Composed over in-order chunks, exact/near/decontam/bucket remain
+    * x40-exact by construction (their partner/state rules only ever
+    * look at smaller ids or fixed standing state); SUBSUMPTION is the
+    * one visibility-limited component — a container that arrives in a
+    * LATER batch cannot flag an earlier admission, which is the
+    * documented division of labor with
+    * [[graft.streaming.StreamOps.subsumptionStream]]: arrival
+    * screening answers "is this new doc inside what we have", the
+    * reverse direction belongs to the periodic batch pass. */
+  private[graft] def ingestDecideBatch(prior: DataFrame, batch: DataFrame,
+      standingOnly: DataFrame): DataFrame = {
+    val all = prior.select(col("doc_id"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("text")))
+    val wMd5 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_md5"))
+    val priorMd5 = prior
+      .select(md5(normText(col("text"))).as("content_md5")).distinct()
+      .withColumn("in_prior", lit(true))
+    val exact = batch
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_md5"))
+      .withColumn("bmin", min(col("doc_id")).over(wMd5))
+      .join(priorMd5, Seq("content_md5"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("in_prior"), lit(false)) ||
+          col("doc_id") =!= col("bmin")).as("is_dup"))
+    val cands = Dedup.incrementalCandidates(
+      Dedup.lshIndex(prior.repartition(col("doc_id"))),
+      Dedup.lshIndex(batch.repartition(col("doc_id"))), maxBucket = None)
+    val bIds = batch.select(col("doc_id"))
+    val near = Dedup.verifiedPairsFrom(all, cands.select(col("a"), col("b")))
+      .join(bIds.select(col("doc_id").as("a"), lit(true).as("a_in")),
+        Seq("a"), "left")
+      .join(bIds.select(col("doc_id").as("b"), lit(true).as("b_in")),
+        Seq("b"), "left")
+      // every candidate touches the batch: flag the batch member, and
+      // of a batch-internal pair the larger (pairs are canonical a<b)
+      .select(when(col("b_in").isNotNull, col("b")).otherwise(col("a"))
+        .as("doc_id"))
+      .distinct()
+      .withColumn("near_dup", lit(true))
+    val idx = Dedup.containmentIndex(prior)
+      .unionByName(Dedup.containmentIndex(batch))
+    val sub = batch
+      .select(col("doc_id"),
+        array_distinct(shingles3(words(col("text")))).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_a"),
+        explode(col("shs")).as("shingle"))
+      .join(idx, Seq("shingle"))
+      .filter(col("corpus_doc") =!= col("doc_id"))
+      .groupBy(col("doc_id"), col("corpus_doc"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_a") >= Dedup.MinShinglesA)
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("corpus_doc") < col("doc_id")))
+      .filter(idiv(col("n_shared") * 1000000L, col("n_a"))
+        >= Dedup.SubsumeTauE6)
+      .select(col("doc_id")).distinct()
+      .withColumn("subsumed", lit(true))
+    val subAll = batch.select(col("doc_id"))
+      .join(sub, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("subsumed"), lit(false)).as("subsumed"))
+    val qual = qualitySignals(batch).select(col("doc_id"), col("quality_e3"))
+    val lng = langIdSignals(batch).select(col("doc_id"), col("pred_lang"))
+    val splits = batch
+      .select(col("doc_id"), hashBucket(col("doc_id").cast("string")).as("bk"))
+      .select(col("doc_id"),
+        when(col("bk") < 80L, "train").when(col("bk") < 90L, "val")
+          .otherwise("test").as("split"))
+    val teStanding = gramSets(standingOnly, 13)
+      .filter(col("split") === "test")
+      .select(explode(col("gs")).as("g")).distinct()
+    val dirty = gramSets(batch, 13)
+      .filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(teStanding, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("decontam_hit", lit(true))
+    val scoredBatch = bigramMeanLp(standingOnly, batch)
+    val bnd = ccnetBoundaries(bigramMeanLp(standingOnly, standingOnly))
+    assembleIngestDecision(batch, exact, near, subAll, qual, lng, splits,
+      dirty, scoredBatch, bnd)
+  }
+
+  /** Count floor and result width for [[x39PmiCollocations]]. */
+  val MinColloCount = 5L
+  val ColloTopK = 100
+
+  /** x39: PMI COLLOCATION MINING — the published phrase-detection
+    * recipe (Church & Hanks 1990 association ratio; word2vec's phrase
+    * pass is the same statistic with a discount): rank adjacent word
+    * pairs by pointwise mutual information so multi-word units
+    * ("new york") can be joined into single tokens before BPE/vocab
+    * builds (x18) and so corpus audits can see stock phrases. PMI's
+    * log is monotone, so the gate ranks the integer LIFT instead —
+    * `P(ab) / (P(a)·P(b))` in e6 fixed point with the division
+    * staged exactly as written (both engines state the identical
+    * floor-division chain; no cross-engine log), count floor
+    * [[MinColloCount]] (the classic low-count PMI-explosion guard),
+    * top [[ColloTopK]] by (lift DESC, w1, w2).
+    *
+    * Scale notes (100 TB): two map-side-combined counting aggregates
+    * (bigram and unigram censuses) + one broadcast of the two scalar
+    * totals; the unigram join onto the floored bigram table moves
+    * only over-floor bigram keys (vocabulary-sized, never
+    * token-sized), and the final global top-k is a TakeOrdered —
+    * never a single-partition sort. */
+  def x39PmiCollocations(s: SparkSession, d: String): DataFrame =
+    pmiCollocations(documents(s, d))
+
+  /** Library form of [[x39PmiCollocations]] over any (doc_id, text)
+    * frame. */
+  def pmiCollocations(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val uni = base.select(explode(col("ws")).as("w"))
+    val cw = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(count(lit(1)).as("n_uni")).crossJoin(
+      base.filter(size(col("ws")) >= 2)
+        .agg(sum(size(col("ws")) - 1).cast("long").as("n_big")))
+    val big = base
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinColloCount)
+    big
+      .join(cw.select(col("w").as("w1"), col("c").as("n_a")), Seq("w1"))
+      .join(cw.select(col("w").as("w2"), col("c").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      // lift = (n_ab/N_big) / ((n_a/N_uni)(n_b/N_uni)), floored in two
+      // stages so no intermediate multiplies three corpus-sized counts
+      // (n_ab·1e6·N_uni is the widest product; ANSI mode throws loudly
+      // rather than wrapping if a corpus ever outgrows it)
+      .withColumn("lift_e6",
+        idiv(idiv(col("n_ab") * 1000000L * col("n_uni"),
+          col("n_big") * col("n_a")) * col("n_uni"), col("n_b")))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+      .limit(ColloTopK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_token_count" -> x1TokenCount _,
     "x2_quality"     -> x2Quality _,
@@ -2261,6 +2596,8 @@ object TextAnalysis {
     "x36_hll_distinct" -> x36HllDistinct _,
     "x37_ccnet_buckets" -> x37CcnetBuckets _,
     "x38_release_manifest" -> x38ReleaseManifest _,
+    "x39_pmi_collocations" -> x39PmiCollocations _,
+    "x40_ingest_decide" -> x40IngestDecide _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -2355,8 +2692,136 @@ object TextAnalysis {
          |  quality_e3, pred_lang,
          |  CASE WHEN reason IS NULL THEN cb END AS bucket
          |FROM fin ORDER BY doc_id""".stripMargin
+    // x40 COMPOSES Dedup's banded-candidate + verify CTEs verbatim
+    // (oVerifiedPairsCte — the d14 recipe's own stages) with the
+    // x10/x38 component restatements, every stateful side restricted
+    // to doc_id < IncrementalSplit (the standing corpus) and the
+    // partner/container rules to smaller ids — the ingest contract
+    val x40Sql = {
+      val split = Dedup.IncrementalSplit
+      val scores = LangMarkers.map { case (lang, markers) =>
+        s"CAST(len(list_filter(lws, w -> w IN ${inList(markers)})) AS BIGINT) AS score_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = LangMarkers.map { case (l, _) => s"score_$l" }
+        .reduce((a, b) => s"greatest($a, $b)")
+      val predCase = LangMarkers.map { case (l, _) =>
+        s"WHEN score_$l = best_score AND best_score > 0 THEN '$l'"
+      }.mkString(" ")
+      Dedup.oVerifiedPairsCte +
+        s""",
+           |near AS (SELECT DISTINCT b AS doc_id FROM ver WHERE b >= $split),
+           |ex AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY
+           |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS is_dup
+           |  FROM t),
+           |szall AS (SELECT doc_id, CAST(len(list_distinct(sh)) AS BIGINT) AS n_sh
+           |  FROM s),
+           |s3g0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+           |s3g AS (SELECT DISTINCT doc_id, shingle FROM s3g0),
+           |shared AS (SELECT x.doc_id AS a, y.doc_id AS b,
+           |    CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM s3g x JOIN s3g y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+           |  WHERE x.doc_id >= $split
+           |  GROUP BY x.doc_id, y.doc_id),
+           |strong AS (SELECT sh2.a
+           |  FROM shared sh2 JOIN szall sza ON sza.doc_id = sh2.a
+           |  JOIN szall szb ON szb.doc_id = sh2.b
+           |  WHERE sza.n_sh >= ${Dedup.MinShinglesA}
+           |    AND sh2.n_shared * 1000000 // sza.n_sh >= ${Dedup.SubsumeTauE6}
+           |    AND (szb.n_sh > sza.n_sh
+           |      OR (szb.n_sh = sza.n_sh AND sh2.b < sh2.a))),
+           |sb AS (SELECT DISTINCT a AS doc_id FROM strong),
+           |qb AS (SELECT doc_id,
+           |    CAST(length(text) AS BIGINT) AS n_chars,
+           |    CAST(len(ws) AS BIGINT) AS n_tokens,
+           |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_tok_len,
+           |    CAST(len(list_filter(ws, w -> w IN ${inList(EnStop)})) AS BIGINT) AS n_stop
+           |  FROM t),
+           |qq AS (SELECT doc_id,
+           |    (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 300 ELSE 0 END +
+           |     CASE WHEN sum_tok_len * 1000 // greatest(n_tokens, 1) BETWEEN 3000 AND 8000 THEN 400 ELSE 0 END +
+           |     CASE WHEN n_stop * 1000 // greatest(n_tokens, 1) BETWEEN 20 AND 400 THEN 300 ELSE 0 END) AS quality_e3
+           |  FROM qb),
+           |tl AS (SELECT doc_id,
+           |    list_filter(string_split(lower(text), ' '), w -> w != '') lws FROM t),
+           |lsc AS (SELECT doc_id,
+           |    $scores
+           |  FROM tl),
+           |lb AS (SELECT *, $bestExpr AS best_score FROM lsc),
+           |lg AS (SELECT doc_id, CASE $predCase ELSE 'und' END AS pred_lang FROM lb),
+           |hsp AS (SELECT doc_id, md5(doc_id::VARCHAR) AS hh2 FROM t),
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN ${oBucket4("hh2")} < 80 THEN 'train'
+           |         WHEN ${oBucket4("hh2")} < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM hsp),
+           |g130 AS (SELECT t.doc_id, sp.split,
+           |    unnest(CASE WHEN len(ws) >= 13 THEN
+           |      list_transform(range(1, len(ws) - 11),
+           |        i -> md5(array_to_string(ws[i : i + 12], ' ')))
+           |      ELSE [] END) AS gr
+           |  FROM t JOIN sp ON sp.doc_id = t.doc_id WHERE sp.split <> 'val'),
+           |g13 AS (SELECT DISTINCT doc_id, split, gr FROM g130),
+           |te AS (SELECT DISTINCT gr FROM g13
+           |  WHERE split = 'test' AND doc_id < $split),
+           |dirty AS (SELECT DISTINCT doc_id FROM g13
+           |  WHERE split = 'train' AND doc_id >= $split
+           |    AND gr IN (SELECT gr FROM te)),
+           |bgidx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+           |  FROM t WHERE len(ws) >= 2),
+           |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM bgidx),
+           |c2m AS (SELECT w1, w2, count(*) AS c FROM bg
+           |  JOIN sp ON sp.doc_id = bg.doc_id
+           |  WHERE sp.split = 'train' AND bg.doc_id < $split GROUP BY w1, w2),
+           |ctxm AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx FROM c2m GROUP BY w1),
+           |vm AS (SELECT count(DISTINCT w) AS v FROM (
+           |  SELECT unnest(ws) AS w FROM t JOIN sp ON sp.doc_id = t.doc_id
+           |  WHERE sp.split = 'train' AND t.doc_id < $split)),
+           |lp AS (SELECT bg.doc_id,
+           |    CAST(round(log10((coalesce(c2m.c, 0) + 1)::DOUBLE
+           |      / (coalesce(ctxm.ctx, 0) + vm.v)::DOUBLE) * 1e4) AS BIGINT) AS lp_e4
+           |  FROM bg LEFT JOIN c2m USING (w1, w2) LEFT JOIN ctxm USING (w1)
+           |  CROSS JOIN vm),
+           |sc16 AS (SELECT doc_id,
+           |    CAST(floor(sum(lp_e4)::DOUBLE / count(*)::DOUBLE) AS BIGINT) AS mean_lp_e4
+           |  FROM lp GROUP BY doc_id),
+           |scall AS (SELECT t.doc_id, sc16.mean_lp_e4
+           |  FROM t LEFT JOIN sc16 ON sc16.doc_id = t.doc_id),
+           |rkst AS (SELECT doc_id, mean_lp_e4,
+           |    CAST(row_number() OVER (ORDER BY mean_lp_e4 DESC NULLS LAST,
+           |      doc_id) AS BIGINT) AS rank,
+           |    count(*) OVER () AS n FROM scall WHERE doc_id < $split),
+           |bkt AS (SELECT doc_id, mean_lp_e4,
+           |    ((rank - 1) * 3) // n + 1 AS bucket_i FROM rkst),
+           |bnd AS (SELECT min(CASE WHEN bucket_i = 1 THEN mean_lp_e4 END) AS b_head,
+           |    min(CASE WHEN bucket_i = 2 THEN mean_lp_e4 END) AS b_mid FROM bkt),
+           |fin AS (SELECT t.doc_id, sp.split,
+           |    CASE WHEN ex.is_dup THEN 'exact_dup'
+           |         WHEN t.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+           |         WHEN t.doc_id IN (SELECT doc_id FROM sb) THEN 'subsumed'
+           |         WHEN lg.pred_lang <> 'en' THEN 'lang'
+           |         WHEN qq.quality_e3 < $CurateMinQuality THEN 'quality'
+           |         WHEN sp.split <> 'train' THEN 'holdout'
+           |         WHEN t.doc_id IN (SELECT doc_id FROM dirty) THEN 'decontam'
+           |    END AS reason,
+           |    CAST(qq.quality_e3 AS BIGINT) AS quality_e3, lg.pred_lang,
+           |    scall.mean_lp_e4, bnd.b_head, bnd.b_mid
+           |  FROM t JOIN sp ON sp.doc_id = t.doc_id
+           |    JOIN ex ON ex.doc_id = t.doc_id
+           |    JOIN qq ON qq.doc_id = t.doc_id
+           |    JOIN lg ON lg.doc_id = t.doc_id
+           |    JOIN scall ON scall.doc_id = t.doc_id
+           |  CROSS JOIN bnd
+           |  WHERE t.doc_id >= $split)
+           |SELECT doc_id, split, reason IS NULL AS keep, reason, quality_e3,
+           |  pred_lang, mean_lp_e4,
+           |  CASE WHEN reason IS NOT NULL THEN NULL
+           |    WHEN mean_lp_e4 >= b_head THEN 'head'
+           |    WHEN mean_lp_e4 >= b_mid THEN 'middle'
+           |    ELSE 'tail' END AS bucket
+           |FROM fin ORDER BY doc_id""".stripMargin
+    }
     base + ("x37_ccnet_buckets" -> x37Sql) +
-      ("x38_release_manifest" -> x38Sql)
+      ("x38_release_manifest" -> x38Sql) +
+      ("x40_ingest_decide" -> x40Sql)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -3251,6 +3716,29 @@ object TextAnalysis {
          |    ELSE 0 END AS dup_frac_e6
          |FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+    // the same two counting censuses + the identical staged
+    // floor-division chain (no cross-engine log: lift is PMI's
+    // monotone integer surrogate), same floor/top-k cuts
+    "x39_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |uni AS (SELECT unnest(ws) AS w FROM t),
+         |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_uni,
+         |    (SELECT CAST(coalesce(sum(len(ws) - 1), 0) AS BIGINT) FROM t
+         |      WHERE len(ws) >= 2) AS n_big),
+         |idx AS (SELECT ws, unnest(range(1, len(ws))) AS i
+         |  FROM t WHERE len(ws) >= 2),
+         |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM idx),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM bg
+         |  GROUP BY w1, w2 HAVING count(*) >= $MinColloCount),
+         |sc AS (SELECT c2.w1, c2.w2, c2.n_ab, a.c AS n_a, b.c AS n_b,
+         |    ((c2.n_ab * 1000000 * tot.n_uni) // (tot.n_big * a.c))
+         |      * tot.n_uni // b.c AS lift_e6
+         |  FROM c2 JOIN cw a ON a.w = c2.w1 JOIN cw b ON b.w = c2.w2
+         |  CROSS JOIN tot)
+         |SELECT w1, w2, n_ab, n_a, n_b, CAST(lift_e6 AS BIGINT) AS lift_e6
+         |FROM sc ORDER BY lift_e6 DESC, w1, w2 LIMIT $ColloTopK""".stripMargin,
     // registers restated via GROUP BY (source, idx) + a 64-row spine;
     // rank = 55 − length(bin(w)) — bin() is the minimal binary string
     // on both engines; harmonic sum in BIGINT (exact powers of two)

@@ -4568,4 +4568,177 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(mih == brute,
       s"MIH/brute divergence on audio hashes: ${mih -- brute} | ${brute -- mih}")
   }
+
+  test("s27 graph search: exact cosines over a two-hop-reachable visited " +
+      "set, ranked contiguously, and never worse than seeds-only recall") {
+    val res = Similarity.s27GraphSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nid"), r.getAs[Long]("cos_e6")))
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def dotFp(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        graft.functions.DotFp9.roundHalfAway(x.toDouble * y.toDouble * 1e9) }.sum
+    def cosE6(q: Long, n: Long): Long = {
+      val (a, b) = (vecs(q), vecs(n))
+      math.round(dotFp(a, b).toDouble /
+        (math.sqrt(dotFp(a, a).toDouble) * math.sqrt(dotFp(b, b).toDouble)) * 1e6)
+    }
+    // per query: contiguous ranks from 1, descending cosine, no self,
+    // and every reported cosine is the exact fixed-point value
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.size),
+        s"query $q: ranks not contiguous")
+      assert(sorted.length <= Similarity.GraphK)
+      assert(sorted.forall(_._3 != q), s"query $q returned itself")
+      val cs = sorted.map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"query $q: cosines not descending")
+    }
+    res.foreach { case (q, _, n, c) =>
+      assert(math.abs(c - cosE6(q, n)) <= 1L,
+        s"($q,$n): reported $c, driver ${cosE6(q, n)}")
+    }
+    // reachability: every result sits within two graph hops of the
+    // query's NEntry seeds (the beam only narrows this superset)
+    val adj = Similarity.s23KnnGraphIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nid")))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val cents = vecs.keys.filter(_ < Similarity.NCentroids.toLong).toSeq
+    def seeds(q: Long): Seq[Long] = cents
+      .map(c => (c, cosE6(q, c)))
+      .sortBy { case (c, cos) => (-cos, c) }
+      .take(Similarity.NEntry).map(_._1)
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      val s0 = seeds(q).toSet
+      val r1 = s0 ++ s0.flatMap(adj.getOrElse(_, Set.empty))
+      val r2 = r1 ++ r1.flatMap(adj.getOrElse(_, Set.empty))
+      rows.foreach { case (_, _, n, _) =>
+        assert(r2.contains(n), s"query $q: result $n not two-hop reachable")
+      }
+    }
+    // candidate-set monotonicity: the final cut's recall vs the exact
+    // top-k is >= the seeds-only baseline (top-k over a superset keeps
+    // every exact neighbor the subset found)
+    val qids = res.map(_._1).distinct
+    def topK(q: Long, cand: Iterable[Long]): Set[Long] = cand
+      .filter(_ != q).map(n => (n, cosE6(q, n))).toSeq
+      .sortBy { case (n, c) => (-c, n) }
+      .take(Similarity.GraphK).map(_._1).toSet
+    val exactHits = qids.map { q =>
+      q -> topK(q, vecs.keys.filter(_ != q)) }.toMap
+    val finalHits = qids.map { q =>
+      exactHits(q).intersect(res.filter(_._1 == q).map(_._3).toSet).size }.sum
+    val seedHits = qids.map { q =>
+      exactHits(q).intersect(topK(q, seeds(q))).size }.sum
+    assert(finalHits >= seedHits,
+      s"graph expansion lost recall: seeds-only $seedHits, final $finalHits")
+  }
+
+  test("x40 ingest decide: one decision per arriving doc, precedence " +
+      "honored, exact/near components re-derived independently, and " +
+      "value-threshold buckets totally ordered by score") {
+    val split = Dedup.IncrementalSplit
+    val rows = TextAnalysis.x40IngestDecide(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val arriving = docs.filter(org.apache.spark.sql.functions.col("doc_id") >= split)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == arriving,
+      "one decision per arriving doc, none for standing docs")
+    rows.foreach { r =>
+      val reason = Option(r.getAs[String]("reason"))
+      assert(r.getAs[Boolean]("keep") == reason.isEmpty)
+      assert((r.getAs[String]("bucket") == null) == reason.nonEmpty,
+        s"doc ${r.getAs[Long]("doc_id")}: bucket iff kept")
+      // precedence: a later reason implies every earlier check passed
+      reason match {
+        case Some("lang") => assert(r.getAs[String]("pred_lang") != "en")
+        case Some("quality") =>
+          assert(r.getAs[String]("pred_lang") == "en")
+          assert(r.getAs[Long]("quality_e3") < TextAnalysis.CurateMinQuality)
+        case Some("holdout") =>
+          assert(r.getAs[String]("pred_lang") == "en")
+          assert(r.getAs[Long]("quality_e3") >= TextAnalysis.CurateMinQuality)
+          assert(r.getAs[String]("split") != "train")
+        case Some("decontam") => assert(r.getAs[String]("split") == "train")
+        case _ => ()
+      }
+    }
+    // exact_dup re-derived from d1's whole-corpus manifest: the
+    // group-min rule IS "matches standing or an earlier arrival"
+    val exactWant = Dedup.d1ExactDedup(spark, sf).collect()
+      .filter(r => r.getAs[Long]("doc_id") >= split && r.getAs[Boolean]("is_dup"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val exactGot = rows.filter(r => r.getAs[String]("reason") == "exact_dup")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(exactGot == exactWant, s"exact_dup drift: $exactGot vs $exactWant")
+    // near_dup re-derived through the OTHER pair path (full d3
+    // candidates instead of the d8 incremental postings — the
+    // batch-touching restriction of one equals the other)
+    val nearWant = Dedup.verifiedPairsFrom(docs,
+        Dedup.d3LshCandidates(spark, sf)).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+      .filter(_._2 >= split).map(_._2).toSet -- exactWant
+    val nearGot = rows.filter(r => r.getAs[String]("reason") == "near_dup")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(nearGot == nearWant, s"near_dup drift: $nearGot vs $nearWant")
+    // value-threshold buckets: every head score >= every middle score
+    // >= every scored tail; unscorable kept docs land in tail
+    def scoresOf(b: String) = rows
+      .filter(r => r.getAs[String]("bucket") == b && !r.isNullAt(r.fieldIndex("mean_lp_e4")))
+      .map(_.getAs[Long]("mean_lp_e4"))
+    val (h, m, t) = (scoresOf("head"), scoresOf("middle"), scoresOf("tail"))
+    if (h.nonEmpty && m.nonEmpty) assert(h.min >= m.max, "head below middle")
+    if (m.nonEmpty && t.nonEmpty) assert(m.min >= t.max, "middle below tail")
+    if (h.nonEmpty && t.nonEmpty) assert(h.min >= t.max, "head below tail")
+    rows.filter(r => r.getAs[String]("bucket") == null && r.getAs[Boolean]("keep"))
+      .foreach(r => fail(s"kept doc ${r.getAs[Long]("doc_id")} without a bucket"))
+  }
+
+  test("x40 cross-derivation: ingestDecideBatch over the whole arriving " +
+      "set equals the gated x40 row-for-row (different exact/near/" +
+      "subsumption constructions, same decisions)") {
+    val split = Dedup.IncrementalSplit
+    val docs = Tables.documents(spark, sf)
+    val c = org.apache.spark.sql.functions.col _
+    val batchForm = TextAnalysis.ingestDecideBatch(
+      docs.filter(c("doc_id") < split).select("doc_id", "text"),
+      docs.filter(c("doc_id") >= split).select("doc_id", "text"),
+      docs.filter(c("doc_id") < split).select("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val gated = TextAnalysis.x40IngestDecide(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batchForm == gated,
+      s"ingestDecideBatch/x40 drift: ${(batchForm -- gated).take(3)} | " +
+        s"${(gated -- batchForm).take(3)}")
+  }
+
+  test("x39 PMI collocations: integer-exact vs a driver-side census, " +
+      "floored at MinColloCount, cut to the top-lift ColloTopK") {
+    val out = TextAnalysis.x39PmiCollocations(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("lift_e6")))
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split(' ').filter(_.nonEmpty).toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val nUni = docs.map(_.size.toLong).sum
+    val nBig = docs.filter(_.size >= 2).map(_.size.toLong - 1).sum
+    val bigs = docs.filter(_.size >= 2)
+      .flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      .filter(_._2 >= TextAnalysis.MinColloCount)
+    val want = bigs.map { case ((w1, w2), nAb) =>
+      val (nA, nB) = (uni(w1), uni(w2))
+      val lift = nAb * 1000000L * nUni / (nBig * nA) * nUni / nB
+      (w1, w2, nAb, nA, nB, lift)
+    }.toSeq
+      .sortBy { case (w1, w2, _, _, _, l) => (-l, w1, w2) }
+      .take(TextAnalysis.ColloTopK)
+    assert(out.toSeq.sortBy(t => (-t._6, t._1, t._2)) == want,
+      s"collocation census diverged (got ${out.length}, want ${want.length})")
+  }
 }

@@ -1833,6 +1833,90 @@ class StreamOpsSpec extends SparkSpecBase {
     val vs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("v"))
     assert(vs.length <= 2, s"version pruning failed: ${vs.map(_.getName).toSeq}")
   }
+
+  test("ingestDecideStream: chunked in-order replay equals the driver-" +
+      "composed batch sequence; one-chunk replay equals gated x40; " +
+      "redelivery idempotent on complete-version and crashed-attempt paths") {
+    implicit val sq = spark.sqlContext
+    import StreamOpsSpec.Doc
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = graft.Tables.documents(spark, sf)
+    val split = Dedup.IncrementalSplit
+    val standing = docs.filter(col("doc_id") < split)
+      .select("doc_id", "text").localCheckpoint()
+    val arriving = docs.filter(col("doc_id") >= split)
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), new java.sql.Timestamp(0L)))
+      .sortBy(_.doc_id)
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // chunked replay through the store
+    val store = java.nio.file.Files.createTempDirectory("ingest-store").toString
+    val in = MemoryStream[Doc]
+    val q = StreamOps.ingestDecideStream(
+      in.toDF().select(col("doc_id"), col("text")), store, standing).start()
+    val chunks = arriving.grouped(25).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = rows(StreamOps.ingestDecisions(spark, store))
+    assert(streamed.size == arriving.length,
+      "every arriving doc decided exactly once")
+    // reference: the SAME chunking composed in the driver through the
+    // library batch form — pins the store machinery (admitted
+    // read-back, versioning) against ingestDecideBatch
+    var prior = standing
+    val composed = chunks.flatMap { c =>
+      val b = spark.createDataset(c).toDF().select("doc_id", "text")
+      val dec = TextAnalysis.ingestDecideBatch(prior, b, standing)
+        .collect().map(_.toSeq)
+      prior = prior.unionByName(b).localCheckpoint()
+      dec
+    }.toSet
+    assert(streamed == composed,
+      s"store/library divergence: ${(streamed -- composed).take(3)} | " +
+        s"${(composed -- streamed).take(3)}")
+    // one-chunk replay ≡ the gated x40 (full visibility in one batch)
+    val store1 = java.nio.file.Files.createTempDirectory("ingest-one").toString
+    val in1 = MemoryStream[Doc]
+    val q1 = StreamOps.ingestDecideStream(
+      in1.toDF().select(col("doc_id"), col("text")), store1, standing).start()
+    in1.addData(arriving.toIndexedSeq: _*); q1.processAllAvailable(); q1.stop()
+    val oneShot = rows(StreamOps.ingestDecisions(spark, store1))
+    val gated = rows(TextAnalysis.x40IngestDecide(spark, sf))
+    assert(oneShot == gated,
+      s"one-chunk/x40 divergence: ${(oneShot -- gated).take(3)} | " +
+        s"${(gated -- oneShot).take(3)}")
+    // chunked-vs-batch honesty: the only admissible diffs are
+    // subsumption-visibility rows (a container arriving in a LATER
+    // chunk — the subsumptionStream division of labor); everything
+    // else is pinned identical
+    val diff = (streamed -- gated) ++ (gated -- streamed)
+    diff.groupBy(_.head).foreach { case (id, forms) =>
+      assert(forms.exists(_.apply(3) == "subsumed"),
+        s"doc $id diverged for a non-subsumption reason: $forms")
+    }
+    // redelivery 1: the complete version is trusted, not rebuilt
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastId = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).max
+    val lastChunk = spark.createDataset(chunks.last).toDF()
+      .select("doc_id", "text")
+    StreamOps.ingestDecideAbsorb(lastChunk, store, lastId, standing)
+    assert(rows(StreamOps.ingestDecisions(spark, store)) == streamed,
+      "complete-version redelivery changed the manifest")
+    // redelivery 2: crash BEFORE the rename — the admitted log holds
+    // the chunk's rows but v{lastId} is gone; the re-absorption
+    // excludes the batch's own ids from prior and rebuilds identically
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/v$lastId"), true)
+    StreamOps.ingestDecideAbsorb(lastChunk, store, lastId, standing)
+    assert(rows(StreamOps.ingestDecisions(spark, store)) == streamed,
+      "crashed-attempt redelivery diverged")
+    assert(StreamOps.ingestAdmitted(spark, store).count() == arriving.length,
+      "double-append broke the admitted dedup")
+  }
 }
 
 object StreamOpsSpec {
