@@ -1564,6 +1564,92 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos_e6"))
   }
 
+  /** MMR pool width and λ numerator (score = λ·rel − (1−λ)·redund,
+    * stated over tenths so every score is an exact integer). */
+  val MmrPool = 8
+  val MmrLambda10 = 7L
+
+  /** s28: MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein
+    * 1998) — the diversity-aware top-k every retrieval stack bolts
+    * onto its ANN candidates (and a training-data pipeline uses to
+    * pick VARIED exemplars rather than k near-duplicates): greedily
+    * select [[GraphK]] results from each query's [[MmrPool]]-wide
+    * exact-cosine pool, each pick maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)`. The greedy loop
+    * is inherently sequential, so like s25/s26 the gate UNROLLS it —
+    * three picks as three argmax windows over the pool, every score
+    * the exact integer `7·cos_e6 − 3·penalty_e6` (×10 the published
+    * λ=0.7 form — a positive constant scale that cannot change any
+    * argmax), ties by nid.
+    *
+    * Scale notes (100 TB): the pool is the ANN ladder's candidate cut
+    * at real scale (the s11 rerank pattern — exact brute force here
+    * for oracle parity); the pool-internal pairwise-sim frame is
+    * P²-bounded PER QUERY (64 rows), and each pick is one window over
+    * a pool-sized frame — query-sized work end to end, never
+    * corpus-sized. */
+  def s28MmrRerank(s: SparkSession, d: String): DataFrame =
+    mmrRerank(withNorm(embeddings(s, d)))
+      .orderBy(col("qid"), col("rank"))
+
+  /** The s28 pipeline over a [[withNorm]]-prepared frame. */
+  private[graft] def mmrRerank(e: DataFrame): DataFrame = {
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm_fp").as("q_norm"))
+      .filter(col("qid") < NQueries.toLong)
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"))
+    val wPool = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_e6").desc, col("nid"))
+    val pool = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(dotFp9(col("q_emb"), col("n_emb")),
+          col("q_norm"), col("n_norm")) * 1e6).cast("long").as("cos_e6"))
+      .withColumn("pr", row_number().over(wPool))
+      .filter(col("pr") <= MmrPool)
+      .select(col("qid"), col("nid"), col("cos_e6"))
+    val ps = pool.select(col("qid"), col("nid").as("a"))
+      .join(pool.select(col("qid"), col("nid").as("b")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("a_emb"),
+        col("norm_fp").as("a_norm")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("b_emb"),
+        col("norm_fp").as("b_norm")), Seq("b"))
+      .select(col("qid"), col("a"), col("b"),
+        round(cosine(dotFp9(col("a_emb"), col("b_emb")),
+          col("a_norm"), col("b_norm")) * 1e6).cast("long").as("sim_e6"))
+    def scoreOf(cands: DataFrame): DataFrame = cands.withColumn("mmr_x10_e6",
+      lit(MmrLambda10) * col("cos_e6") -
+        lit(10L - MmrLambda10) * col("penalty_e6"))
+    def pick(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("mmr_x10_e6").desc, col("nid"))
+      cands.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("qid"), col("nid"), col("cos_e6"), col("penalty_e6"),
+          col("mmr_x10_e6"))
+    }
+    def penaltyVs(selected: DataFrame): DataFrame = ps
+      .join(selected.select(col("qid"), col("nid").as("b")),
+        Seq("qid", "b"), "left_semi")
+      .groupBy(col("qid"), col("a").as("nid"))
+      .agg(max(col("sim_e6")).as("penalty_e6"))
+    def remaining(selected: DataFrame): DataFrame = pool
+      .join(selected.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_anti")
+    val p1 = pick(scoreOf(pool.withColumn("penalty_e6", lit(0L))))
+    val sel1 = p1.select(col("qid"), col("nid"))
+    val p2 = pick(scoreOf(remaining(sel1).join(penaltyVs(sel1),
+      Seq("qid", "nid"))))
+    val sel2 = sel1.unionByName(p2.select(col("qid"), col("nid")))
+    val p3 = pick(scoreOf(remaining(sel2).join(penaltyVs(sel2),
+      Seq("qid", "nid"))))
+    p1.withColumn("rank", lit(1L))
+      .unionByName(p2.withColumn("rank", lit(2L)))
+      .unionByName(p3.withColumn("rank", lit(3L)))
+      .select(col("qid"), col("rank"), col("nid"), col("cos_e6"),
+        col("penalty_e6"), col("mmr_x10_e6"))
+  }
+
   /** s8: IVF+PQ kNN — the two scale mechanisms COMPOSED, the standard
     * billion-vector index architecture (FAISS IVFPQ's no-residual
     * form): IVF cluster assignment prunes WHICH corpus rows a query
@@ -2077,6 +2163,7 @@ object Similarity {
     "s25_kmeans_train" -> s25KmeansTrain _,
     "s26_nn_descent2" -> s26NnDescent2 _,
     "s27_graph_search" -> s27GraphSearch _,
+    "s28_mmr_rerank" -> s28MmrRerank _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -2505,6 +2592,64 @@ object Similarity {
            |    CAST(row_number() OVER (PARTITION BY qid
            |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS rank FROM sc2)
            |SELECT qid, rank, nid, cos_e6 FROM res WHERE rank <= $GraphK
+           |ORDER BY qid, rank""".stripMargin),
+    // the greedy MMR loop unrolled as three argmax windows (the
+    // s25/s26 unroll pattern): identical pool, pairwise-sim and
+    // integer 7·cos − 3·penalty scoring in both engines
+    "s28_mmr_rerank" ->
+      (NormCte +
+        s"""
+           |, sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    CAST(round(${oCos(oDot("q.embedding", "c.embedding"),
+                  "q.norm_fp", "c.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+           |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < $NQueries),
+           |pool AS (SELECT qid, nid, cos_e6 FROM (SELECT qid, nid, cos_e6,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY cos_e6 DESC, nid) AS pr FROM sc) WHERE pr <= $MmrPool),
+           |ps AS (SELECT pa.qid, pa.nid AS a, pb.nid AS b,
+           |    CAST(round(${oCos(oDot("ea.embedding", "eb.embedding"),
+                  "ea.norm_fp", "eb.norm_fp")} * 1e6) AS BIGINT) AS sim_e6
+           |  FROM pool pa JOIN pool pb ON pa.qid = pb.qid AND pa.nid <> pb.nid
+           |  JOIN e ea ON ea.vec_id = pa.nid JOIN e eb ON eb.vec_id = pb.nid),
+           |p1 AS (SELECT qid, nid, cos_e6, CAST(0 AS BIGINT) AS penalty_e6,
+           |    $MmrLambda10 * cos_e6 AS mmr_x10_e6
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY $MmrLambda10 * cos_e6 DESC, nid) AS rk FROM pool)
+           |  WHERE rk = 1),
+           |pen2 AS (SELECT ps.qid, ps.a AS nid,
+           |    CAST(max(ps.sim_e6) AS BIGINT) AS penalty_e6
+           |  FROM ps JOIN p1 ON p1.qid = ps.qid AND p1.nid = ps.b
+           |  GROUP BY ps.qid, ps.a),
+           |c2 AS (SELECT pool.qid, pool.nid, pool.cos_e6, pen2.penalty_e6,
+           |    $MmrLambda10 * pool.cos_e6
+           |      - ${10L - MmrLambda10} * pen2.penalty_e6 AS mmr_x10_e6
+           |  FROM pool JOIN pen2 ON pen2.qid = pool.qid AND pen2.nid = pool.nid
+           |  WHERE NOT EXISTS (SELECT 1 FROM p1
+           |    WHERE p1.qid = pool.qid AND p1.nid = pool.nid)),
+           |p2 AS (SELECT qid, nid, cos_e6, penalty_e6, mmr_x10_e6
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY mmr_x10_e6 DESC, nid) AS rk FROM c2) WHERE rk = 1),
+           |sel2 AS (SELECT qid, nid FROM p1 UNION ALL SELECT qid, nid FROM p2),
+           |pen3 AS (SELECT ps.qid, ps.a AS nid,
+           |    CAST(max(ps.sim_e6) AS BIGINT) AS penalty_e6
+           |  FROM ps JOIN sel2 ON sel2.qid = ps.qid AND sel2.nid = ps.b
+           |  GROUP BY ps.qid, ps.a),
+           |c3 AS (SELECT pool.qid, pool.nid, pool.cos_e6, pen3.penalty_e6,
+           |    $MmrLambda10 * pool.cos_e6
+           |      - ${10L - MmrLambda10} * pen3.penalty_e6 AS mmr_x10_e6
+           |  FROM pool JOIN pen3 ON pen3.qid = pool.qid AND pen3.nid = pool.nid
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel2
+           |    WHERE sel2.qid = pool.qid AND sel2.nid = pool.nid)),
+           |p3 AS (SELECT qid, nid, cos_e6, penalty_e6, mmr_x10_e6
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY mmr_x10_e6 DESC, nid) AS rk FROM c3) WHERE rk = 1)
+           |SELECT qid, CAST(1 AS BIGINT) AS rank, nid, cos_e6, penalty_e6,
+           |  mmr_x10_e6 FROM p1
+           |UNION ALL SELECT qid, CAST(2 AS BIGINT), nid, cos_e6, penalty_e6,
+           |  mmr_x10_e6 FROM p2
+           |UNION ALL SELECT qid, CAST(3 AS BIGINT), nid, cos_e6, penalty_e6,
+           |  mmr_x10_e6 FROM p3
            |ORDER BY qid, rank""".stripMargin),
     // s2's ranked-centroid window cut at the top TWO ranks, pivoted to
     // (own, next); the silhouette division is IEEE double on identical

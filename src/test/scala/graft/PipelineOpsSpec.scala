@@ -4698,6 +4698,51 @@ class PipelineOpsSpec extends SparkSpecBase {
       .foreach(r => fail(s"kept doc ${r.getAs[Long]("doc_id")} without a bucket"))
   }
 
+  test("s28 MMR rerank: integer-exact vs a driver-side greedy reference") {
+    val out = Similarity.s28MmrRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nid"), r.getAs[Long]("cos_e6"),
+        r.getAs[Long]("penalty_e6"), r.getAs[Long]("mmr_x10_e6"))).toSet
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def dotFp(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        graft.functions.DotFp9.roundHalfAway(x.toDouble * y.toDouble * 1e9) }.sum
+    // Spark's round() is HALF_UP decimal rounding — mirror it exactly
+    def cosE6(x: Long, y: Long): Long = {
+      val (a, b) = (vecs(x), vecs(y))
+      BigDecimal(dotFp(a, b).toDouble /
+        (math.sqrt(dotFp(a, a).toDouble) * math.sqrt(dotFp(b, b).toDouble))
+        * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want = (0L until Similarity.NQueries.toLong).flatMap { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(n => (n, cosE6(qid, n)))
+        .sortBy { case (n, c) => (-c, n) }
+        .take(Similarity.MmrPool)
+      val picks = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)] // (nid, cos, pen, mmr)
+      (1 to Similarity.GraphK).foreach { _ =>
+        val selected = picks.map(_._1).toSet
+        val cand = pool.filter(p => !selected(p._1)).map { case (n, c) =>
+          val pen =
+            if (selected.isEmpty) 0L
+            else selected.map(s => cosE6(n, s)).max
+          (n, c, pen, Similarity.MmrLambda10 * c -
+            (10L - Similarity.MmrLambda10) * pen)
+        }
+        picks += cand.minBy { case (n, _, _, mmr) => (-mmr, n) }
+      }
+      picks.zipWithIndex.map { case ((n, c, p, mm), i) =>
+        (qid, i + 1L, n, c, p, mm) }
+    }.toSet
+    assert(out == want,
+      s"MMR diverges from the greedy reference: ${(out diff want).take(3)} " +
+        s"| ${(want diff out).take(3)}")
+  }
+
   test("x40 cross-derivation: ingestDecideBatch over the whole arriving " +
       "set equals the gated x40 row-for-row (different exact/near/" +
       "subsumption constructions, same decisions)") {
