@@ -1523,16 +1523,26 @@ object Similarity {
   /** The s27 pipeline over an explicit graph — [[nnDescent]] output
     * and constructed spec geometries plug in. `graph` needs
     * (src, nid) ranked rows (rank ≤ [[GraphK]] enforced here). */
-  private[graft] def graphSearch(e: DataFrame, graph: DataFrame): DataFrame = {
+  private[graft] def graphSearch(e: DataFrame, graph: DataFrame): DataFrame =
+    graphSearchFor(e, graph,
+      e.filter(col("vec_id") < NQueries.toLong)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("norm_fp").as("q_norm")))
+
+  /** [[graphSearch]] for an EXPLICIT query frame (qid, q_emb, q_norm)
+    * — the form [[graft.streaming.StreamOps.graphSearchStream]] runs
+    * per arriving micro-batch against the standing graph store. */
+  private[graft] def graphSearchFor(e: DataFrame, graph: DataFrame,
+      queries: DataFrame): DataFrame = {
     val cents = collectCodebook(e)
     val g = graph.filter(col("rank") <= GraphK.toLong)
       .select(col("src"), col("nid"))
     // frontier 0: each query's NEntry best seeds among the codebook
     // vectors — a narrow zero-exchange projection (cid IS the seed's
     // vec_id: the literal codebook is made of corpus rows)
-    val f0 = e.filter(col("vec_id") < NQueries.toLong)
-      .select(col("vec_id").as("qid"),
-        slice(rankedCentroids(cents, col("embedding"), col("norm_fp")),
+    val f0 = queries
+      .select(col("qid"),
+        slice(rankedCentroids(cents, col("q_emb"), col("q_norm")),
           1, NEntry).as("rc"))
       .select(col("qid"), explode(col("rc")).as("c"))
       .select(col("qid"), col("c.cid").as("nid"))
@@ -1541,8 +1551,7 @@ object Similarity {
         .join(g.select(col("src").as("f_nid"), col("nid")), Seq("f_nid"))
         .select(col("qid"), col("nid"))
     def rescore(v: DataFrame): DataFrame = v
-      .join(e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        col("norm_fp").as("q_norm")), Seq("qid"))
+      .join(queries, Seq("qid"))
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
         col("norm_fp").as("n_norm")), Seq("nid"))
       .select(col("qid"), col("nid"),

@@ -1314,6 +1314,70 @@ object StreamOps {
       .parquet(vs.map { case (_, p) => s"$p/decisions" }: _*)
   }
 
+  /** Streaming s27: graph-based ANN SEARCH over the standing
+    * [[knnGraphStream]] store — arriving query vectors beam-search
+    * the current graph version per micro-batch (windows don't run on
+    * streams, so like the other composed twins this is a foreachBatch
+    * over [[graft.operators.Similarity.graphSearchFor]]), results
+    * written as immutable versions (idempotent under at-least-once
+    * redelivery — a search is pure, so a version is only ever
+    * rebuilt identically).
+    *
+    * Scale notes (100 TB): the search reads the store's graph (n×k)
+    * and corpus — per batch the frontier/visited/re-score frames are
+    * QUERY-sized (≤ NEntry·(2k+1) per query), the graph-side joins
+    * prune to the beam's src buckets on a bucketed store, and the
+    * codebook collect is driver-sized by construction. This is the
+    * read path the s22–s26 build ladder and [[knnGraphStream]]'s
+    * maintenance exist to serve. */
+  def graphSearchStream(queries: DataFrame, graphStoreDir: String,
+      outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graphSearchAbsorb(batch.toDF(), graphStoreDir, outDir, id)
+        ()
+      }
+
+  /** One batch of query searches, idempotent under redelivery. */
+  private[graft] def graphSearchAbsorb(batch: DataFrame, graphStore: String,
+      outDir: String, id: Long): Unit = {
+    import graft.operators.Similarity
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(s"$outDir/v$id")
+    if (!fs.exists(vPath)) {
+      val e = knnGraphCorpus(s, graphStore)
+        .select(col("vec_id"), col("embedding"), col("norm_fp"))
+      val q = Similarity.withNorm(batch.select(col("vec_id"), col("embedding")))
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("norm_fp").as("q_norm"))
+      val res = Similarity.graphSearchFor(e,
+        knnGraphCurrent(s, graphStore), q)
+      val stage = new org.apache.hadoop.fs.Path(s"$outDir/.stage_v$id")
+      fs.delete(stage, true)
+      res.write.mode("overwrite").parquet(s"$stage/results")
+      require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
+    }
+  }
+
+  /** The concatenated search results across all versions. */
+  def graphSearchResults(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("qid", LongType), StructField("rank", LongType),
+      StructField("nid", LongType), StructField("cos_e6", LongType)))
+    val vs = versionDirs(s, dir)
+    if (vs.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.schema(schema)
+      .parquet(vs.map { case (_, p) => s"$p/results" }: _*)
+  }
+
   /** State/output of [[patternStream]]: the automaton accumulator
     * (acc%3 = open stage, acc/3 = completions) plus the newest scored
     * (ts_ms, event_id) — the at-least-once guard. */

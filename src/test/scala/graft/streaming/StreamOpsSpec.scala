@@ -1834,6 +1834,52 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(vs.length <= 2, s"version pruning failed: ${vs.map(_.getName).toSeq}")
   }
 
+  test("graphSearchStream: arriving queries searched against the standing " +
+      "graph store reproduce batch s27 exactly; redelivery idempotent") {
+    implicit val sq = spark.sqlContext
+    import StreamOpsSpec.Vec
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.collectCodebook(Similarity.withNorm(e))
+    // seed the standing store with the whole corpus in one absorption
+    val store = java.nio.file.Files.createTempDirectory("gs-graph").toString
+    StreamOps.knnGraphAbsorb(e, store, 0L, cents)
+    val queries = e.filter(col("vec_id") < Similarity.NQueries.toLong)
+      .collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1)))
+    val out = java.nio.file.Files.createTempDirectory("gs-out").toString
+    val in = MemoryStream[Vec]
+    val q = StreamOps.graphSearchStream(in.toDF(), store, out).start()
+    val chunks = queries.grouped(5).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    def resSet() = StreamOps.graphSearchResults(spark, out).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nid"), r.getAs[Long]("cos_e6"))).toSet
+    val streamed = resSet()
+    val batch = Similarity.s27GraphSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nid"), r.getAs[Long]("cos_e6"))).toSet
+    assert(streamed == batch,
+      s"stream/batch search divergence: ${(streamed -- batch).take(5)} | " +
+        s"${(batch -- streamed).take(5)}")
+    // redelivery 1: the complete version is trusted
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastId = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).max
+    import spark.implicits._
+    val lastChunk = spark.createDataset(chunks.last).toDF()
+    StreamOps.graphSearchAbsorb(lastChunk, store, out, lastId)
+    assert(resSet() == batch, "complete-version redelivery changed results")
+    // redelivery 2: crashed attempt — a search is pure, so the rebuild
+    // is identical
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/v$lastId"), true)
+    StreamOps.graphSearchAbsorb(lastChunk, store, out, lastId)
+    assert(resSet() == batch, "crashed-attempt redelivery diverged")
+  }
+
   test("ingestDecideStream: chunked in-order replay equals the driver-" +
       "composed batch sequence; one-chunk replay equals gated x40; " +
       "redelivery idempotent on complete-version and crashed-attempt paths") {
