@@ -2498,6 +2498,34 @@ object TextAnalysis {
       dirty, scoredBatch, bnd)
   }
 
+  /** Merge-round depth for the gated [[x41BpeFertility]] row. */
+  val X41Merges = 3
+
+  /** x41: TOKENIZER-FIT FERTILITY, oracle-gated — [[bpeFertility]]
+    * over [[trainBpe]]'s first [[X41Merges]] merges, with the WHOLE
+    * train→encode→measure chain pinned cross-engine (the s25/q24
+    * unroll pattern applied to the BPE trainer): the DuckDB oracle
+    * restates each training round as CTEs — weighted adjacent-pair
+    * counts over the distinct-word symbol table, argmax by
+    * (count DESC, a, b), leftmost-greedy replacement — and then
+    * encodes every word with the three derived merges to report
+    * per-source fertility (BPE tokens per word, e4 fixed point).
+    * Replacement equivalence: the oracle applies a merge as one
+    * non-overlapping leftmost `replace` over a control-char-bracketed
+    * symbol string (`⟨tok⟩⟨tok⟩…`), which matches the trainer's
+    * one-symbol-lookbehind fold exactly — a fresh match can only
+    * start at a bracket boundary with exact token equality, so a
+    * replacement can never be partially re-matched.
+    *
+    * Scale notes = [[trainBpe]]'s (vocabulary-sized rounds, corpus
+    * scanned once) + [[bpeFertility]]'s (one explode + one combined
+    * aggregate; the merge chain is a narrow per-word expression). */
+  def x41BpeFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    bpeFertility(docs, trainBpe(docs, X41Merges))
+      .transform(Output.ordered(_, col("source")))
+  }
+
   /** Count floor and result width for [[x39PmiCollocations]]. */
   val MinColloCount = 5L
   val ColloTopK = 100
@@ -2598,6 +2626,7 @@ object TextAnalysis {
     "x38_release_manifest" -> x38ReleaseManifest _,
     "x39_pmi_collocations" -> x39PmiCollocations _,
     "x40_ingest_decide" -> x40IngestDecide _,
+    "x41_bpe_fertility" -> x41BpeFertility _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -3716,6 +3745,47 @@ object TextAnalysis {
          |    ELSE 0 END AS dup_frac_e6
          |FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+    // the BPE trainer unrolled: three (count → argmax → replace)
+    // rounds over the bracket-string symbol form, then encode +
+    // per-source fertility — oBpeRound keeps every round identical
+    "x41_bpe_fertility" -> {
+      // one training round: pair-count symbol strings s$i, pick merge
+      // m${i+1}, emit s${i+1} — the bracket form makes the trainer's
+      // leftmost-greedy replacement a plain string replace
+      val br = "chr(2)"; val ket = "chr(3)"
+      def oBpeRound(i: Int): String =
+        s"""
+           |, l$i AS (SELECT n, string_split(s[2:length(s)-1],
+           |    $ket || $br) AS l FROM s$i),
+           |i$i AS (SELECT n, l, unnest(range(1, len(l))) AS i FROM l$i
+           |  WHERE len(l) >= 2),
+           |c$i AS (SELECT l[i] AS a, l[i+1] AS b,
+           |    CAST(sum(n) AS BIGINT) AS cnt FROM i$i GROUP BY 1, 2),
+           |m${i + 1} AS (SELECT a, b FROM c$i
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           |s${i + 1} AS (SELECT w, n,
+           |    replace(s, $br || m${i + 1}.a || $ket || $br || m${i + 1}.b || $ket,
+           |      $br || m${i + 1}.a || m${i + 1}.b || $ket) AS s
+           |  FROM s$i CROSS JOIN m${i + 1})""".stripMargin
+      s"""WITH t AS (SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+         |s0 AS (SELECT w, n,
+         |    list_aggregate(list_transform(range(1, length(w) + 1),
+         |      i -> $br || w[i] || $ket), 'string_agg', '') AS s FROM wc)""".stripMargin +
+        (0 until X41Merges).map(oBpeRound).mkString +
+        s"""
+           |, tok AS (SELECT w, CAST(len(string_split(s[2:length(s)-1],
+           |    $ket || $br)) AS BIGINT) AS n_tok FROM s$X41Merges),
+           |wsrc AS (SELECT source, unnest(ws) AS w FROM t),
+           |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+           |  FROM wsrc JOIN tok USING (w) GROUP BY source)
+           |SELECT source, n_words, n_bpe_tokens,
+           |  n_bpe_tokens * 10000 // n_words AS fertility_e4
+           |FROM agg ORDER BY source""".stripMargin
+    },
     // the same two counting censuses + the identical staged
     // floor-division chain (no cross-engine log: lift is PMI's
     // monotone integer surrogate), same floor/top-k cuts

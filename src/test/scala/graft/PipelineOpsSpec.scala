@@ -4698,6 +4698,26 @@ class PipelineOpsSpec extends SparkSpecBase {
       .foreach(r => fail(s"kept doc ${r.getAs[Long]("doc_id")} without a bucket"))
   }
 
+  test("x41 BPE fertility: the gated row is bpeFertility over the first " +
+      "three trained merges, and the merges genuinely reduce fertility") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.x41BpeFertility(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("fertility_e4"))).toMap
+    val wired = TextAnalysis.bpeFertility(docs,
+        TextAnalysis.trainBpe(docs, TextAnalysis.X41Merges)).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("fertility_e4"))).toMap
+    assert(out == wired, "x41 drifted from bpeFertility(trainBpe(3))")
+    val base = TextAnalysis.bpeFertility(docs, Nil).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("fertility_e4")).toMap
+    assert(out.keySet == base.keySet)
+    out.foreach { case (src, (_, f)) =>
+      assert(f <= base(src), s"$src: merges increased fertility") }
+    assert(out.values.map(_._2).sum < base.values.sum,
+      "three merges changed no source's fertility — the gate is unarmed")
+  }
+
   test("s28 MMR rerank: integer-exact vs a driver-side greedy reference") {
     val out = Similarity.s28MmrRerank(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
