@@ -532,6 +532,43 @@ object Events {
       .orderBy(col("hour_s"), col("rnk"))
   }
 
+  /** Decay horizon for [[e35DecayedHitters]]: contributions older than
+    * this many hours round to zero anyway (1e6 >> 40 = 0) — the cap
+    * states it and keeps the shift width bounded. */
+  val DecayCapHours = 40L
+
+  /** e35: EXPONENTIALLY TIME-DECAYED heavy hitters (the backward-decay
+    * ranking of Cormode/Shkapenyuk/Srivastava/Xu 2009) — e13 ranks raw
+    * hourly counts; production leaderboards want recency: each event
+    * contributes `2^(-age_hours)` of weight at the reference instant
+    * (the corpus's newest hour — derived from the data, so the row is
+    * reproducible), and users rank by the decayed sum. Stated in e6
+    * fixed point with the half-life weight an exact integer
+    * `1e6 >> age` (shift, not pow — both engines state the identical
+    * integer), ties by user_id, top 10 via TakeOrdered.
+    *
+    * Scale notes (100 TB): one narrow scan + map-side-combined sum per
+    * user; the reference instant is a 1-row broadcast; the final cut
+    * is a TakeOrdered, never a single-partition sort. The streaming
+    * form of this ranking is the classic forward-decay rewrite
+    * (weights relative to a FIXED landmark so arrivals never reweigh
+    * history) — the batch row pins the semantics that form serves. */
+  def e35DecayedHitters(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"))
+    val ref = ev.agg(max(col("hour_s")).as("ref_s"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("age_h", graft.operators.TextOps.idiv(col("ref_s") - col("hour_s"), lit(3600L)))
+      .withColumn("w_e6",
+        when(col("age_h") >= DecayCapHours, 0L)
+          .otherwise(graft.operators.TextOps.idiv(lit(1000000L),
+            call_function("shiftleft", lit(1L), col("age_h").cast("int")))))
+      .groupBy(col("user_id"))
+      .agg(sum(col("w_e6")).as("decayed_e6"), count(lit(1)).as("n_events"))
+      .orderBy(col("decayed_e6").desc, col("user_id"))
+      .limit(10)
+  }
+
   /** e14: SLIDING-WINDOW aggregation — 6-hour windows advancing every
     * hour (e1 is the tumbling special case slide = width). Spark's
     * `window()` assigns each event to its width/slide = 6 covering
@@ -1575,6 +1612,7 @@ object Events {
     "e11_scd2"          -> e11Scd2 _,
     "e12_attribution"   -> e12Attribution _,
     "e13_heavy_hitters" -> e13HeavyHitters _,
+    "e35_decayed_hitters" -> e35DecayedHitters _,
     "e14_sliding_agg"   -> e14SlidingAgg _,
     "e15_cdc_apply"     -> e15CdcApply _,
     "e16_delta_agg"     -> e16DeltaAgg _,
@@ -1655,6 +1693,20 @@ object Events {
         |SELECT win_start_s, win_start_s + 21600 AS win_end_s, event_type,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1, 2, 3 ORDER BY win_start_s, event_type""".stripMargin,
+    "e35_decayed_hitters" ->
+      s"""WITH ev AS (SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s
+        |  FROM events),
+        |r AS (SELECT max(hour_s) AS ref_s FROM ev),
+        |w AS (SELECT user_id,
+        |    CASE WHEN (r.ref_s - hour_s) // 3600 >= $DecayCapHours THEN 0
+        |      ELSE 1000000 // (CAST(1 AS BIGINT)
+        |        << ((r.ref_s - hour_s) // 3600)) END AS w_e6
+        |  FROM ev CROSS JOIN r)
+        |SELECT user_id, CAST(sum(w_e6) AS BIGINT) AS decayed_e6,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY user_id
+        |ORDER BY decayed_e6 DESC, user_id LIMIT 10""".stripMargin,
     "e13_heavy_hitters" ->
       """WITH hc AS (SELECT
         |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,

@@ -1094,6 +1094,112 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Driver-side fixed-point dot with the DotFp9 rounding — for the
+    * residual-PQ literal tables (codebook × codebook integers). */
+  private def dotFpOfSeq(a: Seq[Float], b: Seq[Float]): Long = {
+    var s = 0L
+    var j = 0
+    val n = math.min(a.length, b.length)
+    while (j < n) {
+      s += graft.functions.DotFp9.roundHalfAway(
+        a(j).toDouble * b(j).toDouble * 1e9)
+      j += 1
+    }
+    s
+  }
+
+  /** s29: IVF+PQ on RESIDUALS — the TRUE FAISS IVFPQ (s8 ships the
+    * no-residual form; the published index quantizes `x − c`, the
+    * vector's offset from its assigned centroid, which is what makes
+    * coarse+fine quantization compose: residuals are small and
+    * centered, so the same sub-codebook budget carries less
+    * distortion). No float subtraction ever happens: every residual
+    * quantity DECOMPOSES into fixed-point dots both engines state
+    * exactly —
+    *   encode:  argmin_k ‖r_s − k‖² = argmin_k (‖k‖² − 2·(⟨x_s,k⟩ − ⟨c_s,k⟩))
+    *            (the ‖r‖² term is k-free and drops from the argmin),
+    *   recon:   ‖c + r̂‖² = ‖c‖² + Σ_s (2·⟨c_s, k̂_s⟩ + ‖k̂_s‖²),
+    *   search:  ⟨q, c + r̂⟩ = ⟨q, c⟩ + Σ_s ⟨q_s, k̂_s⟩ (ADC + one
+    *            coarse term the probe list already pays for),
+    * all in the DotFp9 integer domain — the cosine is then the exact
+    * cos_e6 contract. Ties break on code / nid as everywhere.
+    *
+    * Scale notes (100 TB): identical plan shape to s8 — the stored
+    * index is (cluster, PqSubs codes, recon_norm) per row, the
+    * centroid×code dot tables are driver-sized literals
+    * (nlist × PqSubs × PqK integers), queries broadcast LUTs + one
+    * coarse dot per probed cluster, and each scored row costs PqSubs
+    * lookups + an add chain. Recall floor vs the no-residual s8 is
+    * spec-measured. */
+  def s29KnnIvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    knnIvfPqResidualWith(e, collectCodebook(e), collectPqCodebook(e))
+  }
+
+  /** The s29 pipeline over explicit IVF + PQ codebooks. */
+  private[graft] def knnIvfPqResidualWith(e: DataFrame,
+      cents: Seq[Centroid], cb: Map[Int, Seq[SubCent]],
+      topk: Int = TopK): DataFrame = {
+    val byCid = cents.sortBy(_.cid)
+    require(byCid.map(_.cid) == (0L until byCid.length.toLong),
+      "residual tables index centroids by cid — the literal codebook is 0..n-1")
+    def centSub(c: Centroid, i: Int): Seq[Float] =
+      c.emb.slice(i * PqSubDim, (i + 1) * PqSubDim)
+    // driver-side integer tables: <c_s, k> per (cluster, sub, code),
+    // and ||c||^2 per cluster — nlist×PqSubs×PqK longs, literal-inlined
+    def dotCK(i: Int): Seq[Seq[Long]] =
+      byCid.map(c => cb(i).map(k => dotFpOfSeq(centSub(c, i), k.emb)))
+    val cNormArr = array(byCid.map(c => lit(c.normFp)): _*)
+    // encode: residual argmin per subspace (the k-free ||r||^2 term
+    // dropped), with the centroid dot picked by the row's cluster
+    val codeCols = (0 until PqSubs).map { i =>
+      val table = dotCK(i)
+      element_at(array_sort(array(cb(i).map { k =>
+        val dck = element_at(
+          array(table.map(row => lit(row(k.code))): _*),
+          col("cluster").cast("int") + 1)
+        struct(
+          (lit(k.normFp) - lit(2L) *
+            (dotFp9(pqSubCol(i), array(k.emb.map(lit): _*)) - dck)).as("d"),
+          lit(k.code.toLong).as("k"))
+      }: _*)), 1).getField("k").as(s"code_$i")
+    }
+    // recon_norm = ||c||^2 + sum_s (2<c_s,k> + ||k||^2), looked up by
+    // (cluster, code) over the literal tables
+    val reconCol = (0 until PqSubs).map { i =>
+      val table = dotCK(i)
+      val dck = element_at(
+        array(table.map(row =>
+          array(row.map(lit): _*)): _*),
+        col("cluster").cast("int") + 1)
+      lit(2L) * element_at(dck, col(s"code_$i").cast("int") + 1) +
+        element_at(array(cb(i).map(k => lit(k.normFp)): _*),
+          col(s"code_$i").cast("int") + 1)
+    }.reduce(_ + _) + element_at(cNormArr, col("cluster").cast("int") + 1)
+    val coded = assignClusters(e, cents)
+      .select((Seq(col("vec_id").as("nid"), col("cluster")) ++ codeCols): _*)
+      .withColumn("recon_norm", reconCol)
+    // query side: ADC LUTs + the coarse <q, c> term per probed cluster
+    val qcDot = element_at(
+      array(byCid.map(c =>
+        dotFp9(col("q_emb"), array(c.emb.map(lit): _*))): _*),
+      col("cluster").cast("int") + 1).as("qc_dot")
+    val q = probeClusters(e, cents)
+      .select((Seq(col("qid"), col("q_norm"), col("cluster"), qcDot) ++
+        pqLutCols(cb, col("q_emb"))): _*)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    coded.join(broadcast(q), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        cosine(col("qc_dot") + pqAdcDot, col("q_norm"), col("recon_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** OPQ-P-lite rotation for the PQ rung (VERDICT r10 #4): a
     * variance-balanced dimension PERMUTATION applied before product
     * quantization. PQ's weak spot is unbalanced subspaces — when the
@@ -2173,6 +2279,7 @@ object Similarity {
     "s26_nn_descent2" -> s26NnDescent2 _,
     "s27_graph_search" -> s27GraphSearch _,
     "s28_mmr_rerank" -> s28MmrRerank _,
+    "s29_knn_ivfpq_residual" -> s29KnnIvfPqResidual _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -2264,7 +2371,11 @@ object Similarity {
   /** Shared s8/s11 candidate pipeline: IVF probe + PQ ADC scoring,
     * as the WITH-prefix through `scored(qid, nid, cos)` — s8 ranks it
     * directly; s11 widens the cut and reranks exactly. */
-  private def oIvfPqScored: String =
+  /** The IVF+PQ oracle PREFIX through `pcentn` — the coarse codebook,
+    * assignment/probe windows and PQ sub-codebook shared by the s8
+    * (no-residual) and s29 (residual) entries, so the two forms can
+    * only differ where the published index does: encode, recon, ADC. */
+  private def oIvfPqBase: String =
     s"""WITH e AS (SELECT vec_id, embedding,
          |    ${oDot("embedding", "embedding")} AS norm_fp
          |  FROM embeddings),
@@ -2287,7 +2398,11 @@ object Similarity {
          |pcent AS (SELECT c.vec_id AS k, sub.s,
          |    c.embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS cemb
          |  FROM e c CROSS JOIN sub WHERE c.vec_id < $PqK),
-         |pcentn AS (SELECT k, s, cemb, ${oDot("cemb", "cemb")} AS cnorm FROM pcent),
+         |pcentn AS (SELECT k, s, cemb, ${oDot("cemb", "cemb")} AS cnorm FROM pcent)""".stripMargin
+
+  private def oIvfPqScored: String =
+    oIvfPqBase +
+      s""",
          |xs AS (SELECT vec_id, sub.s,
          |    embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS xemb
          |  FROM e CROSS JOIN sub),
@@ -3008,6 +3123,53 @@ object Similarity {
     "s8_knn_ivfpq" ->
       (oIvfPqScored +
         s""",
+           |r AS (SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |  FROM scored)
+           |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+           |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
+           |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
+    // the RESIDUAL form from the same base: encode argmin drops the
+    // k-free ||r||^2 term and subtracts the centroid dot; recon and
+    // ADC add the coarse terms — every residual quantity a fixed-point
+    // dot both engines state, never a float subtraction
+    "s29_knn_ivfpq_residual" ->
+      (oIvfPqBase +
+        s""",
+           |ac AS (SELECT a.vec_id, a.cluster, cent.c_emb, cent.c_norm
+           |  FROM assigned a JOIN cent ON cent.cid = a.cluster),
+           |xs AS (SELECT ac.vec_id, sub.s,
+           |    e.embedding[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS xemb,
+           |    ac.c_emb[sub.s*$PqSubDim+1 : sub.s*$PqSubDim+$PqSubDim] AS csub
+           |  FROM e JOIN ac ON ac.vec_id = e.vec_id CROSS JOIN sub),
+           |codes AS (SELECT vec_id, s, k AS code, cnorm, csub FROM (
+           |    SELECT xs.vec_id, xs.s, xs.csub, pcentn.k, pcentn.cnorm,
+           |      row_number() OVER (PARTITION BY xs.vec_id, xs.s ORDER BY
+           |        (pcentn.cnorm - 2 * (${oDot("xemb", "cemb")}
+           |          - ${oDot("csub", "cemb")})),
+           |        pcentn.k) AS rk
+           |    FROM xs JOIN pcentn ON xs.s = pcentn.s) WHERE rk = 1),
+           |rn AS (SELECT codes.vec_id,
+           |    CAST(any_value(ac.c_norm)
+           |      + sum(2 * ${oDot("codes.csub", "pcentn.cemb")} + pcentn.cnorm)
+           |      AS BIGINT) AS recon_norm
+           |  FROM codes JOIN pcentn ON pcentn.s = codes.s AND pcentn.k = codes.code
+           |    JOIN ac ON ac.vec_id = codes.vec_id
+           |  GROUP BY codes.vec_id),
+           |adc AS (SELECT p.qid, a.vec_id AS nid, p.q_norm,
+           |    CAST(any_value(${oDot("p.q_emb", "cent.c_emb")})
+           |      + sum(${oDot(s"(p.q_emb[codes.s*$PqSubDim+1 : codes.s*$PqSubDim+$PqSubDim])", "pcentn.cemb")})
+           |      AS BIGINT) AS adot
+           |  FROM probes p JOIN assigned a ON p.cluster = a.cluster
+           |    AND p.qid <> a.vec_id
+           |  JOIN cent ON cent.cid = p.cluster
+           |  JOIN codes ON codes.vec_id = a.vec_id
+           |  JOIN pcentn ON pcentn.s = codes.s AND pcentn.k = codes.code
+           |  GROUP BY p.qid, a.vec_id, p.q_norm),
+           |scored AS (SELECT adc.qid, adc.nid,
+           |    adc.adot::DOUBLE / (sqrt(adc.q_norm::DOUBLE)
+           |      * sqrt(rn.recon_norm::DOUBLE)) AS cos
+           |  FROM adc JOIN rn ON rn.vec_id = adc.nid),
            |r AS (SELECT qid, nid, cos,
            |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            |  FROM scored)

@@ -4698,6 +4698,122 @@ class PipelineOpsSpec extends SparkSpecBase {
       .foreach(r => fail(s"kept doc ${r.getAs[Long]("doc_id")} without a bucket"))
   }
 
+  test("e35 decayed hitters: integer-exact vs a driver-side recompute, " +
+      "and decay genuinely reorders the raw-count ranking") {
+    val out = Events.e35DecayedHitters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("decayed_e6"),
+        r.getAs[Long]("n_events")))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_timestamp(date_trunc('hour', ts)) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = ev.map(_._2).max
+    val byUser = ev.groupBy(_._1).map { case (u, xs) =>
+      val dec = xs.map { case (_, h) =>
+        val age = (ref - h) / 3600L
+        if (age >= Events.DecayCapHours) 0L else 1000000L / (1L << age)
+      }.sum
+      (u, dec, xs.length.toLong)
+    }.toSeq.sortBy { case (u, d, _) => (-d, u) }.take(10)
+    assert(out.toSeq == byUser,
+      s"decayed ranking diverged: ${out.take(3).toSeq} vs ${byUser.take(3)}")
+    // armed: the decayed top-10 order differs from the raw-count order
+    val rawTop = ev.groupBy(_._1).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (u, n) => (-n, u) }.take(10).map(_._1)
+    assert(out.map(_._1).toSeq != rawTop,
+      "decay changed nothing — the gate would pass a raw count")
+  }
+
+  test("s29 residual IVFPQ: integer-exact vs a driver-side mirror of the " +
+      "decomposed fixed-point pipeline") {
+    val out = Similarity.s29KnnIvfPqResidual(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nid"), r.getAs[Long]("cos_e6"))).toSet
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    def dotFp(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        graft.functions.DotFp9.roundHalfAway(x.toDouble * y.toDouble * 1e9) }.sum
+    def sub(v: Array[Float], i: Int): Array[Float] =
+      v.slice(i * Similarity.PqSubDim, (i + 1) * Similarity.PqSubDim)
+    val cents = (0L until Similarity.NCentroids.toLong).map(vecs).toArray
+    val cbk = (0L until Similarity.PqK.toLong).map(vecs).toArray
+    def cosOf(d: Long, na: Long, nb: Long): Double =
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    def cluster(x: Array[Float]): Int =
+      cents.zipWithIndex.map { case (c, ci) =>
+        (-cosOf(dotFp(x, c), dotFp(x, x), dotFp(c, c)), ci) }.min._2
+    def codes(x: Array[Float], cl: Int): Array[Int] =
+      (0 until Similarity.PqSubs).map { i =>
+        (0 until Similarity.PqK).map { k =>
+          val kk = sub(cbk(k), i)
+          (dotFp(kk, kk) - 2L * (dotFp(sub(x, i), kk) -
+            dotFp(sub(cents(cl), i), kk)), k)
+        }.min._2
+      }.toArray
+    def recon(cl: Int, cd: Array[Int]): Long =
+      dotFp(cents(cl), cents(cl)) + (0 until Similarity.PqSubs).map { i =>
+        val kk = sub(cbk(cd(i)), i)
+        2L * dotFp(sub(cents(cl), i), kk) + dotFp(kk, kk)
+      }.sum
+    val assignedAll = vecs.map { case (id, x) => id -> cluster(x) }
+    val codedAll = vecs.map { case (id, x) =>
+      id -> codes(x, assignedAll(id)) }
+    val want = (0L until Similarity.NQueries.toLong).flatMap { q =>
+      val qv = vecs(q)
+      val qn = dotFp(qv, qv)
+      val probed = cents.zipWithIndex.map { case (c, ci) =>
+        (-cosOf(dotFp(qv, c), qn, dotFp(c, c)), ci) }.sorted
+        .take(Similarity.NProbe).map(_._2).toSet
+      vecs.keys.filter(n => n != q && probed(assignedAll(n))).toSeq
+        .map { n =>
+          val cl = assignedAll(n); val cd = codedAll(n)
+          val adot = dotFp(qv, cents(cl)) + (0 until Similarity.PqSubs)
+            .map(i => dotFp(sub(qv, i), sub(cbk(cd(i)), i))).sum
+          (n, cosOf(adot, qn, recon(cl, cd)))
+        }
+        .sortBy { case (n, c) => (-c, n) }
+        .take(Similarity.TopK).zipWithIndex
+        .map { case ((n, c), i) =>
+          (q, i + 1L, n, BigDecimal(c * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }
+    }.toSet
+    assert(out == want,
+      s"residual IVFPQ diverges: ${(out diff want).take(3)} | ${(want diff out).take(3)}")
+  }
+
+  test("s29 trained path: a residual-TRAINED codebook strictly beats the " +
+      "raw-slice stand-in on residual coding (training must match what " +
+      "is being quantized)") {
+    val e = Similarity.withNorm(Tables.embeddings(spark, sf))
+    val cents = Similarity.collectCodebook(e)
+    val byCid = cents.sortBy(_.cid)
+    val centArr2d = org.apache.spark.sql.functions.array(
+      byCid.map(c => org.apache.spark.sql.functions.array(
+        c.emb.map(org.apache.spark.sql.functions.lit): _*)): _*)
+    val c = org.apache.spark.sql.functions.col _
+    val resid = Similarity.assignClusters(e, cents)
+      .select(c("vec_id"),
+        org.apache.spark.sql.functions.zip_with(c("embedding"),
+          org.apache.spark.sql.functions.element_at(centArr2d,
+            c("cluster").cast("int") + 1),
+          (a, b) => (a - b).cast("float")).as("embedding"))
+    val cbRes = Similarity.trainPqCodebook(resid)
+    val exact = Similarity.s1KnnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val trained = recallOf(Similarity.knnIvfPqResidualWith(e, cents, cbRes))
+    val standin = recallOf(Similarity.knnIvfPqResidualWith(e, cents,
+      Similarity.collectPqCodebook(e)))
+    assert(trained > standin,
+      s"residual-trained codebook did not beat the stand-in: $trained vs $standin")
+  }
+
   test("x41 BPE fertility: the gated row is bpeFertility over the first " +
       "three trained merges, and the merges genuinely reduce fertility") {
     val docs = Tables.documents(spark, sf)
