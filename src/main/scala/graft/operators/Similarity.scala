@@ -712,6 +712,7 @@ object Similarity {
       .unionByName(row("mrl_rerank", s16MrlRerank(s, d)))
       .unionByName(row("pq8", s6KnnPq(s, d)))
       .unionByName(row("opq_pq8", s19KnnOpq(s, d)))
+      .unionByName(row("ivfpq_residual", s29KnnIvfPqResidual(s, d)))
       .withColumn("recall_e6",
         call_function("div", col("n_hit") * lit(1000000L), col("n_exact")))
       .orderBy(col("method"))
@@ -2554,6 +2555,7 @@ object Similarity {
          |b AS (${base("s16_mrl_rerank")}),
          |c AS (${base("s6_knn_pq")}),
          |dq AS (${base("s19_knn_opq")}),
+         |rv AS (${base("s29_knn_ivfpq_residual")}),
          |ladder AS (
          |  SELECT 'jl_rp16' AS method,
          |    (SELECT count(*) FROM ex) AS n_exact,
@@ -2573,7 +2575,12 @@ object Similarity {
          |  SELECT 'opq_pq8',
          |    (SELECT count(*) FROM ex),
          |    (SELECT count(*) FROM ex JOIN dq
-         |       ON ex.qid = dq.qid AND ex.nid = dq.nid))
+         |       ON ex.qid = dq.qid AND ex.nid = dq.nid)
+         |  UNION ALL
+         |  SELECT 'ivfpq_residual',
+         |    (SELECT count(*) FROM ex),
+         |    (SELECT count(*) FROM ex JOIN rv
+         |       ON ex.qid = rv.qid AND ex.nid = rv.nid))
          |SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
          |  CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_e6
