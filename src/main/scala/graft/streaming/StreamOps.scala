@@ -1378,6 +1378,77 @@ object StreamOps {
       .parquet(vs.map { case (_, p) => s"$p/results" }: _*)
   }
 
+  /** State/output of [[decayedHittersStream]]: the per-user hour ring
+    * — exact counts for the newest [[graft.operators.Events
+    * .DecayCapHours]] hours (older hours decay to zero at ANY later
+    * reference, so pruning them is exact, not approximate) plus the
+    * all-time event total. */
+  case class DecaySnapshot(user_id: Long, counts: Map[Long, Long],
+      n_events: Long)
+
+  /** Streaming e35: exponentially time-decayed per-user activity
+    * maintained CONTINUOUSLY. The naive incremental form (halve a
+    * running sum as hours pass) is NOT exact — integer halving floors
+    * per step, so `(Σ w) >> δ ≠ Σ (w >> δ)` — so the state is instead
+    * the EXACT bounded hour ring: ≤ DecayCapHours (hour → count)
+    * entries per user (hours older than the cap contribute zero at
+    * any later reference instant, so pruning is lossless), and the
+    * decayed ranking is a read-time fold over the ring
+    * ([[decayedTopK]]) at the global newest hour — which is how the
+    * batch e35 defines it. mapGroupsWithState, O(cap) longs per user.
+    *
+    * Counting state: at-least-once redelivery would double-count —
+    * this twin sits behind an exactly-once front (the cmsStream
+    * stance), spec-pinned on clean replay. */
+  def decayedHittersStream(events: Dataset[KeyedEvent]):
+      Dataset[DecaySnapshot] = {
+    implicit val se: org.apache.spark.sql.Encoder[(Map[Long, Long], Long)] =
+      Encoders.product[(Map[Long, Long], Long)]
+    implicit val oe: org.apache.spark.sql.Encoder[DecaySnapshot] =
+      Encoders.product[DecaySnapshot]
+    implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Map[Long, Long], Long), DecaySnapshot](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var (counts, n) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+          it.foreach { ev =>
+            val h = ev.ts.getTime / 1000L / 3600L * 3600L
+            counts = counts.updated(h, counts.getOrElse(h, 0L) + 1L)
+            n += 1L
+          }
+          val hmax = counts.keys.max
+          counts = counts.filter { case (h, _) =>
+            (hmax - h) / 3600L < graft.operators.Events.DecayCapHours }
+          state.update((counts, n))
+          DecaySnapshot(uid, counts, n)
+      }
+  }
+
+  /** Read-time decayed ranking over the NEWEST [[DecaySnapshot]] per
+    * user (schema (user_id, counts, n_events)): decay every ring
+    * bucket at the global newest hour and rank — exactly batch e35's
+    * statement, so chunked replay + this fold reproduces it
+    * (spec-pinned). One narrow scan, driver-sized reference
+    * broadcast, TakeOrdered cut. */
+  def decayedTopK(snaps: DataFrame, k: Int = 10): DataFrame = {
+    import graft.operators.TextOps.idiv
+    val cap = graft.operators.Events.DecayCapHours
+    val ref = snaps.agg(max(array_max(map_keys(col("counts")))).as("ref_s"))
+    snaps.crossJoin(broadcast(ref))
+      .withColumn("decayed_e6",
+        aggregate(map_entries(col("counts")), lit(0L), (acc, e) =>
+          acc + when(
+            idiv(col("ref_s") - e.getField("key"), lit(3600L)) >= cap, 0L)
+            .otherwise(e.getField("value") * idiv(lit(1000000L),
+              call_function("shiftleft", lit(1L),
+                idiv(col("ref_s") - e.getField("key"), lit(3600L))
+                  .cast("int"))))))
+      .select(col("user_id"), col("decayed_e6"), col("n_events"))
+      .orderBy(col("decayed_e6").desc, col("user_id"))
+      .limit(k)
+  }
+
   /** State/output of [[patternStream]]: the automaton accumulator
     * (acc%3 = open stage, acc/3 = completions) plus the newest scored
     * (ts_ms, event_id) — the at-least-once guard. */

@@ -1834,6 +1834,42 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(vs.length <= 2, s"version pruning failed: ${vs.map(_.getName).toSeq}")
   }
 
+  test("decayedHittersStream: bounded exact hour rings — chunked replay " +
+      "plus the read-time fold reproduces batch e35; per-user state " +
+      "never exceeds the decay cap") {
+    implicit val sq = spark.sqlContext
+    val evRows = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => StreamOps.KeyedEvent(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getTimestamp(3)))
+    val in = MemoryStream[StreamOps.KeyedEvent]
+    val q = StreamOps.decayedHittersStream(in.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("decay_snaps").start()
+    evRows.grouped(500).foreach { c =>
+      in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val all = spark.table("decay_snaps")
+    val maxBuckets = all
+      .agg(max(size(map_keys(col("counts"))))).collect()(0).getInt(0)
+    assert(maxBuckets <= graft.operators.Events.DecayCapHours,
+      s"ring grew past the cap: $maxBuckets")
+    // the newest snapshot per user is the one with the largest total
+    // (n_events is strictly monotone per emission)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val latest = spark.table("decay_snaps")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("user_id", "counts", "n_events")
+    val streamed = StreamOps.decayedTopK(latest).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("decayed_e6"),
+        r.getAs[Long]("n_events"))).toSeq
+    val batch = graft.operators.Events.e35DecayedHitters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("decayed_e6"),
+        r.getAs[Long]("n_events"))).toSeq
+    assert(streamed == batch,
+      s"decayed ranking diverged: ${streamed.take(3)} vs ${batch.take(3)}")
+  }
+
   test("graphSearchStream: arriving queries searched against the standing " +
       "graph store reproduce batch s27 exactly; redelivery idempotent") {
     implicit val sq = spark.sqlContext
