@@ -279,7 +279,8 @@ class PipelineOpsSpec extends SparkSpecBase {
       "jl_rp16" -> pairs(Similarity.s14KnnRp(spark, sf)),
       "mrl_rerank" -> pairs(Similarity.s16MrlRerank(spark, sf)),
       "pq8" -> pairs(Similarity.s6KnnPq(spark, sf)),
-      "opq_pq8" -> pairs(Similarity.s19KnnOpq(spark, sf)))
+      "opq_pq8" -> pairs(Similarity.s19KnnOpq(spark, sf)),
+      "ivfpq_residual" -> pairs(Similarity.s29KnnIvfPqResidual(spark, sf)))
       .view.mapValues(p =>
         p.intersect(exact).size.toLong * 1000000L / exact.size).toMap
     val out = Similarity.s18RecallLadder(spark, sf).collect()
