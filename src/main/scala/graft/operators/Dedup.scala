@@ -1155,6 +1155,37 @@ object Dedup {
         col("subsumed_by"), col("containment_e6"))
   }
 
+  /** d22: SOFT DEDUP — duplicate-aware DOWNWEIGHTING instead of
+    * dropping (the published alternative to hard dedup: reweight so a
+    * near-dup cluster contributes ~one document's worth of gradient,
+    * keeping its unique content in-distribution — SoftDedup, Fan et
+    * al. 2024; the D4/"repeat with weight" lineage): per document,
+    * its d6 cluster, the cluster size, and the sampling weight
+    * `1e6 / cluster_size` (floored e6 fixed point, so a cluster's
+    * total weight is ≤ 1e6 by construction), plus the token count and
+    * the EFFECTIVE tokens the doc contributes under weighted sampling
+    * — the number a token-budget planner (x33) consumes.
+    *
+    * Scale notes (100 TB): the cluster resolution is the standing
+    * [[sharedClusters]] artifact every dedup consumer already reads;
+    * on top of it this is one cluster-keyed count (map-side combined,
+    * cluster-space sized) + one narrow token-count map — strictly
+    * cheaper than the hard-dedup manifest it replaces. */
+  def d22SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val cl = sharedClusters(s, d).select(col("doc_id"), col("cluster_rep"))
+    val sz = cl.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val toks = documents(s, d).select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    cl.join(sz, Seq("cluster_rep"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("weight_e6", idiv(lit(1000000L), col("cluster_size")))
+      .withColumn("eff_tokens_e6", col("n_tokens") * col("weight_e6"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        col("n_tokens"), col("weight_e6"), col("eff_tokens_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d10: MULTI-STRATEGY BLOCKING UNION — the record-linkage pattern
     * where several cheap, differently-blind blockers each propose
     * candidate pairs and the union (with provenance) feeds one
@@ -1260,6 +1291,7 @@ object Dedup {
     "d19_bloom_novelty" -> d19BloomNovelty _,
     "d20_lsh_scurve" -> d20LshScurve _,
     "d21_edit_verify" -> d21EditVerify _,
+    "d22_soft_dedup" -> d22SoftDedup _,
   )
 
   /** d9/d16 shared oracle: distinct doc-shingle census, pair counts,
@@ -1571,6 +1603,36 @@ object Dedup {
         |ORDER BY a, b""".stripMargin,
     // same pair set as d5, then the transitive closure as a recursive
     // CTE; min reachable id = cluster representative
+    // d6's closure + a cluster-size census: weight = 1e6 // size, the
+    // floored e6 sampling weight, effective tokens = n_tokens * weight
+    "d22_soft_dedup" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+        |sg AS (SELECT doc_id,
+        |    list_aggregate(list_transform(range(1, 33), j ->
+        |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+        |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        |  FROM t),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |  WHERE coalesce(list_sum(list_transform(range(1, 33), j ->
+        |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0) <= 1),
+        |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+        |comp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep
+        |  FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY cluster_rep),
+        |tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t)
+        |SELECT comp.doc_id, comp.cluster_rep, sz.cluster_size, tk.n_tokens,
+        |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_e6,
+        |  CAST(tk.n_tokens * (1000000 // sz.cluster_size) AS BIGINT) AS eff_tokens_e6
+        |FROM comp JOIN sz USING (cluster_rep) JOIN tk ON tk.doc_id = comp.doc_id
+        |ORDER BY comp.doc_id""".stripMargin,
     "d6_dup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),

@@ -4699,6 +4699,33 @@ class PipelineOpsSpec extends SparkSpecBase {
       .foreach(r => fail(s"kept doc ${r.getAs[Long]("doc_id")} without a bucket"))
   }
 
+  test("d22 soft dedup: weights are the floored per-cluster split of d6's " +
+      "resolution, cluster mass never exceeds one document's worth, and " +
+      "effective tokens follow exactly") {
+    val rows = Dedup.d22SoftDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("cluster_size"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("weight_e6"), r.getAs[Long]("eff_tokens_e6")))
+    val clusters = Dedup.d6DupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    val sizes = clusters.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    assert(rows.map(_._1).toSet == clusters.keySet, "one row per document")
+    rows.foreach { case (id, rep, n, tok, w, eff) =>
+      assert(rep == clusters(id), s"doc $id: cluster drifted from d6")
+      assert(n == sizes(rep), s"doc $id: cluster size drifted")
+      assert(w == 1000000L / n, s"doc $id: weight not the floored split")
+      assert(eff == tok * w, s"doc $id: effective tokens drifted")
+    }
+    // per-cluster mass: n * floor(1e6/n) <= 1e6, and within n of it
+    rows.groupBy(_._2).foreach { case (rep, g) =>
+      val mass = g.map(_._5).sum
+      assert(mass <= 1000000L, s"cluster $rep overweighted: $mass")
+      assert(mass > 1000000L - g.length, s"cluster $rep underweighted: $mass")
+    }
+    // armed: some cluster is non-trivial, so some weight < 1e6
+    assert(rows.exists(_._5 < 1000000L), "no near-dup cluster on this corpus")
+  }
+
   test("e35 decayed hitters: integer-exact vs a driver-side recompute, " +
       "and decay genuinely reorders the raw-count ranking") {
     val out = Events.e35DecayedHitters(spark, sf).collect()
