@@ -2522,9 +2522,21 @@ object TextAnalysis {
     * aggregate; the merge chain is a narrow per-word expression). */
   def x41BpeFertility(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    bpeFertility(docs, trainBpe(docs, X41Merges))
+    bpeFertility(docs, sharedBpeMerges(s, d))
       .transform(Output.ordered(_, col("source")))
   }
+
+  /** Session-scoped trained merge list — a pure function of (corpus,
+    * [[X41Merges]]), paid once per session like the DataFrame-valued
+    * shared stages (this one is a driver-side Seq of string pairs, a
+    * few bytes, so no eviction hook is needed). */
+  private[graft] def sharedBpeMerges(s: SparkSession,
+      d: String): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent((s, d),
+      _ => trainBpe(documents(s, d), X41Merges))
+
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String)]]()
 
   /** Count floor and result width for [[x39PmiCollocations]]. */
   val MinColloCount = 5L
