@@ -391,7 +391,17 @@ object Dedup {
     * band-key equi-join — the d3 cost class per config. Ground truth
     * is the d4 inverted-index join, never all-pairs. */
   def d20LshScurve(s: SparkSession, d: String): DataFrame =
-    lshScurve(documents(s, d), D14TauE6)
+    lshScurveFrom(sharedSweepBase(s, d), D14TauE6)
+
+  /** Session-scoped sweep signature base — [[sweepSigBase]] is a pure
+    * function of the corpus read by all [[D20Configs]] branches AND
+    * the ground-truth stage; without materialization the whole
+    * signature pipeline re-executes once per audited config. */
+  private[graft] def sharedSweepBase(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(sweepBaseCache, s, d)(
+      sweepSigBase(documents(s, d)).localCheckpoint())
+
+  private val sweepBaseCache = SessionCaches.newCache()
 
   /** Library form of [[d20LshScurve]]: any (doc_id, text) frame,
     * caller-chosen ground-truth threshold. */
@@ -424,6 +434,9 @@ object Dedup {
       .filter(idiv(col("shared") * 1000000L,
         greatest(col("na") + col("nb") - col("shared"), lit(1L))) >= tauE6)
       .select(col("a"), col("b"))
+      // every audited config full-outer-joins this SAME ground truth —
+      // materialize it once or the Σdf² pair kernel runs ×|configs|
+      .localCheckpoint()
     D20Configs.map { case (b, r) =>
       val e = base.select(col("doc_id"),
         posexplode(lshBands(col("sig"), b, r)).as(Seq("bi", "bk")))
