@@ -2573,14 +2573,22 @@ object TextAnalysis {
     pmiCollocations(documents(s, d))
 
   /** Library form of [[x39PmiCollocations]] over any (doc_id, text)
-    * frame. */
+    * frame — census + read fold, the same two stages the streaming
+    * twin maintains and reads. */
   def pmiCollocations(docs: DataFrame): DataFrame = {
+    val (big, uni) = colloCensus(docs)
+    colloTopKFrom(big, uni)
+  }
+
+  /** The two x39 counting censuses — UNFLOORED bigram counts (the
+    * count floor is a read-time cut, never baked into stored state)
+    * and unigram counts. Both are additive, so the streaming twin
+    * merges them per batch ([[graft.streaming.StreamOps
+    * .colloStream]]). */
+  private[graft] def colloCensus(docs: DataFrame): (DataFrame, DataFrame) = {
     val base = docs.select(col("doc_id"), words(col("text")).as("ws"))
     val uni = base.select(explode(col("ws")).as("w"))
-    val cw = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val totals = uni.agg(count(lit(1)).as("n_uni")).crossJoin(
-      base.filter(size(col("ws")) >= 2)
-        .agg(sum(size(col("ws")) - 1).cast("long").as("n_big")))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val big = base
       .filter(size(col("ws")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
@@ -2588,10 +2596,18 @@ object TextAnalysis {
           element_at(col("ws"), i + 1).as("w2")))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= MinColloCount)
-    big
-      .join(cw.select(col("w").as("w1"), col("c").as("n_a")), Seq("w1"))
-      .join(cw.select(col("w").as("w2"), col("c").as("n_b")), Seq("w2"))
+    (big, uni)
+  }
+
+  /** x39's READ FOLD over materialized censuses: totals, count floor,
+    * unigram joins, the staged integer lift, top-k. One function for
+    * the gated row and the streaming store so they cannot drift. */
+  def colloTopKFrom(big: DataFrame, uni: DataFrame): DataFrame = {
+    val totals = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_uni"))
+      .crossJoin(big.agg(coalesce(sum(col("n_ab")), lit(0L)).as("n_big")))
+    big.filter(col("n_ab") >= MinColloCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("n_b")), Seq("w2"))
       .crossJoin(broadcast(totals))
       // lift = (n_ab/N_big) / ((n_a/N_uni)(n_b/N_uni)), floored in two
       // stages so no intermediate multiplies three corpus-sized counts

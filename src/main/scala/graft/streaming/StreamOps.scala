@@ -1378,6 +1378,79 @@ object StreamOps {
       .parquet(vs.map { case (_, p) => s"$p/results" }: _*)
   }
 
+  /** Streaming x39: the collocation CENSUSES maintained continuously —
+    * bigram and unigram counts are both additive, so each micro-batch
+    * merges its deltas into a versioned store (the [[deltaAggStream]]
+    * IVM discipline with the [[knnGraphAbsorb]] staged-rename
+    * atomicity, since a version holds TWO frames) and the PMI top-k
+    * is [[graft.operators.TextAnalysis.colloTopKFrom]]'s read fold
+    * over the current version — the count floor and lift are never
+    * baked into state, so thresholds can change without replay.
+    *
+    * Scale notes (100 TB): state is vocabulary-sized (the bigram
+    * census), exactly the standing table the batch x39 aggregates
+    * from scratch; per batch the merge moves batch-delta + census
+    * rows, never re-tokenizing history. Counting state: exactly-once-
+    * fronted (the cmsStream stance), spec-pinned on clean replay. */
+  def colloStream(docs: DataFrame, storeDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        colloAbsorb(batch.toDF(), storeDir, id)
+        ()
+      }
+
+  /** One batch census merge, idempotent under redelivery (a complete
+    * version is trusted; a crashed attempt rebuilds from the same
+    * before-id base). */
+  private[graft] def colloAbsorb(batch: DataFrame, storeDir: String,
+      id: Long): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(s"$storeDir/v$id")
+    if (!fs.exists(vPath)) {
+      val (dBig, dUni) = graft.operators.TextAnalysis.colloCensus(batch)
+      val (pBig, pUni) = colloCurrent(s, storeDir, before = id)
+      val stage = new org.apache.hadoop.fs.Path(s"$storeDir/.stage_v$id")
+      fs.delete(stage, true)
+      pBig.unionByName(dBig)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("n_ab")).as("n_ab"))
+        .write.mode("overwrite").parquet(s"$stage/big")
+      pUni.unionByName(dUni)
+        .groupBy(col("w")).agg(sum(col("c")).as("c"))
+        .write.mode("overwrite").parquet(s"$stage/uni")
+      require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
+    }
+    versionDirs(s, storeDir).filter(_._1 < id)
+      .sortBy(_._1).dropRight(1)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The newest complete census version strictly below `before`, or
+    * empty censuses before the first batch. */
+  def colloCurrent(s: org.apache.spark.sql.SparkSession, dir: String,
+      before: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val bigSchema = StructType(Seq(
+      StructField("w1", StringType), StructField("w2", StringType),
+      StructField("n_ab", LongType)))
+    val uniSchema = StructType(Seq(
+      StructField("w", StringType), StructField("c", LongType)))
+    val vs = versionDirs(s, dir).filter(_._1 < before)
+    if (vs.isEmpty)
+      (s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], bigSchema),
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], uniSchema))
+    else {
+      val p = vs.maxBy(_._1)._2
+      (s.read.schema(bigSchema).parquet(s"$p/big"),
+        s.read.schema(uniSchema).parquet(s"$p/uni"))
+    }
+  }
+
   /** State/output of [[decayedHittersStream]]: the per-user hour ring
     * — exact counts for the newest [[graft.operators.Events
     * .DecayCapHours]] hours (older hours decay to zero at ANY later
@@ -1953,5 +2026,9 @@ object StreamOps {
     "repeatWithinStream" -> OutputMode.Append(),
     "semDedupStream" -> OutputMode.Append(),
     "semDedupIngest" -> OutputMode.Update(),
-    "knnGraphStream" -> OutputMode.Update())
+    "knnGraphStream" -> OutputMode.Update(),
+    "ingestDecideStream" -> OutputMode.Update(),
+    "graphSearchStream" -> OutputMode.Update(),
+    "decayedHittersStream" -> OutputMode.Update(),
+    "colloStream" -> OutputMode.Update())
 }

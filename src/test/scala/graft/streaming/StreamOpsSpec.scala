@@ -1834,6 +1834,54 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(vs.length <= 2, s"version pruning failed: ${vs.map(_.getName).toSeq}")
   }
 
+  test("colloStream: additive census merge — chunked replay + the read " +
+      "fold reproduces batch x39; redelivery idempotent; versions pruned") {
+    implicit val sq = spark.sqlContext
+    import StreamOpsSpec.Doc
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), new java.sql.Timestamp(0L)))
+    val store = java.nio.file.Files.createTempDirectory("collo-store").toString
+    val in = MemoryStream[Doc]
+    val q = StreamOps.colloStream(
+      in.toDF().select(col("doc_id"), col("text")), store).start()
+    val chunks = docs.grouped(100).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    def topk() = {
+      val (big, uni) = StreamOps.colloCurrent(spark, store)
+      TextAnalysis.colloTopKFrom(big, uni).collect()
+        .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+          r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("lift_e6"))).toSeq
+    }
+    val streamed = topk()
+    val batch = TextAnalysis.x39PmiCollocations(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("lift_e6"))).toSeq
+    assert(streamed == batch,
+      s"census replay diverged: ${streamed.take(2)} vs ${batch.take(2)}")
+    // version pruning: newest + its base only
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+    assert(versions.length <= 2, s"unpruned versions: ${versions.toSeq}")
+    // redelivery 1: the complete version is trusted
+    val lastId = versions.map(_.drop(1).toLong).max
+    import spark.implicits._
+    val lastChunk = spark.createDataset(chunks.last).toDF()
+      .select("doc_id", "text")
+    StreamOps.colloAbsorb(lastChunk, store, lastId)
+    assert(topk() == batch, "complete-version redelivery changed the census")
+    // redelivery 2: crashed attempt rebuilds from the same base
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/v$lastId"), true)
+    StreamOps.colloAbsorb(lastChunk, store, lastId)
+    assert(topk() == batch, "crashed-attempt redelivery diverged")
+  }
+
   test("decayedHittersStream: bounded exact hour rings — chunked replay " +
       "plus the read-time fold reproduces batch e35; per-user state " +
       "never exceeds the decay cap") {
