@@ -534,6 +534,24 @@ object ScaleProbe {
             lit(0L).as("cos_e6"))
         operators.Similarity.nnDescentRound(e, g0)
       },
+      // x40 ingest shape: ONE fixed 100-doc batch decided against an
+      // m×-re-listed standing corpus. This session form rebuilds the
+      // standing artifacts (test-split grams, bigram model, tertile
+      // boundaries) per call — a real deployment persists them — so
+      // the probe measures the WORST-case per-batch cost: standing
+      // scans are linear in m, batch-sided joins stay batch-sized.
+      time("ingest_decide") {
+        val docs = x("documents")
+        val split = operators.Dedup.IncrementalSplit
+        val standing = docs.filter(col("doc_id") < split)
+        val batch = spark.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") >= split)
+          .orderBy(col("doc_id")).limit(100)
+        operators.TextAnalysis.ingestDecideBatch(
+          standing.select(col("doc_id"), col("text")),
+          batch.select(col("doc_id"), col("text")),
+          standing.select(col("doc_id"), col("text")))
+      },
       // s27 search shape: a FIXED query set (the operator's 10) beam-
       // searched over a standing n×m-edge graph. Per-hop work is one
       // hash join of a query-sized frontier against the k-bounded edge
