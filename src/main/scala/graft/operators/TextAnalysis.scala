@@ -1456,22 +1456,32 @@ object TextAnalysis {
     * replacement; fertility monotone non-increasing in merge count)
     * rather than oracle-gated. One explode + one combined aggregate;
     * the merge chain is a narrow per-word expression. */
-  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    fertilityFrom(fertilityCounts(docs, merges))
+
+  /** The additive half of [[bpeFertility]]: per-source word and
+    * BPE-token totals under a FIXED merge list — what the streaming
+    * twin ([[graft.streaming.StreamOps.fertilityStream]]) merges per
+    * batch. Encodes each DISTINCT word once (the merge-fold is the
+    * expensive expression — vocabulary-sized work, token-sized only
+    * at the join), exactly the trainer's own distinct-word stance; no
+    * broadcast hint: a web-scale vocabulary is not driver-sized, and
+    * AQE broadcasts the small side when it genuinely is. */
+  private[graft] def fertilityCounts(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val occ = docs.select(col("source"), explode(words(col("text"))).as("w"))
-    // encode each DISTINCT word once (the merge-fold is the expensive
-    // expression — vocabulary-sized work, token-sized only at the
-    // join), exactly the trainer's own distinct-word stance; no
-    // broadcast hint: a web-scale vocabulary is not driver-sized, and
-    // AQE broadcasts the small side when it genuinely is
     val vocab = occ.select(col("w")).distinct()
       .select(col("w"),
         size(bpeEncode(col("w"), merges)).cast("long").as("n_tok"))
     occ.join(vocab, Seq("w"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
-      .withColumn("fertility_e4",
-        call_function("div", col("n_bpe_tokens") * lit(10000L), col("n_words")))
   }
+
+  /** The read fold: fertility from materialized per-source totals. */
+  def fertilityFrom(counts: DataFrame): DataFrame =
+    counts.withColumn("fertility_e4",
+      call_function("div", col("n_bpe_tokens") * lit(10000L), col("n_words")))
 
   /** One leftmost-first greedy merge pass over a symbol array — the
     * executor-side twin of [[applyMergeCol]], shared by the sequential

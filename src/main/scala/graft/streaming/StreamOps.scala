@@ -1451,6 +1451,62 @@ object StreamOps {
     }
   }
 
+  /** Streaming x41: per-source tokenizer FERTILITY maintained
+    * continuously under a FIXED trained merge list (the merges are a
+    * standing artifact retrained at the corpus owner's cadence, like
+    * x40's model/boundaries) — the per-source (word, BPE-token)
+    * totals are additive, so this is the [[colloStream]] IVM
+    * discipline with a one-frame version; fertility itself is
+    * [[graft.operators.TextAnalysis.fertilityFrom]]'s read fold.
+    * Counting state, exactly-once-fronted. */
+  def fertilityStream(docs: DataFrame, storeDir: String,
+      merges: Seq[(String, String)]):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fertilityAbsorb(batch.toDF(), storeDir, id, merges)
+        ()
+      }
+
+  /** One batch totals merge, idempotent under redelivery. */
+  private[graft] def fertilityAbsorb(batch: DataFrame, storeDir: String,
+      id: Long, merges: Seq[(String, String)]): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(s"$storeDir/v$id")
+    if (!fs.exists(vPath)) {
+      val delta = graft.operators.TextAnalysis.fertilityCounts(batch, merges)
+      val base = fertilityCurrent(s, storeDir, before = id)
+      val stage = new org.apache.hadoop.fs.Path(s"$storeDir/.stage_v$id")
+      fs.delete(stage, true)
+      base.unionByName(delta)
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .write.mode("overwrite").parquet(s"$stage/counts")
+      require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
+    }
+    versionDirs(s, storeDir).filter(_._1 < id)
+      .sortBy(_._1).dropRight(1)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The newest complete totals version strictly below `before`. */
+  def fertilityCurrent(s: org.apache.spark.sql.SparkSession, dir: String,
+      before: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("n_words", LongType),
+      StructField("n_bpe_tokens", LongType)))
+    val vs = versionDirs(s, dir).filter(_._1 < before)
+    if (vs.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.schema(schema).parquet(s"${vs.maxBy(_._1)._2}/counts")
+  }
+
   /** State/output of [[decayedHittersStream]]: the per-user hour ring
     * — exact counts for the newest [[graft.operators.Events
     * .DecayCapHours]] hours (older hours decay to zero at ANY later
@@ -2030,5 +2086,6 @@ object StreamOps {
     "ingestDecideStream" -> OutputMode.Update(),
     "graphSearchStream" -> OutputMode.Update(),
     "decayedHittersStream" -> OutputMode.Update(),
-    "colloStream" -> OutputMode.Update())
+    "colloStream" -> OutputMode.Update(),
+    "fertilityStream" -> OutputMode.Update())
 }
