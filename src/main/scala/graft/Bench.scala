@@ -188,9 +188,20 @@ object Bench {
       val r = math.rint(v * 1000) / 1000
       f"$r%.3f"
     }
-    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"nqueries":${results.size},"nerrors":${errors.size},"calibration":${ms(calibration)},"full":${jstr(out)},"queries":{"""
+    // The compact line reports the DEFLAKED basis: min(cold, rerun) per
+    // query — the basis benchdiff already adjudicates regressions on.
+    // The raw cold pass charges a query for every session-shared stage
+    // it happens to build first (m15's cold was 100× its steady-state
+    // cost on a throttled run) and for run-start throttle windows; the
+    // raw numbers stay in bench_out.json's queries/reruns maps.
+    val rerunOf = reruns.toMap
+    val deflaked = results.map { case (k, v) =>
+      k -> math.min(v, rerunOf.getOrElse(k, v))
+    }
+    val dTotal = deflaked.map(_._2).sum
+    val head = s"""{"metric":"total","value":${ms(dTotal)},"unit":"sec","basis":"min(cold,rerun)","cold_total":${ms(total)},"sf":${jstr(sfDir)},"nqueries":${results.size},"nerrors":${errors.size},"calibration":${ms(calibration)},"full":${jstr(out)},"queries":{"""
     val close = "}}"
-    val entries = results.sortBy(-_._2)
+    val entries = deflaked.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + ms(v) }
     val sb = new StringBuilder(head)
     var first = true

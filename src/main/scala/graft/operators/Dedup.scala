@@ -434,33 +434,58 @@ object Dedup {
       .filter(idiv(col("shared") * 1000000L,
         greatest(col("na") + col("nb") - col("shared"), lit(1L))) >= tauE6)
       .select(col("a"), col("b"))
-      // every audited config full-outer-joins this SAME ground truth —
+      // every audited config joins this SAME ground truth —
       // materialize it once or the Σdf² pair kernel runs ×|configs|
       .localCheckpoint()
-    D20Configs.map { case (b, r) =>
-      val e = base.select(col("doc_id"),
-        posexplode(lshBands(col("sig"), b, r)).as(Seq("bi", "bk")))
-      val cand = e.select(col("bi"), col("bk"), col("doc_id").as("a"))
-        .join(e.select(col("bi"), col("bk"), col("doc_id").as("b")),
-          Seq("bi", "bk"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-      truth.select(col("a"), col("b"), lit(1L).as("t"))
-        .join(cand.select(col("a"), col("b"), lit(1L).as("c")),
-          Seq("a", "b"), "full_outer")
-        .agg(sum(coalesce(col("t"), lit(0L))).as("n_true"),
-          sum(coalesce(col("c"), lit(0L))).as("n_cand"),
-          sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
-            .otherwise(0L)).as("tp"))
-        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_true"), col("n_cand"), col("tp"),
-          (col("n_cand") - col("tp")).as("fp"),
-          (col("n_true") - col("tp")).as("fn"),
-          idiv(col("tp") * 1000000L, greatest(col("n_true"), lit(1L)))
-            .as("recall_e6"),
-          idiv(col("tp") * 1000000L, greatest(col("n_cand"), lit(1L)))
-            .as("precision_e6"))
-    }.reduce(_.unionByName(_)).orderBy(col("bands").desc)
+    // ONE pair pass for the whole sweep: each doc's band keys carry
+    // their config ordinal, unioned into a single (cfg, bi, bk)
+    // keyspace, so candidate generation is one equi-join + one
+    // distinct + one counting aggregate for ALL configs — the r12
+    // form paid one band-key equi-join per config (4× a ~3.7 s
+    // sustained pair pass at the gate SF). The confusion counts fold
+    // as a LEFT join against truth (n_cand = group size, tp = truth
+    // hits; fn derives from the truth total), replacing the per-config
+    // full-outer joins — identical counts, one shuffle.
+    val keys = base.select(col("doc_id"),
+      explode(flatten(array(D20Configs.zipWithIndex.map { case ((b, r), ci) =>
+        transform(lshBands(col("sig"), b, r), (bk, i) =>
+          struct(lit(ci.toLong).as("cfg"), i.cast("long").as("bi"),
+            bk.as("bk")))
+      }: _*))).as("k"))
+      .select(col("k.cfg").as("cfg"), col("k.bi").as("bi"),
+        col("k.bk").as("bk"), col("doc_id"))
+    val cand = keys.select(col("cfg"), col("bi"), col("bk"),
+        col("doc_id").as("a"))
+      .join(keys.select(col("cfg"), col("bi"), col("bk"),
+        col("doc_id").as("b")), Seq("cfg", "bi", "bk"))
+      .filter(col("a") < col("b"))
+      .select(col("cfg"), col("a"), col("b")).distinct()
+    val counts = cand
+      .join(truth.withColumn("t", lit(1L)), Seq("a", "b"), "left")
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("t"), lit(0L))).as("tp"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val sp = base.sparkSession
+    import sp.implicits._
+    val cfgs = D20Configs.zipWithIndex
+      .map { case ((b, r), ci) => (ci.toLong, b.toLong, r.toLong) }
+      .toDF("cfg", "bands", "rows_per_band")
+    // anchor on the config literal (a config generating ZERO
+    // candidates must still report its row) and broadcast the
+    // one-row truth total
+    cfgs.join(counts, Seq("cfg"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("bands"), col("rows_per_band"), col("n_true"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_cand") - col("tp"))
+      .withColumn("fn", col("n_true") - col("tp"))
+      .withColumn("recall_e6",
+        idiv(col("tp") * 1000000L, greatest(col("n_true"), lit(1L))))
+      .withColumn("precision_e6",
+        idiv(col("tp") * 1000000L, greatest(col("n_cand"), lit(1L))))
+      .orderBy(col("bands").desc)
   }
 
   /** Edit-similarity floor for [[d21EditVerify]]: cleanly separates

@@ -18,18 +18,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * accumulate dead frames. */
 private[graft] object SessionCaches {
 
-  type Cache =
-    java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** Generic value form: DRIVER-side shared values (e.g. a trained
+    * BPE merge list) get the same context-stop eviction as DataFrame
+    * stages — the value may be small, but its key strongly retains
+    * the stopped session's whole object graph otherwise. */
+  type ValCache[V] =
+    java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]
+
+  type Cache = ValCache[DataFrame]
 
   private val caches =
-    new java.util.concurrent.CopyOnWriteArrayList[Cache]()
+    new java.util.concurrent.CopyOnWriteArrayList[ValCache[_]]()
 
   private val registered = java.util.concurrent.ConcurrentHashMap
     .newKeySet[org.apache.spark.SparkContext]()
 
-  /** A new cache wired into context-stop eviction. */
-  def newCache(): Cache = {
-    val c = new Cache()
+  /** A new DataFrame-valued cache wired into context-stop eviction. */
+  def newCache(): Cache = newValCache[DataFrame]()
+
+  /** A new cache of any value type, wired into the same eviction. */
+  def newValCache[V](): ValCache[V] = {
+    val c = new ValCache[V]()
     caches.add(c)
     c
   }
@@ -38,6 +47,11 @@ private[graft] object SessionCaches {
     * own materialization (localCheckpoint, catalog table, ...). */
   def getOrBuild(cache: Cache, s: SparkSession, key: String)
       (build: => DataFrame): DataFrame =
+    getOrBuildVal[DataFrame](cache, s, key)(build)
+
+  /** [[getOrBuild]] for non-DataFrame values. */
+  def getOrBuildVal[V](cache: ValCache[V], s: SparkSession, key: String)
+      (build: => V): V =
     cache.computeIfAbsent((s, key), _ => {
       register(s)
       build

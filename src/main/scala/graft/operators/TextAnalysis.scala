@@ -2546,15 +2546,17 @@ object TextAnalysis {
 
   /** Session-scoped trained merge list — a pure function of (corpus,
     * [[X41Merges]]), paid once per session like the DataFrame-valued
-    * shared stages (this one is a driver-side Seq of string pairs, a
-    * few bytes, so no eviction hook is needed). */
+    * shared stages. The Seq value is tiny, but the cache KEY retains
+    * the SparkSession (and through it the whole stopped context's
+    * object graph), so it rides [[SessionCaches]]' context-stop
+    * eviction like every other shared stage. */
   private[graft] def sharedBpeMerges(s: SparkSession,
       d: String): Seq[(String, String)] =
-    bpeMergeCache.computeIfAbsent((s, d),
-      _ => trainBpe(documents(s, d), X41Merges))
+    SessionCaches.getOrBuildVal(bpeMergeCache, s, d)(
+      trainBpe(documents(s, d), X41Merges))
 
-  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(String, String)]]()
+  private val bpeMergeCache =
+    SessionCaches.newValCache[Seq[(String, String)]]()
 
   /** Count floor and result width for [[x39PmiCollocations]]. */
   val MinColloCount = 5L

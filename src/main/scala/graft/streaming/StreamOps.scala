@@ -1340,7 +1340,24 @@ object StreamOps {
         ()
       }
 
-  /** One batch of query searches, idempotent under redelivery. */
+  /** One batch of query searches, idempotent under redelivery.
+    *
+    * The graph version searched is PINNED before the search runs: the
+    * first attempt resolves the graph store's newest version id and
+    * records it in a `.pin_v$id` marker (written via tmp+rename, so it
+    * only ever exists complete); a crashed attempt's retry reads the
+    * marker back and searches the SAME graph version — without the
+    * pin, a graph-store absorb landing between crash and retry would
+    * make the rebuilt v$id differ from what the crashed attempt was
+    * computing, so "a version is only ever rebuilt identically" would
+    * hold only while the graph store is quiescent. The corpus side is
+    * pinned by restriction: rescoring reads only the pinned graph's
+    * OWN node set (its `src` lists), whose admitted rows are immutable
+    * (append-only log, re-appends byte-identical). If the pinned
+    * version was PRUNED before the retry (a retry delayed past two
+    * graph compactions), the search falls back to the newest surviving
+    * version — still a valid search, the one documented idempotence
+    * gap, and narrower than the unpinned behavior by construction. */
   private[graft] def graphSearchAbsorb(batch: DataFrame, graphStore: String,
       outDir: String, id: Long): Unit = {
     import graft.operators.Similarity
@@ -1348,19 +1365,47 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val vPath = new org.apache.hadoop.fs.Path(s"$outDir/v$id")
+    val pinPath = new org.apache.hadoop.fs.Path(s"$outDir/.pin_v$id")
     if (!fs.exists(vPath)) {
+      val graphVs = versionDirs(s, graphStore)
+      val pinned: Option[Long] =
+        if (fs.exists(pinPath)) {
+          val in = fs.open(pinPath)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.trim.toLongOption
+        } else {
+          val cur = if (graphVs.isEmpty) None else Some(graphVs.map(_._1).max)
+          cur.foreach { v =>
+            val tmp = new org.apache.hadoop.fs.Path(s"$outDir/.pin_v$id.tmp")
+            val o = fs.create(tmp, true)
+            try o.write(v.toString.getBytes("UTF-8")) finally o.close()
+            fs.delete(pinPath, false)
+            require(fs.rename(tmp, pinPath), s"rename $tmp -> $pinPath failed")
+          }
+          cur
+        }
+      // exact pinned version if it survives, newest otherwise (prune
+      // fallback); `before = pinned + 1` selects id ≤ pinned exactly
+      val graph = pinned match {
+        case Some(v) if graphVs.exists(_._1 == v) =>
+          knnGraphVersion(s, graphStore, before = v + 1)
+        case _ => knnGraphCurrent(s, graphStore)
+      }
       val e = knnGraphCorpus(s, graphStore)
+        .join(graph.select(col("src").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("embedding"), col("norm_fp"))
       val q = Similarity.withNorm(batch.select(col("vec_id"), col("embedding")))
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
           col("norm_fp").as("q_norm"))
-      val res = Similarity.graphSearchFor(e,
-        knnGraphCurrent(s, graphStore), q)
+      val res = Similarity.graphSearchFor(e, graph, q)
       val stage = new org.apache.hadoop.fs.Path(s"$outDir/.stage_v$id")
       fs.delete(stage, true)
       res.write.mode("overwrite").parquet(s"$stage/results")
       require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
     }
+    fs.delete(pinPath, false) // version complete: the pin has served
   }
 
   /** The concatenated search results across all versions. */
@@ -1536,13 +1581,22 @@ object StreamOps {
     implicit val oe: org.apache.spark.sql.Encoder[DecaySnapshot] =
       Encoders.product[DecaySnapshot]
     implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    // Ring key = batch e35's `date_trunc('hour', ts)` SEMANTICS: the
+    // hour truncates in the SESSION timezone, captured at plan time.
+    // Raw epoch truncation (getTime/3600*3600) diverges in
+    // fractional-offset zones (+05:30 shifts hour boundaries by 30
+    // min), silently breaking the documented stream≡batch
+    // reproduction outside UTC.
+    val zoneId = events.sparkSession.sessionState.conf.sessionLocalTimeZone
     events.groupByKey(_.user_id)
       .mapGroupsWithState[(Map[Long, Long], Long), DecaySnapshot](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         (uid, it, state) =>
+          val zone = java.time.ZoneId.of(zoneId)
           var (counts, n) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
           it.foreach { ev =>
-            val h = ev.ts.getTime / 1000L / 3600L * 3600L
+            val h = ev.ts.toInstant.atZone(zone)
+              .truncatedTo(java.time.temporal.ChronoUnit.HOURS).toEpochSecond
             counts = counts.updated(h, counts.getOrElse(h, 0L) + 1L)
             n += 1L
           }

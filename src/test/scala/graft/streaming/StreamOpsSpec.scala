@@ -2010,6 +2010,22 @@ class StreamOpsSpec extends SparkSpecBase {
     fs.delete(new org.apache.hadoop.fs.Path(s"$out/v$lastId"), true)
     StreamOps.graphSearchAbsorb(lastChunk, store, out, lastId)
     assert(resSet() == batch, "crashed-attempt redelivery diverged")
+    // redelivery 3: crashed attempt with a graph-store absorb landing
+    // BETWEEN crash and retry — the pin marker (written before the
+    // search) makes the retry search the ORIGINAL graph version, so
+    // the rebuilt v$lastId still equals the first build even though
+    // the store is no longer quiescent
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/v$lastId"), true)
+    val pin = new org.apache.hadoop.fs.Path(s"$out/.pin_v$lastId")
+    val o = fs.create(pin, true)
+    try o.write("0".getBytes("UTF-8")) finally o.close() // the seeded graph's id
+    // grow the graph: absorb a disjoint second corpus as version 1
+    val extra = e.withColumn("vec_id", col("vec_id") + 100000L)
+    StreamOps.knnGraphAbsorb(extra, store, 1L, cents)
+    StreamOps.graphSearchAbsorb(lastChunk, store, out, lastId)
+    assert(resSet() == batch,
+      "pinned retry diverged after a non-quiescent graph absorb")
+    assert(!fs.exists(pin), "pin marker not cleaned up after the rebuild")
   }
 
   test("ingestDecideStream: chunked in-order replay equals the driver-" +
