@@ -1048,48 +1048,19 @@ object Dedup {
       maxDf: Option[Long] = None): DataFrame =
     SessionCaches.getOrBuild(containCache, s,
         maxDf.fold(d)(m => s"$d|maxdf=$m")) {
-      // table suffix is a REAL digest of the corpus directory (md5,
-      // 128-bit), not String.hashCode (31-bit — silent collisions
-      // would hand a later session the WRONG corpus's pairs); the
-      // source path is also pinned in TBLPROPERTIES and validated
-      // before any pre-existing table is trusted
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      val capTag = maxDf.fold("")(m => s"cap${m}_")
+      // digest naming, TBLPROPERTIES validation and orphan-location
+      // cleanup all live in [[Warehouse.standingTable]] (the helper
+      // was factored FROM this method); the cap posture rides both
+      // the table NAME and a validated property, so capped and
+      // uncapped postures can never serve each other's pairs
       val capProp = maxDf.fold("none")(_.toString)
-      val table = s"graft_containment_$capTag$digest"
-      if (s.catalog.tableExists(table)) {
-        def prop(k: String) = scala.util.Try(
-          s.sql(s"SHOW TBLPROPERTIES $table ('$k')")
-            .collect().headOption.map(_.getString(1))).toOption.flatten
-        val src = prop("graft.source")
-        require(src.contains(d),
-          s"standing table $table carries graft.source=$src, expected $d — " +
-            "refusing to serve another corpus's containment pairs")
-        val cap = prop("graft.maxdf")
-        require(cap.contains(capProp),
-          s"standing table $table carries graft.maxdf=$cap, expected $capProp — " +
-            "refusing to serve another cap posture's containment pairs")
-      }
-      if (!s.catalog.tableExists(table)) {
-        // a previous JVM's in-memory catalog is gone but its managed
-        // LOCATION may survive under the warehouse dir; creating the
-        // table over a stale non-empty location fails
-        // (LOCATION_ALREADY_EXISTS), so clear it first — the catalog
-        // not knowing the table means the location is an orphan
-        val loc = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(
-            s.sessionState.catalog.getDefaultDBPath("default")), table)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+      Warehouse.standingTable(s,
+        maxDf.fold("graft_containment")(m => s"graft_containment_cap$m"),
+        d, Map("graft.maxdf" -> capProp)) { table =>
         Warehouse.writeContainment(
           containmentPairs(documents(s, d).repartition(col("doc_id")),
             maxDf), table, nBuckets = 32)
-        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-          s"('graft.source' = '${d.replace("'", "''")}', " +
-          s"'graft.maxdf' = '$capProp')")
       }
-      s.table(table)
     }
 
   private val containCache = SessionCaches.newCache()

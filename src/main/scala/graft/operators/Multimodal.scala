@@ -150,20 +150,36 @@ object Multimodal {
   def m6ImgHash(s: SparkSession, d: String): DataFrame =
     sharedImgHash(s, d).transform(Output.ordered(_, col("doc_id")))
 
-  /** Session-scoped STANDING image-hash stage — the codec loop (PNG
-    * encode→decode→aHash) runs once per (session, dir) and all four
-    * consumers (m6's listing, m7's pair blocking, m8's incremental
-    * split, any warehouse write) read the checkpoint: the shared-pair-
-    * stage discipline applied to the DECODE stage, whose cost per doc
-    * dwarfs any text stage. At warehouse scale the persisted twin is
-    * [[Warehouse.writeImgIndex]]. */
+  /** CROSS-SESSION STANDING image-hash stage — the codec loop (PNG
+    * encode→decode→aHash) runs once per CATALOG (not once per
+    * session) and persists as a doc_id-bucketed warehouse table
+    * ([[graft.operators.Warehouse.standingTable]]'s digest-named +
+    * TBLPROPERTIES-validated discipline, the containment-family
+    * contract extended to the modality stages): a fresh session on
+    * the same catalog reads the standing table without re-decoding
+    * the corpus — r12's session-scoped checkpoint made every new
+    * session pay the whole decode again (~20 s of m14/m15/m16's
+    * driver-bench cold cost was exactly this). All four consumers
+    * (m6's listing, m7's pair blocking, m8's incremental split, m14's
+    * keep-one metric) read it; the doc_id bucketing serves the
+    * manifest join. The session cache above it only skips the
+    * per-query catalog validation chatter. */
   private[graft] def sharedImgHash(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(imgHashCache, s, d) {
       import s.implicits._
-      imgHash(documents(s, d).select(col("doc_id")).as[Long]).localCheckpoint()
+      Warehouse.standingTable(s, "graft_mm_imghash", d) { table =>
+        Warehouse.writeStanding(
+          imgHash(documents(s, d).select(col("doc_id")).as[Long]),
+          table, Seq("doc_id"), MmBuckets)
+      }
     }
 
   private val imgHashCache = SessionCaches.newCache()
+
+  /** Bucket count for the standing modality tables — matches the
+    * session shuffle width at the gate SF; at warehouse scale this is
+    * the cluster-sized knob every standing family shares. */
+  private val MmBuckets = 32
 
   /** Library form of [[m6ImgHash]] over any doc-id Dataset, unordered
     * (streaming-valid, like [[decodeFeatures]]). */
@@ -261,17 +277,21 @@ object Multimodal {
       .withColumn("exact_dup", col("hamming") === 0L)
       .orderBy(col("a"), col("b"))
 
-  /** Session-scoped STANDING image near-dup PAIR stage — the banded
-    * MIH probe join (×17 probe fan per band) runs once per (session,
-    * dir) and both consumers (m7's pair listing, m14's manifest
-    * edges) read the checkpoint: [[sharedImgHash]] already shares the
-    * decode, but the pair join over those hashes was still paid per
-    * consumer — the [[graft.operators.Dedup.sharedSimhashPairs]]
-    * discipline applied one stage later. Checkpointed rows are the
-    * tiny survivor set (pairs ≤ hamming cap), never the probe fan. */
+  /** CROSS-SESSION STANDING image near-dup PAIR stage — the banded
+    * MIH probe join (×17 probe fan per band) runs once per catalog
+    * over the standing hash table and persists `a`-bucketed
+    * (the [[graft.operators.Warehouse.writeContainment]] key
+    * discipline: pair consumers window/order per `a`); both consumers
+    * (m7's pair listing, m14's manifest edges) read the table.
+    * Persisted rows are the tiny survivor set (pairs ≤ hamming cap),
+    * never the probe fan. */
   private[graft] def sharedImgPairs(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(imgPairCache, s, d) {
-      imgNearDupPairs(sharedImgHash(s, d), maxBucket = None).localCheckpoint()
+      Warehouse.standingTable(s, "graft_mm_imgpairs", d) { table =>
+        Warehouse.writeStanding(
+          imgNearDupPairs(sharedImgHash(s, d), maxBucket = None),
+          table, Seq("a"), MmBuckets)
+      }
     }
 
   private val imgPairCache = SessionCaches.newCache()
@@ -543,11 +563,16 @@ object Multimodal {
     sharedAudioHash(s, d).transform(Output.ordered(_, col("doc_id")))
 
   /** [[sharedImgHash]]'s audio twin — the WAV decode loop runs once
-    * per (session, dir) for m9's listing and m11's pair blocking. */
+    * per catalog for m9's listing, m11's pair blocking and m15's
+    * keep-one metric. */
   private[graft] def sharedAudioHash(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(audioHashCache, s, d) {
       import s.implicits._
-      audioHash(documents(s, d).select(col("doc_id")).as[Long]).localCheckpoint()
+      Warehouse.standingTable(s, "graft_mm_audhash", d) { table =>
+        Warehouse.writeStanding(
+          audioHash(documents(s, d).select(col("doc_id")).as[Long]),
+          table, Seq("doc_id"), MmBuckets)
+      }
     }
 
   private val audioHashCache = SessionCaches.newCache()
@@ -752,23 +777,39 @@ object Multimodal {
     sharedVideoPairs(s, d)
       .orderBy(col("a"), col("b"))
 
-  /** Session-scoped STANDING video temporal-vote pair stage — the
-    * [[sharedImgPairs]] discipline on [[temporalNearDup]], paid once
-    * for m13's listing and m16's manifest edges. */
+  /** CROSS-SESSION STANDING video temporal-vote pair stage — the
+    * [[sharedImgPairs]] discipline on [[temporalNearDup]], persisted
+    * once per catalog for m13's listing and m16's manifest edges. */
   private[graft] def sharedVideoPairs(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(videoPairCache, s, d) {
-      temporalNearDup(frameSigs(s, d), maxSig = None).localCheckpoint()
+      Warehouse.standingTable(s, "graft_mm_vidpairs", d) { table =>
+        Warehouse.writeStanding(
+          temporalNearDup(frameSigs(s, d), maxSig = None),
+          table, Seq("a"), MmBuckets)
+      }
     }
 
   private val videoPairCache = SessionCaches.newCache()
 
-  /** [[sharedImgComponents]]' video twin. */
+  /** [[sharedImgComponents]]' video twin — the standing row also
+    * carries the keep-one METRIC (`n_frames`, the per-clip non-empty
+    * frame count): unlike images/audio, video has no standing hash
+    * table to read it from, and folding the narrow count into the
+    * build makes m16 a SINGLE bucketed scan + per-cluster window in a
+    * fresh session (no frame re-explode). */
   private[graft] def sharedVideoComponents(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(videoCompCache, s, d) {
-      graft.operators.Components.connectedComponents(
-        documents(s, d).select(col("doc_id").as("id")),
-        sharedVideoPairs(s, d).select(col("a"), col("b")))
-        .localCheckpoint()
+      Warehouse.standingTable(s, "graft_mm_vidcomp", d) { table =>
+        val comp = graft.operators.Components.connectedComponents(
+          documents(s, d).select(col("doc_id").as("id")),
+          sharedVideoPairs(s, d).select(col("a"), col("b")))
+        val len = frameSigs(s, d).groupBy(col("doc_id").as("id"))
+          .agg(count(lit(1)).as("n_frames"))
+        Warehouse.writeStanding(
+          comp.join(len, Seq("id"), "left")
+            .withColumn("n_frames", coalesce(col("n_frames"), lit(0L))),
+          table, Seq("id"), MmBuckets)
+      }
     }
 
   private val videoCompCache = SessionCaches.newCache()
@@ -840,13 +881,10 @@ object Multimodal {
     * (the m14/m15 discipline). */
   def m16VideoManifest(s: SparkSession, d: String): DataFrame = {
     val comp = sharedVideoComponents(s, d)
-    val len = frameSigs(s, d).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"))
     val w = Window.partitionBy(col("cluster_rep"))
       .orderBy(col("n_frames").desc, col("doc_id"))
-    comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
-      .join(len, Seq("doc_id"), "left")
-      .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
+    comp.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        col("n_frames"))
       .withColumn("canonical_id", first(col("doc_id")).over(w))
       .withColumn("keep",
         when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
@@ -885,32 +923,39 @@ object Multimodal {
       .orderBy(col("a"), col("b"))
 
   /** [[sharedImgPairs]]' audio twin: the MIH pair join over the
-    * temporal-energy hashes, paid once for m11's listing and m15's
-    * manifest edges. */
+    * temporal-energy hashes, persisted once per catalog for m11's
+    * listing and m15's manifest edges. */
   private[graft] def sharedAudioPairs(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(audioPairCache, s, d) {
-      imgNearDupPairs(
-        sharedAudioHash(s, d)
-          .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")),
-        maxBucket = None).localCheckpoint()
+      Warehouse.standingTable(s, "graft_mm_audpairs", d) { table =>
+        Warehouse.writeStanding(
+          imgNearDupPairs(
+            sharedAudioHash(s, d)
+              .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")),
+            maxBucket = None),
+          table, Seq("a"), MmBuckets)
+      }
     }
 
   private val audioPairCache = SessionCaches.newCache()
 
-  /** Session-scoped STANDING cluster resolution per modality — the
-    * [[graft.operators.Dedup.sharedClusters]] discipline on the
-    * image/audio graphs: the alternating-star CC loop (an iterative
-    * multi-job stage) runs once per (session, corpus) and every
-    * manifest consumer reads the checkpointed (id, rep) map. The
-    * resolution is a pure function of the standing pair set, and at
-    * warehouse scale it persists as a doc_id-bucketed table exactly
-    * like the text form ([[graft.operators.Warehouse.writeBucketed]]). */
+  /** CROSS-SESSION STANDING cluster resolution per modality — the
+    * alternating-star CC loop (an iterative multi-job stage) runs
+    * once per catalog over the standing hash/pair tables and persists
+    * as an id-bucketed (id, rep) table; every manifest consumer in
+    * every session reads the standing map. The resolution is a pure
+    * function of the standing pair set, which is itself a pure
+    * function of the corpus directory — the whole modality chain
+    * (decode → pairs → components) is now pay-once per catalog. */
   private[graft] def sharedImgComponents(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(imgCompCache, s, d) {
-      graft.operators.Components.connectedComponents(
-        sharedImgHash(s, d).select(col("doc_id").as("id")),
-        sharedImgPairs(s, d).select(col("a"), col("b")))
-        .localCheckpoint()
+      Warehouse.standingTable(s, "graft_mm_imgcomp", d) { table =>
+        Warehouse.writeStanding(
+          graft.operators.Components.connectedComponents(
+            sharedImgHash(s, d).select(col("doc_id").as("id")),
+            sharedImgPairs(s, d).select(col("a"), col("b"))),
+          table, Seq("id"), MmBuckets)
+      }
     }
 
   private val imgCompCache = SessionCaches.newCache()
@@ -918,10 +963,13 @@ object Multimodal {
   /** [[sharedImgComponents]]' audio twin. */
   private[graft] def sharedAudioComponents(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(audioCompCache, s, d) {
-      graft.operators.Components.connectedComponents(
-        sharedAudioHash(s, d).select(col("doc_id").as("id")),
-        sharedAudioPairs(s, d).select(col("a"), col("b")))
-        .localCheckpoint()
+      Warehouse.standingTable(s, "graft_mm_audcomp", d) { table =>
+        Warehouse.writeStanding(
+          graft.operators.Components.connectedComponents(
+            sharedAudioHash(s, d).select(col("doc_id").as("id")),
+            sharedAudioPairs(s, d).select(col("a"), col("b"))),
+          table, Seq("id"), MmBuckets)
+      }
     }
 
   private val audioCompCache = SessionCaches.newCache()

@@ -282,6 +282,71 @@ object Warehouse {
       .bucketBy(nBuckets, "shingle").sortBy("shingle")
       .format("parquet").saveAsTable(table)
 
+  /** Get-or-create a STANDING pure-stage table — the
+    * pay-the-shuffle-once discipline generalized from the containment
+    * family so any heavy pure function of a corpus directory (pair
+    * stages, decoded-hash stages, component resolutions) persists
+    * across sessions:
+    *
+    *  - table name = `<prefix>_<md5(source)>` — a REAL 128-bit digest
+    *    of the corpus directory, not String.hashCode (31-bit silent
+    *    collisions would hand a later session the WRONG corpus's
+    *    rows);
+    *  - the source path (and any posture knobs in `props`) ride
+    *    TBLPROPERTIES and are VALIDATED before a pre-existing table
+    *    is trusted — a mismatch refuses loudly rather than serving
+    *    another corpus's / another posture's rows;
+    *  - a previous JVM's orphaned managed LOCATION (in-memory catalog
+    *    gone, directory left under the warehouse dir) is cleared
+    *    before the create, or saveAsTable throws
+    *    LOCATION_ALREADY_EXISTS;
+    *  - `write(table)` materializes the stage (bucketed saveAsTable —
+    *    the caller picks the consumer join key), run ONCE; every
+    *    later session on the same catalog reads the standing table.
+    */
+  def standingTable(s: SparkSession, prefix: String, source: String,
+      props: Map[String, String] = Map.empty)(write: String => Unit): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(source.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val table = s"${prefix}_$digest"
+    val want = props + ("graft.source" -> source)
+    if (s.catalog.tableExists(table)) {
+      def prop(k: String) = scala.util.Try(
+        s.sql(s"SHOW TBLPROPERTIES $table ('$k')")
+          .collect().headOption.map(_.getString(1))).toOption.flatten
+      want.foreach { case (k, v) =>
+        val got = prop(k)
+        require(got.contains(v),
+          s"standing table $table carries $k=$got, expected $v — " +
+            "refusing to serve another corpus's/posture's rows")
+      }
+    } else {
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          s.sessionState.catalog.getDefaultDBPath("default")), table)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      write(table)
+      val kv = want.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+        .mkString(", ")
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+    }
+    s.table(table)
+  }
+
+  /** Bucketed standing-stage write: one hash repartition on the bucket
+    * key first, so the write yields exactly `nBuckets` files (bucketBy
+    * alone makes every task write its own file per bucket) and the
+    * read-back is listing-cheap. */
+  def writeStanding(df: DataFrame, table: String, keys: Seq[String],
+      nBuckets: Int): Unit =
+    df.repartition(nBuckets, keys.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   /** Join two co-bucketed catalog tables on their bucket key. With equal
     * bucket counts Spark plans a SortMergeJoin with NO Exchange on
     * either side (asserted in WarehouseSpec) — the write-time layout

@@ -285,6 +285,40 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal standing stages: a FRESH session on the same catalog " +
+      "serves the manifests from standing tables — no codec re-run, no " +
+      "pair-join or CC recompute, identical rows") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("canonical_id"), r.getAs[Long]("keep"))).toSeq
+    // session A pays the builds (decode -> pairs -> components per
+    // modality) and persists the standing tables
+    val a14 = rows(Multimodal.m14ImgManifest(spark, sf))
+    val a15 = rows(Multimodal.m15AudioManifest(spark, sf))
+    val a16 = rows(Multimodal.m16VideoManifest(spark, sf))
+    assert(a14.nonEmpty && a15.nonEmpty && a16.nonEmpty)
+    // a FRESH session: shares the catalog (SharedState), misses every
+    // session cache — the standing tables are the only carry-over
+    val s2 = spark.newSession()
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for ((q, want) <- Seq(
+        Multimodal.m14ImgManifest(s2, sf) -> a14,
+        Multimodal.m15AudioManifest(s2, sf) -> a15,
+        Multimodal.m16VideoManifest(s2, sf) -> a16)) {
+      val plan = planOf(q)
+      // reads standing tables; never re-runs the decode mapPartitions
+      // (no object serialization boundary) or the probe-fan explode
+      assert(plan.contains(digest), s"fresh session not on standing tables:\n$plan")
+      assert(!plan.contains("MapPartitions") && !plan.contains("Generate"),
+        s"fresh session re-ran a decode/probe stage:\n$plan")
+      assert(rows(q) == want, "standing-table read drifted from the build")
+    }
+    // and the hash listing itself is a bucketed scan in the new session
+    val hplan = planOf(Multimodal.m6ImgHash(s2, sf))
+    assert(hplan.contains(s"graft_mm_imghash_$digest"), hplan)
+  }
+
   test("bucketed shingle index: contamination join never shuffles the index side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
