@@ -403,6 +403,22 @@ object ScaleProbe {
           spark.range(n - 1).filter(col("id") % 64L =!= 63L)
             .select(col("id").as("a"), (col("id") + 1L).as("b")))
       },
+      // Components.absorb shape: a FIXED batch (1k new nodes + 2k
+      // edges touching random standing ids) absorbed into an m×-sized
+      // STANDING resolution (1M×m ids in 10-node components) — the
+      // rep-graph CC and remap are batch-sized, so growth in m should
+      // track only the three shuffle-free broadcast-probe scans of the
+      // standing side, far below the `components` re-resolve line
+      time("components_absorb") {
+        val n = 1000000L * m
+        val standing = spark.range(n)
+          .select(col("id"), (col("id") - pmod(col("id"), lit(10L))).as("rep"))
+        val batch = spark.range(n, n + 1000L).select(col("id"))
+        val edges = spark.range(2000L).select(
+          (col("id") / 2L + n).as("a"),
+          pmod(col("id") * 2654435761L, lit(n)).as("b"))
+        operators.Components.absorb(standing, batch, edges)
+      },
       // e15 shape: a FIXED 100k-change feed collapsed (one max_by agg)
       // and merged into an m×-sized base — cost should track the base
       // scan + its one key shuffle, with the collapse fixed (at real

@@ -894,7 +894,48 @@ object StreamOps {
     if (!fs.exists(vPath)) {
       val corpus = semDedupCorpus(s, storeDir, before = id)
         .localCheckpoint()
-      val resolved = Similarity.resolveSemClusters(corpus, maxCluster)
+      // INCREMENTAL resolution (the default, uncapped posture): the
+      // prior version's (vec_id, rep) map already closes every
+      // old-old pair, so only pairs TOUCHING the delta (new×corpus
+      // within cluster, cos > SemTau — withinClusterPairs' exact
+      // predicate) need generating, and
+      // [[graft.operators.Components.absorb]] merges them in with
+      // delta-sized resolution work. absorb ≡ full re-resolve is
+      // spec-pinned on chunked replay (StreamOpsSpec). The CAPPED
+      // posture still re-resolves wholesale: maxCluster sub-shard
+      // counts are ⌈n/cap⌉ — a function of CLUSTER SIZE, which the
+      // delta changes, so an incremental capped form would not equal
+      // its batch twin (the honesty bar every twin holds).
+      val prior = semDedupVersions(s, storeDir).filter(_._1 < id)
+        .filter { case (_, p) => // a version missing its resolution
+          // cannot seed the absorb — resolve wholesale instead
+          fs.exists(new org.apache.hadoop.fs.Path(s"$p/resolved")) }
+      val resolved =
+        if (maxCluster.isEmpty && prior.nonEmpty) {
+          val prevV = prior.maxBy(_._1)._2
+          val prevResolved = s.read.parquet(s"$prevV/resolved")
+          val prevIds = s.read.parquet(s"$prevV/corpus").select(col("vec_id"))
+          val delta = corpus
+            .join(prevIds, Seq("vec_id"), "left_anti").localCheckpoint()
+          val newPairs = delta
+            .select(col("vec_id").as("a"), col("embedding").as("a_emb"),
+              col("norm_fp").as("a_norm"), col("cluster"))
+            .join(corpus.select(col("vec_id").as("b"),
+              col("embedding").as("b_emb"), col("norm_fp").as("b_norm"),
+              col("cluster")), Seq("cluster"))
+            .filter(col("a") =!= col("b"))
+            .filter(Similarity.cosine(
+              graft.functions.GraftFunctions.dot_fp9(col("a_emb"), col("b_emb")),
+              col("a_norm"), col("b_norm")) > Similarity.SemTau)
+            .select(col("a"), col("b"))
+          val comp = graft.operators.Components.absorb(
+            prevResolved.select(col("vec_id").as("id"), col("rep")),
+            delta.select(col("vec_id").as("id")), newPairs)
+          corpus.select(col("vec_id"), col("cluster"))
+            .join(comp.select(col("id").as("vec_id"), col("rep")), Seq("vec_id"))
+            .select(col("vec_id"), col("cluster"), col("rep"),
+              when(col("vec_id") === col("rep"), 1L).otherwise(0L).as("keep"))
+        } else Similarity.resolveSemClusters(corpus, maxCluster)
       val stage = new org.apache.hadoop.fs.Path(s"$storeDir/.stage_v$id")
       fs.delete(stage, true) // clear any half-written earlier attempt
       corpus.write.mode("overwrite").parquet(s"$stage/corpus")

@@ -1166,6 +1166,59 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("Components.absorb: chunked absorb ≡ full re-resolve on random " +
+      "graphs (delta-sized incremental connectivity)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    (1 to 4).foreach { trial =>
+      // nodes arrive in 3 chunks; an edge arrives with the LATER of
+      // its endpoints (the ingest model: a pair emits when the new
+      // doc lands). Ids are shuffled so late chunks carry SMALL ids —
+      // forcing rep takeovers through the remap, not just appends.
+      val n = 20 + rnd.nextInt(40)
+      val ids = rnd.shuffle((0L until n.toLong).toList)
+      val chunkOf = ids.zipWithIndex.map { case (id, i) => id -> i % 3 }.toMap
+      val edges = (0 until n * 2).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }
+      def arrives(e: (Long, Long)) = math.max(chunkOf(e._1), chunkOf(e._2))
+      def nodesOf(c: Int) = ids.filter(chunkOf(_) == c)
+      def edgesOf(c: Int) = edges.filter(arrives(_) == c)
+      // chunk 0 resolves from scratch; chunks 1, 2 absorb
+      var standing = Components.connectedComponents(
+        nodesOf(0).toDF("id"),
+        (edgesOf(0) :+ ((-1L, -1L))).toDF("a", "b").filter(col("a") >= 0L))
+      (1 to 2).foreach { c =>
+        standing = Components.absorb(standing,
+          nodesOf(c).toDF("id"),
+          (edgesOf(c) :+ ((-1L, -1L))).toDF("a", "b").filter(col("a") >= 0L))
+      }
+      val got = standing.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Components.connectedComponents(
+        ids.toDF("id"), edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial=$trial n=$n: absorb diverged from re-resolve")
+    }
+  }
+
+  test("Components.absorb: isolated new nodes, standing-rep takeover by a " +
+      "smaller late id, and edge-only batches all resolve exactly") {
+    import spark.implicits._
+    // standing: {5,6} one component (rep 5), {9} singleton
+    val standing = Seq((5L, 5L), (6L, 5L), (9L, 9L)).toDF("id", "rep")
+    // batch: id 1 (smaller than every standing rep) links to 6 —
+    // the whole {5,6} component must remap to rep 1; id 7 isolated
+    val out = Components.absorb(standing,
+      Seq(1L, 7L).toDF("id"), Seq((1L, 6L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 7L, 9L -> 9L), out.toString)
+    // edge-only follow-up (no new nodes): 9 joins the big component
+    val out2 = Components.absorb(out.toSeq.toDF("id", "rep"),
+      spark.range(0).select(col("id")), Seq((9L, 7L), (7L, 5L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 9L -> 1L), out2.toString)
+  }
+
   test("property: the pattern-automaton family (sets / WITHIN / optional) " +
       "equals driver-side reference folds on random event streams") {
     import spark.implicits._
