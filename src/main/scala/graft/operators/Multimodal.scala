@@ -997,6 +997,46 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m17: CROSS-MODAL DEDUP MANIFEST — the keep-one quartet composed
+    * ACROSS modalities, the real curation decision for an interleaved
+    * corpus: per-modality manifests (m14, d11) would drop a document
+    * whose text is a near-dup even when its IMAGE is distinct (and
+    * vice versa), throwing away the only copy of that image. Policy
+    * (stated): a document is a cross-modal duplicate ONLY when some
+    * other document shares BOTH its text cluster (d6's SimHash
+    * closure) and its image cluster (m14's aHash closure); each such
+    * JOINT group keeps its minimum doc_id. A doc with near-dup text
+    * but a distinct image forms its own joint group and is kept.
+    *
+    * Composition only — the text closure is [[graft.operators.Dedup
+    * .sharedClusters]] (its standing machinery) and the image closure
+    * is [[sharedImgComponents]] (the standing warehouse table); the
+    * new work is ONE doc_id join (both sides standing/bucketed) and
+    * one window over the joint key, bounded per group by construction
+    * (joint groups are intersections of near-dup sets). The oracle
+    * restates BOTH closures as CTEs verbatim (the x38 pattern) and
+    * the joint keep-one on top.
+    *
+    * Scale notes (100 TB): both inputs are standing artifacts
+    * (doc_id-/id-bucketed), so the join plans exchange-free over the
+    * warehouse layouts; the only new shuffle is the joint-key window,
+    * whose partitions are ≤ min(|text cluster|, |img cluster|). */
+  def m17CrossModalManifest(s: SparkSession, d: String): DataFrame = {
+    val txt = graft.operators.Dedup.sharedClusters(s, d)
+      .select(col("doc_id"), col("cluster_rep").as("text_cluster"))
+    val img = sharedImgComponents(s, d)
+      .select(col("id").as("doc_id"), col("rep").as("img_cluster"))
+    val w = Window.partitionBy(col("text_cluster"), col("img_cluster"))
+    txt.join(img, Seq("doc_id"))
+      .withColumn("n_joint", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("keep",
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("text_cluster"), col("img_cluster"),
+        col("n_joint"), col("canonical_id"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"     -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
@@ -1014,9 +1054,76 @@ object Multimodal {
     "m14_img_manifest"   -> m14ImgManifest _,
     "m15_audio_manifest" -> m15AudioManifest _,
     "m16_video_manifest" -> m16VideoManifest _,
+    "m17_crossmodal"     -> m17CrossModalManifest _,
   )
 
   def oracleSql: Map[String, String] = Map(
+    // BOTH closures restated verbatim — d6's SimHash reach (t/sg/p/e/
+    // reach) and m14's aHash reach (dd/px/tot/blk/bits/hsh/p2/e2/
+    // reach2) — then the joint (text_cluster, img_cluster) keep-one
+    "m17_crossmodal" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w != '') ws FROM documents),
+        |sg AS (SELECT doc_id,
+        |    list_aggregate(list_transform(range(1, 33), j ->
+        |      CASE WHEN coalesce(list_sum(list_transform(ws, w ->
+        |          CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        |  FROM t),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |  WHERE coalesce(list_sum(list_transform(range(1, 33), j ->
+        |    CASE WHEN substr(a.sig, j, 1) <> substr(b.sig, j, 1) THEN 1 ELSE 0 END)), 0) <= 1),
+        |e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+        |tcomp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS text_cluster
+        |  FROM reach GROUP BY src),
+        |dd AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    16 + (doc_id // 16) % 16 AS h FROM documents),
+        |px AS (SELECT dd.doc_id,
+        |    (x.x*7 + y.y*13 + dd.doc_id) % 256 AS v,
+        |    ((y.y * 8) // dd.h) * 8 + (x.x * 8) // dd.w AS idx
+        |  FROM dd, range(0, 32) x(x), range(0, 32) y(y)
+        |  WHERE x.x < dd.w AND y.y < dd.h),
+        |tot AS (SELECT doc_id, sum(v) AS tot_sum, count(*) AS n_px
+        |  FROM px GROUP BY doc_id),
+        |blk AS (SELECT doc_id, idx, sum(v) AS b_sum, count(*) AS b_n
+        |  FROM px GROUP BY doc_id, idx),
+        |bits AS (SELECT blk.doc_id, blk.idx,
+        |    CASE WHEN blk.b_sum * tot.n_px > tot.tot_sum * blk.b_n
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM blk JOIN tot USING (doc_id)),
+        |hsh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx < 32
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |p2 AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7),
+        |e2 AS (SELECT a AS u, b AS v FROM p2 UNION SELECT b, a FROM p2),
+        |reach2(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM dd
+        |  UNION
+        |  SELECT r.src, e2.v FROM reach2 r JOIN e2 ON r.dst = e2.u),
+        |icomp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS img_cluster
+        |  FROM reach2 GROUP BY src),
+        |j AS (SELECT tcomp.doc_id, tcomp.text_cluster, icomp.img_cluster
+        |  FROM tcomp JOIN icomp USING (doc_id)),
+        |g AS (SELECT text_cluster, img_cluster,
+        |    CAST(count(*) AS BIGINT) AS n_joint,
+        |    CAST(min(doc_id) AS BIGINT) AS canonical_id
+        |  FROM j GROUP BY 1, 2)
+        |SELECT j.doc_id, j.text_cluster, j.img_cluster, g.n_joint,
+        |  g.canonical_id,
+        |  CAST(CASE WHEN j.doc_id = g.canonical_id THEN 1 ELSE 0 END
+        |    AS BIGINT) AS keep
+        |FROM j JOIN g USING (text_cluster, img_cluster)
+        |ORDER BY j.doc_id""".stripMargin,
     // m9's closed-form hash + m7's brute-force pair tail: the gate
     // proves the MIH blocking loses nothing on the audio modality
     "m11_audio_neardup" ->

@@ -3561,6 +3561,39 @@ class PipelineOpsSpec extends SparkSpecBase {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("m17 cross-modal manifest: joint groups intersect the per-modality " +
+      "clusters, one keeper per joint group, and a text-duplicated doc " +
+      "with a DISTINCT image is kept (the policy's whole point)") {
+    val txt = Dedup.d6DupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_rep"), r.getAs[Long]("is_canonical"))).toMap
+    val rows = Multimodal.m17CrossModalManifest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("text_cluster"),
+        r.getAs[Long]("img_cluster"), r.getAs[Long]("n_joint"),
+        r.getAs[Long]("canonical_id"), r.getAs[Long]("keep")))
+    assert(rows.length == txt.size, "manifest must cover the corpus")
+    // text_cluster column IS d6's resolution
+    rows.foreach { case (id, tc, _, _, _, _) =>
+      assert(tc == txt(id)._1, s"doc $id text cluster drifted from d6") }
+    // exactly one keeper per joint group, and it is the min doc_id
+    rows.groupBy(r => (r._2, r._3)).foreach { case (g, members) =>
+      assert(members.count(_._6 == 1L) == 1, s"joint group $g keeper count")
+      assert(members.filter(_._6 == 1L).head._1 == members.map(_._1).min,
+        s"joint group $g keeper is not the min id")
+      assert(members.forall(_._4 == members.length.toLong),
+        s"joint group $g n_joint mismatch")
+    }
+    // the decision the per-modality manifests get wrong: a doc whose
+    // TEXT is a near-dup (d6 non-canonical) but whose joint group is
+    // a singleton (its image separates it) must be KEPT
+    val savedByImage = rows.filter { case (id, _, _, nj, _, keep) =>
+      txt(id)._2 == 0L && nj == 1L && keep == 1L }
+    assert(savedByImage.nonEmpty,
+      "no text-dup doc with a distinct image at this SF — policy untested")
+    // and the composition actually drops something (non-degenerate)
+    assert(rows.exists(_._6 == 0L), "no cross-modal duplicate dropped")
+  }
+
   test("m14 image manifest: m7 pairs co-cluster, exactly one keeper per " +
       "cluster and it is the pixel-count argmax, singletons keep themselves") {
     val rows = Multimodal.m14ImgManifest(spark, sf).collect()
