@@ -391,7 +391,7 @@ object Dedup {
     * band-key equi-join — the d3 cost class per config. Ground truth
     * is the d4 inverted-index join, never all-pairs. */
   def d20LshScurve(s: SparkSession, d: String): DataFrame =
-    lshScurveFrom(sharedSweepBase(s, d), D14TauE6)
+    lshScurveWith(sharedSweepBase(s, d), sharedSweepTruth(s, d))
 
   /** Session-scoped sweep signature base — [[sweepSigBase]] is a pure
     * function of the corpus read by all [[D20Configs]] branches AND
@@ -402,6 +402,18 @@ object Dedup {
       sweepSigBase(documents(s, d)).localCheckpoint())
 
   private val sweepBaseCache = SessionCaches.newCache()
+
+  /** Session-scoped sweep GROUND TRUTH — the exact-Jaccard ≥ τ pair
+    * set (the Σdf² inverted-index join, the sweep's dominant
+    * sustained cost once the candidate pass is single-shot): a pure
+    * function of (corpus, [[D14TauE6]]), paid once per session; every
+    * d20 run after the first folds the one-join candidate pass
+    * against the checkpointed truth. */
+  private[graft] def sharedSweepTruth(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(sweepTruthCache, s, d)(
+      sweepTruth(sharedSweepBase(s, d), D14TauE6).localCheckpoint())
+
+  private val sweepTruthCache = SessionCaches.newCache()
 
   /** Library form of [[d20LshScurve]]: any (doc_id, text) frame,
     * caller-chosen ground-truth threshold. */
@@ -422,10 +434,19 @@ object Dedup {
 
   /** [[lshScurve]] over an already-materialized signature base —
     * the stored-table sweep entry. */
-  def lshScurveFrom(base: DataFrame, tauE6: Long): DataFrame = {
+  def lshScurveFrom(base: DataFrame, tauE6: Long): DataFrame =
+    // every audited config joins this SAME ground truth —
+    // materialize it once or the Σdf² pair kernel runs ×|configs|
+    // (the gated d20 shares it per SESSION too: sharedSweepTruth)
+    lshScurveWith(base, sweepTruth(base, tauE6).localCheckpoint())
+
+  /** The sweep's exact-Jaccard ≥ τ ground-truth pair set — the d4
+    * inverted-index join over the signature base's distinct-shingle
+    * lists, never all-pairs. */
+  private[graft] def sweepTruth(base: DataFrame, tauE6: Long): DataFrame = {
     val inv = base.select(col("doc_id"),
       size(col("dsh")).cast("long").as("n_sh"), explode(col("dsh")).as("shingle"))
-    val truth = inv.select(col("shingle"), col("doc_id").as("a"), col("n_sh").as("na"))
+    inv.select(col("shingle"), col("doc_id").as("a"), col("n_sh").as("na"))
       .join(inv.select(col("shingle"), col("doc_id").as("b"), col("n_sh").as("nb")),
         "shingle")
       .filter(col("a") < col("b"))
@@ -434,9 +455,11 @@ object Dedup {
       .filter(idiv(col("shared") * 1000000L,
         greatest(col("na") + col("nb") - col("shared"), lit(1L))) >= tauE6)
       .select(col("a"), col("b"))
-      // every audited config joins this SAME ground truth —
-      // materialize it once or the Σdf² pair kernel runs ×|configs|
-      .localCheckpoint()
+  }
+
+  /** The sweep's single candidate pass against an already-materialized
+    * ground truth. */
+  private[graft] def lshScurveWith(base: DataFrame, truth: DataFrame): DataFrame = {
     // ONE pair pass for the whole sweep: each doc's band keys carry
     // their config ordinal, unioned into a single (cfg, bi, bk)
     // keyspace, so candidate generation is one equi-join + one
@@ -599,6 +622,45 @@ object Dedup {
       .filter(col("da.doc_id") < col("db.doc_id"))
       .select(col("da.doc_id").as("a"), col("db.doc_id").as("b"),
         bit_count(col("da.bits").bitwiseXOR(col("db.bits"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 1L)
+      .distinct()
+  }
+
+  /** The d5 SIGNATURE stage alone — per doc its 32-bit SimHash as a
+    * long, aggregate-barriered like [[simhashPairs]]' own sig stage —
+    * for incremental/streaming consumers that index signatures
+    * instead of re-pairing the corpus
+    * ([[graft.streaming.StreamOps.textDedupIngest]]). */
+  private[graft] def simhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), simhash32(col("ws")).as("sig"))
+      .select(col("doc_id"), conv(col("sig"), 2, 10).cast("long").as("bits"))
+      .groupBy(col("doc_id")).agg(min(col("bits")).as("bits"))
+
+  /** d5 pairs TOUCHING a batch — the m8/d8 incremental split on the
+    * SimHash blocker: batch docs probe their 33-key hamming balls
+    * (identity + every single-bit flip) against the (standing ∪
+    * batch) IDENTITY keys, so a pair within hamming ≤ 1 with a batch
+    * member always collides (d5's exactness argument, asymmetric) and
+    * cost tracks |batch| × bucket sizes, never corpus². Old-old pairs
+    * are deliberately NOT generated — an ingest maintainer already
+    * holds their closure in its standing resolution. */
+  private[graft] def simhashIncrementalPairs(standingSigs: DataFrame,
+      batchSigs: DataFrame): DataFrame = {
+    val index = standingSigs.unionByName(batchSigs)
+      .select(col("doc_id"), col("bits"), col("bits").as("bucket"))
+    val probes = batchSigs.select(col("doc_id").as("p_doc"),
+      col("bits").as("p_bits"),
+      explode(concat(
+        array(col("bits")),
+        transform(array((0 until 32).map(i => lit(1L << i)): _*),
+          mask => col("bits").bitwiseXOR(mask)))).as("bucket"))
+    probes.join(index, Seq("bucket"))
+      .filter(col("p_doc") =!= col("doc_id"))
+      .select(least(col("p_doc"), col("doc_id")).as("a"),
+        greatest(col("p_doc"), col("doc_id")).as("b"),
+        bit_count(col("p_bits").bitwiseXOR(col("bits"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= 1L)
       .distinct()
@@ -948,9 +1010,18 @@ object Dedup {
     * so signal joins (x10's fabric) also plan exchange-free — the
     * session cache is the single-run twin of that standing table. */
   def sharedClusters(s: SparkSession, d: String): DataFrame =
-    SessionCaches.getOrBuild(clusterCache, s, d)(
-      clustersFromPairs(documents(s, d), sharedSimhashPairs(s, d))
-        .localCheckpoint())
+    SessionCaches.getOrBuild(clusterCache, s, d) {
+      // CROSS-SESSION standing table (round 13): the TEXT closure now
+      // persists like the image/audio/video closures — the CC loop (an
+      // iterative multi-job stage) runs once per CATALOG, and a fresh
+      // session serves d6/d11/d13/d22/m17 from a doc_id-bucketed scan
+      // (WarehouseSpec's cross-session contract, text row included)
+      Warehouse.standingTable(s, "graft_textcomp", d) { table =>
+        Warehouse.writeStanding(
+          clustersFromPairs(documents(s, d), sharedSimhashPairs(s, d)),
+          table, Seq("doc_id"), nBuckets = 32)
+      }
+    }
 
   private val clusterCache = SessionCaches.newCache()
 

@@ -1001,6 +1001,123 @@ object StreamOps {
     all.dropDuplicates("vec_id")
   }
 
+  /** Streaming d6: the TEXT near-dup cluster resolution maintained
+    * CONTINUOUSLY — the absorb upgrade over [[semDedupIngest]]'s
+    * periodic compaction: because
+    * [[graft.operators.Components.absorb]] does delta-sized work,
+    * EVERY batch writes an exact successor resolution (no
+    * `compactEvery` cadence, no wholesale re-resolve, ever). Per
+    * micro-batch:
+    *
+    *  1. the batch's 32-bit SimHash signatures compute (the d5 sig
+    *     stage, a narrow map + barrier);
+    *  2. candidate pairs TOUCHING the batch generate against the
+    *     standing signature log's identity keys
+    *     ([[graft.operators.Dedup.simhashIncrementalPairs]] — the
+    *     batch side carries the 33-key hamming balls, exact within
+    *     hamming ≤ 1 by d5's pigeonhole);
+    *  3. the pairs absorb into the prior version's (id, rep) closure
+    *     — old-old connectivity is already encoded there, so the rep
+    *     graph is batch-sized;
+    *  4. the successor resolution writes as an immutable version
+    *     (staged rename), signatures append to the standing log.
+    *
+    * Chunked in-order replay therefore reproduces batch d6 exactly
+    * (spec-pinned), and [[textClusters]] reads d6's schema back at
+    * any point. At warehouse scale the signature log is the standing
+    * d8-style index (bucketed by identity key) and the resolution is
+    * the `graft_textcomp` standing table this stream is the
+    * maintainer of.
+    *
+    * Redelivery (at-least-once): a complete version is trusted and
+    * never rebuilt; a crashed attempt re-reads the prior sig log
+    * EXCLUDING its own re-appended ids (the knnGraphAbsorb crash
+    * analysis) and rebuilds identically. */
+  def textDedupIngest(docs: DataFrame, storeDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        textDedupAbsorb(batch.toDF(), storeDir, id)
+        ()
+      }
+
+  /** One batch absorbed into the standing text resolution (see
+    * [[textDedupIngest]]), idempotent under redelivery. */
+  private[graft] def textDedupAbsorb(batch: DataFrame, storeDir: String,
+      id: Long): Unit = {
+    import graft.operators.{Components, Dedup}
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(s"$storeDir/v$id")
+    if (!fs.exists(vPath)) {
+      val sigs = Dedup.simhashSigs(
+        batch.select(col("doc_id"), col("text"))).localCheckpoint()
+      // the standing log BEFORE this batch: a crashed earlier attempt
+      // may already have appended this batch's rows — exclude by id,
+      // so the rebuild bases on the identical prior state
+      val prior = textDedupSigs(s, storeDir)
+        .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      sigs.write.mode("append").parquet(s"$storeDir/sigs")
+      val pairs = Dedup.simhashIncrementalPairs(prior, sigs)
+        .select(col("a"), col("b"))
+      val standing = textDedupVersions(s, storeDir).filter(_._1 < id) match {
+        case Nil => prior.select(col("doc_id").as("id"),
+          col("doc_id").as("rep")).filter(lit(false)) // empty, typed
+        case vs => s.read.parquet(s"${vs.maxBy(_._1)._2}/resolved")
+          .select(col("id"), col("rep"))
+      }
+      val comp = Components.absorb(standing,
+        sigs.select(col("doc_id").as("id")), pairs)
+      val stage = new org.apache.hadoop.fs.Path(s"$storeDir/.stage_v$id")
+      fs.delete(stage, true)
+      comp.write.mode("overwrite").parquet(s"$stage/resolved")
+      require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
+    }
+    // steady state keeps the newest prior version as the crash base
+    textDedupVersions(s, storeDir).filter(_._1 < id)
+      .sortBy(_._1).dropRight(1)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  private def textDedupVersions(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = versionDirs(s, dir)
+
+  /** The standing signature log (doc_id, bits), dedup'd for
+    * at-least-once re-appends — empty before the first batch. */
+  private[graft] def textDedupSigs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("bits", LongType)))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/sigs")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      s.read.schema(schema).parquet(p.toString).dropDuplicates("doc_id")
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The newest standing text resolution in batch d6's exact schema
+    * (doc_id, cluster_rep, is_canonical) — empty before the first
+    * batch. */
+  def textClusters(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("rep", LongType)))
+    val vs = textDedupVersions(s, dir)
+    val res =
+      if (vs.isEmpty)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else s.read.schema(schema).parquet(s"${vs.maxBy(_._1)._2}/resolved")
+    res.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+      when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
+  }
+
   /** The newest compacted RESOLUTION (d12 schema: vec_id, cluster,
     * rep, keep), or None before the first compaction. Vectors admitted
     * after the newest compaction appear in [[semDedupCorpus]] but not

@@ -317,6 +317,15 @@ class WarehouseSpec extends SparkSpecBase {
     // and the hash listing itself is a bucketed scan in the new session
     val hplan = planOf(Multimodal.m6ImgHash(s2, sf))
     assert(hplan.contains(s"graft_mm_imghash_$digest"), hplan)
+    // the TEXT closure rides the same discipline: d6 in the fresh
+    // session is a bucketed scan of the standing table — no SimHash
+    // explode, no CC loop
+    val aTxt = Dedup.d6DupClusters(spark, sf).collect().map(_.toString).toSeq
+    val txt2 = Dedup.d6DupClusters(s2, sf)
+    val tplan = planOf(txt2)
+    assert(tplan.contains(s"graft_textcomp_$digest"), tplan)
+    assert(!tplan.contains("Generate"), s"text closure re-ran a pair stage:\n$tplan")
+    assert(txt2.collect().map(_.toString).toSeq == aTxt)
   }
 
   test("bucketed shingle index: contamination join never shuffles the index side") {

@@ -1351,6 +1351,57 @@ class StreamOpsSpec extends SparkSpecBase {
       "stored resolution != resolution of its own corpus version")
   }
 
+  test("textDedupIngest: every batch absorbs into an exact successor " +
+      "resolution — chunked replay equals batch d6 at every version; " +
+      "redelivery idempotent incl. the crashed-after-sig-append path") {
+    implicit val sq = spark.sqlContext
+    import StreamOpsSpec.Doc
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val arriving = docs.collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), new java.sql.Timestamp(0L)))
+      .sortBy(_.doc_id)
+    val store = java.nio.file.Files.createTempDirectory("textdedup-store").toString
+    val in = MemoryStream[Doc]
+    val q = StreamOps.textDedupIngest(
+      in.toDF().select(col("doc_id"), col("text")), store).start()
+    arriving.grouped(100).foreach { c =>
+      in.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def resSet() = StreamOps.textClusters(spark, store).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("is_canonical"))).toSet
+    val streamed = resSet()
+    val batch = Dedup.d6DupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("is_canonical"))).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed -- batch).take(5)} | " +
+        s"${(batch -- streamed).take(5)}")
+    assert(streamed.exists(_._3 == 0L), "degenerate: no duplicate resolved")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+    assert(versions.length <= 2, s"unpruned versions: ${versions.toSeq}")
+    val lastId = versions.map(_.drop(1).toLong).max
+    import spark.implicits._
+    val lastChunk = spark.createDataset(
+      arriving.grouped(100).toSeq.last).toDF().select("doc_id", "text")
+    // redelivery 1: the complete version is trusted
+    StreamOps.textDedupAbsorb(lastChunk, store, lastId)
+    assert(resSet() == batch, "complete-version redelivery changed the resolution")
+    // redelivery 2: crashed AFTER the sig append, BEFORE the version
+    // rename — the retry must exclude its own re-appended rows and
+    // rebuild identically
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/v$lastId"), true)
+    Dedup.simhashSigs(lastChunk) // the crashed attempt's leftover append
+      .write.mode("append").parquet(s"$store/sigs")
+    StreamOps.textDedupAbsorb(lastChunk, store, lastId)
+    assert(resSet() == batch, "crashed-attempt redelivery diverged")
+  }
+
   test("knnGraphStream: chunked replay converges to batch s23's graph; " +
       "redelivery is idempotent on both the complete-version and " +
       "crashed-attempt paths") {
