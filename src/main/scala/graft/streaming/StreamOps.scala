@@ -1118,6 +1118,119 @@ object StreamOps {
       when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
   }
 
+  /** Streaming m14: the IMAGE closure maintained continuously —
+    * [[textDedupIngest]]'s absorb discipline on the MIH blocker: each
+    * micro-batch decodes+hashes its images (the real PNG codec in a
+    * stateless per-partition map), generates near-dup pairs TOUCHING
+    * the batch against the standing hash log (the m8 probe join —
+    * exact within [[graft.operators.Multimodal.M7MaxHamming]] by the
+    * 4-band pigeonhole), absorbs them into the prior (id, rep)
+    * closure, and writes an exact successor resolution. With
+    * [[textDedupIngest]], every modality closure now has BUILD
+    * (batch m14/d6), STAND (the `graft_mm_*`/`graft_textcomp`
+    * warehouse tables) and MAINTAIN (these twins) forms — and
+    * [[crossModalManifest]] composes the two standing stores into
+    * m17's manifest at read time. */
+  def imgDedupIngest(ids: org.apache.spark.sql.Dataset[Long],
+      storeDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.toDF("doc_id").writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        imgDedupAbsorb(batch.toDF(), storeDir, id)
+        ()
+      }
+
+  /** One batch absorbed into the standing image resolution, idempotent
+    * under redelivery ([[textDedupAbsorb]]'s discipline verbatim). */
+  private[graft] def imgDedupAbsorb(batch: DataFrame, storeDir: String,
+      id: Long): Unit = {
+    import graft.operators.{Components, Multimodal}
+    val s = batch.sparkSession
+    import s.implicits._
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vPath = new org.apache.hadoop.fs.Path(s"$storeDir/v$id")
+    if (!fs.exists(vPath)) {
+      val hs = Multimodal.imgHash(
+        batch.select(col("doc_id")).as[Long]).localCheckpoint()
+      val prior = imgDedupHashes(s, storeDir)
+        .join(hs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      hs.write.mode("append").parquet(s"$storeDir/hashes")
+      val pairs = Multimodal.imgNearDupIncremental(prior, hs)
+        .select(col("a"), col("b"))
+      val standing = versionDirs(s, storeDir).filter(_._1 < id) match {
+        case Nil => hs.select(col("doc_id").as("id"),
+          col("doc_id").as("rep")).filter(lit(false))
+        case vs => s.read.parquet(s"${vs.maxBy(_._1)._2}/resolved")
+          .select(col("id"), col("rep"))
+      }
+      val comp = Components.absorb(standing,
+        hs.select(col("doc_id").as("id")), pairs)
+      val stage = new org.apache.hadoop.fs.Path(s"$storeDir/.stage_v$id")
+      fs.delete(stage, true)
+      comp.write.mode("overwrite").parquet(s"$stage/resolved")
+      require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
+    }
+    versionDirs(s, storeDir).filter(_._1 < id)
+      .sortBy(_._1).dropRight(1)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The standing image-hash log ([[graft.operators.Multimodal.ImgHash]]
+    * schema), dedup'd for at-least-once re-appends. */
+  private[graft] def imgDedupHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", LongType),
+      StructField("height", LongType), StructField("ahash_hi", LongType),
+      StructField("ahash_lo", LongType), StructField("bits_set", LongType)))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      s.read.schema(schema).parquet(p.toString).dropDuplicates("doc_id")
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The newest standing image resolution — (id, rep), the
+    * sharedImgComponents schema. */
+  def imgClusters(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("rep", LongType)))
+    val vs = versionDirs(s, dir)
+    if (vs.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else s.read.schema(schema).parquet(s"${vs.maxBy(_._1)._2}/resolved")
+  }
+
+  /** m17 at READ time over the two maintained stores: the joint
+    * (text_cluster, img_cluster) keep-one composed from
+    * [[textClusters]] and [[imgClusters]] — m17's exact statement
+    * (min-id keeper per joint group), continuously available because
+    * both inputs are; no new state, one join + one bounded window. */
+  def crossModalManifest(s: org.apache.spark.sql.SparkSession,
+      textStore: String, imgStore: String): DataFrame = {
+    val txt = textClusters(s, textStore)
+      .select(col("doc_id"), col("cluster_rep").as("text_cluster"))
+    val img = imgClusters(s, imgStore)
+      .select(col("id").as("doc_id"), col("rep").as("img_cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_cluster"), col("img_cluster"))
+    txt.join(img, Seq("doc_id"))
+      .withColumn("n_joint", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("keep",
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("text_cluster"), col("img_cluster"),
+        col("n_joint"), col("canonical_id"), col("keep"))
+  }
+
   /** The newest compacted RESOLUTION (d12 schema: vec_id, cluster,
     * rep, keep), or None before the first compaction. Vectors admitted
     * after the newest compaction appear in [[semDedupCorpus]] but not

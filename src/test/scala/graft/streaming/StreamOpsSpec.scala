@@ -1402,6 +1402,53 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(resSet() == batch, "crashed-attempt redelivery diverged")
   }
 
+  test("imgDedupIngest: chunked replay equals the batch image closure; " +
+      "crossModalManifest over the two maintained stores equals m17") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    // image store: replay ids in chunks
+    val imgStore = java.nio.file.Files.createTempDirectory("imgdedup-store").toString
+    val inImg = MemoryStream[Long]
+    val qi = StreamOps.imgDedupIngest(inImg.toDS(), imgStore).start()
+    ids.grouped(100).foreach { c =>
+      inImg.addData(c.toIndexedSeq: _*); qi.processAllAvailable()
+    }
+    qi.stop()
+    val streamed = StreamOps.imgClusters(spark, imgStore).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Multimodal.m14ImgManifest(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(streamed == batch, "image closure diverged from batch m14's")
+    // text store: replay the documents
+    import StreamOpsSpec.Doc
+    import spark.implicits._
+    val arriving = docs.collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), new java.sql.Timestamp(0L)))
+      .sortBy(_.doc_id)
+    val txtStore = java.nio.file.Files.createTempDirectory("txtdedup-store").toString
+    val inTxt = MemoryStream[Doc]
+    val qt = StreamOps.textDedupIngest(
+      inTxt.toDF().select(col("doc_id"), col("text")), txtStore).start()
+    arriving.grouped(100).foreach { c =>
+      inTxt.addData(c.toIndexedSeq: _*); qt.processAllAvailable()
+    }
+    qt.stop()
+    // the composed manifest over both maintained stores == batch m17
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("text_cluster"),
+        r.getAs[Long]("img_cluster"), r.getAs[Long]("n_joint"),
+        r.getAs[Long]("canonical_id"), r.getAs[Long]("keep"))
+    val composed = StreamOps.crossModalManifest(spark, txtStore, imgStore)
+      .collect().map(key).toSet
+    val m17 = Multimodal.m17CrossModalManifest(spark, sf)
+      .collect().map(key).toSet
+    assert(composed == m17,
+      s"composed manifest diverged: ${(composed -- m17).take(5)} | " +
+        s"${(m17 -- composed).take(5)}")
+  }
+
   test("knnGraphStream: chunked replay converges to batch s23's graph; " +
       "redelivery is idempotent on both the complete-version and " +
       "crashed-attempt paths") {
