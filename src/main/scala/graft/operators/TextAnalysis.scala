@@ -2328,15 +2328,23 @@ object TextAnalysis {
     val exact = Dedup.exactDupManifest(docs)
       .filter(col("doc_id") >= split)
       .select(col("doc_id"), col("is_dup"))
-    val cands = Dedup.incrementalCandidates(
-      Dedup.lshIndex(rdocs.filter(col("doc_id") < split)),
-      Dedup.lshIndex(rdocs.filter(col("doc_id") >= split)),
-      maxBucket = None)
-    val near = Dedup.verifiedPairsFrom(docs, cands.select(col("a"), col("b")))
-      .filter(col("b") >= split) // pairs are canonical a < b: "has a
-      .select(col("b").as("doc_id")) // verified smaller partner" = appears as b
-      .distinct()
-      .withColumn("near_dup", lit(true))
+    // session-shared: the banded-candidate + verify chain (two LSH
+    // index builds + the band join + exact-Jaccard verify) is a pure
+    // function of (corpus, split) whose OUTPUT is batch-sized — the
+    // production form persists the postings index and appends
+    // (Warehouse.appendPostingsIndex); this cache is its session twin
+    val near = SessionCaches.getOrBuild(ingestNearCache, s, d) {
+      val cands = Dedup.incrementalCandidates(
+        Dedup.lshIndex(rdocs.filter(col("doc_id") < split)),
+        Dedup.lshIndex(rdocs.filter(col("doc_id") >= split)),
+        maxBucket = None)
+      Dedup.verifiedPairsFrom(docs, cands.select(col("a"), col("b")))
+        .filter(col("b") >= split) // pairs are canonical a < b: "has a
+        .select(col("b").as("doc_id")) // verified smaller partner" = appears as b
+        .distinct()
+        .withColumn("near_dup", lit(true))
+        .localCheckpoint()
+    }
     val sub = Dedup.subsumptionFrom(
       Dedup.sharedContainment(s, d).filter(col("a") >= split), arriving)
       .select(col("doc_id"), col("subsumed"))
@@ -2357,12 +2365,20 @@ object TextAnalysis {
       .join(teStanding, Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("decontam_hit", lit(true))
-    val scoredAll = bigramMeanLp(docs.filter(col("doc_id") < split), docs)
+    // session-shared: train-split bigram LM + per-doc scores — a pure
+    // function of (corpus, split), (doc_id, mean_lp_e4)-narrow output;
+    // the production artifact refreshes at the corpus owner's cadence
+    val scoredAll = SessionCaches.getOrBuild(ingestScoreCache, s, d)(
+      bigramMeanLp(docs.filter(col("doc_id") < split), docs)
+        .localCheckpoint())
     assembleIngestDecision(arriving, exact, near, sub, qual, lang, splits,
       dirty, scoredAll,
       ccnetBoundaries(scoredAll.filter(col("doc_id") < split)))
       .orderBy(col("doc_id"))
   }
+
+  private val ingestNearCache = SessionCaches.newCache()
+  private val ingestScoreCache = SessionCaches.newCache()
 
   /** The two CCNet tertile BOUNDARY scores of a standing corpus's
     * (doc_id, mean_lp_e4) frame — a 1-row (b_head, b_mid) frame the
