@@ -3111,15 +3111,18 @@ class PipelineOpsSpec extends SparkSpecBase {
   }
 
   test("cluster resolution is materialized once per (session, dir): repeat " +
-      "calls share one checkpointed frame; rows equal a fresh resolution") {
+      "calls share one standing frame; rows equal a fresh resolution") {
     val a = Dedup.sharedClusters(spark, sf)
     val b = Dedup.sharedClusters(spark, sf)
     assert(a eq b, "second call rebuilt the cluster resolution")
-    // the shared frame reads checkpointed rows — its plan is an RDD
-    // scan, not the pair-join + component loop
+    // the shared frame reads the STANDING warehouse table (round 13:
+    // cross-session, not just a session checkpoint) — its plan is a
+    // bucketed parquet scan, not the pair-join + component loop
     val plan = a.queryExecution.executedPlan.toString
-    assert(plan.contains("ExistingRDD"),
-      s"shared clusters should scan the checkpoint:\n$plan")
+    assert(plan.contains("graft_textcomp_"),
+      s"shared clusters should scan the standing table:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"shared clusters re-ran the pair stage:\n$plan")
     // correctness: identical to an uncached resolution
     val fresh = Dedup.dupClusters(Tables.documents(spark, sf)).collect()
       .map(_.toString).sorted
