@@ -403,6 +403,21 @@ object ScaleProbe {
           spark.range(n - 1).filter(col("id") % 64L =!= 63L)
             .select(col("id").as("a"), (col("id") + 1L).as("b")))
       },
+      // textDedupIngest's pair shape: a FIXED 1k batch probes its
+      // 33-key hamming balls against an m×-sized standing signature
+      // log — the probe fan is batch-sized and BROADCASTS, so the
+      // standing side streams without a shuffle (measured flat:
+      // 1.86 → 1.81 s at m=1→10); past broadcast size the persisted
+      // key-bucketed index (the d8 postings contract) carries the
+      // same no-corpus-shuffle property
+      time("simhash_incremental") {
+        val n = 1000000L * m
+        val standing = spark.range(n).select(col("id").as("doc_id"),
+          pmod(col("id") * 2654435761L, lit(1L << 32)).as("bits"))
+        val batch = spark.range(1000L).select((col("id") + n).as("doc_id"),
+          pmod(col("id") * 1099511628211L, lit(1L << 32)).as("bits"))
+        operators.Dedup.simhashIncrementalPairs(standing, batch)
+      },
       // Components.absorb shape: a FIXED batch (1k new nodes + 2k
       // edges touching random standing ids) absorbed into an m×-sized
       // STANDING resolution (1M×m ids in 10-node components) — the
