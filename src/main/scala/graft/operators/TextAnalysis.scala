@@ -1194,8 +1194,14 @@ object TextAnalysis {
     * is a 1-row broadcast. The scoring join is x16's (pair-table
     * equi-join, map-side-combined counts). */
   def x37CcnetBuckets(s: SparkSession, d: String): DataFrame = {
-    val scored = bigramScore(documents(s, d))
-      .select(col("doc_id"), col("mean_lp_e4"))
+    // session-shared: the bigram train+score chain is a pure function
+    // of the corpus and its (doc_id, mean_lp_e4) output is doc-narrow;
+    // x37 runs it and x38 composes x37, so without the share the
+    // chain executed twice per session (x16's gated row keeps its own
+    // fused full-column plan — different output, untouched)
+    val scored = SessionCaches.getOrBuild(ccnetScoreCache, s, d)(
+      bigramScore(documents(s, d))
+        .select(col("doc_id"), col("mean_lp_e4")).localCheckpoint())
     val ranked = Relational.globalRank(scored,
       Seq(col("mean_lp_e4").desc_nulls_last, col("doc_id").asc))
     val n = ranked.agg(count(lit(1)).as("n_total"))
@@ -2379,6 +2385,7 @@ object TextAnalysis {
 
   private val ingestNearCache = SessionCaches.newCache()
   private val ingestScoreCache = SessionCaches.newCache()
+  private val ccnetScoreCache = SessionCaches.newCache()
 
   /** The two CCNet tertile BOUNDARY scores of a standing corpus's
     * (doc_id, mean_lp_e4) frame — a 1-row (b_head, b_mid) frame the
