@@ -312,6 +312,12 @@ class WarehouseSpec extends SparkSpecBase {
       assert(plan.contains(digest), s"fresh session not on standing tables:\n$plan")
       assert(!plan.contains("MapPartitions") && !plan.contains("Generate"),
         s"fresh session re-ran a decode/probe stage:\n$plan")
+      // the whole fresh-session manifest carries exactly ONE hash
+      // exchange — the per-cluster keep-one window, irreducible by
+      // doc_id bucketing; the metric join rides broadcast here and
+      // the co-bucketed (32 = 32) scans past broadcast size
+      assert(nShuffles(plan) <= 1,
+        s"fresh-session manifest shuffles beyond the cluster window:\n$plan")
       assert(rows(q) == want, "standing-table read drifted from the build")
     }
     // and the hash listing itself is a bucketed scan in the new session
