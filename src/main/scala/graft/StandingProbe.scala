@@ -33,15 +33,15 @@ object StandingProbe {
         "m16_video_manifest" -> operators.Multimodal.m16VideoManifest _,
         "m17_crossmodal" -> operators.Multimodal.m17CrossModalManifest _,
         "d6_dup_clusters" -> operators.Dedup.d6DupClusters _)
-    def time(s: SparkSession, name: String,
+    def time(s: SparkSession,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(s, d).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val build = targets.map { case (n, f) => n -> time(spark, n, f) }
+    val build = targets.map { case (n, f) => n -> time(spark, f) }
     val fresh = spark.newSession() // shared catalog, no session caches
-    val cold = targets.map { case (n, f) => n -> time(fresh, n, f) }
+    val cold = targets.map { case (n, f) => n -> time(fresh, f) }
     def j(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"probe":"standing","sf":"$d","build":${j(build)},"fresh_cold":${j(cold)}}""")

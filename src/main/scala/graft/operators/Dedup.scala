@@ -591,15 +591,10 @@ object Dedup {
     * oracle-parity posture d5/d6/d10/d11 run with. */
   private[graft] def simhashPairs(docs: DataFrame,
       maxBucket: Option[Int] = None): DataFrame = {
-    // native SimHash kernel (one digest per word, no hex staging);
-    // aggregate barrier stops inferred join/generate filters from
-    // re-inlining the SimHash pipeline below the projection (2× eval
-    // per row).
-    val sg = docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), simhash32(col("ws")).as("sig"))
-      .select(col("doc_id"), conv(col("sig"), 2, 10).cast("long").as("bits"))
-      .groupBy(col("doc_id")).agg(min(col("bits")).as("bits"))
+    // ONE sig derivation for batch and incremental consumers
+    // ([[simhashSigs]]): native SimHash kernel, aggregate-barriered —
+    // a change to the signature stage can no longer diverge the two.
+    val sg = simhashSigs(docs)
     // 33 bucket keys per doc: identity + each single-bit flip
     val keyed = sg.select(col("doc_id"), col("bits"),
       explode(concat(
@@ -627,11 +622,14 @@ object Dedup {
       .distinct()
   }
 
-  /** The d5 SIGNATURE stage alone — per doc its 32-bit SimHash as a
-    * long, aggregate-barriered like [[simhashPairs]]' own sig stage —
-    * for incremental/streaming consumers that index signatures
-    * instead of re-pairing the corpus
-    * ([[graft.streaming.StreamOps.textDedupIngest]]). */
+  /** The d5 SIGNATURE stage — per doc its 32-bit SimHash as a long
+    * (native kernel, one digest per word, no hex staging; the
+    * aggregate barrier stops inferred join/generate filters from
+    * re-inlining the pipeline below the projection, a measured 2×
+    * eval per row). The ONE derivation behind [[simhashPairs]] (batch
+    * d5/d6) and the incremental/streaming consumers
+    * ([[simhashIncrementalPairs]],
+    * [[graft.streaming.StreamOps.textDedupIngest]]). */
   private[graft] def simhashSigs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), simhash32(col("ws")).as("sig"))

@@ -1021,11 +1021,21 @@ object Multimodal {
     * (doc_id-/id-bucketed), so the join plans exchange-free over the
     * warehouse layouts; the only new shuffle is the joint-key window,
     * whose partitions are ≤ min(|text cluster|, |img cluster|). */
-  def m17CrossModalManifest(s: SparkSession, d: String): DataFrame = {
-    val txt = graft.operators.Dedup.sharedClusters(s, d)
-      .select(col("doc_id"), col("cluster_rep").as("text_cluster"))
-    val img = sharedImgComponents(s, d)
-      .select(col("id").as("doc_id"), col("rep").as("img_cluster"))
+  def m17CrossModalManifest(s: SparkSession, d: String): DataFrame =
+    jointKeepOne(
+      graft.operators.Dedup.sharedClusters(s, d)
+        .select(col("doc_id"), col("cluster_rep").as("text_cluster")),
+      sharedImgComponents(s, d)
+        .select(col("id").as("doc_id"), col("rep").as("img_cluster")))
+      .orderBy(col("doc_id"))
+
+  /** The joint (text_cluster, img_cluster) keep-one over any two
+    * per-doc cluster frames — m17's policy stated ONCE, shared with
+    * the streaming composition
+    * ([[graft.streaming.StreamOps.crossModalManifest]]) so a
+    * tie-break change cannot silently break the spec-pinned
+    * composed ≡ batch equality. Unordered. */
+  private[graft] def jointKeepOne(txt: DataFrame, img: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("text_cluster"), col("img_cluster"))
     txt.join(img, Seq("doc_id"))
       .withColumn("n_joint", count(lit(1)).over(w))
@@ -1034,7 +1044,6 @@ object Multimodal {
         when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
       .select(col("doc_id"), col("text_cluster"), col("img_cluster"),
         col("n_joint"), col("canonical_id"), col("keep"))
-      .orderBy(col("doc_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

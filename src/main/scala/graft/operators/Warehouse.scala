@@ -310,6 +310,22 @@ object Warehouse {
       .digest(source.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val table = s"${prefix}_$digest"
     val want = props + ("graft.source" -> source)
+    // a table that exists WITHOUT graft.source is a half-created
+    // orphan — a crash landed between saveAsTable's commit and the
+    // one ALTER that stamps every property (no validated writer ever
+    // leaves the key absent). Drop and rebuild rather than refusing:
+    // a refusal here would permanently brick the whole query family
+    // on this catalog, with nothing left to protect (the row content
+    // is untrusted precisely because the stamp never landed).
+    def sourceProp(): Option[String] = scala.util.Try(
+      s.sql(s"SHOW TBLPROPERTIES $table ('graft.source')")
+        .collect().headOption.map(_.getString(1))
+        // the engine answers a MISSING key with a "does not have
+        // property" message row, not an absent row — only a real
+        // path/posture value counts as stamped
+        .filterNot(_.contains("does not have property"))).toOption.flatten
+    if (s.catalog.tableExists(table) && sourceProp().isEmpty)
+      s.sql(s"DROP TABLE $table")
     if (s.catalog.tableExists(table)) {
       def prop(k: String) = scala.util.Try(
         s.sql(s"SHOW TBLPROPERTIES $table ('$k')")

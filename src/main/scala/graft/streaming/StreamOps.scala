@@ -906,10 +906,20 @@ object StreamOps {
       // counts are ⌈n/cap⌉ — a function of CLUSTER SIZE, which the
       // delta changes, so an incremental capped form would not equal
       // its batch twin (the honesty bar every twin holds).
+      val posture = maxCluster.fold("none")(_.toString)
       val prior = semDedupVersions(s, storeDir).filter(_._1 < id)
-        .filter { case (_, p) => // a version missing its resolution
-          // cannot seed the absorb — resolve wholesale instead
-          fs.exists(new org.apache.hadoop.fs.Path(s"$p/resolved")) }
+        .filter { case (_, p) =>
+          // a version can seed the absorb only if it has a resolution
+          // AND that resolution was built under the SAME posture: a
+          // capped resolution is NOT the transitive closure of the
+          // uncapped pair set (the cap drops cross-shard pairs), so
+          // absorbing from it would silently equal neither twin. The
+          // posture rides a marker file written with the version
+          // (staged rename, so it exists iff the version is
+          // complete); versions predating the marker resolve
+          // wholesale — safe, just not incremental.
+          fs.exists(new org.apache.hadoop.fs.Path(s"$p/resolved")) &&
+            readMarker(fs, s"$p/posture").contains(posture) }
       val resolved =
         if (maxCluster.isEmpty && prior.nonEmpty) {
           val prevV = prior.maxBy(_._1)._2
@@ -940,6 +950,7 @@ object StreamOps {
       fs.delete(stage, true) // clear any half-written earlier attempt
       corpus.write.mode("overwrite").parquet(s"$stage/corpus")
       resolved.write.mode("overwrite").parquet(s"$stage/resolved")
+      writeMarker(fs, s"$stage/posture", posture)
       require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
     }
     // prune: the admitted log is folded into v{id}; versions older
@@ -948,6 +959,30 @@ object StreamOps {
     semDedupVersions(s, storeDir).filter(_._1 < id)
       .sortBy(_._1).dropRight(1)
       .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** Tiny FS marker files for the versioned stores (posture tags,
+    * graph-version pins): short UTF-8 strings, written via tmp+rename
+    * so a marker only ever exists complete. */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, value: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val o = fs.create(tmp, true)
+    try o.write(value.getBytes("UTF-8")) finally o.close()
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
   }
 
   /** Versioned single-writer store directories `dir/v{batchId}` —
@@ -1215,21 +1250,12 @@ object StreamOps {
     * (min-id keeper per joint group), continuously available because
     * both inputs are; no new state, one join + one bounded window. */
   def crossModalManifest(s: org.apache.spark.sql.SparkSession,
-      textStore: String, imgStore: String): DataFrame = {
-    val txt = textClusters(s, textStore)
-      .select(col("doc_id"), col("cluster_rep").as("text_cluster"))
-    val img = imgClusters(s, imgStore)
-      .select(col("id").as("doc_id"), col("rep").as("img_cluster"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text_cluster"), col("img_cluster"))
-    txt.join(img, Seq("doc_id"))
-      .withColumn("n_joint", count(lit(1)).over(w))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
-      .withColumn("keep",
-        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
-      .select(col("doc_id"), col("text_cluster"), col("img_cluster"),
-        col("n_joint"), col("canonical_id"), col("keep"))
-  }
+      textStore: String, imgStore: String): DataFrame =
+    graft.operators.Multimodal.jointKeepOne(
+      textClusters(s, textStore)
+        .select(col("doc_id"), col("cluster_rep").as("text_cluster")),
+      imgClusters(s, imgStore)
+        .select(col("id").as("doc_id"), col("rep").as("img_cluster")))
 
   /** The newest compacted RESOLUTION (d12 schema: vec_id, cluster,
     * rep, keep), or None before the first compaction. Vectors admitted
@@ -1640,21 +1666,12 @@ object StreamOps {
     if (!fs.exists(vPath)) {
       val graphVs = versionDirs(s, graphStore)
       val pinned: Option[Long] =
-        if (fs.exists(pinPath)) {
-          val in = fs.open(pinPath)
-          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          txt.trim.toLongOption
-        } else {
-          val cur = if (graphVs.isEmpty) None else Some(graphVs.map(_._1).max)
-          cur.foreach { v =>
-            val tmp = new org.apache.hadoop.fs.Path(s"$outDir/.pin_v$id.tmp")
-            val o = fs.create(tmp, true)
-            try o.write(v.toString.getBytes("UTF-8")) finally o.close()
-            fs.delete(pinPath, false)
-            require(fs.rename(tmp, pinPath), s"rename $tmp -> $pinPath failed")
-          }
-          cur
+        readMarker(fs, pinPath.toString) match {
+          case Some(txt) => txt.toLongOption
+          case None =>
+            val cur = if (graphVs.isEmpty) None else Some(graphVs.map(_._1).max)
+            cur.foreach(v => writeMarker(fs, pinPath.toString, v.toString))
+            cur
         }
       // exact pinned version if it survives, newest otherwise (prune
       // fallback); `before = pinned + 1` selects id ≤ pinned exactly
@@ -1663,10 +1680,21 @@ object StreamOps {
           knnGraphVersion(s, graphStore, before = v + 1)
         case _ => knnGraphCurrent(s, graphStore)
       }
-      val e = knnGraphCorpus(s, graphStore)
-        .join(graph.select(col("src").as("vec_id")).distinct(),
+      // corpus restricted to the pinned graph's OWN node set — but
+      // only when a graph version exists: in the admitted-but-no-
+      // version window (a search batch racing the first graph
+      // absorb, or a graph-stream crash between its admitted append
+      // and its rename) the restriction would empty the corpus and
+      // write a PERMANENTLY empty trusted version; the unrestricted
+      // corpus instead yields the codebook-seed-rescored results the
+      // unpinned form always returned there
+      val corpus = knnGraphCorpus(s, graphStore)
+      val e = (pinned match {
+        case Some(_) => corpus.join(
+          graph.select(col("src").as("vec_id")).distinct(),
           Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("embedding"), col("norm_fp"))
+        case None => corpus
+      }).select(col("vec_id"), col("embedding"), col("norm_fp"))
       val q = Similarity.withNorm(batch.select(col("vec_id"), col("embedding")))
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
           col("norm_fp").as("q_norm"))

@@ -255,6 +255,34 @@ class WarehouseSpec extends SparkSpecBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tA")
   }
 
+  test("standing table self-heal: a half-created table (saveAsTable " +
+      "committed, properties never stamped) is dropped and rebuilt, " +
+      "not refused forever") {
+    import spark.implicits._
+    val dirA = "/no/such/corpus/heal"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dirA.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val t = s"graft_containment_$digest"
+    try {
+      // simulate the crash window: the table committed, the ALTER that
+      // stamps graft.source never ran
+      Warehouse.writeContainment(
+        Seq((1L, 2L, 3L, 3L, 1000000L))
+          .toDF("a", "b", "n_shared", "n_a", "containment_e6"), t, 4)
+      // the retry must take the REBUILD path (which here fails on the
+      // nonexistent corpus path), never the refusal — a refusal would
+      // brick the family on this catalog with nothing to protect
+      val e = intercept[Exception] {
+        Dedup.sharedContainment(spark, dirA).collect()
+      }
+      assert(!e.getMessage.contains("refusing"),
+        s"half-created table refused instead of healed: ${e.getMessage}")
+      assert(!spark.catalog.tableExists(t) ||
+        !e.getMessage.contains("does not have property"),
+        "half-created table survived the heal")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("capped containment standing table: d16's kernel is paid once — " +
       "the second read is a bucketed scan with no pair-stage recompute") {
     val digest = java.security.MessageDigest.getInstance("MD5")
