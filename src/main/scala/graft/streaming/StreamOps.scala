@@ -1064,6 +1064,18 @@ object StreamOps {
     * the `graft_textcomp` standing table this stream is the
     * maintainer of.
     *
+    * Cost shape, stated honestly: the RESOLUTION work per batch is
+    * delta-sized (absorb's contract) and the standing side is only
+    * scanned (three broadcast probes + the remap, zero exchanges),
+    * but each version WRITE is a standing-sized sequential copy
+    * (~16 B/doc, no shuffle — the remap feeds the write directly).
+    * At warehouse scale with high-frequency batches, hold absorb's
+    * changed∪fresh rows as delta logs instead and fold newest-per-id
+    * at read time (the deltaAgg A/B discipline) — that trades the
+    * rewrite for a per-read shuffle; the resolution work stays
+    * delta-sized either way, and compaction becomes a PURE rewrite
+    * that never re-resolves.
+    *
     * Redelivery (at-least-once): a complete version is trusted and
     * never rebuilt; a crashed attempt re-reads the prior sig log
     * EXCLUDING its own re-appended ids (the knnGraphAbsorb crash
