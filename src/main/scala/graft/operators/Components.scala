@@ -184,6 +184,32 @@ object Components {
     *         resolution */
   def absorb(standing: DataFrame, newNodes: DataFrame,
       newEdges: DataFrame): DataFrame = {
+    val (updated, _, fresh) = absorbParts(standing, newNodes, newEdges)
+    updated.unionByName(fresh)
+  }
+
+  /** [[absorb]]'s DELTA form — only the rows the batch CHANGES
+    * (standing rows whose rep merged) plus the fresh rows, so a
+    * maintainer can hold its resolution as delta logs (newest-per-id
+    * read fold) instead of rewriting the standing table per batch:
+    * the output AND the write are then both delta-sized, and
+    * compaction becomes a pure rewrite that never re-resolves
+    * ([[graft.streaming.StreamOps.textDedupIngest]]'s `compactEvery`
+    * mode). The changed set comes from the same broadcast remap scan
+    * that [[absorb]] rides — an INNER join instead of the left join,
+    * no extra shuffle anywhere. */
+  def absorbDelta(standing: DataFrame, newNodes: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val (_, changed, fresh) = absorbParts(standing, newNodes, newEdges)
+    changed.unionByName(fresh)
+  }
+
+  /** The shared absorb construction: (full updated standing, changed
+    * standing rows only, fresh rows). Callers evaluate exactly one of
+    * updated/changed — both derive from the same checkpointed rep
+    * closure and the same broadcast remap. */
+  private def absorbParts(standing: DataFrame, newNodes: DataFrame,
+      newEdges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val st = standing.select(col("id").cast("long").as("id"),
       col("rep").cast("long").as("rep"))
     val nn = newNodes.select(col("id").cast("long").as("id")).distinct()
@@ -214,6 +240,8 @@ object Components {
       .select(col("id").as("rep"), col("rep").as("merged"))
     val updated = st.join(broadcast(remap), Seq("rep"), "left")
       .select(col("id"), coalesce(col("merged"), col("rep")).as("rep"))
+    val changed = st.join(broadcast(remap), Seq("rep"))
+      .select(col("id"), col("merged").as("rep"))
     // genuinely new ids (anti vs the standing ∩ batch probe, again a
     // broadcast-probe scan of standing) resolve through the rep graph
     val standingBatchIds = st.join(broadcast(nn), Seq("id"), "left_semi")
@@ -221,6 +249,6 @@ object Components {
     val fresh = nn.join(standingBatchIds, Seq("id"), "left_anti")
       .join(rcomp, Seq("id"), "left")
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
-    updated.unionByName(fresh)
+    (updated, changed, fresh)
   }
 }

@@ -1066,39 +1066,40 @@ object StreamOps {
     *
     * Cost shape, stated honestly: the RESOLUTION work per batch is
     * delta-sized (absorb's contract) and the standing side is only
-    * scanned (three broadcast probes + the remap, zero exchanges),
-    * but each version WRITE is a standing-sized sequential copy
-    * (~16 B/doc, no shuffle — the remap feeds the write directly).
-    * At warehouse scale with high-frequency batches, hold absorb's
-    * changed∪fresh rows as delta logs instead and fold newest-per-id
-    * at read time (the deltaAgg A/B discipline) — that trades the
-    * rewrite for a per-read shuffle; the resolution work stays
-    * delta-sized either way, and compaction becomes a PURE rewrite
-    * that never re-resolves.
+    * scanned (three broadcast probes + the remap, zero exchanges).
+    * The WRITE amplification is the `compactEvery` knob
+    * ([[absorbIntoStore]]): the default (1) rewrites the full base
+    * per batch (~16 B/doc sequential, no shuffle — the remap feeds
+    * the write directly); `> 1` writes DELTA-sized logs
+    * ([[graft.operators.Components.absorbDelta]]'s changed ∪ fresh
+    * rows) between full bases, trading the rewrite for a
+    * newest-per-id fold at read time — the high-frequency warehouse
+    * posture. Either way compaction is a PURE rewrite: the
+    * resolution is never recomputed from pairs.
     *
     * Redelivery (at-least-once): a complete version is trusted and
     * never rebuilt; a crashed attempt re-reads the prior sig log
     * EXCLUDING its own re-appended ids (the knnGraphAbsorb crash
     * analysis) and rebuilds identically. */
-  def textDedupIngest(docs: DataFrame, storeDir: String):
+  def textDedupIngest(docs: DataFrame, storeDir: String,
+      compactEvery: Int = 1):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        textDedupAbsorb(batch.toDF(), storeDir, id)
+        textDedupAbsorb(batch.toDF(), storeDir, id, compactEvery)
         ()
       }
 
   /** One batch absorbed into the standing text resolution (see
-    * [[textDedupIngest]]), idempotent under redelivery. */
+    * [[textDedupIngest]]), idempotent under redelivery.
+    * `compactEvery = 1` (the default) writes a FULL base per batch;
+    * `> 1` writes DELTA logs between bases — see [[absorbIntoStore]]. */
   private[graft] def textDedupAbsorb(batch: DataFrame, storeDir: String,
-      id: Long): Unit = {
-    import graft.operators.{Components, Dedup}
+      id: Long, compactEvery: Int = 1): Unit = {
+    import graft.operators.Dedup
     val s = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val vPath = new org.apache.hadoop.fs.Path(s"$storeDir/v$id")
-    if (!fs.exists(vPath)) {
+    absorbIntoStore(s, storeDir, id, compactEvery) {
       val sigs = Dedup.simhashSigs(
         batch.select(col("doc_id"), col("text"))).localCheckpoint()
       // the standing log BEFORE this batch: a crashed earlier attempt
@@ -1108,29 +1109,100 @@ object StreamOps {
         .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .localCheckpoint()
       sigs.write.mode("append").parquet(s"$storeDir/sigs")
-      val pairs = Dedup.simhashIncrementalPairs(prior, sigs)
-        .select(col("a"), col("b"))
-      val standing = textDedupVersions(s, storeDir).filter(_._1 < id) match {
-        case Nil => prior.select(col("doc_id").as("id"),
-          col("doc_id").as("rep")).filter(lit(false)) // empty, typed
-        case vs => s.read.parquet(s"${vs.maxBy(_._1)._2}/resolved")
-          .select(col("id"), col("rep"))
-      }
-      val comp = Components.absorb(standing,
-        sigs.select(col("doc_id").as("id")), pairs)
-      val stage = new org.apache.hadoop.fs.Path(s"$storeDir/.stage_v$id")
-      fs.delete(stage, true)
-      comp.write.mode("overwrite").parquet(s"$stage/resolved")
-      require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
+      (sigs.select(col("doc_id").as("id")),
+        Dedup.simhashIncrementalPairs(prior, sigs).select(col("a"), col("b")))
     }
-    // steady state keeps the newest prior version as the crash base
-    textDedupVersions(s, storeDir).filter(_._1 < id)
-      .sortBy(_._1).dropRight(1)
-      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
-  private def textDedupVersions(s: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = versionDirs(s, dir)
+  /** The shared absorb-store writer behind [[textDedupAbsorb]] and
+    * [[imgDedupAbsorb]]. Layout: `v<id>/resolved` FULL bases,
+    * `d<id>/resolved` DELTA logs (changed ∪ fresh rows only —
+    * [[graft.operators.Components.absorbDelta]]); the current
+    * resolution is [[resolutionView]]'s newest-per-id fold of the
+    * newest base plus the deltas after it. A compaction batch
+    * (`(id+1) % compactEvery == 0`) absorbs into a FULL successor
+    * base — a pure rewrite, the resolution work itself is still the
+    * delta-sized absorb — and prunes the folded deltas plus all but
+    * the newest prior base; delta batches write only their
+    * delta-sized log. `build` runs ONLY when the batch's target dir
+    * is absent (its side effects — the sig/hash append — are the
+    * crash-excluded kind) and returns (newIds, pairs).
+    *
+    * Redelivery: a complete target (base or delta) is trusted and
+    * never rebuilt; a crashed attempt rebuilds against the identical
+    * view (`before = id` bounds it, and batches commit in order so
+    * nothing older than the newest base ever replays). */
+  private[graft] def absorbIntoStore(s: org.apache.spark.sql.SparkSession,
+      storeDir: String, id: Long, compactEvery: Int)
+      (build: => (DataFrame, DataFrame)): Unit = {
+    require(compactEvery > 0, "compactEvery must be positive")
+    import graft.operators.Components
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val compactBatch = (id + 1) % compactEvery == 0
+    val target = new org.apache.hadoop.fs.Path(
+      s"$storeDir/${if (compactBatch) "v" else "d"}$id")
+    if (!fs.exists(target)) {
+      val (newIds, pairs) = build
+      val standing = resolutionView(s, storeDir, before = id)
+      val out =
+        if (compactBatch) Components.absorb(standing, newIds, pairs)
+        else Components.absorbDelta(standing, newIds, pairs)
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$storeDir/.stage_${target.getName}")
+      fs.delete(stage, true)
+      out.write.mode("overwrite").parquet(s"$stage/resolved")
+      require(fs.rename(stage, target), s"rename $stage -> $target failed")
+    }
+    if (compactBatch) {
+      // v<id> folds everything ≤ id: the deltas are spent, and all
+      // but the newest prior base (the crash-base policy every
+      // versioned store here follows) go too. Idempotent.
+      deltaDirs(s, storeDir).filter(_._1 <= id)
+        .foreach { case (_, p) => fs.delete(p, true) }
+      versionDirs(s, storeDir).filter(_._1 < id)
+        .sortBy(_._1).dropRight(1)
+        .foreach { case (_, p) => fs.delete(p, true) }
+    }
+  }
+
+  /** Delta-log directories `dir/d{batchId}` (see [[absorbIntoStore]]). */
+  private def deltaDirs(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("d"))
+      .flatMap(p => scala.util.Try(p.getName.drop(1).toLong).toOption.map(_ -> p))
+  }
+
+  /** The store's current (id, rep) resolution: the newest base below
+    * `before` plus every delta log after it, folded newest-per-id
+    * (struct-max on the version ordinal — an id appears once per dir,
+    * so the fold is exact). Empty before the first batch. */
+  private[graft] def resolutionView(s: org.apache.spark.sql.SparkSession,
+      dir: String, before: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("rep", LongType)))
+    val bases = versionDirs(s, dir).filter(_._1 < before)
+    val base = if (bases.isEmpty) None else Some(bases.maxBy(_._1))
+    val live = deltaDirs(s, dir).filter(_._1 < before)
+      .filter(d => base.forall(d._1 > _._1)).sortBy(_._1)
+    val frames = (base.toSeq ++ live).map { case (v, p) =>
+      s.read.schema(schema).parquet(s"$p/resolved")
+        .withColumn("v", lit(v))
+    }
+    if (frames.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    else if (frames.size == 1) frames.head.select(col("id"), col("rep"))
+    else frames.reduce(_.unionByName(_))
+      .groupBy(col("id"))
+      .agg(max(struct(col("v"), col("rep"))).as("t"))
+      .select(col("id"), col("t.rep").as("rep"))
+  }
 
   /** The standing signature log (doc_id, bits), dedup'd for
     * at-least-once re-appends — empty before the first batch. */
@@ -1147,23 +1219,15 @@ object StreamOps {
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** The newest standing text resolution in batch d6's exact schema
-    * (doc_id, cluster_rep, is_canonical) — empty before the first
-    * batch. */
+  /** The current standing text resolution in batch d6's exact schema
+    * (doc_id, cluster_rep, is_canonical) — the [[resolutionView]]
+    * fold, so it is exact in BOTH store modes (full bases and
+    * base+delta logs). Empty before the first batch. */
   def textClusters(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("id", LongType), StructField("rep", LongType)))
-    val vs = textDedupVersions(s, dir)
-    val res =
-      if (vs.isEmpty)
-        s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else s.read.schema(schema).parquet(s"${vs.maxBy(_._1)._2}/resolved")
-    res.select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
-      when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
-  }
+      dir: String): DataFrame =
+    resolutionView(s, dir)
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
 
   /** Streaming m14: the IMAGE closure maintained continuously —
     * [[textDedupIngest]]'s absorb discipline on the MIH blocker: each
@@ -1179,50 +1243,33 @@ object StreamOps {
     * [[crossModalManifest]] composes the two standing stores into
     * m17's manifest at read time. */
   def imgDedupIngest(ids: org.apache.spark.sql.Dataset[Long],
-      storeDir: String):
+      storeDir: String, compactEvery: Int = 1):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     ids.toDF("doc_id").writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        imgDedupAbsorb(batch.toDF(), storeDir, id)
+        imgDedupAbsorb(batch.toDF(), storeDir, id, compactEvery)
         ()
       }
 
   /** One batch absorbed into the standing image resolution, idempotent
-    * under redelivery ([[textDedupAbsorb]]'s discipline verbatim). */
+    * under redelivery ([[textDedupAbsorb]]'s discipline verbatim,
+    * including the `compactEvery` base/delta store modes). */
   private[graft] def imgDedupAbsorb(batch: DataFrame, storeDir: String,
-      id: Long): Unit = {
-    import graft.operators.{Components, Multimodal}
+      id: Long, compactEvery: Int = 1): Unit = {
+    import graft.operators.Multimodal
     val s = batch.sparkSession
     import s.implicits._
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val vPath = new org.apache.hadoop.fs.Path(s"$storeDir/v$id")
-    if (!fs.exists(vPath)) {
+    absorbIntoStore(s, storeDir, id, compactEvery) {
       val hs = Multimodal.imgHash(
         batch.select(col("doc_id")).as[Long]).localCheckpoint()
       val prior = imgDedupHashes(s, storeDir)
         .join(hs.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .localCheckpoint()
       hs.write.mode("append").parquet(s"$storeDir/hashes")
-      val pairs = Multimodal.imgNearDupIncremental(prior, hs)
-        .select(col("a"), col("b"))
-      val standing = versionDirs(s, storeDir).filter(_._1 < id) match {
-        case Nil => hs.select(col("doc_id").as("id"),
-          col("doc_id").as("rep")).filter(lit(false))
-        case vs => s.read.parquet(s"${vs.maxBy(_._1)._2}/resolved")
-          .select(col("id"), col("rep"))
-      }
-      val comp = Components.absorb(standing,
-        hs.select(col("doc_id").as("id")), pairs)
-      val stage = new org.apache.hadoop.fs.Path(s"$storeDir/.stage_v$id")
-      fs.delete(stage, true)
-      comp.write.mode("overwrite").parquet(s"$stage/resolved")
-      require(fs.rename(stage, vPath), s"rename $stage -> $vPath failed")
+      (hs.select(col("doc_id").as("id")),
+        Multimodal.imgNearDupIncremental(prior, hs).select(col("a"), col("b")))
     }
-    versionDirs(s, storeDir).filter(_._1 < id)
-      .sortBy(_._1).dropRight(1)
-      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** The standing image-hash log ([[graft.operators.Multimodal.ImgHash]]
@@ -1242,19 +1289,11 @@ object StreamOps {
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** The newest standing image resolution — (id, rep), the
-    * sharedImgComponents schema. */
+  /** The current standing image resolution — (id, rep), the
+    * sharedImgComponents schema; exact in both store modes
+    * ([[resolutionView]]). */
   def imgClusters(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("id", LongType), StructField("rep", LongType)))
-    val vs = versionDirs(s, dir)
-    if (vs.isEmpty)
-      s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else s.read.schema(schema).parquet(s"${vs.maxBy(_._1)._2}/resolved")
-  }
+      dir: String): DataFrame = resolutionView(s, dir)
 
   /** m17 at READ time over the two maintained stores: the joint
     * (text_cluster, img_cluster) keep-one composed from

@@ -1402,6 +1402,65 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(resSet() == batch, "crashed-attempt redelivery diverged")
   }
 
+  test("textDedupIngest delta mode (compactEvery=4): delta logs are " +
+      "delta-sized, the view equals batch d6 at the end, and both " +
+      "redelivery paths (delta batch, compact batch) are idempotent") {
+    implicit val sq = spark.sqlContext
+    import StreamOpsSpec.Doc
+    import graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val arriving = docs.collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), new java.sql.Timestamp(0L)))
+      .sortBy(_.doc_id)
+    val store = java.nio.file.Files.createTempDirectory("textdedup-delta").toString
+    val in = MemoryStream[Doc]
+    val q = StreamOps.textDedupIngest(
+      in.toDF().select(col("doc_id"), col("text")), store,
+      compactEvery = 4).start()
+    val chunks = arriving.grouped(50).toSeq // 10 batches: compact at 3, 7
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    def resSet() = StreamOps.textClusters(spark, store).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("is_canonical"))).toSet
+    val batch = Dedup.d6DupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"),
+        r.getAs[Long]("is_canonical"))).toSet
+    assert(resSet() == batch, "delta-mode view diverged from batch d6")
+    // store shape: the newest base is v7; d8, d9 live after it, each
+    // delta-sized (well under the corpus), older bases/deltas pruned
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(n => n.startsWith("v") || n.startsWith("d"))
+      .toSet
+    assert(names("v7") && names("d8") && names("d9"), names.toString)
+    // folded deltas pruned; v3 survives as the newest-but-one crash
+    // base (the policy every versioned store here follows)
+    assert(!names("d4") && !names("d5") && !names("d6"),
+      s"compaction did not prune folded deltas: $names")
+    assert(names.count(_.startsWith("v")) <= 2,
+      s"more than two bases survive: $names")
+    Seq("d8", "d9").foreach { d =>
+      val n = spark.read.parquet(s"$store/$d/resolved").count()
+      assert(n <= 120, s"$d holds $n rows — not delta-sized")
+    }
+    // redelivery, delta batch: complete d9 trusted; crashed attempt
+    // (d9 deleted, its sigs already appended) rebuilds identically
+    import spark.implicits._
+    val lastChunk = spark.createDataset(chunks.last).toDF()
+      .select("doc_id", "text")
+    StreamOps.textDedupAbsorb(lastChunk, store, 9L, compactEvery = 4)
+    assert(resSet() == batch, "complete-delta redelivery changed the view")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/d9"), true)
+    StreamOps.textDedupAbsorb(lastChunk, store, 9L, compactEvery = 4)
+    assert(resSet() == batch, "crashed-delta redelivery diverged")
+    // redelivery, compact batch: v7 complete is trusted (never rebuilt)
+    val chunk8 = spark.createDataset(chunks(7)).toDF().select("doc_id", "text")
+    StreamOps.textDedupAbsorb(chunk8, store, 7L, compactEvery = 4)
+    assert(resSet() == batch, "complete-base redelivery changed the view")
+  }
+
   test("imgDedupIngest: chunked replay equals the batch image closure; " +
       "crossModalManifest over the two maintained stores equals m17") {
     implicit val sq = spark.sqlContext
