@@ -1402,6 +1402,45 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(resSet() == batch, "crashed-attempt redelivery diverged")
   }
 
+  test("absorbIntoStore property: random chunked graphs under random " +
+      "compactEvery — the store view equals the full re-resolve after " +
+      "EVERY batch, across base/delta interleavings") {
+    import spark.implicits._
+    import graft.operators.Components
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val n = 30 + rnd.nextInt(30)
+      val nBatches = 4
+      val ids = rnd.shuffle((0L until n.toLong).toList)
+      val chunkOf = ids.zipWithIndex.map { case (id, i) => id -> i % nBatches }.toMap
+      val edges = (0 until n * 2).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }
+      def arrives(e: (Long, Long)) = math.max(chunkOf(e._1), chunkOf(e._2))
+      val store = java.nio.file.Files
+        .createTempDirectory(s"absorb-store-$trial").toString
+      val ce = 1 + rnd.nextInt(3)
+      var seenNodes = List.empty[Long]
+      var seenEdges = List.empty[(Long, Long)]
+      (0 until nBatches).foreach { c =>
+        val bn = ids.filter(chunkOf(_) == c)
+        val be = edges.filter(arrives(_) == c)
+        StreamOps.absorbIntoStore(spark, store, c.toLong, ce)(
+          (bn.toDF("id"),
+            (be :+ ((-1L, -1L))).toDF("a", "b").filter(col("a") >= 0L)))
+        seenNodes ++= bn; seenEdges ++= be
+        val got = StreamOps.resolutionView(spark, store).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = Components.connectedComponents(
+          seenNodes.toDF("id"),
+          (seenEdges :+ ((-1L, -1L))).toDF("a", "b").filter(col("a") >= 0L))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want,
+          s"trial=$trial compactEvery=$ce batch=$c: view diverged")
+      }
+    }
+  }
+
   test("textDedupIngest delta mode (compactEvery=4): delta logs are " +
       "delta-sized, the view equals batch d6 at the end, and both " +
       "redelivery paths (delta batch, compact batch) are idempotent") {
