@@ -985,17 +985,23 @@ object StreamOps {
     require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
   }
 
-  /** Versioned single-writer store directories `dir/v{batchId}` —
-    * shared by the semDedup, delta-agg and kNN-graph stores. */
-  private def versionDirs(s: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+  /** Prefixed store directories `dir/<prefix>{batchId}`. */
+  private def prefixedDirs(s: org.apache.spark.sql.SparkSession,
+      dir: String, prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Nil
     else fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("v"))
-      .flatMap(p => scala.util.Try(p.getName.drop(1).toLong).toOption.map(_ -> p))
+      .filter(_.getName.startsWith(prefix))
+      .flatMap(p => scala.util.Try(
+        p.getName.drop(prefix.length).toLong).toOption.map(_ -> p))
   }
+
+  /** Versioned single-writer store directories `dir/v{batchId}` —
+    * shared by the semDedup, delta-agg and kNN-graph stores. */
+  private def versionDirs(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    prefixedDirs(s, dir, "v")
 
   private def semDedupVersions(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = versionDirs(s, dir)
@@ -1144,7 +1150,14 @@ object StreamOps {
       s"$storeDir/${if (compactBatch) "v" else "d"}$id")
     if (!fs.exists(target)) {
       val (newIds, pairs) = build
-      val standing = resolutionView(s, storeDir, before = id)
+      // in delta mode the view is a multi-frame newest-per-id FOLD (a
+      // standing-sized shuffle) — materialize it once, or absorb's
+      // several standing subtrees (the checkpointed endpoint probe
+      // plus the final write) re-run the fold ≥2× per batch. The
+      // default mode's view is a single base frame (no deltas ever
+      // exist) — a pure scan absorb streams three times for free.
+      val view = resolutionView(s, storeDir, before = id)
+      val standing = if (compactEvery > 1) view.localCheckpoint() else view
       val out =
         if (compactBatch) Components.absorb(standing, newIds, pairs)
         else Components.absorbDelta(standing, newIds, pairs)
@@ -1155,10 +1168,16 @@ object StreamOps {
       require(fs.rename(stage, target), s"rename $stage -> $target failed")
     }
     if (compactBatch) {
-      // v<id> folds everything ≤ id: the deltas are spent, and all
-      // but the newest prior base (the crash-base policy every
-      // versioned store here follows) go too. Idempotent.
-      deltaDirs(s, storeDir).filter(_._1 <= id)
+      // v<id> folds everything ≤ id, but spent deltas get ONE
+      // compaction cycle of grace before deletion: a concurrent
+      // reader that listed the old base+deltas must be able to finish
+      // its lazy scan (the keep-one-prior policy bases already have,
+      // extended to deltas). Deltas ≤ the newest PRIOR base are a
+      // full cycle stale — no live view reads them — and go now; the
+      // just-folded ones go at the NEXT compaction. Idempotent.
+      val priorBase = versionDirs(s, storeDir).filter(_._1 < id)
+        .map(_._1).sorted.lastOption.getOrElse(-1L)
+      deltaDirs(s, storeDir).filter(_._1 <= priorBase)
         .foreach { case (_, p) => fs.delete(p, true) }
       versionDirs(s, storeDir).filter(_._1 < id)
         .sortBy(_._1).dropRight(1)
@@ -1168,14 +1187,8 @@ object StreamOps {
 
   /** Delta-log directories `dir/d{batchId}` (see [[absorbIntoStore]]). */
   private def deltaDirs(s: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Nil
-    else fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("d"))
-      .flatMap(p => scala.util.Try(p.getName.drop(1).toLong).toOption.map(_ -> p))
-  }
+      dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    prefixedDirs(s, dir, "d")
 
   /** The store's current (id, rep) resolution: the newest base below
     * `before` plus every delta log after it, folded newest-per-id

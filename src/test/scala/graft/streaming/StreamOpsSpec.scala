@@ -1474,10 +1474,15 @@ class StreamOpsSpec extends SparkSpecBase {
       .map(_.getPath.getName).filter(n => n.startsWith("v") || n.startsWith("d"))
       .toSet
     assert(names("v7") && names("d8") && names("d9"), names.toString)
-    // folded deltas pruned; v3 survives as the newest-but-one crash
-    // base (the policy every versioned store here follows)
-    assert(!names("d4") && !names("d5") && !names("d6"),
-      s"compaction did not prune folded deltas: $names")
+    // deltas a FULL cycle stale (folded into v3, then another
+    // compaction passed) are pruned; the just-folded d4–d6 get one
+    // compaction cycle of reader grace (no live view reads them —
+    // resolutionView only folds deltas AFTER the newest base); v3
+    // survives as the newest-but-one crash base
+    assert(!names("d0") && !names("d1") && !names("d2"),
+      s"full-cycle-stale deltas not pruned: $names")
+    assert(names("d4") && names("d5") && names("d6"),
+      s"reader-grace window violated (just-folded deltas deleted): $names")
     assert(names.count(_.startsWith("v")) <= 2,
       s"more than two bases survive: $names")
     Seq("d8", "d9").foreach { d =>
