@@ -1034,10 +1034,25 @@ object Multimodal {
     * the streaming composition
     * ([[graft.streaming.StreamOps.crossModalManifest]]) so a
     * tie-break change cannot silently break the spec-pinned
-    * composed ≡ batch equality. Unordered. */
+    * composed ≡ batch equality. Unordered.
+    *
+    * FULL-outer on doc_id: the streaming composition's two stores
+    * drain at independent offsets, so a document may have reached
+    * only one modality's closure when the manifest is read. The
+    * policy ("duplicate only when another doc shares BOTH clusters")
+    * cannot convict such a doc — its missing cluster is unknown — so
+    * it forms its own joint group (keep = 1, null for the missing
+    * modality) instead of silently vanishing from the manifest. The
+    * surrogate -(doc_id+1) makes each single-modality doc its own
+    * window partition (cluster reps are doc ids ≥ 0, so surrogates
+    * can never collide with a real cluster); when both inputs cover
+    * the corpus (the batch m17 case) no surrogate fires and the
+    * full-outer is exactly the inner join. */
   private[graft] def jointKeepOne(txt: DataFrame, img: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("text_cluster"), col("img_cluster"))
-    txt.join(img, Seq("doc_id"))
+    val w = Window.partitionBy(
+      coalesce(col("text_cluster"), -(col("doc_id") + lit(1L))),
+      coalesce(col("img_cluster"), -(col("doc_id") + lit(1L))))
+    txt.join(img, Seq("doc_id"), "full_outer")
       .withColumn("n_joint", count(lit(1)).over(w))
       .withColumn("canonical_id", min(col("doc_id")).over(w))
       .withColumn("keep",

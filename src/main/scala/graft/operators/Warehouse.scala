@@ -282,71 +282,259 @@ object Warehouse {
       .bucketBy(nBuckets, "shingle").sortBy("shingle")
       .format("parquet").saveAsTable(table)
 
+  /** Stable CROSS-JVM root for the standing-stage registry — the one
+    * path every JVM on this machine shares, independent of the
+    * session's (scratch, per-JVM) `spark.sql.warehouse.dir`. A fresh
+    * JVM's in-memory catalog forgets every table; the data under this
+    * root, self-described by its marker file, does not. Overridable
+    * per session via `spark.graft.standing.dir` (tests point it at a
+    * scratch dir so runs don't accumulate registry entries). */
+  def standingRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.standing.dir")
+      .getOrElse(new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-standing").toString)
+
+  /** Build stamp folded into every standing artifact: an md5 over the
+    * BYTES of every .class in this library's build, in sorted-name
+    * order. An artifact persisted by an OLDER build silently reflects
+    * superseded algorithms; stamping the build makes it REBUILD on the
+    * next read instead of serving stale rows — no hand-bumped version
+    * constant to forget. Content-addressed on purpose: launchers
+    * repackage the same classes into per-invocation jars (and mtimes
+    * move on every compile even when zinc rewrites identical bytes),
+    * so any location- or time-based stamp would differ between two
+    * JVMs running the SAME code and defeat cross-JVM adoption. Hashed
+    * once per JVM (lazy), ~tens of MB of class bytes. */
+  lazy val standingVer: String = {
+    val cls = Warehouse.getClass
+    val res = cls.getResource("/" + cls.getName.replace('.', '/') + ".class")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def drain(in: java.io.InputStream): Unit = {
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    }
+    if (res == null) "na"
+    else if (res.getProtocol == "file") {
+      // …/classes/graft/operators/Warehouse$.class → the classes root
+      val root = java.nio.file.Paths.get(res.toURI)
+        .getParent.getParent.getParent
+      val walk = java.nio.file.Files.walk(root)
+      val names = try walk.filter(p => p.toString.endsWith(".class"))
+        .map[String](p => root.relativize(p).toString.replace('\\', '/'))
+        .sorted.toArray.toSeq.map(_.asInstanceOf[String])
+      finally walk.close()
+      names.foreach { n =>
+        md.update(n.getBytes("UTF-8"))
+        val in = java.nio.file.Files.newInputStream(root.resolve(n))
+        try drain(in) finally in.close()
+      }
+      md.digest().map(b => f"$b%02x").mkString
+    } else if (res.getProtocol == "jar") {
+      val jarUri = new java.net.URI(res.getPath.takeWhile(_ != '!'))
+      val jar = new java.util.jar.JarFile(new java.io.File(jarUri))
+      try {
+        import scala.jdk.CollectionConverters._
+        jar.entries().asScala.map(_.getName)
+          .filter(_.endsWith(".class")).toSeq.sorted
+          .foreach { n =>
+            md.update(n.getBytes("UTF-8"))
+            val in = jar.getInputStream(jar.getEntry(n))
+            try drain(in) finally in.close()
+          }
+        md.digest().map(b => f"$b%02x").mkString
+      } finally jar.close()
+    } else "na"
+  }
+
+  /** Content fingerprint of the source corpus directory: md5 over the
+    * sorted (path, length, mtime) listing. Standing artifacts carry it
+    * and REBUILD on mismatch — a corpus regenerated at the same path
+    * (same digest-named table) must not keep serving the old corpus's
+    * closure/hash/pair rows across sessions. Cheap: a driver-side
+    * recursive listing, no data read. */
+  def sourceFingerprint(s: SparkSession, source: String): String = {
+    val p = new org.apache.hadoop.fs.Path(source)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "na"
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def walk(dir: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(dir).sortBy(_.getPath.getName).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else md.update(
+            s"${st.getPath.toUri.getPath}|${st.getLen}|${st.getModificationTime}\n"
+              .getBytes("UTF-8"))
+        }
+      walk(p)
+      md.digest().map(b => f"$b%02x").mkString
+    }
+  }
+
+  /** Marker file inside a standing-stage directory: the artifact's
+    * self-description (validated props + content fingerprint + build
+    * stamp + schema DDL + bucket spec). Written tmp+rename so it only
+    * ever exists complete; its presence IS the commit point — a
+    * directory without it is a half-written build and is cleared. The
+    * leading underscore keeps it invisible to parquet readers. */
+  private val MarkerName = "_graft_standing.properties"
+
+  private def loadMarker(fs: org.apache.hadoop.fs.FileSystem,
+      file: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val in = fs.open(file)
+    val p = new java.util.Properties()
+    try p.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    p.asScala.toMap
+  }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      file: org.apache.hadoop.fs.Path, kv: Map[String, String]): Unit = {
+    val p = new java.util.Properties()
+    kv.foreach { case (k, v) => p.setProperty(k, v) }
+    val tmp = new org.apache.hadoop.fs.Path(file.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try p.store(out, "graft standing-stage marker") finally out.close()
+    fs.delete(file, false)
+    require(fs.rename(tmp, file), s"rename $tmp -> $file failed")
+  }
+
+  /** One table property, absence distinguished from failure: a missing
+    * key answers with a "does not have property" message row (→ None);
+    * a THROWN `SHOW TBLPROPERTIES` propagates — a transient catalog
+    * error on a healthy table must not read as "unstamped" and trigger
+    * a silent drop-and-rebuild of an expensive standing stage. */
+  private def tableProp(s: SparkSession, table: String,
+      key: String): Option[String] =
+    s.sql(s"SHOW TBLPROPERTIES $table ('$key')")
+      .collect().headOption.map(_.getString(1))
+      .filterNot(_.contains("does not have property"))
+
   /** Get-or-create a STANDING pure-stage table — the
     * pay-the-shuffle-once discipline generalized from the containment
     * family so any heavy pure function of a corpus directory (pair
     * stages, decoded-hash stages, component resolutions) persists
-    * across sessions:
+    * across sessions AND across JVMs:
     *
     *  - table name = `<prefix>_<md5(source)>` — a REAL 128-bit digest
     *    of the corpus directory, not String.hashCode (31-bit silent
     *    collisions would hand a later session the WRONG corpus's
     *    rows);
-    *  - the source path (and any posture knobs in `props`) ride
-    *    TBLPROPERTIES and are VALIDATED before a pre-existing table
-    *    is trusted — a mismatch refuses loudly rather than serving
-    *    another corpus's / another posture's rows;
-    *  - a previous JVM's orphaned managed LOCATION (in-memory catalog
-    *    gone, directory left under the warehouse dir) is cleared
-    *    before the create, or saveAsTable throws
-    *    LOCATION_ALREADY_EXISTS;
-    *  - `write(table)` materializes the stage (bucketed saveAsTable —
-    *    the caller picks the consumer join key), run ONCE; every
-    *    later session on the same catalog reads the standing table.
+    *  - the DATA lives under [[standingRoot]] (stable across JVMs),
+    *    self-described by a [[MarkerName]] properties file carrying
+    *    the validated props, the corpus [[sourceFingerprint]], the
+    *    build stamp [[standingVer]], and the schema + bucket spec —
+    *    a fresh JVM whose in-memory catalog is empty ADOPTS the
+    *    artifact (`CREATE TABLE … CLUSTERED BY … LOCATION`) instead
+    *    of re-running the build (bucket-file names carry their bucket
+    *    ids, so the adopted table keeps its exchange-free joins);
+    *  - the source path (and any posture knobs in `props`) are
+    *    VALIDATED before a pre-existing table/artifact is trusted — a
+    *    mismatch refuses loudly rather than serving another corpus's /
+    *    another posture's rows; a STALE artifact (corpus fingerprint
+    *    or build stamp changed) rebuilds instead;
+    *  - `write(stageTable)` materializes the stage (bucketed
+    *    saveAsTable — the caller picks the consumer join key) under a
+    *    STAGING name, then the staged directory is renamed into the
+    *    registry in one FS move: the artifact only ever exists
+    *    complete, and of two racing writers one wins the rename while
+    *    the loser adopts the winner's artifact (best-effort — the
+    *    registry is still single-machine; a shared-FS multi-writer
+    *    deployment would want a lock service above this).
     */
   def standingTable(s: SparkSession, prefix: String, source: String,
       props: Map[String, String] = Map.empty)(write: String => Unit): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(source.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val table = s"${prefix}_$digest"
+    // refusal props: a mismatch means the name resolves to ANOTHER
+    // corpus/posture — serving it would be wrong, so fail loudly
     val want = props + ("graft.source" -> source)
-    // a table that exists WITHOUT graft.source is a half-created
-    // orphan — a crash landed between saveAsTable's commit and the
-    // one ALTER that stamps every property (no validated writer ever
-    // leaves the key absent). Drop and rebuild rather than refusing:
-    // a refusal here would permanently brick the whole query family
-    // on this catalog, with nothing left to protect (the row content
-    // is untrusted precisely because the stamp never landed).
-    def sourceProp(): Option[String] = scala.util.Try(
-      s.sql(s"SHOW TBLPROPERTIES $table ('graft.source')")
-        .collect().headOption.map(_.getString(1))
-        // the engine answers a MISSING key with a "does not have
-        // property" message row, not an absent row — only a real
-        // path/posture value counts as stamped
-        .filterNot(_.contains("does not have property"))).toOption.flatten
-    if (s.catalog.tableExists(table) && sourceProp().isEmpty)
-      s.sql(s"DROP TABLE $table")
-    if (s.catalog.tableExists(table)) {
-      def prop(k: String) = scala.util.Try(
-        s.sql(s"SHOW TBLPROPERTIES $table ('$k')")
-          .collect().headOption.map(_.getString(1))).toOption.flatten
-      want.foreach { case (k, v) =>
-        val got = prop(k)
-        require(got.contains(v),
-          s"standing table $table carries $k=$got, expected $v — " +
-            "refusing to serve another corpus's/posture's rows")
+    // staleness props: a mismatch means the SAME logical stage was
+    // built from an older corpus state or older code — rebuild
+    val fresh = Map("graft.fingerprint" -> sourceFingerprint(s, source),
+      "graft.algover" -> standingVer)
+    val loc = new org.apache.hadoop.fs.Path(standingRoot(s), table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    // valid = props match (refusal on mismatch), artifact not stale.
+    // None value = unstamped (half-created) → rebuild, nothing to
+    // protect: no validated writer ever leaves graft.source absent.
+    def valid(get: String => Option[String]): Boolean =
+      get("graft.source").nonEmpty && {
+        want.foreach { case (k, v) =>
+          val got = get(k)
+          require(got.contains(v),
+            s"standing table $table carries $k=$got, expected $v — " +
+              "refusing to serve another corpus's/posture's rows")
+        }
+        fresh.forall { case (k, v) => get(k).contains(v) }
       }
-    } else {
-      val loc = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(
-          s.sessionState.catalog.getDefaultDBPath("default")), table)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      write(table)
-      val kv = want.toSeq.sortBy(_._1)
+
+    def adopt(m: Map[String, String]): Unit = {
+      val bucketed = m.get("graft.bucket.n").map { n =>
+        val cols = m("graft.bucket.cols")
+        val sort = m.getOrElse("graft.bucket.sort", "")
+        val sortBy = if (sort.isEmpty) "" else s"SORTED BY ($sort) "
+        s"CLUSTERED BY ($cols) ${sortBy}INTO $n BUCKETS "
+      }.getOrElse("")
+      s.sql(s"CREATE TABLE $table (${m("graft.schema.ddl")}) USING PARQUET " +
+        bucketed + s"LOCATION '$loc'")
+      val kv = (want ++ fresh).toSeq.sortBy(_._1)
         .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
         .mkString(", ")
       s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+    }
+
+    if (s.catalog.tableExists(table) && !valid(tableProp(s, table, _))) {
+      s.sql(s"DROP TABLE $table") // external: the registry dir stays
+      if (fs.exists(loc)) fs.delete(loc, true) // …but its rows are stale
+    }
+    if (!s.catalog.tableExists(table)) {
+      val marker = new org.apache.hadoop.fs.Path(loc, MarkerName)
+      val adopted = fs.exists(marker) && {
+        val m = loadMarker(fs, marker)
+        val ok = valid(m.get)
+        if (ok) adopt(m) else fs.delete(loc, true) // stale registry entry
+        ok
+      }
+      if (!adopted) {
+        if (fs.exists(loc)) fs.delete(loc, true) // markerless half-build
+        val stageTable = table + "__stage"
+        if (s.catalog.tableExists(stageTable)) s.sql(s"DROP TABLE $stageTable")
+        val stageLoc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(
+            s.sessionState.catalog.getDefaultDBPath("default")), stageTable)
+        if (fs.exists(stageLoc)) fs.delete(stageLoc, true)
+        write(stageTable)
+        val meta = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(stageTable))
+        // nullability stripped: parquet reads surface everything
+        // nullable, and v1 CREATE TABLE rejects NOT NULL constraints
+        val ddl = org.apache.spark.sql.types.StructType(
+          s.table(stageTable).schema.fields.map(_.copy(nullable = true))).toDDL
+        val m = want ++ fresh + ("graft.schema.ddl" -> ddl) ++
+          meta.bucketSpec.map(b => Map(
+            "graft.bucket.n" -> b.numBuckets.toString,
+            "graft.bucket.cols" -> b.bucketColumnNames.mkString(", "),
+            "graft.bucket.sort" -> b.sortColumnNames.mkString(", ")))
+            .getOrElse(Map.empty)
+        val built = new org.apache.hadoop.fs.Path(meta.location)
+        writeMarker(fs, new org.apache.hadoop.fs.Path(built, MarkerName), m)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(standingRoot(s)))
+        // promote: one atomic move; a racing writer that got there
+        // first wins, and its artifact (validated below) is adopted
+        if (!fs.exists(loc) && !fs.rename(built, loc) && !fs.exists(loc))
+          require(org.apache.hadoop.fs.FileUtil.copy(fs, built, fs, loc,
+            false, s.sparkContext.hadoopConfiguration),
+            s"copy $built -> $loc failed") // cross-device fallback
+        // the stage table's managed location moved away; the drop's
+        // location delete is then a no-op (or clears the copy source)
+        s.sql(s"DROP TABLE $stageTable")
+        val m2 = loadMarker(fs, new org.apache.hadoop.fs.Path(loc, MarkerName))
+        require(valid(m2.get), s"racing standing build left $loc invalid")
+        adopt(m2)
+      }
     }
     s.table(table)
   }

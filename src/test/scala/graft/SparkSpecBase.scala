@@ -24,6 +24,11 @@ object SparkSpecBase {
       // catalog tables (bucketed-layout specs) land in a temp dir, not the repo
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // the cross-JVM standing registry gets a scratch root too: test
+      // runs must not accumulate sf0.001 artifacts under the machine
+      // default (/tmp/graft-standing) that later JVMs would adopt
+      .config("spark.graft.standing.dir",
+        java.nio.file.Files.createTempDirectory("graft-standing").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -232,8 +232,12 @@ class WarehouseSpec extends SparkSpecBase {
       }
       assert(e.getMessage.contains("refusing"), e.getMessage)
       // matching: fixing the property makes the standing table served
-      // as-is — no rebuild (dirA has no parquet; a rebuild would throw)
-      spark.sql(s"ALTER TABLE $tA SET TBLPROPERTIES ('graft.source' = '$dirA')")
+      // as-is — no rebuild (dirA has no parquet; a rebuild would throw).
+      // A validly-stamped table also carries the staleness props
+      // (fingerprint 'na' for the nonexistent path, current build
+      // stamp); without them the table reads as STALE and rebuilds.
+      spark.sql(s"ALTER TABLE $tA SET TBLPROPERTIES ('graft.source' = '$dirA', " +
+        s"'graft.fingerprint' = 'na', 'graft.algover' = '${Warehouse.standingVer}')")
       val served = Dedup.sharedContainment(spark, dirA).collect()
       assert(served.length == 1 && served(0).getAs[Long]("a") == 1L,
         "matching standing table was not reused")
@@ -537,5 +541,87 @@ class WarehouseSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS wh_rollup")
     }
+  }
+
+  test("standing registry is CROSS-JVM: a catalog that forgot the table " +
+      "(the fresh-JVM in-memory-catalog case) ADOPTS the registry " +
+      "artifact — schema, rows and bucket layout intact, no rebuild") {
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("graft-standing-src").toFile.getAbsolutePath
+    Files.write(java.nio.file.Paths.get(corpus, "part.txt"), "abc".getBytes)
+    var builds = 0
+    def stage(): org.apache.spark.sql.DataFrame =
+      Warehouse.standingTable(spark, "graft_teststage", corpus) { t =>
+        builds += 1
+        Warehouse.writeStanding(
+          Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+          t, Seq("k"), 4)
+      }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpus.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val table = s"graft_teststage_$digest"
+    try {
+      val first = stage().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(builds == 1 && first == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+      // simulate the new JVM: the in-memory catalog forgets the table
+      // (external — the registry directory survives the drop)
+      spark.sql(s"DROP TABLE $table")
+      val again = stage()
+      assert(builds == 1, "catalog-less read re-ran the build instead of adopting")
+      assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == first)
+      // the adopted table keeps the write-time bucket layout: grouping
+      // on the bucket key plans without a shuffle above the scan
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = planOf(again.groupBy(col("k")).agg(sum(col("v"))))
+        assert(!plan.contains("Exchange"),
+          s"adopted table lost its bucket spec — the groupBy shuffles:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("standing registry staleness: a corpus regenerated at the SAME " +
+      "path (content fingerprint changed) rebuilds instead of serving " +
+      "the old corpus's rows; a markerless half-build is cleared") {
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("graft-standing-src2").toFile.getAbsolutePath
+    val f = java.nio.file.Paths.get(corpus, "part.txt")
+    Files.write(f, "v1".getBytes)
+    var builds = 0
+    def stage(): org.apache.spark.sql.DataFrame =
+      Warehouse.standingTable(spark, "graft_teststale", corpus) { t =>
+        builds += 1
+        Warehouse.writeStanding(Seq((builds.toLong, 1L)).toDF("k", "v"),
+          t, Seq("k"), 2)
+      }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpus.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val table = s"graft_teststale_$digest"
+    try {
+      assert(stage().collect().map(_.getLong(0)).toSeq == Seq(1L) && builds == 1)
+      stage()
+      assert(builds == 1, "unchanged corpus re-ran the build")
+      // regenerate the corpus in place: same path, new content
+      Files.write(f, "v2-longer".getBytes)
+      assert(stage().collect().map(_.getLong(0)).toSeq == Seq(2L),
+        "stale standing rows served after the corpus changed")
+      assert(builds == 2)
+      // the stale case must also hold across a catalog loss: change
+      // the corpus AND drop the table — the registry artifact's
+      // fingerprint mismatches, so adoption is refused and it rebuilds
+      Files.write(f, "v3".getBytes)
+      spark.sql(s"DROP TABLE $table")
+      assert(stage().collect().map(_.getLong(0)).toSeq == Seq(3L) && builds == 3)
+      // markerless half-build: junk at the registry location without a
+      // marker is a crashed write — cleared and rebuilt
+      spark.sql(s"DROP TABLE $table")
+      val loc = new java.io.File(
+        Warehouse.standingRoot(spark), table)
+      org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      loc.mkdirs()
+      Files.write(loc.toPath.resolve("junk.parquet"), "nope".getBytes)
+      assert(stage().collect().map(_.getLong(0)).toSeq == Seq(4L) && builds == 4)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }

@@ -73,6 +73,135 @@ class CdcPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("capture feeds the multimodal pipeline: cdc-log stream → typed " +
+      "inserts → image + text ingest twins → crossModalManifest ≡ batch " +
+      "m17 once both stores drain; while the TEXT store lags, its " +
+      "missing docs ride the manifest as img-only singletons") {
+    import java.sql.DriverManager
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamOps
+    import graft.operators.{Components, Multimodal}
+    import spark.implicits._
+
+    val dbDir = Files.createTempDirectory("derby-mm").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val c0 = DriverManager.getConnection(url)
+    try {
+      c0.createStatement().execute("""CREATE TABLE CDC_LOG (
+        "id" BIGINT PRIMARY KEY, "timestamp" VARCHAR(30) NOT NULL,
+        "tablename" VARCHAR(128) NOT NULL, "operation" VARCHAR(10) NOT NULL,
+        "before" CLOB, "after" CLOB)""")
+    } finally c0.close()
+
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+    // after-images exactly as the triggers would write them
+    val images = docs
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("text"))).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val split = images(images.length / 2)._1
+    var nextLogId = 0L
+    def insertDocs(part: Array[(Long, String)]): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val ps = c.prepareStatement("INSERT INTO CDC_LOG VALUES (?, ?, ?, ?, ?, ?)")
+        part.foreach { case (_, j) =>
+          ps.setLong(1, nextLogId)
+          ps.setString(2, f"2024-05-06 00:00:${nextLogId % 60}%02d.000")
+          ps.setString(3, "documents")
+          ps.setString(4, "INSERT")
+          ps.setString(5, null)
+          ps.setString(6, j)
+          ps.addBatch()
+          nextLogId += 1
+        }
+        ps.executeBatch(); ps.close()
+      } finally c.close()
+    }
+
+    val imgStore = Files.createTempDirectory("mm-imgstore").toString
+    val txtStore = Files.createTempDirectory("mm-txtstore").toString
+    val ckptImg = Files.createTempDirectory("mm-ckpt-img").toString
+    val ckptTxt = Files.createTempDirectory("mm-ckpt-txt").toString
+    def logStream() = StreamOps.changes(spark.readStream.format("cdc-log")
+      .option("url", url).option("logTable", "CDC_LOG").load())
+    // the two modality streams read the SAME change log at independent
+    // offsets — each drain advances only its own checkpoint
+    def drainImg(): Unit = {
+      val q = StreamOps.imgDedupIngest(
+        CdcPipeline.insertedDocs(logStream(), "documents")
+          .select(col("doc_id")).as[Long], imgStore)
+        .option("checkpointLocation", ckptImg)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def drainTxt(): Unit = {
+      val q = StreamOps.textDedupIngest(
+        CdcPipeline.insertedDocs(logStream(), "documents")
+          .select(col("doc_id"), col("text")), txtStore)
+        .option("checkpointLocation", ckptTxt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    def manifest() = StreamOps.crossModalManifest(spark, txtStore, imgStore)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("text_cluster")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("img_cluster")).map(_.toLong),
+          r.getAs[Long]("n_joint"), r.getAs[Long]("canonical_id"),
+          r.getAs[Long]("keep")))).toMap
+    // batch twins over an arbitrary doc frame, for mid-stream prefixes
+    def batchTxtClusters(d: org.apache.spark.sql.DataFrame) =
+      Dedup.dupClusters(d)
+        .select(col("doc_id"), col("cluster_rep").as("text_cluster"))
+    def batchImgClusters(d: org.apache.spark.sql.DataFrame) = {
+      val hs = Multimodal.imgHash(d.select(col("doc_id")).as[Long])
+      Components.connectedComponents(
+          d.select(col("doc_id").as("id")),
+          Multimodal.imgNearDupPairs(hs, None).select(col("a"), col("b")))
+        .select(col("id").as("doc_id"), col("rep").as("img_cluster"))
+    }
+    def expect(txt: org.apache.spark.sql.DataFrame,
+        img: org.apache.spark.sql.DataFrame) =
+      Multimodal.jointKeepOne(txt, img).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((Option(r.getAs[java.lang.Long]("text_cluster")).map(_.toLong),
+            Option(r.getAs[java.lang.Long]("img_cluster")).map(_.toLong),
+            r.getAs[Long]("n_joint"), r.getAs[Long]("canonical_id"),
+            r.getAs[Long]("keep")))).toMap
+
+    val prefix = docs.filter(col("doc_id") < split)
+    // tranche 1 arrives; both modalities drain and agree with the
+    // batch composition over the prefix
+    insertDocs(images.filter(_._1 < split))
+    drainImg(); drainTxt()
+    assert(manifest() == expect(batchTxtClusters(prefix), batchImgClusters(prefix)),
+      "caught-up prefix manifest diverged from the batch composition")
+    // tranche 2 arrives; only the IMAGE stream drains — the text store
+    // lags, and the manifest must keep the img-only docs as singletons
+    insertDocs(images.filter(_._1 >= split))
+    drainImg()
+    val lagged = manifest()
+    assert(lagged == expect(batchTxtClusters(prefix), batchImgClusters(docs)),
+      "lagging-text manifest diverged from the batch composition")
+    val imgOnly = lagged.filter { case (_, (t, _, _, _, _)) => t.isEmpty }
+    assert(imgOnly.nonEmpty && imgOnly.keySet == images.map(_._1).filter(_ >= split).toSet,
+      "tranche-2 docs did not surface as img-only rows")
+    assert(imgOnly.values.forall { case (_, i, n, _, keep) =>
+      i.nonEmpty && n == 1L && keep == 1L },
+      s"img-only docs not kept as singletons: ${imgOnly.take(3)}")
+    // text catches up: the composed manifest is exactly batch m17
+    drainTxt()
+    val m17 = Multimodal.m17CrossModalManifest(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("text_cluster")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("img_cluster")).map(_.toLong),
+          r.getAs[Long]("n_joint"), r.getAs[Long]("canonical_id"),
+          r.getAs[Long]("keep")))).toMap
+    assert(manifest() == m17, "caught-up manifest diverged from batch m17")
+  }
+
   test("capture feeds aggregation: cdc-log stream → delta-IVM rollup ≡ one-shot " +
       "aggregate, content exactly-once across drains and empty restarts") {
     import java.sql.DriverManager

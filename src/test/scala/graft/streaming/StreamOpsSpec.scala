@@ -1552,6 +1552,45 @@ class StreamOpsSpec extends SparkSpecBase {
         s"${(m17 -- composed).take(5)}")
   }
 
+  test("crossModal keep-one under store LAG: a doc present in only one " +
+      "modality's closure stays in the manifest as its own singleton " +
+      "group (keep=1, missing cluster null) — never convicted, never " +
+      "dropped") {
+    import spark.implicits._
+    // text store caught up through doc 5; image store lags (1..3 only),
+    // and doc 6 reached ONLY the image store. Text clusters: {1,2} dup,
+    // {3,4,5} singletons. Image clusters: {1,2} dup, {3} singleton.
+    val txt = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 5L))
+      .toDF("doc_id", "text_cluster")
+    val img = Seq((1L, 1L), (2L, 1L), (3L, 3L), (6L, 6L))
+      .toDF("doc_id", "img_cluster")
+    val got = graft.operators.Multimodal.jointKeepOne(txt, img).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("text_cluster")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("img_cluster")).map(_.toLong),
+          r.getAs[Long]("n_joint"), r.getAs[Long]("canonical_id"),
+          r.getAs[Long]("keep")))).toMap
+    // both-sides docs convict exactly as the batch inner form would
+    assert(got(1L) == ((Some(1L), Some(1L), 2L, 1L, 1L)))
+    assert(got(2L) == ((Some(1L), Some(1L), 2L, 1L, 0L)))
+    assert(got(3L) == ((Some(3L), Some(3L), 1L, 3L, 1L)))
+    // lagging docs: one modality unknown -> cannot share BOTH clusters
+    // with anyone -> kept as their own joint group, not dropped
+    assert(got(4L) == ((Some(4L), None, 1L, 4L, 1L)))
+    assert(got(5L) == ((Some(5L), None, 1L, 5L, 1L)))
+    assert(got(6L) == ((None, Some(6L), 1L, 6L, 1L)))
+    assert(got.size == 6, s"manifest lost rows: ${got.keySet}")
+    // and two lagging docs sharing the KNOWN cluster still stay
+    // singletons — the unknown side must not collapse to one group
+    val txt2 = Seq((7L, 7L), (8L, 7L)).toDF("doc_id", "text_cluster")
+    val img2 = Seq.empty[(Long, Long)].toDF("doc_id", "img_cluster")
+    val lag2 = graft.operators.Multimodal.jointKeepOne(txt2, img2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_joint"),
+        r.getAs[Long]("keep"))).toSet
+    assert(lag2 == Set((7L, 1L, 1L), (8L, 1L, 1L)),
+      s"same-text lagging docs wrongly grouped: $lag2")
+  }
+
   test("knnGraphStream: chunked replay converges to batch s23's graph; " +
       "redelivery is idempotent on both the complete-version and " +
       "crashed-attempt paths") {
@@ -2165,6 +2204,48 @@ class StreamOpsSpec extends SparkSpecBase {
         r.getAs[Long]("n_events"))).toSeq
     assert(streamed == batch,
       s"decayed ranking diverged: ${streamed.take(3)} vs ${batch.take(3)}")
+  }
+
+  test("decayedHittersStream on a fractional-offset session timezone " +
+      "(+05:30): the ring key truncates in the SESSION zone — hour " +
+      "boundaries sit at :30 — and chunked replay still reproduces " +
+      "batch e35 exactly") {
+    // a derived session carries its own conf: the shared suite session
+    // stays UTC, so no other test sees the zone change
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "+05:30")
+    implicit val sq = s2.sqlContext
+    val evRows = graft.Tables.events(s2, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => StreamOps.KeyedEvent(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getTimestamp(3)))
+    val in = MemoryStream[StreamOps.KeyedEvent]
+    val q = StreamOps.decayedHittersStream(in.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("decay_snaps_ist").start()
+    evRows.grouped(500).foreach { c =>
+      in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val all = s2.table("decay_snaps_ist")
+    // the zone is HONORED, not just harmless: +05:30 hour boundaries
+    // land at epoch ≡ 1800 (mod 3600) — a raw epoch/3600 truncation
+    // would put every key at ≡ 0 and silently pass an equality test
+    // against an equally-wrong batch run
+    val badKeys = all.select(explode(map_keys(col("counts"))).as("h"))
+      .filter(pmod(col("h"), lit(3600L)) =!= 1800L).count()
+    assert(badKeys == 0L, s"$badKeys ring keys not on +05:30 hour boundaries")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val latest = all
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("user_id", "counts", "n_events")
+    val streamed = StreamOps.decayedTopK(latest).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("decayed_e6"),
+        r.getAs[Long]("n_events"))).toSeq
+    val batch = graft.operators.Events.e35DecayedHitters(s2, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("decayed_e6"),
+        r.getAs[Long]("n_events"))).toSeq
+    assert(streamed == batch,
+      s"decayed ranking diverged at +05:30: ${streamed.take(3)} vs ${batch.take(3)}")
   }
 
   test("graphSearchStream: arriving queries searched against the standing " +

@@ -51,6 +51,27 @@ def load(path):
     return doc
 
 
+def smooth_samples(samples):
+    """Drop poisoned calibration samples: a sample >= 2.5x the median of
+    its neighbors is a throttle spike that landed INSIDE the fixed CPU
+    job — using it as the local clock makes every nearby query look
+    fast on that run (and flags the OTHER run's queries as 5-6x
+    regressions, the r12 [150, 1.54s] incident)."""
+    if len(samples) < 3:
+        return samples
+    kept = []
+    for i, (pos, val) in enumerate(samples):
+        neigh = [samples[j][1] for j in range(max(0, i - 2),
+                                              min(len(samples), i + 3))
+                 if j != i]
+        neigh.sort()
+        med = neigh[len(neigh) // 2]
+        if med > 0 and val >= 2.5 * med:
+            continue
+        kept.append((pos, val))
+    return kept or samples
+
+
 def nearest_cal(samples, pos, fallback):
     """Calibration sample nearest to `pos` queries-completed."""
     if not samples:
@@ -63,7 +84,7 @@ def normalized(doc):
     rerun-cal-normalized rerun)."""
     queries = doc["queries"]
     cal0 = doc.get("calibration", 1.0) or 1.0
-    samples = doc.get("calibration_samples") or []
+    samples = smooth_samples(doc.get("calibration_samples") or [])
     reruns = doc.get("reruns") or {}
     rcal = doc.get("rerun_calibration", cal0) or cal0
     names = sorted(queries)  # the run order Bench uses
@@ -87,6 +108,20 @@ def main():
                     help="flag ratio beyond this as regression/improvement")
     args = ap.parse_args()
     a, b = load(args.old), load(args.new)
+    # basis guard: a compact line's per-query "queries" map switched
+    # meaning at r13 (cold -> min(cold, rerun)). Comparing compact
+    # lines with different bases reads the basis change as a
+    # performance change. Full artifacts (raw cold + rerun maps
+    # present) renormalize from raws, so they are always comparable.
+    def full(doc):
+        return bool(doc.get("reruns"))
+    if not (full(a) and full(b)):
+        ba, bb = a.get("basis", "cold"), b.get("basis", "cold")
+        if ba != bb:
+            sys.exit(f"refusing to compare: basis fields differ "
+                     f"(old={ba}, new={bb}) and at least one side lacks "
+                     f"raw cold/rerun maps — compare the full "
+                     f"bench_out.json artifacts instead")
     na, nb = normalized(a), normalized(b)
     common = sorted(set(na) & set(nb))
     only_a = sorted(set(na) - set(nb))
@@ -111,11 +146,24 @@ def main():
             # r12), so a missing rerun sample means an old artifact
             # whose sub-2s cold time has no deflake — say so instead of
             # crying REGRESSION on unadjudicated noise
-            if q in (b.get("reruns") or {}):
-                mark = "  REGRESSION"
-                flagged += 1
-            else:
+            if q not in (b.get("reruns") or {}):
                 mark = "  UNADJUDICATED (no rerun sample in new run)"
+            else:
+                # raw second opinion: if neither the raw cold nor the
+                # raw rerun moved >= 25%, the normalized swing came
+                # from the calibration clock, not the query
+                ra = a["queries"].get(q)
+                rb = b["queries"].get(q)
+                rra = (a.get("reruns") or {}).get(q)
+                rrb = (b.get("reruns") or {}).get(q)
+                cold_moved = ra and rb and rb / ra >= 1.25
+                rerun_moved = (rra is None or rrb is None or
+                               (rra > 0 and rrb / rra >= 1.25))
+                if cold_moved or rerun_moved:
+                    mark = "  REGRESSION"
+                    flagged += 1
+                else:
+                    mark = "  calibration artifact (raw cold+rerun flat)"
         elif ratio <= 1 / args.threshold and va - vb > 0.2:
             mark = "  improved"
         print(f"{q:34} {va:8.2f} {vb:8.2f} {ratio:7.2f}{mark}")
