@@ -20,12 +20,17 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    if (mode != "time") df.explain("formatted")
+    if (mode != "time" && mode != "timec") df.explain("formatted")
     if (mode != "explain") (1 to repeat).foreach { i =>
       val t0 = System.nanoTime()
       // noop sink = full-plan execution (count() lets Catalyst prune
-      // output-only columns — same reasoning as Bench)
-      df.write.format("noop").mode("overwrite").save()
+      // output-only columns — same reasoning as Bench). `timec`
+      // RECONSTRUCTS the frame inside the timed section — the Bench
+      // cost shape, and the only honest timing for queries that run
+      // eager stages (checkpointed loops) at construction
+      val run = if (mode == "timec") SparkEntry.queries(name)(spark, sfDir)
+                else df
+      run.write.format("noop").mode("overwrite").save()
       println(f"TIMING $name run=$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
     spark.stop()

@@ -677,7 +677,7 @@ object Relational {
     * exchange-free on the edge side — the [[Warehouse.writeBucketed]]
     * contract. */
   def q24PageRank(s: SparkSession, d: String): DataFrame =
-    pageRank(sharedPrGraph(s, d), PrIters)
+    pageRankLoop(sharedPrInvariants(s, d), PrIters)
       .select(
         when(col("node") >= PrOffset, "customer").otherwise("supplier")
           .as("node_type"),
@@ -707,6 +707,33 @@ object Relational {
 
   private val prGraphCache = graft.operators.SessionCaches.newCache()
 
+  /** The rank loop's INVARIANTS — (edge⨝out-degree hash-partitioned +
+    * sorted on src, node set) — shared at BOTH grains: per session
+    * (every q24 run re-enters the loop but never re-derives its
+    * inputs) and across sessions/JVMs via the standing registry (the
+    * degree-joined edge list is a pure function of the corpus, so it
+    * earns the [[Warehouse.standingTable]] discipline; bucketed by
+    * src, the standing scan hands the loop the same exchange-free
+    * sort-merge join the in-session repartition+sort checkpoint did —
+    * the "at cluster scale the edge list is bucketed by src" posture
+    * stated on [[q24PageRank]], made the actual executed layout). */
+  private[graft] def sharedPrInvariants(s: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    graft.operators.SessionCaches.getOrBuildVal(prInvCache, s, d) {
+      val ed = graft.operators.Warehouse.standingTable(s, "graft_predges", d) { t =>
+        val e = sharedPrGraph(s, d)
+        graft.operators.Warehouse.writeStanding(
+          e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"),
+          t, Seq("src"), nBuckets = 32)
+      }
+      val nodes = ed.select(col("src").as("node")).distinct()
+        .sortWithinPartitions("node").localCheckpoint()
+      (ed, nodes)
+    }
+
+  private val prInvCache =
+    graft.operators.SessionCaches.newValCache[(DataFrame, DataFrame)]()
+
   /** Library form of [[q24PageRank]] over any directed (src, dst) edge
     * frame → (node, rank) e9 fixed-point ranks after `iters` rounds;
     * presentation and node decoding left to the caller. Bit-identical
@@ -733,6 +760,15 @@ object Relational {
       .sortWithinPartitions("src").localCheckpoint()
     val nodes = ed.select(col("src").as("node")).distinct()
       .sortWithinPartitions("node").localCheckpoint()
+    pageRankLoop((ed, nodes), iters)
+  }
+
+  /** The rank loop over already-prepared invariants (the
+    * [[sharedPrInvariants]] / [[pageRank]] split: q24 re-enters the
+    * loop per run but shares its inputs). */
+  private[graft] def pageRankLoop(inv: (DataFrame, DataFrame),
+      iters: Int): DataFrame = {
+    val (ed, nodes) = inv
     var rank = nodes.withColumn("rank", lit(PrScale))
     for (i <- 1 to iters) {
       val contrib = ed.join(rank, ed("src") === rank("node"))
@@ -744,11 +780,14 @@ object Relational {
         .select(col("node"),
           (lit(PrScale * 15L / 100L) + coalesce(col("in_c"), lit(0L)))
             .as("rank"))
-      // checkpoint every SECOND round (and the last): two iterations
-      // compose as one plan (rank feeds exactly one join per round, so
-      // no subtree duplication), halving the per-round jobs; lineage
-      // still truncates before planning can balloon
-      if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
+      // checkpoint every THIRD round (and the last): iterations compose
+      // as one plan (rank feeds exactly one join per round, so no
+      // subtree duplication), cutting per-round job scheduling — the
+      // dominant cost at toy scale (r14 measured: cadence 1 ≈ 4.5 s,
+      // 2 ≈ 2.7 s, 3 and fully-unrolled ≈ 2.1–2.5 s, within noise of
+      // each other); lineage still truncates before planning balloons
+      // at larger `iters`
+      if (i % 3 == 0 || i == iters) rank = rank.localCheckpoint()
     }
     rank
   }
