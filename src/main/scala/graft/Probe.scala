@@ -19,7 +19,11 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
+    // lazy: in `timec` mode NOTHING may construct outside the timed
+    // section — eager stages (checkpointed loops, standing builds)
+    // run at construction, and an untimed warm-up would both waste
+    // work and pre-fill session caches, under-measuring run=1
+    lazy val df = SparkEntry.queries(name)(spark, sfDir)
     if (mode != "time" && mode != "timec") df.explain("formatted")
     if (mode != "explain") (1 to repeat).foreach { i =>
       val t0 = System.nanoTime()
@@ -27,7 +31,7 @@ object Probe {
       // output-only columns — same reasoning as Bench). `timec`
       // RECONSTRUCTS the frame inside the timed section — the Bench
       // cost shape, and the only honest timing for queries that run
-      // eager stages (checkpointed loops) at construction
+      // eager stages at construction
       val run = if (mode == "timec") SparkEntry.queries(name)(spark, sfDir)
                 else df
       run.write.format("noop").mode("overwrite").save()

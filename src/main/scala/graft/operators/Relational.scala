@@ -726,13 +726,20 @@ object Relational {
           e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src"),
           t, Seq("src"), nBuckets = 32)
       }
-      val nodes = ed.select(col("src").as("node")).distinct()
-        .sortWithinPartitions("node").localCheckpoint()
-      (ed, nodes)
+      (ed, prNodes(ed))
     }
 
   private val prInvCache =
     graft.operators.SessionCaches.newValCache[(DataFrame, DataFrame)]()
+
+  /** The loop's node set derived from a prepared edge frame — stated
+    * once so [[sharedPrInvariants]] and [[pageRank]] can never drift
+    * apart on what a "node" is (every node appears as a src: the q24
+    * graph is symmetric by construction, and the library contract
+    * documents rank mass flowing only to reachable nodes). */
+  private def prNodes(ed: DataFrame): DataFrame =
+    ed.select(col("src").as("node")).distinct()
+      .sortWithinPartitions("node").localCheckpoint()
 
   /** Library form of [[q24PageRank]] over any directed (src, dst) edge
     * frame → (node, rank) e9 fixed-point ranks after `iters` rounds;
@@ -758,9 +765,7 @@ object Relational {
     // scale already — narrowing 32→5→1 made it 1.3×→2.4× slower.)
     val ed = e.join(deg, "src").repartition(col("src"))
       .sortWithinPartitions("src").localCheckpoint()
-    val nodes = ed.select(col("src").as("node")).distinct()
-      .sortWithinPartitions("node").localCheckpoint()
-    pageRankLoop((ed, nodes), iters)
+    pageRankLoop((ed, prNodes(ed)), iters)
   }
 
   /** The rank loop over already-prepared invariants (the

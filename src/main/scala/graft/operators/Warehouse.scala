@@ -291,8 +291,10 @@ object Warehouse {
     * scratch dir so runs don't accumulate registry entries). */
   def standingRoot(s: SparkSession): String =
     s.conf.getOption("spark.graft.standing.dir")
-      .getOrElse(new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-standing").toString)
+      .getOrElse(new java.io.File(sys.props("java.io.tmpdir"),
+        // user-scoped: a fixed world-shared /tmp name would collide
+        // (or be pre-creatable) across users on a shared machine
+        s"graft-standing-${sys.props.getOrElse("user.name", "anon")}").toString)
 
   /** Build stamp folded into every standing artifact: an md5 over the
     * BYTES of every .class in this library's build, in sorted-name
@@ -314,7 +316,11 @@ object Warehouse {
       var n = in.read(buf)
       while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
     }
-    if (res == null) "na"
+    // fail-SAFE fallback: unique per JVM, so an environment where the
+    // resource can't be resolved (shaded/nested jar, jrt) rebuilds
+    // rather than letting two DIFFERENT builds stamp the same constant
+    // and adopt each other's artifacts
+    if (res == null) "na-" + java.util.UUID.randomUUID().toString
     else if (res.getProtocol == "file") {
       // …/classes/graft/operators/Warehouse$.class → the classes root
       val root = java.nio.file.Paths.get(res.toURI)
@@ -344,7 +350,7 @@ object Warehouse {
           }
         md.digest().map(b => f"$b%02x").mkString
       } finally jar.close()
-    } else "na"
+    } else "na-" + java.util.UUID.randomUUID().toString
   }
 
   /** Content fingerprint of the source corpus directory: md5 over the
@@ -487,8 +493,13 @@ object Warehouse {
     }
 
     if (s.catalog.tableExists(table) && !valid(tableProp(s, table, _))) {
-      s.sql(s"DROP TABLE $table") // external: the registry dir stays
-      if (fs.exists(loc)) fs.delete(loc, true) // …but its rows are stale
+      // drop only the CATALOG entry and let the marker-validation path
+      // below decide the artifact's fate: an UNSTAMPED catalog table (a
+      // crash between adopt's CREATE and its property ALTER) can point
+      // at a perfectly valid registry artifact, which must be
+      // re-adopted, not destroyed; a genuinely stale artifact fails
+      // marker validation and is deleted there
+      s.sql(s"DROP TABLE $table")
     }
     if (!s.catalog.tableExists(table)) {
       val marker = new org.apache.hadoop.fs.Path(loc, MarkerName)
@@ -524,10 +535,19 @@ object Warehouse {
         fs.mkdirs(new org.apache.hadoop.fs.Path(standingRoot(s)))
         // promote: one atomic move; a racing writer that got there
         // first wins, and its artifact (validated below) is adopted
-        if (!fs.exists(loc) && !fs.rename(built, loc) && !fs.exists(loc))
-          require(org.apache.hadoop.fs.FileUtil.copy(fs, built, fs, loc,
+        if (!fs.exists(loc) && !fs.rename(built, loc) && !fs.exists(loc)) {
+          // cross-device fallback: copy to a STAGING name inside the
+          // registry root, then rename — a direct copy to loc would
+          // land the marker before the data files (it sorts first) and
+          // a concurrent JVM could adopt a half-copied artifact
+          val tmp = new org.apache.hadoop.fs.Path(standingRoot(s),
+            s".copy_$table")
+          fs.delete(tmp, true)
+          require(org.apache.hadoop.fs.FileUtil.copy(fs, built, fs, tmp,
             false, s.sparkContext.hadoopConfiguration),
-            s"copy $built -> $loc failed") // cross-device fallback
+            s"copy $built -> $tmp failed")
+          if (!fs.rename(tmp, loc)) fs.delete(tmp, true) // lost the race
+        }
         // the stage table's managed location moved away; the drop's
         // location delete is then a no-op (or clears the copy source)
         s.sql(s"DROP TABLE $stageTable")

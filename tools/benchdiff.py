@@ -157,8 +157,12 @@ def main():
                 rra = (a.get("reruns") or {}).get(q)
                 rrb = (b.get("reruns") or {}).get(q)
                 cold_moved = ra and rb and rb / ra >= 1.25
-                rerun_moved = (rra is None or rrb is None or
-                               (rra > 0 and rrb / rra >= 1.25))
+                # a missing rerun sample on either side gives NO
+                # opinion — it must not default to "moved" (that would
+                # re-open the calibration-artifact false positive on
+                # sub-2s queries the old run never deflaked)
+                rerun_moved = (rra is not None and rrb is not None and
+                               rra > 0 and rrb / rra >= 1.25)
                 if cold_moved or rerun_moved:
                     mark = "  REGRESSION"
                     flagged += 1
