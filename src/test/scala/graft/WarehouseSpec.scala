@@ -543,6 +543,26 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("standing PageRank edges: a loop round's contribution join plans " +
+      "with NO exchange above the standing bucketed edge scan — the " +
+      "'edge list bucketed by src' posture executed, not asserted") {
+    import graft.operators.Relational
+    val (ed, nodes) = Relational.sharedPrInvariants(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rank = nodes.withColumn("rank", lit(Relational.PrScale))
+      val round = ed.join(rank, ed("src") === rank("node"))
+      val plan = planOf(round)
+      assert(plan.contains("graft_predges"),
+        s"round join not over the standing edge table:\n$plan")
+      // exactly one exchange: the node-sized rank side repartitions to
+      // the bucket width; the edge side rides the write-time layout
+      assert(nShuffles(plan) <= 1,
+        s"edge side shuffles over the standing scan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("standing registry is CROSS-JVM: a catalog that forgot the table " +
       "(the fresh-JVM in-memory-catalog case) ADOPTS the registry " +
       "artifact — schema, rows and bucket layout intact, no rebuild") {
