@@ -345,15 +345,20 @@ object Similarity {
     // O(n²) tile join
     sharedEmbedPairs(s, d).orderBy(col("a"), col("b"))
 
-  /** Session-scoped STANDING exact-cosine pair set — the tiled O(n²)
-    * stage materialized once per (session, dir) and read by both
-    * consumers (s3's listing, d7's cluster resolution): the
-    * [[graft.operators.Dedup.sharedLshPairs]] pay-once discipline
-    * applied to the most expensive pair stage in the library. */
+  /** CROSS-SESSION STANDING exact-cosine pair set — the tiled O(n²)
+    * stage materialized once per REGISTRY (the
+    * [[graft.operators.Warehouse.standingTable]] discipline; was
+    * session-scoped through round 13) and read by both consumers
+    * (s3's listing, d7's cluster resolution): the most expensive pair
+    * stage in the library, a pure function of the corpus, now paid
+    * once per (corpus, build) across JVMs. */
   private[graft] def sharedEmbedPairs(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(embedPairCache, s, d)(
-      cosinePairsRaw(embeddings(s, d), s.sparkContext.defaultParallelism)
-        .localCheckpoint())
+      Warehouse.standingTable(s, "graft_embpairs", d) { t =>
+        Warehouse.writeStanding(
+          cosinePairsRaw(embeddings(s, d), s.sparkContext.defaultParallelism),
+          t, Seq("a"), nBuckets = 32)
+      })
 
   private val embedPairCache = SessionCaches.newCache()
 
@@ -444,17 +449,20 @@ object Similarity {
         when(col("id") === col("rep"), 1L).otherwise(0L).as("is_canonical"))
       .orderBy(col("vec_id"))
 
-  /** Session-scoped STANDING embedding-cluster resolution — the
+  /** CROSS-SESSION STANDING embedding-cluster resolution — the
     * [[graft.operators.Dedup.sharedClusters]] discipline on the
-    * cosine-pair graph: the multi-job CC loop runs once per (session,
-    * dir) over the shared pair stage and consumers read the
-    * checkpointed (id, rep) map. */
+    * cosine-pair graph: the multi-job CC loop runs once per REGISTRY
+    * over the shared pair stage and consumers read the standing
+    * (id, rep) map (was session-scoped through round 13). */
   private[graft] def sharedEmbedComponents(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(embedCompCache, s, d)(
-      Components.connectedComponents(
-        embeddings(s, d).select(col("vec_id").as("id")),
-        sharedEmbedPairs(s, d).select(col("a"), col("b")))
-        .localCheckpoint())
+      Warehouse.standingTable(s, "graft_embcomp", d) { t =>
+        Warehouse.writeStanding(
+          Components.connectedComponents(
+            embeddings(s, d).select(col("vec_id").as("id")),
+            sharedEmbedPairs(s, d).select(col("a"), col("b"))),
+          t, Seq("id"), nBuckets = 32)
+      })
 
   private val embedCompCache = SessionCaches.newCache()
 
@@ -698,19 +706,23 @@ object Similarity {
     * s1/s14/s16 oracle statements (each as a CTE), so the ladder can
     * never drift from the rankings it measures. */
   def s18RecallLadder(s: SparkSession, d: String): DataFrame = {
-    // Each rung's (qid, nid) list is SESSION-SHARED: a pure function
-    // of the corpus, NQueries·TopK rows (driver-tiny), checkpointed
-    // once per (session, corpus) — the ladder used to re-EXECUTE s1
-    // plus all five rung queries inside itself on every run (~9 s
+    // Each rung's (qid, nid) list is STANDING: a pure function of the
+    // corpus, NQueries·TopK rows (driver-tiny), persisted once per
+    // (corpus, build) in the registry — the ladder used to re-EXECUTE
+    // s1 plus all five rung queries inside itself on every run (~9 s
     // sustained even warm, the one genuinely recurring bench row of
-    // r12); now only its FIRST run pays the rung builds and every
-    // later run folds six tiny cached lists. The rung queries
+    // r12; r13 made the rungs session-shared, r14 makes them survive
+    // JVM turnover too — a fresh JVM's ladder folds six tiny adopted
+    // tables instead of re-running six ANN queries). The rung queries
     // themselves keep their own uncached plans (their specs assert
     // plan shape), so this cache changes no query's semantics — the
     // oracle still derives verbatim from the rung statements.
     def rung(name: String, build: => DataFrame): DataFrame =
       SessionCaches.getOrBuild(rungCache, s, s"$name|$d")(
-        build.select(col("qid"), col("nid")).localCheckpoint())
+        Warehouse.standingTable(s, s"graft_s18_$name", d) { t =>
+          Warehouse.writeStanding(build.select(col("qid"), col("nid")),
+            t, Seq("qid"), nBuckets = 4)
+        })
     val exact = rung("exact", s1KnnBrute(s, d))
     val nExact = exact.count()
     def row(method: String, approx: DataFrame): DataFrame = {
@@ -869,22 +881,28 @@ object Similarity {
   def d12SemDedup(s: SparkSession, d: String): DataFrame =
     sharedSemResolution(s, d, maxCluster = None).orderBy(col("vec_id"))
 
-  /** Session-scoped STANDING SemDeDup resolution — assignment +
+  /** CROSS-SESSION STANDING SemDeDup resolution — assignment +
     * within-cluster pairs + CC, a pure function of (corpus,
-    * maxCluster), checkpointed once per posture (the cap rides the
-    * cache key — the sharedContainment fence). The streaming store
+    * maxCluster), standing once per posture (the cap rides the table
+    * NAME and a validated property — the sharedContainment fence; was
+    * session-scoped through round 13). The streaming store
     * ([[graft.streaming.StreamOps.semDedupIngest]]) is its
-    * cross-session versioned form. */
+    * continuously-maintained form. */
   private[graft] def sharedSemResolution(s: SparkSession, d: String,
       maxCluster: Option[Int]): DataFrame =
     SessionCaches.getOrBuild(semResCache, s,
         maxCluster.fold(d)(m => s"$d|maxcluster=$m")) {
-      val e = withNorm(embeddings(s, d))
-      val cents = collectCodebook(e)
-      val assigned = assignClusters(e, cents)
-        .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
-        .localCheckpoint()
-      resolveSemClusters(assigned, maxCluster).localCheckpoint()
+      Warehouse.standingTable(s,
+        maxCluster.fold("graft_semres")(m => s"graft_semres_cap$m"), d,
+        Map("graft.maxcluster" -> maxCluster.fold("none")(_.toString))) { t =>
+        val e = withNorm(embeddings(s, d))
+        val cents = collectCodebook(e)
+        val assigned = assignClusters(e, cents)
+          .select(col("vec_id"), col("embedding"), col("norm_fp"), col("cluster"))
+          .localCheckpoint()
+        Warehouse.writeStanding(resolveSemClusters(assigned, maxCluster),
+          t, Seq("vec_id"), nBuckets = 32)
+      }
     }
 
   private val semResCache = SessionCaches.newCache()
@@ -1457,16 +1475,20 @@ object Similarity {
     sharedIvfGraph(s, d)
       .orderBy(col("src"), col("rank"))
 
-  /** Session-scoped STANDING IVF kNN graph — [[ivfGraphEdges]]
-    * materialized once per (session, dir) and read by its three
-    * consumers (s23's listing, s24's single refinement round, s26's
-    * two-round unroll): the graph is THE standing artifact this family
-    * maintains (n×k rows, tiny), and
+  /** CROSS-SESSION STANDING IVF kNN graph — [[ivfGraphEdges]]
+    * materialized once per REGISTRY (was session-scoped through round
+    * 13) and read by its three consumers (s23's listing, s24's single
+    * refinement round, s26's two-round unroll): the graph is THE
+    * standing artifact this family maintains (n×k rows), bucketed by
+    * src for the refinement self-joins;
     * [[graft.streaming.StreamOps.knnGraphStream]]'s versioned store is
-    * its cross-session form. */
+    * its continuously-maintained form. */
   private[graft] def sharedIvfGraph(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(ivfGraphCache, s, d)(
-      ivfGraphEdges(withNorm(embeddings(s, d))).localCheckpoint())
+      Warehouse.standingTable(s, "graft_ivfgraph", d) { t =>
+        Warehouse.writeStanding(ivfGraphEdges(withNorm(embeddings(s, d))),
+          t, Seq("src"), nBuckets = 32)
+      })
 
   private val ivfGraphCache = SessionCaches.newCache()
 
