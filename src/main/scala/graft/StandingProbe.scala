@@ -32,7 +32,12 @@ object StandingProbe {
         "m15_audio_manifest" -> operators.Multimodal.m15AudioManifest _,
         "m16_video_manifest" -> operators.Multimodal.m16VideoManifest _,
         "m17_crossmodal" -> operators.Multimodal.m17CrossModalManifest _,
-        "d6_dup_clusters" -> operators.Dedup.d6DupClusters _)
+        "d6_dup_clusters" -> operators.Dedup.d6DupClusters _,
+        // r14: the registry families beyond the modality closures
+        "d14_minhash_dedup" -> operators.Dedup.d14MinhashDedup _,
+        "d12_semdedup" -> operators.Similarity.d12SemDedup _,
+        "s18_recall_ladder" -> operators.Similarity.s18RecallLadder _,
+        "x40_ingest_decide" -> operators.TextAnalysis.x40IngestDecide _)
     def time(s: SparkSession,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -156,7 +156,14 @@ object Dedup {
     * manifest. */
   private[graft] def sharedLshPairs(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(lshPairCache, s, d)(
-      lshCandidatesRaw(sigs(s, d), maxBucket = None).localCheckpoint())
+      // standing since r14: the candidate stage is a pure function of
+      // the corpus — a fresh JVM adopts instead of re-running the
+      // signature + band join (the Warehouse.standingTable discipline)
+      Warehouse.standingTable(s, "graft_lshpairs", d) { t =>
+        Warehouse.writeStanding(
+          lshCandidatesRaw(sigs(s, d), maxBucket = None),
+          t, Seq("a"), nBuckets = 32)
+      })
 
   private val lshPairCache = SessionCaches.newCache()
 
@@ -399,7 +406,10 @@ object Dedup {
     * signature pipeline re-executes once per audited config. */
   private[graft] def sharedSweepBase(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(sweepBaseCache, s, d)(
-      sweepSigBase(documents(s, d)).localCheckpoint())
+      Warehouse.standingTable(s, "graft_sweepbase", d) { t =>
+        Warehouse.writeStanding(sweepSigBase(documents(s, d)),
+          t, Seq("doc_id"), nBuckets = 32)
+      })
 
   private val sweepBaseCache = SessionCaches.newCache()
 
@@ -411,7 +421,10 @@ object Dedup {
     * against the checkpointed truth. */
   private[graft] def sharedSweepTruth(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(sweepTruthCache, s, d)(
-      sweepTruth(sharedSweepBase(s, d), D14TauE6).localCheckpoint())
+      Warehouse.standingTable(s, "graft_sweeptruth", d) { t =>
+        Warehouse.writeStanding(sweepTruth(sharedSweepBase(s, d), D14TauE6),
+          t, Seq("a"), nBuckets = 32)
+      })
 
   private val sweepTruthCache = SessionCaches.newCache()
 
@@ -577,7 +590,10 @@ object Dedup {
     * SimHash blocker, and the [[sharedClusters]] resolution build. */
   private[graft] def sharedSimhashPairs(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(simPairCache, s, d)(
-      simhashPairs(documents(s, d)).localCheckpoint())
+      Warehouse.standingTable(s, "graft_simpairs", d) { t =>
+        Warehouse.writeStanding(simhashPairs(documents(s, d)),
+          t, Seq("a"), nBuckets = 32)
+      })
 
   private val simPairCache = SessionCaches.newCache()
 
@@ -762,12 +778,17 @@ object Dedup {
       maxBucket: Option[Int]): DataFrame =
     SessionCaches.getOrBuild(verifiedClusterCache, s,
         maxBucket.fold(d)(m => s"$d|maxbucket=$m")) {
-      val docs = documents(s, d).repartition(col("doc_id"))
-      val cands = maxBucket match {
-        case None => sharedLshPairs(s, d)
-        case cap  => lshCandidatesRaw(lshIndex(docs), cap)
+      Warehouse.standingTable(s,
+        maxBucket.fold("graft_vclusters")(m => s"graft_vclusters_cap$m"), d,
+        Map("graft.maxbucket" -> maxBucket.fold("none")(_.toString))) { t =>
+        val docs = documents(s, d).repartition(col("doc_id"))
+        val cands = maxBucket match {
+          case None => sharedLshPairs(s, d)
+          case cap  => lshCandidatesRaw(lshIndex(docs), cap)
+        }
+        Warehouse.writeStanding(verifiedClustersFrom(docs, cands),
+          t, Seq("doc_id"), nBuckets = 32)
       }
-      verifiedClustersFrom(docs, cands).localCheckpoint()
     }
 
   private val verifiedClusterCache = SessionCaches.newCache()

@@ -744,7 +744,13 @@ object TextAnalysis {
     * pipeline runs once and every consumer reads the checkpoint. */
   private[graft] def sharedGrams13(s: SparkSession, d: String): DataFrame =
     SessionCaches.getOrBuild(gramCache, s, d)(
-      gramSets(documents(s, d), 13).localCheckpoint())
+      // standing since r14 (the Warehouse.standingTable discipline):
+      // the 13-gram pipeline runs once per (corpus, build), not once
+      // per JVM
+      Warehouse.standingTable(s, "graft_grams13", d) { t =>
+        Warehouse.writeStanding(gramSets(documents(s, d), 13),
+          t, Seq("doc_id"), nBuckets = 32)
+      })
 
   private val gramCache = SessionCaches.newCache()
 
@@ -1200,8 +1206,12 @@ object TextAnalysis {
     // chain executed twice per session (x16's gated row keeps its own
     // fused full-column plan — different output, untouched)
     val scored = SessionCaches.getOrBuild(ccnetScoreCache, s, d)(
-      bigramScore(documents(s, d))
-        .select(col("doc_id"), col("mean_lp_e4")).localCheckpoint())
+      Warehouse.standingTable(s, "graft_ccnetscore", d) { t =>
+        Warehouse.writeStanding(
+          bigramScore(documents(s, d))
+            .select(col("doc_id"), col("mean_lp_e4")),
+          t, Seq("doc_id"), nBuckets = 32)
+      })
     val ranked = Relational.globalRank(scored,
       Seq(col("mean_lp_e4").desc_nulls_last, col("doc_id").asc))
     val n = ranked.agg(count(lit(1)).as("n_total"))
@@ -2340,16 +2350,19 @@ object TextAnalysis {
     // production form persists the postings index and appends
     // (Warehouse.appendPostingsIndex); this cache is its session twin
     val near = SessionCaches.getOrBuild(ingestNearCache, s, d) {
-      val cands = Dedup.incrementalCandidates(
-        Dedup.lshIndex(rdocs.filter(col("doc_id") < split)),
-        Dedup.lshIndex(rdocs.filter(col("doc_id") >= split)),
-        maxBucket = None)
-      Dedup.verifiedPairsFrom(docs, cands.select(col("a"), col("b")))
-        .filter(col("b") >= split) // pairs are canonical a < b: "has a
-        .select(col("b").as("doc_id")) // verified smaller partner" = appears as b
-        .distinct()
-        .withColumn("near_dup", lit(true))
-        .localCheckpoint()
+      Warehouse.standingTable(s, "graft_ingestnear", d) { t =>
+        val cands = Dedup.incrementalCandidates(
+          Dedup.lshIndex(rdocs.filter(col("doc_id") < split)),
+          Dedup.lshIndex(rdocs.filter(col("doc_id") >= split)),
+          maxBucket = None)
+        Warehouse.writeStanding(
+          Dedup.verifiedPairsFrom(docs, cands.select(col("a"), col("b")))
+            .filter(col("b") >= split) // pairs are canonical a < b: "has a
+            .select(col("b").as("doc_id")) // verified smaller partner" = appears as b
+            .distinct()
+            .withColumn("near_dup", lit(true)),
+          t, Seq("doc_id"), nBuckets = 4)
+      }
     }
     val sub = Dedup.subsumptionFrom(
       Dedup.sharedContainment(s, d).filter(col("a") >= split), arriving)
@@ -2375,8 +2388,11 @@ object TextAnalysis {
     // function of (corpus, split), (doc_id, mean_lp_e4)-narrow output;
     // the production artifact refreshes at the corpus owner's cadence
     val scoredAll = SessionCaches.getOrBuild(ingestScoreCache, s, d)(
-      bigramMeanLp(docs.filter(col("doc_id") < split), docs)
-        .localCheckpoint())
+      Warehouse.standingTable(s, "graft_ingestscore", d) { t =>
+        Warehouse.writeStanding(
+          bigramMeanLp(docs.filter(col("doc_id") < split), docs),
+          t, Seq("doc_id"), nBuckets = 32)
+      })
     assembleIngestDecision(arriving, exact, near, sub, qual, lang, splits,
       dirty, scoredAll,
       ccnetBoundaries(scoredAll.filter(col("doc_id") < split)))

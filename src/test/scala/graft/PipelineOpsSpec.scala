@@ -891,11 +891,16 @@ class PipelineOpsSpec extends SparkSpecBase {
     val plan = planOf(Dedup.lshCandidates(Dedup.lshIndex(docs), None))
     assert(plan.split("Scan parquet").length - 1 == 1,
       s"d3's build scans documents more than once:\n$plan")
-    // the query path reads the shared checkpoint: ZERO document scans
+    // the query path reads the STANDING pair table (r14: the shared
+    // stage persists through the registry): one scan — the standing
+    // table itself — and no re-run of the signature/band pipeline
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val qPlan = planOf(Dedup.d3LshCandidates(spark, sf))
-    assert(qPlan.split("Scan parquet").length - 1 == 0 &&
-      qPlan.contains("Scan ExistingRDD"),
-      s"d3 query does not read the shared checkpoint:\n$qPlan")
+    assert(qPlan.contains(s"graft_lshpairs_$digest"),
+      s"d3 query does not read the standing pair table:\n$qPlan")
+    assert(!qPlan.contains("Generate"),
+      s"d3 query re-runs the signature explode:\n$qPlan")
   }
 
   test("d5 hamming-ball bucketing: single scan, no O(n²) pair join") {
@@ -905,10 +910,13 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"d5's build scans documents more than once:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"d5 regressed to a quadratic pair scan:\n$plan")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val qPlan = planOf(Dedup.d5SimhashPairs(spark, sf))
-    assert(qPlan.split("Scan parquet").length - 1 == 0 &&
-      qPlan.contains("Scan ExistingRDD"),
-      s"d5 query does not read the shared checkpoint:\n$qPlan")
+    assert(qPlan.contains(s"graft_simpairs_$digest"),
+      s"d5 query does not read the standing pair table:\n$qPlan")
+    assert(!qPlan.contains("Generate"),
+      s"d5 query re-runs the hamming-ball explode:\n$qPlan")
   }
 
   test("d10 blocking union ≡ union of its three blockers with exact provenance") {
