@@ -2289,6 +2289,66 @@ object Similarity {
       .orderBy(col("qid"), col("cos_e6").desc, col("nid"))
   }
 
+  /** Number of representatives the s30 k-center coreset selects. */
+  val KCenterK = 8
+
+  /** One farthest-point round: the e6 fixed-point MAX cosine of every
+    * unchosen vector to the chosen set (broadcast as literals, same as
+    * the IVF codebook) — a NARROW greatest-of-cosines projection over
+    * the [[dotFp9]] kernel, no exchange (plan-pinned). The round's
+    * argmin (farthest point) is `orderBy(mx, vec_id).limit(1)` on this
+    * frame: a TakeOrdered reduction (per-partition top-1, driver merges
+    * one row per partition). */
+  private[graft] def kcenterRound(e: DataFrame,
+      centers: Seq[Centroid]): DataFrame = {
+    val cos = centers.map(c =>
+      round(cosine(dotFp9(col("embedding"), array(c.emb.map(lit): _*)),
+        col("norm_fp"), lit(c.normFp)) * 1e6).cast("long"))
+    val mx = if (cos.sizeIs == 1) cos.head else greatest(cos: _*)
+    e.filter(!col("vec_id").isin(centers.map(_.cid): _*))
+      .select(col("vec_id"), col("embedding"), col("norm_fp"), mx.as("mx"))
+  }
+
+  /** s30: GREEDY K-CENTER coreset selection — farthest-point traversal
+    * (Gonzalez 1985's 2-approximation for the k-center objective; the
+    * diverse-subset / coreset primitive of training-data curation:
+    * pick a representative slice whose every corpus point is close to
+    * some representative). Seed = vec_id 0, then k−1 rounds each
+    * adding the point with MINIMUM max-cosine (= maximum cosine
+    * DISTANCE) to the chosen set. Output: selection order, vector id,
+    * and the farness (1e6 − max-cos-e6 at selection) — a monotone
+    * non-increasing radius ladder that doubles as the coreset's
+    * coverage certificate (round r's farness bounds the k-center
+    * radius of the first r representatives).
+    *
+    * Scale notes (100 TB): the chosen set is k driver-side rows
+    * broadcast as literals; each round is ONE corpus scan (narrow
+    * projection, zero exchanges) feeding a TakeOrdered(1) reduction —
+    * k scans total, the textbook distributed farthest-first traversal
+    * (e.g. the seeding pass of k-means|| , Bahmani et al. VLDB'12).
+    * Determinism: the argmin orders by the e6 fixed-point max cosine
+    * with vec_id tiebreak — the exact integer order the oracle's
+    * unrolled CTE chain states. */
+  def s30KCenterCoreset(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), col("norm_fp"))
+    val seed = e.filter(col("vec_id") === 0L).collect().head
+    var centers =
+      Vector(Centroid(seed.getLong(0), seed.getSeq[Float](1), seed.getLong(2)))
+    var rows = Vector((1L, centers.head.cid, 2000000L))
+    (2 to KCenterK).foreach { r =>
+      val pick = kcenterRound(e, centers)
+        .orderBy(col("mx").asc, col("vec_id").asc)
+        .limit(1).collect().head
+      centers :+=
+        Centroid(pick.getLong(0), pick.getSeq[Float](1), pick.getLong(2))
+      rows :+= ((r.toLong, pick.getLong(0), 1000000L - pick.getLong(3)))
+    }
+    val sp = s
+    import sp.implicits._
+    rows.toDF("rank", "vec_id", "far_e6").orderBy(col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute"    -> s1KnnBrute _,
     "s2_knn_ivf"      -> s2KnnIvf _,
@@ -2317,6 +2377,7 @@ object Similarity {
     "s27_graph_search" -> s27GraphSearch _,
     "s28_mmr_rerank" -> s28MmrRerank _,
     "s29_knn_ivfpq_residual" -> s29KnnIvfPqResidual _,
+    "s30_kcenter"     -> s30KCenterCoreset _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -2623,7 +2684,36 @@ object Similarity {
          |FROM ladder ORDER BY method""".stripMargin)
   }
 
+  /** s30's oracle: the greedy farthest-point recurrence UNROLLED as a
+    * CTE chain (cents_r = cents_{r-1} ∪ argmin of the max e6 cosine to
+    * cents_{r-1}, vec_id tiebreak) — the same integer order the engine
+    * states, one CTE pair per round. */
+  private def kcenterOracle: String = {
+    val rounds = (2 to KCenterK).map { r =>
+      val p = r - 1
+      s"""
+         |, m$r AS (SELECT e.vec_id,
+         |    max(CAST(round(${oCos(oDot("e.embedding", "c.embedding"),
+                "e.norm_fp", "c.norm_fp")} * 1e6) AS BIGINT)) AS mx
+         |  FROM e, cents$p c
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM cents$p)
+         |  GROUP BY e.vec_id),
+         |sel$r AS (SELECT vec_id, mx FROM m$r ORDER BY mx ASC, vec_id LIMIT 1),
+         |cents$r AS (SELECT * FROM cents$p UNION ALL
+         |  SELECT CAST($r AS BIGINT), e.vec_id, e.embedding, e.norm_fp,
+         |    CAST(1000000 - s.mx AS BIGINT)
+         |  FROM e JOIN sel$r s USING (vec_id))""".stripMargin
+    }.mkString
+    NormCte +
+      s"""
+         |, cents1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, embedding,
+         |    norm_fp, CAST(2000000 AS BIGINT) AS far_e6 FROM e WHERE vec_id = 0)
+         |$rounds
+         |SELECT rank, vec_id, far_e6 FROM cents$KCenterK ORDER BY rank""".stripMargin
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
+    "s30_kcenter" -> kcenterOracle,
     "s1_knn_brute" ->
       (NormCte +
         s"""

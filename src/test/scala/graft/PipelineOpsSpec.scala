@@ -5047,4 +5047,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.toSeq.sortBy(t => (-t._6, t._1, t._2)) == want,
       s"collocation census diverged (got ${out.length}, want ${want.length})")
   }
+
+  test("s30 k-center coreset: integer-exact vs a driver-side greedy " +
+      "farthest-point mirror; the farness ladder is non-increasing; the " +
+      "round stage plans with zero Exchange") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def dotFp(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        graft.functions.DotFp9.roundHalfAway(x.toDouble * y.toDouble * 1e9) }.sum
+    val norms = vecs.map { case (id, v) => id -> dotFp(v, v) }
+    def cosE6(a: Long, b: Long): Long =
+      BigDecimal(dotFp(vecs(a), vecs(b)).toDouble /
+          (math.sqrt(norms(a).toDouble) * math.sqrt(norms(b).toDouble)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var centers = Vector(0L)
+    var want = Vector((1L, 0L, 2000000L))
+    (2 to Similarity.KCenterK).foreach { r =>
+      val (vid, mx) = vecs.keys.filterNot(centers.contains).map { id =>
+        (id, centers.map(c => cosE6(id, c)).max)
+      }.minBy { case (id, m) => (m, id) }
+      want :+= ((r.toLong, vid, 1000000L - mx))
+      centers :+= vid
+    }
+    val out = Similarity.s30KCenterCoreset(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(out == want, s"greedy traversal diverged: $out vs $want")
+    // coverage certificate: each later pick is no farther than the prior
+    val far = want.drop(1).map(_._3)
+    assert(far == far.sortBy(-(_: Long)),
+      s"farness ladder not non-increasing: $far")
+    val e = Similarity.withNorm(Tables.embeddings(spark, sf))
+    val plan = planOf(
+      Similarity.kcenterRound(e, Similarity.collectCodebook(e).take(2)))
+    assert(!plan.contains("Exchange"),
+      s"k-center round stage shuffles — must stay a narrow projection:\n$plan")
+  }
 }
