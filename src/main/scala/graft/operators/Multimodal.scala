@@ -1061,6 +1061,107 @@ object Multimodal {
         col("n_joint"), col("canonical_id"), col("keep"))
   }
 
+  /** One image's 8-bin intensity histogram over the REAL decoded
+    * raster — the image-side embedding of the m18 alignment filter. */
+  case class ImgHistRow(doc_id: Long, hist: Seq[Long])
+
+  /** Histogram bins (intensity 0–255 in 8 bins of 32) and the e6
+    * per-element fixed point of the text-side projection. */
+  val AlignBins = 8
+
+  /** Keep threshold of the m18 alignment filter (e6 cosine). */
+  val AlignKeepE6 = 0L
+
+  /** Library form of the m18 image stage over any doc-id Dataset:
+    * encode→DECODE the real PNG (same loop as [[imgHash]]), then an
+    * 8-bin intensity histogram of the decoded raster — unordered,
+    * streaming-valid (stateless per-partition map). */
+  def imgHistogram(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = imgWidth(id); val h = imgHeight(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, imgPixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        require(back != null, s"PNG decode failed for doc $id")
+        val br = back.getRaster
+        val bins = new Array[Long](AlignBins)
+        var yy = 0
+        while (yy < back.getHeight) {
+          var xx = 0
+          while (xx < back.getWidth) {
+            bins(br.getSample(xx, yy, 0) / 32) += 1; xx += 1
+          }
+          yy += 1
+        }
+        ImgHistRow(id, bins.toSeq)
+      }
+    }.toDF()
+  }
+
+  /** m18: CROSS-MODAL ALIGNMENT FILTER — the CLIP-score curation gate
+    * of image-text corpus building (keep a pair only when the two
+    * modalities' embeddings agree; the LAION construction): the
+    * image-side embedding is the 8-bin intensity histogram of the REAL
+    * decoded raster, the text-side embedding is the document's vector
+    * folded to 8 dims (consecutive 8-element chunk sums, e6 fixed
+    * point), and the alignment is their cosine. Output per doc: the e6
+    * alignment score and the keep decision (score ≥ [[AlignKeepE6]]).
+    * The oracle restates the image side from the closed-form pixel
+    * spec, so a codec fault anywhere upstream of the histogram fails
+    * the hash gate.
+    *
+    * Scale notes (100 TB): the decode is a stateless per-partition map
+    * (payloads never shuffle — features only); the text fold is a
+    * narrow projection over the embedding column; the single exchange
+    * pair is the id-equi-join of the two feature frames (both
+    * corpus-sized ⇒ hash join; at warehouse scale both sides ride
+    * id-bucketed standing tables like the m14–m17 manifests and the
+    * join plans exchange-free). Determinism: histogram counts and
+    * chunk sums are exact integers; the one double is the final
+    * correctly-rounded cosine — the cos_e6 contract. A zero text fold
+    * (all chunk sums round to 0) reports alignment 0 by convention,
+    * guarded not hoped. */
+  def m18AlignmentFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = imgHistogram(documents(s, d).select(col("doc_id")).as[Long])
+    val txt = embeddings(s, d).select(
+      col("vec_id"),
+      transform(sequence(lit(0), lit(AlignBins - 1)), j =>
+        aggregate(slice(col("embedding"), j * lit(8) + lit(1), lit(8)),
+          lit(0L),
+          (acc, x) => acc + round(x.cast("double") * 1e6).cast("long")))
+        .as("tvec"))
+    val dotL = aggregate(zip_with(col("hist"), col("tvec"), _ * _),
+      lit(0L), _ + _)
+    val naL = aggregate(col("hist"), lit(0L), (a, x) => a + x * x)
+    val nbL = aggregate(col("tvec"), lit(0L), (a, x) => a + x * x)
+    hist.join(txt, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"),
+        dotL.as("dot"), naL.as("na"), nbL.as("nb"))
+      .select(col("doc_id"),
+        when(col("nb") === 0L, lit(0L))
+          .otherwise(round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+            * 1e6).cast("long"))
+          .as("align_e6"))
+      .withColumn("keep",
+        when(col("align_e6") >= AlignKeepE6, lit(1L)).otherwise(lit(0L)))
+      .transform(Output.ordered(_, col("doc_id")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta"     -> m1BinaryMeta _,
     "m2_decode_features" -> m2DecodeFeatures _,
@@ -1079,9 +1180,46 @@ object Multimodal {
     "m15_audio_manifest" -> m15AudioManifest _,
     "m16_video_manifest" -> m16VideoManifest _,
     "m17_crossmodal"     -> m17CrossModalManifest _,
+    "m18_align_filter"   -> m18AlignmentFilter _,
   )
 
+  /** m18's oracle: image histogram from the closed-form pixel spec,
+    * text fold as e6 chunk sums, cosine in the shared integer chain. */
+  private def alignFilterOracle: String = {
+    val histCols = (0 until AlignBins).map(b =>
+      s"sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS h$b").mkString(",\n    ")
+    val tvecCols = (0 until AlignBins).map(j =>
+      s"""coalesce(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(round(embedding[${j * 8} + i]::DOUBLE * 1e6) AS BIGINT))), 0) AS t$j"""
+        .stripMargin).mkString(",\n    ")
+    val dot = (0 until AlignBins).map(j => s"h$j*t$j").mkString(" + ")
+    val na = (0 until AlignBins).map(j => s"h$j*h$j").mkString(" + ")
+    val nb = (0 until AlignBins).map(j => s"t$j*t$j").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+       |    16 + (doc_id // 16) % 16 AS h FROM documents),
+       |px AS (SELECT d.doc_id, ((x.x*7 + y.y*13 + d.doc_id) % 256) // 32 AS bin
+       |  FROM d, range(0, 32) x(x), range(0, 32) y(y)
+       |  WHERE x.x < d.w AND y.y < d.h),
+       |hv AS (SELECT doc_id,
+       |    $histCols
+       |  FROM px GROUP BY doc_id),
+       |tv AS (SELECT vec_id,
+       |    $tvecCols
+       |  FROM embeddings),
+       |sc AS (SELECT hv.doc_id, $dot AS dot, $na AS na, $nb AS nb
+       |  FROM hv JOIN tv ON hv.doc_id = tv.vec_id),
+       |al AS (SELECT doc_id,
+       |    CASE WHEN nb = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE))
+       |        * 1e6) AS BIGINT) END AS align_e6
+       |  FROM sc)
+       |SELECT doc_id, align_e6,
+       |  CAST(CASE WHEN align_e6 >= $AlignKeepE6 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM al ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "m18_align_filter" -> alignFilterOracle,
     // BOTH closures restated verbatim — d6's SimHash reach (t/sg/p/e/
     // reach) and m14's aHash reach (dd/px/tot/blk/bits/hsh/p2/e2/
     // reach2) — then the joint (text_cluster, img_cluster) keep-one

@@ -5084,4 +5084,45 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"),
       s"k-center round stage shuffles — must stay a narrow projection:\n$plan")
   }
+
+  test("m18 alignment filter: integer-exact vs a driver-side mirror " +
+      "(closed-form histogram + e6 chunk fold + HALF_UP cosine); the " +
+      "decode stage plans with zero Exchange") {
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def mirror(id: Long): (Long, Long) = {
+      val hist = new Array[Long](Multimodal.AlignBins)
+      for (y <- 0 until Multimodal.imgHeight(id);
+           x <- 0 until Multimodal.imgWidth(id))
+        hist(Multimodal.imgPixel(id, x, y) / 32) += 1
+      val tvec = (0 until Multimodal.AlignBins).map { j =>
+        embs(id).slice(j * 8, j * 8 + 8).map(x =>
+          BigDecimal(x.toDouble * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      }
+      val dot = hist.zip(tvec).map { case (a, b) => a * b }.sum
+      val na = hist.map(x => x * x).sum
+      val nb = tvec.map(x => x * x).sum
+      val align = if (nb == 0L) 0L
+        else BigDecimal(dot.toDouble /
+            (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (align, if (align >= Multimodal.AlignKeepE6) 1L else 0L)
+    }
+    val out = Multimodal.m18AlignmentFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == embs.keySet, "doc coverage diverged")
+    out.foreach { case (id, got) =>
+      assert(got == mirror(id), s"alignment diverged at doc $id: $got")
+    }
+    // both keep outcomes must actually occur — a filter, not a rubber stamp
+    assert(out.values.map(_._2).toSet == Set(0L, 1L),
+      "alignment threshold does not discriminate on this corpus")
+    import spark.implicits._
+    val plan = planOf(Multimodal.imgHistogram(
+      Tables.documents(spark, sf).select(col("doc_id")).as[Long]))
+    assert(!plan.contains("Exchange"),
+      s"decode/histogram stage shuffles — payloads must never shuffle:\n$plan")
+  }
 }
