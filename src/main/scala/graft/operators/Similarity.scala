@@ -718,11 +718,7 @@ object Similarity {
     // plan shape), so this cache changes no query's semantics — the
     // oracle still derives verbatim from the rung statements.
     def rung(name: String, build: => DataFrame): DataFrame =
-      SessionCaches.getOrBuild(rungCache, s, s"$name|$d")(
-        Warehouse.standingTable(s, s"graft_s18_$name", d) { t =>
-          Warehouse.writeStanding(build.select(col("qid"), col("nid")),
-            t, Seq("qid"), nBuckets = 4)
-        })
+      rankedRung(s, d, name)(build)
     val exact = rung("exact", s1KnnBrute(s, d))
     val nExact = exact.count()
     def row(method: String, approx: DataFrame): DataFrame = {
@@ -731,18 +727,106 @@ object Similarity {
       import sp.implicits._
       Seq((method, nExact, hits)).toDF("method", "n_exact", "n_hit")
     }
-    row("jl_rp16", rung("jl_rp16", s14KnnRp(s, d)))
-      .unionByName(row("mrl_rerank", rung("mrl_rerank", s16MrlRerank(s, d))))
-      .unionByName(row("pq8", rung("pq8", s6KnnPq(s, d))))
-      .unionByName(row("opq_pq8", rung("opq_pq8", s19KnnOpq(s, d))))
-      .unionByName(row("ivfpq_residual",
-        rung("ivfpq_residual", s29KnnIvfPqResidual(s, d))))
+    rungMethods(s, d)
+      .map { case (m, build) => row(m, rung(m, build())) }
+      .reduce(_ unionByName _)
       .withColumn("recall_e6",
         call_function("div", col("n_hit") * lit(1000000L), col("n_exact")))
       .orderBy(col("method"))
   }
 
   private val rungCache = SessionCaches.newCache()
+
+  /** One standing rung: a method's ranked (qid, rank, nid) answer list
+    * — a pure function of the corpus, NQueries·TopK rows, persisted
+    * once per (corpus, build) in the registry and shared by BOTH
+    * rung consumers (s18's recall ladder joins on (qid, nid); s31's
+    * graded metrics additionally read the rank columns). */
+  private def rankedRung(s: SparkSession, d: String, name: String)(
+      build: => DataFrame): DataFrame =
+    SessionCaches.getOrBuild(rungCache, s, s"$name|$d")(
+      Warehouse.standingTable(s, s"graft_s18_$name", d) { t =>
+        Warehouse.writeStanding(
+          build.select(col("qid"), col("rank"), col("nid")),
+          t, Seq("qid"), nBuckets = 4)
+      })
+
+  /** The five approximate rung methods, each paired with its builder —
+    * the single source of truth both s18 and s31 walk, so the two
+    * monitors can never cover different method sets. */
+  private def rungMethods(s: SparkSession, d: String)
+      : Seq[(String, () => DataFrame)] = Seq(
+    ("jl_rp16", () => s14KnnRp(s, d)),
+    ("mrl_rerank", () => s16MrlRerank(s, d)),
+    ("pq8", () => s6KnnPq(s, d)),
+    ("opq_pq8", () => s19KnnOpq(s, d)),
+    ("ivfpq_residual", () => s29KnnIvfPqResidual(s, d)))
+
+  /** NDCG rank discounts log2(rank+1) for ranks 1..TopK, e3 fixed
+    * point — a shared literal table instead of runtime log2 so both
+    * engines state the identical integers (IEEE log2 is not specified
+    * to the last ulp across libms; a 5-entry lookup is). */
+  val NdcgDiscE3: Seq[Long] = Seq(1000L, 1585L, 2000L, 2322L, 2585L)
+
+  /** Ideal DCG at TopK in e6: relevance TopK..1 placed in rank order,
+    * each term (rel·1e9) // disc_e3 — the exact integer chain the
+    * per-query DCG uses. */
+  val IdcgE6: Long = NdcgDiscE3.zipWithIndex
+    .map { case (dc, i) => (TopK.toLong - i) * 1000000000L / dc }.sum
+
+  /** s31: GRADED RETRIEVAL METRICS — NDCG@k and MRR per ANN method
+    * against the exact ground truth, the graded companions of s18's
+    * recall ladder (recall says WHETHER the exact neighbors surfaced;
+    * NDCG/MRR say WHERE they ranked — the index-quality report of a
+    * production embedding-retrieval deployment). Relevance of an
+    * approximate hit = TopK+1 − exact_rank (graded by the truth's own
+    * order); DCG discounts by the shared [[NdcgDiscE3]] table; MRR
+    * scores the reciprocal rank of the TRUE nearest neighbor in the
+    * method's list (0 when missed). All arithmetic is integer (e6/e9
+    * fixed point with explicit integer division), so both engines
+    * state identical rows; queries a method misses entirely count as
+    * zero through the nq divisor, not dropped.
+    *
+    * Scale notes (100 TB): every input is a standing rung
+    * (NQueries·TopK rows, adopted from the registry — building this
+    * report costs five tiny sort-merge joins over driver-sized
+    * tables; the expensive ANN answers are computed once, shared with
+    * s18, and amortized across every consumer). At production scale
+    * the rungs are the sampled-slice eval set (thousands of rows),
+    * never the full corpus — the monitor stays driver-cheap by
+    * construction. */
+  def s31RetrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    val exact = rankedRung(s, d, "exact")(s1KnnBrute(s, d))
+      .select(col("qid"), col("rank").as("ex_rank"), col("nid"))
+    val nq = exact.select(col("qid")).distinct().count()
+    val discCol = element_at(
+      array(NdcgDiscE3.map(lit): _*), col("m_rank").cast("int"))
+    val rows = rungMethods(s, d).map { case (method, build) =>
+      val ap = rankedRung(s, d, method)(build())
+        .select(col("qid"), col("rank").as("m_rank"), col("nid"))
+      val perq = exact.join(ap, Seq("qid", "nid"))
+        .groupBy(col("qid"))
+        .agg(
+          sum(call_function("div",
+            (lit(TopK.toLong + 1L) - col("ex_rank")) * lit(1000000000L),
+            discCol)).as("dcg_e6"),
+          max(when(col("ex_rank") === 1L,
+            call_function("div", lit(1000000L), col("m_rank")))
+            .otherwise(lit(0L))).as("rr_e6"))
+        .agg(
+          sum(call_function("div",
+            col("dcg_e6") * lit(1000000L), lit(IdcgE6))).as("ndcg_sum"),
+          sum(col("rr_e6")).as("rr_sum"))
+        .collect().head
+      val (ndcgSum, rrSum) =
+        (Option(perq.get(0)).fold(0L)(_.asInstanceOf[Long]),
+          Option(perq.get(1)).fold(0L)(_.asInstanceOf[Long]))
+      (method, rrSum / nq, ndcgSum / nq)
+    }
+    val sp = s
+    import sp.implicits._
+    rows.toDF("method", "mrr_e6", "ndcg_e6").orderBy(col("method"))
+  }
 
   /** Per-vector int8 scalar quantization: scale = max |component|,
     * q_j = round(x_j / scale · 127) — the standard 4×-memory-reduction
@@ -2378,6 +2462,7 @@ object Similarity {
     "s28_mmr_rerank" -> s28MmrRerank _,
     "s29_knn_ivfpq_residual" -> s29KnnIvfPqResidual _,
     "s30_kcenter"     -> s30KCenterCoreset _,
+    "s31_retrieval_metrics" -> s31RetrievalMetrics _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -2641,12 +2726,48 @@ object Similarity {
        |  FROM embeddings CROSS JOIN perm),
        |""".stripMargin
 
+  /** s31's oracle: like s18's, it DERIVES from the s1 + method oracle
+    * statements verbatim (each a CTE), then states the identical
+    * integer NDCG/MRR chain — shared literal discount table, explicit
+    * integer division, misses counted as zero through the nq divisor. */
+  private def retrievalMetricsOracle(base: Map[String, String]): String = {
+    val methods = Seq(
+      ("jl_rp16", "s14_knn_rp"), ("mrl_rerank", "s16_mrl_rerank"),
+      ("pq8", "s6_knn_pq"), ("opq_pq8", "s19_knn_opq"),
+      ("ivfpq_residual", "s29_knn_ivfpq_residual"))
+    val disc = NdcgDiscE3.zipWithIndex
+      .map { case (dc, i) => s"WHEN ${i + 1} THEN $dc" }
+      .mkString("CASE m_rank ", " ", " END")
+    val nqSub = "(SELECT count(DISTINCT qid) FROM ex)"
+    val ctes = methods.map { case (m, key) =>
+      s"""a_$m AS (${base(key)}),
+         |j_$m AS (SELECT ex.qid, ex.rank AS ex_rank, a.rank AS m_rank
+         |  FROM ex JOIN a_$m a ON ex.qid = a.qid AND ex.nid = a.nid),
+         |p_$m AS (SELECT qid,
+         |    sum(($TopK + 1 - ex_rank) * 1000000000 // ($disc)) AS dcg_e6,
+         |    max(CASE WHEN ex_rank = 1 THEN 1000000 // m_rank ELSE 0 END) AS rr_e6
+         |  FROM j_$m GROUP BY qid),
+         |r_$m AS (SELECT '$m' AS method,
+         |    CAST(coalesce(sum(rr_e6), 0) // $nqSub AS BIGINT) AS mrr_e6,
+         |    CAST(coalesce(sum(dcg_e6 * 1000000 // $IdcgE6), 0) // $nqSub
+         |      AS BIGINT) AS ndcg_e6
+         |  FROM p_$m)""".stripMargin
+    }.mkString(",\n")
+    val unions = methods.map { case (m, _) => s"SELECT * FROM r_$m" }
+      .mkString(" UNION ALL ")
+    s"""WITH ex AS (${base("s1_knn_brute")}),
+       |$ctes
+       |SELECT method, mrr_e6, ndcg_e6 FROM ($unions) ORDER BY method"""
+      .stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     // s18's oracle DERIVES from the s1/s14/s16 entries verbatim (each
     // full statement becomes a CTE), so the ladder can never drift
     // from the rankings it measures
-    base + ("s18_recall_ladder" ->
+    base + ("s31_retrieval_metrics" -> retrievalMetricsOracle(base)) +
+      ("s18_recall_ladder" ->
       s"""WITH ex AS (${base("s1_knn_brute")}),
          |a AS (${base("s14_knn_rp")}),
          |b AS (${base("s16_mrl_rerank")}),

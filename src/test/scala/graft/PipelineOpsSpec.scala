@@ -5125,4 +5125,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"),
       s"decode/histogram stage shuffles — payloads must never shuffle:\n$plan")
   }
+
+  test("s31 retrieval metrics: integer-exact vs a driver-side NDCG/MRR " +
+      "mirror over the method rankings; bounds hold") {
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Long]("rank")).toMap
+    val exact = ranked(Similarity.s1KnnBrute(spark, sf))
+    val nq = exact.keys.map(_._1).toSet.size
+    def mirror(m: Map[(Long, Long), Long]): (Long, Long) = {
+      val perQ = exact.keys.map(_._1).toSet.toSeq.map { (q: Long) =>
+        val hits = exact.toSeq.collect { case ((qq, nid), exRank)
+          if qq == q && m.contains((q, nid)) => (exRank, m((q, nid))) }
+        val dcg = hits.map { case (exRank, mRank) =>
+          (Similarity.TopK + 1L - exRank) * 1000000000L /
+            Similarity.NdcgDiscE3(mRank.toInt - 1) }.sum
+        val rr = hits.collectFirst { case (1L, mRank) => 1000000L / mRank }
+          .getOrElse(0L)
+        (dcg * 1000000L / Similarity.IdcgE6, rr)
+      }
+      (perQ.map(_._2).sum / nq, perQ.map(_._1).sum / nq)
+    }
+    val want = Map(
+      "jl_rp16" -> mirror(ranked(Similarity.s14KnnRp(spark, sf))),
+      "mrl_rerank" -> mirror(ranked(Similarity.s16MrlRerank(spark, sf))),
+      "pq8" -> mirror(ranked(Similarity.s6KnnPq(spark, sf))),
+      "opq_pq8" -> mirror(ranked(Similarity.s19KnnOpq(spark, sf))),
+      "ivfpq_residual" ->
+        mirror(ranked(Similarity.s29KnnIvfPqResidual(spark, sf))))
+    val out = Similarity.s31RetrievalMetrics(spark, sf).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("mrr_e6"), r.getAs[Long]("ndcg_e6"))).toMap
+    assert(out == want, s"graded metrics diverged: $out vs $want")
+    out.foreach { case (m, (mrr, ndcg)) =>
+      assert(mrr >= 0L && mrr <= 1000000L, s"$m MRR out of bounds: $mrr")
+      assert(ndcg >= 0L && ndcg <= 1000000L, s"$m NDCG out of bounds: $ndcg")
+    }
+  }
 }
