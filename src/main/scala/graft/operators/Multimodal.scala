@@ -1136,14 +1136,32 @@ object Multimodal {
     * guarded not hoped. */
   def m18AlignmentFilter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hist = imgHistogram(documents(s, d).select(col("doc_id")).as[Long])
-    val txt = embeddings(s, d).select(
+    alignScores(
+      imgHistogram(documents(s, d).select(col("doc_id")).as[Long]),
+      textFold(embeddings(s, d)))
+      .transform(Output.ordered(_, col("doc_id")))
+  }
+
+  /** Text-side fold of the m18 alignment: the document vector reduced
+    * to [[AlignBins]] dims by consecutive 8-element chunk sums, e6
+    * fixed point per element — a narrow projection over the embedding
+    * column. */
+  def textFold(emb: DataFrame): DataFrame =
+    emb.select(
       col("vec_id"),
       transform(sequence(lit(0), lit(AlignBins - 1)), j =>
         aggregate(slice(col("embedding"), j * lit(8) + lit(1), lit(8)),
           lit(0L),
           (acc, x) => acc + round(x.cast("double") * 1e6).cast("long")))
         .as("tvec"))
+
+  /** Score+threshold stage of m18 over explicit (doc_id, hist) and
+    * (vec_id, tvec) frames — shared verbatim by the batch query and
+    * the ingest twin ([[graft.streaming.StreamOps.alignFilterStream]]):
+    * stateless projections around one id-equi-join, so it is valid
+    * with either side unbounded (stream-static join), batch ≡ stream
+    * by construction. Unordered. */
+  def alignScores(hist: DataFrame, txt: DataFrame): DataFrame = {
     val dotL = aggregate(zip_with(col("hist"), col("tvec"), _ * _),
       lit(0L), _ + _)
     val naL = aggregate(col("hist"), lit(0L), (a, x) => a + x * x)
@@ -1159,7 +1177,6 @@ object Multimodal {
           .as("align_e6"))
       .withColumn("keep",
         when(col("align_e6") >= AlignKeepE6, lit(1L)).otherwise(lit(0L)))
-      .transform(Output.ordered(_, col("doc_id")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -655,6 +655,21 @@ object StreamOps {
         col("hamming"))
   }
 
+  /** Streaming m18: CLIP-score alignment filtering at INGEST — the
+    * decode+histogram stage
+    * ([[graft.operators.Multimodal.imgHistogram]], a stateless
+    * per-partition codec map) joined stream-static against the
+    * text-side fold (a narrow standing projection of the embedding
+    * corpus, [[graft.operators.Multimodal.textFold]]). Same class as
+    * [[imgDedupStream]]: no watermark, no state store — each arriving
+    * image's keep decision emits within its micro-batch; batch ≡
+    * stream pinned on chunked replay. */
+  def alignFilterStream(ids: org.apache.spark.sql.Dataset[Long],
+      txtFold: DataFrame): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.alignScores(Multimodal.imgHistogram(ids), txtFold)
+  }
+
   /** One CDC change-feed row — [[cdcCollapseStream]]'s input unit (the
     * shape [[graft.operators.Events.cdcFeed]] produces in batch). */
   case class ChangeFeedRow(key: Long, op: String, val_c: Long,
@@ -2488,6 +2503,7 @@ object StreamOps {
     "weightedSampleStream" -> OutputMode.Append(),
     "decodeStream" -> OutputMode.Append(),
     "audioDecodeStream" -> OutputMode.Append(),
+    "alignFilterStream" -> OutputMode.Append(),
     "funnelStages" -> OutputMode.Append(),
     "anomalyStream" -> OutputMode.Append(),
     "deltaAggStream" -> OutputMode.Update(),

@@ -1132,6 +1132,41 @@ class StreamOpsSpec extends SparkSpecBase {
     spark.sql("DROP TABLE IF EXISTS wh_img_stream")
   }
 
+  test("alignFilterStream chunked replay ≡ batch m18, codec at ingest, " +
+      "stateless") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val txtFold = Multimodal.textFold(graft.Tables.embeddings(spark, sf))
+    val ids = (0L until 60L).toSeq
+    val in = MemoryStream[Long]
+    val q = StreamOps.alignFilterStream(in.toDS(), txtFold)
+      .writeStream.format("memory").queryName("align_stream")
+      .outputMode(OutputMode.Append()).start()
+    // stateless: each chunk's decisions land in that chunk's micro-batch
+    ids.grouped(23).zipWithIndex.foreach { case (chunk, i) =>
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+      assert(spark.table("align_stream").count() >=
+        (i * 23 + chunk.length).toLong)
+    }
+    q.stop()
+    val got = spark.table("align_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("align_e6"), r.getAs[Long]("keep"))).toMap
+    val want = Multimodal.m18AlignmentFilter(spark, sf).collect()
+      .filter(r => r.getAs[Long]("doc_id") < 60L)
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("align_e6"), r.getAs[Long]("keep"))).toMap
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(3)
+      s"stream/batch alignment divergence at " +
+        s"${bad.map(k => (k, got.get(k), want(k))).mkString(", ")}"
+    })
+    // a real filter on the stream too: both outcomes occur
+    assert(got.values.map(_._2).toSet == Set(0L, 1L))
+  }
+
   test("patternStream: chunked in-order replay ≡ batch e19; duplicate redelivery " +
       "cannot advance the automaton") {
     implicit val sq = spark.sqlContext
