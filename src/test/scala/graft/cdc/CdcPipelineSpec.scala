@@ -202,6 +202,79 @@ class CdcPipelineSpec extends SparkSpecBase {
     assert(manifest() == m17, "caught-up manifest diverged from batch m17")
   }
 
+  test("capture feeds the alignment gate: cdc-log stream → typed inserts → " +
+      "alignFilterStream ≡ batch m18 over the replayed docs") {
+    import java.sql.DriverManager
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+    import graft.operators.Multimodal
+    import spark.implicits._
+
+    val dbDir = Files.createTempDirectory("derby-align").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val c0 = DriverManager.getConnection(url)
+    try {
+      c0.createStatement().execute("""CREATE TABLE CDC_LOG (
+        "id" BIGINT PRIMARY KEY, "timestamp" VARCHAR(30) NOT NULL,
+        "tablename" VARCHAR(128) NOT NULL, "operation" VARCHAR(10) NOT NULL,
+        "before" CLOB, "after" CLOB)""")
+    } finally c0.close()
+
+    val images = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("text"))).as("j"))
+      .orderBy(col("doc_id")).limit(80)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    var nextLogId = 0L
+    def insertDocs(part: Array[(Long, String)]): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val ps = c.prepareStatement("INSERT INTO CDC_LOG VALUES (?, ?, ?, ?, ?, ?)")
+        part.foreach { case (_, j) =>
+          ps.setLong(1, nextLogId)
+          ps.setString(2, f"2024-05-06 00:00:${nextLogId % 60}%02d.000")
+          ps.setString(3, "documents")
+          ps.setString(4, "INSERT")
+          ps.setString(5, null)
+          ps.setString(6, j)
+          ps.addBatch()
+          nextLogId += 1
+        }
+        ps.executeBatch(); ps.close()
+      } finally c.close()
+    }
+
+    val txtFold = Multimodal.textFold(graft.Tables.embeddings(spark, sf))
+    val q = StreamOps.alignFilterStream(
+      CdcPipeline.insertedDocs(
+        StreamOps.changes(spark.readStream.format("cdc-log")
+          .option("url", url).option("logTable", "CDC_LOG").load()),
+        "documents")
+        .select(col("doc_id")).as[Long], txtFold)
+      .writeStream.format("memory").queryName("cdc_align")
+      .outputMode(OutputMode.Append()).start()
+    // two tranches; stateless, so each tranche's decisions land in its
+    // own drain — no state, no watermark, the decode at ingest
+    val (t1, t2) = images.splitAt(images.length / 2)
+    insertDocs(t1); q.processAllAvailable()
+    assert(spark.table("cdc_align").count() == t1.length.toLong)
+    insertDocs(t2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cdc_align").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("align_e6"), r.getAs[Long]("keep"))).toMap
+    val ids = images.map(_._1).toSet
+    val want = Multimodal.m18AlignmentFilter(spark, sf).collect()
+      .filter(r => ids(r.getAs[Long]("doc_id")))
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("align_e6"), r.getAs[Long]("keep"))).toMap
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(3)
+      s"capture-fed alignment diverged from batch m18 at " +
+        s"${bad.map(k => (k, got.get(k), want(k))).mkString(", ")}"
+    })
+  }
+
   test("capture feeds aggregation: cdc-log stream → delta-IVM rollup ≡ one-shot " +
       "aggregate, content exactly-once across drains and empty restarts") {
     import java.sql.DriverManager
