@@ -94,24 +94,7 @@ object Multimodal {
       // in-memory round-trip (JNI codec/worker handle would go here)
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
-        val w = imgWidth(id); val h = imgHeight(id)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { raster.setSample(x, y, 0, imgPixel(id, x, y)); x += 1 }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        val payload = bos.toByteArray // real PNG bytes
-        val magic = payload.take(4).map("%02X".format(_)).mkString
-        // the REAL decode under test
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
-        require(back != null, s"PNG decode failed for doc $id")
+        val (magic, back) = pngRoundTrip(id)
         val br = back.getRaster
         var sum = 0L
         var yy = 0
@@ -124,6 +107,35 @@ object Multimodal {
           back.getWidth.toLong * back.getHeight, sum)
       }
     }.toDF()
+  }
+
+  /** The shared encode→DECODE loop: build the raster from the
+    * closed-form spec, encode with the REAL PNG codec, decode the
+    * bytes back; returns the encoded payload's 4-byte magic and the
+    * decoded image. Every image consumer (m2 features, m6 aHash, m18
+    * histogram) maps over THIS loop, so a codec-setup change cannot
+    * silently diverge one of the gates. */
+  private[graft] def pngRoundTrip(id: Long)
+      : (String, java.awt.image.BufferedImage) = {
+    val w = imgWidth(id); val h = imgHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, imgPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val payload = bos.toByteArray // real PNG bytes
+    val magic = payload.take(4).map("%02X".format(_)).mkString
+    // the REAL decode under test
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(back != null, s"PNG decode failed for doc $id")
+    (magic, back)
   }
 
   /** One image's perceptual hash row — the 64-bit aHash split into two
@@ -188,21 +200,7 @@ object Multimodal {
     ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
-        val w = imgWidth(id); val h = imgHeight(id)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { raster.setSample(x, y, 0, imgPixel(id, x, y)); x += 1 }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
-        require(back != null, s"PNG decode failed for doc $id")
+        val (_, back) = pngRoundTrip(id)
         val br = back.getRaster
         val bw = back.getWidth; val bh = back.getHeight
         val blockSum = new Array[Long](64)
@@ -1081,21 +1079,7 @@ object Multimodal {
     ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
-        val w = imgWidth(id); val h = imgHeight(id)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { raster.setSample(x, y, 0, imgPixel(id, x, y)); x += 1 }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
-        require(back != null, s"PNG decode failed for doc $id")
+        val (_, back) = pngRoundTrip(id)
         val br = back.getRaster
         val bins = new Array[Long](AlignBins)
         var yy = 0

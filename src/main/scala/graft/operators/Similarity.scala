@@ -767,6 +767,11 @@ object Similarity {
     * engines state the identical integers (IEEE log2 is not specified
     * to the last ulp across libms; a 5-entry lookup is). */
   val NdcgDiscE3: Seq[Long] = Seq(1000L, 1585L, 2000L, 2322L, 2585L)
+  // one discount per retrievable rank — a TopK change without a table
+  // change would silently drop ranks > table size from BOTH engines'
+  // sums (the oracle gate cannot catch an identical omission)
+  require(NdcgDiscE3.length == TopK,
+    s"NdcgDiscE3 must carry exactly TopK=$TopK entries")
 
   /** Ideal DCG at TopK in e6: relevance TopK..1 placed in rank order,
     * each term (rel·1e9) // disc_e3 — the exact integer chain the
@@ -801,10 +806,12 @@ object Similarity {
     val nq = exact.select(col("qid")).distinct().count()
     val discCol = element_at(
       array(NdcgDiscE3.map(lit): _*), col("m_rank").cast("int"))
-    val rows = rungMethods(s, d).map { case (method, build) =>
+    // one unioned plan over all five methods (the s18 shape), one
+    // driver round-trip — not a collect per method
+    val perMethod = rungMethods(s, d).map { case (method, build) =>
       val ap = rankedRung(s, d, method)(build())
         .select(col("qid"), col("rank").as("m_rank"), col("nid"))
-      val perq = exact.join(ap, Seq("qid", "nid"))
+      exact.join(ap, Seq("qid", "nid"))
         .groupBy(col("qid"))
         .agg(
           sum(call_function("div",
@@ -817,11 +824,12 @@ object Similarity {
           sum(call_function("div",
             col("dcg_e6") * lit(1000000L), lit(IdcgE6))).as("ndcg_sum"),
           sum(col("rr_e6")).as("rr_sum"))
-        .collect().head
-      val (ndcgSum, rrSum) =
-        (Option(perq.get(0)).fold(0L)(_.asInstanceOf[Long]),
-          Option(perq.get(1)).fold(0L)(_.asInstanceOf[Long]))
-      (method, rrSum / nq, ndcgSum / nq)
+        .select(lit(method).as("method"), col("ndcg_sum"), col("rr_sum"))
+    }
+    val rows = perMethod.reduce(_ unionByName _).collect().toSeq.map { r =>
+      val ndcgSum = Option(r.get(1)).fold(0L)(_.asInstanceOf[Long])
+      val rrSum = Option(r.get(2)).fold(0L)(_.asInstanceOf[Long])
+      (r.getString(0), rrSum / nq, ndcgSum / nq)
     }
     val sp = s
     import sp.implicits._
@@ -2416,7 +2424,10 @@ object Similarity {
   def s30KCenterCoreset(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
       .select(col("vec_id"), col("embedding"), col("norm_fp"))
-    val seed = e.filter(col("vec_id") === 0L).collect().head
+    val seedRows = e.filter(col("vec_id") === 0L).collect()
+    require(seedRows.nonEmpty,
+      "k-center seed vec_id 0 missing from the embedding corpus")
+    val seed = seedRows.head
     var centers =
       Vector(Centroid(seed.getLong(0), seed.getSeq[Float](1), seed.getLong(2)))
     var rows = Vector((1L, centers.head.cid, 2000000L))
