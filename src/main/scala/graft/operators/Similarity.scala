@@ -2444,6 +2444,49 @@ object Similarity {
     rows.toDF("rank", "vec_id", "far_e6").orderBy(col("rank"))
   }
 
+  /** Total representatives the s32 prototypicality coreset budgets. */
+  val CoresetBudget = 64
+
+  /** s32: CLUSTER-PROPORTIONAL PROTOTYPICALITY CORESET — the
+    * complement of s30's diversity traversal: within each IVF cluster,
+    * keep the most PROTOTYPICAL vectors (highest cosine to their own
+    * centroid — the pruning metric of Sorscher et al. NeurIPS'22's
+    * "Beyond neural scaling laws"; SemDeDup's cousin), with the global
+    * budget allocated to clusters proportionally to their mass
+    * (quota_c = max(1, ⌊B·n_c/n⌋) — deterministic largest-floor
+    * allocation, every cluster keeps at least its medoid). Output per
+    * kept vector: cluster, in-cluster prototypicality rank, id, and
+    * the e6 cosine to its centroid.
+    *
+    * Scale notes (100 TB): centroid assignment is the s2 zero-exchange
+    * narrow projection over the literal codebook; the in-cluster rank,
+    * the cluster census, and the quota filter all ride ONE hash
+    * exchange on cluster (the two window frames share the partitioning
+    * — plan-pinned ≤1 exchange). No global window anywhere; n is one
+    * count action. Determinism: in-cluster order is the e6 fixed-point
+    * cosine with vec_id tiebreak; the assignment argmax is the same
+    * double ranking s2's oracle states. */
+  def s32ProtoCoreset(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val n = e.count()
+    val cents = collectCodebook(e)
+    val a = e.select(col("vec_id"),
+        rankedCentroids(cents, col("embedding"), col("norm_fp")).as("rc"))
+      .select(col("vec_id"),
+        element_at(col("rc"), 1).getField("cid").as("cluster"),
+        round((-element_at(col("rc"), 1).getField("neg_cos")) * 1e6)
+          .cast("long").as("cos_e6"))
+    val byProto = Window.partitionBy(col("cluster"))
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    val census = Window.partitionBy(col("cluster"))
+    a.withColumn("rank", row_number().over(byProto).cast("long"))
+      .withColumn("n_c", count(lit(1)).over(census))
+      .filter(col("rank") <= greatest(lit(1L),
+        call_function("div", lit(CoresetBudget.toLong) * col("n_c"), lit(n))))
+      .select(col("cluster"), col("rank"), col("vec_id"), col("cos_e6"))
+      .orderBy(col("cluster"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute"    -> s1KnnBrute _,
     "s2_knn_ivf"      -> s2KnnIvf _,
@@ -2474,6 +2517,7 @@ object Similarity {
     "s29_knn_ivfpq_residual" -> s29KnnIvfPqResidual _,
     "s30_kcenter"     -> s30KCenterCoreset _,
     "s31_retrieval_metrics" -> s31RetrievalMetrics _,
+    "s32_proto_coreset" -> s32ProtoCoreset _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -2846,6 +2890,31 @@ object Similarity {
 
   private def oracleSqlBase: Map[String, String] = Map(
     "s30_kcenter" -> kcenterOracle,
+    // s2's double-ranked assignment argmax (also carrying the argmax
+    // cosine), then the e6-ordered in-cluster window + the same
+    // integer quota rule
+    "s32_proto_coreset" ->
+      (NormCte +
+        s"""
+           |, cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm_fp AS c_norm
+           |  FROM e WHERE vec_id < $NCentroids),
+           |a AS (SELECT vec_id, cluster, cos_e6 FROM (
+           |  SELECT e.vec_id, cent.cid AS cluster,
+           |    CAST(round(${oCos(oDot("e.embedding", "cent.c_emb"),
+                  "e.norm_fp", "cent.c_norm")} * 1e6) AS BIGINT) AS cos_e6,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${oCos(oDot("e.embedding", "cent.c_emb"), "e.norm_fp", "cent.c_norm")} DESC,
+           |      cent.cid) AS arank
+           |  FROM e CROSS JOIN cent) WHERE arank = 1),
+           |r AS (SELECT cluster,
+           |    CAST(row_number() OVER (PARTITION BY cluster
+           |      ORDER BY cos_e6 DESC, vec_id) AS BIGINT) AS rank,
+           |    vec_id, cos_e6,
+           |    count(*) OVER (PARTITION BY cluster) AS n_c
+           |  FROM a)
+           |SELECT cluster, rank, vec_id, cos_e6 FROM r
+           |WHERE rank <= greatest(1, ($CoresetBudget * n_c) // (SELECT count(*) FROM e))
+           |ORDER BY cluster, rank""".stripMargin),
     "s1_knn_brute" ->
       (NormCte +
         s"""

@@ -5162,4 +5162,47 @@ class PipelineOpsSpec extends SparkSpecBase {
       assert(ndcg >= 0L && ndcg <= 1000000L, s"$m NDCG out of bounds: $ndcg")
     }
   }
+
+  test("s32 prototypicality coreset: integer-exact vs a driver mirror of " +
+      "assignment + quota; every cluster keeps >= 1; plan carries <= 1 " +
+      "hash exchange") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def dotFp(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        graft.functions.DotFp9.roundHalfAway(x.toDouble * y.toDouble * 1e9) }.sum
+    val norms = vecs.map { case (id, v) => id -> dotFp(v, v) }
+    def cos(a: Long, b: Long): Double =
+      dotFp(vecs(a), vecs(b)).toDouble /
+        (math.sqrt(norms(a).toDouble) * math.sqrt(norms(b).toDouble))
+    val cents = (0L until Similarity.NCentroids.toLong).toSeq
+    val assigned = vecs.keys.toSeq.map { id =>
+      id -> cents.map(c => ((-cos(id, c), c), c)).min._2
+    }.toMap
+    def cosE6(a: Long, b: Long): Long = BigDecimal(cos(a, b) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val n = vecs.size.toLong
+    val want = assigned.groupBy(_._2).flatMap { case (cl, members) =>
+      val ranked = members.keys.toSeq
+        .sortBy(id => (-cosE6(id, cl), id)).zipWithIndex
+      val quota = math.max(1L,
+        Similarity.CoresetBudget.toLong * members.size / n)
+      ranked.filter(_._2 < quota).map { case (id, i) =>
+        (cl, i + 1L, id, cosE6(id, cl)) }
+    }.toSet
+    val out = Similarity.s32ProtoCoreset(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == want,
+      s"coreset diverged: extra=${(out -- want).take(3)} " +
+        s"missing=${(want -- out).take(3)}")
+    // every cluster is represented (the min-1 floor)
+    assert(out.map(_._1) == assigned.values.toSet,
+      "a cluster lost all its representatives")
+    val plan = planOf(Similarity.s32ProtoCoreset(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1,
+      s"rank + census + quota must share one cluster exchange:\n$plan")
+  }
 }
