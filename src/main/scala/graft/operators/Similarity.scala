@@ -2487,6 +2487,43 @@ object Similarity {
       .orderBy(col("cluster"), col("rank"))
   }
 
+  /** How many outliers s33 reports. */
+  val OutlierTopN = 20
+
+  /** s33: kNN-DISTANCE OUTLIER SCORING — the classic distance-to-kth-
+    * neighbor outlier definition (Ramaswamy, Rastogi & Shim,
+    * SIGMOD'00): a vector whose k-th nearest neighbor is FAR sits in a
+    * sparse region; the top-N by that score are the out-of-
+    * distribution candidates a curation pipeline screens before
+    * training (mislabeled scrapes, encoding junk, adversarial inserts
+    * — the d12/s32 density family's opposite tail). Score = the e6
+    * cosine to the k-th graph neighbor (k = [[GraphK]]), ascending =
+    * most isolated; output the top [[OutlierTopN]] with their k-th
+    * neighbor pinned for auditability.
+    *
+    * Scale notes (100 TB): the score is a FILTER (rank = k) over the
+    * kNN graph the engine already maintains — exact (s22) here at
+    * gate scale; at production scale the IVF-pruned s23 graph or its
+    * continuously-maintained store serve the same filter with no new
+    * machinery. The top-N cut is a TakeOrdered reduction
+    * (per-partition top-N, driver merge) — no global window, no
+    * shuffle beyond the graph's own. Determinism: (cos_e6 ASC, src)
+    * total order, the oracle derived verbatim from the s22 statement. */
+  def s33KnnOutliers(s: SparkSession, d: String): DataFrame = {
+    val picked = s22KnnGraph(s, d)
+      .filter(col("rank") === GraphK.toLong)
+      .orderBy(col("cos_e6").asc, col("src"))
+      .limit(OutlierTopN)
+      .select(col("src"), col("nid"), col("cos_e6"))
+      .collect()
+    val rows = picked.zipWithIndex.toSeq.map { case (r, i) =>
+      (i + 1L, r.getLong(0), r.getLong(1), r.getLong(2)) }
+    val sp = s
+    import sp.implicits._
+    rows.toDF("rank", "vec_id", "kth_nid", "kth_cos_e6")
+      .orderBy(col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute"    -> s1KnnBrute _,
     "s2_knn_ivf"      -> s2KnnIvf _,
@@ -2518,6 +2555,7 @@ object Similarity {
     "s30_kcenter"     -> s30KCenterCoreset _,
     "s31_retrieval_metrics" -> s31RetrievalMetrics _,
     "s32_proto_coreset" -> s32ProtoCoreset _,
+    "s33_knn_outliers" -> s33KnnOutliers _,
     "d12_semdedup"    -> d12SemDedup _,
     "d18_semdedup_capped" -> d18SemdedupCapped _,
     "s9_knn_mips"     -> s9KnnMips _,
@@ -2822,6 +2860,17 @@ object Similarity {
     // full statement becomes a CTE), so the ladder can never drift
     // from the rankings it measures
     base + ("s31_retrieval_metrics" -> retrievalMetricsOracle(base)) +
+      // s33 derives verbatim from the s22 statement: the k-th-neighbor
+      // rows, cut to the top-N most isolated in (cos ASC, src) order
+      ("s33_knn_outliers" ->
+        s"""WITH g AS (${base("s22_knn_graph")}),
+           |kth AS (SELECT src, nid, cos_e6 FROM g WHERE rank = $GraphK),
+           |top AS (SELECT src, nid, cos_e6 FROM kth
+           |  ORDER BY cos_e6 ASC, src LIMIT $OutlierTopN)
+           |SELECT CAST(row_number() OVER (ORDER BY cos_e6 ASC, src)
+           |    AS BIGINT) AS rank,
+           |  src AS vec_id, nid AS kth_nid, cos_e6 AS kth_cos_e6
+           |FROM top ORDER BY rank""".stripMargin) +
       ("s18_recall_ladder" ->
       s"""WITH ex AS (${base("s1_knn_brute")}),
          |a AS (${base("s14_knn_rp")}),

@@ -5205,4 +5205,35 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(shuffles <= 1,
       s"rank + census + quota must share one cluster exchange:\n$plan")
   }
+
+  test("s33 kNN outliers: integer-exact vs a driver-side kth-neighbor " +
+      "mirror; scores ascend; the kth neighbor is audit-consistent") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def dotFp(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        graft.functions.DotFp9.roundHalfAway(x.toDouble * y.toDouble * 1e9) }.sum
+    val norms = vecs.map { case (id, v) => id -> dotFp(v, v) }
+    def cosE6(a: Long, b: Long): Long =
+      BigDecimal(dotFp(vecs(a), vecs(b)).toDouble /
+          (math.sqrt(norms(a).toDouble) * math.sqrt(norms(b).toDouble)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val kth = vecs.keys.toSeq.map { src =>
+      val (nid, c) = vecs.keys.filter(_ != src).toSeq
+        .map(n => (n, cosE6(src, n)))
+        .sortBy { case (n, c) => (-c, n) }
+        .apply(Similarity.GraphK - 1)
+      (src, nid, c)
+    }
+    val want = kth.sortBy { case (src, _, c) => (c, src) }
+      .take(Similarity.OutlierTopN).zipWithIndex
+      .map { case ((src, nid, c), i) => (i + 1L, src, nid, c) }
+    val out = Similarity.s33KnnOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == want, s"outlier ranking diverged: $out vs $want")
+    val scores = out.map(_._4)
+    assert(scores == scores.sorted, "outlier scores must ascend with rank")
+  }
 }
