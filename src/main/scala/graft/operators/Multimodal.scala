@@ -485,51 +485,63 @@ object Multimodal {
 
   /** Library form of [[m5AudioFeatures]] over any doc-id Dataset,
     * unordered (streaming-valid). */
+  /** The shared WAV encode→DECODE loop (the audio [[pngRoundTrip]]):
+    * synthesize the PCM16 mono payload from the closed-form sample
+    * spec, write a real WAV container, decode it back; returns the
+    * payload's 4-byte magic, the decoded rate, the decoded frame
+    * count, and every decoded sample. Every audio consumer (m5
+    * features, m9 aHash, m19 histogram) maps over THIS loop. */
+  private[graft] def wavRoundTrip(id: Long)
+      : (String, Long, Long, Array[Long]) = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioRateHz, 16, 1, true, false)
+    val n = audioSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val v = audioSample(id, t)
+      pcm(2 * t) = (v & 0xff).toByte          // little-endian
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val payload = bos.toByteArray // real WAV container bytes
+    val magic = payload.take(4).map("%02X".format(_)).mkString
+    // the REAL decode under test
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val dec = ais.getFormat
+    require(dec.getSampleSizeInBits == 16 && dec.getChannels == 1,
+      s"unexpected decoded format for doc $id: $dec")
+    val frames = ais.getFrameLength
+    val raw = ais.readAllBytes()
+    val samples = new Array[Long](raw.length / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toLong
+      i += 1
+    }
+    (magic, dec.getSampleRate.toLong, frames, samples)
+  }
+
   def decodeAudioFeatures(ids: Dataset[Long]): DataFrame = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
-      import javax.sound.sampled._
-      // per-partition codec init: the PCM16 little-endian mono format
-      // object is the reusable "handle" here
-      val fmt = new AudioFormat(AudioRateHz, 16, 1, true, false)
       it.map { id =>
-        val n = audioSamples(id)
-        val pcm = new Array[Byte](n * 2)
-        var t = 0
-        while (t < n) {
-          val v = audioSample(id, t)
-          pcm(2 * t) = (v & 0xff).toByte          // little-endian
-          pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
-          t += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(
-          new AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
-          AudioFileFormat.Type.WAVE, bos)
-        val payload = bos.toByteArray // real WAV container bytes
-        val magic = payload.take(4).map("%02X".format(_)).mkString
-        // the REAL decode under test
-        val ais = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        val dec = ais.getFormat
-        require(dec.getSampleSizeInBits == 16 && dec.getChannels == 1,
-          s"unexpected decoded format for doc $id: $dec")
-        val frames = ais.getFrameLength
-        val raw = ais.readAllBytes()
+        val (magic, rate, frames, samples) = wavRoundTrip(id)
         var sum = 0L
         var mn = Long.MaxValue
         var mx = Long.MinValue
-        var i = 0
-        while (i < raw.length) {
-          val v = ((raw(i) & 0xff) | (raw(i + 1) << 8)).toShort.toLong
+        samples.foreach { v =>
           sum += v
           if (v < mn) mn = v
           if (v > mx) mx = v
-          i += 2
         }
-        AudioFeatures(id, magic, dec.getSampleRate.toLong, frames,
-          sum, mn, mx)
+        AudioFeatures(id, magic, rate, frames, sum, mn, mx)
       }
     }.toDF()
   }
@@ -580,34 +592,14 @@ object Multimodal {
   def audioHash(ids: Dataset[Long]): DataFrame = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
-      import javax.sound.sampled._
-      val fmt = new AudioFormat(AudioRateHz, 16, 1, true, false)
       it.map { id =>
-        val n = audioSamples(id)
-        val pcm = new Array[Byte](n * 2)
-        var t = 0
-        while (t < n) {
-          val v = audioSample(id, t)
-          pcm(2 * t) = (v & 0xff).toByte
-          pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
-          t += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(
-          new AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
-          AudioFileFormat.Type.WAVE, bos)
-        // the REAL decode under test
-        val ais = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
-        val raw = ais.readAllBytes()
-        val nDec = raw.length / 2
+        val (_, _, _, samples) = wavRoundTrip(id)
+        val nDec = samples.length
         val ws = new Array[Long](64); val wn = new Array[Long](64)
         var tot = 0L
         var i = 0
         while (i < nDec) {
-          val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toLong
-          val av = math.abs(v)
+          val av = math.abs(samples(i))
           val wi = (i * 64 / nDec).toInt
           ws(wi) += av; wn(wi) += 1; tot += av
           i += 1
@@ -1095,6 +1087,42 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Library form of the m19 audio stage: encode→DECODE the real WAV
+    * (the shared [[wavRoundTrip]] loop), then an 8-bin amplitude
+    * histogram of the decoded samples (bins of 256 over the spec's
+    * [−1024, 1024) amplitude range, clamped protectively) —
+    * unordered, streaming-valid like [[imgHistogram]]. */
+  def audioHistogram(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (_, _, _, samples) = wavRoundTrip(id)
+        val bins = new Array[Long](AlignBins)
+        samples.foreach { v =>
+          bins(math.min(AlignBins - 1,
+            math.max(0, ((v + 1024L) / 256L).toInt))) += 1
+        }
+        ImgHistRow(id, bins.toSeq)
+      }
+    }.toDF()
+  }
+
+  /** m19: the AUDIO-text alignment gate — m18's construction with the
+    * WAV codec in the loop: audio side = 8-bin amplitude histogram of
+    * the REAL decoded samples, text side = the same [[textFold]], keep
+    * ⇔ cosine ≥ [[AlignKeepE6]]. Shares [[alignScores]] verbatim with
+    * m18 (and therefore the stream-twin composition — the histogram
+    * stage is stateless and per-partition). The oracle restates the
+    * audio side from the closed-form sample spec, so a WAV codec
+    * fault upstream of the histogram fails the hash gate. */
+  def m19AudioAlignFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    alignScores(
+      audioHistogram(documents(s, d).select(col("doc_id")).as[Long]),
+      textFold(embeddings(s, d)))
+      .transform(Output.ordered(_, col("doc_id")))
+  }
+
   /** m18: CROSS-MODAL ALIGNMENT FILTER — the CLIP-score curation gate
     * of image-text corpus building (keep a pair only when the two
     * modalities' embeddings agree; the LAION construction): the
@@ -1182,7 +1210,43 @@ object Multimodal {
     "m16_video_manifest" -> m16VideoManifest _,
     "m17_crossmodal"     -> m17CrossModalManifest _,
     "m18_align_filter"   -> m18AlignmentFilter _,
+    "m19_audio_align"    -> m19AudioAlignFilter _,
   )
+
+  /** m19's oracle: amplitude histogram from the closed-form sample
+    * spec (m5's formulas), then m18's exact cosine/keep chain. */
+  private def audioAlignOracle: String = {
+    val histCols = (0 until AlignBins).map(b =>
+      s"sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS h$b").mkString(",\n    ")
+    val tvecCols = (0 until AlignBins).map(j =>
+      s"""coalesce(list_sum(list_transform(range(1, 9), i ->
+         |      CAST(round(embedding[${j * 8} + i]::DOUBLE * 1e6) AS BIGINT))), 0) AS t$j"""
+        .stripMargin).mkString(",\n    ")
+    val dot = (0 until AlignBins).map(j => s"h$j*t$j").mkString(" + ")
+    val na = (0 until AlignBins).map(j => s"h$j*h$j").mkString(" + ")
+    val nb = (0 until AlignBins).map(j => s"t$j*t$j").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, 800 + (doc_id % 16) * 100 AS n,
+       |    3 + doc_id % 5 AS k FROM documents),
+       |sm AS (SELECT d.doc_id,
+       |    (((t.t * d.k + d.doc_id) % 2048) - 1024 + 1024) // 256 AS bin
+       |  FROM d, range(0, 2400) t(t) WHERE t.t < d.n),
+       |hv AS (SELECT doc_id,
+       |    $histCols
+       |  FROM sm GROUP BY doc_id),
+       |tv AS (SELECT vec_id,
+       |    $tvecCols
+       |  FROM embeddings),
+       |sc AS (SELECT hv.doc_id, $dot AS dot, $na AS na, $nb AS nb
+       |  FROM hv JOIN tv ON hv.doc_id = tv.vec_id),
+       |al AS (SELECT doc_id,
+       |    CASE WHEN nb = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE))
+       |        * 1e6) AS BIGINT) END AS align_e6
+       |  FROM sc)
+       |SELECT doc_id, align_e6,
+       |  CAST(CASE WHEN align_e6 >= $AlignKeepE6 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM al ORDER BY doc_id""".stripMargin
+  }
 
   /** m18's oracle: image histogram from the closed-form pixel spec,
     * text fold as e6 chunk sums, cosine in the shared integer chain. */
@@ -1221,6 +1285,7 @@ object Multimodal {
 
   def oracleSql: Map[String, String] = Map(
     "m18_align_filter" -> alignFilterOracle,
+    "m19_audio_align" -> audioAlignOracle,
     // BOTH closures restated verbatim — d6's SimHash reach (t/sg/p/e/
     // reach) and m14's aHash reach (dd/px/tot/blk/bits/hsh/p2/e2/
     // reach2) — then the joint (text_cluster, img_cluster) keep-one

@@ -5236,4 +5236,39 @@ class PipelineOpsSpec extends SparkSpecBase {
     val scores = out.map(_._4)
     assert(scores == scores.sorted, "outlier scores must ascend with rank")
   }
+
+  test("m19 audio alignment: integer-exact vs a driver-side mirror " +
+      "(closed-form amplitude histogram + the m18 cosine chain); both " +
+      "keep outcomes occur") {
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    def mirror(id: Long): (Long, Long) = {
+      val n = Multimodal.audioSamples(id)
+      val hist = new Array[Long](Multimodal.AlignBins)
+      for (t <- 0 until n)
+        hist(((Multimodal.audioSample(id, t) + 1024) / 256).toInt) += 1
+      val tvec = (0 until Multimodal.AlignBins).map { j =>
+        embs(id).slice(j * 8, j * 8 + 8).map(x =>
+          BigDecimal(x.toDouble * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      }
+      val dot = hist.zip(tvec).map { case (a, b) => a * b }.sum
+      val na = hist.map(x => x * x).sum
+      val nb = tvec.map(x => x * x).sum
+      val align = if (nb == 0L) 0L
+        else BigDecimal(dot.toDouble /
+            (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (align, if (align >= Multimodal.AlignKeepE6) 1L else 0L)
+    }
+    val out = Multimodal.m19AudioAlignFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == embs.keySet, "doc coverage diverged")
+    out.foreach { case (id, got) =>
+      assert(got == mirror(id), s"audio alignment diverged at doc $id: $got")
+    }
+    assert(out.values.map(_._2).toSet == Set(0L, 1L),
+      "audio alignment threshold does not discriminate on this corpus")
+  }
 }
