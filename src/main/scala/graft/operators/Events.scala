@@ -1598,7 +1598,44 @@ object Events {
     patternMatches(events(s, d), Seq("click", "view", "purchase"))
       .orderBy(col("user_id"), col("match_no"))
 
+  /** CUSUM slack (set above the corpus value mean, so the statistic
+    * decays to zero in control) and alarm threshold, e6 fixed point. */
+  val CusumSlackE6 = 60000000L
+  val CusumAlarmE6 = 300000000L
+
+  /** e36: CUSUM DRIFT MONITOR per event type — Page (1954)'s
+    * cumulative-sum changepoint statistic, the classic sequential
+    * drift detector (the x19 divergence audit's per-event companion:
+    * x19 asks "did the distribution move between snapshots", CUSUM
+    * asks "WHEN did this stream start running hot"). The recurrence
+    * S_t = max(0, S_{t−1} + x_t − k) is solved in CLOSED FORM as
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    * (x − k) — so the monitor is two window frames (cumulative sum +
+    * running min) over ONE (event_type, time) partitioning: a single
+    * hash exchange, no recursion, no state, trivially parallel across
+    * types and expressible identically in both engines' integer
+    * arithmetic. Alarm when S ≥ h (824/10000 rows at sf0.01, 31/1000 at sf0.001 —
+    * a rare-alarm monitor at every gate scale, not a rubber stamp). */
+  def e36CusumDrift(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (round(col("value") * 1e6).cast("long") - lit(CusumSlackE6))
+          .as("d_e6"))
+      .withColumn("p_e6", sum(col("d_e6")).over(w))
+      .withColumn("s_e6",
+        col("p_e6") - least(lit(0L), min(col("p_e6")).over(w)))
+      .select(col("event_type"), col("event_id"), col("s_e6"),
+        when(col("s_e6") >= CusumAlarmE6, lit(1L)).otherwise(lit(0L))
+          .as("alarm"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e36_cusum_drift"   -> e36CusumDrift _,
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
     "e3_json_extract"   -> e3JsonExtract _,
@@ -1637,6 +1674,26 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the same closed-form CUSUM: P = running sum of (x − k), then
+    // S = P − min(0, running min P), alarm at h — both frames over
+    // the identical (event_type; ts, event_id) order
+    "e36_cusum_drift" ->
+      s"""WITH x AS (SELECT event_type, ts, event_id,
+         |    CAST(round(value * 1e6) AS BIGINT) - $CusumSlackE6 AS d_e6
+         |  FROM events),
+         |p AS (SELECT event_type, ts, event_id,
+         |    sum(d_e6) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_e6
+         |  FROM x),
+         |sct AS (SELECT event_type, event_id,
+         |    p_e6 - least(0, min(p_e6) OVER (PARTITION BY event_type
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_e6
+         |  FROM p)
+         |SELECT event_type, event_id, s_e6,
+         |  CAST(CASE WHEN s_e6 >= $CusumAlarmE6 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alarm
+         |FROM sct ORDER BY event_type, event_id""".stripMargin,
     // full recompute — hash equality against the engine's base+delta
     // merge IS the incremental-maintenance correctness proof
     "e16_delta_agg" ->

@@ -5271,4 +5271,39 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.values.map(_._2).toSet == Set(0L, 1L),
       "audio alignment threshold does not discriminate on this corpus")
   }
+
+  test("e36 CUSUM: the closed-form window statement equals the literal " +
+      "max(0, S+x-k) recurrence replayed driver-side; alarms are rare " +
+      "but present; one exchange") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (tpe, evs) =>
+      var sAcc = 0L
+      evs.sortBy { case (_, ts, id, _) => (ts.getTime, id) }.toSeq.map {
+        case (_, _, id, v) =>
+          val d = BigDecimal(v * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong -
+            Events.CusumSlackE6
+          sAcc = math.max(0L, sAcc + d)
+          (tpe, id) -> (sAcc,
+            if (sAcc >= Events.CusumAlarmE6) 1L else 0L)
+      }
+    }
+    val out = Events.e36CusumDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == want.toMap,
+      s"closed form diverged from the literal recurrence: " +
+        s"${want.toMap.toSet.diff(out.toSet).take(3)}")
+    val alarms = out.values.count(_._2 == 1L)
+    assert(alarms > 0 && alarms * 10 < out.size,
+      s"alarm rate degenerate: $alarms of ${out.size}")
+    val plan = planOf(Events.e36CusumDrift(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1,
+      s"cumsum + running-min must share one event_type exchange:\n$plan")
+  }
 }
