@@ -2056,6 +2056,56 @@ object StreamOps {
       }
   }
 
+  /** One valued event of the CUSUM stream — e36's input unit. */
+  case class ValuedEvent(event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  /** Per-type CUSUM state: the literal recurrence accumulator plus the
+    * newest scored (ts, event_id) for the at-least-once guard. */
+  case class CusumState(s_e6: Long, last_ms: Long, last_event_id: Long)
+  /** One monitored event's CUSUM emission — batch e36's row shape. */
+  case class CusumRow(event_type: String, event_id: Long, s_e6: Long,
+      alarm: Long)
+
+  /** Streaming e36: the CUSUM drift monitor as keyed state — here the
+    * LITERAL recurrence S ← max(0, S + x − k) is the natural streaming
+    * form (one long of state per event type; the batch query's
+    * closed-form windows exist precisely because batch has no
+    * accumulator). Same at-least-once discipline as [[patternStream]]:
+    * state carries the newest scored (ts, event_id), duplicates and
+    * late arrivals at or before it are dropped, so in-order replay
+    * reproduces batch e36 row for row (spec-pinned, including the
+    * closed-form ≡ recurrence identity across the batch/stream pair). */
+  def cusumStream(events: Dataset[ValuedEvent]): Dataset[CusumRow] = {
+    implicit val re: org.apache.spark.sql.Encoder[CusumRow] =
+      Encoders.product[CusumRow]
+    implicit val se: org.apache.spark.sql.Encoder[CusumState] =
+      Encoders.product[CusumState]
+    implicit val ke: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[ValuedEvent],
+            state: GroupState[CusumState]) =>
+          var st = state.getOption
+            .getOrElse(CusumState(0L, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[CusumRow]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val fresh = e.ts.getTime > st.last_ms ||
+              (e.ts.getTime == st.last_ms && e.event_id > st.last_event_id)
+            if (fresh) {
+              val d = graft.functions.DotFp9.roundHalfAway(e.value * 1e6) -
+                graft.operators.Events.CusumSlackE6
+              val s = math.max(0L, st.s_e6 + d)
+              st = CusumState(s, e.ts.getTime, e.event_id)
+              out += CusumRow(tpe, e.event_id, s,
+                if (s >= graft.operators.Events.CusumAlarmE6) 1L else 0L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class PermuteState(mask: Long, n_complete: Long, n_seen: Long,
       last_ms: Long, last_event_id: Long)
   case class PermuteProgress(user_id: Long, n_complete: Long,
@@ -2511,6 +2561,7 @@ object StreamOps {
     "budgetThresholdStream" -> OutputMode.Update(),
     "overlapWithinStream" -> OutputMode.Append(),
     "patternStream" -> OutputMode.Append(),
+    "cusumStream" -> OutputMode.Append(),
     "permuteStream" -> OutputMode.Append(),
     "repeatWithinStream" -> OutputMode.Append(),
     "semDedupStream" -> OutputMode.Append(),

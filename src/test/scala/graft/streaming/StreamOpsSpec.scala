@@ -1196,6 +1196,39 @@ class StreamOpsSpec extends SparkSpecBase {
       s"stream/batch divergence: ${streamed.toSet -- batch.toSet} | ${batch.toSet -- streamed.toSet}")
   }
 
+  test("cusumStream: chunked in-order replay ≡ batch e36 row for row; " +
+      "duplicate redelivery cannot move the accumulator") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.ValuedEvent
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[ValuedEvent].collect()
+    val in = MemoryStream[ValuedEvent]
+    val q = StreamOps.cusumStream(in.toDS())
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append()).start()
+    val chunks = ev.grouped(ev.length / 7 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    val before = spark.table("cusum_stream").count()
+    // duplicate redelivery of the last chunk: nothing may emit or move
+    in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    assert(spark.table("cusum_stream").count() == before,
+      "duplicate redelivery advanced the CUSUM accumulator")
+    val streamed = spark.table("cusum_stream").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("s_e6"), r.getAs[Long]("alarm"))).toMap
+    // row-for-row: the streamed literal recurrence equals the batch
+    // closed form at EVERY event, not just the final state
+    val batch = graft.operators.Events.e36CusumDrift(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("s_e6"), r.getAs[Long]("alarm"))).toMap
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"| ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("permuteStream: chunked in-order replay ≡ batch e28; duplicate " +
       "redelivery cannot move the mask") {
     implicit val sq = spark.sqlContext
