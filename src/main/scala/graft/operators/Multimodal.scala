@@ -483,18 +483,19 @@ object Multimodal {
       .transform(Output.ordered(_, col("doc_id")))
   }
 
-  /** Library form of [[m5AudioFeatures]] over any doc-id Dataset,
-    * unordered (streaming-valid). */
   /** The shared WAV encode→DECODE loop (the audio [[pngRoundTrip]]):
     * synthesize the PCM16 mono payload from the closed-form sample
     * spec, write a real WAV container, decode it back; returns the
-    * payload's 4-byte magic, the decoded rate, the decoded frame
-    * count, and every decoded sample. Every audio consumer (m5
-    * features, m9 aHash, m19 histogram) maps over THIS loop. */
-  private[graft] def wavRoundTrip(id: Long)
-      : (String, Long, Long, Array[Long]) = {
+    * payload's first 4 bytes (the container magic, raw — hex
+    * formatting is m5's concern; the hash/histogram consumers discard
+    * it), the decoded rate, the decoded frame count, and every
+    * decoded sample. Every audio consumer (m5 features, m9 aHash, m19
+    * histogram) maps over THIS loop; `fmt` is the per-partition codec
+    * handle each consumer constructs once per task. */
+  private[graft] def wavRoundTrip(id: Long,
+      fmt: javax.sound.sampled.AudioFormat)
+      : (Array[Byte], Long, Long, Array[Long]) = {
     import javax.sound.sampled._
-    val fmt = new AudioFormat(AudioRateHz, 16, 1, true, false)
     val n = audioSamples(id)
     val pcm = new Array[Byte](n * 2)
     var t = 0
@@ -510,7 +511,6 @@ object Multimodal {
         new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
       AudioFileFormat.Type.WAVE, bos)
     val payload = bos.toByteArray // real WAV container bytes
-    val magic = payload.take(4).map("%02X".format(_)).mkString
     // the REAL decode under test
     val ais = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
@@ -525,14 +525,22 @@ object Multimodal {
       samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toLong
       i += 1
     }
-    (magic, dec.getSampleRate.toLong, frames, samples)
+    (payload.take(4), dec.getSampleRate.toLong, frames, samples)
   }
 
+  /** Library form of [[m5AudioFeatures]] over any doc-id Dataset,
+    * unordered (streaming-valid — a stateless per-partition map, the
+    * [[decodeFeatures]] contract). */
   def decodeAudioFeatures(ids: Dataset[Long]): DataFrame = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
+      // per-partition codec init: the PCM16 little-endian mono format
+      // object is the reusable "handle" here
+      val fmt = new javax.sound.sampled.AudioFormat(AudioRateHz, 16, 1,
+        true, false)
       it.map { id =>
-        val (magic, rate, frames, samples) = wavRoundTrip(id)
+        val (head, rate, frames, samples) = wavRoundTrip(id, fmt)
+        val magic = head.map("%02X".format(_)).mkString
         var sum = 0L
         var mn = Long.MaxValue
         var mx = Long.MinValue
@@ -592,8 +600,10 @@ object Multimodal {
   def audioHash(ids: Dataset[Long]): DataFrame = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(AudioRateHz, 16, 1,
+        true, false)
       it.map { id =>
-        val (_, _, _, samples) = wavRoundTrip(id)
+        val (_, _, _, samples) = wavRoundTrip(id, fmt)
         val nDec = samples.length
         val ws = new Array[Long](64); val wn = new Array[Long](64)
         var tot = 0L
@@ -1095,8 +1105,10 @@ object Multimodal {
   def audioHistogram(ids: Dataset[Long]): DataFrame = {
     import ids.sparkSession.implicits._
     ids.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(AudioRateHz, 16, 1,
+        true, false)
       it.map { id =>
-        val (_, _, _, samples) = wavRoundTrip(id)
+        val (_, _, _, samples) = wavRoundTrip(id, fmt)
         val bins = new Array[Long](AlignBins)
         samples.foreach { v =>
           bins(math.min(AlignBins - 1,

@@ -2060,8 +2060,12 @@ object StreamOps {
   case class ValuedEvent(event_type: String, event_id: Long,
       ts: java.sql.Timestamp, value: Double)
   /** Per-type CUSUM state: the literal recurrence accumulator plus the
-    * newest scored (ts, event_id) for the at-least-once guard. */
-  case class CusumState(s_e6: Long, last_ms: Long, last_event_id: Long)
+    * newest scored (ts in MICROS, event_id) for the at-least-once
+    * guard — micros, not millis, because batch e36 orders by the full
+    * timestamp and the corpus ships micros precision (the
+    * repeatWithinStream lesson: a millis guard would both reorder and
+    * silently drop same-millisecond siblings). */
+  case class CusumState(s_e6: Long, last_us: Long, last_event_id: Long)
   /** One monitored event's CUSUM emission — batch e36's row shape. */
   case class CusumRow(event_type: String, event_id: Long, s_e6: Long,
       alarm: Long)
@@ -2081,6 +2085,8 @@ object StreamOps {
     implicit val se: org.apache.spark.sql.Encoder[CusumState] =
       Encoders.product[CusumState]
     implicit val ke: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[CusumState, CusumRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
@@ -2089,14 +2095,19 @@ object StreamOps {
           var st = state.getOption
             .getOrElse(CusumState(0L, Long.MinValue, Long.MinValue))
           val out = Seq.newBuilder[CusumRow]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val fresh = e.ts.getTime > st.last_ms ||
-              (e.ts.getTime == st.last_ms && e.event_id > st.last_event_id)
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            val fresh = t > st.last_us ||
+              (t == st.last_us && e.event_id > st.last_event_id)
             if (fresh) {
-              val d = graft.functions.DotFp9.roundHalfAway(e.value * 1e6) -
+              // EXACTLY the batch side's rounding (Spark round() =
+              // BigDecimal HALF_UP), not floor(x+0.5) — a knife-edge
+              // double must not diverge the accumulator from e36
+              val d = BigDecimal(e.value * 1e6)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong -
                 graft.operators.Events.CusumSlackE6
               val s = math.max(0L, st.s_e6 + d)
-              st = CusumState(s, e.ts.getTime, e.event_id)
+              st = CusumState(s, t, e.event_id)
               out += CusumRow(tpe, e.event_id, s,
                 if (s >= graft.operators.Events.CusumAlarmE6) 1L else 0L)
             }

@@ -1229,6 +1229,35 @@ class StreamOpsSpec extends SparkSpecBase {
         s"| ${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("cusumStream scores same-millisecond siblings in micros order and " +
+      "drops neither") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.ValuedEvent
+    def tsMicros(ms: Long, us: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(ms)
+      t.setNanos(us * 1000)
+      t
+    }
+    // two events inside one millisecond: micros order (.400 then .600)
+    // is the REVERSE of event_id order — a millis-grained guard would
+    // either reorder them or drop the second as stale
+    val a = ValuedEvent("t", 7L, tsMicros(1000L, 400), 100.0)
+    val b = ValuedEvent("t", 3L, tsMicros(1000L, 600), 200.0)
+    val in = MemoryStream[ValuedEvent]
+    val q = StreamOps.cusumStream(in.toDS())
+      .writeStream.format("memory").queryName("cusum_micros")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(a, b); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cusum_micros").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("s_e6")).toMap
+    val k = graft.operators.Events.CusumSlackE6
+    val sA = math.max(0L, 100000000L - k)
+    val sB = math.max(0L, sA + 200000000L - k)
+    assert(rows == Map(7L -> sA, 3L -> sB),
+      s"micros ordering broken: $rows (want 7->$sA then 3->$sB)")
+  }
+
   test("permuteStream: chunked in-order replay ≡ batch e28; duplicate " +
       "redelivery cannot move the mask") {
     implicit val sq = spark.sqlContext
