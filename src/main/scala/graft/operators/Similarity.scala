@@ -2509,8 +2509,22 @@ object Similarity {
     * (per-partition top-N, driver merge) — no global window, no
     * shuffle beyond the graph's own. Determinism: (cos_e6 ASC, src)
     * total order, the oracle derived verbatim from the s22 statement. */
+  private val exactGraphCache = SessionCaches.newCache()
+
+  /** The exact kNN graph as a STANDING registry stage (n·GraphK rows,
+    * a pure function of the corpus) — s33 adopts it instead of
+    * re-running s22's all-pairs scan; s22 itself keeps its own
+    * uncached plan (its spec pins the plan shape), exactly the
+    * rung/ivfgraph discipline. */
+  private def sharedExactGraph(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(exactGraphCache, s, d)(
+      Warehouse.standingTable(s, "graft_exactgraph", d) { t =>
+        Warehouse.writeStanding(s22KnnGraph(s, d), t, Seq("src"),
+          nBuckets = 4)
+      })
+
   def s33KnnOutliers(s: SparkSession, d: String): DataFrame = {
-    val picked = s22KnnGraph(s, d)
+    val picked = sharedExactGraph(s, d)
       .filter(col("rank") === GraphK.toLong)
       .orderBy(col("cos_e6").asc, col("src"))
       .limit(OutlierTopN)
