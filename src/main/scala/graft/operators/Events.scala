@@ -1623,8 +1623,14 @@ object Events {
         org.apache.spark.sql.expressions.Window.currentRow)
     events(s, d)
       .select(col("event_type"), col("ts"), col("event_id"),
-        (round(col("value") * 1e6).cast("long") - lit(CusumSlackE6))
-          .as("d_e6"))
+        // integer provenance: cents quantum (round(value*100), the
+        // rounding e9/e16 prove hash-safe across engines) scaled to
+        // e6 — NOT round(value*1e6): Spark rounds the SHORTEST
+        // decimal string of the double (BigDecimal.valueOf HALF_UP)
+        // while DuckDB rounds the binary value half-away-from-zero,
+        // and one knife-edge row poisons every later running sum
+        (round(col("value") * 100).cast("long") * lit(10000L) -
+          lit(CusumSlackE6)).as("d_e6"))
       .withColumn("p_e6", sum(col("d_e6")).over(w))
       .withColumn("s_e6",
         col("p_e6") - least(lit(0L), min(col("p_e6")).over(w)))
@@ -1679,7 +1685,7 @@ object Events {
     // the identical (event_type; ts, event_id) order
     "e36_cusum_drift" ->
       s"""WITH x AS (SELECT event_type, ts, event_id,
-         |    CAST(round(value * 1e6) AS BIGINT) - $CusumSlackE6 AS d_e6
+         |    CAST(round(value * 100) AS BIGINT) * 10000 - $CusumSlackE6 AS d_e6
          |  FROM events),
          |p AS (SELECT event_type, ts, event_id,
          |    sum(d_e6) OVER (PARTITION BY event_type ORDER BY ts, event_id

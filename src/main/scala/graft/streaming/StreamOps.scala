@@ -2100,12 +2100,14 @@ object StreamOps {
             val fresh = t > st.last_us ||
               (t == st.last_us && e.event_id > st.last_event_id)
             if (fresh) {
-              // EXACTLY the batch side's rounding (Spark round() =
-              // BigDecimal HALF_UP), not floor(x+0.5) — a knife-edge
-              // double must not diverge the accumulator from e36
-              val d = BigDecimal(e.value * 1e6)
-                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong -
-                graft.operators.Events.CusumSlackE6
+              // EXACTLY the batch side's arithmetic: cents quantum
+              // (BigDecimal HALF_UP at scale 0 of value*100 — Spark's
+              // round()) scaled to e6, the integer-provenance form
+              // that hashes identically in DuckDB — not round(x*1e6),
+              // whose knife-edge doubles diverge across engines
+              val d = BigDecimal(e.value * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong *
+                10000L - graft.operators.Events.CusumSlackE6
               val s = math.max(0L, st.s_e6 + d)
               st = CusumState(s, t, e.event_id)
               out += CusumRow(tpe, e.event_id, s,

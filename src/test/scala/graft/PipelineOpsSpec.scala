@@ -5284,9 +5284,9 @@ class PipelineOpsSpec extends SparkSpecBase {
       var sAcc = 0L
       evs.sortBy { case (_, ts, id, _) => (ts.getTime, id) }.toSeq.map {
         case (_, _, id, v) =>
-          val d = BigDecimal(v * 1e6)
-            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong -
-            Events.CusumSlackE6
+          val d = BigDecimal(v * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong *
+            10000L - Events.CusumSlackE6
           sAcc = math.max(0L, sAcc + d)
           (tpe, id) -> (sAcc,
             if (sAcc >= Events.CusumAlarmE6) 1L else 0L)
