@@ -76,7 +76,6 @@ object Bench {
         .selectExpr("sum(pmod(xxhash64(id), 1000000007))").collect(): Unit
       (System.nanoTime() - t0) / 1e9
     }
-    val calibration = calibrate()
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -96,6 +95,29 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }).toSeq.sortBy(_._1)
+    // UNTIMED pre-pass (VERDICT r14 #3): execute the whole grid once
+    // before any timed pass, so every standing-registry stage (pair
+    // tables, component closures, kNN graphs, the containment family)
+    // is built — or adopted from a prior JVM — OUTSIDE the measured
+    // window. Without this, whichever query alphabetically reaches a
+    // shared standing stage first is charged its full build cost and
+    // benchdiff flags it as a regression (the r13/r14 d2/d21/d22/x38
+    // official-vs-isolated discrepancy). Running the grid itself —
+    // rather than a hand-kept manifest of standing stages — cannot
+    // drift when a new stage is added. Errors are swallowed here; the
+    // timed pass records them in the errors map. Opt-out knob for dev
+    // iteration only (the driver never sets it).
+    val prepassT0 = System.nanoTime()
+    val prepass = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREPASS", "1") != "0"
+    if (prepass) selected.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+    }
+    val prepassSec = (System.nanoTime() - prepassT0) / 1e9
+    // run-start calibration samples AFTER the pre-pass: it anchors the
+    // first timed queries, so it must measure the machine at that
+    // moment, not minutes earlier before the pre-pass ran
+    val calibration = calibrate()
     val CalibrateEvery = 10
     var errors = List.empty[(String, String)]
     // (queries completed when sampled, seconds) — sample 0 is the
@@ -157,7 +179,7 @@ object Bench {
     val cal = samples.reverse.map { case (i, v) => s"[$i,$v]" }
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"calibration_samples":$cal,"queries":$qs,"reruns":$rr,"rerun_calibration":$rerunCal,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prepass_sec":$prepassSec,"calibration":$calibration,"calibration_samples":$cal,"queries":$qs,"reruns":$rr,"rerun_calibration":$rerunCal,"errors":$errs,"sf":${jstr(sfDir)}}"""
     // FULL-DETAIL line: to the file; stdout carries it ONLY when the
     // file write fails (an unwritable SPARK_GRAFT_BENCH_OUT must not
     // destroy the run's results on both channels). Unconditional
@@ -190,16 +212,17 @@ object Bench {
     }
     // The compact line reports the DEFLAKED basis: min(cold, rerun) per
     // query — the basis benchdiff already adjudicates regressions on.
-    // The raw cold pass charges a query for every session-shared stage
-    // it happens to build first (m15's cold was 100× its steady-state
-    // cost on a throttled run) and for run-start throttle windows; the
-    // raw numbers stay in bench_out.json's queries/reruns maps.
+    // Since the untimed pre-pass (r15), "cold" no longer carries
+    // standing-stage build costs — both timed passes measure
+    // steady-state query execution; min() still absorbs throttle
+    // windows. The raw numbers stay in bench_out.json's queries/reruns
+    // maps, and the pre-pass total is reported as prepass_sec.
     val rerunOf = reruns.toMap
     val deflaked = results.map { case (k, v) =>
       k -> math.min(v, rerunOf.getOrElse(k, v))
     }
     val dTotal = deflaked.map(_._2).sum
-    val head = s"""{"metric":"total","value":${ms(dTotal)},"unit":"sec","basis":"min(cold,rerun)","cold_total":${ms(total)},"sf":${jstr(sfDir)},"nqueries":${results.size},"nerrors":${errors.size},"calibration":${ms(calibration)},"full":${jstr(out)},"queries":{"""
+    val head = s"""{"metric":"total","value":${ms(dTotal)},"unit":"sec","basis":"min(cold,rerun)","cold_total":${ms(total)},"prepass":${ms(prepassSec)},"sf":${jstr(sfDir)},"nqueries":${results.size},"nerrors":${errors.size},"calibration":${ms(calibration)},"full":${jstr(out)},"queries":{"""
     val close = "}}"
     val entries = deflaked.sortBy(-_._2)
       .map { case (k, v) => jstr(k) + ":" + ms(v) }
