@@ -1170,7 +1170,14 @@ object Multimodal {
     * to [[AlignBins]] dims by consecutive 8-element chunk sums, e6
     * fixed point per element — a narrow projection over the embedding
     * column. */
-  def textFold(emb: DataFrame): DataFrame =
+  def textFold(emb: DataFrame): DataFrame = {
+    // the fold reads exactly AlignBins consecutive 8-element chunks;
+    // if Similarity.Dim ever moves, Spark's slice() and the oracle's
+    // DuckDB list slicing would BOTH silently truncate the same way,
+    // so the oracle gate cannot catch the omission — fail loudly here
+    require(Similarity.Dim == AlignBins * 8,
+      s"textFold assumes Dim=${AlignBins * 8} (AlignBins=$AlignBins × 8); " +
+        s"Similarity.Dim is ${Similarity.Dim}")
     emb.select(
       col("vec_id"),
       transform(sequence(lit(0), lit(AlignBins - 1)), j =>
@@ -1178,6 +1185,7 @@ object Multimodal {
           lit(0L),
           (acc, x) => acc + round(x.cast("double") * 1e6).cast("long")))
         .as("tvec"))
+  }
 
   /** Score+threshold stage of m18 over explicit (doc_id, hist) and
     * (vec_id, tvec) frames — shared verbatim by the batch query and

@@ -804,6 +804,10 @@ object Similarity {
     val exact = rankedRung(s, d, "exact")(s1KnnBrute(s, d))
       .select(col("qid"), col("rank").as("ex_rank"), col("nid"))
     val nq = exact.select(col("qid")).distinct().count()
+    // diagnostic, not ArithmeticException: an empty exact rung (corpus
+    // missing vec_id < NQueries) must name itself like s30's seed guard
+    require(nq > 0, "s31: no query vectors in the exact rung — " +
+      s"corpus at $d carries no vec_id < $NQueries")
     val discCol = element_at(
       array(NdcgDiscE3.map(lit): _*), col("m_rank").cast("int"))
     // one unioned plan over all five methods (the s18 shape), one

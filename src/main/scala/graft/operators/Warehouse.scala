@@ -444,9 +444,15 @@ object Warehouse {
     *    STAGING name, then the staged directory is renamed into the
     *    registry in one FS move: the artifact only ever exists
     *    complete, and of two racing writers one wins the rename while
-    *    the loser adopts the winner's artifact (best-effort — the
-    *    registry is still single-machine; a shared-FS multi-writer
-    *    deployment would want a lock service above this).
+    *    the loser adopts the winner's artifact;
+    *  - racing BUILDS are serialized by an exclusive-create lease file
+    *    (`.lease_<table>` under the registry root): the holder builds,
+    *    waiters poll for the published artifact and adopt it, a lease
+    *    older than [[LeaseTtlMs]] is a crashed holder and is broken.
+    *    The rename race above remains the correctness backstop — the
+    *    lease only removes duplicate work, so a shared-FS deployment
+    *    whose create-if-absent is weaker than HDFS/local semantics
+    *    degrades to the old convergent behavior, never to corruption.
     */
   def standingTable(s: SparkSession, prefix: String, source: String,
       props: Map[String, String] = Map.empty)(write: String => Unit): DataFrame = {
@@ -484,8 +490,12 @@ object Warehouse {
         val sortBy = if (sort.isEmpty) "" else s"SORTED BY ($sort) "
         s"CLUSTERED BY ($cols) ${sortBy}INTO $n BUCKETS "
       }.getOrElse("")
-      s.sql(s"CREATE TABLE $table (${m("graft.schema.ddl")}) USING PARQUET " +
-        bucketed + s"LOCATION '$loc'")
+      // IF NOT EXISTS: a same-catalog waiter can adopt between this
+      // writer's marker publish and its own adopt — both register the
+      // SAME artifact, so the second registration is a no-op, and both
+      // stamp identical properties below
+      s.sql(s"CREATE TABLE IF NOT EXISTS $table (${m("graft.schema.ddl")}) " +
+        s"USING PARQUET " + bucketed + s"LOCATION '$loc'")
       val kv = (want ++ fresh).toSeq.sortBy(_._1)
         .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
         .mkString(", ")
@@ -509,7 +519,7 @@ object Warehouse {
         if (ok) adopt(m) else fs.delete(loc, true) // stale registry entry
         ok
       }
-      if (!adopted) {
+      def buildAndPromote(): Unit = {
         if (fs.exists(loc)) fs.delete(loc, true) // markerless half-build
         val stageTable = table + "__stage"
         if (s.catalog.tableExists(stageTable)) s.sql(s"DROP TABLE $stageTable")
@@ -555,9 +565,92 @@ object Warehouse {
         require(valid(m2.get), s"racing standing build left $loc invalid")
         adopt(m2)
       }
+      if (!adopted) {
+        // BUILD LEASE (VERDICT r14 #5): on a shared registry FS,
+        // several drivers can reach this point together; without
+        // coordination each re-runs the expensive build and the
+        // rename race merely picks a survivor. An exclusive-create
+        // lease file serializes the builders: the holder builds, the
+        // others wait for its published artifact (or break the lease
+        // if the holder died) — exactly one build per artifact.
+        val lease = new org.apache.hadoop.fs.Path(standingRoot(s),
+          s".lease_$table")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(standingRoot(s)))
+        val markerPath = new org.apache.hadoop.fs.Path(loc, MarkerName)
+        val deadline = System.currentTimeMillis() + LeaseTtlMs
+        var settled = false
+        while (!settled) {
+          if (tryAcquireLease(fs, lease)) {
+            try {
+              // a writer that held the lease before us may have
+              // published while we waited — adopt, don't rebuild
+              // (same-catalog writers already registered the table;
+              // adopt's CREATE TABLE would collide, so check first)
+              if (s.catalog.tableExists(table)) settled = true
+              else if (fs.exists(markerPath)) {
+                val m = loadMarker(fs, markerPath)
+                if (valid(m.get)) { adopt(m); settled = true }
+                else fs.delete(loc, true) // stale — rebuild under lease
+              }
+              if (!settled) { buildAndPromote(); settled = true }
+            } finally fs.delete(lease, false)
+          } else {
+            // lease held by a live writer: wait for its artifact
+            Thread.sleep(LeasePollMs)
+            if (s.catalog.tableExists(table)) settled = true // same catalog
+            else if (fs.exists(markerPath)) {
+              val m = loadMarker(fs, markerPath)
+              if (valid(m.get)) { adopt(m); settled = true }
+            }
+            require(settled || System.currentTimeMillis() < deadline,
+              s"timed out after ${LeaseTtlMs / 1000}s waiting on " +
+                s"standing-build lease $lease — holder neither " +
+                "published nor expired")
+          }
+        }
+      }
     }
     s.table(table)
   }
+
+  /** Lease TTL: a lease file older than this is a crashed holder and
+    * may be broken. Generous — a standing build at real scale runs
+    * minutes; breaking a LIVE builder's lease would start a duplicate
+    * build (wasteful, though still convergent via the rename race). */
+  private[graft] val LeaseTtlMs = 30 * 60 * 1000L
+  private[graft] val LeasePollMs = 100L
+
+  /** Exclusive-create lease acquisition. Returns true iff this caller
+    * now holds the lease. A held lease older than [[LeaseTtlMs]] is a
+    * crashed holder: break it and report NOT acquired — the next loop
+    * iteration re-races cleanly rather than assuming the break won. */
+  private[graft] def tryAcquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      val owner =
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      if (fs.getScheme == "file") {
+        // Hadoop's LocalFileSystem create(overwrite=false) is
+        // exists-check-then-create — NOT atomic; two in-process racers
+        // both pass the check. NIO createFile is O_EXCL: truly atomic.
+        val p = java.nio.file.Paths.get(lease.toUri.getPath)
+        java.nio.file.Files.createFile(p)
+        java.nio.file.Files.write(p, (owner + "\n").getBytes("UTF-8"))
+      } else {
+        // overwrite=false: atomic create-if-absent on HDFS semantics
+        val out = fs.create(lease, false)
+        try out.writeBytes(owner + "\n") finally out.close()
+      }
+      true
+    } catch {
+      case _: java.io.IOException =>
+        val stale =
+          try fs.getFileStatus(lease).getModificationTime <
+            System.currentTimeMillis() - LeaseTtlMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stale) fs.delete(lease, false)
+        false
+    }
 
   /** Bucketed standing-stage write: one hash repartition on the bucket
     * key first, so the write yields exactly `nBuckets` files (bucketBy

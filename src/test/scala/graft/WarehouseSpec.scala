@@ -644,4 +644,86 @@ class WarehouseSpec extends SparkSpecBase {
       assert(stage().collect().map(_.getLong(0)).toSeq == Seq(4L) && builds == 4)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("standing-build lease: two racing writers on a shared registry " +
+      "root converge to ONE artifact with ONE build; the loser adopts") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val corpus = Files.createTempDirectory("graft-lease-src").toFile.getAbsolutePath
+    Files.write(java.nio.file.Paths.get(corpus, "part.txt"), "v1".getBytes)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def stage(): Seq[Long] =
+      Warehouse.standingTable(spark, "graft_testlease", corpus) { t =>
+        builds.incrementAndGet()
+        Thread.sleep(800) // widen the race window: the loser MUST wait
+        Warehouse.writeStanding(Seq((42L, 1L)).toDF("k", "v"), t, Seq("k"), 2)
+      }.collect().map(_.getLong(0)).toSeq
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpus.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val table = s"graft_testlease_$digest"
+    try {
+      val a = Future(stage())
+      val b = Future(stage())
+      val (ra, rb) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+      assert(ra == Seq(42L) && rb == Seq(42L),
+        s"racing writers diverged: $ra vs $rb")
+      assert(builds.get() == 1,
+        s"lease did not serialize the builders: ${builds.get()} builds ran")
+      // the winner released: no lease file left behind
+      val lease = new java.io.File(Warehouse.standingRoot(spark),
+        s".lease_$table")
+      assert(!lease.exists(), s"lease file leaked: $lease")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("standing-build lease: a waiter blocks while the lease is held, " +
+      "proceeds when released; a STALE lease (crashed holder) is broken") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val corpus = Files.createTempDirectory("graft-lease-src2").toFile.getAbsolutePath
+    Files.write(java.nio.file.Paths.get(corpus, "part.txt"), "v1".getBytes)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def stage(): Seq[Long] =
+      Warehouse.standingTable(spark, "graft_testlease2", corpus) { t =>
+        builds.incrementAndGet()
+        Warehouse.writeStanding(Seq((7L, 1L)).toDF("k", "v"), t, Seq("k"), 2)
+      }.collect().map(_.getLong(0)).toSeq
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpus.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val table = s"graft_testlease2_$digest"
+    val root = new java.io.File(Warehouse.standingRoot(spark))
+    root.mkdirs()
+    val lease = new java.io.File(root, s".lease_$table")
+    try {
+      // a FRESH lease held by a (simulated) live writer: the caller
+      // must wait, not build and not throw
+      Files.write(lease.toPath, "someone-else\n".getBytes)
+      val waiter = Future(stage())
+      Thread.sleep(1500)
+      assert(builds.get() == 0,
+        "writer built through a live holder's lease")
+      assert(!waiter.isCompleted, "waiter did not block on the held lease")
+      // holder releases → the waiter acquires and builds
+      assert(lease.delete())
+      assert(Await.result(waiter, 120.seconds) == Seq(7L) && builds.get() == 1)
+      // STALE lease: simulate a crashed holder by an old mtime — the
+      // next writer breaks it instead of waiting out the TTL
+      spark.sql(s"DROP TABLE $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root, table))
+      Files.write(lease.toPath, "crashed-holder\n".getBytes)
+      assert(lease.setLastModified(
+        System.currentTimeMillis() - Warehouse.LeaseTtlMs - 60000L))
+      assert(stage() == Seq(7L) && builds.get() == 2,
+        "stale lease was not broken")
+      assert(!lease.exists(), "broken stale lease left behind")
+    } finally {
+      lease.delete()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
 }
