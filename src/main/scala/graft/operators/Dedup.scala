@@ -557,11 +557,8 @@ object Dedup {
 
   /** Library form of [[d21EditVerify]]: any (a, b) candidate frame
     * against any (doc_id, text) corpus. */
-  def editVerify(candidates: DataFrame, docs: DataFrame): DataFrame = {
-    val txt = docs.select(col("doc_id"), normText(col("text")).as("nt"))
-    candidates.select(col("a"), col("b"))
-      .join(txt.select(col("doc_id").as("a"), col("nt").as("ta")), Seq("a"))
-      .join(txt.select(col("doc_id").as("b"), col("nt").as("tb")), Seq("b"))
+  def editVerify(candidates: DataFrame, docs: DataFrame): DataFrame =
+    pairTexts(candidates, docs)
       .select(col("a"), col("b"),
         levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
         greatest(length(col("ta")), length(col("tb"))).cast("long")
@@ -570,7 +567,55 @@ object Dedup {
         idiv((col("max_len") - col("lev")) * 1000000L,
           greatest(col("max_len"), lit(1L))))
       .withColumn("verified", col("edit_sim_e6") >= D21SimE6)
+
+  /** Candidate pairs joined to both sides' d1-normalized text — the
+    * shared plumbing of the full and capped verify tiers: two doc_id
+    * hash joins moving only candidate rows. */
+  private def pairTexts(candidates: DataFrame, docs: DataFrame): DataFrame = {
+    val txt = docs.select(col("doc_id"), normText(col("text")).as("nt"))
+    candidates.select(col("a"), col("b"))
+      .join(txt.select(col("doc_id").as("a"), col("nt").as("ta")), Seq("a"))
+      .join(txt.select(col("doc_id").as("b"), col("nt").as("tb")), Seq("b"))
   }
+
+  /** Absolute edit bound for the CAPPED verify tier: well above the
+    * near-dup mode (planted pairs measure lev ≤ 8 at sf0.01) and far
+    * below the LSH false-positive mode (lev ≥ 236) — the d9/d16
+    * capped-posture precedent applied to the verify tier's worst-pair
+    * cost. */
+  val D23MaxLev = 32
+
+  /** d23: the PRODUCTION posture of [[editVerify]] — Spark's banded
+    * 3-arg `levenshtein(a, b, threshold)` stops at [[D23MaxLev]] and
+    * answers −1 past it, so the worst PAIR costs O(k·min_len) instead
+    * of O(len²): the stated bound the verify tier needs at 100 TB,
+    * where one adversarial pair of 100 KB boilerplate docs must not
+    * own an executor for minutes. Over-bound pairs report NULL
+    * distance/similarity and verified = false (an unverifiable pair is
+    * not a near-dup — by construction a TRUE near-dup moved few
+    * characters); under the bound the row is IDENTICAL to the full
+    * tier's (spec-pinned pair for pair, and the DuckDB oracle restates
+    * the cap over its own full distance). */
+  def d23EditVerifyCapped(s: SparkSession, d: String): DataFrame =
+    editVerifyCapped(sharedLshPairs(s, d), documents(s, d))
+      .orderBy(col("a"), col("b"))
+
+  /** Library form of [[d23EditVerifyCapped]]. */
+  def editVerifyCapped(candidates: DataFrame, docs: DataFrame): DataFrame =
+    pairTexts(candidates, docs)
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb"), D23MaxLev).cast("long").as("lev_c"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("max_len"))
+      .withColumn("lev", when(col("lev_c") >= 0L, col("lev_c")))
+      .withColumn("edit_sim_e6",
+        when(col("lev_c") >= 0L,
+          idiv((col("max_len") - col("lev_c")) * 1000000L,
+            greatest(col("max_len"), lit(1L)))))
+      .withColumn("verified",
+        coalesce(col("edit_sim_e6") >= D21SimE6, lit(false)))
+      .select(col("a"), col("b"), col("lev"), col("max_len"),
+        col("edit_sim_e6"), col("verified"))
 
   /** d5: SimHash near-dup pairs — 32-bit signatures, pairs within
     * hamming distance ≤ 1, found by exact hamming-ball bucketing: each
@@ -1390,6 +1435,7 @@ object Dedup {
     "d19_bloom_novelty" -> d19BloomNovelty _,
     "d20_lsh_scurve" -> d20LshScurve _,
     "d21_edit_verify" -> d21EditVerify _,
+    "d23_edit_capped" -> d23EditVerifyCapped _,
     "d22_soft_dedup" -> d22SoftDedup _,
   )
 
@@ -1812,6 +1858,33 @@ object Dedup {
            |  (max_len - lev) * 1000000 // greatest(max_len, 1) >= $D21SimE6
            |    AS verified
            |FROM sc ORDER BY a, b""".stripMargin),
+    // the d21 chain with the production edit bound restated over
+    // DuckDB's full distance: over-bound pairs answer NULL + false
+    "d23_edit_capped" ->
+      (SigCte +
+        s"""
+           |, e AS (SELECT doc_id, band_idx, bands[band_idx] AS band_key
+           |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM e x JOIN e y ON x.band_idx = y.band_idx
+           |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+           |nt AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt FROM t),
+           |sc AS (SELECT cand.a, cand.b,
+           |    CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS lev_full,
+           |    CAST(greatest(length(ta.nt), length(tb.nt)) AS BIGINT) AS max_len
+           |  FROM cand JOIN nt ta ON ta.doc_id = cand.a
+           |    JOIN nt tb ON tb.doc_id = cand.b),
+           |cp AS (SELECT a, b,
+           |    CASE WHEN lev_full <= $D23MaxLev THEN lev_full END AS lev,
+           |    max_len,
+           |    CASE WHEN lev_full <= $D23MaxLev THEN
+           |      (max_len - lev_full) * 1000000 // greatest(max_len, 1)
+           |    END AS edit_sim_e6
+           |  FROM sc)
+           |SELECT a, b, lev, max_len, edit_sim_e6,
+           |  coalesce(edit_sim_e6 >= $D21SimE6, false) AS verified
+           |FROM cp ORDER BY a, b""".stripMargin),
     // the SAME signature re-banded per audited config; exact-Jaccard
     // truth at τ, confusion scalars per config, 4 one-row branches
     "d20_lsh_scurve" -> {

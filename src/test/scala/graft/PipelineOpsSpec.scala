@@ -3515,6 +3515,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rej.forall(_.getAs[Long]("edit_sim_e6") < Dedup.D21SimE6 - 150000L))
   }
 
+  test("d23 capped edit verify ≡ full tier under the bound; over-bound " +
+      "pairs answer NULL distance and unverified — both classes present") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (Option(r.get(r.fieldIndex("lev"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("max_len"),
+          Option(r.get(r.fieldIndex("edit_sim_e6"))).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("verified"))
+    }.toMap
+    val full = keyed(Dedup.d21EditVerify(spark, sf).collect())
+    val capped = keyed(Dedup.d23EditVerifyCapped(spark, sf).collect())
+    assert(full.keySet == capped.keySet,
+      "capped tier changed the candidate pair set")
+    val (under, over) = full.partition(_._2._1.get <= Dedup.D23MaxLev)
+    assert(under.nonEmpty && over.nonEmpty,
+      s"gate corpus does not exercise both sides of the bound: " +
+        s"${full.values.map(_._1.get).toSeq.sorted}")
+    under.foreach { case (k, v) =>
+      assert(capped(k) == v, s"under-bound pair $k diverged: " +
+        s"full=$v capped=${capped(k)}")
+    }
+    over.foreach { case (k, (_, maxLen, _, _)) =>
+      assert(capped(k) == (None, maxLen, None, false),
+        s"over-bound pair $k not NULL+unverified: ${capped(k)}")
+    }
+  }
+
   test("d14 verified dedup: near-identical docs cluster, sub-threshold " +
       "overlap does not, keep-one picks the quality argmax") {
     import spark.implicits._
