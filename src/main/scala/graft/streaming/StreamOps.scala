@@ -2079,7 +2079,28 @@ object StreamOps {
     * late arrivals at or before it are dropped, so in-order replay
     * reproduces batch e36 row for row (spec-pinned, including the
     * closed-form ≡ recurrence identity across the batch/stream pair). */
-  def cusumStream(events: Dataset[ValuedEvent]): Dataset[CusumRow] = {
+  def cusumStream(events: Dataset[ValuedEvent]): Dataset[CusumRow] =
+    cusumKeyedState(events, restartOnAlarm = false)
+
+  /** The PRODUCTION posture of [[cusumStream]]: Page's original
+    * decision rule — when S crosses the alarm threshold h the alarm
+    * fires ONCE and the statistic resets to 0, re-arming detection.
+    * The monitoring variant above (e36's shape) latches: once a
+    * sustained shift pushes S past h every later row of the run
+    * re-alarms, which is the right shape for a drift AUDIT but not
+    * for an alerting monitor (unbounded statistic growth, no
+    * re-detection). Restart makes alarm count = number of DETECTIONS
+    * and keeps S bounded by h + one step. The statistic is no longer
+    * two window frames in closed form (reset points depend on the
+    * statistic itself), but WITHIN each inter-alarm segment the
+    * closed-form identity S = P − min(0, running min P) holds from
+    * the segment start — spec-pinned against the batch windows on
+    * every post-alarm segment of the gate corpus. */
+  def cusumRestartStream(events: Dataset[ValuedEvent]): Dataset[CusumRow] =
+    cusumKeyedState(events, restartOnAlarm = true)
+
+  private def cusumKeyedState(events: Dataset[ValuedEvent],
+      restartOnAlarm: Boolean): Dataset[CusumRow] = {
     implicit val re: org.apache.spark.sql.Encoder[CusumRow] =
       Encoders.product[CusumRow]
     implicit val se: org.apache.spark.sql.Encoder[CusumState] =
@@ -2109,9 +2130,12 @@ object StreamOps {
                 .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong *
                 10000L - graft.operators.Events.CusumSlackE6
               val s = math.max(0L, st.s_e6 + d)
-              st = CusumState(s, t, e.event_id)
-              out += CusumRow(tpe, e.event_id, s,
-                if (s >= graft.operators.Events.CusumAlarmE6) 1L else 0L)
+              val alarm = s >= graft.operators.Events.CusumAlarmE6
+              // restart posture: the alarm fires once, then the
+              // statistic re-arms from 0 (Page's decision rule)
+              val carried = if (restartOnAlarm && alarm) 0L else s
+              st = CusumState(carried, t, e.event_id)
+              out += CusumRow(tpe, e.event_id, s, if (alarm) 1L else 0L)
             }
           }
           state.update(st)

@@ -1229,6 +1229,82 @@ class StreamOpsSpec extends SparkSpecBase {
         s"| ${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("cusumRestartStream: Page's decision rule — the alarm fires once " +
+      "and the statistic re-arms from 0; within every inter-alarm segment " +
+      "the streamed values equal the batch closed form from segment start") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.ValuedEvent
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[ValuedEvent].collect()
+    val in = MemoryStream[ValuedEvent]
+    val q = StreamOps.cusumRestartStream(in.toDS())
+      .writeStream.format("memory").queryName("cusum_restart")
+      .outputMode(OutputMode.Append()).start()
+    ev.grouped(ev.length / 5 + 1)
+      .foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cusum_restart").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("s_e6"), r.getAs[Long]("alarm"))).toMap
+    // ground truth: the literal restart recurrence replayed driver-side
+    val k = graft.operators.Events.CusumSlackE6
+    val h = graft.operators.Events.CusumAlarmE6
+    def dOf(v: Double): Long = BigDecimal(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong * 10000L - k
+    val ordered = ev.groupBy(_.event_type).toSeq.map { case (tpe, es) =>
+      tpe -> es.sortBy(e => (micros(e.ts), e.event_id)).toSeq
+    }
+    val want = ordered.flatMap { case (tpe, es) =>
+      var s = 0L
+      es.map { e =>
+        s = math.max(0L, s + dOf(e.value))
+        val alarm = s >= h
+        val row = (tpe, e.event_id) -> (s, if (alarm) 1L else 0L)
+        if (alarm) s = 0L
+        row
+      }
+    }.toMap
+    assert(streamed == want,
+      s"restart recurrence diverged: ${(streamed.toSet -- want.toSet).take(3)}")
+    // closed-form identity per segment: split each type's ordered rows
+    // AFTER every alarm; within a segment S = P − min(0, running min P)
+    // over the segment's own deltas — the batch windows restarted
+    ordered.foreach { case (tpe, es) =>
+      var seg = List.empty[ValuedEvent]
+      def checkSeg(segEs: Seq[ValuedEvent]): Unit = {
+        var p = 0L; var minP = 0L
+        segEs.foreach { e =>
+          p += dOf(e.value)
+          minP = math.min(minP, p)
+          val closed = p - math.min(0L, minP)
+          assert(streamed((tpe, e.event_id))._1 == closed,
+            s"segment closed form diverged at ($tpe, ${e.event_id})")
+        }
+      }
+      es.foreach { e =>
+        seg ::= e
+        if (streamed((tpe, e.event_id))._2 == 1L) {
+          checkSeg(seg.reverse); seg = Nil
+        }
+      }
+      checkSeg(seg.reverse)
+    }
+    // the posture differs where it should: restart re-arms, so on the
+    // gate corpus (whose e36 statistic latches above h for runs) the
+    // restart alarm count is strictly smaller and at least one alarm
+    // still fires
+    val latched = graft.operators.Events.e36CusumDrift(spark, sf).collect()
+      .count(_.getAs[Long]("alarm") == 1L)
+    val restartAlarms = streamed.values.count(_._2 == 1L)
+    assert(restartAlarms > 0, "restart posture never alarms on the gate corpus")
+    assert(restartAlarms < latched,
+      s"restart did not de-latch: $restartAlarms vs latched $latched")
+  }
+
   test("cusumStream scores same-millisecond siblings in micros order and " +
       "drops neither") {
     implicit val sq = spark.sqlContext
