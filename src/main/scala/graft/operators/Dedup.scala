@@ -1319,8 +1319,10 @@ object Dedup {
     val cl = sharedClusters(s, d).select(col("doc_id"), col("cluster_rep"))
     val sz = cl.groupBy(col("cluster_rep"))
       .agg(count(lit(1)).as("cluster_size"))
-    val toks = documents(s, d).select(col("doc_id"),
-      size(words(col("text"))).cast("long").as("n_tokens"))
+    // standing per-doc token counts (corpus tokenized once, shared
+    // with x9/x33) instead of re-reading the text column per query
+    val toks = TextAnalysis.sharedDocStats(s, d)
+      .select(col("doc_id"), col("n_tokens"))
     cl.join(sz, Seq("cluster_rep"))
       .join(toks, Seq("doc_id"))
       .withColumn("weight_e6", idiv(lit(1000000L), col("cluster_size")))
