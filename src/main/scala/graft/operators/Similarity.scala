@@ -2542,7 +2542,64 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** RRF smoothing constant — k = 60, the value the method's paper
+    * (Cormack, Clarke, Buettcher 2009) fixed and every production
+    * hybrid-search engine ships as the default. */
+  val RrfK = 60L
+
+  /** s34: HYBRID RETRIEVAL FUSION — reciprocal-rank fusion of the two
+    * retrieval axes this library already gates: x17's BM25 (sparse,
+    * lexical) and the exact kNN graph (dense, embedding), the standard
+    * hybrid-search recipe. Per test-split doc, each rung contributes
+    * ⌊1e6 / (k + rank)⌋ per candidate (k = [[RrfK]]; a candidate
+    * missing from a rung contributes nothing), candidates merge on a
+    * FULL outer join and re-rank by (rrf_e6 desc, cand). Rank
+    * arithmetic is integer, so fusion is bit-reproducible and the
+    * DuckDB oracle restates it from the SAME component statements
+    * (x17's CTE chain verbatim via [[TextAnalysis.Bm25Cte]], the s22
+    * graph chain verbatim).
+    *
+    * Scale notes (100 TB): both rungs are pay-once artifacts — BM25
+    * postings join broadcast idf, the dense rung ADOPTS the standing
+    * exact-kNN-graph table (production swaps in the s23 IVF graph,
+    * same shape); fusion itself moves only rung rows (queries × k per
+    * rung), never the corpus, and the per-query windows are k-bounded.
+    * The vec_id ↔ doc_id identity is the m17 cross-modal alignment. */
+  def s34HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sparse = TextAnalysis.x17Bm25(s, d)
+      .select(col("test_doc").as("q"), col("train_doc").as("c"),
+        col("rank").as("r_sparse"))
+    // the same per-doc split gate as x17 (hashBucket over doc_id)
+    val sp = documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.hashBucket(col("doc_id").cast("string")).as("bk"))
+      .select(col("doc_id"),
+        when(col("bk") < 80L, "train").when(col("bk") < 90L, "val")
+          .otherwise("test").as("split"))
+    val dense = sharedExactGraph(s, d)
+      .join(sp.filter(col("split") === "test")
+        .select(col("doc_id").as("src")), Seq("src"))
+      .join(sp.filter(col("split") === "train")
+        .select(col("doc_id").as("nid")), Seq("nid"))
+      .withColumn("r_dense", row_number().over(
+        w.partitionBy(col("src")).orderBy(col("cos_e6").desc, col("nid")))
+        .cast("long"))
+      .select(col("src").as("q"), col("nid").as("c"), col("r_dense"))
+    sparse.join(dense, Seq("q", "c"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(idiv(lit(1000000L), lit(RrfK) + col("r_sparse")), lit(0L)) +
+          coalesce(idiv(lit(1000000L), lit(RrfK) + col("r_dense")), lit(0L)))
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("q")).orderBy(col("rrf_e6").desc, col("c")))
+        .cast("long"))
+      .select(col("q").as("test_doc"), col("rank"), col("c").as("cand_doc"),
+        col("rrf_e6"), col("r_sparse"), col("r_dense"))
+      .orderBy(col("test_doc"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s34_hybrid_rrf"  -> s34HybridRrf _,
     "s1_knn_brute"    -> s1KnnBrute _,
     "s2_knn_ivf"      -> s2KnnIvf _,
     "s3_cosine_pairs" -> s3CosinePairs _,
@@ -3044,6 +3101,43 @@ object Similarity {
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     // brute all-pairs, rank by the e6 fixed-point cosine (nid
     // tiebreak) — the same total order the engine's window states
+    // the x17 chain verbatim (Bm25Cte, through ranked `r` with the
+    // split CTE `sp`) + the s22 graph chain restated, fused by
+    // integer reciprocal ranks on a full outer join
+    "s34_hybrid_rrf" ->
+      (graft.operators.TextAnalysis.Bm25Cte +
+        s"""
+           |, sparse AS (SELECT test_doc AS q, train_doc AS c,
+           |    CAST(rank AS BIGINT) AS r_sparse
+           |  FROM r WHERE rank <= ${graft.operators.TextAnalysis.Bm25TopK}),
+           |e AS (SELECT vec_id, embedding,
+           |    ${oDot("embedding", "embedding")} AS norm_fp FROM embeddings),
+           |dscored AS (SELECT qv.vec_id AS src, cv.vec_id AS nid,
+           |    CAST(round(${oCos(oDot("qv.embedding", "cv.embedding"),
+                  "qv.norm_fp", "cv.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+           |  FROM e qv JOIN e cv ON qv.vec_id <> cv.vec_id),
+           |dg AS (SELECT src, nid, cos_e6,
+           |    row_number() OVER (PARTITION BY src
+           |      ORDER BY cos_e6 DESC, nid) AS grank
+           |  FROM dscored),
+           |dtt AS (SELECT g.src, g.nid, g.cos_e6 FROM dg g
+           |  JOIN sp st ON st.doc_id = g.src AND st.split = 'test'
+           |  JOIN sp tr ON tr.doc_id = g.nid AND tr.split = 'train'
+           |  WHERE g.grank <= $GraphK),
+           |dense AS (SELECT src AS q, nid AS c,
+           |    CAST(row_number() OVER (PARTITION BY src
+           |      ORDER BY cos_e6 DESC, nid) AS BIGINT) AS r_dense
+           |  FROM dtt),
+           |fused AS (SELECT coalesce(s.q, d.q) AS q, coalesce(s.c, d.c) AS c,
+           |    coalesce(1000000 // ($RrfK + s.r_sparse), 0) +
+           |      coalesce(1000000 // ($RrfK + d.r_dense), 0) AS rrf_e6,
+           |    s.r_sparse, d.r_dense
+           |  FROM sparse s FULL JOIN dense d ON s.q = d.q AND s.c = d.c)
+           |SELECT q AS test_doc,
+           |  CAST(row_number() OVER (PARTITION BY q
+           |    ORDER BY rrf_e6 DESC, c) AS BIGINT) AS rank,
+           |  c AS cand_doc, rrf_e6, r_sparse, r_dense
+           |FROM fused ORDER BY test_doc, rank""".stripMargin),
     "s22_knn_graph" ->
       (NormCte +
         s"""

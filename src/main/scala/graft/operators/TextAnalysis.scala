@@ -2980,6 +2980,48 @@ object TextAnalysis {
       ("x40_ingest_decide" -> x40Sql)
   }
 
+  /** The x17 BM25 oracle chain through `r` (every test doc's ranked
+    * train-split retrievals; `sp` carries the per-doc split) — shared
+    * with Similarity's s34 hybrid-fusion oracle so the sparse rung the
+    * fusion restates can never drift from the gated x17 statement. */
+  private[operators] lazy val Bm25Cte: String =
+    s"""WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+       |    list_filter(string_split(text, ' '), w -> w != '') ws
+       |  FROM documents),
+       |sp AS (SELECT doc_id, ws,
+       |    CASE WHEN ${oBucket4("h")} < 80 THEN 'train'
+       |         WHEN ${oBucket4("h")} < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM t),
+       |tok AS (SELECT doc_id, split, unnest(ws) AS w FROM sp),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok WHERE split = 'train' GROUP BY doc_id, w),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |  FROM tok WHERE split = 'train' GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS t_tok FROM dl),
+       |idf AS (SELECT w,
+       |    CAST(round(ln((2 * s.n_docs - 2 * count(*) + 1)::DOUBLE /
+       |      (2 * count(*) + 1)::DOUBLE) * 1e4) AS BIGINT) AS idf_e4
+       |  FROM tf CROSS JOIN stats s GROUP BY w, s.n_docs
+       |  HAVING idf_e4 > 0),
+       |post AS (SELECT tf.w, tf.doc_id AS train_doc,
+       |    (idf.idf_e4 * 22 * tf.tf * s.t_tok) //
+       |      (10 * tf.tf * s.t_tok + 3 * s.t_tok + 9 * dl.dl * s.n_docs)
+       |      AS contrib_e4
+       |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN idf ON tf.w = idf.w CROSS JOIN stats s),
+       |q AS (SELECT DISTINCT doc_id AS test_doc, w FROM tok
+       |  WHERE split = 'test'),
+       |pair AS (SELECT q.test_doc, post.train_doc,
+       |    CAST(count(*) AS BIGINT) AS n_shared,
+       |    CAST(sum(contrib_e4) AS BIGINT) AS score_e4
+       |  FROM q JOIN post ON q.w = post.w
+       |  GROUP BY q.test_doc, post.train_doc),
+       |r AS (SELECT test_doc, train_doc, n_shared, score_e4,
+       |    row_number() OVER (PARTITION BY test_doc
+       |      ORDER BY score_e4 DESC, train_doc) AS rank
+       |  FROM pair)""".stripMargin
+
   private def oracleSqlBase: Map[String, String] = Map(
     // d6's recursive component closure, then x6's bucket gate applied
     // to the REPRESENTATIVE's id instead of the doc's
@@ -3078,45 +3120,11 @@ object TextAnalysis {
     // mirrors x17's exact-rational BM25: idf e4-quantized per term,
     // per-(term, doc) contribution by integer floor division
     "x17_bm25" ->
-      s"""WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h,
-         |    list_filter(string_split(text, ' '), w -> w != '') ws
-         |  FROM documents),
-         |sp AS (SELECT doc_id, ws,
-         |    CASE WHEN ${oBucket4("h")} < 80 THEN 'train'
-         |         WHEN ${oBucket4("h")} < 90 THEN 'val' ELSE 'test' END AS split
-         |  FROM t),
-         |tok AS (SELECT doc_id, split, unnest(ws) AS w FROM sp),
-         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-         |  FROM tok WHERE split = 'train' GROUP BY doc_id, w),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-         |  FROM tok WHERE split = 'train' GROUP BY doc_id),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(dl) AS BIGINT) AS t_tok FROM dl),
-         |idf AS (SELECT w,
-         |    CAST(round(ln((2 * s.n_docs - 2 * count(*) + 1)::DOUBLE /
-         |      (2 * count(*) + 1)::DOUBLE) * 1e4) AS BIGINT) AS idf_e4
-         |  FROM tf CROSS JOIN stats s GROUP BY w, s.n_docs
-         |  HAVING idf_e4 > 0),
-         |post AS (SELECT tf.w, tf.doc_id AS train_doc,
-         |    (idf.idf_e4 * 22 * tf.tf * s.t_tok) //
-         |      (10 * tf.tf * s.t_tok + 3 * s.t_tok + 9 * dl.dl * s.n_docs)
-         |      AS contrib_e4
-         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
-         |  JOIN idf ON tf.w = idf.w CROSS JOIN stats s),
-         |q AS (SELECT DISTINCT doc_id AS test_doc, w FROM tok
-         |  WHERE split = 'test'),
-         |pair AS (SELECT q.test_doc, post.train_doc,
-         |    CAST(count(*) AS BIGINT) AS n_shared,
-         |    CAST(sum(contrib_e4) AS BIGINT) AS score_e4
-         |  FROM q JOIN post ON q.w = post.w
-         |  GROUP BY q.test_doc, post.train_doc),
-         |r AS (SELECT test_doc, train_doc, n_shared, score_e4,
-         |    row_number() OVER (PARTITION BY test_doc
-         |      ORDER BY score_e4 DESC, train_doc) AS rank
-         |  FROM pair)
-         |SELECT test_doc, CAST(rank AS BIGINT) AS rank, train_doc,
-         |  n_shared, score_e4
-         |FROM r WHERE rank <= $Bm25TopK ORDER BY test_doc, rank""".stripMargin,
+      (Bm25Cte +
+        s"""
+           |SELECT test_doc, CAST(rank AS BIGINT) AS rank, train_doc,
+           |  n_shared, score_e4
+           |FROM r WHERE rank <= $Bm25TopK ORDER BY test_doc, rank""".stripMargin),
     "x1_token_count" ->
       s"""WITH t AS (SELECT doc_id, text,
          |  list_filter(string_split(text, ' '), w -> w != '') ws FROM documents)

@@ -3515,6 +3515,47 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rej.forall(_.getAs[Long]("edit_sim_e6") < Dedup.D21SimE6 - 150000L))
   }
 
+  test("s34 hybrid RRF: exact reciprocal-rank arithmetic, candidate set " +
+      "= union of the two rungs (sparse keys exactly x17's), contiguous " +
+      "per-query ranks in fused order") {
+    val out = Similarity.s34HybridRrf(spark, sf).collect()
+    assert(out.nonEmpty)
+    def optL(r: org.apache.spark.sql.Row, f: String): Option[Long] =
+      Option(r.get(r.fieldIndex(f))).map(_.asInstanceOf[Long])
+    out.foreach { r =>
+      val rs = optL(r, "r_sparse")
+      val rd = optL(r, "r_dense")
+      assert(rs.nonEmpty || rd.nonEmpty, s"candidate from neither rung: $r")
+      val want = rs.fold(0L)(v => 1000000L / (Similarity.RrfK + v)) +
+        rd.fold(0L)(v => 1000000L / (Similarity.RrfK + v))
+      assert(r.getAs[Long]("rrf_e6") == want, s"rrf arithmetic drifted: $r")
+    }
+    // the sparse-rung keys are EXACTLY the gated x17 result's pairs
+    val sparseKeys = TextAnalysis.x17Bm25(spark, sf).collect()
+      .map(r => (r.getAs[Long]("test_doc"), r.getAs[Long]("train_doc"))).toSet
+    val fusedSparse = out.filter(r => optL(r, "r_sparse").nonEmpty)
+      .map(r => (r.getAs[Long]("test_doc"), r.getAs[Long]("cand_doc"))).toSet
+    assert(fusedSparse == sparseKeys,
+      s"sparse rung drifted from x17: ${fusedSparse.diff(sparseKeys).take(3)}" +
+        s" | ${sparseKeys.diff(fusedSparse).take(3)}")
+    // per query: ranks contiguous from 1, ordered by (rrf desc, cand)
+    out.groupBy(_.getAs[Long]("test_doc")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to rs.length.toLong), s"ranks not contiguous for query $q")
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        val (ra, rb) = (a.getAs[Long]("rrf_e6"), b.getAs[Long]("rrf_e6"))
+        assert(ra > rb || (ra == rb &&
+          a.getAs[Long]("cand_doc") < b.getAs[Long]("cand_doc")),
+          s"fused order violated for query $q")
+      }
+    }
+    // the fusion is meaningful on the gate corpus: candidates that only
+    // one rung surfaced exist on BOTH sides
+    assert(out.exists(r => optL(r, "r_sparse").isEmpty))
+    assert(out.exists(r => optL(r, "r_dense").isEmpty))
+  }
+
   test("d23 capped edit verify ≡ full tier under the bound; over-bound " +
       "pairs answer NULL distance and unverified — both classes present") {
     def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
