@@ -63,6 +63,16 @@ object GraftFunctions {
       BloomAggExpr(GraftSqlBridge.expression(positions), m)
         .toAggregateExpression())
 
+  /** K-Minimum-Values distinct sketch AGGREGATE over a staged md5-hex
+    * string → ascending array of the ≤k smallest distinct values;
+    * native `TypedImperativeAggregate` whose k-min merge is
+    * duplicate-insensitive and supports set operations (union /
+    * Jaccard / intersection estimates) downstream; see [[KmvAggExpr]]. */
+  def kmv_sketch(hash: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      KmvAggExpr(GraftSqlBridge.expression(hash), k)
+        .toAggregateExpression())
+
   /** string → Unicode-NFC-normalized string — codegen'd with an
     * ASCII zero-allocation fast path; see [[NfcNormalizeExpr]]. */
   def nfc(s: Column): Column =

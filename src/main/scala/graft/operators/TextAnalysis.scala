@@ -2754,12 +2754,25 @@ object TextAnalysis {
     "x39_pmi_collocations" -> x39PmiCollocations _,
     "x40_ingest_decide" -> x40IngestDecide _,
     "x41_bpe_fertility" -> x41BpeFertility _,
+    "x43_kmv_overlap" -> x43KmvOverlap _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
   /** DuckDB mirror of the 4-hex-char md5 bucket fold (x6/x7/x11). */
+  /** First n hex chars of SQL string expression `h` as a BIGINT —
+    * digit-by-digit ascii arithmetic (the oBucket4 construction,
+    * without the mod), so the oracle never depends on a DuckDB
+    * hex-parse builtin whose sign/width semantics could differ. */
+  private def oHexN(h: String, n: Int): String = {
+    def v(i: Int) =
+      s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +
+        s" ELSE ascii(substr($h,$i,1)) - 87 END)"
+    (2 to n).foldLeft(s"CAST(${v(1)} AS BIGINT)")(
+      (acc, i) => s"($acc * 16 + ${v(i)})")
+  }
+
   private def oBucket4(h: String): String = {
     def v(i: Int) =
       s"(CASE WHEN ascii(substr($h,$i,1)) <= 57 THEN ascii(substr($h,$i,1)) - 48" +
@@ -2980,6 +2993,71 @@ object TextAnalysis {
       ("x40_ingest_decide" -> x40Sql)
   }
 
+  /** KMV sketch size: k smallest distinct shingle hashes per source.
+    * At ~2–3% cross-source shingle Jaccard (measured on the gate
+    * corpus) k = 256 puts the expected shared-in-union count near 6 —
+    * a discriminating estimate, not a rubber stamp — while every
+    * gate-corpus source (1300+ distinct shingles) still overfills the
+    * sketch, exercising the estimator path. */
+  val KmvK = 256
+
+  /** x43: CROSS-SOURCE OVERLAP from KMV SKETCHES — "how much content
+    * do two sources share" answered at sketch cost: per source, the
+    * [[KmvK]] smallest distinct md5(3-gram shingle) values (the
+    * [[graft.functions.KmvAggExpr]] native aggregate); per source
+    * pair, the theta-sketch estimators — union distinct size from the
+    * kth smallest of the merged sketch ((k−1)·2^48 / θ on the first
+    * 12 hex chars), Jaccard as shared-among-union-k-min / k, and the
+    * intersection as their product. HLL (x36) answers cardinality
+    * only; KMV's k-min state is closed under union, which is what
+    * makes source-pair set algebra possible without touching the
+    * corpus again. Deterministic end to end: the "random draw" is
+    * md5, k-min-of-distinct is order- and duplicate-insensitive, and
+    * the estimate arithmetic is integer.
+    *
+    * Scale notes (100 TB): the sketch build is ONE map-side-combined
+    * aggregate over the shingle stream (partial buffers are ≤k
+    * strings, so the shuffle moves #partitions·#sources·k rows at
+    * most); the pair stage is #sources² sketch rows — driver-sized
+    * for any real source taxonomy — and never rescans the corpus.
+    * Exact cross-source intersection would be a corpus-wide
+    * distinct + join; this is the published sketch answer. */
+  def x43KmvOverlap(s: SparkSession, d: String): DataFrame =
+    kmvOverlap(documents(s, d), KmvK)
+
+  /** Library form of [[x43KmvOverlap]] over any (source, text) frame
+    * with a chosen sketch size. */
+  def kmvOverlap(docs: DataFrame, k: Int): DataFrame = {
+    val kL = k.toLong
+    val sk = docs
+      .select(col("source"), explode(shingles3(words(col("text")))).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.kmv_sketch(col("h"), k).as("sk"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("skb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("u", array_sort(array_union(col("ska"), col("skb"))))
+      .withColumn("ku", least(size(col("u")).cast("long"), lit(kL)))
+      .withColumn("umin", slice(col("u"), lit(1), col("ku").cast("int")))
+      .withColumn("shared",
+        size(filter(col("umin"), h =>
+          array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+          .cast("long"))
+      .withColumn("union_est",
+        when(col("ku") < kL, col("ku"))
+          .otherwise(idiv(lit((kL - 1L) * (1L << 48)),
+            conv(substring(element_at(col("u"), k), 1, 12), 16, 10)
+              .cast("long"))))
+      .withColumn("jaccard_e6",
+        idiv(col("shared") * 1000000L, greatest(col("ku"), lit(1L))))
+      .withColumn("inter_est",
+        idiv(col("shared") * col("union_est"), greatest(col("ku"), lit(1L))))
+      .select(col("src_a"), col("src_b"), col("ku"), col("shared"),
+        col("jaccard_e6"), col("union_est"), col("inter_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** The x17 BM25 oracle chain through `r` (every test doc's ranked
     * train-split retrievals; `sp` carries the per-doc split) — shared
     * with Similarity's s34 hybrid-fusion oracle so the sparse rung the
@@ -3119,6 +3197,44 @@ object TextAnalysis {
         |FROM wr WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // mirrors x17's exact-rational BM25: idf e4-quantized per term,
     // per-(term, doc) contribution by integer floor division
+    // the KMV construction restated exactly: k smallest distinct
+    // shingle hashes per source via plain sort+slice, then the same
+    // integer estimators over the merged sketches
+    "x43_kmv_overlap" -> {
+      val theta = oHexN(s"substr(u[$KmvK], 1, 12)", 12)
+      val scale = (KmvK.toLong - 1L) * (1L << 48)
+      s"""WITH t AS (SELECT source,
+         |    list_filter(string_split(text, ' '), w -> w != '') ws
+         |  FROM documents),
+         |g AS (SELECT DISTINCT source, md5(sh) AS h FROM (
+         |  SELECT source, unnest(CASE WHEN len(ws) >= 3 THEN
+         |      list_transform(range(1, len(ws) - 1),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE [] END) AS sh FROM t)),
+         |sk AS (SELECT source, list_sort(list(h))[1:$KmvK] AS sk
+         |  FROM g GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    a.sk AS ska, b.sk AS skb
+         |  FROM sk a JOIN sk b ON a.source < b.source),
+         |u0 AS (SELECT src_a, src_b, ska, skb,
+         |    list_sort(list_distinct(list_concat(ska, skb))) AS u FROM p),
+         |c AS (SELECT src_a, src_b, ska, skb, u,
+         |    CAST(least(len(u), $KmvK) AS BIGINT) AS ku FROM u0),
+         |m AS (SELECT src_a, src_b, ska, skb, u, ku,
+         |    u[1:CAST(ku AS INT)] AS umin FROM c),
+         |e AS (SELECT src_a, src_b, ku,
+         |    CAST(len(list_filter(umin, x ->
+         |      list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT)
+         |      AS shared,
+         |    CASE WHEN ku < $KmvK THEN ku
+         |      ELSE $scale // $theta END AS union_est
+         |  FROM m)
+         |SELECT src_a, src_b, ku, shared,
+         |  shared * 1000000 // greatest(ku, 1) AS jaccard_e6,
+         |  union_est,
+         |  shared * union_est // greatest(ku, 1) AS inter_est
+         |FROM e ORDER BY src_a, src_b""".stripMargin
+    },
     "x17_bm25" ->
       (Bm25Cte +
         s"""

@@ -193,6 +193,29 @@ class HashKernelSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: kmv_sketch equals the JVM k-min-of-distinct fold under " +
+      "arbitrary partitioning and is duplicate-insensitive") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val wordGen = Gen.alphaNumStr.map(w => if (w.isEmpty) "x" else w.take(6))
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val prop = Prop.forAll(
+      Gen.listOfN(40, wordGen), Gen.chooseNum(1, 7)) { (ws, nPart) =>
+      def kmvOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.repartition(nPart).groupBy()
+          .agg(GraftFunctions.kmv_sketch(md5(col("w")), 8))
+          .collect().head.getSeq[String](0)
+      val df = ws.toDF("w")
+      val ref = ws.map(md5Hex).distinct.sorted.take(8)
+      kmvOf(df) == ref && kmvOf(df.union(df)) == ref
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("GraftExtensions injects the function set at session-build time") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

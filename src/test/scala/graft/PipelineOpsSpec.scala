@@ -3515,6 +3515,56 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rej.forall(_.getAs[Long]("edit_sim_e6") < Dedup.D21SimE6 - 150000L))
   }
 
+  test("x43 KMV overlap: union estimate within 30% of exact per pair, " +
+      "intersection estimate within 35% in aggregate; the under-filled " +
+      "sketch path answers exactly") {
+    import spark.implicits._
+    // exact truth from the same shingle-hash universe
+    val g = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(graft.operators.TextOps.shingles3(
+          graft.operators.TextOps.words(col("text")))).as("sh"))
+      .select(col("source"), md5(col("sh")).as("h")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getString(1)).toSet }
+    val out = TextAnalysis.x43KmvOverlap(spark, sf).collect()
+    assert(out.length == g.size * (g.size - 1) / 2, "missing source pairs")
+    var estSum = 0L
+    var exactSum = 0L
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val exU = (g(a) | g(b)).size.toLong
+      val exI = (g(a) & g(b)).size.toLong
+      val estU = r.getAs[Long]("union_est")
+      // KMV relative SD is ~1/√(k−2) ≈ 6.3% at k=256; 30% is ~4.7σ —
+      // a real defect, never estimator noise, across all 190 pairs
+      assert(math.abs(estU - exU) * 10L <= 3L * exU,
+        s"union estimate off >30% for ($a,$b): est $estU exact $exU")
+      estSum += r.getAs[Long]("inter_est")
+      exactSum += exI
+    }
+    assert(math.abs(estSum - exactSum) * 100L <= 35L * exactSum,
+      s"aggregate intersection estimate off >35%: est $estSum exact $exactSum")
+    // under-filled sketches (union < k): the sketch IS the set — the
+    // estimators answer exactly, no theta math involved
+    val tiny = Seq(
+      ("a", "p q r s t u"), ("a", "p q r x y z"),
+      ("b", "p q r s t u"), ("b", "m n o m n o")).toDF("source", "text")
+    val row = TextAnalysis.kmvOverlap(tiny, TextAnalysis.KmvK).collect()
+    assert(row.length == 1)
+    val shA = Seq("p q r", "q r s", "r s t", "s t u",
+      "p q r", "q r x", "r x y", "x y z").distinct.toSet
+    val shB = Seq("p q r", "q r s", "r s t", "s t u",
+      "m n o", "n o m", "o m n", "m n o").distinct.toSet
+    val r0 = row.head
+    assert(r0.getAs[Long]("ku") == (shA | shB).size.toLong)
+    assert(r0.getAs[Long]("union_est") == (shA | shB).size.toLong,
+      "under-filled union estimate is not exact")
+    assert(r0.getAs[Long]("shared") == (shA & shB).size.toLong)
+    assert(r0.getAs[Long]("inter_est") == (shA & shB).size.toLong,
+      "under-filled intersection estimate is not exact")
+  }
+
   test("s34 hybrid RRF: exact reciprocal-rank arithmetic, candidate set " +
       "= union of the two rungs (sparse keys exactly x17's), contiguous " +
       "per-query ranks in fused order") {
