@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -29,6 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * x6/d2 hash-as-uniform-draw discipline), identical in the DuckDB
   * oracle.
   *
+  * The hot path is allocation-free: once a partial sketch fills, the
+  * overwhelming majority of rows lose a single binary compare against
+  * the cached kth value and are rejected without copying the input
+  * (UTF8Strings from `child.eval` are buffer-backed and only cloned
+  * when they actually enter the sketch). The buffer's ordering is
+  * UTF8String's byte-wise compare — identical to string order for the
+  * ASCII hex digests staged here and to the oracle's VARCHAR sort.
+  *
   * The aggregate does NOT hash: its child is the staged md5-hex
   * string, so the hash definition lives in ONE place. `eval` returns
   * the ascending `array<string>` of the ≤k survivors. Estimation
@@ -41,7 +47,7 @@ case class KmvAggExpr(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[String]]
+  extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]]
   with UnaryLike[Expression] {
 
   require(k >= 1, "kmv_sketch requires k >= 1")
@@ -57,46 +63,70 @@ case class KmvAggExpr(
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_sketch"
 
-  override def createAggregationBuffer(): java.util.TreeSet[String] =
-    new java.util.TreeSet[String]()
+  override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
+    new java.util.TreeSet[UTF8String]()
 
-  private def add(b: java.util.TreeSet[String], v: String): Unit =
-    if (b.size < k) { b.add(v): Unit }
-    else if (v.compareTo(b.last) < 0 && b.add(v)) { b.pollLast(): Unit }
+  /** `v` may be backed by a reused row buffer: compare first (free),
+    * clone only on actual insertion. `owned` skips the clone for
+    * values this aggregate already owns (merge path). */
+  private def add(b: java.util.TreeSet[UTF8String], v: UTF8String,
+      owned: Boolean): Unit =
+    if (b.size < k) {
+      b.add(if (owned) v else v.clone()): Unit
+    } else if (v.compareTo(b.last) < 0 &&
+        b.add(if (owned) v else v.clone())) {
+      b.pollLast(): Unit
+    }
 
-  override def update(b: java.util.TreeSet[String],
-      input: InternalRow): java.util.TreeSet[String] = {
+  override def update(b: java.util.TreeSet[UTF8String],
+      input: InternalRow): java.util.TreeSet[UTF8String] = {
     val v = child.eval(input)
-    if (v != null) add(b, v.asInstanceOf[UTF8String].toString)
+    if (v != null) add(b, v.asInstanceOf[UTF8String], owned = false)
     b
   }
 
-  override def merge(b: java.util.TreeSet[String],
-      o: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+  override def merge(b: java.util.TreeSet[UTF8String],
+      o: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] = {
     val it = o.iterator()
-    while (it.hasNext) add(b, it.next())
+    while (it.hasNext) add(b, it.next(), owned = true)
     b
   }
 
-  override def eval(b: java.util.TreeSet[String]): Any = {
+  override def eval(b: java.util.TreeSet[UTF8String]): Any = {
     val out = new Array[Any](b.size)
     val it = b.iterator()
     var i = 0
-    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
 
-  override def serialize(b: java.util.TreeSet[String]): Array[Byte] = {
-    val sb = new StringBuilder
+  override def serialize(b: java.util.TreeSet[UTF8String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(b.size)
     val it = b.iterator()
-    while (it.hasNext) { sb.append(it.next()); sb.append('\n') }
-    sb.toString.getBytes(StandardCharsets.UTF_8)
+    while (it.hasNext) {
+      val bytes = it.next().getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
-    val b = new java.util.TreeSet[String]()
-    val s = new String(bytes, StandardCharsets.UTF_8)
-    if (s.nonEmpty) s.split('\n').foreach(v => if (v.nonEmpty) b.add(v))
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[UTF8String] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val b = new java.util.TreeSet[UTF8String]()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      b.add(UTF8String.fromBytes(buf)): Unit
+      i += 1
+    }
     b
   }
 

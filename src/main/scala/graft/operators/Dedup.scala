@@ -1211,7 +1211,8 @@ object Dedup {
     // lshCandidatesRaw: unevictable corpus-sized pin OOMs the
     // megakey-scale census)
     val sh = docs
-      .select(col("doc_id"), array_distinct(shingles3(words(col("text")))).as("shs"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), array_distinct(shingles3(col("ws"))).as("shs"))
       .groupBy(col("doc_id")).agg(min(col("shs")).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
@@ -1249,8 +1250,8 @@ object Dedup {
     * ([[Warehouse.writeShingleIndex]]'s discipline) and cap
     * boilerplate shingles with [[dropOverCapKeys]] at build time. */
   def containmentIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").as("corpus_doc"),
-        array_distinct(shingles3(words(col("text")))).as("shs"))
+    docs.select(col("doc_id").as("corpus_doc"), words(col("text")).as("ws"))
+      .select(col("corpus_doc"), array_distinct(shingles3(col("ws"))).as("shs"))
       .select(col("corpus_doc"), size(col("shs")).cast("long").as("n_b"),
         explode(col("shs")).as("shingle"))
       .select(col("shingle"), col("corpus_doc"), col("n_b"))

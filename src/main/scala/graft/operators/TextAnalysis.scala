@@ -2172,8 +2172,9 @@ object TextAnalysis {
     * index side (plan-asserted in WarehouseSpec), and apply
     * [[contamination]]'s maxDf cap at build time. */
   def trainShingleIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").as("train_doc"),
-        explode(array_distinct(shingles3(words(col("text"))))).as("shingle"))
+    docs.select(col("doc_id").as("train_doc"), words(col("text")).as("ws"))
+      .select(col("train_doc"),
+        explode(array_distinct(shingles3(col("ws")))).as("shingle"))
       .select(col("shingle"), col("train_doc"))
 
   /** x11's core join over a PERSISTED train-shingle index: shared-shingle
@@ -2186,8 +2187,9 @@ object TextAnalysis {
     * co-located scan. Top-offender ranking is the consumer's rerank, as
     * in the streaming twin. */
   def contaminationFromIndex(trainShingles: DataFrame, testDocs: DataFrame): DataFrame =
-    testDocs.select(col("doc_id").as("test_doc"),
-        explode(array_distinct(shingles3(words(col("text"))))).as("shingle"))
+    testDocs.select(col("doc_id").as("test_doc"), words(col("text")).as("ws"))
+      .select(col("test_doc"),
+        explode(array_distinct(shingles3(col("ws")))).as("shingle"))
       .join(trainShingles, Seq("shingle"))
       .groupBy(col("test_doc"), col("train_doc"))
       .agg(count(lit(1)).as("shared_shingles"))
@@ -2555,8 +2557,8 @@ object TextAnalysis {
     val idx = Dedup.containmentIndex(prior)
       .unionByName(Dedup.containmentIndex(batch))
     val sub = batch
-      .select(col("doc_id"),
-        array_distinct(shingles3(words(col("text")))).as("shs"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), array_distinct(shingles3(col("ws"))).as("shs"))
       .select(col("doc_id"), size(col("shs")).cast("long").as("n_a"),
         explode(col("shs")).as("shingle"))
       .join(idx, Seq("shingle"))
@@ -3029,8 +3031,17 @@ object TextAnalysis {
     * with a chosen sketch size. */
   def kmvOverlap(docs: DataFrame, k: Int): DataFrame = {
     val kL = k.toLong
-    val sk = docs
-      .select(col("source"), explode(shingles3(words(col("text")))).as("g"))
+    // spread the shingle+hash map across tasks (the d1/d9 discipline:
+    // a small corpus arrives as ONE scan split, and without this the
+    // whole per-doc stage runs single-threaded; at real scale the
+    // exchange is one corpus pass feeding a sketch-sized reduction)
+    // ws bound as an ATTRIBUTE before shingling: shingles3's lambda
+    // does element_at(ws, i) per element, and an inlined words(text)
+    // subtree would re-tokenize the doc once PER SHINGLE PER POSITION
+    // (HOFs are interpreted — no CSE inside the lambda; measured 20×)
+    val sk = docs.repartition(col("doc_id"))
+      .select(col("source"), words(col("text")).as("ws"))
+      .select(col("source"), explode(shingles3(col("ws"))).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .groupBy(col("source"))
       .agg(graft.functions.GraftFunctions.kmv_sketch(col("h"), k).as("sk"))

@@ -34,20 +34,33 @@ object TextOps {
     filter(split(text, " "), w => w =!= "")
 
   /** Word 3-gram shingles (the standard near-dup shingling unit).
-    * Docs shorter than 3 words shingle to the empty array. */
+    * Docs shorter than 3 words shingle to the empty array.
+    *
+    * Shape matters here: zip_with over three SLICES of `ws`, never
+    * element_at(ws, i) inside a transform lambda. HOF lambdas are
+    * interpreted with no cross-invocation CSE, so a lambda that
+    * captures `ws` re-evaluates the whole `ws` SUBTREE once per
+    * element per reference — a caller passing `words(text)` inline
+    * paid ~3·n re-tokenizations per doc (measured 29× on the x43
+    * shingle stream). With slices, `ws` is evaluated a constant
+    * number of times per ROW and the lambdas touch only their bound
+    * arguments, so even inline composition stays linear. */
   def shingles3(ws: Column): Column =
     when(size(ws) >= 3,
-      transform(sequence(lit(0), size(ws) - 3), i =>
-        concat_ws(" ",
-          element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+      zip_with(
+        slice(ws, lit(1), size(ws) - 2),
+        zip_with(slice(ws, lit(2), size(ws) - 2), slice(ws, lit(3), size(ws) - 2),
+          (b, c) => concat_ws(" ", b, c)),
+        (a, bc) => concat_ws(" ", a, bc)))
       .otherwise(array().cast("array<string>"))
 
   /** Word bigrams (repetition-signal unit — x8). Docs shorter than 2
-    * words map to the empty array. */
+    * words map to the empty array. Same slice discipline as
+    * [[shingles3]]. */
   def bigrams2(ws: Column): Column =
     when(size(ws) >= 2,
-      transform(sequence(lit(0), size(ws) - 2), i =>
-        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
 
   /** Modulus for the MinHash universal-hash family: 2^31 − 1 (prime).

@@ -2143,6 +2143,52 @@ object StreamOps {
       }
   }
 
+  /** One staged (source, md5-hex) row of the KMV stream — the unit
+    * batch x43 aggregates. */
+  case class SourcedHash(source: String, h: String)
+  /** Per-source KMV snapshot after a micro-batch: the current ≤k-min
+    * sketch (ascending) plus the monotone rows-folded counter that
+    * orders snapshots (the permuteStream n_seen discipline). */
+  case class KmvSnapshot(source: String, n_seen: Long, sketch: Seq[String])
+  case class KmvState(n_seen: Long, mins: Seq[String])
+
+  /** Streaming x43: continuous per-source KMV sketches as keyed state —
+    * the ingest twin of [[graft.functions.KmvAggExpr]]. The k-min-of-
+    * distinct fold is associative, commutative AND duplicate-
+    * insensitive, so unlike the (ts, event_id)-guarded twins this
+    * needs NO redelivery guard at all: replaying any chunk, in any
+    * order, any number of times converges to the batch sketch
+    * (spec-pinned). State is ≤k strings per source; downstream
+    * overlap estimation is batch x43's integer arithmetic over the
+    * latest snapshots. */
+  def kmvStream(rows: Dataset[SourcedHash], k: Int): Dataset[KmvSnapshot] = {
+    implicit val se: org.apache.spark.sql.Encoder[KmvState] =
+      Encoders.product[KmvState]
+    implicit val oe: org.apache.spark.sql.Encoder[KmvSnapshot] =
+      Encoders.product[KmvSnapshot]
+    implicit val ke: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    rows.groupByKey(_.source)
+      .flatMapGroupsWithState[KmvState, KmvSnapshot](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[SourcedHash],
+            state: GroupState[KmvState]) =>
+          val set = new java.util.TreeSet[String]()
+          state.getOption.foreach(_.mins.foreach(set.add))
+          var n = state.getOption.fold(0L)(_.n_seen)
+          batch.foreach { r =>
+            n += 1L
+            if (set.size < k) { set.add(r.h): Unit }
+            else if (r.h.compareTo(set.last) < 0 && set.add(r.h)) {
+              set.pollLast(): Unit
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          val mins = set.iterator().asScala.toSeq
+          state.update(KmvState(n, mins))
+          Iterator.single(KmvSnapshot(src, n, mins))
+      }
+  }
+
   case class PermuteState(mask: Long, n_complete: Long, n_seen: Long,
       last_ms: Long, last_event_id: Long)
   case class PermuteProgress(user_id: Long, n_complete: Long,

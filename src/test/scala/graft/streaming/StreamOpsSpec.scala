@@ -1334,6 +1334,48 @@ class StreamOpsSpec extends SparkSpecBase {
       s"micros ordering broken: $rows (want 7->$sA then 3->$sB)")
   }
 
+  test("kmvStream: chunked replay converges to the batch kmv_sketch per " +
+      "source; duplicate redelivery cannot move the sketch (no guard " +
+      "needed — k-min is duplicate-insensitive by construction)") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.{KmvSnapshot, SourcedHash}
+    val k = 32
+    val hashes = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(graft.operators.TextOps.shingles3(
+          graft.operators.TextOps.words(col("text")))).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .as[SourcedHash].collect()
+    val in = MemoryStream[SourcedHash]
+    val q = StreamOps.kmvStream(in.toDS(), k)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Append()).start()
+    val chunks = hashes.grouped(hashes.length / 5 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    def latest(): Map[String, Seq[String]] =
+      spark.table("kmv_stream").as[KmvSnapshot].collect()
+        .groupBy(_.source)
+        .map { case (s, rs) => s -> rs.maxBy(_.n_seen).sketch }
+    val afterReplay = latest()
+    // duplicate redelivery: the set cannot move
+    in.addData(chunks.head.toIndexedSeq: _*); q.processAllAvailable()
+    val afterDup = latest()
+    q.stop()
+    assert(afterDup == afterReplay,
+      "duplicate redelivery moved a KMV sketch")
+    val batch = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(graft.operators.TextOps.shingles3(
+          graft.operators.TextOps.words(col("text")))).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.kmv_sketch(col("h"), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(afterReplay == batch,
+      s"stream/batch sketch divergence: ${
+        afterReplay.keySet.find(s => afterReplay(s) != batch(s))}")
+  }
+
   test("permuteStream: chunked in-order replay ≡ batch e28; duplicate " +
       "redelivery cannot move the mask") {
     implicit val sq = spark.sqlContext
