@@ -284,8 +284,12 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), col("ts"), TextOps.shingles3(col("ws")).as("sh"))
       .select(col("doc_id"), col("ts"), TextOps.shingleHash32(col("sh")).as("hh"))
+      // sig staged as an attribute: lshBands' lambda re-reads its
+      // input per band, which must be a column, not the minhash kernel
       .select(col("doc_id"), col("ts"),
-        TextOps.lshBands(TextOps.minhashFromHashes(col("hh"), 12), 6, 2).as("bands"))
+        TextOps.minhashFromHashes(col("hh"), 12).as("sig"))
+      .select(col("doc_id"), col("ts"),
+        TextOps.lshBands(col("sig"), 6, 2).as("bands"))
       .select(col("doc_id").as(s"${side}_id"), col("ts").as(s"${side}_ts"),
         explode(col("bands")).as(s"${side}_band"))
       .withWatermark(s"${side}_ts", horizon)
