@@ -3025,21 +3025,19 @@ object TextAnalysis {
     * Exact cross-source intersection would be a corpus-wide
     * distinct + join; this is the published sketch answer. */
   def x43KmvOverlap(s: SparkSession, d: String): DataFrame =
-    kmvOverlap(documents(s, d), KmvK)
-
-  /** Library form of [[x43KmvOverlap]] over any (source, text) frame
-    * with a chosen sketch size. */
-  def kmvOverlap(docs: DataFrame, k: Int): DataFrame = {
-    val kL = k.toLong
     // spread the shingle+hash map across tasks (the d1/d9 discipline:
     // a small corpus arrives as ONE scan split, and without this the
     // whole per-doc stage runs single-threaded; at real scale the
     // exchange is one corpus pass feeding a sketch-sized reduction)
-    // ws bound as an ATTRIBUTE before shingling: shingles3's lambda
-    // does element_at(ws, i) per element, and an inlined words(text)
-    // subtree would re-tokenize the doc once PER SHINGLE PER POSITION
-    // (HOFs are interpreted — no CSE inside the lambda; measured 20×)
-    val sk = docs.repartition(col("doc_id"))
+    kmvOverlap(documents(s, d).repartition(col("doc_id")), KmvK)
+
+  /** Library form of [[x43KmvOverlap]] over any (source, text) frame
+    * with a chosen sketch size; partitioning left to the caller. */
+  def kmvOverlap(docs: DataFrame, k: Int): DataFrame = {
+    val kL = k.toLong
+    // ws bound as an ATTRIBUTE before shingling (the TextOps staging
+    // rule): the tokenization runs once per doc, not once per shingle
+    val sk = docs
       .select(col("source"), words(col("text")).as("ws"))
       .select(col("source"), explode(shingles3(col("ws"))).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
