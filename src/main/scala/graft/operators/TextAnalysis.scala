@@ -2040,7 +2040,10 @@ object TextAnalysis {
     * text ("" when everything was boilerplate). */
   def spanDedup(docs: DataFrame, maxDf: Long): DataFrame = {
     val n = SpanTokens
-    val ws = words(col("text"))
+    // ws staged as an ATTRIBUTE (the TextOps staging rule): the
+    // segment lambda slices ws per segment, and an inlined
+    // words(text) subtree would re-tokenize the doc once per segment
+    val ws = col("ws")
     // non-overlapping n-token segments; slice is 1-based, truncates at
     // the end; empty docs → zero segments (guarded: sequence(0,-1)
     // would count DOWN)
@@ -2050,6 +2053,7 @@ object TextAnalysis {
         i => array_join(slice(ws, (i * n + 1).cast("int"), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
     val segs = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), posexplode(segArr).as(Seq("seg", "segtext")))
     // document frequency: distinct docs per segment (within-doc repeats
     // count once — repetition is x8's signal, not boilerplate)
