@@ -3054,9 +3054,10 @@ object TextAnalysis {
       .withColumn("ku", least(size(col("u")).cast("long"), lit(kL)))
       .withColumn("umin", slice(col("u"), lit(1), col("ku").cast("int")))
       .withColumn("shared",
-        size(filter(col("umin"), h =>
-          array_contains(col("ska"), h) && array_contains(col("skb"), h)))
-          .cast("long"))
+        // hash-based set intersection (O(k)) — a filter with two
+        // array_contains probes is O(k²) per pair; same distinct set
+        size(array_intersect(array_intersect(col("umin"), col("ska")),
+          col("skb"))).cast("long"))
       .withColumn("union_est",
         when(col("ku") < kL, col("ku"))
           .otherwise(idiv(lit((kL - 1L) * (1L << 48)),
