@@ -1640,7 +1640,47 @@ object Events {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** EWMA geometry: λ = 1/2 over [[EwmaLags]] = 16 lags, weights
+    * scaled by 2^16 so every term is an exact integer (w_j =
+    * 2^(15−j)); the truncated tail mass is 2^−16 of the statistic —
+    * the truncation IS the definition, identical in both engines.
+    * Hot when the smoothed value exceeds 120.0 (e6 × 2^16): 22/1000
+    * rows at sf0.001, 264/10000 at sf0.01 — rare but present at every
+    * gate scale. */
+  val EwmaLags = 16
+  val EwmaHotE6 = 120000000L
+
+  /** e37: EWMA CONTROL CHART per event type — Roberts (1959)'s
+    * exponentially-weighted moving average, the smoothing monitor
+    * beside Page's CUSUM (e36 asks "has the cumulative drift crossed
+    * h"; EWMA asks "is the CURRENT level hot", discounting history
+    * geometrically — the classic pair of sequential control charts).
+    * The λ=1/2 recurrence S = (v + S)/2 truncated at 16 lags is an
+    * exact integer linear form Σ_{j<16} v_{t−j}·2^(15−j): sixteen
+    * `lag` columns over ONE (event_type; ts, event_id) window — a
+    * single hash exchange, no state, and bit-identical in DuckDB
+    * (cents-provenance v, the e36 lesson). Rows with fewer than 16
+    * predecessors read zero-padded lags (the warm-up convention,
+    * stated identically in the oracle). */
+  def e37EwmaSmooth(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val terms = (0 until EwmaLags).map { j =>
+      coalesce(lag(col("v_e6"), j).over(w), lit(0L)) *
+        lit(1L << (15 - j))
+    }
+    events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (round(col("value") * 100).cast("long") * lit(10000L)).as("v_e6"))
+      .withColumn("ewma_q16", terms.reduce(_ + _))
+      .select(col("event_type"), col("event_id"), col("ewma_q16"),
+        when(col("ewma_q16") >= EwmaHotE6 * 65536L, lit(1L))
+          .otherwise(lit(0L)).as("hot"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e37_ewma_smooth"   -> e37EwmaSmooth _,
     "e36_cusum_drift"   -> e36CusumDrift _,
     "e1_hourly_agg"     -> e1HourlyAgg _,
     "e2_sessionize"     -> e2Sessionize _,
@@ -1680,6 +1720,23 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the identical 16-lag exact-integer linear form, zero-padded
+    "e37_ewma_smooth" -> {
+      val terms = (0 until EwmaLags).map { j =>
+        s"coalesce(lag(v_e6, $j) OVER w, 0) * ${1L << (15 - j)}"
+      }.mkString(" +\n         |      ")
+      s"""WITH x AS (SELECT event_type, ts, event_id,
+         |    CAST(round(value * 100) AS BIGINT) * 10000 AS v_e6
+         |  FROM events),
+         |l AS (SELECT event_type, event_id,
+         |    $terms AS ewma_q16
+         |  FROM x WINDOW w AS (PARTITION BY event_type
+         |    ORDER BY ts, event_id))
+         |SELECT event_type, event_id, ewma_q16,
+         |  CAST(CASE WHEN ewma_q16 >= ${EwmaHotE6 * 65536L} THEN 1
+         |    ELSE 0 END AS BIGINT) AS hot
+         |FROM l ORDER BY event_type, event_id""".stripMargin
+    },
     // the same closed-form CUSUM: P = running sum of (x − k), then
     // S = P − min(0, running min P), alarm at h — both frames over
     // the identical (event_type; ts, event_id) order

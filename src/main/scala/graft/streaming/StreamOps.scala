@@ -2147,6 +2147,63 @@ object StreamOps {
       }
   }
 
+  /** Per-type EWMA state: the last ≤15 scored v_e6 (oldest first —
+    * with the arriving event they form the 16-lag window) plus the
+    * newest scored (ts micros, event_id) for the at-least-once guard
+    * (the cusumStream discipline). O(16 longs) per event type. */
+  case class EwmaState(recent: Seq[Long], last_us: Long,
+      last_event_id: Long)
+  /** One smoothed emission — batch e37's row shape. */
+  case class EwmaRow(event_type: String, event_id: Long, ewma_q16: Long,
+      hot: Long)
+
+  /** Streaming e37: the EWMA control chart as keyed state — the last
+    * 15 values plus the arriving one ARE the batch query's 16-lag
+    * window, so the streamed statistic is bit-identical to the batch
+    * linear form by construction (spec-pinned row for row). Same
+    * at-least-once discipline as [[cusumStream]]: duplicates and late
+    * arrivals at or before the newest scored (ts, event_id) are
+    * dropped. */
+  def ewmaStream(events: Dataset[ValuedEvent]): Dataset[EwmaRow] = {
+    implicit val re: org.apache.spark.sql.Encoder[EwmaRow] =
+      Encoders.product[EwmaRow]
+    implicit val se: org.apache.spark.sql.Encoder[EwmaState] =
+      Encoders.product[EwmaState]
+    implicit val ke: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val lags = graft.operators.Events.EwmaLags
+    val hotAt = graft.operators.Events.EwmaHotE6 * 65536L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[ValuedEvent],
+            state: GroupState[EwmaState]) =>
+          var st = state.getOption
+            .getOrElse(EwmaState(Seq.empty, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[EwmaRow]
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            val fresh = t > st.last_us ||
+              (t == st.last_us && e.event_id > st.last_event_id)
+            if (fresh) {
+              val v = BigDecimal(e.value * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong * 10000L
+              val win = (st.recent :+ v).takeRight(lags) // oldest first
+              val m = win.length
+              var s = 0L
+              var i = 0
+              // index i (oldest first) is lag j = m−1−i → weight 2^(15−j)
+              while (i < m) { s += win(i) * (1L << (16 - m + i)); i += 1 }
+              st = EwmaState(win.takeRight(lags - 1), t, e.event_id)
+              out += EwmaRow(tpe, e.event_id, s, if (s >= hotAt) 1L else 0L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** One staged (source, md5-hex) row of the KMV stream — the unit
     * batch x43 aggregates. */
   case class SourcedHash(source: String, h: String)

@@ -5390,6 +5390,44 @@ class PipelineOpsSpec extends SparkSpecBase {
       "audio alignment threshold does not discriminate on this corpus")
   }
 
+  test("e37 EWMA: the 16-lag exact-integer linear form equals the " +
+      "zero-seeded λ=1/2 recurrence truncated at 16 lags, replayed " +
+      "driver-side; hot rows rare but present; one exchange") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (tpe, evs) =>
+      val ordered = evs.sortBy { case (_, ts, id, _) => (ts.getTime, id) }
+      val vs = ordered.map { case (_, _, _, v) =>
+        BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong * 10000L
+      }
+      ordered.zipWithIndex.map { case ((_, _, id, _), t) =>
+        // the literal truncated statistic: Σ_{j<16} v_{t−j}·2^(15−j),
+        // missing lags zero — exactly the λ=1/2 recurrence S←(S+v·2^16)/2
+        // unrolled 16 steps from a zero seed
+        val s = (0 until Events.EwmaLags).map { j =>
+          if (t - j >= 0) vs(t - j) * (1L << (15 - j)) else 0L
+        }.sum
+        (tpe, id) -> (s, if (s >= Events.EwmaHotE6 * 65536L) 1L else 0L)
+      }
+    }.toMap
+    val out = Events.e37EwmaSmooth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == want,
+      s"EWMA linear form diverged: ${(out.toSet -- want.toSet).take(3)}")
+    val hot = out.values.count(_._2 == 1L)
+    assert(hot > 0 && hot * 10 < out.size,
+      s"hot rate degenerate: $hot of ${out.size}")
+    val plan = planOf(Events.e37EwmaSmooth(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1,
+      s"the 16 lags must share one event_type exchange:\n$plan")
+  }
+
   test("e36 CUSUM: the closed-form window statement equals the literal " +
       "max(0, S+x-k) recurrence replayed driver-side; alarms are rare " +
       "but present; one exchange") {

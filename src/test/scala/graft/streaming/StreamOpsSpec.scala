@@ -1305,6 +1305,36 @@ class StreamOpsSpec extends SparkSpecBase {
       s"restart did not de-latch: $restartAlarms vs latched $latched")
   }
 
+  test("ewmaStream: chunked in-order replay ≡ batch e37 row for row; " +
+      "duplicate redelivery cannot move the window") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.ValuedEvent
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[ValuedEvent].collect()
+    val in = MemoryStream[ValuedEvent]
+    val q = StreamOps.ewmaStream(in.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Append()).start()
+    val chunks = ev.grouped(ev.length / 7 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    val before = spark.table("ewma_stream").count()
+    in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    assert(spark.table("ewma_stream").count() == before,
+      "duplicate redelivery advanced the EWMA window")
+    val streamed = spark.table("ewma_stream").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("ewma_q16"), r.getAs[Long]("hot"))).toMap
+    val batch = graft.operators.Events.e37EwmaSmooth(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("ewma_q16"), r.getAs[Long]("hot"))).toMap
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"| ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("cusumStream scores same-millisecond siblings in micros order and " +
       "drops neither") {
     implicit val sq = spark.sqlContext
