@@ -61,6 +61,37 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family: the driver's hash is representation-sensitive,
+    so an int64 Spark column vs a float64 oracle column (e.g. DuckDB's
+    windowed sum(BIGINT) -> HUGEINT -> float64) must FAIL here even when
+    every value compares equal after float coercion (the e36 r13-r15 bug
+    class this replica existed to catch and didn't)."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "O":
+        for v in s:
+            try:
+                if v is None or (not isinstance(v, (list, tuple)) and pd.isna(v)):
+                    continue
+            except (TypeError, ValueError):
+                pass
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return "other"
+        return "null"
+    return str(k)
+
+
 def compare(name, mine: pd.DataFrame, ref: pd.DataFrame) -> bool:
     mine, ref = canon(mine), canon(ref)
     ok = True
@@ -69,6 +100,15 @@ def compare(name, mine: pd.DataFrame, ref: pd.DataFrame) -> bool:
         return False
     if len(mine) != len(ref):
         print(f"FAIL {name}: rows mine={len(mine)} ref={len(ref)}")
+        return False
+    for c in mine.columns:
+        fm, fr = dtype_family(mine[c]), dtype_family(ref[c])
+        if {fm, fr} == {"int", "float"}:
+            ok = False
+            print(f"FAIL {name}: col {c}: dtype family mismatch "
+                  f"mine={mine[c].dtype}({fm}) ref={ref[c].dtype}({fr}) — "
+                  f"driver hash is representation-sensitive; CAST the oracle")
+    if not ok:
         return False
     for c in mine.columns:
         mv, rv = mine[c].tolist(), ref[c].tolist()
