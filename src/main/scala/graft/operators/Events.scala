@@ -1679,7 +1679,48 @@ object Events {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Seasonal residual threshold (cents): flags one baselined hour at
+    * sf0.001 and ~6% (204/3385) at sf0.01 — rare but present at every
+    * gate scale. */
+  val SeasonalResidC = 30000L
+
+  /** e38: SEASONAL-NAIVE RESIDUAL MONITOR per event type — the
+    * standard seasonal-baseline anomaly check over the e1 rollup
+    * grain: each (event_type, hour) compares its cents sum against
+    * the SAME HOUR ONE DAY EARLIER (the seasonal-naive forecast, the
+    * baseline every forecasting benchmark starts from; e36/e37 detect
+    * LEVEL shifts — this one subtracts the daily cycle first so a
+    * nightly peak never reads as drift). The day-back lookup is a
+    * RANGE frame pinned at exactly 86 400 s before the current hour
+    * (e29's value-range machinery, NOT a row lag: hours with no
+    * traffic are absent from the rollup, so a ROWS offset would
+    * silently compare against whatever hour happened to precede);
+    * max() over the ≤1-row frame IS the lookup. Hours with no
+    * baseline report NULL residual and never flag. Two hash
+    * exchanges BY DESIGN: the corpus-sized one keys the rollup on the
+    * WIDE (hour, type) key so it parallelizes over all cores, and the
+    * window's re-key to event_type alone moves only the rollup
+    * (hours × types rows — trivial at any scale; collapsing to one
+    * exchange would mean hashing the RAW corpus by event_type, a
+    * few-partition skew trap at 100 TB). Integer cents end to end. */
+  def e38SeasonalResid(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour_s"))
+      .rangeBetween(-86400L, -86400L)
+    events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(sum(graft.Tables.cents(col("value"))).as("sum_c"))
+      .withColumn("base_c", max(col("sum_c")).over(w))
+      .withColumn("resid_c", col("sum_c") - col("base_c"))
+      .withColumn("shifted",
+        when(abs(col("resid_c")) >= SeasonalResidC, lit(1L))
+          .otherwise(lit(0L)))
+      .orderBy(col("hour_s"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e38_seasonal_resid" -> e38SeasonalResid _,
     "e37_ewma_smooth"   -> e37EwmaSmooth _,
     "e36_cusum_drift"   -> e36CusumDrift _,
     "e1_hourly_agg"     -> e1HourlyAgg _,
@@ -1720,6 +1761,24 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the identical day-back RANGE frame over the identical rollup;
+    // sum CAST back to BIGINT (DuckDB widens to HUGEINT — the e36
+    // dtype lesson), NULL-baseline hours fall to ELSE 0
+    "e38_seasonal_resid" ->
+      s"""WITH h AS (SELECT
+         |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+         |    event_type,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+         |  FROM events GROUP BY hour_s, event_type),
+         |r AS (SELECT hour_s, event_type, sum_c,
+         |    max(sum_c) OVER (PARTITION BY event_type ORDER BY hour_s
+         |      RANGE BETWEEN 86400 PRECEDING AND 86400 PRECEDING) AS base_c
+         |  FROM h)
+         |SELECT hour_s, event_type, sum_c, base_c,
+         |  sum_c - base_c AS resid_c,
+         |  CAST(CASE WHEN abs(sum_c - base_c) >= $SeasonalResidC THEN 1
+         |    ELSE 0 END AS BIGINT) AS shifted
+         |FROM r ORDER BY hour_s, event_type""".stripMargin,
     // the identical 16-lag exact-integer linear form, zero-padded
     "e37_ewma_smooth" -> {
       val terms = (0 until EwmaLags).map { j =>
@@ -1739,7 +1798,10 @@ object Events {
     },
     // the same closed-form CUSUM: P = running sum of (x − k), then
     // S = P − min(0, running min P), alarm at h — both frames over
-    // the identical (event_type; ts, event_id) order
+    // the identical (event_type; ts, event_id) order. DuckDB's
+    // windowed sum(BIGINT) widens to HUGEINT (read back as float64
+    // at the compare layer), so s_e6 is CAST back to BIGINT to keep
+    // the oracle's dtype int64 — matching Spark's LongType output.
     "e36_cusum_drift" ->
       s"""WITH x AS (SELECT event_type, ts, event_id,
          |    CAST(round(value * 100) AS BIGINT) * 10000 - $CusumSlackE6 AS d_e6
@@ -1749,9 +1811,10 @@ object Events {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_e6
          |  FROM x),
          |sct AS (SELECT event_type, event_id,
-         |    p_e6 - least(0, min(p_e6) OVER (PARTITION BY event_type
+         |    CAST(p_e6 - least(0, min(p_e6) OVER (PARTITION BY event_type
          |      ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_e6
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |      AS BIGINT) AS s_e6
          |  FROM p)
          |SELECT event_type, event_id, s_e6,
          |  CAST(CASE WHEN s_e6 >= $CusumAlarmE6 THEN 1 ELSE 0 END AS BIGINT)

@@ -3038,7 +3038,6 @@ object TextAnalysis {
   /** Library form of [[x43KmvOverlap]] over any (source, text) frame
     * with a chosen sketch size; partitioning left to the caller. */
   def kmvOverlap(docs: DataFrame, k: Int): DataFrame = {
-    val kL = k.toLong
     // ws bound as an ATTRIBUTE before shingling (the TextOps staging
     // rule): the tokenization runs once per doc, not once per shingle
     val sk = docs
@@ -3047,6 +3046,18 @@ object TextAnalysis {
       .select(col("source"), md5(col("g")).as("h"))
       .groupBy(col("source"))
       .agg(graft.functions.GraftFunctions.kmv_sketch(col("h"), k).as("sk"))
+    kmvOverlapFromSketches(sk, k)
+  }
+
+  /** Pair-estimation stage of x43 over any (source, sk) SKETCH frame —
+    * shared VERBATIM by the batch query and the streaming twin's
+    * snapshot consumer ([[graft.streaming.StreamOps.kmvStream]]'s
+    * latest per-source snapshots; the alignScores sharing discipline):
+    * pure projections plus one inequality join over sketch-sized rows,
+    * so batch ≡ stream overlap by construction once the sketches
+    * match (StreamOpsSpec pins both links). */
+  def kmvOverlapFromSketches(sk: DataFrame, k: Int): DataFrame = {
+    val kL = k.toLong
     val a = sk.select(col("source").as("src_a"), col("sk").as("ska"))
     val b = sk.select(col("source").as("src_b"), col("sk").as("skb"))
     a.join(b, col("src_a") < col("src_b"))

@@ -2250,6 +2250,81 @@ object StreamOps {
       }
   }
 
+  /** Per-type seasonal state: the open hour buckets of the trailing
+    * day (hour_s → running cents sum, pruned below current−86400 s —
+    * ≤25 pairs per event type), the monotone rows-folded counter that
+    * orders emissions (the permuteStream n_seen discipline: a bucket's
+    * sum is monotone within its hour but the emitted row set is not),
+    * and the newest scored (ts micros, event_id) for the
+    * at-least-once guard. */
+  case class SeasonalState(hours: Seq[Long], sums: Seq[Long],
+      n_seen: Long, last_us: Long, last_event_id: Long)
+  /** One seasonal emission — batch e38's row shape plus the ordering
+    * counter. base/resid are None while the day-back hour is absent
+    * (batch's NULL). */
+  case class SeasonalRow(event_type: String, hour_s: Long, sum_c: Long,
+      base_c: Option[Long], resid_c: Option[Long], shifted: Long,
+      n_seen: Long)
+
+  /** Streaming e38: the seasonal-naive residual monitor as keyed
+    * state — each arriving event folds into its hour bucket and the
+    * emission compares the bucket's RUNNING sum against the day-back
+    * hour's bucket. In-order replay makes the day-back bucket final
+    * before the current hour opens (hour h−86400 closes strictly
+    * before h begins), so the LATEST emission per (type, hour) — by
+    * n_seen — equals batch e38 row for row (spec-pinned). Same
+    * at-least-once discipline as [[cusumStream]]: duplicates and late
+    * arrivals at or before the newest scored (ts, event_id) are
+    * dropped, so redelivery cannot double-count a bucket. State is
+    * ≤25 (hour, sum) pairs + three longs per event type. */
+  def seasonalResidStream(events: Dataset[ValuedEvent]): Dataset[SeasonalRow] = {
+    implicit val re: org.apache.spark.sql.Encoder[SeasonalRow] =
+      Encoders.product[SeasonalRow]
+    implicit val se: org.apache.spark.sql.Encoder[SeasonalState] =
+      Encoders.product[SeasonalState]
+    implicit val ke: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val threshold = graft.operators.Events.SeasonalResidC
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SeasonalState, SeasonalRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[ValuedEvent],
+            state: GroupState[SeasonalState]) =>
+          var st = state.getOption
+            .getOrElse(SeasonalState(Seq.empty, Seq.empty, 0L,
+              Long.MinValue, Long.MinValue))
+          val buckets = scala.collection.mutable.LinkedHashMap(
+            st.hours.zip(st.sums): _*)
+          var nSeen = st.n_seen
+          var lastUs = st.last_us
+          var lastId = st.last_event_id
+          val out = Seq.newBuilder[SeasonalRow]
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            val fresh = t > lastUs || (t == lastUs && e.event_id > lastId)
+            if (fresh) {
+              val h = Math.floorDiv(t, 3600L * 1000000L) * 3600L
+              val c = BigDecimal(e.value * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              val sum = buckets.getOrElse(h, 0L) + c
+              buckets.update(h, sum)
+              // day-back buckets stay needed for the CURRENT hour only
+              // (in-order: h is non-decreasing), prune strictly older
+              buckets.filterInPlace { case (hb, _) => hb >= h - 86400L }
+              val base = buckets.get(h - 86400L)
+              nSeen += 1L; lastUs = t; lastId = e.event_id
+              out += SeasonalRow(tpe, h, sum, base, base.map(sum - _),
+                if (base.exists(b => math.abs(sum - b) >= threshold)) 1L
+                else 0L, nSeen)
+            }
+          }
+          state.update(SeasonalState(buckets.keys.toSeq,
+            buckets.values.toSeq, nSeen, lastUs, lastId))
+          out.result().iterator
+      }
+  }
+
   case class PermuteState(mask: Long, n_complete: Long, n_seen: Long,
       last_ms: Long, last_event_id: Long)
   case class PermuteProgress(user_id: Long, n_complete: Long,
@@ -2706,6 +2781,7 @@ object StreamOps {
     "overlapWithinStream" -> OutputMode.Append(),
     "patternStream" -> OutputMode.Append(),
     "cusumStream" -> OutputMode.Append(),
+    "seasonalResidStream" -> OutputMode.Append(),
     "permuteStream" -> OutputMode.Append(),
     "repeatWithinStream" -> OutputMode.Append(),
     "semDedupStream" -> OutputMode.Append(),

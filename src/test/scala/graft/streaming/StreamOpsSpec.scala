@@ -1335,6 +1335,47 @@ class StreamOpsSpec extends SparkSpecBase {
         s"| ${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("seasonalResidStream: chunked in-order replay's latest row per " +
+      "(type, hour) ≡ batch e38; duplicate redelivery cannot double-" +
+      "count a bucket") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.{SeasonalRow, ValuedEvent}
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[ValuedEvent].collect()
+    val in = MemoryStream[ValuedEvent]
+    val q = StreamOps.seasonalResidStream(in.toDS())
+      .writeStream.format("memory").queryName("seasonal_stream")
+      .outputMode(OutputMode.Append()).start()
+    val chunks = ev.grouped(ev.length / 7 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    val before = spark.table("seasonal_stream").count()
+    in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    assert(spark.table("seasonal_stream").count() == before,
+      "duplicate redelivery double-counted a seasonal bucket")
+    // latest emission per (type, hour) = highest n_seen (the monotone
+    // ordering counter; the row set per hour is not otherwise ordered)
+    val streamed = spark.table("seasonal_stream").as[SeasonalRow].collect()
+      .groupBy(r => (r.event_type, r.hour_s))
+      .map { case (k, rs) =>
+        val last = rs.maxBy(_.n_seen)
+        k -> (last.sum_c, last.base_c, last.resid_c, last.shifted)
+      }
+    val batch = graft.operators.Events.e38SeasonalResid(spark, sf).collect()
+      .map { r =>
+        def optL(i: Int) = Option(r.get(i)).map(_.asInstanceOf[Long])
+        (r.getString(1), r.getLong(0)) ->
+          (r.getLong(2), optL(3), optL(4), r.getLong(5))
+      }.toMap
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"| ${(batch.toSet -- streamed.toSet).take(3)}")
+    assert(streamed.values.exists(_._4 == 1L),
+      "no shifted hour on the gate corpus — the flag path never ran")
+  }
+
   test("cusumStream scores same-millisecond siblings in micros order and " +
       "drops neither") {
     implicit val sq = spark.sqlContext
@@ -1404,6 +1445,23 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(afterReplay == batch,
       s"stream/batch sketch divergence: ${
         afterReplay.keySet.find(s => afterReplay(s) != batch(s))}")
+    // the OVERLAP twin: the shared pair-estimation stage over the
+    // stream's latest snapshots ≡ batch x43's full kmvOverlap — the
+    // x43 ingest-twin contract, closed end to end
+    import spark.implicits._
+    val snapDf = afterReplay.toSeq.toDF("source", "sk")
+    def overlapRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("ku"), r.getAs[Long]("shared"),
+          r.getAs[Long]("jaccard_e6"), r.getAs[Long]("union_est"),
+          r.getAs[Long]("inter_est"))).toMap
+    val streamedOverlap = overlapRows(
+      graft.operators.TextAnalysis.kmvOverlapFromSketches(snapDf, k))
+    val batchOverlap = overlapRows(graft.operators.TextAnalysis.kmvOverlap(
+      graft.Tables.documents(spark, sf), k))
+    assert(streamedOverlap.nonEmpty, "no source pairs to compare")
+    assert(streamedOverlap == batchOverlap,
+      "overlap from stream snapshots diverged from batch x43")
   }
 
   test("permuteStream: chunked in-order replay ≡ batch e28; duplicate " +
