@@ -73,6 +73,19 @@ object GraftFunctions {
       KmvAggExpr(GraftSqlBridge.expression(hash), k)
         .toAggregateExpression())
 
+  /** Banded Levenshtein with a PER-ROW threshold column: Spark's
+    * public `levenshtein(l, r, threshold: Int)` only takes a literal
+    * band, but the underlying Catalyst expression's threshold is an
+    * arbitrary per-row Expression (codegen'd, `genCodeWithThreshold`)
+    * — so a length-relative band (d23's production posture) costs the
+    * same banded O(threshold·min_len) per pair. Returns the exact
+    * distance when ≤ threshold, −1 past it (the built-in's contract). */
+  def levenshtein_banded(l: Column, r: Column, threshold: Column): Column =
+    GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        GraftSqlBridge.expression(l), GraftSqlBridge.expression(r),
+        Some(GraftSqlBridge.expression(threshold.cast("int")))))
+
   /** string → Unicode-NFC-normalized string — codegen'd with an
     * ASCII zero-allocation fast path; see [[NfcNormalizeExpr]]. */
   def nfc(s: Column): Column =

@@ -332,21 +332,7 @@ object Dedup {
     * bounds exactly this blowup) rather than over the full corpus; the
     * full-corpus form here is what the oracle can verify. */
   def d4JaccardTopK(s: SparkSession, d: String): DataFrame = {
-    // Aggregate barrier on the unique key (see d3): keeps the inferred
-    // `size(sh)>0` generate-filter from re-inlining the whole shingle
-    // pipeline below the projections (which evaluates it 3× per row),
-    // and its shuffle spreads the downstream explode+join across all
-    // cores instead of the scan's single input partition. At scale this
-    // is the materialized shingle index.
-    val docSh = documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), shingles3(col("ws")).as("sh0"))
-      .select(col("doc_id"), array_distinct(col("sh0")).as("sh"))
-      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("sh")).as("sh"), min(col("n_sh")).as("n_sh"))
-    val inv = docSh.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
+    val inv = sharedShingleInv(s, d)
     val aSide = inv.select(col("shingle"), col("doc_id").as("a"), col("n_sh").as("na"))
     val bSide = inv.select(col("shingle"), col("doc_id").as("b"), col("n_sh").as("nb"))
     aSide.join(bSide, "shingle")
@@ -359,6 +345,33 @@ object Dedup {
       .orderBy(col("jaccard_e6").desc, col("a"), col("b"))
       .limit(20)
   }
+
+  /** STANDING inverted 3-shingle index (doc_id, n_sh, shingle),
+    * bucketed by SHINGLE — d4's join key (VERDICT r15 #5): the shingle
+    * pipeline (tokenize, shingle, distinct, explode) runs once per
+    * (corpus, build) instead of once per d4 run, and because both
+    * sides of d4's self-join read the same shingle-bucketed table the
+    * equi-join plans with NO Exchange on either side (pinned in
+    * WarehouseSpec) — only the per-pair groupBy shuffles. At 100 TB
+    * this is the persisted postings layout: write-time bucketing
+    * replaces the two biggest per-query shuffles of the exact-Jaccard
+    * rerank. */
+  private[graft] def sharedShingleInv(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(shingleInvCache, s, d)(
+      Warehouse.standingTable(s, "graft_shinv", d) { t =>
+        val docSh = documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .select(col("doc_id"), shingles3(col("ws")).as("sh0"))
+          .select(col("doc_id"), array_distinct(col("sh0")).as("sh"))
+          .select(col("doc_id"), col("sh"),
+            size(col("sh")).cast("long").as("n_sh"))
+        Warehouse.writeStanding(
+          docSh.select(col("doc_id"), col("n_sh"),
+            explode(col("sh")).as("shingle")),
+          t, Seq("shingle"), nBuckets = 32)
+      })
+
+  private val shingleInvCache = SessionCaches.newCache()
 
   /** Banding designs audited by [[d20LshScurve]]: every factorization
     * b·r of the [[MinhashK]]-element signature from per-row banding
@@ -578,24 +591,36 @@ object Dedup {
       .join(txt.select(col("doc_id").as("b"), col("nt").as("tb")), Seq("b"))
   }
 
-  /** Absolute edit bound for the CAPPED verify tier: well above the
-    * near-dup mode (planted pairs measure lev ≤ 8 at sf0.01) and far
-    * below the LSH false-positive mode (lev ≥ 236) — the d9/d16
-    * capped-posture precedent applied to the verify tier's worst-pair
-    * cost. */
+  /** Floor of the LENGTH-RELATIVE edit bound for the capped verify
+    * tier: well above the near-dup mode (planted pairs measure lev ≤ 8
+    * at sf0.01) — the minimum band even for tiny documents. */
   val D23MaxLev = 32
 
-  /** d23: the PRODUCTION posture of [[editVerify]] — Spark's banded
-    * 3-arg `levenshtein(a, b, threshold)` stops at [[D23MaxLev]] and
-    * answers −1 past it, so the worst PAIR costs O(k·min_len) instead
-    * of O(len²): the stated bound the verify tier needs at 100 TB,
-    * where one adversarial pair of 100 KB boilerplate docs must not
-    * own an executor for minutes. Over-bound pairs report NULL
-    * distance/similarity and verified = false (an unverifiable pair is
-    * not a near-dup — by construction a TRUE near-dup moved few
-    * characters); under the bound the row is IDENTICAL to the full
-    * tier's (spec-pinned pair for pair, and the DuckDB oracle restates
-    * the cap over its own full distance). */
+  /** Ceiling of the length-relative edit bound: the worst PAIR costs
+    * O(D23LevClamp·min_len) — linear in document length — so one
+    * adversarial pair of 100 KB boilerplate docs can never own an
+    * executor for minutes. Pairs with max_len ≤ D23LevClamp·1e6 /
+    * (1e6−D21SimE6) (8 192 chars at the 0.5 threshold) are decided
+    * EXACTLY — identically to the full tier; longer documents whose
+    * true distance exceeds the clamp are the one DOCUMENTED
+    * false-negative class (ADVICE r15: a 10 KB pair at sim 0.9 under a
+    * flat 32-band was silently unverifiable; under the length-relative
+    * band it is verified exactly up to the clamp). */
+  val D23LevClamp = 4096L
+
+  /** d23: the PRODUCTION posture of [[editVerify]] — banded
+    * Levenshtein with a PER-PAIR threshold
+    * `clamp(⌊max_len·(1−τ)⌋, D23MaxLev, D23LevClamp)` (τ = the
+    * [[D21SimE6]] verify threshold): the band is exactly the largest
+    * distance that could still verify, so every pair under the clamp
+    * is decided IDENTICALLY to the full tier, and the band stops at
+    * [[D23LevClamp]] so the worst pair costs O(clamp·min_len) instead
+    * of O(len²) — the stated bound the verify tier needs at 100 TB.
+    * Over-band pairs report NULL distance/similarity and
+    * verified = false (a distance past the band is definitionally
+    * below the similarity threshold whenever max_len ≤ the exactness
+    * horizon above); the DuckDB oracle restates the identical per-pair
+    * band over its own full distance. */
   def d23EditVerifyCapped(s: SparkSession, d: String): DataFrame =
     editVerifyCapped(sharedLshPairs(s, d), documents(s, d))
       .orderBy(col("a"), col("b"))
@@ -603,10 +628,17 @@ object Dedup {
   /** Library form of [[d23EditVerifyCapped]]. */
   def editVerifyCapped(candidates: DataFrame, docs: DataFrame): DataFrame =
     pairTexts(candidates, docs)
-      .select(col("a"), col("b"),
-        levenshtein(col("ta"), col("tb"), D23MaxLev).cast("long").as("lev_c"),
+      .select(col("a"), col("b"), col("ta"), col("tb"),
         greatest(length(col("ta")), length(col("tb"))).cast("long")
           .as("max_len"))
+      .withColumn("band",
+        least(greatest(idiv(col("max_len") * (1000000L - D21SimE6),
+          lit(1000000L)), lit(D23MaxLev)), lit(D23LevClamp)))
+      .select(col("a"), col("b"),
+        graft.functions.GraftFunctions
+          .levenshtein_banded(col("ta"), col("tb"), col("band"))
+          .cast("long").as("lev_c"),
+        col("max_len"))
       .withColumn("lev", when(col("lev_c") >= 0L, col("lev_c")))
       .withColumn("edit_sim_e6",
         when(col("lev_c") >= 0L,
@@ -1861,8 +1893,9 @@ object Dedup {
            |  (max_len - lev) * 1000000 // greatest(max_len, 1) >= $D21SimE6
            |    AS verified
            |FROM sc ORDER BY a, b""".stripMargin),
-    // the d21 chain with the production edit bound restated over
-    // DuckDB's full distance: over-bound pairs answer NULL + false
+    // the d21 chain with the production LENGTH-RELATIVE edit band
+    // clamp(max_len·(1−τ)//1e6, D23MaxLev, D23LevClamp) restated over
+    // DuckDB's full distance: over-band pairs answer NULL + false
     "d23_edit_capped" ->
       (SigCte +
         s"""
@@ -1878,13 +1911,17 @@ object Dedup {
            |    CAST(greatest(length(ta.nt), length(tb.nt)) AS BIGINT) AS max_len
            |  FROM cand JOIN nt ta ON ta.doc_id = cand.a
            |    JOIN nt tb ON tb.doc_id = cand.b),
+           |bd AS (SELECT a, b, lev_full, max_len,
+           |    least(greatest(max_len * ${1000000L - D21SimE6} // 1000000,
+           |      $D23MaxLev), $D23LevClamp) AS band
+           |  FROM sc),
            |cp AS (SELECT a, b,
-           |    CASE WHEN lev_full <= $D23MaxLev THEN lev_full END AS lev,
+           |    CASE WHEN lev_full <= band THEN lev_full END AS lev,
            |    max_len,
-           |    CASE WHEN lev_full <= $D23MaxLev THEN
+           |    CASE WHEN lev_full <= band THEN
            |      (max_len - lev_full) * 1000000 // greatest(max_len, 1)
            |    END AS edit_sim_e6
-           |  FROM sc)
+           |  FROM bd)
            |SELECT a, b, lev, max_len, edit_sim_e6,
            |  coalesce(edit_sim_e6 >= $D21SimE6, false) AS verified
            |FROM cp ORDER BY a, b""".stripMargin),

@@ -415,6 +415,10 @@ class PipelineOpsSpec extends SparkSpecBase {
       fill(b) += 1
     }
     assert(perm == want.toSeq, s"permutation drifted: $perm vs ${want.toSeq}")
+    // the standing-registry form (VERDICT r15 #4) serves the IDENTICAL
+    // permutation — s19 reads Dim rows instead of re-scanning the corpus
+    assert(Similarity.opqPermStanding(spark, sf) == perm,
+      "standing permutation diverged from the direct derivation")
     // orthogonality sanity: exact cosine ranking is permutation-blind
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
@@ -3619,17 +3623,32 @@ class PipelineOpsSpec extends SparkSpecBase {
     val capped = keyed(Dedup.d23EditVerifyCapped(spark, sf).collect())
     assert(full.keySet == capped.keySet,
       "capped tier changed the candidate pair set")
-    val (under, over) = full.partition(_._2._1.get <= Dedup.D23MaxLev)
+    // the per-pair length-relative band the production tier runs with
+    def bandOf(maxLen: Long): Long =
+      math.min(math.max(maxLen * (1000000L - Dedup.D21SimE6) / 1000000L,
+        Dedup.D23MaxLev.toLong), Dedup.D23LevClamp)
+    val (under, over) = full.partition { case (_, (lev, maxLen, _, _)) =>
+      lev.get <= bandOf(maxLen) }
     assert(under.nonEmpty && over.nonEmpty,
-      s"gate corpus does not exercise both sides of the bound: " +
-        s"${full.values.map(_._1.get).toSeq.sorted}")
+      s"gate corpus does not exercise both sides of the band: " +
+        full.values.map(v => s"lev=${v._1.get}/band=${bandOf(v._2)}")
+          .toSeq.sorted)
     under.foreach { case (k, v) =>
-      assert(capped(k) == v, s"under-bound pair $k diverged: " +
+      assert(capped(k) == v, s"under-band pair $k diverged: " +
         s"full=$v capped=${capped(k)}")
     }
     over.foreach { case (k, (_, maxLen, _, _)) =>
       assert(capped(k) == (None, maxLen, None, false),
-        s"over-bound pair $k not NULL+unverified: ${capped(k)}")
+        s"over-band pair $k not NULL+unverified: ${capped(k)}")
+    }
+    // the ADVICE r15 recall-loss class is closed up to the clamp: every
+    // pair inside the exactness horizon gets the FULL tier's verdict
+    val horizon = Dedup.D23LevClamp * 1000000L / (1000000L - Dedup.D21SimE6)
+    full.foreach { case (k, v @ (_, maxLen, _, verified)) =>
+      if (maxLen <= horizon)
+        assert(capped(k)._4 == verified,
+          s"pair $k inside the exactness horizon diverged on verified: " +
+            s"full=$v capped=${capped(k)}")
     }
   }
 
@@ -5426,6 +5445,78 @@ class PipelineOpsSpec extends SparkSpecBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles <= 1,
       s"the 16 lags must share one event_type exchange:\n$plan")
+  }
+
+  test("e38 seasonal residual: the day-back RANGE lookup equals a " +
+      "driver-side map on (event_type, hour−86400); no-baseline hours " +
+      "never flag; flags rare but present; one exchange") {
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).getTime / 1000L / 3600L * 3600L,
+        BigDecimal(r.getDouble(2) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, ts) => k -> ts.map(_._3).sum }
+    val want = hourly.map { case ((tpe, h), sumC) =>
+      val base = hourly.get((tpe, h - 86400L))
+      (h, tpe) -> (sumC, base, base.map(sumC - _),
+        if (base.exists(b => math.abs(sumC - b) >= Events.SeasonalResidC))
+          1L else 0L)
+    }
+    val out = Events.e38SeasonalResid(spark, sf).collect()
+      .map { r =>
+        def optL(i: Int) = Option(r.get(i)).map(_.asInstanceOf[Long])
+        (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), optL(3), optL(4), r.getLong(5))
+      }.toMap
+    assert(out == want,
+      s"seasonal residual diverged: ${(out.toSet -- want.toSet).take(3)}")
+    val flags = out.values.count(_._4 == 1L)
+    assert(flags > 0 && flags * 5 < out.size,
+      s"flag rate degenerate: $flags of ${out.size}")
+    assert(out.values.exists(v => v._2.isEmpty && v._4 == 0L),
+      "gate corpus has no baseline-free hour to exercise the NULL path")
+    // two exchanges by design: the corpus-sized rollup keys on the
+    // wide (hour, type) key; the window re-keys only the tiny rollup
+    val plan = planOf(Events.e38SeasonalResid(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2,
+      s"seasonal residual grew a third exchange:\n$plan")
+  }
+
+  test("s35 range search: exact ε-ball — every returned pair is ≥ τ " +
+      "and every scored pair ≥ τ is returned (driver recompute); s1's " +
+      "over-τ rows are a subset; the plan carries NO hash exchange") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dotFp(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i => BigDecimal(a(i).toDouble * b(i).toDouble * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+    val norms = vecs.map { case (id, v) => id -> dotFp(v, v) }.toMap
+    val want = (for {
+      (qid, q) <- vecs if qid < Similarity.NQueries.toLong
+      (nid, n) <- vecs if nid != qid
+      cosE6 = BigDecimal(dotFp(q, n).toDouble /
+          (math.sqrt(norms(qid).toDouble) * math.sqrt(norms(nid).toDouble))
+          * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      if cosE6 >= Similarity.RangeTauE6
+    } yield (qid, nid) -> cosE6).toMap
+    val out = Similarity.s35RangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == want, s"ε-ball diverged: out=${out.size} want=${want.size}")
+    assert(out.nonEmpty, "gate corpus has no in-ball pair")
+    // consistency with the gated top-k rung: any s1 row over τ is in-ball
+    Similarity.s1KnnBrute(spark, sf).collect().foreach { r =>
+      if (r.getAs[Long]("cos_e6") >= Similarity.RangeTauE6)
+        assert(out.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))),
+          s"s1 over-τ row missing from s35: $r")
+    }
+    val plan = planOf(Similarity.s35RangeSearch(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"queries not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"threshold search must not hash-shuffle at all:\n$plan")
   }
 
   test("e36 CUSUM: the closed-form window statement equals the literal " +

@@ -395,6 +395,50 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("standing shingle inverted index: d4's exact-Jaccard self-join " +
+      "reads graft_shinv with NO exchange on either join side") {
+    import graft.operators.TextOps
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Dedup.d4JaccardTopK(spark, sf)
+      val plan = planOf(out)
+      assert(plan.contains("graft_shinv"),
+        s"standing inverted index not in plan:\n$plan")
+      // shingle-bucketed layout absorbs BOTH self-join exchanges: the
+      // only hash exchange left is the per-pair groupBy
+      assert(nShuffles(plan) == 1,
+        s"expected only the pair-aggregation exchange:\n$plan")
+      // values match a fresh inline derivation of the same pipeline
+      val docSh = Tables.documents(spark, sf)
+        .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles3(col("ws"))).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          size(col("sh")).cast("long").as("n_sh"))
+      val inv = docSh.select(col("doc_id"), col("n_sh"),
+        explode(col("sh")).as("shingle"))
+      val fresh = inv.select(col("shingle"), col("doc_id").as("a"),
+          col("n_sh").as("na"))
+        .join(inv.select(col("shingle"), col("doc_id").as("b"),
+          col("n_sh").as("nb")), "shingle")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .select(col("a"), col("b"),
+          TextOps.idiv(col("shared") * 1000000L,
+            col("na") + col("nb") - col("shared")).as("jaccard_e6"))
+        .orderBy(col("jaccard_e6").desc, col("a"), col("b")).limit(20)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("jaccard_e6"))).toSeq
+      assert(rows(out) == rows(fresh),
+        "standing-index d4 diverged from the inline derivation")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("co-bucketed tables join without an exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
