@@ -109,9 +109,12 @@ object Bench {
     // iteration only (the driver never sets it).
     val prepassT0 = System.nanoTime()
     val prepass = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREPASS", "1") != "0"
+    // NonFatal only (ADVICE r15): a fatal error (OOM, interrupt) must
+    // propagate — swallowing it would run the timed pass in a
+    // corrupted JVM and record garbage timings
     if (prepass) selected.foreach { case (_, fn) =>
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val prepassSec = (System.nanoTime() - prepassT0) / 1e9
     // run-start calibration samples AFTER the pre-pass: it anchors the

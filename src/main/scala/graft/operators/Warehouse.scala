@@ -644,11 +644,37 @@ object Warehouse {
       true
     } catch {
       case _: java.io.IOException =>
+        val ttlCut = System.currentTimeMillis() - LeaseTtlMs
         val stale =
-          try fs.getFileStatus(lease).getModificationTime <
-            System.currentTimeMillis() - LeaseTtlMs
+          try fs.getFileStatus(lease).getModificationTime < ttlCut
           catch { case _: java.io.FileNotFoundException => false }
-        if (stale) fs.delete(lease, false)
+        if (stale) {
+          // break via an atomic rename to a breaker-unique tombstone:
+          // of several concurrent breakers exactly ONE rename succeeds
+          // (the others' source is gone), so a FRESH lease created by
+          // the winning breaker's successor can never be deleted by a
+          // losing breaker — the check-then-delete TOCTOU let two
+          // breakers both "win" and the second delete killed a live
+          // holder's lease (ADVICE r15)
+          val tomb = new org.apache.hadoop.fs.Path(lease.getParent,
+            s"${lease.getName}.tomb_" +
+              java.util.UUID.randomUUID().toString.take(8))
+          try {
+            if (fs.rename(lease, tomb)) {
+              // the tombstone is exclusively ours — re-verify it really
+              // was the stale lease: if a fresh lease slid in between
+              // the stat above and the rename, put it back (best
+              // effort; if a newer lease already took the path the
+              // displaced holder still converges via the rename-race
+              // promotion backstop)
+              val tombStale =
+                try fs.getFileStatus(tomb).getModificationTime < ttlCut
+                catch { case _: java.io.FileNotFoundException => true }
+              if (tombStale || !fs.rename(tomb, lease))
+                fs.delete(tomb, false)
+            }
+          } catch { case _: java.io.IOException => () }
+        }
         false
     }
 
