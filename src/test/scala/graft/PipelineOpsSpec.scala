@@ -5519,6 +5519,49 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"threshold search must not hash-shuffle at all:\n$plan")
   }
 
+  test("x44 temperature mixture: α=1/2 weights equal a BigInt-isqrt " +
+      "driver recompute; shares sum to ≤1e6 and low-resource sources " +
+      "are boosted; token counts come from the standing docstats") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      .groupBy(_._1)
+      .map { case (src, xs) => src -> (xs.length.toLong, xs.map(_._2).sum) }
+    def isqrt(n: Long): Long = {
+      var r = math.sqrt(n.toDouble).toLong
+      while (r * r > n) r -= 1
+      while ((r + 1) * (r + 1) <= n) r += 1
+      r
+    }
+    val wTot = toks.values.map(v => isqrt(v._2)).sum
+    val tokTot = toks.values.map(_._2).sum
+    val want = toks.map { case (src, (nDocs, nToks)) =>
+      val w = isqrt(nToks)
+      src -> (nDocs, nToks, w,
+        w * 1000000L / wTot, nToks * 1000000L / tokTot)
+    }
+    val out = TextAnalysis.x44TempMixture(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out == want, s"mixture diverged: out=$out want=$want")
+    // the temperature property on the exact rationals (no floors):
+    // the lightest source is boosted, the heaviest shaved — the α<1
+    // crossover sits strictly between the extremes of sqrt(n)
+    val (minSrc, maxSrc) = (toks.minBy(_._2._2), toks.maxBy(_._2._2))
+    assert(BigInt(isqrt(minSrc._2._2)) * tokTot >=
+      BigInt(minSrc._2._2) * wTot,
+      s"lightest source ${minSrc._1} not boosted")
+    assert(BigInt(isqrt(maxSrc._2._2)) * tokTot <=
+      BigInt(maxSrc._2._2) * wTot,
+      s"heaviest source ${maxSrc._1} not shaved")
+    assert(out.values.map(_._4).sum <= 1000000L,
+      "floor-divided shares exceeded one")
+    val plan = planOf(TextAnalysis.x44TempMixture(spark, sf))
+    assert(plan.contains("graft_docstats"),
+      s"x44 is not reading the standing docstats stage:\n$plan")
+  }
+
   test("e36 CUSUM: the closed-form window statement equals the literal " +
       "max(0, S+x-k) recurrence replayed driver-side; alarms are rare " +
       "but present; one exchange") {

@@ -439,6 +439,34 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("standing shingle inverted index, second consumer: x11's " +
+      "train-test contamination join reads graft_shinv exchange-free " +
+      "and matches the inline derivation") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = TextAnalysis.x11Contamination(spark, sf)
+      val plan = planOf(out)
+      assert(plan.contains("graft_shinv"),
+        s"standing inverted index not in plan:\n$plan")
+      // the shingle equi-join is exchange-free over the bucketed scans;
+      // the per-pair count and the per-test-doc window still shuffle
+      assert(nShuffles(plan) <= 2,
+        s"contamination join grew an exchange beyond count+window:\n$plan")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("test_doc"), r.getAs[Long]("n_train_docs"),
+          r.getAs[Long]("top_train_doc"), r.getAs[Long]("top_shared"))).toSeq
+      val got = rows(out)
+      assert(got.nonEmpty, "no contaminated pairs")
+      assert(got == rows(TextAnalysis.contamination(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        maxDf = None)),
+        "standing-index x11 diverged from the inline derivation")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("co-bucketed tables join without an exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
