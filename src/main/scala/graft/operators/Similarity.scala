@@ -119,40 +119,57 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Range-search cosine threshold (e6): 37 in-ball pairs at sf0.001 /
-    * 43 at sf0.01 of the 4 990 scored — a selective ball, not a
-    * rubber stamp, present at every gate scale. */
-  val RangeTauE6 = 300000L
+  /** Sign sketch of every vector as an NPlanes-bit '0'/'1' string —
+    * s4's bucket stage factored out so the kNN rung (s4) and the
+    * range-search scale path (s35) sign against the SAME plane
+    * family. */
+  private[graft] def signBucketed(e: DataFrame): DataFrame = {
+    val sigBit = (h: Int) =>
+      when(dotFp9(col("embedding"),
+        array(planeWeights(h).map(lit): _*)) >= 0L, "1").otherwise("0")
+    e.withColumn("bucket", concat((0 until NPlanes).map(sigBit): _*))
+  }
 
-  /** s35: RANGE SIMILARITY SEARCH (ε-ball) — every corpus vector with
-    * exact cosine ≥ τ of each query, the THRESHOLD companion of s1's
-    * top-k (retrieval wants the k best; dedup thresholds and recall
-    * tooling want ALL within a ball — FAISS's `range_search` surface
-    * beside `search`). Exact and deliberately simpler than s1: one
-    * broadcast of the query rows against the corpus scan, the DotFp9
-    * kernel per pair, then a FILTER on the e6-rounded cosine instead
-    * of a rank window — so the plan carries NO hash exchange at all
-    * (no window, no aggregate): scan → broadcast join → filter,
-    * entirely inside whole-stage codegen (spec-pinned). At 100 TB
-    * that shape is the point — threshold search keeps no per-query
-    * rank state, so it pipelines at scan speed and the output is the
-    * only thing that shuffles (the final presentation sort). The
-    * threshold compares the ROUNDED e6 value so both engines state
-    * the identical integer predicate. */
-  def s35RangeSearch(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(embeddings(s, d))
-    val q = e.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-      col("norm_fp").as("q_norm"))
-      .filter(col("qid") < NQueries.toLong)
-    val c = e.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
-      col("norm_fp").as("n_norm"))
-    c.join(broadcast(q), col("qid") =!= col("nid"))
+  /** s35: LSH-BUCKETED RANGE SEARCH — the SCALE PATH of s10's exact
+    * ε-ball (s10 scores every (query, corpus) pair; at 100 TB the
+    * corpus side of a threshold search must be PRUNED before any dot
+    * product runs). Candidates come from MULTIPROBE sign-LSH: each
+    * query probes its own [[NPlanes]]-bit sign bucket plus every
+    * 1-bit flip (the d5 hamming-ball trick applied to sketches —
+    * NPlanes+1 probe keys per query, and a corpus vector within
+    * hamming ≤ 1 of the query's sketch matches EXACTLY one key, so no
+    * dedup stage); survivors are verified by the exact e6-rounded
+    * cosine ≥ [[RadiusE6]] — the same τ as s10, so output ⊆ s10 row
+    * for row and the spec MEASURES the recall the 1-probe budget buys
+    * (recorded honestly; pairs whose sketches differ in ≥ 2 bits are
+    * the documented miss class — more probes or more tables buy them
+    * back, the standard multiprobe trade). Plan: corpus scan ⨝
+    * broadcast probe keys (NQueries·(NPlanes+1) rows) → exact-verify
+    * filter — NO hash exchange, pair work Σ|bucket| over probed
+    * buckets instead of |corpus|·|queries|. */
+  def s35RangeLsh(s: SparkSession, d: String): DataFrame = {
+    val eb = signBucketed(withNorm(embeddings(s, d)))
+    val c = eb.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+      col("norm_fp").as("n_norm"), col("bucket"))
+    val flips = (0 until NPlanes).map { i =>
+      concat(
+        substring(col("bucket"), 1, i),
+        when(substring(col("bucket"), i + 1, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        substring(col("bucket"), i + 2, NPlanes))
+    }
+    val probes = eb.filter(col("vec_id") < NQueries.toLong)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("norm_fp").as("q_norm"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
       .withColumn("cos_e6",
         round(cosine(dotFp9(col("q_emb"), col("n_emb")),
           col("q_norm"), col("n_norm")) * 1e6).cast("long"))
-      .filter(col("cos_e6") >= RangeTauE6)
+      .filter(col("cos_e6") >= RadiusE6)
       .select(col("qid"), col("nid"), col("cos_e6"))
-      .orderBy(col("qid"), col("nid"))
+      .orderBy(col("qid"), col("cos_e6").desc, col("nid"))
   }
 
   /** A collected codebook entry: centroid id, compacted embedding,
@@ -543,11 +560,7 @@ object Similarity {
     * scale the corpus is written bucketed by signature so a probe is a
     * partition-pruned read. */
   def s4KnnSignLsh(s: SparkSession, d: String): DataFrame = {
-    val sigBit = (h: Int) =>
-      when(dotFp9(col("embedding"),
-        array(planeWeights(h).map(lit): _*)) >= 0L, "1").otherwise("0")
-    val eb = withNorm(embeddings(s, d))
-      .withColumn("bucket", concat((0 until NPlanes).map(sigBit): _*))
+    val eb = signBucketed(withNorm(embeddings(s, d)))
     val q = eb.filter(col("vec_id") < NQueries.toLong)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("norm_fp").as("q_norm"), col("bucket"))
@@ -2698,7 +2711,7 @@ object Similarity {
     "s9_knn_mips"     -> s9KnnMips _,
     "s10_radius"      -> s10RadiusSearch _,
     "d7_embed_clusters" -> d7EmbedClusters _,
-    "s35_range_search"  -> s35RangeSearch _,
+    "s35_range_lsh"     -> s35RangeLsh _,
   )
 
   /** Oracle fixed-point dot product between embedding lists (1-based
@@ -3114,17 +3127,29 @@ object Similarity {
            |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
            |  CAST(round(cos * 1e6) AS BIGINT) AS cos_e6
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
-    // s1's scored CTE with the rank window replaced by the e6-rounded
-    // threshold predicate — the identical integer comparison
-    "s35_range_search" ->
+    // the identical multiprobe chain: sign buckets from the same plane
+    // dots, the query's bucket plus each 1-bit flip as probe keys,
+    // exact e6 cosine verify at s10's τ
+    "s35_range_lsh" ->
       (NormCte +
         s"""
-           |, scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-           |    CAST(round(${oCos(oDot("q.embedding", "c.embedding"),
-                "q.norm_fp", "c.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
-           |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+           |, eb AS (SELECT vec_id, embedding, norm_fp,
+           |    ${oBucket("embedding")} AS bucket
+           |  FROM e),
+           |p AS (SELECT vec_id AS qid, q_emb, q_norm, unnest(pk) AS bucket
+           |  FROM (SELECT vec_id, embedding AS q_emb, norm_fp AS q_norm,
+           |    list_prepend(bucket, list_transform(range(1, $NPlanes + 1),
+           |      i -> substr(bucket, 1, i - 1) ||
+           |        (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+           |        || substr(bucket, i + 1))) AS pk
+           |  FROM eb WHERE vec_id < $NQueries)),
+           |scored AS (SELECT p.qid, c.vec_id AS nid,
+           |    CAST(round(${oCos(oDot("p.q_emb", "c.embedding"),
+                "p.q_norm", "c.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+           |  FROM eb c JOIN p ON c.bucket = p.bucket AND p.qid <> c.vec_id)
            |SELECT qid, nid, cos_e6 FROM scored
-           |WHERE cos_e6 >= $RangeTauE6 ORDER BY qid, nid""".stripMargin),
+           |WHERE cos_e6 >= $RadiusE6
+           |ORDER BY qid, cos_e6 DESC, nid""".stripMargin),
     "s10_radius" ->
       (NormCte +
         s"""

@@ -5485,38 +5485,36 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"seasonal residual grew a third exchange:\n$plan")
   }
 
-  test("s35 range search: exact ε-ball — every returned pair is ≥ τ " +
-      "and every scored pair ≥ τ is returned (driver recompute); s1's " +
-      "over-τ rows are a subset; the plan carries NO hash exchange") {
-    val vecs = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    def dotFp(a: Array[Float], b: Array[Float]): Long =
-      a.indices.map(i => BigDecimal(a(i).toDouble * b(i).toDouble * 1e9)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
-    val norms = vecs.map { case (id, v) => id -> dotFp(v, v) }.toMap
-    val want = (for {
-      (qid, q) <- vecs if qid < Similarity.NQueries.toLong
-      (nid, n) <- vecs if nid != qid
-      cosE6 = BigDecimal(dotFp(q, n).toDouble /
-          (math.sqrt(norms(qid).toDouble) * math.sqrt(norms(nid).toDouble))
-          * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-      if cosE6 >= Similarity.RangeTauE6
-    } yield (qid, nid) -> cosE6).toMap
-    val out = Similarity.s35RangeSearch(spark, sf).collect()
+  test("s35 LSH range search: output = exactly s10's ball restricted " +
+      "to hamming ≤ 1 sketches (blocking is exact by pigeonhole); " +
+      "recall measured; no hash exchange") {
+    val buckets = Similarity.signBucketed(
+      Similarity.withNorm(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))))
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val exact = Similarity.s10RadiusSearch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(out == want, s"ε-ball diverged: out=${out.size} want=${want.size}")
-    assert(out.nonEmpty, "gate corpus has no in-ball pair")
-    // consistency with the gated top-k rung: any s1 row over τ is in-ball
-    Similarity.s1KnnBrute(spark, sf).collect().foreach { r =>
-      if (r.getAs[Long]("cos_e6") >= Similarity.RangeTauE6)
-        assert(out.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))),
-          s"s1 over-τ row missing from s35: $r")
-    }
-    val plan = planOf(Similarity.s35RangeSearch(spark, sf))
-    assert(plan.contains("BroadcastExchange"), s"queries not broadcast:\n$plan")
+    val out = Similarity.s35RangeLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the pruned ball is EXACTLY the exact ball restricted to probed
+    // sketches: subset + identical values + hamming-≤1 completeness
+    val want = exact.filter { case ((q, n), _) =>
+      ham(buckets(q), buckets(n)) <= 1 }
+    assert(out == want,
+      s"pruned ball is not the hamming-≤1 restriction of s10: " +
+        s"out=${out.size} want=${want.size} exact=${exact.size}")
+    assert(out.nonEmpty, "no in-ball pair survived the 1-probe budget")
+    // recall is MEASURED, not assumed (honest-recording contract):
+    // the miss class is sketches differing in ≥2 bits
+    val recall = out.size.toDouble / exact.size
+    assert(recall > 0.0 && recall <= 1.0)
+    info(f"s35 1-probe recall vs s10: $recall%.2f (${out.size}/${exact.size})")
+    val plan = planOf(Similarity.s35RangeLsh(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"probes not broadcast:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
-      s"threshold search must not hash-shuffle at all:\n$plan")
+      s"bucketed range search must not hash-shuffle:\n$plan")
   }
 
   test("x44 temperature mixture: α=1/2 weights equal a BigInt-isqrt " +
