@@ -750,6 +750,39 @@ class WarehouseSpec extends SparkSpecBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("lease breaker: a failed acquire never deletes a FRESH lease; a " +
+      "stale lease is broken via tombstone with none left behind, and " +
+      "the next acquire wins") {
+    val root = new java.io.File(Warehouse.standingRoot(spark))
+    root.mkdirs()
+    val leaseF = new java.io.File(root, ".lease_tombtest")
+    val fs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaseP = new org.apache.hadoop.fs.Path(leaseF.toString)
+    def tombs() = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".lease_tombtest.tomb_"))
+    try {
+      // fresh lease: acquire fails and the file SURVIVES (the r15
+      // check-then-delete TOCTOU killed exactly this case's twin)
+      Files.write(leaseF.toPath, "live\n".getBytes)
+      assert(!Warehouse.tryAcquireLease(fs, leaseP))
+      assert(leaseF.exists(), "a failed acquire deleted a FRESH lease")
+      // stale lease: broken (not acquired — the breaker re-races),
+      // tombstone cleaned up, next acquire succeeds
+      assert(leaseF.setLastModified(
+        System.currentTimeMillis() - Warehouse.LeaseTtlMs - 60000L))
+      assert(!Warehouse.tryAcquireLease(fs, leaseP),
+        "breaking must report NOT acquired")
+      assert(!leaseF.exists(), "stale lease not broken")
+      assert(tombs().isEmpty, s"tombstone left behind: ${tombs().toSeq}")
+      assert(Warehouse.tryAcquireLease(fs, leaseP),
+        "re-race after the break failed")
+    } finally {
+      leaseF.delete()
+      tombs().foreach(_.delete())
+    }
+  }
+
   test("standing-build lease: a waiter blocks while the lease is held, " +
       "proceeds when released; a STALE lease (crashed holder) is broken") {
     import spark.implicits._
