@@ -543,6 +543,19 @@ object ScaleProbe {
         operators.Similarity.withinClusterPairs(
           operators.Similarity.withNorm(corpus), Some(64))
       },
+      // s35 shape: multiprobe sign-LSH range search — the query side
+      // is a fixed NQueries·(NPlanes+1) broadcast, so cost must track
+      // the corpus scan + probed-bucket pair work (linear in m for
+      // balanced sign buckets), never corpus × queries
+      time("range_lsh") {
+        val n = 200000L * m
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(operators.Similarity.Dim)),
+            j => (((col("id") * 37L + j * 11L) % 97L - 48L) / 49.0d)
+              .cast("float")).as("embedding"))
+        operators.Similarity.rangeLshWith(
+          operators.Similarity.withNorm(corpus))
+      },
       // s24/nnDescent shape: one NN-descent round over a synthetic
       // GraphK-regular graph on n×m vectors — the candidate expansion
       // is ≤ k² + 2k per vector BY CONSTRUCTION (graph-sized, never

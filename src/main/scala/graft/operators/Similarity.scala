@@ -147,8 +147,14 @@ object Similarity {
     * broadcast probe keys (NQueries·(NPlanes+1) rows) → exact-verify
     * filter — NO hash exchange, pair work Σ|bucket| over probed
     * buckets instead of |corpus|·|queries|. */
-  def s35RangeLsh(s: SparkSession, d: String): DataFrame = {
-    val eb = signBucketed(withNorm(embeddings(s, d)))
+  def s35RangeLsh(s: SparkSession, d: String): DataFrame =
+    rangeLshWith(withNorm(embeddings(s, d)))
+
+  /** The s35 pipeline over any [[withNorm]]-prepared frame (queries =
+    * vec_id < NQueries, the standard convention) — probed for
+    * corpus-linearity by ScaleProbe's `range_lsh` shape. */
+  private[graft] def rangeLshWith(e: DataFrame): DataFrame = {
+    val eb = signBucketed(e)
     val c = eb.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
       col("norm_fp").as("n_norm"), col("bucket"))
     val flips = (0 until NPlanes).map { i =>
