@@ -649,6 +649,33 @@ object Dedup {
       .select(col("a"), col("b"), col("lev"), col("max_len"),
         col("edit_sim_e6"), col("verified"))
 
+  /** d24: CROSS-SOURCE DUPLICATION MATRIX — where the near-dups COME
+    * FROM: every verified near-dup pair (the d21 exact tier over the
+    * standing LSH candidates) attributed to its unordered
+    * (source, source) cell, with the within-source flag — the
+    * provenance report a curation team reads before deciding which
+    * feed to trim, and the exact-pair companion of x43's sketched
+    * source-overlap estimates (x43 asks "how much CONTENT do two
+    * feeds share", this asks "how many verified near-dup PAIRS
+    * straddle them"). Work shape: pair-sized end to end — the
+    * standing candidate pairs verify once (d21's tier), two doc_id
+    * joins attach sources, one #sources²-bounded groupBy. */
+  def d24CrossSourceDups(s: SparkSession, d: String): DataFrame = {
+    val verified = editVerify(sharedLshPairs(s, d), documents(s, d))
+      .filter(col("verified"))
+      .select(col("a"), col("b"))
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    verified
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within", col("src_a") === col("src_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** d5: SimHash near-dup pairs — 32-bit signatures, pairs within
     * hamming distance ≤ 1, found by exact hamming-ball bucketing: each
     * doc emits 33 keys — its 32-bit signature plus the 32 one-bit
@@ -1472,6 +1499,7 @@ object Dedup {
     "d21_edit_verify" -> d21EditVerify _,
     "d23_edit_capped" -> d23EditVerifyCapped _,
     "d22_soft_dedup" -> d22SoftDedup _,
+    "d24_source_dups" -> d24CrossSourceDups _,
   )
 
   /** d9/d16 shared oracle: distinct doc-shingle census, pair counts,
@@ -1893,6 +1921,32 @@ object Dedup {
            |  (max_len - lev) * 1000000 // greatest(max_len, 1) >= $D21SimE6
            |    AS verified
            |FROM sc ORDER BY a, b""".stripMargin),
+    // the d21 chain filtered to verified pairs, sources attached,
+    // unordered source-cell census
+    "d24_source_dups" ->
+      (SigCte +
+        s"""
+           |, e AS (SELECT doc_id, band_idx, bands[band_idx] AS band_key
+           |  FROM bn CROSS JOIN (SELECT unnest(range(1, $LshBandsN + 1)) AS band_idx)),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM e x JOIN e y ON x.band_idx = y.band_idx
+           |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+           |nt AS (SELECT doc_id,
+           |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt FROM t),
+           |sc AS (SELECT cand.a, cand.b,
+           |    CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS lev,
+           |    CAST(greatest(length(ta.nt), length(tb.nt)) AS BIGINT) AS max_len
+           |  FROM cand JOIN nt ta ON ta.doc_id = cand.a
+           |    JOIN nt tb ON tb.doc_id = cand.b),
+           |vp AS (SELECT a, b FROM sc
+           |  WHERE (max_len - lev) * 1000000 // greatest(max_len, 1) >= $D21SimE6),
+           |cells AS (SELECT least(da.source, db.source) AS src_a,
+           |    greatest(da.source, db.source) AS src_b
+           |  FROM vp JOIN documents da ON da.doc_id = vp.a
+           |    JOIN documents db ON db.doc_id = vp.b)
+           |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  src_a = src_b AS within
+           |FROM cells GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin),
     // the d21 chain with the production LENGTH-RELATIVE edit band
     // clamp(max_len·(1−τ)//1e6, D23MaxLev, D23LevClamp) restated over
     // DuckDB's full distance: over-band pairs answer NULL + false

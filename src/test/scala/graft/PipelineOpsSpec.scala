@@ -3652,6 +3652,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("d24 cross-source dup matrix: cells equal a driver-side census " +
+      "of d21's verified pairs joined to sources; within flag correct") {
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val verified = Dedup.d21EditVerify(spark, sf).collect()
+      .filter(_.getAs[Boolean]("verified"))
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val want = verified
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val out = Dedup.d24CrossSourceDups(spark, sf).collect()
+      .map { r =>
+        assert(r.getAs[Boolean]("within") ==
+          (r.getString(0) == r.getString(1)))
+        (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs")
+      }.toMap
+    assert(out == want, s"cell census diverged: out=$out want=$want")
+    assert(out.nonEmpty && out.values.sum == verified.length.toLong)
+  }
+
   test("d14 verified dedup: near-identical docs cluster, sub-threshold " +
       "overlap does not, keep-one picks the quality argmax") {
     import spark.implicits._
