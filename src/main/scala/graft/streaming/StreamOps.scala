@@ -2325,6 +2325,57 @@ object StreamOps {
       }
   }
 
+  /** One verified near-dup pair with its sources attached — d24's
+    * input unit (sources joined upstream against the standing id →
+    * source dimension; `a < b` with `b` the newer document, the
+    * incremental-dedup emission convention). */
+  case class SourcedPair(a: Long, b: Long, sa: String, sb: String)
+  /** One matrix-cell emission — batch d24's row shape. `n_pairs` is
+    * monotone per cell, so consumers take the max. */
+  case class CellCount(src_a: String, src_b: String, n_pairs: Long,
+      within: Boolean)
+  /** Per-cell state: the count plus the newest scored (b, a) for the
+    * at-least-once guard — a new document's pairs are emitted once in
+    * (b, a) order, so anything at or before the watermark is a
+    * redelivery. Three longs per source pair. */
+  case class CellState(n_pairs: Long, last_b: Long, last_a: Long)
+
+  /** Streaming d24: the cross-source duplication matrix as keyed
+    * state — verified near-dup pairs (the incremental-dedup stream's
+    * output, sources attached) fold into their unordered source cell
+    * as they arrive, so the provenance report is continuously
+    * current instead of recomputed per release. Same at-least-once
+    * discipline as [[permuteStream]]: each cell's state carries the
+    * newest scored (b, a) and drops anything at or before it, so
+    * duplicate redelivery cannot double-count (spec pins chunked
+    * in-order replay ≡ batch d24 and redelivery idempotence). State
+    * is O(#source-pairs) — taxonomy-sized, never pair-sized. */
+  def sourceDupStream(pairs: Dataset[SourcedPair]): Dataset[CellCount] = {
+    implicit val ce: org.apache.spark.sql.Encoder[CellCount] =
+      Encoders.product[CellCount]
+    implicit val se: org.apache.spark.sql.Encoder[CellState] =
+      Encoders.product[CellState]
+    implicit val ke: org.apache.spark.sql.Encoder[(String, String)] =
+      Encoders.product[(String, String)]
+    pairs.groupByKey(p =>
+        if (p.sa <= p.sb) (p.sa, p.sb) else (p.sb, p.sa))
+      .flatMapGroupsWithState[CellState, CellCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (cell: (String, String), batch: Iterator[SourcedPair],
+            state: GroupState[CellState]) =>
+          var st = state.getOption
+            .getOrElse(CellState(0L, Long.MinValue, Long.MinValue))
+          batch.toSeq.sortBy(p => (p.b, p.a)).foreach { p =>
+            val fresh = p.b > st.last_b ||
+              (p.b == st.last_b && p.a > st.last_a)
+            if (fresh) st = CellState(st.n_pairs + 1L, p.b, p.a)
+          }
+          state.update(st)
+          Iterator.single(
+            CellCount(cell._1, cell._2, st.n_pairs, cell._1 == cell._2))
+      }
+  }
+
   case class PermuteState(mask: Long, n_complete: Long, n_seen: Long,
       last_ms: Long, last_event_id: Long)
   case class PermuteProgress(user_id: Long, n_complete: Long,
@@ -2782,6 +2833,7 @@ object StreamOps {
     "patternStream" -> OutputMode.Append(),
     "cusumStream" -> OutputMode.Append(),
     "seasonalResidStream" -> OutputMode.Append(),
+    "sourceDupStream" -> OutputMode.Append(),
     "permuteStream" -> OutputMode.Append(),
     "repeatWithinStream" -> OutputMode.Append(),
     "semDedupStream" -> OutputMode.Append(),

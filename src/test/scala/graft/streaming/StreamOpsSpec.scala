@@ -1376,6 +1376,42 @@ class StreamOpsSpec extends SparkSpecBase {
       "no shifted hour on the gate corpus — the flag path never ran")
   }
 
+  test("sourceDupStream: chunked in-order replay's latest cell counts " +
+      "≡ batch d24; duplicate redelivery cannot double-count a cell") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.{CellCount, SourcedPair}
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.operators.Dedup.d21EditVerify(spark, sf).collect()
+      .filter(_.getAs[Boolean]("verified"))
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+      .sortBy { case (a, b) => (b, a) } // the arrival convention
+      .map { case (a, b) => SourcedPair(a, b, srcOf(a), srcOf(b)) }
+    assert(pairs.nonEmpty, "no verified pairs to stream")
+    val in = MemoryStream[SourcedPair]
+    val q = StreamOps.sourceDupStream(in.toDS())
+      .writeStream.format("memory").queryName("sourcedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    val chunks = pairs.grouped(pairs.length / 4 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    def latest(): Map[(String, String), Long] =
+      spark.table("sourcedup_stream").as[CellCount].collect()
+        .groupBy(r => (r.src_a, r.src_b))
+        .map { case (k, rs) => k -> rs.map(_.n_pairs).max }
+    val afterReplay = latest()
+    in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
+    val afterDup = latest()
+    q.stop()
+    assert(afterDup == afterReplay, "redelivery double-counted a cell")
+    val batch = graft.operators.Dedup.d24CrossSourceDups(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs"))
+      .toMap
+    assert(afterReplay == batch,
+      s"stream/batch matrix divergence: stream=$afterReplay batch=$batch")
+  }
+
   test("cusumStream scores same-millisecond siblings in micros order and " +
       "drops neither") {
     implicit val sq = spark.sqlContext
