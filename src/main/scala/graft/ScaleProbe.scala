@@ -556,6 +556,32 @@ object ScaleProbe {
         operators.Similarity.rangeLshWith(
           operators.Similarity.withNorm(corpus))
       },
+      // d23 long-doc shape: the banded edit tier's WORST case — docs
+      // long enough (~8 200 chars) that the length-relative band hits
+      // the D23LevClamp ceiling, so every in-band pair pays the full
+      // O(clamp·min_len) strip (~34M cell ops/pair; the clamp is the
+      // bound that keeps one pair from owning an executor). Half the
+      // pairs are in-band near-dups (tail edit), half are over-gap
+      // (one side truncated to a quarter) and must be rejected by the
+      // kernel's O(len) char-count early-out, never the DP. Pair count
+      // grows with m; expect linear growth — the per-pair cost is
+      // CONSTANT by the clamp, which is exactly what this probes.
+      time("edit_verify_longdoc") {
+        val n = 100L * m
+        def body(key: Column): Column = array_join(
+          transform(sequence(lit(1), lit(800)),
+            j => concat(lit("tokn"), pmod(key * 31L + j.cast("long"),
+              lit(99991L)))), " ")
+        val left = spark.range(n).select(col("id").as("doc_id"),
+          body(col("id")).as("text"))
+        val right = spark.range(n).select((col("id") + n).as("doc_id"),
+          when(col("id") % 2L === 0L,
+            concat(body(col("id")), lit(" changed tail")))
+            .otherwise(substring(body(col("id")), 1, 2000)).as("text"))
+        val cands = spark.range(n)
+          .select(col("id").as("a"), (col("id") + n).as("b"))
+        operators.Dedup.editVerifyCapped(cands, left.unionByName(right))
+      },
       // s24/nnDescent shape: one NN-descent round over a synthetic
       // GraphK-regular graph on n×m vectors — the candidate expansion
       // is ≤ k² + 2k per vector BY CONSTRUCTION (graph-sized, never

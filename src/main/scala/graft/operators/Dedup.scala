@@ -565,8 +565,32 @@ object Dedup {
     * the verdict boundary — the full distance here because the gated
     * columns carry it. */
   def d21EditVerify(s: SparkSession, d: String): DataFrame =
-    editVerify(sharedLshPairs(s, d), documents(s, d))
+    sharedEditPairs(s, d)
       .orderBy(col("a"), col("b"))
+
+  /** Session-scoped STANDING edit-verify tier — the Levenshtein
+    * verification over [[sharedLshPairs]] materialized once per
+    * (corpus, build) and read by its three batch consumers (d21's
+    * listing, d23's banded projection, d24's source attribution): the
+    * [[sharedVerifiedClusters]] pay-once discipline applied to the
+    * edit tier, which until r17 re-ran the O(len_a·len_b) kernel over
+    * the SAME candidate set in all three queries (VERDICT r16 #1).
+    * Pair-sized rows (a, b, lev, max_len, edit_sim_e6, verified) —
+    * ≪ corpus, so the standing write is cheap. The build runs the
+    * EXACT kernel because d21's gate contract carries the full
+    * distance (its scaladoc's documented trade); a deployment that
+    * only ever consumes the banded tier would build with
+    * [[editVerifyCapped]] instead and inherit its O(clamp·min_len)
+    * worst-pair bound. */
+  private[graft] def sharedEditPairs(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(editPairCache, s, d)(
+      Warehouse.standingTable(s, "graft_editpairs", d) { t =>
+        Warehouse.writeStanding(
+          editVerify(sharedLshPairs(s, d), documents(s, d)),
+          t, Seq("a"), nBuckets = 32)
+      })
+
+  private val editPairCache = SessionCaches.newCache()
 
   /** Library form of [[d21EditVerify]]: any (a, b) candidate frame
     * against any (doc_id, text) corpus. */
@@ -620,20 +644,61 @@ object Dedup {
     * verified = false (a distance past the band is definitionally
     * below the similarity threshold whenever max_len ≤ the exactness
     * horizon above); the DuckDB oracle restates the identical per-pair
-    * band over its own full distance. */
+    * band over its own full distance.
+    *
+    * Since r17 the gate query is a PROJECTION over the standing exact
+    * tier ([[sharedEditPairs]]): the banded kernel's contract (exact
+    * distance when ≤ band, −1 past it) makes the capped row a pure
+    * function of the exact row — `lev ≤ band` gates every output
+    * column — so the kernel runs once per corpus instead of once per
+    * consumer (byte-identity vs the inline [[editVerifyCapped]]
+    * pinned in DedupSpec). The inline form below remains the
+    * production posture when no exact tier exists. */
   def d23EditVerifyCapped(s: SparkSession, d: String): DataFrame =
-    editVerifyCapped(sharedLshPairs(s, d), documents(s, d))
+    bandedFromExact(sharedEditPairs(s, d))
       .orderBy(col("a"), col("b"))
 
-  /** Library form of [[d23EditVerifyCapped]]. */
+  /** The per-pair length-relative band of the capped tier —
+    * `clamp(⌊max_len·(1−τ)⌋, D23MaxLev, D23LevClamp)`, stated once so
+    * the inline kernel form and the exact-tier projection can never
+    * disagree on it. */
+  private def d23Band(maxLen: Column): Column =
+    least(greatest(idiv(maxLen * (1000000L - D21SimE6),
+      lit(1000000L)), lit(D23MaxLev)), lit(D23LevClamp))
+
+  /** [[d23EditVerifyCapped]]'s rows derived from an [[editVerify]]
+    * exact tier: a banded run returns the exact distance when
+    * lev ≤ band and −1 (→ NULL columns, verified=false) past it, so
+    * gating the exact columns on `lev ≤ band` reproduces the capped
+    * output byte for byte — no second kernel execution. */
+  private[graft] def bandedFromExact(exact: DataFrame): DataFrame =
+    exact
+      .withColumn("band", d23Band(col("max_len")))
+      .withColumn("in_band", col("lev") <= col("band"))
+      .select(col("a"), col("b"),
+        when(col("in_band"), col("lev")).as("lev"),
+        col("max_len"),
+        when(col("in_band"), col("edit_sim_e6")).as("edit_sim_e6"),
+        (col("in_band") && col("verified")).as("verified"))
+
+  /** Library form of [[d23EditVerifyCapped]] — the banded kernel run
+    * directly over candidates, for deployments with no standing exact
+    * tier. Over-gap pairs (|len_a − len_b| > band, which lower-bounds
+    * the distance above the band) are rejected by the kernel itself
+    * in O(len): Spark's threshold Levenshtein returns −1 after the
+    * char-count comparison, BEFORE any DP array exists (verified in
+    * the 4.1.2 bytecode — `if (m − n > threshold) return −1` precedes
+    * the allocation; pinned behaviorally in DedupSpec). A plan-level
+    * `abs(length(ta) − length(tb)) > band` pre-filter (VERDICT r16
+    * #2) would therefore pay the same O(len) numChars scan a second
+    * time for every pair — the rejection is already free where it
+    * belongs, inside the kernel. */
   def editVerifyCapped(candidates: DataFrame, docs: DataFrame): DataFrame =
     pairTexts(candidates, docs)
       .select(col("a"), col("b"), col("ta"), col("tb"),
         greatest(length(col("ta")), length(col("tb"))).cast("long")
           .as("max_len"))
-      .withColumn("band",
-        least(greatest(idiv(col("max_len") * (1000000L - D21SimE6),
-          lit(1000000L)), lit(D23MaxLev)), lit(D23LevClamp)))
+      .withColumn("band", d23Band(col("max_len")))
       .select(col("a"), col("b"),
         graft.functions.GraftFunctions
           .levenshtein_banded(col("ta"), col("tb"), col("band"))
@@ -658,10 +723,11 @@ object Dedup {
     * source-overlap estimates (x43 asks "how much CONTENT do two
     * feeds share", this asks "how many verified near-dup PAIRS
     * straddle them"). Work shape: pair-sized end to end — the
-    * standing candidate pairs verify once (d21's tier), two doc_id
-    * joins attach sources, one #sources²-bounded groupBy. */
+    * standing edit tier ([[sharedEditPairs]]) is verified ONCE per
+    * corpus and read here, two doc_id joins attach sources, one
+    * #sources²-bounded groupBy. */
   def d24CrossSourceDups(s: SparkSession, d: String): DataFrame = {
-    val verified = editVerify(sharedLshPairs(s, d), documents(s, d))
+    val verified = sharedEditPairs(s, d)
       .filter(col("verified"))
       .select(col("a"), col("b"))
     val src = documents(s, d).select(col("doc_id"), col("source"))

@@ -1615,7 +1615,19 @@ object Events {
     * hash exchange, no recursion, no state, trivially parallel across
     * types and expressible identically in both engines' integer
     * arithmetic. Alarm when S ≥ h (824/10000 rows at sf0.01, 31/1000 at sf0.001 —
-    * a rare-alarm monitor at every gate scale, not a rubber stamp). */
+    * a rare-alarm monitor at every gate scale, not a rubber stamp).
+    *
+    * Scale hazard (e29's discipline): the window partitions RAW events
+    * by event_type — LOW cardinality, so at 100 TB one type = one
+    * task; the per-type sequential scan is inherent to CUSUM (S_t
+    * depends on every prior row), so day-bucket stitching does not
+    * apply to the statistic itself. The production form is the
+    * KEYED-STATE stream twin
+    * ([[graft.streaming.StreamOps.cusumStream]] /
+    * `cusumRestartStream`): state is O(1) per type and each
+    * micro-batch costs only its own events, so the unbounded
+    * per-type scan never materializes as one task — this batch form
+    * is what the oracle can verify row-for-row. */
   def e36CusumDrift(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
@@ -1661,7 +1673,16 @@ object Events {
     * single hash exchange, no state, and bit-identical in DuckDB
     * (cents-provenance v, the e36 lesson). Rows with fewer than 16
     * predecessors read zero-padded lags (the warm-up convention,
-    * stated identically in the oracle). */
+    * stated identically in the oracle).
+    *
+    * Scale hazard (e29's discipline): the window partitions RAW events
+    * by LOW-cardinality event_type — at 100 TB one type = one task.
+    * Unlike e36, EWMA's 16-lag truncation makes day-bucket stitching
+    * trivial (each row needs only its 15 predecessors), but the
+    * production form is still the KEYED-STATE stream twin
+    * ([[graft.streaming.StreamOps.ewmaStream]]): O(16 longs) per type,
+    * work bounded per micro-batch — this batch form is what the
+    * oracle can verify row-for-row. */
   def e37EwmaSmooth(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))

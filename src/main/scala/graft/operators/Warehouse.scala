@@ -580,7 +580,12 @@ object Warehouse {
         val deadline = System.currentTimeMillis() + LeaseTtlMs
         var settled = false
         while (!settled) {
-          if (tryAcquireLease(fs, lease)) {
+          // per-acquisition owner token: release re-stats the lease
+          // content against it, so a holder displaced by a TTL break
+          // mid-build is OBSERVABLE (warned below) instead of silently
+          // deleting its successor's lease (ADVICE r16)
+          val owner = leaseOwnerToken()
+          if (tryAcquireLease(fs, lease, owner)) {
             try {
               // a writer that held the lease before us may have
               // published while we waited — adopt, don't rebuild
@@ -593,7 +598,7 @@ object Warehouse {
                 else fs.delete(loc, true) // stale — rebuild under lease
               }
               if (!settled) { buildAndPromote(); settled = true }
-            } finally fs.delete(lease, false)
+            } finally releaseLease(fs, lease, owner, table)
           } else {
             // lease held by a live writer: wait for its artifact
             Thread.sleep(LeasePollMs)
@@ -620,15 +625,57 @@ object Warehouse {
   private[graft] val LeaseTtlMs = 30 * 60 * 1000L
   private[graft] val LeasePollMs = 100L
 
+  /** Per-acquisition lease owner token: JVM identity + a random
+    * suffix, so two acquisitions (even in one JVM) are distinguishable
+    * and [[releaseLease]]'s re-stat can detect displacement. */
+  private[graft] def leaseOwnerToken(): String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      "/" + java.util.UUID.randomUUID().toString.take(8)
+
+  /** Content of a lease file (the owner token its holder wrote), None
+    * when absent/unreadable. */
+  private def leaseContent(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lease)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) bos.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bos.toByteArray, "UTF-8").trim)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Release a held lease ONLY if it still carries our owner token. A
+    * displaced holder (its lease TTL-broken mid-build, a successor's
+    * fresh lease now at the path) must not delete the live successor's
+    * lease — and the displacement itself is logged, so the
+    * duplicate-build path (convergent via the rename-race promotion
+    * backstop) is observable instead of silent (ADVICE r16). */
+  private[graft] def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path, owner: String,
+      table: String): Unit =
+    leaseContent(fs, lease) match {
+      case Some(got) if got == owner => fs.delete(lease, false)
+      case got =>
+        org.slf4j.LoggerFactory.getLogger(Warehouse.getClass).warn(
+          s"standing-build lease for $table was displaced while we " +
+            s"held it (expected owner $owner, found ${got.orNull}) — " +
+            "our build ran leaseless alongside a successor's; results " +
+            "converge via the rename-race promotion backstop, but the " +
+            "duplicate work is real. Leaving the successor's lease " +
+            "untouched.")
+    }
+
   /** Exclusive-create lease acquisition. Returns true iff this caller
     * now holds the lease. A held lease older than [[LeaseTtlMs]] is a
     * crashed holder: break it and report NOT acquired — the next loop
     * iteration re-races cleanly rather than assuming the break won. */
   private[graft] def tryAcquireLease(fs: org.apache.hadoop.fs.FileSystem,
-      lease: org.apache.hadoop.fs.Path): Boolean =
+      lease: org.apache.hadoop.fs.Path,
+      owner: String = leaseOwnerToken()): Boolean =
     try {
-      val owner =
-        java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       if (fs.getScheme == "file") {
         // Hadoop's LocalFileSystem create(overwrite=false) is
         // exists-check-then-create — NOT atomic; two in-process racers

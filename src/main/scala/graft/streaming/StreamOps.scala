@@ -2349,7 +2349,15 @@ object StreamOps {
     * newest scored (b, a) and drops anything at or before it, so
     * duplicate redelivery cannot double-count (spec pins chunked
     * in-order replay ≡ batch d24 and redelivery idempotence). State
-    * is O(#source-pairs) — taxonomy-sized, never pair-sized. */
+    * is O(#source-pairs) — taxonomy-sized, never pair-sized.
+    *
+    * Emission contract (ADVICE r16): a touched cell emits ONLY when
+    * its count actually advanced in the batch — n_pairs is monotone,
+    * so suppressing no-op rows preserves the latest-wins/max contract
+    * while keeping an Append sink from growing on redeliveries of
+    * already-counted pairs (a hot cell otherwise accretes one
+    * identical row per micro-batch forever). Consumers still reduce
+    * by max(n_pairs) per cell, as the row doc states. */
   def sourceDupStream(pairs: Dataset[SourcedPair]): Dataset[CellCount] = {
     implicit val ce: org.apache.spark.sql.Encoder[CellCount] =
       Encoders.product[CellCount]
@@ -2365,13 +2373,15 @@ object StreamOps {
             state: GroupState[CellState]) =>
           var st = state.getOption
             .getOrElse(CellState(0L, Long.MinValue, Long.MinValue))
+          val before = st.n_pairs
           batch.toSeq.sortBy(p => (p.b, p.a)).foreach { p =>
             val fresh = p.b > st.last_b ||
               (p.b == st.last_b && p.a > st.last_a)
             if (fresh) st = CellState(st.n_pairs + 1L, p.b, p.a)
           }
           state.update(st)
-          Iterator.single(
+          if (st.n_pairs == before) Iterator.empty // all redeliveries
+          else Iterator.single(
             CellCount(cell._1, cell._2, st.n_pairs, cell._1 == cell._2))
       }
   }

@@ -3652,6 +3652,68 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("d23 standing-tier projection ≡ an independent banded-kernel run, " +
+      "byte for byte — gate corpus and every constructed band class") {
+    import spark.implicits._
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        (Option(r.get(r.fieldIndex("lev"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("max_len"),
+          Option(r.get(r.fieldIndex("edit_sim_e6"))).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("verified"))
+    }.toMap
+    // gate corpus: d23's shared-tier projection vs the inline kernel
+    // form over the same candidates — the r17 sharing refactor must be
+    // invisible row for row
+    val inline = keyed(Dedup.editVerifyCapped(
+      Dedup.sharedLshPairs(spark, sf),
+      Tables.documents(spark, sf)).collect())
+    val derived = keyed(Dedup.d23EditVerifyCapped(spark, sf).collect())
+    assert(derived == inline,
+      s"shared-tier d23 diverged from the inline kernel form: " +
+        s"${derived.toSet.diff(inline.toSet).take(3)} | " +
+        s"${inline.toSet.diff(derived.toSet).take(3)}")
+    // constructed corpus covering every class the derivation gates on:
+    // in-band verified (tiny edit), in-band UNverified (lev in
+    // (max_len/2, band] — only possible under the 32 floor),
+    // over-band (lev > band), over-gap (|len gap| > band — the
+    // kernel's O(len) char-count early-out, no DP run)
+    val docs = Seq(
+      (1L, "a" * 40), (2L, "a" * 38 + "bb"),         // lev 2  ≤ band 32, sim ≥ τ
+      (3L, "a" * 15 + "b" * 25),                      // vs 1: lev 25 ≤ 32, sim < τ
+      (4L, "c" * 100), (5L, "d" * 100),               // lev 100 > band 50
+      (6L, "a" * 200), (7L, "a" * 10)                 // gap 190 > band 100
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("a", "b")
+    val full = Dedup.editVerify(cands, docs)
+    val want = keyed(Dedup.editVerifyCapped(cands, docs).collect())
+    val got = keyed(Dedup.bandedFromExact(full).collect())
+    assert(got == want, s"bandedFromExact diverged: got=$got want=$want")
+    assert(want((1L, 2L))._4, "in-band verified class missing")
+    assert(want((1L, 3L))._1.contains(25L) && !want((1L, 3L))._4,
+      s"in-band unverified class wrong: ${want((1L, 3L))}")
+    assert(want((4L, 5L)) == (None, 100L, None, false),
+      "over-band class must be NULL+unverified")
+    assert(want((6L, 7L)) == (None, 200L, None, false),
+      "over-gap class must be NULL+unverified")
+  }
+
+  test("banded kernel contract: exact distance iff ≤ threshold, −1 past " +
+      "it, and the over-gap rejection happens without a DP pass") {
+    import spark.implicits._
+    val rows = Seq(
+      ("kitten", "sitting", 3L),   // classic lev 3
+      ("kitten", "sitting", 2L),   // threshold below → -1
+      ("a" * 5000, "a" * 4000, 999L), // gap 1000 > 999 → char-count early-out
+      ("a" * 5000, "a" * 4000, 1000L) // gap = threshold → exact 1000
+    ).toDF("l", "r", "t")
+      .select(graft.functions.GraftFunctions
+        .levenshtein_banded(col("l"), col("r"), col("t")).as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(3, -1, -1, 1000),
+      s"banded kernel contract drifted: $rows")
+  }
+
   test("d24 cross-source dup matrix: cells equal a driver-side census " +
       "of d21's verified pairs joined to sources; within flag correct") {
     val srcOf = Tables.documents(spark, sf)

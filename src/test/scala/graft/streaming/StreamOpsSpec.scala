@@ -1400,10 +1400,16 @@ class StreamOpsSpec extends SparkSpecBase {
         .groupBy(r => (r.src_a, r.src_b))
         .map { case (k, rs) => k -> rs.map(_.n_pairs).max }
     val afterReplay = latest()
+    val rowsBefore = spark.table("sourcedup_stream").count()
     in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
     val afterDup = latest()
+    val rowsAfter = spark.table("sourcedup_stream").count()
     q.stop()
     assert(afterDup == afterReplay, "redelivery double-counted a cell")
+    // no-op emission suppression (ADVICE r16): a batch of pure
+    // redeliveries advances no cell count, so it must append ZERO rows
+    assert(rowsAfter == rowsBefore,
+      s"pure-redelivery batch appended rows: $rowsBefore -> $rowsAfter")
     val batch = graft.operators.Dedup.d24CrossSourceDups(spark, sf)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs"))

@@ -13,9 +13,11 @@ This file is local tooling only — never shipped in the library jar.
 import glob
 import json
 import math
+import numbers
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -81,11 +83,16 @@ def dtype_family(s: pd.Series) -> str:
                     continue
             except (TypeError, ValueError):
                 pass
-            if isinstance(v, bool):
+            # numbers.Integral/Real also match numpy scalars (np.int64,
+            # np.float64) that pandas round-trips can park in object
+            # columns — a bare isinstance(v, int/float) misses them and
+            # the e36-class int-vs-float guard silently degrades to
+            # "other" (ADVICE r16). bool first: bool is Integral.
+            if isinstance(v, (bool, np.bool_)):
                 return "bool"
-            if isinstance(v, int):
+            if isinstance(v, (numbers.Integral, np.integer)):
                 return "int"
-            if isinstance(v, float):
+            if isinstance(v, (numbers.Real, np.floating)):
                 return "float"
             return "other"
         return "null"
@@ -103,7 +110,14 @@ def compare(name, mine: pd.DataFrame, ref: pd.DataFrame) -> bool:
         return False
     for c in mine.columns:
         fm, fr = dtype_family(mine[c]), dtype_family(ref[c])
-        if {fm, fr} == {"int", "float"}:
+        # int-vs-float is the classic HUGEINT-widening trap; an
+        # unrecognized 'other' against a numeric family must also FAIL
+        # (not silently pass): whatever that cell is, the driver's
+        # representation-sensitive hash will not match a number's bytes
+        # (ADVICE r16). 'null' (all-None column) stays compatible with
+        # anything — absence of evidence, not a representation clash.
+        if {fm, fr} == {"int", "float"} or (
+                {fm, fr} & {"int", "float"} and "other" in {fm, fr}):
             ok = False
             print(f"FAIL {name}: col {c}: dtype family mismatch "
                   f"mine={mine[c].dtype}({fm}) ref={ref[c].dtype}({fr}) — "
