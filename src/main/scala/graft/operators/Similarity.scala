@@ -150,24 +150,77 @@ object Similarity {
   def s35RangeLsh(s: SparkSession, d: String): DataFrame =
     rangeLshWith(withNorm(embeddings(s, d)))
 
+  /** s36: RANGE-SEARCH RECALL LADDER — s18's self-measuring discipline
+    * applied to the s35 scale path (VERDICT r16 #5): per probe radius
+    * r ∈ {1, 2}, the fraction of s10's exact ε-ball the multiprobe
+    * LSH recovered, as an oracle-gated NUMBER. The s35 output is
+    * exact-verified (cos ≥ τ) and therefore a subset of s10 row for
+    * row, so recall is a pure count ratio — n_hit/n_exact in e6 — and
+    * the oracle derives VERBATIM from the s10 and s35 statements (the
+    * same CTE text, radius-2 keys appended), so the ladder can never
+    * drift from the search it measures. Radius 2 is the recall knob's
+    * next rung: +C(NPlanes,2) probe keys per query buys back the
+    * 2-bit-sketch miss class (measured at sf0.001: radius 1 recovers
+    * ~24% of the ball, radius 2 ~49% — the s35 spec's 1-probe figure
+    * now rides the correctness gate).
+    *
+    * Scale notes (100 TB): both rungs are the s35 plan (corpus scan ⨝
+    * broadcast probe keys, no exchange); the exact side is s10's
+    * broadcast scan. Counts are driver-side singletons (three jobs),
+    * never collected row sets. */
+  def s36RangeRecall(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d))
+    val nExact = s10RadiusSearch(s, d).count()
+    require(nExact > 0, s"s36: empty exact ε-ball at $d — " +
+      "recall denominators need at least one exact neighbor")
+    val rows = Seq(1, 2).map { r =>
+      (r.toLong, nExact, rangeLshWith(e, r).count())
+    }
+    val sp = s
+    import sp.implicits._
+    rows.toDF("probe_radius", "n_exact", "n_hit")
+      .withColumn("recall_e6",
+        call_function("div", col("n_hit") * lit(1000000L), col("n_exact")))
+      .orderBy(col("probe_radius"))
+  }
+
+  /** One sign-bucket bit flip at 0-based position `i` — the multiprobe
+    * key constructor, position-independent so flips compose. */
+  private def flipAt(b: Column, i: Int): Column = concat(
+    substring(b, 1, i),
+    when(substring(b, i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+    substring(b, i + 2, NPlanes))
+
+  /** Multiprobe key set of a sign bucket at probe radius 1 or 2: the
+    * identity bucket, every 1-bit flip, and (radius 2) every 2-bit
+    * flip — 1 + NPlanes (+ C(NPlanes,2)) DISTINCT keys, so a corpus
+    * vector within hamming ≤ radius of the query's sketch matches
+    * EXACTLY one key (its own bucket) and no dedup stage is needed. */
+  private def probeKeys(bucket: Column, radius: Int): Seq[Column] = {
+    require(radius == 1 || radius == 2, s"probe radius $radius unsupported")
+    val idx = 0 until NPlanes
+    val singles = idx.map(i => Seq(i))
+    val pairs = for { i <- idx; j <- idx if j > i } yield Seq(i, j)
+    val sets = Seq(Seq.empty[Int]) ++ singles ++
+      (if (radius >= 2) pairs else Nil)
+    sets.map(_.foldLeft(bucket)(flipAt))
+  }
+
   /** The s35 pipeline over any [[withNorm]]-prepared frame (queries =
     * vec_id < NQueries, the standard convention) — probed for
-    * corpus-linearity by ScaleProbe's `range_lsh` shape. */
-  private[graft] def rangeLshWith(e: DataFrame): DataFrame = {
+    * corpus-linearity by ScaleProbe's `range_lsh` shape. `radius` is
+    * the multiprobe recall knob s36 measures: radius 2 probes the
+    * 2-bit hamming ball (22 keys/query at NPlanes = 6 — still a
+    * broadcast-trivial probe side) and buys back the ≥2-bit-sketch
+    * miss class radius 1 documents. */
+  private[graft] def rangeLshWith(e: DataFrame, radius: Int = 1): DataFrame = {
     val eb = signBucketed(e)
     val c = eb.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
       col("norm_fp").as("n_norm"), col("bucket"))
-    val flips = (0 until NPlanes).map { i =>
-      concat(
-        substring(col("bucket"), 1, i),
-        when(substring(col("bucket"), i + 1, 1) === "1", lit("0"))
-          .otherwise(lit("1")),
-        substring(col("bucket"), i + 2, NPlanes))
-    }
     val probes = eb.filter(col("vec_id") < NQueries.toLong)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("norm_fp").as("q_norm"),
-        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+        explode(array(probeKeys(col("bucket"), radius): _*)).as("bucket"))
     c.join(broadcast(probes), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos_e6",
@@ -2718,6 +2771,7 @@ object Similarity {
     "s10_radius"      -> s10RadiusSearch _,
     "d7_embed_clusters" -> d7EmbedClusters _,
     "s35_range_lsh"     -> s35RangeLsh _,
+    "s36_range_recall"  -> s36RangeRecall _,
   )
 
   /** Oracle fixed-point dot product between embedding lists (1-based
@@ -2800,6 +2854,49 @@ object Similarity {
     (0 until NPlanes).map { h =>
       s"(CASE WHEN ${oDot(emb, oPlane(h))} >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  /** The s35 multiprobe range-search statement at probe radius 1 or 2
+    * — ONE template, so the gated s35 row and s36's radius rungs can
+    * never restate different chains. Probe keys per query: the
+    * identity bucket, every 1-bit flip (lambda over i), and at radius
+    * 2 every 2-bit flip (i < j; the middle substr carries the
+    * unflipped span, so positions never shift). */
+  private def rangeLshOracle(radius: Int): String = {
+    require(radius == 1 || radius == 2)
+    // single-line fragments ON PURPOSE: these embed into the outer
+    // stripMargin template, which would eat a leading "||" on an
+    // embedded line as a margin marker and leave a bare '|' operator
+    def flipCase(i: String): String =
+      s"(CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END)"
+    val flip1 =
+      s"substr(bucket, 1, i - 1) || ${flipCase("i")} || substr(bucket, i + 1)"
+    val keys1 =
+      s"list_prepend(bucket, list_transform(range(1, $NPlanes + 1), i -> $flip1))"
+    val flip2 = s"substr(bucket, 1, i - 1) || ${flipCase("i")} || " +
+      s"substr(bucket, i + 1, j - i - 1) || ${flipCase("j")} || " +
+      "substr(bucket, j + 1)"
+    val keys =
+      if (radius == 1) keys1
+      else s"list_concat($keys1, flatten(list_transform(" +
+        s"range(1, $NPlanes + 1), i -> list_transform(" +
+        s"range(i + 1, $NPlanes + 1), j -> $flip2))))"
+    NormCte +
+      s"""
+         |, eb AS (SELECT vec_id, embedding, norm_fp,
+         |    ${oBucket("embedding")} AS bucket
+         |  FROM e),
+         |p AS (SELECT vec_id AS qid, q_emb, q_norm, unnest(pk) AS bucket
+         |  FROM (SELECT vec_id, embedding AS q_emb, norm_fp AS q_norm,
+         |    $keys AS pk
+         |  FROM eb WHERE vec_id < $NQueries)),
+         |scored AS (SELECT p.qid, c.vec_id AS nid,
+         |    CAST(round(${oCos(oDot("p.q_emb", "c.embedding"),
+              "p.q_norm", "c.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
+         |  FROM eb c JOIN p ON c.bucket = p.bucket AND p.qid <> c.vec_id)
+         |SELECT qid, nid, cos_e6 FROM scored
+         |WHERE cos_e6 >= $RadiusE6
+         |ORDER BY qid, cos_e6 DESC, nid""".stripMargin
+  }
 
   /** Shared s8/s11 candidate pipeline: IVF probe + PQ ADC scoring,
     * as the WITH-prefix through `scored(qid, nid, cos)` — s8 ranks it
@@ -3063,7 +3160,26 @@ object Similarity {
          |SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
          |  CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_e6
-         |FROM ladder ORDER BY method""".stripMargin)
+         |FROM ladder ORDER BY method""".stripMargin) +
+      // s36 derives verbatim from the s10 and s35 statements (plus the
+      // radius-2 instantiation of the SAME s35 template): the range
+      // rungs are exact-verified subsets of the ε-ball, so recall is a
+      // pure count ratio
+      ("s36_range_recall" ->
+        s"""WITH ex AS (${base("s10_radius")}),
+           |r1 AS (${base("s35_range_lsh")}),
+           |r2 AS (${rangeLshOracle(2)}),
+           |ladder AS (
+           |  SELECT 1 AS probe_radius,
+           |    (SELECT count(*) FROM ex) AS n_exact,
+           |    (SELECT count(*) FROM r1) AS n_hit
+           |  UNION ALL
+           |  SELECT 2, (SELECT count(*) FROM ex), (SELECT count(*) FROM r2))
+           |SELECT CAST(probe_radius AS BIGINT) AS probe_radius,
+           |  CAST(n_exact AS BIGINT) AS n_exact,
+           |  CAST(n_hit AS BIGINT) AS n_hit,
+           |  CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_e6
+           |FROM ladder ORDER BY probe_radius""".stripMargin)
   }
 
   /** s30's oracle: the greedy farthest-point recurrence UNROLLED as a
@@ -3135,27 +3251,9 @@ object Similarity {
            |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin),
     // the identical multiprobe chain: sign buckets from the same plane
     // dots, the query's bucket plus each 1-bit flip as probe keys,
-    // exact e6 cosine verify at s10's τ
-    "s35_range_lsh" ->
-      (NormCte +
-        s"""
-           |, eb AS (SELECT vec_id, embedding, norm_fp,
-           |    ${oBucket("embedding")} AS bucket
-           |  FROM e),
-           |p AS (SELECT vec_id AS qid, q_emb, q_norm, unnest(pk) AS bucket
-           |  FROM (SELECT vec_id, embedding AS q_emb, norm_fp AS q_norm,
-           |    list_prepend(bucket, list_transform(range(1, $NPlanes + 1),
-           |      i -> substr(bucket, 1, i - 1) ||
-           |        (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
-           |        || substr(bucket, i + 1))) AS pk
-           |  FROM eb WHERE vec_id < $NQueries)),
-           |scored AS (SELECT p.qid, c.vec_id AS nid,
-           |    CAST(round(${oCos(oDot("p.q_emb", "c.embedding"),
-                "p.q_norm", "c.norm_fp")} * 1e6) AS BIGINT) AS cos_e6
-           |  FROM eb c JOIN p ON c.bucket = p.bucket AND p.qid <> c.vec_id)
-           |SELECT qid, nid, cos_e6 FROM scored
-           |WHERE cos_e6 >= $RadiusE6
-           |ORDER BY qid, cos_e6 DESC, nid""".stripMargin),
+    // exact e6 cosine verify at s10's τ (one template per probe
+    // radius — s36's radius-2 rung reuses it verbatim)
+    "s35_range_lsh" -> rangeLshOracle(1),
     "s10_radius" ->
       (NormCte +
         s"""

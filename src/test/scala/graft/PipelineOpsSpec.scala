@@ -5603,6 +5603,44 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"bucketed range search must not hash-shuffle:\n$plan")
   }
 
+  test("s36 range recall ladder: radius-1 rung counts exactly s35's " +
+      "rows, radius-2 is the hamming-≤2 restriction of s10 (pigeonhole " +
+      "exact), recall monotone in the probe radius") {
+    val buckets = Similarity.signBucketed(
+      Similarity.withNorm(Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))))
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val exact = Similarity.s10RadiusSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val out = Similarity.s36RangeRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("probe_radius") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("recall_e6"))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out.values.forall(_._1 == exact.size.toLong),
+      s"n_exact drifted from s10: $out vs ${exact.size}")
+    // radius 1 IS the gated s35 statement's cardinality
+    val s35n = Similarity.s35RangeLsh(spark, sf).count()
+    assert(out(1L)._2 == s35n, s"radius-1 rung drifted from s35: " +
+      s"${out(1L)._2} vs $s35n")
+    // radius 2 = the exact ball restricted to hamming ≤ 2 sketches
+    val want2 = exact.count { case ((q, n), _) =>
+      ham(buckets(q), buckets(n)) <= 2 }
+    assert(out(2L)._2 == want2.toLong,
+      s"radius-2 rung is not the hamming-≤2 restriction: " +
+        s"${out(2L)._2} vs $want2")
+    // the knob buys recall monotonically, and the arithmetic is the
+    // stated integer division
+    assert(out(2L)._2 >= out(1L)._2)
+    assert(out(2L)._3 >= out(1L)._3)
+    out.values.foreach { case (ne, nh, re) =>
+      assert(re == nh * 1000000L / ne, s"recall arithmetic drifted: $out")
+    }
+    info(s"s36 recall_e6 by radius: 1 -> ${out(1L)._3}, 2 -> ${out(2L)._3}")
+  }
+
   test("x44 temperature mixture: α=1/2 weights equal a BigInt-isqrt " +
       "driver recompute; shares sum to ≤1e6 and low-resource sources " +
       "are boosted; token counts come from the standing docstats") {
