@@ -41,7 +41,13 @@ object Events {
   /** e2: sessionization — 30-min-gap sessions per user via the
     * gaps-and-islands window pattern (lag → boundary flag → running sum
     * = session ordinal). */
-  def e2Sessionize(s: SparkSession, d: String): DataFrame = {
+  def e2Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionAgg(s, d).orderBy(col("user_id"), col("session_id"))
+
+  /** The e2 session frame without the presentation sort — one
+    * derivation shared by e2's listing and e39's concurrency census,
+    * so the two can never disagree on what a session is. */
+  private def sessionAgg(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val sess = events(s, d)
       .withColumn("prev_s", lag(unix_timestamp(col("ts")), 1).over(byUser))
@@ -57,8 +63,45 @@ object Events {
         max(unix_timestamp(col("ts"))).as("end_s"),
         dollars(sum(cents(col("value")))).as("sum_value"))
       .withColumn("duration_s", col("end_s") - col("start_s"))
-      .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** e39: SESSION CONCURRENCY CENSUS — active sessions at every hour
+    * boundary a session spans (the capacity-planning / state-sizing
+    * report a streaming sessionizer reads: `n_active` is exactly the
+    * keyed-state population an e2-equivalent stream holds at that
+    * instant, `n_entering` how many of them arrived that hour). A
+    * session [start_s, end_s] is active at boundary h iff
+    * start_s ≤ h ≤ end_s, i.e. h ∈ [⌈start/3600⌉·3600,
+    * ⌊end/3600⌋·3600] — so each session EXPLODES its own spanned
+    * boundaries (a narrow generate, Σ spanned boundaries rows — zero
+    * at sub-hour sessions) and one hash agg counts per boundary.
+    * Per (user, boundary) at most one session is active (the session
+    * gap is 30 min < 1 h: a successor session starts after the
+    * predecessor's end, so it cannot reach back to a boundary the
+    * predecessor covered) — n_active is therefore also the distinct
+    * active-user count.
+    *
+    * Scale notes (100 TB): the interval-overlap join this replaces
+    * (sessions ⨯ hour dimension under a band predicate) is a
+    * BNLJ whose cost is sessions × hours; the explode form is LINEAR
+    * in Σ spanned boundaries with no join at all, and the groupBy key
+    * (hour_s) has timespan-bounded cardinality. One adversarial
+    * years-long session emits timespan/3600 rows — bounded by the
+    * calendar, not the corpus. */
+  def e39Concurrency(s: SparkSession, d: String): DataFrame =
+    sessionAgg(s, d)
+      .select(col("user_id"),
+        (graft.operators.TextOps.idiv(col("start_s") + lit(3599L),
+          lit(3600L)) * 3600L).as("sh"),
+        (graft.operators.TextOps.idiv(col("end_s"), lit(3600L)) * 3600L)
+          .as("eh"))
+      .select(col("sh"),
+        explode(when(col("sh") <= col("eh"),
+          sequence(col("sh"), col("eh"), lit(3600L)))).as("hour_s"))
+      .groupBy(col("hour_s"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("hour_s") === col("sh"), lit(1))).as("n_entering"))
+      .orderBy(col("hour_s"))
 
   /** e3: semi-structured extraction — pull `k` out of the JSON `props`
     * column and aggregate it per event type. */
@@ -1741,6 +1784,7 @@ object Events {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e39_concurrency"   -> e39Concurrency _,
     "e38_seasonal_resid" -> e38SeasonalResid _,
     "e37_ewma_smooth"   -> e37EwmaSmooth _,
     "e36_cusum_drift"   -> e36CusumDrift _,
@@ -1780,6 +1824,27 @@ object Events {
     "e29_range_frame"    -> e29RangeFrame _,
     "e30_repeat_within"  -> e30PatternRepeatWithin _,
   )
+
+  /** The e2 oracle statement, extracted so e39's census derives from
+    * it verbatim (the s18/s31 one-source-of-truth discipline). */
+  private val E2Sql =
+    """WITH x AS (SELECT user_id, event_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+      |      (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
+      |      AS prev_s
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
+      |    THEN 1 ELSE 0 END AS new_session FROM x),
+      |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM f)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events, min(ts_s) AS start_s, max(ts_s) AS end_s,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  max(ts_s) - min(ts_s) AS duration_s
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // the identical day-back RANGE frame over the identical rollup;
@@ -2000,24 +2065,19 @@ object Events {
         |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "e2_sessionize" ->
-      """WITH x AS (SELECT user_id, event_id, value,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
-        |      (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id)
-        |      AS prev_s
-        |  FROM events),
-        |f AS (SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
-        |    THEN 1 ELSE 0 END AS new_session FROM x),
-        |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM f)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-        |  count(*) AS n_events, min(ts_s) AS start_s, max(ts_s) AS end_s,
-        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
-        |  max(ts_s) - min(ts_s) AS duration_s
-        |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+    "e2_sessionize" -> E2Sql,
+    // derives VERBATIM from the e2 statement (one CTE), then each
+    // session unnests its spanned hour boundaries — the same explode
+    // form the engine states
+    "e39_concurrency" ->
+      s"""WITH s2 AS ($E2Sql),
+        |b AS (SELECT user_id, ((start_s + 3599) // 3600) * 3600 AS sh,
+        |    (end_s // 3600) * 3600 AS eh FROM s2),
+        |u AS (SELECT user_id, sh, unnest(range(sh, eh + 3600, 3600)) AS hour_s
+        |  FROM b WHERE sh <= eh)
+        |SELECT hour_s, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(count(*) FILTER (WHERE hour_s = sh) AS BIGINT) AS n_entering
+        |FROM u GROUP BY hour_s ORDER BY hour_s""".stripMargin,
     "e3_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -520,6 +520,7 @@ object Warehouse {
         ok
       }
       def buildAndPromote(): Unit = {
+        buildsPerformed.incrementAndGet()
         if (fs.exists(loc)) fs.delete(loc, true) // markerless half-build
         val stageTable = table + "__stage"
         if (s.catalog.tableExists(stageTable)) s.sql(s"DROP TABLE $stageTable")
@@ -616,6 +617,53 @@ object Warehouse {
       }
     }
     s.table(table)
+  }
+
+  /** Count of standing-stage BUILDS this JVM actually executed —
+    * adopts and session-cache hits don't count. Observability for the
+    * warm pass ([[graft.StandingWarm]]) and its specs. */
+  private[graft] val buildsPerformed =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Delete SUPERSEDED registry entries under [[standingRoot]]
+    * (VERDICT r16 #3): artifacts whose build stamp no longer matches
+    * this build ([[standingVer]] — every code change orphans the whole
+    * previous build's artifacts) or whose corpus moved on
+    * ([[sourceFingerprint]] mismatch, including a deleted source
+    * directory), plus TTL-expired debris (markerless half-builds,
+    * `.copy_` staging, `.tomb_`/`.lease_` files). Returns the entry
+    * count removed.
+    *
+    * Ownership caveat: a pruned artifact may be mid-read by a JVM
+    * running the superseding build's PREDECESSOR — call this from the
+    * registry owner's maintenance window (the bench pre-pass on this
+    * box), not from arbitrary sessions. Fresh markerless directories
+    * are left alone (a concurrent writer's copy staging). */
+  def pruneSuperseded(s: SparkSession): Long = {
+    val root = new org.apache.hadoop.fs.Path(standingRoot(s))
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val ttlCut = System.currentTimeMillis() - LeaseTtlMs
+    var n = 0L
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        val marker = new org.apache.hadoop.fs.Path(st.getPath, MarkerName)
+        if (fs.exists(marker)) {
+          val m = loadMarker(fs, marker)
+          val fresh = m.get("graft.algover").contains(standingVer) &&
+            m.get("graft.source").exists(src =>
+              m.get("graft.fingerprint").contains(sourceFingerprint(s, src)))
+          if (!fresh) { fs.delete(st.getPath, true); n += 1L }
+        } else if (st.getModificationTime < ttlCut) {
+          fs.delete(st.getPath, true); n += 1L // crashed half-build
+        }
+      } else if ((name.startsWith(".lease_") || name.contains(".tomb_")) &&
+          st.getModificationTime < ttlCut) {
+        fs.delete(st.getPath, false); n += 1L
+      }
+    }
+    n
   }
 
   /** Lease TTL: a lease file older than this is a crashed holder and

@@ -5571,6 +5571,32 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"seasonal residual grew a third exchange:\n$plan")
   }
 
+  test("e39 concurrency census: boundary counts equal a driver-side " +
+      "sweep over e2's sessions; at most one active session per " +
+      "(user, boundary); explode form — no join in the plan") {
+    val sess = Events.e2Sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("start_s"), r.getAs[Long]("end_s")))
+    val spans = sess.flatMap { case (u, s0, e0) =>
+      val sh = (s0 + 3599L) / 3600L * 3600L
+      val eh = e0 / 3600L * 3600L
+      (sh to eh by 3600L).map(h => (u, sh, h))
+    }
+    val want = spans.groupBy(_._3).map { case (h, xs) =>
+      h -> (xs.length.toLong, xs.count(x => x._2 == x._3).toLong) }
+    val out = Events.e39Concurrency(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == want, s"census diverged: " +
+      s"${(out.toSet -- want.toSet).take(3)} | ${(want.toSet -- out.toSet).take(3)}")
+    assert(out.nonEmpty, "no session spans an hour boundary at the gate SF")
+    // the session gap (30 min) < 1 h ⇒ one active session per
+    // (user, boundary): n_active doubles as the distinct-user count
+    val perUser = spans.groupBy(x => (x._1, x._3)).values.map(_.size)
+    assert(perUser.forall(_ == 1), "a user was double-counted at a boundary")
+    val plan = planOf(Events.e39Concurrency(spark, sf))
+    assert(!plan.contains("Join"), s"census must not plan a join:\n$plan")
+  }
+
   test("s35 LSH range search: output = exactly s10's ball restricted " +
       "to hamming ≤ 1 sketches (blocking is exact by pigeonhole); " +
       "recall measured; no hash exchange") {

@@ -831,4 +831,75 @@ class WarehouseSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
+
+  test("pruneSuperseded: removes old-build / moved-corpus artifacts and " +
+      "TTL-expired debris, keeps current artifacts, fresh leases and " +
+      "fresh markerless staging") {
+    import spark.implicits._
+    val root = new java.io.File(Warehouse.standingRoot(spark))
+    root.mkdirs()
+    val old = System.currentTimeMillis() - Warehouse.LeaseTtlMs - 60000L
+    def props(dir: java.io.File, kv: Map[String, String]): Unit = {
+      dir.mkdirs()
+      val p = new java.util.Properties()
+      kv.foreach { case (k, v) => p.setProperty(k, v) }
+      val out = new java.io.FileOutputStream(
+        new java.io.File(dir, "_graft_standing.properties"))
+      try p.store(out, "test marker") finally out.close()
+    }
+    // a CURRENT artifact: real standing build over a live corpus
+    val corpus = Files.createTempDirectory("graft-prune-src").toFile.getAbsolutePath
+    Files.write(java.nio.file.Paths.get(corpus, "part.txt"), "v1".getBytes)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpus.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val table = s"graft_testprune_$digest"
+    Warehouse.standingTable(spark, "graft_testprune", corpus) { t =>
+      Warehouse.writeStanding(Seq((1L, 1L)).toDF("k", "v"), t, Seq("k"), 2)
+    }
+    val keepDir = new java.io.File(root, table)
+    // superseded: marker from another build stamp
+    val oldBuild = new java.io.File(root, "graft_oldbuild_feedface")
+    props(oldBuild, Map("graft.source" -> corpus,
+      "graft.fingerprint" -> Warehouse.sourceFingerprint(spark, corpus),
+      "graft.algover" -> "not-this-build", "graft.schema.ddl" -> "k BIGINT"))
+    // superseded: corpus moved on since the artifact was stamped
+    val movedSrc = new java.io.File(root, "graft_movedsrc_feedface")
+    props(movedSrc, Map("graft.source" -> corpus,
+      "graft.fingerprint" -> "stale-fingerprint",
+      "graft.algover" -> Warehouse.standingVer, "graft.schema.ddl" -> "k BIGINT"))
+    // TTL-expired debris + fresh things that must survive
+    val oldHalf = new java.io.File(root, "graft_halfbuild_feedface")
+    oldHalf.mkdirs(); oldHalf.setLastModified(old)
+    val freshHalf = new java.io.File(root, ".copy_graft_live")
+    freshHalf.mkdirs()
+    val staleLease = new java.io.File(root, ".lease_gone")
+    Files.write(staleLease.toPath, "x\n".getBytes); staleLease.setLastModified(old)
+    val staleTomb = new java.io.File(root, ".lease_gone.tomb_abcd1234")
+    Files.write(staleTomb.toPath, "x\n".getBytes); staleTomb.setLastModified(old)
+    val freshLease = new java.io.File(root, ".lease_live")
+    Files.write(freshLease.toPath, "x\n".getBytes)
+    try {
+      // 5 prunable entries: old-build artifact, moved-corpus artifact,
+      // TTL-expired half-build, stale lease, stale tombstone
+      val n = Warehouse.pruneSuperseded(spark)
+      assert(n == 5L, s"pruned $n entries, wanted 5")
+      assert(keepDir.exists(), "pruned a CURRENT artifact")
+      assert(!oldBuild.exists(), "old-build artifact survived")
+      assert(!movedSrc.exists(), "moved-corpus artifact survived")
+      assert(!oldHalf.exists(), "TTL-expired half-build survived")
+      assert(freshHalf.exists(), "fresh staging directory pruned")
+      assert(!staleLease.exists() && !staleTomb.exists(),
+        "stale lease debris survived")
+      assert(freshLease.exists(), "fresh lease pruned")
+      // idempotent: a second pass finds nothing
+      assert(Warehouse.pruneSuperseded(spark) == 0L)
+      // the surviving artifact still serves (catalog intact)
+      assert(spark.table(table).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      Seq(freshHalf, freshLease).foreach(
+        f => if (f.isDirectory) org.apache.commons.io.FileUtils
+          .deleteDirectory(f) else { f.delete(); () })
+    }
+  }
 }
