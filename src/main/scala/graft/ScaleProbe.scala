@@ -582,6 +582,23 @@ object ScaleProbe {
           .select(col("id").as("a"), (col("id") + n).as("b"))
         operators.Dedup.editVerifyCapped(cands, left.unionByName(right))
       },
+      // x45 shape: the novelty census over an n-row (shingle, batch)
+      // incidence frame — two shingle-keyed aggregates (distinct
+      // presence, first-batch min) plus the B-group finals. The
+      // shuffle payload is the incidence frame itself (here unbucketed
+      // — the worst case; the gated query rides graft_shinv's bucket
+      // layout and pays NO shingle exchange), so expect linear in m.
+      // Gram universe ~n/3 (corpus-like: most grams rare), 10 batches.
+      time("novelty_census") {
+        val n = 2000000L * m
+        val gb = spark.range(n).select(
+          concat(lit("g"), pmod(col("id") * 2654435761L, lit(n / 3L)))
+            .as("shingle"),
+          pmod(col("id"), lit(10L)).as("batch"))
+        val nDocs = spark.range(10L).select(col("id").as("batch"),
+          lit(n / 10L).as("n_docs"))
+        operators.TextAnalysis.noveltyFromIncidence(nDocs, gb)
+      },
       // s24/nnDescent shape: one NN-descent round over a synthetic
       // GraphK-regular graph on n×m vectors — the candidate expansion
       // is ≤ k² + 2k per vector BY CONSTRUCTION (graph-sized, never

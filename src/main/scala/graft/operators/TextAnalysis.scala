@@ -2825,6 +2825,7 @@ object TextAnalysis {
     "x41_bpe_fertility" -> x41BpeFertility _,
     "x43_kmv_overlap" -> x43KmvOverlap _,
     "x44_temp_mixture" -> x44TempMixture _,
+    "x45_novelty_curve" -> x45NoveltyCurve _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -3131,6 +3132,79 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Number of equal doc_id-range ingestion batches the novelty curve
+    * reports over. */
+  val NoveltyBatches = 10L
+
+  /** x45: N-GRAM NOVELTY CURVE — the Heaps-law / dedup-ROI report:
+    * split the corpus into [[NoveltyBatches]] equal doc_id-range
+    * ingestion batches and report, per batch, how many distinct
+    * 3-gram shingles appear at all, how many appear for the FIRST
+    * time (novel mass — what a dedup pass upstream of this batch
+    * could not have removed), and the cumulative distinct-gram count
+    * (the empirical Heaps curve). The per-batch novelty ratio
+    * (novel/distinct, permille fixed-point) is the curve a curation
+    * pipeline reads to decide when additional same-source data stops
+    * paying for itself.
+    *
+    * Scale notes (100 TB): third consumer of the STANDING shingle
+    * inverted index `graft_shinv` (after d4 and x11) — the tokenize/
+    * shingle/distinct/explode pipeline is NOT re-run; the batch id is
+    * a pure projection off doc_id (no rank, no join: batch =
+    * min(B−1, ⌊doc_id·B/N⌋)), so every shingle-keyed aggregate
+    * (distinct-per-batch presence, first-batch minimum) rides the
+    * index's shingle bucketing with NO Exchange; the only shuffled
+    * rows are the B-group partial-aggregate finals. The closing
+    * cumulative sum sits on a B-row frame (WindowAuditSpec-proven).
+    * The corpus-count scalar is a single-row collect — bounded by
+    * construction. */
+  def x45NoveltyCurve(s: SparkSession, d: String): DataFrame = {
+    val b = NoveltyBatches
+    // single-scalar corpus count (bounded): the batch-id denominator
+    val cnt = documents(s, d).count()
+    def batchOf(id: Column): Column =
+      least(lit(b - 1L), idiv(id * b, lit(cnt)))
+    val nDocs = documents(s, d)
+      .select(batchOf(col("doc_id")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_docs"))
+    val gb = Dedup.sharedShingleInv(s, d)
+      .select(col("shingle"), batchOf(col("doc_id")).as("batch"))
+    noveltyFromIncidence(nDocs, gb)
+  }
+
+  /** Census stage of [[x45NoveltyCurve]] over any per-batch doc-count
+    * frame `nDocs` (batch, n_docs) and (shingle, batch) incidence
+    * frame `gb` — the ScaleProbe drives this form directly
+    * (`novelty_census` shape). Both shingle-keyed aggregates plan
+    * exchange-free when `gb` rides a shingle-clustered layout; the
+    * remaining shuffled rows are the batch-group finals. */
+  def noveltyFromIncidence(nDocs: DataFrame, gb: DataFrame): DataFrame = {
+    val incid = gb.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_incidences"))
+    val dis = gb.groupBy(col("shingle"), col("batch")).agg(count(lit(1)))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_distinct"))
+    val novel = gb.groupBy(col("shingle"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("novel_grams"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("batch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    nDocs
+      .join(incid, Seq("batch"), "left")
+      .join(dis, Seq("batch"), "left")
+      .join(novel, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("n_incidences"), lit(0L)).as("n_incidences"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("cum_grams", sum(col("novel_grams")).over(w))
+      .withColumn("novelty_permille",
+        when(col("n_distinct") > 0L,
+          idiv(col("novel_grams") * 1000L, col("n_distinct")))
+          .otherwise(lit(0L)))
+      .orderBy(col("batch"))
+  }
+
   /** Library form of [[x43KmvOverlap]] over any (source, text) frame
     * with a chosen sketch size; partitioning left to the caller. */
   def kmvOverlap(docs: DataFrame, k: Int): DataFrame = {
@@ -3340,6 +3414,49 @@ object TextAnalysis {
         |  w * 1000000 // w_tot AS p_e6,
         |  n_toks * 1000000 // tok_tot AS p_prop_e6
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+    // the identical batch arithmetic (min(B-1, doc_id*B//N)) and
+    // distinct-shingle / first-batch counts; the running sum is
+    // HUGEINT-widened by DuckDB, hence the BIGINT cast (check.py is
+    // dtype-strict)
+    "x45_novelty_curve" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+        |d0 AS (SELECT doc_id,
+        |    CAST(least(9, (doc_id * 10) // n.cnt) AS BIGINT) AS batch,
+        |    list_filter(string_split(text, ' '), w -> w != '') AS ws
+        |  FROM documents, n),
+        |nd AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d0 GROUP BY batch),
+        |g0 AS (SELECT doc_id, batch,
+        |    unnest(CASE WHEN len(ws) >= 3 THEN
+        |        list_transform(range(1, len(ws) - 1),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |      ELSE [] END) AS shingle
+        |  FROM d0),
+        |g AS (SELECT DISTINCT doc_id, batch, shingle FROM g0),
+        |inc AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_incidences
+        |  FROM g GROUP BY batch),
+        |dis AS (SELECT batch,
+        |    CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct
+        |  FROM g GROUP BY batch),
+        |fb AS (SELECT shingle, min(batch) AS first_batch FROM g
+        |  GROUP BY shingle),
+        |nv AS (SELECT first_batch AS batch,
+        |    CAST(count(*) AS BIGINT) AS novel_grams FROM fb
+        |  GROUP BY first_batch),
+        |j AS (SELECT nd.batch, nd.n_docs,
+        |    coalesce(inc.n_incidences, 0) AS n_incidences,
+        |    coalesce(dis.n_distinct, 0) AS n_distinct,
+        |    coalesce(nv.novel_grams, 0) AS novel_grams
+        |  FROM nd LEFT JOIN inc USING (batch)
+        |    LEFT JOIN dis USING (batch) LEFT JOIN nv USING (batch))
+        |SELECT batch, n_docs, n_incidences, n_distinct, novel_grams,
+        |  CAST(sum(novel_grams) OVER (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_grams,
+        |  CAST(CASE WHEN n_distinct > 0
+        |    THEN novel_grams * 1000 // n_distinct ELSE 0 END AS BIGINT)
+        |    AS novelty_permille
+        |FROM j ORDER BY batch""".stripMargin,
     // the KMV construction restated exactly: k smallest distinct
     // shingle hashes per source via plain sort+slice, then the same
     // integer estimators over the merged sketches

@@ -467,6 +467,65 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("standing shingle inverted index, third consumer: x45's novelty " +
+      "curve aggregates graft_shinv exchange-free on the shingle side " +
+      "and matches the inline derivation") {
+    import graft.operators.TextOps
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = TextAnalysis.x45NoveltyCurve(spark, sf)
+      val plan = planOf(out)
+      assert(plan.contains("graft_shinv"),
+        s"standing inverted index not in plan:\n$plan")
+      // both shingle-keyed aggregates (distinct-presence, first-batch
+      // minimum) ride the bucket layout; the only hash exchanges are
+      // the four B-group finals (docs-side, incidences, distinct,
+      // novel) — the B-row joins reuse the agg partitioning and the
+      // cum window / presentation sort are not hash exchanges
+      assert(nShuffles(plan) <= 4,
+        s"a shingle-keyed aggregate grew a corpus-sized exchange:\n$plan")
+      // values match a fresh inline derivation off the raw corpus
+      val cnt = Tables.documents(spark, sf).count()
+      val b = TextAnalysis.NoveltyBatches
+      def batchOf(id: org.apache.spark.sql.Column) =
+        least(lit(b - 1L), TextOps.idiv(id * b, lit(cnt)))
+      val g = Tables.documents(spark, sf)
+        .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles3(col("ws"))).as("sh"))
+        .select(batchOf(col("doc_id")).as("batch"),
+          explode(col("sh")).as("shingle"))
+      val nDocs = Tables.documents(spark, sf)
+        .groupBy(batchOf(col("doc_id")).as("batch"))
+        .agg(count(lit(1)).as("n_docs"))
+      val incid = g.groupBy(col("batch")).agg(count(lit(1)).as("n_incidences"))
+      val dis = g.distinct().groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_distinct"))
+      val novel = g.groupBy(col("shingle")).agg(min(col("batch")).as("batch"))
+        .groupBy(col("batch")).agg(count(lit(1)).as("novel_grams"))
+      val freshRows = nDocs.join(incid, Seq("batch"), "left")
+        .join(dis, Seq("batch"), "left").join(novel, Seq("batch"), "left")
+        .orderBy(col("batch")).collect()
+        .map(r => (r.getAs[Long]("batch"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_incidences"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("novel_grams"))).toSeq
+      val gotRows = out.collect()
+        .map(r => (r.getAs[Long]("batch"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_incidences"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("novel_grams"))).toSeq
+      assert(gotRows.nonEmpty && gotRows == freshRows,
+        "standing-index x45 diverged from the inline derivation")
+      // the cumulative column is the running sum of the novel column
+      val cums = out.collect().map(r => (r.getAs[Long]("novel_grams"),
+        r.getAs[Long]("cum_grams"))).toSeq
+      assert(cums.scanLeft(0L)(_ + _._1).tail == cums.map(_._2),
+        "cum_grams is not the running sum of novel_grams")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("co-bucketed tables join without an exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -31,7 +31,11 @@ class WindowAuditSpec extends SparkSpecBase {
     "x33_budget_select" ->
       ("windows over the 65536-bucket histogram rollup and the single " +
         "boundary bucket (~n/65536 rows, hash-uniform) " +
-        "(TextAnalysis.budgetBoundary/budgetSelect)"))
+        "(TextAnalysis.budgetBoundary/budgetSelect)"),
+    "x45_novelty_curve" ->
+      ("cumulative sum over the NoveltyBatches-row (= 10) per-batch " +
+        "rollup — constant-sized by construction " +
+        "(TextAnalysis.x45NoveltyCurve)"))
 
   test("every unpartitioned window in the gated grid sits on a proven " +
       "driver-sized frame") {
