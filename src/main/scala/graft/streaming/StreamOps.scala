@@ -2386,6 +2386,124 @@ object StreamOps {
       }
   }
 
+  /** Open-session keyed state for [[concurrencyStream]]: the live
+    * session's [start, end] seconds plus the newest folded (ts,
+    * event_id) — four longs per user, O(1). `start_s ==
+    * Long.MinValue` means no session is open yet. */
+  case class ConcSessionState(start_s: Long, end_s: Long,
+      last_ms: Long, last_event_id: Long)
+
+  /** One spanned hour boundary of one CLOSED session — the unit row
+    * of the streaming concurrency census. `entering` is 1 on the
+    * session's first spanned boundary (the batch census's
+    * `hour_s === sh` term). */
+  case class BoundarySpan(user_id: Long, session_start_s: Long,
+      hour_s: Long, entering: Long)
+
+  /** Streaming SESSION CONCURRENCY CENSUS (continuous e39): the same
+    * 30-min-gap sessions as [[sessionize]]/batch e2, but emitting each
+    * closed session's SPANNED HOUR BOUNDARIES — exactly the rows batch
+    * e39 explodes — so a downstream count per `hour_s` is the live
+    * keyed-state population report (`n_active` = count, `n_entering`
+    * = sum of `entering`). A session closes when a later event
+    * arrives past the gap; the successor opens in the same fold, so
+    * every session emits its spans exactly once under in-order
+    * at-least-once delivery — the state carries the newest folded
+    * (ts, event_id) and drops anything at or before it (late arrival,
+    * duplicate redelivery), the [[patternStream]] guard, so a
+    * redelivered chunk emits ZERO rows. Emission algebra: rows are
+    * keyed by (user_id, session_start_s, hour_s) — idempotent under
+    * dedup-by-key, additive per hour under the exactly-once front.
+    * The trailing open session is emitted only once a gap-breaking
+    * event (or an explicit flush sentinel) arrives — the same
+    * open-tail contract as the batch/stream windowed aggs.
+    *
+    * Scale notes (100 TB): state is four longs per ACTIVE user (the
+    * sessionizer's minimum); emissions are Σ spanned boundaries,
+    * calendar-bounded per session — the same no-join linearization
+    * the batch census argues (Events.scala e39), incrementalized. */
+  def concurrencyStream(events: Dataset[KeyedEvent]): Dataset[BoundarySpan] = {
+    implicit val be: org.apache.spark.sql.Encoder[BoundarySpan] =
+      Encoders.product[BoundarySpan]
+    implicit val se: org.apache.spark.sql.Encoder[ConcSessionState] =
+      Encoders.product[ConcSessionState]
+    implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    val gap = graft.operators.Events.SessionGapS
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConcSessionState, BoundarySpan](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[KeyedEvent],
+            state: GroupState[ConcSessionState]) =>
+          var st = state.getOption.getOrElse(ConcSessionState(
+            Long.MinValue, Long.MinValue, Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[BoundarySpan]
+          def emitSpans(start: Long, end: Long): Unit = {
+            // ⌈start/3600⌉·3600 .. ⌊end/3600⌋·3600 — the batch explode
+            val sh = ((start + 3599L) / 3600L) * 3600L
+            val eh = (end / 3600L) * 3600L
+            var h = sh
+            while (h <= eh) {
+              out += BoundarySpan(user, start, h, if (h == sh) 1L else 0L)
+              h += 3600L
+            }
+          }
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val fresh = e.ts.getTime > st.last_ms ||
+              (e.ts.getTime == st.last_ms && e.event_id > st.last_event_id)
+            if (fresh) {
+              val ts = Math.floorDiv(e.ts.getTime, 1000L)
+              if (st.start_s == Long.MinValue)
+                st = ConcSessionState(ts, ts, e.ts.getTime, e.event_id)
+              else if (ts - st.end_s > gap) {
+                emitSpans(st.start_s, st.end_s)
+                st = ConcSessionState(ts, ts, e.ts.getTime, e.event_id)
+              } else
+                st = ConcSessionState(st.start_s, ts, e.ts.getTime, e.event_id)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** One (shingle, batch) incidence row — the stream form of x45's
+    * census input. Upstream shingles each arriving document
+    * STATELESSLY (TextOps.words/shingles3 + array_distinct + explode,
+    * the same pipeline the standing index materializes) and stamps
+    * its ingestion batch id on every row. */
+  case class ShingleIncidence(shingle: String, batch: Long)
+
+  /** Streaming NOVELTY MONITOR (continuous x45): emit each shingle
+    * exactly ONCE — on the micro-batch where it is seen for the first
+    * time ever, stamped with the ingestion batch that introduced it —
+    * so a downstream count per `batch` is x45's `novel_grams` column
+    * live, and its running total is the empirical Heaps curve as it
+    * happens: the report a curation pipeline reads DURING ingest to
+    * decide when additional same-source data stops paying for itself,
+    * rather than in a nightly batch census.
+    *
+    * Unlike the fold twins ([[concurrencyStream]], [[sourceDupStream]])
+    * this needs no custom keyed state at all: first-ever-occurrence IS
+    * streaming `dropDuplicates` (compose-first — the built-in stateful
+    * dedup operator carries exactly the per-key "seen" bit, with its
+    * store-backed exactly-once emission), so duplicate redelivery of a
+    * chunk emits ZERO rows natively and the emission key (`shingle`)
+    * is idempotent under dedup-by-key — the same algebra the fold
+    * twins hand-build. No watermark on purpose: novelty against the
+    * WHOLE history is the semantics (a shingle resurfacing after a
+    * quiet month is not novel), so keys must never expire.
+    *
+    * Scale notes (100 TB): state is one entry per DISTINCT shingle —
+    * the same cardinality the standing inverted index `graft_shinv`
+    * materializes on disk, so it is the already-accepted storage bound
+    * of the batch path, held in the state store (RocksDB-backed on a
+    * production cluster; key-only, value is empty). When even that is
+    * too much and an approximate curve suffices, the bounded-memory
+    * alternative is the sketch tier (per-batch KMV/HLL union — q22's
+    * machinery), trading exactness for O(k) state. */
+  def noveltyStream(inc: Dataset[ShingleIncidence]): Dataset[ShingleIncidence] =
+    inc.dropDuplicates(Seq("shingle"))
+
   case class PermuteState(mask: Long, n_complete: Long, n_seen: Long,
       last_ms: Long, last_event_id: Long)
   case class PermuteProgress(user_id: Long, n_complete: Long,

@@ -1167,6 +1167,106 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(got.values.map(_._2).toSet == Set(0L, 1L))
   }
 
+  test("concurrencyStream: chunked in-order replay + gap-breaking flush ≡ " +
+      "batch e39; duplicate redelivery emits nothing") {
+    implicit val sq = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[KeyedEvent].collect()
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.concurrencyStream(in.toDS())
+      .writeStream.format("memory").queryName("conc_stream")
+      .outputMode(OutputMode.Append()).start()
+    val chunks = ev.grouped(ev.length / 7 + 1).toSeq
+    chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    // duplicate redelivery of the last chunk: every event is stale →
+    // no session may close twice, nothing may emit
+    val before = spark.table("conc_stream").count()
+    in.addData(chunks.last.toIndexedSeq: _*); q.processAllAvailable()
+    assert(spark.table("conc_stream").count() == before,
+      "duplicate redelivery re-emitted closed-session spans")
+    // flush: one gap-breaking sentinel per user closes every trailing
+    // open session (the sentinel's own 1-event session stays open and
+    // unemitted — it is not part of the original corpus)
+    val flushTs = new Timestamp(ev.map(_.ts.getTime).max + 2L * 3600 * 1000)
+    val users = ev.map(_.user_id).distinct.sorted
+    in.addData(users.map(u =>
+      KeyedEvent(u, Long.MaxValue - u, "flush", flushTs)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val spans = spark.table("conc_stream")
+    // emission key (user, session_start, boundary) is unique — the
+    // exactly-once front of the additive census
+    assert(spans.groupBy(col("user_id"), col("session_start_s"), col("hour_s"))
+      .count().filter(col("count") > 1).isEmpty,
+      "duplicate (user, session, boundary) emission")
+    val streamed = spans
+      .groupBy(col("hour_s"))
+      .agg(count(lit(1)).as("n_active"), sum(col("entering")).as("n_entering"))
+      .collect()
+      .map(r => r.getAs[Long]("hour_s") ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_entering"))).toMap
+    val batch = graft.operators.Events.e39Concurrency(spark, sf).collect()
+      .map(r => r.getAs[Long]("hour_s") ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_entering"))).toMap
+    assert(streamed == batch,
+      s"stream/batch census divergence: " +
+        s"${(streamed.toSet -- batch.toSet).take(3)} | " +
+        s"${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
+  test("noveltyStream: chunked in-order ingest ≡ x45's novel_grams/cum_grams " +
+      "columns; duplicate redelivery emits nothing") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{TextAnalysis, TextOps}
+    val b = TextAnalysis.NoveltyBatches
+    val cnt = graft.Tables.documents(spark, sf).count()
+    // the stateless upstream: shingle each doc, stamp its ingestion batch
+    val inc = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles3(col("ws"))).as("sh"))
+      .select(
+        least(lit(b - 1L), TextOps.idiv(col("doc_id") * b, lit(cnt)))
+          .as("batch"),
+        explode(col("sh")).as("shingle"))
+      .as[StreamOps.ShingleIncidence].collect()
+    val in = MemoryStream[StreamOps.ShingleIncidence]
+    val q = StreamOps.noveltyStream(in.toDS())
+      .writeStream.format("memory").queryName("novelty_stream")
+      .outputMode(OutputMode.Append()).start()
+    (0L until b).foreach { i =>
+      val chunk = inc.filter(_.batch == i)
+      if (chunk.nonEmpty) { in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable() }
+    }
+    // duplicate redelivery of the final chunk: every shingle already
+    // seen → the built-in dedup state emits zero rows
+    val before = spark.table("novelty_stream").count()
+    in.addData(inc.filter(_.batch == b - 1L).toIndexedSeq: _*)
+    q.processAllAvailable()
+    assert(spark.table("novelty_stream").count() == before,
+      "duplicate redelivery re-emitted already-seen shingles")
+    q.stop()
+    // each shingle emitted exactly once, stamped with its introducing batch
+    val spans = spark.table("novelty_stream")
+    assert(spans.groupBy(col("shingle")).count()
+      .filter(col("count") > 1).isEmpty, "a shingle emitted twice")
+    val streamed = spans.groupBy(col("batch"))
+      .agg(count(lit(1)).as("novel")).collect()
+      .map(r => r.getAs[Long]("batch") -> r.getAs[Long]("novel")).toMap
+    val x45 = TextAnalysis.x45NoveltyCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("batch"), r.getAs[Long]("novel_grams"),
+        r.getAs[Long]("cum_grams")))
+    assert(streamed == x45.filter(_._2 > 0L).map(t => t._1 -> t._2).toMap,
+      s"stream/batch novelty divergence: $streamed vs $x45")
+    // the live Heaps curve: running totals of the stream match cum_grams
+    val cum = x45.scanLeft(0L)((acc, t) => acc + streamed.getOrElse(t._1, 0L))
+      .tail
+    assert(cum.toSeq == x45.map(_._3).toSeq,
+      "streamed running total diverged from the batch Heaps curve")
+  }
+
   test("patternStream: chunked in-order replay ≡ batch e19; duplicate redelivery " +
       "cannot advance the automaton") {
     implicit val sq = spark.sqlContext
