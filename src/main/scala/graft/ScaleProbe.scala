@@ -599,6 +599,20 @@ object ScaleProbe {
           lit(n / 10L).as("n_docs"))
         operators.TextAnalysis.noveltyFromIncidence(nDocs, gb)
       },
+      // x46 sketch shape: the SAME incidence frame through the KMV
+      // path — per-partition partial sketches reduce the exchange to
+      // B·k hashes per partition regardless of n (the bounded-memory
+      // contrast to novelty_census's corpus-sized shuffle; expect
+      // near-FLAT in m once the scan is the only linear stage)
+      time("novelty_sketch") {
+        val n = 2000000L * m
+        val gb = spark.range(n).select(
+          concat(lit("g"), pmod(col("id") * 2654435761L, lit(n / 3L)))
+            .as("shingle"),
+          pmod(col("id"), lit(10L)).as("batch"))
+        operators.TextAnalysis.noveltySketchFromIncidence(gb,
+          operators.TextAnalysis.KmvK)
+      },
       // s24/nnDescent shape: one NN-descent round over a synthetic
       // GraphK-regular graph on n×m vectors — the candidate expansion
       // is ≤ k² + 2k per vector BY CONSTRUCTION (graph-sized, never

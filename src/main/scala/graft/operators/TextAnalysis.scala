@@ -2826,6 +2826,7 @@ object TextAnalysis {
     "x43_kmv_overlap" -> x43KmvOverlap _,
     "x44_temp_mixture" -> x44TempMixture _,
     "x45_novelty_curve" -> x45NoveltyCurve _,
+    "x46_novelty_sketch" -> x46NoveltySketch _,
   )
 
   private[operators] def inList(xs: Seq[String]): String =
@@ -3059,9 +3060,46 @@ object TextAnalysis {
            |    ELSE 'tail' END AS bucket
            |FROM fin ORDER BY doc_id""".stripMargin
     }
+    // x46 DERIVES its exact side from the x45 entry verbatim (the
+    // x37-from-x16 pattern) and its sketch side from the x43 KMV
+    // idiom — batch arithmetic, k-truncation and the integer
+    // estimator restated, so neither side can drift from the gated
+    // statement it calibrates against
+    val x46Sql = {
+      val theta = oHexN(s"substr(csk[$KmvK], 1, 12)", 12)
+      val scale = (KmvK.toLong - 1L) * (1L << 48)
+      s"""WITH x45 AS (${base("x45_novelty_curve")}),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+         |d0 AS (SELECT doc_id,
+         |    CAST(least(9, (doc_id * 10) // n.cnt) AS BIGINT) AS batch,
+         |    list_filter(string_split(text, ' '), w -> w != '') AS ws
+         |  FROM documents, n),
+         |g AS (SELECT DISTINCT batch, md5(sh) AS h FROM (
+         |  SELECT batch, unnest(CASE WHEN len(ws) >= 3 THEN
+         |      list_transform(range(1, len(ws) - 1),
+         |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE [] END) AS sh FROM d0)),
+         |sk AS (SELECT batch, list_sort(list(h))[1:$KmvK] AS sk
+         |  FROM g GROUP BY batch),
+         |ex AS (SELECT batch, unnest(sk) AS h FROM sk),
+         |cum AS (SELECT t.batch AS batch,
+         |    list_sort(list_distinct(list(ex.h)))[1:$KmvK] AS csk
+         |  FROM sk t JOIN ex ON ex.batch <= t.batch GROUP BY t.batch),
+         |e AS (SELECT batch,
+         |    CASE WHEN len(csk) < $KmvK THEN CAST(len(csk) AS BIGINT)
+         |      ELSE $scale // $theta END AS cum_est FROM cum)
+         |SELECT x45.batch, x45.novel_grams AS novel_exact,
+         |  x45.cum_grams AS cum_exact, e.cum_est,
+         |  e.cum_est - lag(e.cum_est, 1, CAST(0 AS BIGINT))
+         |    OVER (ORDER BY x45.batch) AS novel_est,
+         |  abs(e.cum_est - x45.cum_grams) * 1000 //
+         |    greatest(x45.cum_grams, 1) AS err_permille
+         |FROM x45 JOIN e USING (batch) ORDER BY batch""".stripMargin
+    }
     base + ("x37_ccnet_buckets" -> x37Sql) +
       ("x38_release_manifest" -> x38Sql) +
-      ("x40_ingest_decide" -> x40Sql)
+      ("x40_ingest_decide" -> x40Sql) +
+      ("x46_novelty_sketch" -> x46Sql)
   }
 
   /** KMV sketch size: k smallest distinct shingle hashes per source.
@@ -3203,6 +3241,82 @@ object TextAnalysis {
           idiv(col("novel_grams") * 1000L, col("n_distinct")))
           .otherwise(lit(0L)))
       .orderBy(col("batch"))
+  }
+
+  /** x46: SKETCHED NOVELTY CURVE — [[x45NoveltyCurve]]'s dedup-ROI
+    * report at BOUNDED memory: per ingestion batch, the cumulative
+    * distinct-shingle count estimated from MERGED KMV sketches
+    * ([[KmvK]] staged md5 hashes per batch — the x43 machinery), the
+    * derived per-batch novel-mass estimate, and the error permille
+    * against the exact curve. This is the CALIBRATION report for the
+    * bounded-memory swap the stream twin documents
+    * ([[graft.streaming.StreamOps.noveltyStream]]'s sketch-tier
+    * fallback): at 100 TB the exact census's per-shingle state is the
+    * expensive side, and a pipeline that switches to the sketch path
+    * reads THIS query to know what accuracy the swap buys.
+    *
+    * Scale notes (100 TB): the sketch path's shuffle is SKETCH-SIZED
+    * by construction — map-side partial KMV reduces every scan
+    * partition to ≤ B sketches of ≤ k hashes before the exchange
+    * (B·k·#partitions strings total, corpus-independent), and the
+    * prefix merge is B²·k driver-scale rows; k-min-of-a-union-of-
+    * k-min-sets IS the k-min of the union, so the re-sketch is
+    * bit-identical under any partitioning / AQE re-plan (the KMV
+    * determinism contract, HashKernelSpec). Nothing here needs the
+    * standing index — the incidence read rides `graft_shinv` only to
+    * share the tokenize/shingle pass with x45; the exact side reuses
+    * x45's exchange-free plan wholesale. */
+  def x46NoveltySketch(s: SparkSession, d: String): DataFrame = {
+    val b = NoveltyBatches
+    val cnt = documents(s, d).count()
+    def batchOf(id: Column): Column =
+      least(lit(b - 1L), idiv(id * b, lit(cnt)))
+    val est = noveltySketchFromIncidence(
+      Dedup.sharedShingleInv(s, d)
+        .select(batchOf(col("doc_id")).as("batch"), col("shingle")),
+      KmvK)
+    val exact = x45NoveltyCurve(s, d)
+      .select(col("batch"), col("novel_grams").as("novel_exact"),
+        col("cum_grams").as("cum_exact"))
+    // B-row presentation frame (WindowAuditSpec-proven)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("batch"))
+    exact.join(est, Seq("batch"))
+      .withColumn("novel_est",
+        col("cum_est") - lag(col("cum_est"), 1, 0L).over(w))
+      .withColumn("err_permille",
+        idiv(abs(col("cum_est") - col("cum_exact")) * 1000L,
+          greatest(col("cum_exact"), lit(1L))))
+      .select(col("batch"), col("novel_exact"), col("cum_exact"),
+        col("cum_est"), col("novel_est"), col("err_permille"))
+      .orderBy(col("batch"))
+  }
+
+  /** Sketch stage of [[x46NoveltySketch]] over any (batch, shingle)
+    * incidence frame → (batch, cum_est): per-batch KMV over staged
+    * md5 hashes, prefix union via explode + re-sketch (mergeability:
+    * each of the k smallest of a union is among the k smallest of its
+    * own set), then x43's integer estimator — (k−1)·2⁴⁸ over the kth
+    * hash's leading 48 bits, exact when the sketch is under-filled.
+    * The ScaleProbe drives this form directly (`novelty_sketch`
+    * shape). */
+  def noveltySketchFromIncidence(gb: DataFrame, k: Int): DataFrame = {
+    val kL = k.toLong
+    val perBatch = gb
+      .select(col("batch"), md5(col("shingle")).as("h"))
+      .groupBy(col("batch"))
+      .agg(graft.functions.GraftFunctions.kmv_sketch(col("h"), k).as("sk"))
+    val ex = perBatch.select(col("batch"), explode(col("sk")).as("h"))
+      .alias("ex")
+    val pref = perBatch.select(col("batch").as("t")).alias("pr")
+    pref.join(ex, col("ex.batch") <= col("pr.t"))
+      .groupBy(col("pr.t").as("batch"))
+      .agg(graft.functions.GraftFunctions.kmv_sketch(col("h"), k).as("csk"))
+      .withColumn("cum_est",
+        when(size(col("csk")) < k, size(col("csk")).cast("long"))
+          .otherwise(idiv(lit((kL - 1L) * (1L << 48)),
+            conv(substring(element_at(col("csk"), k), 1, 12), 16, 10)
+              .cast("long"))))
+      .select(col("batch"), col("cum_est"))
   }
 
   /** Library form of [[x43KmvOverlap]] over any (source, text) frame

@@ -3569,6 +3569,47 @@ class PipelineOpsSpec extends SparkSpecBase {
       "under-filled intersection estimate is not exact")
   }
 
+  test("x46 sketched novelty: exact columns ≡ x45, cumulative estimate " +
+      "within 30% per batch, and the final prefix merge is bit-identical " +
+      "to one direct sketch over the whole corpus (k-min mergeability)") {
+    val out = TextAnalysis.x46NoveltySketch(spark, sf).collect()
+    val x45 = TextAnalysis.x45NoveltyCurve(spark, sf).collect()
+    assert(out.length == x45.length && out.nonEmpty)
+    out.zip(x45).foreach { case (r, e) =>
+      assert(r.getAs[Long]("batch") == e.getAs[Long]("batch"))
+      assert(r.getAs[Long]("novel_exact") == e.getAs[Long]("novel_grams") &&
+        r.getAs[Long]("cum_exact") == e.getAs[Long]("cum_grams"),
+        "exact side diverged from the gated x45 statement")
+      val (est, ex) = (r.getAs[Long]("cum_est"), r.getAs[Long]("cum_exact"))
+      // KMV relative SD ~1/√(k−2) ≈ 6.3% at k=256; 30% is ~4.7σ
+      assert(math.abs(est - ex) * 10L <= 3L * ex,
+        s"cum estimate off >30% at batch ${r.getAs[Long]("batch")}: " +
+          s"est $est exact $ex")
+      assert(r.getAs[Long]("err_permille") ==
+        math.abs(est - ex) * 1000L / math.max(ex, 1L),
+        "err_permille is not the stated integer error")
+    }
+    // telescoping: per-batch estimates sum back to the last cum
+    assert(out.map(_.getAs[Long]("novel_est")).sum ==
+      out.last.getAs[Long]("cum_est"))
+    // mergeability: one direct sketch over the WHOLE incidence frame
+    // (everything in a single batch) gives the same final estimate —
+    // the k smallest of the union survive any batch partitioning
+    val cnt = Tables.documents(spark, sf).count()
+    val b = TextAnalysis.NoveltyBatches
+    val gbAll = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.operators.TextOps.words(col("text")).as("ws"))
+      .select(explode(array_distinct(
+        graft.operators.TextOps.shingles3(col("ws")))).as("shingle"))
+      .select(lit(0L).as("batch"), col("shingle"))
+    val direct = TextAnalysis
+      .noveltySketchFromIncidence(gbAll, TextAnalysis.KmvK)
+      .collect().head.getAs[Long]("cum_est")
+    assert(direct == out.last.getAs[Long]("cum_est"),
+      s"prefix merge ($cnt docs, $b batches) diverged from the direct " +
+        s"sketch: $direct vs ${out.last.getAs[Long]("cum_est")}")
+  }
+
   test("s34 hybrid RRF: exact reciprocal-rank arithmetic, candidate set " +
       "= union of the two rungs (sparse keys exactly x17's), contiguous " +
       "per-query ranks in fused order") {

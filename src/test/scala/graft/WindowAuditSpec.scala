@@ -35,7 +35,11 @@ class WindowAuditSpec extends SparkSpecBase {
     "x45_novelty_curve" ->
       ("cumulative sum over the NoveltyBatches-row (= 10) per-batch " +
         "rollup — constant-sized by construction " +
-        "(TextAnalysis.x45NoveltyCurve)"))
+        "(TextAnalysis.x45NoveltyCurve)"),
+    "x46_novelty_sketch" ->
+      ("lag over the same NoveltyBatches-row (= 10) joined rollup, " +
+        "plus x45's audited cumulative frame on the exact side " +
+        "(TextAnalysis.x46NoveltySketch)"))
 
   test("every unpartitioned window in the gated grid sits on a proven " +
       "driver-sized frame") {
