@@ -359,19 +359,43 @@ object Multimodal {
     *
     * Shape: the batch side carries the ×17-per-band probe balls, the
     * index side (corpus ∪ batch) only its ×4 identity keys — cost per
-    * ingest tracks |batch| × bucket sizes, never corpus×corpus. At
-    * scale the index keys are PERSISTED bucketed by band key (the
-    * Warehouse postings pattern), so the corpus side never reshuffles
-    * per batch. */
+    * ingest tracks |batch| × bucket sizes, never corpus×corpus. The
+    * index keys are PERSISTED bucketed by the (band, v) join key as
+    * the STANDING [[sharedImgIndex]] (the Warehouse postings pattern,
+    * `graft_mm_imgidx`), so the corpus side never reshuffles per
+    * batch: each ingest pays only the batch-sized probe exchange
+    * (WarehouseSpec pins the plan budget and value-parity against the
+    * inline index build). */
   def m8ImgIncremental(s: SparkSession, d: String): DataFrame = {
     val hs = sharedImgHash(s, d)
     val mx = hs.agg(max(col("doc_id")).as("mx"))
-    val tagged = hs.crossJoin(broadcast(mx))
-      .withColumn("is_new", col("doc_id") * 10L >= col("mx") * 9L)
-    imgNearDupIncremental(tagged.filter(!col("is_new")),
-      tagged.filter(col("is_new")))
+    val batch = hs.crossJoin(broadcast(mx))
+      .filter(col("doc_id") * 10L >= col("mx") * 9L)
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+    // the standing index holds ALL docs (corpus ∪ batch — in steady
+    // state the accumulated ingest), so batch-internal pairs surface
+    // exactly as they did from the inline corpus∪batch build
+    imgIncrementalFromIndex(sharedImgIndex(s, d), batch)
       .orderBy(col("a"), col("b"))
   }
+
+  /** STANDING banded image-hash index — [[imgIndexKeys]] over the
+    * whole [[sharedImgHash]] corpus, persisted bucketed + sorted by
+    * the (band, v) probe-join key (`graft_mm_imgidx`; the
+    * `graft_shinv` discipline in the image domain). m8's ingest join
+    * and any day-2 probe ride the write-time layout with NO
+    * corpus-side exchange; batch growth appends with the same
+    * bucketing ([[graft.operators.Warehouse.writeImgIndex]]'s
+    * append contract). */
+  private[graft] def sharedImgIndex(s: SparkSession, d: String): DataFrame =
+    SessionCaches.getOrBuild(imgIndexCache, s, d) {
+      Warehouse.standingTable(s, "graft_mm_imgidx", d) { t =>
+        Warehouse.writeStanding(imgIndexKeys(sharedImgHash(s, d)), t,
+          Seq("band", "v"), MmBuckets)
+      }
+    }
+
+  private val imgIndexCache = SessionCaches.newCache()
 
   private def bandValOf(b: Int) =
     shiftrightunsigned(if (b < 2) col("lo") else col("hi"), (b % 2) * 16)

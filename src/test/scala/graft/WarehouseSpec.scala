@@ -590,6 +590,41 @@ class WarehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("standing image index: gated m8 probes graft_mm_imgidx with no " +
+      "corpus-side exchange and matches the inline corpus∪batch build") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Multimodal.m8ImgIncremental(spark, sf)
+      val plan = planOf(out)
+      assert(plan.contains("graft_mm_imgidx"),
+        s"standing image index not in plan:\n$plan")
+      // the index side rides the write-time (band, v) bucketing; the
+      // only hash exchanges are the batch-sized probe shuffle and the
+      // pair distinct — the presentation sort is a range exchange
+      assert(nShuffles(plan) <= 2,
+        s"corpus-side exchange crept back into gated m8:\n$plan")
+      // value-parity against the inline index build over corpus∪batch
+      val hs = Multimodal.imgHash(
+        Tables.documents(spark, sf).select(col("doc_id")).as[Long])
+      val mx = hs.agg(max(col("doc_id"))).first().getLong(0)
+      val inline = Multimodal.imgNearDupIncremental(
+        hs.filter(col("doc_id") * 10 < mx * 9),
+        hs.filter(col("doc_id") * 10 >= mx * 9)).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("hamming"))).toSet
+      val got = out.collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("hamming"))).toSet
+      assert(got.nonEmpty && got == inline,
+        s"standing-index m8 diverged: got-only=${got -- inline}, " +
+          s"missing=${inline -- got}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("stored signature table: the d20 design sweep reads sigs without " +
       "recomputing any signature kernel and matches the inline sweep") {
     try {
