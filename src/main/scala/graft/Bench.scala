@@ -117,6 +117,27 @@ object Bench {
       StandingWarm.warm(spark, sfDir, selected)
     }
     val prepassSec = (System.nanoTime() - prepassT0) / 1e9
+    // Block-manager hygiene between timed queries (r17): several
+    // operators materialize reused subtrees with eager localCheckpoint
+    // (s28's pool, d19's window sets, x13/x16's token frames, the
+    // q24/d6 loop states). Those blocks belong to ONE execution — but
+    // nothing unpersists them, so across 188 queries × (prepass + cold
+    // + rerun) thousands of dead blocks pile up in the block manager
+    // and the LATE-alphabet families measurably degrade (s/x ~1.3×
+    // slower in-bench than the same query probed in a fresh JVM).
+    // Snapshot the persistent-RDD ids that exist after the pre-pass —
+    // the SESSION-scoped shared stages (SessionCaches checkpoints)
+    // every query legitimately reads — and after each timed execution
+    // release only the NEW ids: per-execution scratch. Session caches
+    // are never touched, each query still pays its own checkpoint
+    // costs inside its timed window, and the rerun pass rebuilds its
+    // own blocks, so the timing methodology is unchanged — queries
+    // just stop inheriting each other's garbage.
+    val sessionBlocks = spark.sparkContext.getPersistentRDDs.keySet
+    def sweepScratch(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!sessionBlocks.contains(id)) rdd.unpersist(blocking = false)
+      }
     // run-start calibration samples AFTER the pre-pass: it anchors the
     // first timed queries, so it must measure the machine at that
     // moment, not minutes earlier before the pre-pass ran
@@ -143,6 +164,7 @@ object Bench {
         errors ::= name -> msg.linesIterator.next().take(200)
       }
       val t = (System.nanoTime() - t0) / 1e9
+      sweepScratch()
       if ((i + 1) % CalibrateEvery == 0 && i + 1 < selected.size)
         samples ::= (i + 1) -> calibrate()
       name -> t
@@ -165,7 +187,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () } // already in the errors map
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      sweepScratch() // outside the timed window, as in the cold pass
+      name -> t
     }
     val rerunCal = calibrate()
     def jstr(s: String): String = JsonText.quote(s)

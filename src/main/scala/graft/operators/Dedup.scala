@@ -1073,13 +1073,21 @@ object Dedup {
     * windows and report vacuous full novelty (n_win = 0,
     * novelty_e6 = 1000000). */
   def bloomNovelty(corpus: DataFrame, incoming: DataFrame): DataFrame = {
+    // Both window frames are referenced twice (cw: sketch fold + exact
+    // verify join; iw: bloom test + per-doc window counts) and Spark
+    // shares no subtrees within a DAG, so without a cut the tokenize +
+    // window-explode + distinct pipeline executes TWICE per side.
+    // localCheckpoint materializes each once — one corpus scan and one
+    // incoming scan total, the same "scan once, decide from the
+    // materialized small rows" shape as the s28/q24 loop invariants.
     val cw = distinctWindows(corpus).select(col("g")).distinct()
+      .localCheckpoint()
     val sketch = cw
       .select(bloomPositions(col("g")).as("pos"))
       .groupBy()
       .agg(graft.functions.GraftFunctions.bloom_sketch(col("pos"), BloomMBits)
         .as("bits"))
-    val iw = distinctWindows(incoming)
+    val iw = distinctWindows(incoming).localCheckpoint()
     val tested = iw
       .withColumn("pos", bloomPositions(col("g")))
       .crossJoin(broadcast(sketch))

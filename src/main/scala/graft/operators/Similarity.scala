@@ -248,6 +248,20 @@ object Similarity {
       .map(r => Centroid(r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
       .sortBy(_.cid)
 
+  /** The CANONICAL corpus codebook, collected once per (session, dir)
+    * — the shared-stage pay-once discipline applied to the driver-side
+    * collects: ~10 gated s-queries each re-ran the identical
+    * NCentroids-row collect job per execution (1-2 scheduler
+    * round-trips apiece at bench scale; at warehouse scale, repeated
+    * footer-to-driver scans of the same frozen codebook). Pipelines
+    * over non-canonical frames (augmented/permuted/synthetic) keep
+    * calling [[collectCodebook]] directly. */
+  private[graft] def sharedCodebook(s: SparkSession, d: String): Seq[Centroid] =
+    SessionCaches.getOrBuildVal(cbCache, s, s"ivfcb|$d")(
+      collectCodebook(withNorm(embeddings(s, d))))
+
+  private val cbCache = SessionCaches.newValCache[Seq[Centroid]]()
+
   /** Every codebook cosine of (emb, normFp), ranked (cos desc, cid asc),
     * as ONE narrow array-of-structs expression. Struct ordering is
     * lexicographic by field, so sorting (-cos, cid) ascending reproduces
@@ -262,17 +276,36 @@ object Similarity {
         lit(c.cid).as("cid"))
     }: _*))
 
+  /** The argmin entry of [[rankedCentroids]] WITHOUT the sort:
+    * array_min over the same (neg_cos, cid) structs — identical
+    * lexicographic struct ordering, so identical value to
+    * element_at(array_sort(...), 1), but array_min is a regular
+    * codegen expression while array_sort is a HigherOrderFunction
+    * (CodegenFallback): on a corpus-wide projection the sort variant
+    * drops the whole expression tree out of whole-stage codegen and
+    * re-evaluates every dotFp9 interpreted, with no subexpression
+    * elimination (measured r17: the s8 encode stage alone was ~1.4 s
+    * of single-task CPU at sf0.1 before this change). */
+  private def minCentroid(cents: Seq[Centroid], emb: Column,
+      normFp: Column): Column =
+    array_min(array(cents.map { c =>
+      struct(
+        (-cosine(dotFp9(emb, array(c.emb.map(lit): _*)), normFp,
+          lit(c.normFp))).as("neg_cos"),
+        lit(c.cid).as("cid"))
+    }: _*))
+
   /** IVF centroid-assignment stage: nearest codebook centroid per
     * vector as a NARROW projection over the literal-inlined codebook —
     * zero exchanges (plan-pinned by PipelineOpsSpec). The previous
     * formulation (corpus ⨯ broadcast(codebook) + row_number over
     * vec_id) replicated every corpus row ×NCentroids and then shuffled
     * the whole expanded corpus just to take an argmax; at 100 TB that
-    * exchange dominates the query. */
+    * exchange dominates the query. The argmax itself is [[minCentroid]]
+    * (codegen-friendly array_min), not a sort. */
   private[graft] def assignClusters(e: DataFrame, cents: Seq[Centroid]): DataFrame =
     e.withColumn("cluster",
-      element_at(rankedCentroids(cents, col("embedding"), col("norm_fp")), 1)
-        .getField("cid"))
+      minCentroid(cents, col("embedding"), col("norm_fp")).getField("cid"))
 
   /** Assignment AND probe list in one ranked-codebook pass — the
     * admission projection of the streaming kNN-graph maintainer
@@ -384,7 +417,7 @@ object Similarity {
     * only exchanges left are the probed-subset search's own top-k. */
   def s2KnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    knnIvfWith(e, collectCodebook(e))
+    knnIvfWith(e, sharedCodebook(s, d))
   }
 
   /** The s2 search pipeline over an explicit codebook — the form the
@@ -1033,7 +1066,7 @@ object Similarity {
     * scoring kernel changes. */
   def s13KnnIvfSq(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val cents = collectCodebook(e)
+    val cents = sharedCodebook(s, d)
     // corpus rows: (cluster, q8, qnorm) — assignment on floats, storage
     // quantized; both are narrow maps over the same scan
     val corpus = quantized(assignClusters(e, cents))
@@ -1243,6 +1276,25 @@ object Similarity {
         }
       }.groupBy(_.sub).view.mapValues(_.sortBy(_.code)).toMap
 
+  /** Canonical-corpus PQ codebook, collected once per (session, dir) —
+    * see [[sharedCodebook]]. */
+  private[graft] def sharedPqCodebook(s: SparkSession,
+      d: String): Map[Int, Seq[SubCent]] =
+    SessionCaches.getOrBuildVal(pqCbCache, s, s"pqcb|$d")(
+      collectPqCodebook(withNorm(embeddings(s, d))))
+
+  private val pqCbCache =
+    SessionCaches.newValCache[Map[Int, Seq[SubCent]]]()
+
+  /** s19's PQ codebook over the OPQ-permuted corpus, once per
+    * (session, dir) — keyed separately from [[sharedPqCodebook]]
+    * because the permutation changes the sub-slices. */
+  private[graft] def sharedOpqPqCodebook(s: SparkSession,
+      d: String): Map[Int, Seq[SubCent]] =
+    SessionCaches.getOrBuildVal(pqCbCache, s, s"pqcb|opq|$d")(
+      collectPqCodebook(
+        withNorm(permuteEmbedding(embeddings(s, d), opqPermStanding(s, d)))))
+
   /** s6: product-quantization kNN — the 100 TB ANN storage format
     * beyond s5's scalar quantization: each vector stores only PqSubs
     * sub-codebook codes (argmin fixed-point L2 per subspace over the
@@ -1256,7 +1308,7 @@ object Similarity {
     * recall vs s1 pinned by spec. */
   def s6KnnPq(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    knnPqWith(e, collectPqCodebook(e))
+    knnPqWith(e, sharedPqCodebook(s, d))
   }
 
   /** Subvector of an embedding column for PQ subspace `i` (1-based). */
@@ -1264,17 +1316,24 @@ object Similarity {
     slice(emb, i * PqSubDim + 1, PqSubDim)
 
   /** Per-subspace argmin code over a literal sub-codebook — the narrow
-    * PQ encode projection (array_sort of (dist, code) structs — ties
-    * break on code, the same (dist, k) order the oracle's window uses). */
+    * PQ encode projection (array_min of (dist, code) structs — ties
+    * break on code, the same (dist, k) order the oracle's window uses;
+    * lexicographic struct-min ≡ first element of the ascending sort the
+    * previous formulation used, but array_min keeps the whole encode in
+    * whole-stage codegen — array_sort is CodegenFallback and made the
+    * corpus encode the dominant stage of every PQ query, see
+    * [[minCentroid]]). The xn term is identical across the PqK structs;
+    * under codegen the Project's subexpression elimination computes it
+    * (and each slice) once per row instead of once per struct. */
   private def pqCodeCol(cbs: Seq[SubCent], i: Int,
       emb: Column = col("embedding")) = {
     val xn = dotFp9(pqSubCol(i, emb), pqSubCol(i, emb))
-    element_at(array_sort(array(cbs.map { c =>
+    array_min(array(cbs.map { c =>
       struct(
         (xn - lit(2L) * dotFp9(pqSubCol(i, emb), array(c.emb.map(lit): _*)) +
           lit(c.normFp)).as("d"),
         lit(c.code.toLong).as("k"))
-    }: _*)), 1).getField("k").as(s"code_$i")
+    }: _*)).getField("k").as(s"code_$i")
   }
 
   /** Per-query ADC lookup tables: for each subspace, the PqK partial
@@ -1370,7 +1429,7 @@ object Similarity {
     * spec-measured. */
   def s29KnnIvfPqResidual(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    knnIvfPqResidualWith(e, collectCodebook(e), collectPqCodebook(e))
+    knnIvfPqResidualWith(e, sharedCodebook(s, d), sharedPqCodebook(s, d))
   }
 
   /** The s29 pipeline over explicit IVF + PQ codebooks. */
@@ -1527,7 +1586,7 @@ object Similarity {
   def s19KnnOpq(s: SparkSession, d: String): DataFrame = {
     val raw = embeddings(s, d)
     val e = withNorm(permuteEmbedding(raw, opqPermStanding(s, d)))
-    knnPqWith(e, collectPqCodebook(e))
+    knnPqWith(e, sharedOpqPqCodebook(s, d))
   }
 
   /** s20: ONE exact Lloyd round of the spherical k-means trainer,
@@ -1552,7 +1611,7 @@ object Similarity {
     * k-row aggregate. */
   def s20KmeansRound(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    kmeansSums(e, collectCodebook(e))
+    kmeansSums(e, sharedCodebook(s, d))
   }
 
   /** One Lloyd round's M-step emission over an explicit codebook —
@@ -1628,7 +1687,7 @@ object Similarity {
     * silhouette 0 by convention, guarded not hoped. */
   def s21Silhouette(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    silhouetteWith(e, collectCodebook(e))
+    silhouetteWith(e, sharedCodebook(s, d))
   }
 
   /** The s21 pipeline over an explicit codebook — the trained path
@@ -1983,6 +2042,15 @@ object Similarity {
       col("norm_fp").as("n_norm"))
     val wPool = Window.partitionBy(col("qid"))
       .orderBy(col("cos_e6").desc, col("nid"))
+    // The greedy unroll references `pool` five times and `ps` twice;
+    // Spark shares no common subtrees within one DAG, so without a cut
+    // the corpus×query pool scan (and its top-pool window) re-executes
+    // per reference — 19 AQE stage-jobs at sf0.1, and at scale five
+    // corpus scans where one suffices. Both frames are query-sized by
+    // construction (NQueries×MmrPool and NQueries×MmrPool² rows), so
+    // materialize each ONCE with localCheckpoint — the q24/Components
+    // loop-invariant discipline — and let every pick read the
+    // materialized rows.
     val pool = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(cosine(dotFp9(col("q_emb"), col("n_emb")),
@@ -1990,6 +2058,7 @@ object Similarity {
       .withColumn("pr", row_number().over(wPool))
       .filter(col("pr") <= MmrPool)
       .select(col("qid"), col("nid"), col("cos_e6"))
+      .localCheckpoint()
     val ps = pool.select(col("qid"), col("nid").as("a"))
       .join(pool.select(col("qid"), col("nid").as("b")), Seq("qid"))
       .filter(col("a") =!= col("b"))
@@ -2000,6 +2069,7 @@ object Similarity {
       .select(col("qid"), col("a"), col("b"),
         round(cosine(dotFp9(col("a_emb"), col("b_emb")),
           col("a_norm"), col("b_norm")) * 1e6).cast("long").as("sim_e6"))
+      .localCheckpoint()
     def scoreOf(cands: DataFrame): DataFrame = cands.withColumn("mmr_x10_e6",
       lit(MmrLambda10) * col("cos_e6") -
         lit(10L - MmrLambda10) * col("penalty_e6"))
@@ -2045,7 +2115,7 @@ object Similarity {
     * shape. Approximate on both axes; recall floor pinned by spec. */
   def s8KnnIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    knnIvfPqWith(e, collectCodebook(e), collectPqCodebook(e))
+    knnIvfPqWith(e, sharedCodebook(s, d), sharedPqCodebook(s, d))
   }
 
   /** The s8 pipeline over explicit IVF + PQ codebooks (no-residual
@@ -2094,7 +2164,7 @@ object Similarity {
     * regardless of corpus size. */
   def s11IvfRerank(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
-    val cand = knnIvfPqWith(e, collectCodebook(e), collectPqCodebook(e),
+    val cand = knnIvfPqWith(e, sharedCodebook(s, d), sharedPqCodebook(s, d),
       topk = RerankK).select(col("qid"), col("nid"))
     val q = e.filter(col("vec_id") < NQueries.toLong)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
@@ -2607,7 +2677,7 @@ object Similarity {
   def s32ProtoCoreset(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(embeddings(s, d))
     val n = e.count()
-    val cents = collectCodebook(e)
+    val cents = sharedCodebook(s, d)
     val a = e.select(col("vec_id"),
         rankedCentroids(cents, col("embedding"), col("norm_fp")).as("rc"))
       .select(col("vec_id"),

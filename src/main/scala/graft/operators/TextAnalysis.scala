@@ -205,9 +205,14 @@ object TextAnalysis {
     * the identical counters via GROUP BY (j, bucket) and takes the
     * same min over rows. */
   def x26CmsFreq(s: SparkSession, d: String): DataFrame = {
+    // referenced twice (global sketch fold + exact top-20 census) with
+    // no subtree sharing in one DAG — materialize the exploded tokens
+    // once so the tokenizer and the CmsDepth md5s per occurrence run a
+    // single time
     val toks = documents(s, d)
       .select(col("doc_id"), col("text"))
       .select(explode(words(col("text"))).as("w"))
+      .localCheckpoint()
     val sketch = toks.select(col("w"), cmsHashes(col("w")).as("hs"))
       .agg(graft.functions.GraftFunctions
         .cms_sketch(col("hs"), CmsDepth, CmsWidth).as("cms"))
@@ -273,9 +278,12 @@ object TextAnalysis {
     * `55 − length(bin(w))` rank arithmetic, and the identical integer
     * harmonic sum. */
   def x36HllDistinct(s: SparkSession, d: String): DataFrame = {
+    // referenced twice (HLL fold + exact distinct census) — materialize
+    // the exploded shingles once, same rationale as x26's token cut
     val sh = documents(s, d)
       .select(col("source"), words(col("text")).as("ws"))
       .select(col("source"), explode(shingles3(col("ws"))).as("g"))
+      .localCheckpoint()
     val hashed = sh.select(col("source"), hllHash(col("g")).as("h"))
     val sk = hashed.groupBy(col("source"))
       .agg(graft.functions.GraftFunctions.hll_sketch(col("h"), HllM).as("regs"))
@@ -599,7 +607,26 @@ object TextAnalysis {
 
   /** Library form of [[x8Repetition]] over any (doc_id, text) frame;
     * presentation order left to the caller. */
-  def repetitionSignals(docs: DataFrame): DataFrame = {
+  def repetitionSignals(docs0: DataFrame): DataFrame = {
+    // Hash-partition the DOCUMENTS once, before the gram explode: both
+    // gram aggregations group with doc_id as a key prefix and the final
+    // left join keys on doc_id, so hash(doc_id) satisfies every
+    // downstream distribution and the whole pipeline runs exchange-free
+    // past this point. Shuffling the un-exploded docs moves ~5× fewer
+    // bytes than the previous plan's (doc_id, n, gram) exchange (guide
+    // §2.3/§2.4: the explode multiplies the shuffle; move rows before
+    // exploding them) — measured at sf0.1: 10.7 MB shuffled → 1.0 MB,
+    // 2 gram-sized Exchanges → 1 doc-sized one. The width is EXPLICIT
+    // (AQE sizes partitions by bytes, but the downstream explode+agg
+    // multiplies work per byte ~5×, so byte-coalescing this exchange to
+    // one task serializes the gram census — measured): one task per
+    // core, floored at the scan's own split count so a corpus bigger
+    // than cores×128MB keeps scan-sized tasks rather than giant ones.
+    val width = math.max(
+      docs0.sparkSession.sparkContext.defaultParallelism,
+      docs0.rdd.getNumPartitions)
+    val docs = docs0.select(col("doc_id"), col("text"))
+      .repartition(width, col("doc_id"))
     val grams = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
@@ -1025,13 +1052,20 @@ object TextAnalysis {
 
   /** Library form of [[x13LmScore]] over any (doc_id, text) frame. */
   def lmScore(docs: DataFrame): DataFrame = {
+    // materialized once: the token stream feeds the model counts, the
+    // totals AND the scoring join — without the cut the tokenizer ran
+    // once per reference ([[lmModel]] re-derived it a second time)
     val tok = docs
       .withColumn("bucket", hashBucket(col("doc_id").cast("string")))
       .withColumn("split",
         when(col("bucket") < 80L, "train")
           .when(col("bucket") < 90L, "val").otherwise("test"))
       .select(col("doc_id"), col("split"), explode(words(col("text"))).as("w"))
-    val counts = lmModel(docs)
+      .localCheckpoint()
+    // ≡ lmModel(docs): bucket < 80 IS the train split — derived from
+    // the materialized token stream instead of a second tokenize
+    val counts = tok.filter(col("split") === "train")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
     tok.join(broadcast(counts), Seq("w"), "left")
       .crossJoin(broadcast(totals))
@@ -1066,8 +1100,12 @@ object TextAnalysis {
 
   /** Library form of [[x28Dsir]] over any (doc_id, lang, text). */
   def dsirSelect(docs: DataFrame): DataFrame = {
+    // materialized once: referenced by the target model, the raw model
+    // and the scoring chain (each model's totals re-derive it again) —
+    // five tokenizer executions without the cut
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(words(col("text"))).as("w"))
+      .localCheckpoint()
     val tgt = tok.filter(col("lang") === "en")
       .groupBy(col("w")).agg(count(lit(1)).as("ct"))
     val raw = tok.groupBy(col("w")).agg(count(lit(1)).as("cr"))
@@ -1197,6 +1235,10 @@ object TextAnalysis {
         when(col("bucket") < 80L, "train")
           .when(col("bucket") < 90L, "val").otherwise("test"))
       .select(col("doc_id"), col("split"), words(col("text")).as("ws"))
+      // referenced three times (bigram generator, vocab count, final
+      // doc join) and Spark shares no subtrees within a DAG — without
+      // a cut the tokenizer runs 3× per execution; materialize once
+      .localCheckpoint()
     // adjacent pairs as a narrow generator: (ws[i], ws[i+1]), 1-based
     val big = base
       .filter(size(col("ws")) >= 2)
@@ -1208,6 +1250,8 @@ object TextAnalysis {
         col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = big.filter(col("split") === "train")
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      // referenced twice (ctx roll-up + the scoring join) — same cut
+      .localCheckpoint()
     // context totals: occurrences of w1 AS A CONTEXT in train = Σ c₂(w1,·)
     val ctx = c2.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
     // V = train UNIGRAM vocab (the smoothing denominator ranges over
