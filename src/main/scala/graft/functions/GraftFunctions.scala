@@ -91,6 +91,23 @@ object GraftFunctions {
   def nfc(s: Column): Column =
     GraftSqlBridge.column(NfcNormalizeExpr(GraftSqlBridge.expression(s)))
 
+  /** string → array<string> whitespace tokens (empties dropped) —
+    * codegen'd one-pass byte scan; see [[SplitWordsExpr]]. */
+  def split_words(s: Column): Column =
+    GraftSqlBridge.column(SplitWordsExpr(GraftSqlBridge.expression(s)))
+
+  /** array<string> → adjacent n-gram joins (n = 2 or 3) — codegen'd;
+    * see [[WordNgramsExpr]]. */
+  def word_ngrams(ws: Column, n: Int): Column =
+    GraftSqlBridge.column(WordNgramsExpr(GraftSqlBridge.expression(ws), n))
+
+  /** array<string> → width/stride word-window joins — codegen'd; see
+    * [[WordWindowsExpr]]. */
+  def word_windows(ws: Column, width: Int, stride: Int,
+      fullOnly: Boolean): Column =
+    GraftSqlBridge.column(
+      WordWindowsExpr(GraftSqlBridge.expression(ws), width, stride, fullOnly))
+
   /** (bigint, bigint) → bigint Morton locality code over the low 16
     * bits of each dimension — codegen'd; see [[ZOrder16Expr]]. */
   def zorder16(a: Column, b: Column): Column =
@@ -122,5 +139,8 @@ object GraftFunctions {
     GraftSqlBridge.registerFunction(
       spark, "nfc", children => NfcNormalizeExpr(children(0)),
       classOf[NfcNormalizeExpr])
+    GraftSqlBridge.registerFunction(
+      spark, "split_words", children => SplitWordsExpr(children(0)),
+      classOf[SplitWordsExpr])
   }
 }

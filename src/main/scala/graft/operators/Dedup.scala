@@ -1013,9 +1013,10 @@ object Dedup {
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tok"))
       .filter(col("n_tok") >= W.toLong)
+      // native word_windows kernel — see TextAnalysis.substringDedup
       .select(col("doc_id"), explode(
-        transform(sequence(lit(0L), col("n_tok") - W.toLong), p =>
-          array_join(slice(col("ws"), (p + 1L).cast("int"), lit(W)), " ")))
+        graft.functions.GraftFunctions
+          .word_windows(col("ws"), W, 1, fullOnly = true))
         .as("g"))
       .distinct()
   }

@@ -882,10 +882,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("split"), words(col("text")).as("ws"))
       .select(col("doc_id"), col("split"),
         greatest(size(col("ws")) - (n - 1), lit(0)).cast("long").as("n_grams"),
-        array_distinct(when(size(col("ws")) >= n,
-          transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-            i => md5(concat_ws(" ", slice(col("ws"), i, lit(n))))))
-          .otherwise(array().cast("array<string>"))).as("gs"))
+        // native word_windows kernel builds the n-gram strings in one
+        // pass (concat_ws over a slice ≡ the kernel's skip-null join);
+        // the md5 transform then runs over the small materialized array
+        array_distinct(transform(
+          graft.functions.GraftFunctions
+            .word_windows(col("ws"), n, 1, fullOnly = true),
+          g => md5(g))).as("gs"))
 
   /** The decontamination decision over a [[gramSets]] frame: train
     * vocabulary (distinct gram keys), LEFT SEMI probe of each test
@@ -2137,14 +2140,13 @@ object TextAnalysis {
     // segment lambda slices ws per segment, and an inlined
     // words(text) subtree would re-tokenize the doc once per segment
     val ws = col("ws")
-    // non-overlapping n-token segments; slice is 1-based, truncates at
-    // the end; empty docs → zero segments (guarded: sequence(0,-1)
-    // would count DOWN)
-    val segArr = when(size(ws) > 0,
-      transform(
-        sequence(lit(0L), idiv(size(ws) + lit(n - 1), lit(n)) - 1L),
-        i => array_join(slice(ws, (i * n + 1).cast("int"), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // non-overlapping n-token segments, tail truncated; empty docs →
+    // zero segments — the native word_windows kernel (stride = width;
+    // the guarded transform+slice+array_join HOF form it replaces is
+    // spec-pinned equivalent in HashKernelSpec, including the
+    // empty-doc otherwise-branch)
+    val segArr = graft.functions.GraftFunctions
+      .word_windows(ws, n, n, fullOnly = false)
     val segs = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), posexplode(segArr).as(Seq("seg", "segtext")))
@@ -2216,12 +2218,14 @@ object TextAnalysis {
     val t = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tok"))
-    // overlapping windows, start p ∈ [0, n_tok − W]; ws is a staged
-    // column reference, so the slice reads a materialized array
+    // overlapping windows, start p ∈ [0, n_tok − W] — the native
+    // word_windows kernel (one array pass in codegen; the
+    // transform+slice+array_join HOF form it replaces ran interpreted
+    // per window and is spec-pinned equivalent in HashKernelSpec)
     val wins = t.filter(col("n_tok") >= W.toLong)
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0L), col("n_tok") - W.toLong), p =>
-          array_join(slice(col("ws"), (p + 1L).cast("int"), lit(W)), " ")))
+        graft.functions.GraftFunctions
+          .word_windows(col("ws"), W, 1, fullOnly = true))
         .as(Seq("p", "wtext")))
     // corpus-wide occurrence census AND postings in ONE aggregate over
     // ONE pass of the window subtree: the former census-groupBy +

@@ -29,12 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, empty strings dropped. */
+  /** Whitespace tokens, empty strings dropped. Native codegen'd
+    * kernel ([[graft.functions.SplitWordsExpr]] — one byte scan, no
+    * regex, no interpreted filter lambda); [[wordsHof]] is the
+    * executable spec. */
   def words(text: Column): Column =
+    graft.functions.GraftFunctions.split_words(text)
+
+  /** Spec formulation of [[words]] — interpreted HOF (`filter` is
+    * CodegenFallback), tested equivalent, never used in query paths. */
+  def wordsHof(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
   /** Word 3-gram shingles (the standard near-dup shingling unit).
-    * Docs shorter than 3 words shingle to the empty array.
+    * Docs shorter than 3 words shingle to the empty array. Native
+    * codegen'd kernel ([[graft.functions.WordNgramsExpr]] — one array
+    * pass, no slice intermediates, no interpreted zip_with lambdas);
+    * [[shingles3Hof]] is the executable spec. */
+  def shingles3(ws: Column): Column =
+    graft.functions.GraftFunctions.word_ngrams(ws, 3)
+
+  /** Spec formulation of [[shingles3]] — interpreted HOF, tested
+    * equivalent, never used in query paths.
     *
     * Shape matters here: zip_with over three SLICES of `ws`, never
     * element_at(ws, i) inside a transform lambda. HOF lambdas are
@@ -45,7 +61,7 @@ object TextOps {
     * shingle stream). With slices, `ws` is evaluated a constant
     * number of times per ROW and the lambdas touch only their bound
     * arguments, so even inline composition stays linear. */
-  def shingles3(ws: Column): Column =
+  def shingles3Hof(ws: Column): Column =
     when(size(ws) >= 3,
       zip_with(
         slice(ws, lit(1), size(ws) - 2),
@@ -55,9 +71,15 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
 
   /** Word bigrams (repetition-signal unit — x8). Docs shorter than 2
-    * words map to the empty array. Same slice discipline as
-    * [[shingles3]]. */
+    * words map to the empty array. Native codegen'd kernel;
+    * [[bigrams2Hof]] is the executable spec. */
   def bigrams2(ws: Column): Column =
+    graft.functions.GraftFunctions.word_ngrams(ws, 2)
+
+  /** Spec formulation of [[bigrams2]] — interpreted HOF, tested
+    * equivalent, never used in query paths. Same slice discipline as
+    * [[shingles3Hof]]. */
+  def bigrams2Hof(ws: Column): Column =
     when(size(ws) >= 2,
       zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
         (a, b) => concat_ws(" ", a, b)))

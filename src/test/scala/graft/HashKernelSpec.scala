@@ -102,6 +102,104 @@ class HashKernelSpec extends SparkSpecBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("split_words kernel matches the HOF spec on the real corpus") {
+    assertNoDiff(spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), words(col("text")).as("k"),
+        wordsHof(col("text")).as("s"))
+      .filter(not(col("k") <=> col("s"))))
+  }
+
+  test("word_ngrams kernels match the HOF specs on the real corpus") {
+    assertNoDiff(spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        bigrams2(col("ws")).as("bk"), bigrams2Hof(col("ws")).as("bs"),
+        shingles3(col("ws")).as("sk"), shingles3Hof(col("ws")).as("ss"))
+      .filter(not(col("bk") <=> col("bs")) || not(col("sk") <=> col("ss"))))
+  }
+
+  test("property: tokenizer kernels match specs on adversarial text " +
+      "(multi-space, leading/trailing, unicode, tabs/newlines untouched, null)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val tokGen = Gen.oneOf(
+      Gen.const(""),
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.nonEmptyListOf(Gen.oneOf("ä", "中", "💡", "é", "\t", "\n", "|"))
+        .map(_.mkString.take(6)))
+    val textGen = Gen.frequency(
+      8 -> Gen.listOf(Gen.zip(tokGen, Gen.chooseNum(1, 3)))
+        .map(_.map { case (t, k) => t + (" " * k) }.mkString)
+        .map(Option(_)),
+      1 -> Gen.const(Option.empty[String]))
+    val prop = Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.toDF("t")
+      df.select(
+        words(col("t")).as("wk"), wordsHof(col("t")).as("wsp"))
+        .withColumn("bk", bigrams2(col("wk")))
+        .withColumn("bs", bigrams2Hof(col("wsp")))
+        .withColumn("sk", shingles3(col("wk")))
+        .withColumn("ss", shingles3Hof(col("wsp")))
+        .filter(not(col("wk") <=> col("wsp")) || not(col("bk") <=> col("bs")) ||
+          not(col("sk") <=> col("ss")))
+        .count() == 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("word_ngrams: null-bearing arrays reproduce the nested concat_ws " +
+      "semantics (skip-null join incl. the trailing-space artifact)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[String]("a", "b", "c", "d")),
+      (2L, Seq[String]("a", null, "c")),
+      (3L, Seq[String]("x", null, null)),
+      (4L, Seq[String](null, null, null)),
+      (5L, Seq[String]("", "b", "")),
+      (6L, Seq[String]("only")),
+      (7L, Seq[String]())).toDF("id", "ws")
+    assertNoDiff(df.select(col("id"),
+        bigrams2(col("ws")).as("bk"), bigrams2Hof(col("ws")).as("bs"),
+        shingles3(col("ws")).as("sk"), shingles3Hof(col("ws")).as("ss"))
+      .filter(not(col("bk") <=> col("bs")) || not(col("sk") <=> col("ss"))))
+  }
+
+  test("word_windows kernel matches the transform+slice+array_join HOF " +
+      "forms (overlapping full-only and strided truncating), incl. " +
+      "null elements, empty strings, short and null arrays") {
+    import spark.implicits._
+    val W = 6
+    val seg = 4
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), words(col("text")).as("ws"))
+    val edge = Seq(
+      ("e1", Seq[String]("a", null, "c", "", "e", "f", "g")),
+      ("e2", Seq[String](null, null, null, null, null, null)),
+      ("e3", Seq[String]("x", "y")),
+      ("e4", Seq[String]()),
+      ("e5", null.asInstanceOf[Seq[String]])).toDF("id", "ws")
+    val df = real.unionByName(edge)
+    def hofFull(ws: org.apache.spark.sql.Column) =
+      when(size(ws) >= W,
+        transform(sequence(lit(0L), (size(ws) - W).cast("long")), p =>
+          array_join(slice(ws, (p + 1L).cast("int"), lit(W)), " ")))
+        .otherwise(array().cast("array<string>"))
+    def hofSeg(ws: org.apache.spark.sql.Column) =
+      when(size(ws) > 0,
+        transform(
+          sequence(lit(0L), idiv(size(ws) + lit(seg - 1), lit(seg)) - 1L),
+          i => array_join(slice(ws, (i * seg + 1).cast("int"), lit(seg)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val bad = df.select(col("id"),
+        GraftFunctions.word_windows(col("ws"), W, 1, fullOnly = true).as("fk"),
+        hofFull(col("ws")).as("fs"),
+        GraftFunctions.word_windows(col("ws"), seg, seg, fullOnly = false).as("sk"),
+        hofSeg(col("ws")).as("ss"))
+      .filter(not(col("fk") <=> col("fs")) || not(col("sk") <=> col("ss")))
+    assertNoDiff(bad)
+  }
+
   test("property: kernels match specs on adversarial inputs (unicode, empties, null elements)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
