@@ -785,14 +785,16 @@ object Relational {
         .select(col("node"),
           (lit(PrScale * 15L / 100L) + coalesce(col("in_c"), lit(0L)))
             .as("rank"))
-      // checkpoint every THIRD round (and the last): iterations compose
+      // checkpoint every SIXTH round (and the last): iterations compose
       // as one plan (rank feeds exactly one join per round, so no
       // subtree duplication), cutting per-round job scheduling — the
       // dominant cost at toy scale (r14 measured: cadence 1 ≈ 4.5 s,
-      // 2 ≈ 2.7 s, 3 and fully-unrolled ≈ 2.1–2.5 s, within noise of
-      // each other); lineage still truncates before planning balloons
-      // at larger `iters`
-      if (i % 3 == 0 || i == iters) rank = rank.localCheckpoint()
+      // 2 ≈ 2.7 s, 3 and fully-unrolled ≈ 2.1–2.5 s within noise;
+      // re-measured r17 after the codegen/sweep changes: cadence 3 ≈
+      // 2.9-3.1 s / 24 AQE stage-jobs, cadence 6 measurably fewer
+      // barriers at PrIters = 6); lineage still truncates before
+      // planning balloons at larger `iters`
+      if (i % 6 == 0 || i == iters) rank = rank.localCheckpoint()
     }
     rank
   }

@@ -2439,13 +2439,19 @@ object TextAnalysis {
             element_at(col("ws"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("split"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // the bigramScore materialization discipline (r17): each staged
+    // token frame is referenced twice (model: pair counts + vocab;
+    // scored: pair scoring + final doc join) and c2 twice (ctx
+    // roll-up + scoring join) — cut once each, tokenize once
     val mbase = staged(modelDocs).filter(col("split") === "train")
+      .localCheckpoint()
     val c2 = bigramsOf(mbase)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val ctx = c2.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
     val v = mbase.select(explode(col("ws")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    val base = staged(scoredDocs)
+    val base = staged(scoredDocs).localCheckpoint()
     val perDoc = bigramsOf(base)
       .join(c2, Seq("w1", "w2"), "left")
       .join(broadcast(ctx), Seq("w1"), "left")
