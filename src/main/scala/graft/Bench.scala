@@ -37,6 +37,24 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // Silence the per-block "lineage has been truncated and cannot be
+    // recomputed after unpersisting" WARN the scratch sweep triggers
+    // once per released localCheckpoint block — thousands of lines per
+    // run that crowd the driver's 2000-char log-tail window (ADVICE
+    // r17). Expected behavior, not a warning we act on: swept blocks
+    // are per-execution scratch that nothing reads again.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // Per-query scheduler counters (VERDICT r17 #3): summed executor
+    // task time and shuffle bytes per timed execution — the CPU basis
+    // that lets cross-round comparisons rank movers even when the host
+    // clock swings ±30% (this box's documented hazard). Counters are
+    // accumulated by a listener, drained deterministically before each
+    // read, and emitted per query in bench_out.json below.
+    val meter = new BenchMeter
+    spark.sparkContext.addSparkListener(meter)
+    def drainBus(): Unit =
+      org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 5000)
     // Warm the JVM once (parquet reader, codegen, shuffle machinery)
     // with a trivial job, then a FULL read of every table the queries
     // touch (noop write executes the whole scan — a count() is answered
@@ -133,11 +151,20 @@ object Bench {
     // costs inside its timed window, and the rerun pass rebuilds its
     // own blocks, so the timing methodology is unchanged — queries
     // just stop inheriting each other's garbage.
-    val sessionBlocks = spark.sparkContext.getPersistentRDDs.keySet
-    def sweepScratch(): Unit =
+    // The exclusion set is computed LIVE from the session caches, not
+    // from a frozen post-prepass snapshot (ADVICE r17): a shared stage
+    // first built DURING a timed pass (pre-pass disabled, a bench-only
+    // subset miss, a swallowed warm failure) is protected the moment
+    // it lands in its cache, and the pre-pass's own per-execution
+    // scratch — which the frozen snapshot permanently pinned — is
+    // released by the first sweep below.
+    def sweepScratch(): Unit = {
+      val live = operators.SessionCaches.liveRddIds(spark)
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!sessionBlocks.contains(id)) rdd.unpersist(blocking = false)
+        if (!live.contains(id)) rdd.unpersist(blocking = false)
       }
+    }
+    sweepScratch() // release the pre-pass's per-execution scratch
     // run-start calibration samples AFTER the pre-pass: it anchors the
     // first timed queries, so it must measure the machine at that
     // moment, not minutes earlier before the pre-pass ran
@@ -148,7 +175,12 @@ object Bench {
     // run-start calibration; a sample lands after every CalibrateEvery
     // queries and one closes the run
     var samples = List(0 -> calibration)
+    // per-query scheduler counters from the cold pass: (task ms,
+    // shuffle read MB, shuffle write MB) — the drain/read brackets sit
+    // OUTSIDE the timed window, like the sweep
+    var coldMeter = Map.empty[String, (Long, Double, Double)]
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      drainBus(); meter.reset()
       val t0 = System.nanoTime()
       // noop sink executes the FULL plan — count() would let Catalyst
       // prune the projected columns (e.g. a signature column feeding
@@ -164,6 +196,8 @@ object Bench {
         errors ::= name -> msg.linesIterator.next().take(200)
       }
       val t = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      coldMeter += name -> meter.read()
       sweepScratch()
       if ((i + 1) % CalibrateEvery == 0 && i + 1 < selected.size)
         samples ::= (i + 1) -> calibrate()
@@ -182,12 +216,16 @@ object Bench {
     // opinion and benchdiff false-flagged it (r11's q25/q26); warm
     // reruns of the sub-2 s class cost well under a minute total, so
     // everything self-adjudicates now.
+    var rerunMeter = Map.empty[String, (Long, Double, Double)]
     val reruns = results.map { case (name, _) =>
       val fn = SparkEntry.queries(name)
+      drainBus(); meter.reset()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () } // already in the errors map
       val t = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      rerunMeter += name -> meter.read()
       sweepScratch() // outside the timed window, as in the cold pass
       name -> t
     }
@@ -205,8 +243,26 @@ object Bench {
     // comparing across runs
     val cal = samples.reverse.map { case (i, v) => s"[$i,$v]" }
       .mkString("[", ",", "]")
+    // per-query scheduler counters (VERDICT r17 #3): executor task-time
+    // (ms) and shuffle read+write (MB) for both passes — the
+    // clock-immune basis for cross-round mover ranking. The committed
+    // bench_out.json is the channel with room for them; the byte-
+    // budgeted compact line below carries the task-time of the slowest
+    // queries only, as far as its own budget allows.
+    def meterMaps(m: Map[String, (Long, Double, Double)]): (String, String) = {
+      val cpu = results.map { case (k, _) =>
+        jstr(k) + ":" + m.get(k).map(_._1).getOrElse(0L)
+      }.mkString("{", ",", "}")
+      val shuf = results.map { case (k, _) =>
+        val (_, r, w) = m.getOrElse(k, (0L, 0.0, 0.0))
+        jstr(k) + ":" + f"${r + w}%.2f"
+      }.mkString("{", ",", "}")
+      (cpu, shuf)
+    }
+    val (coldCpu, coldShuf) = meterMaps(coldMeter)
+    val (rerunCpu, _) = meterMaps(rerunMeter)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","prepass_sec":$prepassSec,"calibration":$calibration,"calibration_samples":$cal,"queries":$qs,"reruns":$rr,"rerun_calibration":$rerunCal,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","prepass_sec":$prepassSec,"calibration":$calibration,"calibration_samples":$cal,"queries":$qs,"reruns":$rr,"rerun_calibration":$rerunCal,"task_ms":$coldCpu,"rerun_task_ms":$rerunCpu,"shuffle_mb":$coldShuf,"errors":$errs,"sf":${jstr(sfDir)}}"""
     // FULL-DETAIL line: to the file; stdout carries it ONLY when the
     // file write fails (an unwritable SPARK_GRAFT_BENCH_OUT must not
     // destroy the run's results on both channels). Unconditional
@@ -263,7 +319,32 @@ object Bench {
       fits = sb.length + extra + close.length <= TailBudget
       if (fits) { if (!first) sb.append(','); sb.append(e); first = false }
     }
-    sb.append(close)
+    sb.append("}")
+    // cold-pass executor task-time (ms) for the slowest queries, in the
+    // headroom between TailBudget and the tail window's safe maximum
+    // (~2000 chars minus sbt's ~70-char success line and margin). Same
+    // slowest-first order as the queries map; additions-only — the
+    // queries map above is untouched, so existing parsers are
+    // unaffected and a CPU-based reader gets the deflaked wall AND the
+    // clock-immune task-time for every query that fits.
+    val CpuTailBudget = 1780
+    val cpuEntries = deflaked.sortBy(-_._2)
+      .map { case (k, _) => jstr(k) + ":" + coldMeter.get(k).map(_._1).getOrElse(0L) }
+    val cpuHead = ",\"cpu_ms\":{"
+    if (sb.length + cpuHead.length + 2 + close.length <= CpuTailBudget) {
+      sb.append(cpuHead)
+      var cfirst = true
+      var cfits = true
+      val cit = cpuEntries.iterator
+      while (cfits && cit.hasNext) {
+        val e = cit.next()
+        val extra = e.length + (if (cfirst) 0 else 1)
+        cfits = sb.length + extra + 1 + close.length <= CpuTailBudget
+        if (cfits) { if (!cfirst) sb.append(','); sb.append(e); cfirst = false }
+      }
+      sb.append("}")
+    }
+    sb.append("}")
     // stop Spark BEFORE the final print (shutdown WARN/INFO lines must
     // not land after it and push it out of the tail window), and
     // silence the logger so stop() itself stays quiet
@@ -272,4 +353,29 @@ object Bench {
     println(sb.toString)
     System.out.flush()
   }
+}
+
+/** Accumulates scheduler-level counters between resets — the bench's
+  * per-query executor-task-time / shuffle-byte meter (the Probe.Meter
+  * shape, reused here so cross-round comparisons can rank movers on
+  * CPU rather than this host's ±30% wall clock). Reads happen after a
+  * deterministic listener-bus drain, outside the timed window. */
+private final class BenchMeter
+    extends org.apache.spark.scheduler.SparkListener {
+  private val taskMs = new java.util.concurrent.atomic.AtomicLong
+  private val shufR = new java.util.concurrent.atomic.AtomicLong
+  private val shufW = new java.util.concurrent.atomic.AtomicLong
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val m = sc.stageInfo.taskMetrics
+    if (m != null) {
+      taskMs.addAndGet(m.executorRunTime)
+      shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+  def reset(): Unit = { taskMs.set(0); shufR.set(0); shufW.set(0) }
+  /** (executor task ms, shuffle read MB, shuffle write MB) */
+  def read(): (Long, Double, Double) =
+    (taskMs.get(), shufR.get() / 1e6, shufW.get() / 1e6)
 }

@@ -90,9 +90,10 @@ object Probe {
                     else df
           run.write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
-          // listener events drain asynchronously; give the bus a moment
-          // so the counters line up with the run they measure
-          Thread.sleep(200)
+          // deterministic listener-bus drain (ADVICE r17): under load
+          // the bus can lag past any fixed sleep, silently attributing
+          // a run's stage counters to the following run
+          org.apache.spark.GraftListenerBus.drain(spark.sparkContext, 10000)
           println(f"TIMING $name run=$i sec=$sec%.2f ${meter.snap()}")
         }
       }

@@ -4,9 +4,9 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -30,29 +30,49 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * of `depth` row-hashes (md5-prefix folds, the x6/d2 family), so the
   * hash definition lives in ONE place, inlined identically into the
   * Spark plan and the DuckDB oracle. `update` reduces each hash mod
-  * `width` and increments; `eval` returns the flat `depth·width`
+  * `width` and adds the row's WEIGHT (`weight`, default literal 1 —
+  * the per-occurrence form); `eval` returns the flat `depth·width`
   * counter array. Estimates are then plain column arithmetic:
   * `min_j counters[j·width + h_j mod width]` — CMS's one-sided
   * guarantee (estimate ≥ true count) is asserted in the spec and
   * visible per-row in the q26 output.
   *
-  * Null child rows are skipped (SQL aggregate convention).
+  * The weight child (r18, VERDICT r17 #5) exists so an ingest path
+  * can pre-aggregate to (key, count) and feed the sketch one weighted
+  * update per DISTINCT key instead of one per occurrence — the
+  * counters are integer sums, so Σ over occurrences ≡ one += count:
+  * the sketch is bit-identical by additive commutativity (spec-pinned
+  * in HashKernelSpec). The exactly-once ingestion contract is
+  * unchanged: a redelivered (key, count) row still double-counts,
+  * exactly as a redelivered occurrence did — the streaming twin
+  * ([[graft.streaming.StreamOps.cmsStream]]) keeps its per-occurrence
+  * form behind the same dedup/ack front it always documented.
+  *
+  * Null child rows are skipped (SQL aggregate convention); a null
+  * weight on a non-null child row is a contract violation and fails
+  * loudly (silently skipping would under-count without trace).
   */
 case class CmsAggExpr(
     child: Expression,
     depth: Int,
     width: Int,
+    weight: Expression = Literal(1L),
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
 
   require(depth >= 1 && width >= 2, "cms requires depth >= 1, width >= 2")
 
+  override def left: Expression = child
+  override def right: Expression = weight
+
   override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(
-        s"cms_sketch requires array<bigint> of $depth row-hashes, got ${t.sql}")
+    (child.dataType, weight.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t, w) => TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch requires array<bigint> of $depth row-hashes and a " +
+          s"bigint weight, got ${t.sql} / ${w.sql}")
     }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -73,13 +93,19 @@ case class CmsAggExpr(
         throw new IllegalArgumentException(
           s"cms_sketch: row-hash array has ${hs.numElements()} elements, " +
             s"need $depth (one per sketch row)")
+      val wv = weight.eval(input)
+      if (wv == null)
+        throw new IllegalArgumentException(
+          "cms_sketch: null weight for a non-null row-hash array — a " +
+            "weighted ingest row must carry its count")
+      val n = wv.asInstanceOf[Long]
       var j = 0
       while (j < depth) {
         if (!hs.isNullAt(j)) {
           // row-hashes are md5-prefix folds: always >= 0; floorMod
           // keeps adversarial negative inputs in range anyway
           val bucket = java.lang.Math.floorMod(hs.getLong(j), width.toLong)
-          b(j * width + bucket.toInt) += 1L
+          b(j * width + bucket.toInt) += n
         }
         j += 1
       }
@@ -111,6 +137,7 @@ case class CmsAggExpr(
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): CmsAggExpr =
     copy(inputAggBufferOffset = offset)
-  override protected def withNewChildInternal(c: Expression): CmsAggExpr =
-    copy(child = c)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsAggExpr =
+    copy(child = newLeft, weight = newRight)
 }

@@ -45,6 +45,18 @@ object GraftFunctions {
       CmsAggExpr(GraftSqlBridge.expression(hashes), depth, width)
         .toAggregateExpression())
 
+  /** WEIGHTED [[cms_sketch]] (r18): one update per (key, count) row —
+    * each counter gains `weight` instead of 1. Bit-identical to the
+    * per-occurrence form over the expanded stream (integer-sum
+    * commutativity; spec-pinned), at 1/mean-frequency of the hashing
+    * cost. See [[CmsAggExpr]]. */
+  def cms_sketch_weighted(hashes: Column, weight: Column,
+      depth: Int, width: Int): Column =
+    GraftSqlBridge.column(
+      CmsAggExpr(GraftSqlBridge.expression(hashes), depth, width,
+        GraftSqlBridge.expression(weight))
+        .toAggregateExpression())
+
   /** HyperLogLog AGGREGATE over a staged 60-bit BIGINT row hash →
     * m register maxima; native `TypedImperativeAggregate` whose
     * elementwise-MAX merge is duplicate-insensitive; see

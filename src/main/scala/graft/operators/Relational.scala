@@ -180,7 +180,19 @@ object Relational {
     * buffers more than its own rows (Spark's running frames stream). */
   def q15WindowFrames(s: SparkSession, d: String): DataFrame = {
     val byCust = Window.partitionBy(col("o_custkey"))
-    val rowOrder = byCust.orderBy(col("o_orderdate"), col("o_orderkey"))
+    // SHARE THE SORT (r18, guide §2.4): the ROWS windows and the RANGE
+    // window used to order by different EXPRESSIONS (raw timestamp vs
+    // unix_date of it), so the plan re-sorted between the two Window
+    // operators. Both now order by ONE staged `od_days` column — the
+    // ROWS order keeps the raw timestamp AND the orderkey as tie-breaks
+    // after it, which is the identical total order for ANY data
+    // (od_days is a monotone coarsening of o_orderdate, so ordering by
+    // (coarse, fine, key) ≡ (fine, key)) — and the RANGE window's
+    // required (cust, od_days) is a prefix of the ROWS sort, so one
+    // Sort serves all three frames (plan diff: 2 intra-window Sorts →
+    // 1; plans/r18/q15_window_frames_{before,after}.txt).
+    val rowOrder = byCust.orderBy(col("od_days"), col("o_orderdate"),
+      col("o_orderkey"))
     val mavgW = rowOrder.rowsBetween(-2, Window.currentRow)
     val cumW = rowOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // RANGE frame keys on the date VALUE (epoch days — TZ-free, unlike
@@ -188,9 +200,10 @@ object Relational {
     // frame peers — identical semantics to SQL's `RANGE BETWEEN
     // INTERVAL 30 DAYS PRECEDING AND CURRENT ROW` on the
     // midnight-aligned order dates.
-    val rangeW = byCust.orderBy(unix_date(col("o_orderdate").cast("date")))
+    val rangeW = byCust.orderBy(col("od_days"))
       .rangeBetween(-30L, Window.currentRow)
     orders(s, d)
+      .withColumn("od_days", unix_date(col("o_orderdate").cast("date")))
       .withColumn("mavg3_price",
         sum(cents(col("o_totalprice"))).over(mavgW).cast("double") /
           (lit(100.0) * count(lit(1)).over(mavgW)))
@@ -792,9 +805,13 @@ object Relational {
       // 2 ≈ 2.7 s, 3 and fully-unrolled ≈ 2.1–2.5 s within noise;
       // re-measured r17 after the codegen/sweep changes: cadence 3 ≈
       // 2.9-3.1 s / 24 AQE stage-jobs, cadence 6 measurably fewer
-      // barriers at PrIters = 6); lineage still truncates before
-      // planning balloons at larger `iters`
-      if (i % 6 == 0 || i == iters) rank = rank.localCheckpoint()
+      // barriers at PrIters = 6; r18 settled it with an interleaved
+      // same-JVM sweep — table in OPTIMIZATION_r18.md); lineage still
+      // truncates before planning balloons at larger `iters`. The
+      // system property exists ONLY for that sweep ([[graft.PrProbe]]);
+      // query paths never set it.
+      val cadence = sys.props.get("graft.pr.cadence").map(_.toInt).getOrElse(6)
+      if (i % cadence == 0 || i == iters) rank = rank.localCheckpoint()
     }
     rank
   }
@@ -818,10 +835,22 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast("date").as("od"),
         cents(col("o_totalprice")).as("price_c"))
+      // SHARE THE SORTS (r18, guide §2.4): window definitions are
+      // GROUPED BY ORDERING — all (od, orderkey)-ordered frames
+      // (lag/lead/nth_value) first, every price_c-ordered or
+      // partition-only frame after — so the planner stacks same-order
+      // Window operators adjacently and re-sorts ONCE per ordering
+      // instead of re-sorting on every alternation (plan diff: 4
+      // intra-window Sorts → 2, same one Exchange;
+      // plans/r18/q25_window_funcs_{before,after}.txt). Pure
+      // reordering of independent column definitions — values and
+      // output schema are untouched (the final select fixes order).
       .withColumn("prev_gap_days",
         datediff(col("od"), lag(col("od"), 1).over(byCust)).cast("long"))
       .withColumn("next_gap_days",
         datediff(lead(col("od"), 1).over(byCust), col("od")).cast("long"))
+      .withColumn("first_price",
+        dollars(nth_value(col("price_c"), 1).over(full)))
       // percent_rank = (rank-1)/(n-1), cume_dist = peers_le/n — state
       // both as exact integer e6 from the integer positions
       .withColumn("rnk", rank().over(
@@ -831,8 +860,6 @@ object Relational {
         Window.partitionBy(col("o_custkey"), col("price_c")))
         + count(lit(1)).over(
           Window.partitionBy(col("o_custkey"), col("price_c"))) - lit(1L))
-      .withColumn("first_price",
-        dollars(nth_value(col("price_c"), 1).over(full)))
       // the builtins too: their doubles are exact divisions of the
       // same integers, so they hash cross-engine
       .withColumn("pct_rank", percent_rank().over(

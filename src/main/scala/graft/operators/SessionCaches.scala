@@ -57,6 +57,34 @@ private[graft] object SessionCaches {
       build
     })
 
+  /** The persistent-RDD ids currently pinned by this session's LIVE
+    * cache entries: for every cached DataFrame, the ids of its
+    * execution RDD and all ancestors (a localCheckpoint-materialized
+    * frame's block-holding RDD is a parent of `toRdd`'s final map).
+    * Bench's scratch sweep subtracts this set from
+    * `getPersistentRDDs` so a shared stage built DURING a timed pass
+    * (pre-pass disabled, or a swallowed warm failure) is never
+    * unpersisted out from under later consumers — the frozen
+    * post-prepass snapshot misclassified exactly that case (ADVICE
+    * r17). Non-DataFrame cache values hold no blocks and are skipped. */
+  def liveRddIds(s: SparkSession): Set[Int] = {
+    val out = scala.collection.mutable.Set.empty[Int]
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      if (out.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
+    }
+    caches.forEach { c =>
+      c.forEach { (k, v) =>
+        if (k._1 eq s) v match {
+          case df: DataFrame => walk(df.queryExecution.toRdd)
+          case (a: DataFrame, b: DataFrame) => // paired frames (q24 invariants)
+            walk(a.queryExecution.toRdd); walk(b.queryExecution.toRdd)
+          case _ => ()
+        }
+      }
+    }
+    out.toSet
+  }
+
   private def register(s: SparkSession): Unit = {
     val sc = s.sparkContext
     if (registered.add(sc))

@@ -2058,7 +2058,13 @@ object Similarity {
       .withColumn("pr", row_number().over(wPool))
       .filter(col("pr") <= MmrPool)
       .select(col("qid"), col("nid"), col("cos_e6"))
-      .localCheckpoint()
+      // EAGER by measurement (r18 CutProbe: eager 1.64 s / 0.8 s CPU <
+      // lazy 1.77/1.2 < none 3.00/1.3): the five-pick unroll consumes
+      // these frames from several concurrent AQE stage-jobs, and the
+      // lazy cut lets racing consumers duplicate the corpus scan the
+      // barrier exists to pay once. Query-sized frames, so the
+      // blocking job is cheap.
+      .transform(Cuts.cut(_, default = "eager"))
     val ps = pool.select(col("qid"), col("nid").as("a"))
       .join(pool.select(col("qid"), col("nid").as("b")), Seq("qid"))
       .filter(col("a") =!= col("b"))
@@ -2069,7 +2075,7 @@ object Similarity {
       .select(col("qid"), col("a"), col("b"),
         round(cosine(dotFp9(col("a_emb"), col("b_emb")),
           col("a_norm"), col("b_norm")) * 1e6).cast("long").as("sim_e6"))
-      .localCheckpoint()
+      .transform(Cuts.cut(_, default = "eager")) // see pool's rationale
     def scoreOf(cands: DataFrame): DataFrame = cands.withColumn("mmr_x10_e6",
       lit(MmrLambda10) * col("cos_e6") -
         lit(10L - MmrLambda10) * col("penalty_e6"))

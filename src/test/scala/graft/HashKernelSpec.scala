@@ -284,7 +284,18 @@ class HashKernelSpec extends SparkSpecBase {
         val cgot = cmsOf(cdf)
         val cmsOk = cgot == cref.toSeq &&
           cmsOf(cdf.union(cdf)) == cref.toSeq.map(_ * 2L)
-        bloomOk && hllOk && cmsOk
+        // WEIGHTED ingestion (r18, VERDICT r17 #5): the pre-aggregated
+        // (token, count) form through the weight child must equal the
+        // per-occurrence sketch BIT FOR BIT (integer-sum commutativity
+        // — x26's ~8×-fewer-digests rewrite rests on exactly this)
+        val wgot = cdf.groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .repartition(nPart)
+          .select(cmsHashes(col("w")).as("hs"), col("n")).groupBy()
+          .agg(GraftFunctions.cms_sketch_weighted(col("hs"), col("n"),
+            CmsDepth, CmsWidth))
+          .collect().head.getSeq[Long](0)
+        val cmsWeightedOk = wgot == cref.toSeq
+        bloomOk && hllOk && cmsOk && cmsWeightedOk
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)

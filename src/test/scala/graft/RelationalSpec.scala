@@ -77,6 +77,12 @@ class RelationalSpec extends SparkSpecBase {
     // sort key, which re-sorts but never re-shuffles)
     val shuffles = "Exchange hashpartitioning".r.findAllIn(planOf(df)).size
     assert(shuffles == 1, s"expected 1 hash exchange for all frames, got $shuffles")
+    // r18: the ROWS and RANGE frames share ONE staged od_days ordering,
+    // so the whole stack sorts once inside the partition — the only
+    // other Sort is the presentation tail (2 total; before r18 the
+    // RANGE window re-sorted on its own unix_date expression: 3)
+    val sorts = "\\bSort\\b".r.findAllIn(planOf(df)).size
+    assert(sorts <= 2, s"expected <= 2 Sorts (1 window + presentation), got $sorts")
     // frame semantics, re-derived per customer from the raw orders
     val cust = Tables.orders(spark, sf)
       .filter(col("o_custkey") === 7L)
@@ -452,6 +458,12 @@ class RelationalSpec extends SparkSpecBase {
     val plan = planOf(Relational.q25WindowFuncs(spark, sf))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 1, s"window family fragmented into $shuffles exchanges:\n$plan")
+    // r18: window definitions are GROUPED BY ORDERING, so the stack
+    // sorts once per distinct ordering — (od, okey) and (price) — plus
+    // the presentation tail (3 total; the pre-r18 interleaving
+    // re-sorted on every alternation: 5)
+    val sorts = "\\bSort\\b".r.findAllIn(plan).length
+    assert(sorts <= 3, s"expected <= 3 Sorts (2 orderings + presentation), got $sorts")
   }
 
   test("q24 pagerank: fixed-point ranks are partitioning-deterministic, " +
